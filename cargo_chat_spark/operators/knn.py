@@ -1,0 +1,77 @@
+"""Exact k-nearest-neighbor join (SURVEY §2.4 J1 exact mode, §2.5 O1-O3).
+
+Reference semantics (/root/reference/src/ann.rs:252-268): query vector ×
+corpus vectors → top-k (id, distance) ascending by Euclidean distance. The
+reference uses an approximate RP-tree forest; the checkable contract is the
+exact top-k with a total order (distance, corpus_id) — SURVEY §2.11 requires
+the explicit tie-break because Spark sorts are not stable across partitions.
+
+Spark-first physical strategy
+-----------------------------
+``corpus.join(broadcast(queries))`` + distance column expression +
+``row_number() <= k`` window:
+
+- The query side is tiny (per-request vectors) → **broadcast**, so the
+  distance computation is map-side over corpus partitions, no shuffle of the
+  corpus, and scales linearly with corpus size / executor count.
+- The rank filter is recognized by Catalyst's **WindowGroupLimit** physical
+  optimization (Spark ≥3.5): each task pre-prunes to its local top-k per
+  query BEFORE the window shuffle, so shuffle volume is O(|Q| · k ·
+  num_partitions), not O(|Q| · |C|). This is the same partial-top-k trick
+  the survey's §4 "scale path" calls for, obtained declaratively.
+- At 100 TB the corpus stays partitioned on disk; nothing here collects to
+  the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cargo_chat_spark.functions import vectors
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    *,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    metric: str = "euclidean",
+    keep_corpus_cols: list[str] | None = None,
+) -> DataFrame:
+    """Top-k neighbors per query, ascending ``(distance, corpus_id)``.
+
+    Returns columns: query_id, neighbor_id, distance, rank (1-based)
+    plus any ``keep_corpus_cols`` (J3 metadata resolution folded into the
+    same join — no positional parallel arrays, unlike ann.rs:263-268).
+    """
+    dist_fn = vectors.DISTANCES[metric]
+    keep = keep_corpus_cols or []
+
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))  # every corpus row scores every query
+        .select(
+            F.col(query_id).alias("query_id"),
+            F.col(corpus_id).alias("neighbor_id"),
+            dist_fn(F.col(query_vec), F.col(corpus_vec)).alias("distance"),
+            *[F.col(c) for c in keep],
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("distance"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def overfetch_knn(queries: DataFrame, corpus: DataFrame, k: int, **kw) -> DataFrame:
+    """Reference-mode retrieval fetch: k*2 candidates before filtering
+    (hyde.rs:500), truncated to k only after the classification filters
+    run (hyde.rs:519) — see plans.retrieval."""
+    return knn_join(queries, corpus, 2 * k, **kw)

@@ -1,0 +1,13 @@
+"""Aggregates all registered correctness queries.
+
+Importing this module populates ``SPARK_QUERIES`` / ``ORACLE_SQL`` from every
+domain module. ``__spark_entry__.py`` re-exports these to the driver.
+"""
+
+from __future__ import annotations
+
+from cargo_chat_spark.queries import relational  # noqa: F401
+from cargo_chat_spark.queries import vector_search  # noqa: F401
+from cargo_chat_spark.queries.registry import ORACLE_SQL, SPARK_QUERIES
+
+__all__ = ["SPARK_QUERIES", "ORACLE_SQL"]

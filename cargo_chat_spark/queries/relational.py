@@ -1,0 +1,91 @@
+"""Relational core queries over the TPC-H-ish tables — exercises the
+aggregation / join / sort / limit surface (SURVEY §2.5 O-ops, §2.6 A-ops)
+on engine-neutral data.
+
+DECIMAL(18,2) routing for money sums: exact integer arithmetic in both
+engines, so the value hash can't drift with float summation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cargo_chat_spark.sources.testdata import load_table
+from cargo_chat_spark.queries.registry import register
+
+_PRICING_SQL = """
+SELECT
+    l_returnflag,
+    l_linestatus,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        AS sum_disc_price,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+    COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("pricing_summary", sql=_PRICING_SQL)
+def pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary. Map-side partial aggregation on
+    (l_returnflag, l_linestatus); the shipdate filter and 4-column pruning
+    push down to the parquet scan."""
+    l = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_TOP_CUSTOMERS_SQL = """
+SELECT
+    c.c_custkey,
+    c.c_name,
+    n.n_name AS nation,
+    COUNT(*) AS order_cnt,
+    CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY total_spend DESC, c_custkey
+LIMIT 10
+"""
+
+
+@register("top_customers", sql=_TOP_CUSTOMERS_SQL)
+def top_customers(spark, sf_dir):
+    """Join + agg + deterministic top-n. nation (25 rows) broadcasts;
+    customer⋈orders is a shuffle join on the key both sides group by, so
+    the agg reuses the join partitioning (one shuffle, not two)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_spend"),
+        )
+        .orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+        .limit(10)
+    )

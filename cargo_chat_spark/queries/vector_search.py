@@ -1,0 +1,68 @@
+"""Vector-search correctness queries (SURVEY §2.4 J1/J3, §2.5 O1-O3).
+
+Deterministic query set: embeddings rows with ``vec_id % 100 == 0`` act as
+query vectors against the full embeddings corpus — exact Euclidean top-k
+with (distance, neighbor_id) total order, mirroring ann.rs:252-268 semantics
+in exact mode (SURVEY §7 risk register pins exact as the checkable
+contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cargo_chat_spark.operators.knn import knn_join, overfetch_knn
+from cargo_chat_spark.sources.testdata import load_table
+from cargo_chat_spark.queries.registry import register
+
+# Left-fold sum over element index keeps float accumulation order identical
+# to Spark's aggregate(zip_with(...)) expression.
+_EUCLID = """
+    sqrt(list_sum(list_transform(
+        generate_series(1, len(e.embedding)),
+        i -> (CAST(q.query_vec[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE))
+           * (CAST(q.query_vec[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE))
+    )))
+"""
+
+_KNN_SQL = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS query_vec
+    FROM embeddings WHERE vec_id % 100 = 0
+),
+scored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id, {_EUCLID} AS distance
+    FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+    SELECT query_id, neighbor_id, distance,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY distance, neighbor_id
+           ) AS INT) AS "rank"
+    FROM scored
+)
+SELECT * FROM ranked WHERE "rank" <= 10
+"""
+
+
+def _query_vectors(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.where((F.col("vec_id") % 100) == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+@register("knn_exact", sql=_KNN_SQL)
+def knn_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_join(_query_vectors(spark, sf_dir), emb, k=10)
+
+
+_KNN_OVERFETCH_SQL = _KNN_SQL.replace('"rank" <= 10', '"rank" <= 20')
+
+
+@register("knn_overfetch_2k", sql=_KNN_OVERFETCH_SQL)
+def knn_overfetch_2k(spark, sf_dir):
+    """Reference-mode k*2 over-fetch before filtering (hyde.rs:500)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return overfetch_knn(_query_vectors(spark, sf_dir), emb, k=10)

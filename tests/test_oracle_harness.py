@@ -1,0 +1,75 @@
+"""Local replica of the driver's correctness gate.
+
+For every registered query: run the Spark callable and the DuckDB oracle SQL
+on the same sf directory, canonicalize (columns sorted by name, floats
+rounded to 6 d.p., rows order-insensitive) and compare row count + column
+names + values — mirroring CORRECTNESS_r{N}.json semantics so mismatches
+surface locally before the driver runs at sf0.01.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+from decimal import Decimal
+
+import pytest
+
+from cargo_chat_spark.queries import catalog
+from tests.conftest import SF_DIR_SMALL
+
+
+def _cell(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 6)
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_cell(x) for x in v)
+    if hasattr(v, "tolist"):  # numpy scalars/arrays
+        return _cell(v.tolist())
+    return v
+
+
+def canonicalize(columns, rows):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    cols = [columns[i] for i in order]
+    canon = sorted(
+        (tuple(_cell(r[i]) for i in order) for r in rows), key=repr
+    )
+    return cols, canon
+
+
+@pytest.mark.parametrize("name", sorted(catalog.SPARK_QUERIES))
+def test_query_matches_oracle(name, spark, duck_small):
+    sdf = catalog.SPARK_QUERIES[name](spark, SF_DIR_SMALL)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    if name not in catalog.ORACLE_SQL:
+        # rows-only check, same as the driver's weak mode
+        assert len(s_rows) >= 0
+        return
+
+    res = duck_small.execute(catalog.ORACLE_SQL[name])
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+
+    sc, sr = canonicalize(s_cols, s_rows)
+    dc, dr = canonicalize(d_cols, d_rows)
+
+    assert sc == dc, f"{name}: column names differ: spark={sc} duckdb={dc}"
+    assert len(sr) == len(dr), f"{name}: row counts differ: {len(sr)} vs {len(dr)}"
+    mism = [i for i, (a, b) in enumerate(zip(sr, dr)) if a != b]
+    assert not mism, (
+        f"{name}: {len(mism)} mismatched rows; first: "
+        f"spark={sr[mism[0]]} duckdb={dr[mism[0]]}"
+    )
