@@ -1,0 +1,84 @@
+"""Language detection from file extension (SURVEY §2.2 P2, §2.3 F1).
+
+Mirrors the reference's static 12-language table
+(/root/reference/src/language.rs:57-72 extensions, :39-54 display names,
+:76-100 case-insensitive lookup). Unknown extension → NULL.
+
+Two interchangeable Spark forms:
+- ``detect_language_expr`` — a chained CASE expression (stays inside
+  whole-stage codegen; best for a 26-branch literal table)
+- ``language_lookup_df`` — a 26-row lookup DataFrame for broadcast joins
+  (the idiomatic form when the mapping is data, not code)
+
+``detect_language_sql_case`` emits the equivalent DuckDB/ANSI CASE so
+oracle SQL stays literally in sync with the Spark expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# language display name -> extensions (language.rs:57-72)
+LANGUAGE_EXTENSIONS: dict[str, list[str]] = {
+    "Rust": ["rs"],
+    "JavaScript": ["js", "jsx", "mjs"],
+    "TypeScript": ["ts", "tsx"],
+    "Java": ["java"],
+    "C++": ["cpp", "cxx", "cc", "hpp", "hxx", "hh"],
+    "C": ["c", "h"],
+    "Ruby": ["rb"],
+    "C#": ["cs"],
+    "Swift": ["swift"],
+    "Go": ["go"],
+    "Python": ["py", "pyx", "pyi"],
+    "Markdown": ["md", "markdown"],
+}
+
+EXT_TO_LANGUAGE: dict[str, str] = {
+    ext: lang for lang, exts in LANGUAGE_EXTENSIONS.items() for ext in exts
+}
+
+# All supported extensions, language-table order (language.rs:103-125)
+SUPPORTED_EXTENSIONS: list[str] = [
+    ext for exts in LANGUAGE_EXTENSIONS.values() for ext in exts
+]
+
+# Doc extensions for the code/doc partition, high-confidence branch
+# (hyde.rs:1016 "md" | "txt" | "rst" | "adoc")
+DOC_EXTENSIONS = ["md", "txt", "rst", "adoc"]
+# NOTE: the low-confidence branch (hyde.rs:1190-1199) checks only
+# {md, txt, rst} — adoc intentionally absent; preserve the quirk.
+DOC_EXTENSIONS_SIMPLE = ["md", "txt", "rst"]
+
+
+def detect_language_expr(ext: Column) -> Column:
+    """ext (no leading dot, any case) -> display name; NULL if unknown."""
+    lowered = F.lower(ext)
+    expr = F.lit(None).cast("string")
+    # build the when-chain in table order; order is irrelevant (keys disjoint)
+    result = None
+    for e, lang in EXT_TO_LANGUAGE.items():
+        clause = (lowered == e, F.lit(lang))
+        result = F.when(*clause) if result is None else result.when(*clause)
+    return result.otherwise(expr)
+
+
+def detect_language_sql_case(ext_sql: str) -> str:
+    """DuckDB CASE expression equivalent to ``detect_language_expr``."""
+    whens = "\n        ".join(
+        f"WHEN '{e}' THEN '{lang}'" for e, lang in EXT_TO_LANGUAGE.items()
+    )
+    return f"(CASE lower({ext_sql})\n        {whens}\n        ELSE NULL END)"
+
+
+def language_lookup_df(spark: SparkSession) -> DataFrame:
+    """26-row (extension, language) table for broadcast joins."""
+    rows = [(e, lang) for e, lang in EXT_TO_LANGUAGE.items()]
+    return spark.createDataFrame(rows, "extension string, language string")
+
+
+def is_supported_extension(ext: Column) -> Column:
+    """Ingest filter F1 (chunker.rs:44-62): case-insensitive membership in
+    the 26 supported extensions."""
+    return F.lower(ext).isin(SUPPORTED_EXTENSIONS)
