@@ -1,0 +1,191 @@
+"""Deduplication operators for training-data pipelines (north-star
+extension; SURVEY §7 step 8).
+
+Beyond the reference surface (its only set-dedup is U2 framework dedup,
+/root/reference/src/repo.rs:161-162), a 100 TB corpus engine needs document
+dedup. Four families, all expressed as declarative DataFrame ops over the
+``documents`` table, all hash-portable (functions.hashing → md5) so each is
+DuckDB-oracle-checkable:
+
+- exact:    hash-groupBy on a canonical key; keep min doc_id per group
+- minhash:  token shingles → universal-hash minima → banded LSH buckets →
+            candidate pairs (the scalable near-dup join: shuffle is
+            O(docs × bands), never O(docs²))
+- simhash:  per-token hash sign-sum → 32-bit fingerprint; hamming distance
+- jaccard:  exact n-gram Jaccard verification on LSH candidate pairs only
+
+Scale notes: every stage is groupBy/join on a hash key — AQE handles skew
+(hot shingles); band join keys are (band_id, signature) so buckets stay
+small; exact Jaccard runs only on the LSH survivors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from cargo_chat_spark.functions import hashing
+
+# Fixed minhash permutation family (seeded, public constants < PRIME).
+MINHASH_PERMS: list[tuple[int, int]] = [
+    (472882049, 882377),  # a_i, b_i — arbitrary fixed odd constants
+    (291866561, 530913),
+    (126271219, 997811),
+    (7556231, 330131),
+    (851971, 77041),
+    (968443, 604171),
+    (557927, 245561),
+    (131071, 914867),
+    (655361, 51829),
+    (786433, 473353),
+    (299993, 700001),
+    (104729, 611953),
+    (15485863, 32452843),
+    (49979687, 67867967),
+    (86028121, 93827, ),
+    (961748941, 35742549),
+]
+_PERMS = [(a % hashing.PRIME, b % hashing.PRIME) for a, b in MINHASH_PERMS]
+
+N_BANDS = 4
+ROWS_PER_BAND = 4  # 16 perms = 4 bands x 4 rows
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (documents are space-separated)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def shingles_all(text: Column, k: int = 3) -> Column:
+    """All k-token shingles in document order (winnowing input)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+
+
+def shingles_all_sql(text_sql: str, k: int = 3) -> str:
+    return f"""list_transform(
+        generate_series(1, greatest(len(regexp_split_to_array(trim({text_sql}), '\\s+')) - {k - 1}, 1)),
+        i -> array_to_string(list_slice(regexp_split_to_array(trim({text_sql}), '\\s+'), i, i + {k - 1}), ' ')
+    )"""
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles. NB: only safe for order-insensitive
+    consumers (min-hash, set intersection) — Spark's array_distinct keeps
+    first-occurrence order, DuckDB's list_distinct does not."""
+    return F.array_distinct(shingles_all(text, k))
+
+
+def shingles_sql(text_sql: str, k: int = 3) -> str:
+    return f"list_distinct({shingles_all_sql(text_sql, k)})"
+
+
+def _perm_fn(a: int, b: int):
+    # closure factory: PySpark infers lambda arity from the signature, so
+    # default-arg binding (lambda s, a=a, b=b) would read as a 3-arg lambda
+    return lambda h: hashing.universal(h, a, b)
+
+
+def shingle_hashes(text: Column, k: int = 3) -> Column:
+    """h32 of each distinct k-shingle — compute ONCE, then feed the
+    permutation minima / set ops. md5 dominates minhash cost; evaluating it
+    per-permutation would be a 16x blowup (Catalyst's CollapseProject keeps
+    a non-cheap alias referenced many times in its own projection, so a
+    two-step select preserves single evaluation)."""
+    return F.transform(shingles(text, k), hashing.h32)
+
+
+def shingle_hashes_sql(text_sql: str, k: int = 3) -> str:
+    return f"list_transform({shingles_sql(text_sql, k)}, s -> {hashing.h32_sql('s')})"
+
+
+def minhash_signature(hash_arr: Column) -> Column:
+    """ARRAY<BIGINT> of len(PERMS): min over shingle hashes of
+    (a*h+b) mod P. Input is the shingle_hashes array."""
+    sigs = [F.array_min(F.transform(hash_arr, _perm_fn(a, b))) for a, b in _PERMS]
+    return F.array(*sigs)
+
+
+def minhash_signature_sql(hashes_sql_expr: str) -> str:
+    parts = []
+    for a, b in _PERMS:
+        inner = hashing.universal_sql("h", a, b)
+        parts.append(
+            f"list_min(list_transform({hashes_sql_expr}, h -> {inner}))"
+        )
+    return "[" + ",\n        ".join(parts) + "]"
+
+
+def band_keys(sig: Column) -> Column:
+    """ARRAY<STRUCT<band INT, key STRING>>: each band's signature slice
+    rendered as a joinable string key."""
+    entries = []
+    for band in range(N_BANDS):
+        sl = F.slice(sig, band * ROWS_PER_BAND + 1, ROWS_PER_BAND)
+        key = F.array_join(F.transform(sl, lambda x: x.cast("string")), "_")
+        entries.append(F.struct(F.lit(band).alias("band"), key.alias("key")))
+    return F.array(*entries)
+
+
+def _bit(h: Column, b: Column) -> Column:
+    """Bit b of non-negative h, without shift-by-column (Spark's shiftright
+    needs a literal). floor(h / 2^b) is exact: h < 2^32 << 2^53 mantissa."""
+    return F.floor(h / F.pow(F.lit(2.0), b)).cast("bigint") % 2
+
+
+def token_hashes(text: Column) -> Column:
+    """h32 per whitespace token — materialize once before simhash bits
+    (same single-evaluation reasoning as shingle_hashes)."""
+    return F.transform(tokens(text), hashing.h32)
+
+
+def simhash32_from_hashes(hashes: Column) -> Column:
+    """32-bit SimHash: bit b set iff the sign-sum of token-hash bit b is
+    positive."""
+    bit_vals = F.transform(
+        F.sequence(F.lit(0), F.lit(31)),
+        lambda b: F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda acc, h: acc + F.when(_bit(h, b) == 1, 1).otherwise(-1),
+            )
+            > 0,
+            F.pow(F.lit(2.0), b).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    return F.aggregate(bit_vals, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+
+
+def token_hashes_sql(text_sql: str) -> str:
+    toks = f"regexp_split_to_array(trim({text_sql}), '\\s+')"
+    return f"list_transform({toks}, t -> {hashing.h32_sql('t')})"
+
+
+def simhash32_from_hashes_sql(hashes_sql: str) -> str:
+    return f"""CAST(list_sum(list_transform(generate_series(0, 31), b ->
+        CASE WHEN list_sum(list_transform({hashes_sql}, h ->
+                 CASE WHEN CAST(floor(h / power(2.0, b)) AS BIGINT) % 2 = 1
+                      THEN 1 ELSE -1 END)) > 0
+             THEN CAST(power(2.0, b) AS BIGINT) ELSE 0 END)) AS BIGINT)"""
+
+
+def hamming32(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def exact_dedup(
+    df: DataFrame, key: Column, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup groups: canonical key → (kept id, group size, members).
+    Keep = min id. Output only groups (size ≥ 1) keyed deterministically."""
+    return (
+        df.select(F.md5(key).alias("dedup_key"), F.col(id_col))
+        .groupBy("dedup_key")
+        .agg(
+            F.min(id_col).alias("kept_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )

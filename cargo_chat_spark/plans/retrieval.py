@@ -1,0 +1,159 @@
+"""The ``query`` entry point as a Spark pipeline (SURVEY §3.2).
+
+Reference lifecycle (hyde.rs:468-576): classify → HyDE → embed+search(k*2)
+→ classification filters → truncate(k) → (rerank | distance sort) →
+context assembly → answer stream.
+
+Two modes:
+- ``reference`` — post-filter semantics reproduced verbatim (over-fetch 2k,
+  filters AFTER retrieval, possibly < k results — hyde.rs:500-519).
+- ``improved`` — filters pushed BEFORE the kNN (predicate pushdown to the
+  index scan; strictly better recall under filters, flagged as the
+  non-reference mode per SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import asdict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cargo_chat_spark.models.provider import Classification, ModelProvider
+from cargo_chat_spark.operators import filters, ranking
+from cargo_chat_spark.operators.knn import knn_join
+
+
+def _classification_df(
+    spark: SparkSession, cls: Classification, query_id: int, k: int
+) -> DataFrame:
+    row = {
+        "query_id": query_id,
+        "q_language": cls.language,
+        "intent": cls.intent,
+        "wants_code": cls.wants_code,
+        "confidence": float(cls.confidence),
+        "target_folders": cls.target_folders,
+        "target_extensions": cls.target_extensions,
+        "exclude_patterns": cls.exclude_patterns,
+        "k": k,
+    }
+    schema = (
+        "query_id bigint, q_language string, intent string, wants_code boolean, "
+        "confidence double, target_folders array<string>, "
+        "target_extensions array<string>, exclude_patterns array<string>, k int"
+    )
+    return spark.createDataFrame([row], schema)
+
+
+def _apply_filters(df: DataFrame) -> DataFrame:
+    return df.where(
+        filters.folder_match(F.col("file"), F.col("target_folders"))
+        & filters.extension_match(
+            F.col("extension"), F.col("file"), F.col("target_extensions")
+        )
+        & filters.exclude_match(F.col("file"), F.col("exclude_patterns"))
+    )
+
+
+def retrieve(
+    spark: SparkSession,
+    index: DataFrame,
+    query: str,
+    k: int,
+    provider: ModelProvider,
+    use_rerank: bool = False,
+    mode: str = "reference",
+) -> dict:
+    """Full retrieve() (hyde.rs:468-576) under a pluggable provider.
+
+    Returns {"classification", "hypothetical", "results" (DataFrame with
+    rank order), "answer" (token iterator)}.
+    """
+    cls = provider.classify_query(query)  # M3 (driver-side: one tiny call)
+    hypo = provider.hyde_document(query, cls.intent, 1000)  # M4
+    # M2 — embeds the HYPOTHETICAL doc only, not the raw query
+    # (hyde.rs:500, SURVEY §2.11)
+    qvec = provider.embed_batch([hypo])[0]
+
+    queries = spark.createDataFrame(
+        [(0, qvec)], "query_id bigint, query_vec array<double>"
+    )
+    cls_df = _classification_df(spark, cls, 0, k)
+
+    corpus = index.withColumnRenamed("chunk_id", "vec_id")
+    if mode == "improved":
+        # predicate pushdown: filter the corpus BEFORE the distance scan.
+        # The 2k over-fetch is kept — the intent doc-caps in reference_rank
+        # depend on the retrieved set and still run afterwards, so fetching
+        # exactly k could under-fill; the candidate set here is a strict
+        # superset of reference mode's (any filtered row in the global
+        # top-2k is also in the filtered top-2k).
+        pre = corpus.crossJoin(F.broadcast(cls_df.drop("query_id", "k")))
+        pre = _apply_filters(pre).select(corpus.columns)
+        hits = knn_join(
+            queries, pre, 2 * k,
+            keep_corpus_cols=["file", "code", "language", "extension"],
+        )
+        joined = hits.join(F.broadcast(cls_df), "query_id")
+    else:
+        hits = knn_join(
+            queries, corpus, 2 * k,  # O2 over-fetch (hyde.rs:500)
+            keep_corpus_cols=["file", "code", "language", "extension"],
+        )
+        joined = hits.join(F.broadcast(cls_df), "query_id")
+        joined = _apply_filters(joined)
+
+    candidates = joined.select(
+        "query_id",
+        F.col("neighbor_id").alias("chunk_id"),
+        "file", "code", "language", "extension", "distance",
+        "q_language", "intent", "wants_code", "confidence", "k",
+    )
+    ranked = ranking.reference_rank(candidates)
+
+    if use_rerank:
+        # M5/J2/O4: score (query, code) pairs, re-sort descending
+        rows = ranked.select("chunk_id", "code").collect()
+        scores = provider.rerank_scores(query, [r["code"] for r in rows])
+        score_df = spark.createDataFrame(
+            [(r["chunk_id"], s) for r, s in zip(rows, scores)],
+            "chunk_id bigint, rerank_score double",
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("rerank_score"), F.asc("chunk_id")
+        )
+        ranked = (
+            ranked.join(F.broadcast(score_df), "chunk_id")
+            .withColumn("rank", F.row_number().over(w))
+        )
+
+    # P6 context assembly for the answer prompt
+    block = F.concat(
+        F.lit("### "), F.col("rank").cast("string"), F.lit(". "), F.col("file"),
+        F.lit(" (distance: "), F.format_string("%.3f", F.col("distance")),
+        F.lit(")\n```\n"), F.col("code"), F.lit("\n```"),
+    )
+    ctx_row = (
+        ranked.withColumn("_block", block)
+        .groupBy("query_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rank", "_block"))),
+                    lambda x: x["_block"],
+                ),
+                "\n\n",
+            ).alias("context")
+        )
+        .collect()
+    )
+    context = ctx_row[0]["context"] if ctx_row else ""
+    answer = provider.synthesize_answer(f"{query}\n\n{context}")  # M6
+
+    return {
+        "classification": asdict(cls),
+        "hypothetical": hypo,
+        "results": ranked,
+        "answer": answer,
+    }

@@ -1,0 +1,184 @@
+"""Dedup correctness queries over ``documents`` (training-data extension).
+
+Each query pairs the Spark operator (operators.dedup) with a DuckDB oracle
+built from the same md5-portable hash family, so even the hash-dependent
+operators (minhash LSH, simhash) are value-checked, not just row-counted.
+
+Cost discipline: md5 dominates; every query materializes the per-document
+hash array ONCE (a dedicated projection step — Catalyst's CollapseProject
+will not inline a non-cheap alias referenced many times) and derives
+signatures/bits/set-ops from it with pure arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cargo_chat_spark.operators import dedup as D
+from cargo_chat_spark.queries.registry import register
+from cargo_chat_spark.sources.testdata import load_table
+
+# ------------------------------------------------------------- exact dedup
+# Canonical key = first 40 chars (the synthetic corpus has no full-text
+# duplicates; the 40-char prefix yields real collision groups).
+_EXACT_SQL = """
+SELECT md5(substring(text, 1, 40)) AS dedup_key,
+       MIN(doc_id) AS kept_id,
+       COUNT(*) AS group_size
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("dedup_exact", sql=_EXACT_SQL)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on a canonical key, keep min doc_id.
+    Map-side partial aggregation; one shuffle on the 128-bit key."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(d, F.substring(F.col("text"), 1, 40))
+
+
+# -------------------------------------------------- shared hash-array CTEs
+_HASHES_CTE = f"""
+hashes AS (
+    SELECT doc_id, {D.shingle_hashes_sql('text')} AS h
+    FROM documents
+)
+"""
+
+
+def _hashes_df(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", D.shingle_hashes(F.col("text")).alias("h"))
+
+
+def _sigs_df(spark, sf_dir):
+    return _hashes_df(spark, sf_dir).select(
+        "doc_id", D.minhash_signature(F.col("h")).alias("mh")
+    )
+
+
+_SIGS_CTE = f"""{_HASHES_CTE},
+sigs AS (
+    SELECT doc_id, {D.minhash_signature_sql('h')} AS mh
+    FROM hashes
+)
+"""
+
+# ------------------------------------------------------- minhash signatures
+_MINHASH_SQL = f"""
+WITH {_SIGS_CTE}
+SELECT doc_id, mh AS minhash FROM sigs
+"""
+
+
+@register("minhash_signatures", sql=_MINHASH_SQL)
+def minhash_signatures(spark, sf_dir):
+    """16-perm minhash signature per document (3-token shingles)."""
+    return _sigs_df(spark, sf_dir).select("doc_id", F.col("mh").alias("minhash"))
+
+
+# ----------------------------------------------------- LSH candidate pairs
+_BANDS_CTE = f"""{_SIGS_CTE},
+bands AS (
+    SELECT doc_id, b.band,
+           array_to_string(list_transform(
+               list_slice(mh, b.band * {D.ROWS_PER_BAND} + 1,
+                          (b.band + 1) * {D.ROWS_PER_BAND}),
+               x -> CAST(x AS VARCHAR)), '_') AS key
+    FROM sigs, (
+        SELECT unnest(generate_series(0, {D.N_BANDS - 1})) AS band
+    ) b
+)
+"""
+
+_LSH_SQL = f"""
+WITH {_BANDS_CTE}
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+WHERE a.doc_id < b.doc_id
+"""
+
+
+def _bands_df(spark, sf_dir):
+    sigs = _sigs_df(spark, sf_dir)
+    return sigs.select(
+        "doc_id", F.explode(D.band_keys(F.col("mh"))).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+@register("minhash_lsh_pairs", sql=_LSH_SQL)
+def minhash_lsh_pairs(spark, sf_dir):
+    """Banded LSH: docs sharing any (band, signature-slice) bucket become a
+    candidate pair. The join key is (band, key) so shuffle volume is
+    O(docs × bands) — the O(docs²) comparison never materializes."""
+    bands = _bands_df(spark, sf_dir)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------------ simhash
+_SIMHASH_SQL = f"""
+WITH th AS (
+    SELECT doc_id, {D.token_hashes_sql('text')} AS h FROM documents
+)
+SELECT doc_id, {D.simhash32_from_hashes_sql('h')} AS simhash
+FROM th
+"""
+
+
+@register("simhash_fingerprints", sql=_SIMHASH_SQL)
+def simhash_fingerprints(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    th = d.select("doc_id", D.token_hashes(F.col("text")).alias("h"))
+    return th.select("doc_id", D.simhash32_from_hashes(F.col("h")).alias("simhash"))
+
+
+# ------------------------------------------- n-gram Jaccard on LSH survivors
+# Set ops run on the h32 arrays (not shingle strings): same cardinalities in
+# both engines, a fraction of the compare cost.
+_JACCARD_SQL = f"""
+WITH {_BANDS_CTE},
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+    WHERE a.doc_id < b.doc_id
+),
+hs AS (
+    SELECT doc_id, list_sort(h) AS s FROM hashes
+)
+SELECT p.doc_a, p.doc_b,
+    CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE) /
+    CAST(len(sa.s) + len(sb.s) - len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE)
+        AS jaccard
+FROM pairs p
+JOIN hs sa ON sa.doc_id = p.doc_a
+JOIN hs sb ON sb.doc_id = p.doc_b
+"""
+
+
+@register("ngram_jaccard_pairs", sql=_JACCARD_SQL)
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Exact 3-gram Jaccard verification, computed ONLY for LSH candidate
+    pairs (the classic two-stage near-dup pipeline)."""
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    hs = _hashes_df(spark, sf_dir).select(
+        "doc_id", F.array_sort(F.col("h")).alias("s")
+    )
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union = F.size(F.col("sa")) + F.size(F.col("sb")) - inter
+    return (
+        pairs.join(hs.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa")), "doc_a")
+        .join(hs.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+    )

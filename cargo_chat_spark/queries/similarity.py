@@ -1,0 +1,243 @@
+"""Similarity-search correctness queries over ``embeddings`` (training-data
+extension): cosine brute-force top-k, most-similar pairs, IVF-style
+cell-pruned search, and the SQL-portable mock embedder (M1's deterministic
+test double, SURVEY §2.8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cargo_chat_spark.functions import hashing, vectors
+from cargo_chat_spark.operators.knn import knn_join
+from cargo_chat_spark.queries.registry import register
+from cargo_chat_spark.sources.testdata import load_table
+
+_DOT = """
+    list_sum(list_transform(generate_series(1, len(a.embedding)),
+        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+"""
+_NORM_A = """
+    sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+"""
+_NORM_B = _NORM_A.replace("a.embedding", "b.embedding")
+
+# --------------------------------------------------------- cosine top-k
+_COSINE_SQL = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 100 = 0
+),
+scored AS (
+    SELECT a.query_id, b.vec_id AS neighbor_id,
+        1.0 - CASE WHEN {_NORM_A} * {_NORM_B} = 0 THEN 0.0
+                   ELSE {_DOT} / ({_NORM_A} * {_NORM_B}) END AS distance
+    FROM q a CROSS JOIN embeddings b
+)
+SELECT query_id, neighbor_id, distance,
+    CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY distance, neighbor_id
+    ) AS INT) AS "rank"
+FROM scored
+QUALIFY "rank" <= 10
+"""
+
+
+@register("cosine_topk", sql=_COSINE_SQL)
+def cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 — the ANN baseline path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return knn_join(q, emb, k=10, metric="cosine")
+
+
+# ---------------------------------------------------- most-similar pairs
+# Norms are hoisted: each vector is L2-normalized ONCE, then pair
+# similarity is a single dot product (cuts the O(n²) stage's per-pair work
+# to a third; at cluster scale the normalized side is also what you'd
+# cache/broadcast). NB: sim must be computed as dot(na, nb) — NOT
+# dot/(|a||b|) — in BOTH engines so the float rounding matches.
+_NORMALIZE_CTE = """
+normed AS (
+    SELECT vec_id,
+        list_transform(embedding, x -> CAST(x AS DOUBLE) /
+            sqrt(list_sum(list_transform(embedding,
+                 y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS ne
+    FROM embeddings
+)
+"""
+
+_PAIRS_SQL = f"""
+WITH {_NORMALIZE_CTE}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    list_sum(list_transform(generate_series(1, len(a.ne)),
+        i -> a.ne[i] * b.ne[i])) AS cosine_sim
+FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+ORDER BY cosine_sim DESC, vec_a, vec_b
+LIMIT 20
+"""
+
+
+@register("embedding_neardup_pairs", sql=_PAIRS_SQL)
+def embedding_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup: global top-20 most-similar pairs
+    (threshold-free so it stays meaningful on any corpus)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    with_norm = emb.select(
+        "vec_id", "embedding", vectors.norm(F.col("embedding")).alias("nrm")
+    )
+    normed = with_norm.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"), lambda x: x.cast("double") / F.col("nrm")
+        ).alias("ne"),
+    )
+    a = normed.select(F.col("vec_id").alias("vec_a"), F.col("ne").alias("na"))
+    b = normed.select(F.col("vec_id").alias("vec_b"), F.col("ne").alias("nb"))
+    sim = vectors.dot(F.col("na"), F.col("nb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", sim.alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_a"), F.asc("vec_b"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------- IVF-style search
+_N_CELLS = 8
+_N_PROBE = 2
+
+_IVF_SQL = f"""
+WITH centroids AS (
+    SELECT vec_id AS cell_id, embedding FROM embeddings WHERE vec_id < {_N_CELLS}
+),
+assigned AS (
+    SELECT b.vec_id, b.embedding, a.cell_id,
+        row_number() OVER (
+            PARTITION BY b.vec_id
+            ORDER BY sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                i -> (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))
+                   * (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))))),
+                a.cell_id
+        ) AS cr
+    FROM embeddings b CROSS JOIN centroids a
+),
+cells AS (SELECT vec_id, embedding, cell_id FROM assigned WHERE cr = 1),
+queries AS (
+    SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 100 = 0
+),
+probes AS (
+    SELECT b.query_id, a.cell_id,
+        row_number() OVER (
+            PARTITION BY b.query_id
+            ORDER BY sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                i -> (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))
+                   * (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))))),
+                a.cell_id
+        ) AS pr
+    FROM queries b CROSS JOIN centroids a
+    QUALIFY pr <= {_N_PROBE}
+),
+scored AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+        sqrt(list_sum(list_transform(generate_series(1, len(q.embedding)),
+            i -> (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+               * (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)))))
+            AS distance
+    FROM queries q
+    JOIN probes p ON p.query_id = q.query_id
+    JOIN cells c ON c.cell_id = p.cell_id
+)
+SELECT query_id, neighbor_id, distance,
+    CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY distance, neighbor_id
+    ) AS INT) AS "rank"
+FROM scored
+QUALIFY "rank" <= 10
+"""
+
+
+def _euclid(a, b):
+    return vectors.euclidean(a, b)
+
+
+@register("ivf_topk", sql=_IVF_SQL)
+def ivf_topk(spark, sf_dir):
+    """IVF-style ANN: assign corpus vectors to nearest of {_N_CELLS} fixed
+    centroids (first vectors — deterministic), probe the {_N_PROBE} nearest
+    cells per query, exact-search inside. The scale path: the probe join
+    prunes the cross-join to nprobe/ncells of the corpus, and the cell
+    assignment is a one-off batch job reused across queries (at 100 TB the
+    corpus would be bucketed/partitioned BY cell_id on disk, making each
+    query a partition-pruned scan)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < _N_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cvec")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy("cdist", "cell_id")
+    cells = (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn("cdist", _euclid(F.col("cvec"), F.col("embedding")))
+        .withColumn("cr", F.row_number().over(w_assign))
+        .where(F.col("cr") == 1)
+        .select("vec_id", "embedding", "cell_id")
+    )
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy("cdist", "cell_id")
+    probes = (
+        queries.crossJoin(F.broadcast(cent))
+        .withColumn("cdist", _euclid(F.col("cvec"), F.col("qvec")))
+        .withColumn("pr", F.row_number().over(w_probe))
+        .where(F.col("pr") <= _N_PROBE)
+        .select("query_id", "cell_id")
+    )
+    scored = (
+        cells.join(F.broadcast(probes), "cell_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _euclid(F.col("qvec"), F.col("embedding")).alias("distance"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy("distance", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= 10)
+    )
+
+
+# ------------------------------------------------ M1 mock embedder (SQL-portable)
+_MOCK_DIM = 16
+_MOCK_SQL = f"""
+SELECT doc_id,
+    list_transform(generate_series(1, {_MOCK_DIM}), j ->
+        CAST((({hashing.h32_sql('text')}) % {hashing.PRIME}
+              * ((2654435761 * j + 1) % {hashing.PRIME}) + j) % {hashing.PRIME} AS DOUBLE)
+        / {hashing.PRIME}.0
+    ) AS embedding
+FROM documents
+"""
+
+
+@register("mock_embed_documents", sql=_MOCK_SQL)
+def mock_embed_documents(spark, sf_dir):
+    """M1's deterministic test double (SURVEY §2.8): a seeded
+    hash-projection embedding, expressed portably so even the embedding
+    stage is value-checked. (The real provider is a pluggable
+    mapInPandas stage — models.provider.)"""
+    d = load_table(spark, sf_dir, "documents")
+    h = hashing.h32(F.col("text")) % hashing.PRIME
+    emb = F.transform(
+        F.sequence(F.lit(1), F.lit(_MOCK_DIM)),
+        lambda j: (
+            (h * ((F.lit(2654435761) * j + 1) % hashing.PRIME) + j) % hashing.PRIME
+        ).cast("double")
+        / F.lit(float(hashing.PRIME)),
+    )
+    return d.select("doc_id", emb.alias("embedding"))

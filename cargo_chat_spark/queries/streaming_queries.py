@@ -1,0 +1,121 @@
+"""Batch-equivalent oracle queries for the streaming operators
+(SURVEY §2.9 extension) over the ``events`` table."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cargo_chat_spark.queries.registry import register
+from cargo_chat_spark.sources.testdata import load_table
+from cargo_chat_spark.streaming.incremental import windowed_event_counts
+
+_TUMBLING_SQL = """
+SELECT
+    time_bucket(INTERVAL '1 hour', ts) AS window_start,
+    time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+    event_type,
+    COUNT(*) AS event_count,
+    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@register("events_tumbling_window", sql=_TUMBLING_SQL)
+def events_tumbling_window(spark, sf_dir):
+    """Tumbling 1h windows — the batch form of the watermarked streaming
+    aggregation (tests/test_streaming.py runs the same logic through
+    readStream + watermark and checks it converges to this result)."""
+    return windowed_event_counts(load_table(spark, sf_dir, "events"))
+
+
+_SLIDING_SQL = """
+WITH offsets AS (SELECT unnest([0, 30]) AS off_min),
+slid AS (
+    SELECT
+        time_bucket(INTERVAL '1 hour', ts - to_minutes(o.off_min)) + to_minutes(o.off_min)
+            AS window_start,
+        event_type, value, user_id
+    FROM events, offsets o
+)
+SELECT window_start,
+       window_start + INTERVAL '1 hour' AS window_end,
+       event_type,
+       COUNT(*) AS event_count,
+       COUNT(DISTINCT user_id) AS distinct_users
+FROM slid
+GROUP BY 1, 2, 3
+"""
+
+
+@register("events_sliding_window", sql=_SLIDING_SQL)
+def events_sliding_window(spark, sf_dir):
+    """Sliding 1h/30min windows + distinct users per window."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.countDistinct("user_id").alias("distinct_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "event_count",
+            "distinct_users",
+        )
+    )
+
+
+_SESSIONS_SQL = """
+WITH ordered AS (
+    SELECT user_id, event_id, ts, value,
+        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > INTERVAL '30 minutes'
+             OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+    FROM events
+),
+numbered AS (
+    SELECT user_id, ts, value,
+        SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_id
+    FROM ordered
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
+@register("event_sessions", sql=_SESSIONS_SQL)
+def event_sessions(spark, sf_dir):
+    """Sessionization (30-min inactivity gap) — the batch equivalent of a
+    session-window / applyInPandasWithState stateful operator. Windows
+    partition by user_id: one shuffle, per-user linear scan."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > 30 * 60), 1
+    ).otherwise(0)
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = e.withColumn("new_session", new_session).withColumn(
+        "session_id", F.sum("new_session").over(wsum).cast("bigint")
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -1,0 +1,289 @@
+"""Text-analysis correctness queries over ``documents`` (training-data
+extension): chunking (P3), ingest stats (A1/A2), token counting, quality
+scoring, language-ID heuristic, winnowing fingerprints.
+
+All pure column expressions — at 100 TB each is a single scan with
+map-side aggregation; none shuffles more than its groupBy key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cargo_chat_spark.functions import hashing
+from cargo_chat_spark.operators import dedup as D
+from cargo_chat_spark.operators.chunking import chunk_text, chunk_text_sql
+from cargo_chat_spark.queries.registry import register
+from cargo_chat_spark.sources.testdata import load_table
+
+# ------------------------------------------------------------- P3 chunking
+_CHUNK_SQL = chunk_text_sql("documents", max_chars=120)
+
+
+@register("chunk_documents", sql=_CHUNK_SQL)
+def chunk_documents(spark, sf_dir):
+    """P3 char-window flatMap (chunker.rs:64-116 semantics with our
+    deterministic 120-char boundary spec)."""
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_text(d, max_chars=120)
+
+
+# -------------------------------------------------------- A1 ingest summary
+_INGEST_SQL = """
+WITH chunks AS (
+    SELECT doc_id,
+           CAST(ceil(length(text) / CAST(120 AS DOUBLE)) AS INT) AS n_chunks
+    FROM documents WHERE length(text) > 0
+)
+SELECT COUNT(*) AS total_files,
+       CAST(SUM(n_chunks) AS BIGINT) AS total_chunks,
+       CAST(MAX(n_chunks) AS INT) AS max_chunks_per_file,
+       CAST(MIN(n_chunks) AS INT) AS min_chunks_per_file
+FROM chunks
+"""
+
+
+@register("ingest_stats", sql=_INGEST_SQL)
+def ingest_stats(spark, sf_dir):
+    """A1 (chunker.rs:31-34, 98-122): corpus-level ingest counters."""
+    d = load_table(spark, sf_dir, "documents")
+    n_chunks = F.ceil(F.length("text") / F.lit(120.0)).cast("int")
+    return (
+        d.where(F.length("text") > 0)
+        .select(n_chunks.alias("n_chunks"))
+        .agg(
+            F.count(F.lit(1)).alias("total_files"),
+            F.sum("n_chunks").cast("bigint").alias("total_chunks"),
+            F.max("n_chunks").alias("max_chunks_per_file"),
+            F.min("n_chunks").alias("min_chunks_per_file"),
+        )
+    )
+
+
+# -------------------------------------------------- A2 files-by-lang histo
+_HISTO_SQL = """
+SELECT lang, source, COUNT(*) AS file_count, SUM(n_chars) AS total_chars
+FROM documents
+GROUP BY lang, source
+"""
+
+
+@register("files_by_language", sql=_HISTO_SQL)
+def files_by_language(spark, sf_dir):
+    """A2 (chunker.rs:34,77): histogram per (lang, source) — hash agg with
+    map-side combine."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("file_count"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+# ----------------------------------------------------------- token counting
+_TOKEN_SQL = r"""
+SELECT doc_id,
+    len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_ish_tokens,
+    length(text) AS n_chars
+FROM documents
+"""
+
+
+@register("token_count", sql=_TOKEN_SQL)
+def token_count(spark, sf_dir):
+    """Whitespace tokens + BPE-ish regex tokens (word / number / symbol
+    classes) per document."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("ws_tokens"),
+        F.size(
+            F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)")
+        ).alias("bpe_ish_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+# ----------------------------------------------------------- quality score
+_STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "for"]
+_SW_LIST = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+_QUALITY_SQL = f"""
+WITH t AS (
+    SELECT doc_id, text,
+        regexp_split_to_array(trim(text), '\\s+') AS toks,
+        length(text) AS n_chars
+    FROM documents
+),
+m AS (
+    SELECT doc_id, n_chars,
+        len(toks) AS n_tokens,
+        CAST(len(list_filter(toks, w -> w IN ({_SW_LIST}))) AS DOUBLE)
+            / len(toks) AS stopword_ratio,
+        CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+            / n_chars AS punct_ratio,
+        CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio
+    FROM t
+)
+SELECT doc_id, n_tokens, stopword_ratio, punct_ratio, distinct_ratio,
+    (CASE WHEN n_tokens >= 10 THEN 0.25 ELSE 0.0 END
+     + CASE WHEN stopword_ratio BETWEEN 0.05 AND 0.6 THEN 0.25 ELSE 0.0 END
+     + CASE WHEN punct_ratio < 0.2 THEN 0.25 ELSE 0.0 END
+     + CASE WHEN distinct_ratio > 0.3 THEN 0.25 ELSE 0.0 END) AS quality_score
+FROM m
+"""
+
+
+@register("quality_score", sql=_QUALITY_SQL)
+def quality_score(spark, sf_dir):
+    """Heuristic quality scoring: length / stopword / punctuation /
+    repetition signals, 0.25 each."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    n_tokens = F.size(toks)
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    stopword_ratio = (
+        F.size(F.filter(toks, lambda w: F.array_contains(sw, w))).cast("double")
+        / n_tokens
+    )
+    punct_ratio = (
+        F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", "")).cast("double")
+        / F.length("text")
+    )
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    quality = (
+        F.when(n_tokens >= 10, 0.25).otherwise(0.0)
+        + F.when((stopword_ratio >= 0.05) & (stopword_ratio <= 0.6), 0.25).otherwise(0.0)
+        + F.when(punct_ratio < 0.2, 0.25).otherwise(0.0)
+        + F.when(distinct_ratio > 0.3, 0.25).otherwise(0.0)
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        stopword_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+# ------------------------------------------------------- language-ID (n-gram)
+_LANG_MARKERS = [
+    ("en", ["the", "is", "and"]),
+    ("fr", ["le", "la", "et"]),
+    ("de", ["der", "und", "die"]),
+    ("es", ["el", "los", "y"]),
+]
+
+
+def _langid_sql() -> str:
+    scores = []
+    for lang, words in _LANG_MARKERS:
+        wl = ", ".join(f"'{w}'" for w in words)
+        scores.append(
+            f"CAST(len(list_filter(toks, w -> w IN ({wl}))) AS DOUBLE) / len(toks) AS score_{lang}"
+        )
+    scores_sql = ",\n        ".join(scores)
+    # score must be the FIRST struct field — struct ordering compares
+    # fields in declaration order (same trick as the Spark array_sort)
+    pairs = ", ".join(
+        f"{{'score': score_{lang}, 'lang': '{lang}'}}" for lang, _ in _LANG_MARKERS
+    )
+    return f"""
+WITH t AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+),
+s AS (
+    SELECT doc_id,
+        {scores_sql}
+    FROM t
+),
+best AS (
+    SELECT doc_id,
+        list_sort([{pairs}],
+                  'DESC') AS ranked
+    FROM s
+)
+SELECT doc_id,
+    CASE WHEN ranked[1].score > 0.0 THEN ranked[1].lang ELSE 'und' END AS pred_lang,
+    ranked[1].score AS pred_score
+FROM best
+"""
+
+
+@register("langid_heuristic", sql=_langid_sql())
+def langid_heuristic(spark, sf_dir):
+    """Stopword-marker language ID: argmax over per-language marker-token
+    ratios; 'und' when no marker hits. (Deterministic heuristic, not a
+    model — the structure mirrors fasttext-style langid at the dataflow
+    level.)"""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    df = d.select("doc_id", toks.alias("toks"))
+    def _marker_fn(words):
+        wl = F.array(*[F.lit(w) for w in words])
+        return lambda w: F.array_contains(wl, w)
+
+    for lang, words in _LANG_MARKERS:
+        df = df.withColumn(
+            f"score_{lang}",
+            F.size(F.filter(F.col("toks"), _marker_fn(words))).cast("double")
+            / F.size("toks"),
+        )
+    ranked = F.reverse(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"score_{lang}").alias("score"), F.lit(lang).alias("lang")
+                    )
+                    for lang, _ in _LANG_MARKERS
+                ]
+            )
+        )
+    )
+    best = ranked[0]
+    return df.select(
+        "doc_id",
+        F.when(best["score"] > 0.0, best["lang"]).otherwise("und").alias("pred_lang"),
+        best["score"].alias("pred_score"),
+    )
+
+
+# ------------------------------------------------- winnowing fingerprints
+_W = 4
+
+
+def _fingerprint_sql() -> str:
+    sh = D.shingles_all_sql("text")  # in-order stream — winnowing windows
+    h = hashing.h32_sql("s")
+    return f"""
+WITH sh AS (
+    SELECT doc_id, list_transform({sh}, s -> {h}) AS hashes FROM documents
+)
+SELECT doc_id,
+    list_sort(list_distinct(list_transform(
+        generate_series(1, greatest(len(hashes) - {_W - 1}, 1)),
+        i -> list_min(list_slice(hashes, i, i + {_W - 1}))
+    ))) AS fingerprints
+FROM sh
+"""
+
+
+@register("doc_fingerprints", sql=_fingerprint_sql())
+def doc_fingerprints(spark, sf_dir):
+    """Winnowing-style fingerprinting: k-gram hashes → min per sliding
+    window of {_W} → sorted distinct fingerprint set per document."""
+    d = load_table(spark, sf_dir, "documents")
+    hashes = F.transform(D.shingles_all(F.col("text")), hashing.h32)
+    df = d.select("doc_id", hashes.alias("hashes"))
+    n = F.size("hashes")
+    fps = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n - (_W - 1), F.lit(1))),
+                lambda i: F.array_min(F.slice(F.col("hashes"), i, _W)),
+            )
+        )
+    )
+    return df.select("doc_id", fps.alias("fingerprints"))

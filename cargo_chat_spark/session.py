@@ -37,6 +37,9 @@ def get_spark(
         # model-inference UDFs batch at the reference's embed batch size x4;
         # Arrow batches are the unit of pandas_udf work (SURVEY §2.8 M1)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        # the driver's events table carries parquet TIMESTAMP(NANOS); read
+        # as BIGINT nanos (sources.testdata converts to micros, DuckDB-style)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -27,7 +27,20 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # set defensively (runtime SQL conf) — the driver's own session may
+        # not have gone through session.get_spark
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark won't read as a
+        # timestamp (the session sets legacy nanosAsLong → BIGINT nanos).
+        # Truncate to micros exactly like DuckDB does when it reads ns.
+        from pyspark.sql import functions as F
+
+        # integer division — epoch nanos (~1.7e18) exceed double's 2^53
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

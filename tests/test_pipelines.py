@@ -1,0 +1,159 @@
+"""End-to-end pipeline tests: index build → retrieval under the mock
+provider, repo scan, streaming incremental indexing, multimodal stubs.
+Mirrors the reference's own scenario coverage (SURVEY §5) at pipeline
+level."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cargo_chat_spark.models.mock import MockProvider
+from cargo_chat_spark.operators.multimodal import attach_media_columns, extract_features
+from cargo_chat_spark.plans.indexing import build_index
+from cargo_chat_spark.plans.retrieval import retrieve
+from cargo_chat_spark.sources.index_io import read_index, read_profile, write_profile
+from cargo_chat_spark.sources.repo import scan_repo
+from cargo_chat_spark.streaming.incremental import (
+    incremental_index_stream,
+    windowed_event_counts,
+)
+
+DIM = 16
+
+
+def _mk_repo(tmp_path):
+    (tmp_path / "src").mkdir()
+    (tmp_path / "docs").mkdir()
+    (tmp_path / "target").mkdir()
+    (tmp_path / "src" / "main.rs").write_text("fn main() { println!(\"hi\"); }\n" * 40)
+    (tmp_path / "src" / "util.py").write_text("def util():\n    return 1\n" * 30)
+    (tmp_path / "docs" / "guide.md").write_text("# Guide\nHow the main function works.\n")
+    (tmp_path / "README.md").write_text("# Demo\nA tiny demo repo.\n")
+    (tmp_path / "Cargo.toml").write_text("[dependencies]\ntokio = \"1\"\nserde = \"1\"\n")
+    (tmp_path / "target" / "junk.rs").write_text("generated\n")
+    (tmp_path / ".hidden.rs").write_text("secret\n")
+    (tmp_path / ".gitignore").write_text("target/\n")
+    return str(tmp_path)
+
+
+def test_scan_repo_gitignore(spark, tmp_path):
+    root = _mk_repo(tmp_path)
+    files = scan_repo(spark, root, respects_gitignore=True)
+    paths = {r["path"] for r in files.select("path").collect()}
+    assert "src/main.rs" in paths
+    assert "Cargo.toml" in paths
+    # S1 standard filters: gitignored and hidden files excluded
+    assert not any(p.startswith("target/") for p in paths)
+    assert ".hidden.rs" not in paths
+    # S3 no-gitignore walk sees them
+    all_files = scan_repo(spark, root, respects_gitignore=False)
+    all_paths = {r["path"] for r in all_files.select("path").collect()}
+    assert "target/junk.rs" in all_paths
+
+
+def test_index_and_retrieve_reference_mode(spark, tmp_path):
+    root = _mk_repo(tmp_path)
+    files = scan_repo(spark, root)
+    index = build_index(files, MockProvider, DIM, max_chars=200)
+    rows = index.collect()
+    assert rows, "index is empty"
+    assert all(len(r["embedding"]) == DIM for r in rows)
+    assert all(len(r["code"]) <= 200 for r in rows)
+    # F1: unsupported extensions (none here beyond toml) were dropped
+    assert all(r["extension"] in {"rs", "py", "md"} for r in rows)
+
+    out = retrieve(
+        spark, index, "how does the rust main function work", k=5,
+        provider=MockProvider(DIM),
+    )
+    cls = out["classification"]
+    assert cls["language"] == "rust"
+    assert cls["intent"] == "how_it_works"
+    results = out["results"].collect()
+    assert 0 < len(results) <= 5
+    ranks = sorted(r["rank"] for r in results)
+    assert ranks == list(range(1, len(results) + 1))
+    assert "".join(out["answer"]).startswith("[mock-answer")
+
+
+def test_retrieve_improved_mode_pushdown(spark, tmp_path):
+    root = _mk_repo(tmp_path)
+    index = build_index(scan_repo(spark, root), MockProvider, DIM, max_chars=200)
+    ref = retrieve(spark, index, "implement rust parser", k=3,
+                   provider=MockProvider(DIM), mode="reference")
+    imp = retrieve(spark, index, "implement rust parser", k=3,
+                   provider=MockProvider(DIM), mode="improved")
+    # both modes return ranked DataFrames; improved can only widen the
+    # reachable candidate set (filters before over-fetch truncation)
+    assert imp["results"].count() >= ref["results"].count() >= 0
+
+
+def test_rerank_path(spark, tmp_path):
+    root = _mk_repo(tmp_path)
+    index = build_index(scan_repo(spark, root), MockProvider, DIM, max_chars=200)
+    out = retrieve(spark, index, "how does util work", k=4,
+                   provider=MockProvider(DIM), use_rerank=True)
+    rows = out["results"].orderBy("rank").collect()
+    scores = [r["rerank_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_index_io_roundtrip(spark, tmp_path):
+    root = _mk_repo(tmp_path)
+    index_dir = str(tmp_path / "index_out")
+    index = build_index(scan_repo(spark, root), MockProvider, DIM,
+                        index_dir=index_dir, max_chars=200)
+    loaded, meta = read_index(spark, index_dir)
+    assert meta["dim"] == DIM
+    assert loaded.count() == index.count()
+    write_profile({"name": "demo", "primary_languages": ["Rust"]}, index_dir)
+    assert read_profile(index_dir)["name"] == "demo"
+
+
+def test_incremental_index_stream(spark, tmp_path):
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "a.txt").write_text("hello streaming world " * 30)
+    (drop / "b.txt").write_text("second incremental document " * 25)
+    index_dir = str(tmp_path / "stream_index")
+    q = incremental_index_stream(
+        spark, str(drop), index_dir, str(tmp_path / "ckpt"), MockProvider, DIM
+    ).start()
+    q.awaitTermination(120)
+    idx = spark.read.parquet(f"{index_dir}/index")
+    assert idx.count() >= 2
+    assert idx.where(F.size("embedding") != DIM).count() == 0
+    # exactly-once: availableNow re-run with same checkpoint adds nothing
+    n = idx.count()
+    q2 = incremental_index_stream(
+        spark, str(drop), index_dir, str(tmp_path / "ckpt"), MockProvider, DIM
+    ).start()
+    q2.awaitTermination(120)
+    assert spark.read.parquet(f"{index_dir}/index").count() == n
+
+
+def test_streaming_window_matches_batch(spark):
+    from cargo_chat_spark.sources.testdata import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    batch = windowed_event_counts(events)
+    n = batch.count()
+    assert n > 0
+    streamed = windowed_event_counts(events, streaming=False)
+    assert streamed.count() == n
+
+
+def test_multimodal_stub(spark):
+    rows = [(i, bytes([i % 256] * (50 + i))) for i in range(10)]
+    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    media = attach_media_columns(df, "payload", "image/fake")
+    feats = extract_features(media, n_features=8, fake=True).collect()
+    assert len(feats) == 10
+    assert all(len(r["feature"]) == 8 for r in feats)
+    assert all(r["decode_ok"] for r in feats)
+    # real decode path is explicitly stubbed
+    with pytest.raises(Exception):
+        extract_features(media, n_features=8, fake=False).collect()
