@@ -1,0 +1,123 @@
+"""Random-projection LSH ANN (SURVEY §4 / §7 step 7).
+
+The reference's index is an RP-tree forest (ann.rs:254, 16 trees, seed 42)
+— approximate Euclidean top-k. This is the Spark-native analog: signed
+random-projection (SimHash-for-vectors) bucketing with DETERMINISTIC
+hyperplanes derived from the portable hash constants, so the whole ANN path
+— bucketing, candidate join, re-score — is DuckDB-oracle-checkable, and its
+recall is measured against the exact kNN (tests/test_ann_recall.py),
+mirroring the RP-tree-vs-exact tradeoff.
+
+Scale shape: corpus bucket keys are computed in one scan (and at 100 TB
+would be written as a partition/bucket column); the query↔corpus join is an
+equi-join on bucket key — shuffle O(matching buckets), never the full cross
+join. nprobe-style widening = hamming-adjacent keys (not needed at this
+corpus size).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, Window
+from pyspark.sql import functions as F
+
+from cargo_chat_spark.functions import hashing, vectors
+from cargo_chat_spark.queries.registry import register
+from cargo_chat_spark.sources.testdata import load_table
+
+N_PLANES = 8
+
+
+def _weight_sql(l: str, i: str) -> str:
+    # deterministic pseudo-random weight in [-0.5, 0.5)
+    return (
+        f"(CAST((({l} * 10007 + {i} * 97) * 2654435761) % {hashing.PRIME} AS DOUBLE)"
+        f" / {hashing.PRIME} - 0.5)"
+    )
+
+
+def _weight(l: Column, i: Column) -> Column:
+    return (
+        ((l * 10007 + i * 97) * F.lit(2654435761) % hashing.PRIME).cast("double")
+        / hashing.PRIME
+        - 0.5
+    )
+
+
+def bucket_key(embedding: Column) -> Column:
+    """Sign-bit key over N_PLANES deterministic hyperplanes."""
+    def _proj_fn(plane: int):
+        return lambda x, i: x.cast("double") * _weight(F.lit(plane), i)
+
+    bits = []
+    for l in range(N_PLANES):
+        proj = F.aggregate(
+            F.zip_with(embedding, F.sequence(F.lit(1), F.size(embedding)), _proj_fn(l + 1)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def bucket_key_sql(embedding: str) -> str:
+    bits = []
+    for l in range(N_PLANES):
+        proj = (
+            f"list_sum(list_transform(generate_series(1, len({embedding})), "
+            f"i -> CAST({embedding}[i] AS DOUBLE) * {_weight_sql(str(l + 1), 'i')}))"
+        )
+        bits.append(f"(CASE WHEN {proj} > 0 THEN '1' ELSE '0' END)")
+    return " || ".join(bits)
+
+
+_RP_SQL = f"""
+WITH corpus AS (
+    SELECT vec_id, embedding, {bucket_key_sql('embedding')} AS bkey
+    FROM embeddings
+),
+q AS (
+    SELECT vec_id AS query_id, embedding AS qvec, {bucket_key_sql('embedding')} AS bkey
+    FROM embeddings WHERE vec_id % 100 = 0
+),
+scored AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+        sqrt(list_sum(list_transform(generate_series(1, len(q.qvec)),
+            i -> (CAST(q.qvec[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+               * (CAST(q.qvec[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)))))
+            AS distance
+    FROM q JOIN corpus c ON q.bkey = c.bkey
+)
+SELECT query_id, neighbor_id, distance,
+    CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY distance, neighbor_id
+    ) AS INT) AS "rank"
+FROM scored
+QUALIFY "rank" <= 10
+"""
+
+
+@register("rp_lsh_topk", sql=_RP_SQL)
+def rp_lsh_topk(spark, sf_dir):
+    """Approximate top-10: bucket equi-join + exact re-score inside the
+    bucket. May return < 10 rows per query (bucket smaller than k) — the
+    accuracy/recall tradeoff the reference's RP-trees make too."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding", bucket_key(F.col("embedding")).alias("bkey"))
+    q = (
+        emb.where(F.col("vec_id") % 100 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+            bucket_key(F.col("embedding")).alias("bkey"),
+        )
+    )
+    scored = q.join(corpus, "bkey").select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        vectors.euclidean(F.col("qvec"), F.col("embedding")).alias("distance"),
+    )
+    w = Window.partitionBy("query_id").orderBy("distance", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+    )

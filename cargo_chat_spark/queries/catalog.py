@@ -6,7 +6,9 @@ domain module. ``__spark_entry__.py`` re-exports these to the driver.
 
 from __future__ import annotations
 
+from cargo_chat_spark.queries import ann_lsh  # noqa: F401
 from cargo_chat_spark.queries import dedup  # noqa: F401
+from cargo_chat_spark.queries import rerank  # noqa: F401
 from cargo_chat_spark.queries import profiling  # noqa: F401
 from cargo_chat_spark.queries import relational  # noqa: F401
 from cargo_chat_spark.queries import retrieval  # noqa: F401

@@ -1,0 +1,216 @@
+"""Rerank + remaining small-operator correctness queries (SURVEY §2.4 J2,
+§2.5 O4, §2.2 P7, §2.7 U1, plus semi/anti-join coverage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cargo_chat_spark.functions.language import LANGUAGE_EXTENSIONS
+from cargo_chat_spark.operators import filters, ranking
+from cargo_chat_spark.queries import fixtures
+from cargo_chat_spark.queries.registry import register
+from cargo_chat_spark.sources.testdata import load_table
+
+# ------------------------------------------------------- J2 + O4 rerank
+# Deterministic cross-encoder stand-in, SQL-portable: token-set Jaccard
+# between the query text and the candidate code (the mock provider's
+# rerank_scores formula, models/mock.py).
+_QUERY_TEXTS = [
+    (0, "implement rust parser table"),
+    (1, "how does the spark join work"),
+    (2, "explain the customer data"),
+    (3, "debug the window sort error"),
+]
+_QT_ROWS = ", ".join(f"({q}, '{t}')" for q, t in _QUERY_TEXTS)
+
+_RERANK_SQL = f"""
+WITH candidates AS ({fixtures.CANDIDATES_SQL}),
+qt AS (SELECT * FROM (VALUES {_QT_ROWS}) AS t(query_id, query_text)),
+toks AS (
+    SELECT c.query_id, c.chunk_id, c.distance,
+        list_distinct(regexp_split_to_array(lower(trim(q.query_text)), '\\s+')) AS qt_toks,
+        list_distinct(regexp_split_to_array(lower(trim(c.code)), '\\s+')) AS c_toks
+    FROM candidates c JOIN qt q USING (query_id)
+),
+scored AS (
+    SELECT query_id, chunk_id, distance,
+        CAST(len(list_filter(qt_toks, x -> list_contains(c_toks, x))) AS DOUBLE) /
+        CAST(len(list_filter(qt_toks, x -> list_contains(c_toks, x)))
+             + len(qt_toks) + len(c_toks)
+             - 2 * len(list_filter(qt_toks, x -> list_contains(c_toks, x)))
+             AS DOUBLE) AS rerank_score
+    FROM toks
+)
+SELECT query_id, chunk_id, rerank_score,
+    CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY rerank_score DESC, chunk_id
+    ) AS INT) AS "rank"
+FROM scored
+QUALIFY "rank" <= 10
+"""
+
+
+@register("rerank_topk", sql=_RERANK_SQL)
+def rerank_topk(spark, sf_dir):
+    """J2/O4 (hyde.rs:529-552): deterministic pair scores, descending
+    re-sort with chunk_id tie-break, top-10 per query."""
+    c = fixtures.candidates_df(spark, sf_dir)
+    qt = spark.createDataFrame(_QUERY_TEXTS, "query_id bigint, query_text string")
+    joined = c.join(F.broadcast(qt), "query_id")
+    q_toks = F.array_distinct(F.split(F.lower(F.trim("query_text")), r"\s+"))
+    c_toks = F.array_distinct(F.split(F.lower(F.trim("code")), r"\s+"))
+    toks = joined.select(
+        "query_id", "chunk_id", "distance",
+        q_toks.alias("qt_toks"), c_toks.alias("c_toks"),
+    )
+    inter = F.size(F.array_intersect("qt_toks", "c_toks"))
+    union = inter + F.size("qt_toks") + F.size("c_toks") - 2 * inter
+    scored = toks.select(
+        "query_id", "chunk_id", "distance",
+        (inter.cast("double") / union.cast("double")).alias("rerank_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rerank_score"), F.asc("chunk_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "chunk_id", "rerank_score", "rank")
+    )
+
+
+# -------------------------------------------------------- P7 dim validation
+_DIM_SQL = """
+SELECT CAST(len(embedding) AS INT) AS dim,
+       COUNT(*) AS n_vectors,
+       CAST(SUM(CASE WHEN len(embedding) IN (64, 512, 1024) THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_invalid
+FROM embeddings
+GROUP BY 1
+"""
+
+
+@register("dim_validation", sql=_DIM_SQL)
+def dim_validation(spark, sf_dir):
+    """P7 (ann.rs:34-50, embedding.rs:119-125): all vectors share one dim;
+    dims outside the supported set are flagged (the driver corpus is 64-d;
+    the reference supports 512/1024)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.groupBy(F.size("embedding").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(
+                F.when(F.size("embedding").isin(64, 512, 1024), 0).otherwise(1)
+            ).cast("bigint").alias("n_invalid"),
+        )
+    )
+
+
+# ------------------------------------------------- U1 extension-list union
+_EXT_ROWS = ", ".join(
+    f"('{lang}', {('[' + ', '.join(chr(39) + e + chr(39) for e in exts) + ']')})"
+    for lang, exts in LANGUAGE_EXTENSIONS.items()
+)
+
+_EXT_UNION_SQL = f"""
+WITH lang_exts AS (
+    SELECT * FROM (VALUES {_EXT_ROWS}) AS t(language, exts)
+)
+SELECT CAST(len(flatten(list(exts ORDER BY language))) AS BIGINT) AS n_extensions,
+       list_sort(flatten(list(exts ORDER BY language))) AS all_extensions
+FROM lang_exts
+"""
+
+
+@register("supported_extensions_union", sql=_EXT_UNION_SQL)
+def supported_extensions_union(spark, sf_dir):
+    """U1 (language.rs:103-125): concatenation of per-language extension
+    lists (disjoint → union-all), rendered sorted for determinism."""
+    rows = [(lang, exts) for lang, exts in LANGUAGE_EXTENSIONS.items()]
+    df = spark.createDataFrame(rows, "language string, exts array<string>")
+    return df.agg(
+        F.size(F.flatten(F.array_sort(F.collect_list(F.struct("language", "exts")))
+                         .getField("exts"))).cast("bigint").alias("n_extensions"),
+        F.array_sort(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("language", "exts"))),
+                    lambda x: x["exts"],
+                )
+            )
+        ).alias("all_extensions"),
+    )
+
+
+# -------------------------------------------------- semi / anti join coverage
+_SEMI_SQL = """
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000
+)
+"""
+
+
+@register("customers_with_big_orders", sql=_SEMI_SQL)
+def customers_with_big_orders(spark, sf_dir):
+    """LEFT SEMI join (EXISTS) — plan: shuffle-hash semi on c_custkey, no
+    row duplication, right side reduced before the join by the pushed
+    o_totalprice filter."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+_ANTI_SQL = """
+SELECT p.p_partkey, p.p_name
+FROM part p
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+"""
+
+
+@register("parts_never_ordered", sql=_ANTI_SQL)
+def parts_never_ordered(spark, sf_dir):
+    """LEFT ANTI join (NOT EXISTS) — the relational form of the reference's
+    exclude-pattern semantics (F4, SURVEY §2.4 note)."""
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem")
+    return p.join(l, p.p_partkey == l.l_partkey, "left_anti").select(
+        "p_partkey", "p_name"
+    )
+
+
+# --------------------------------------- distinct counts: exact + approximate
+_DISTINCT_SQL = """
+SELECT source,
+       COUNT(DISTINCT lang) AS n_langs,
+       COUNT(DISTINCT doc_id) AS n_docs
+FROM documents
+GROUP BY source
+"""
+
+
+@register("distinct_counts_exact", sql=_DISTINCT_SQL)
+def distinct_counts_exact(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+@register("distinct_counts_approx")  # no oracle: HLL sketches are engine-specific
+def distinct_counts_approx(spark, sf_dir):
+    """approx_count_distinct (SURVEY §7.8 extension): the 100 TB path for
+    corpus stats — HLL++ partial aggregation, no exact-distinct shuffle of
+    raw values. Rows-only check (sketch values are engine-specific by
+    nature); tests assert <=2% relative error vs the exact query."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.approx_count_distinct("lang").alias("n_langs_approx"),
+        F.approx_count_distinct("doc_id").alias("n_docs_approx"),
+    )
