@@ -149,7 +149,7 @@ SELECT c.c_custkey, c.c_name
 FROM customer c
 WHERE EXISTS (
     SELECT 1 FROM orders o
-    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000
+    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000
 )
 """
 
@@ -158,9 +158,10 @@ WHERE EXISTS (
 def customers_with_big_orders(spark, sf_dir):
     """LEFT SEMI join (EXISTS) — plan: shuffle-hash semi on c_custkey, no
     row duplication, right side reduced before the join by the pushed
-    o_totalprice filter."""
+    o_totalprice filter. (Threshold at ~p90 of o_totalprice so the gate
+    actually discriminates.)"""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 450000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
         "c_custkey", "c_name"
     )
@@ -169,16 +170,22 @@ def customers_with_big_orders(spark, sf_dir):
 _ANTI_SQL = """
 SELECT p.p_partkey, p.p_name
 FROM part p
-WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+WHERE NOT EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45
+)
 """
 
 
-@register("parts_never_ordered", sql=_ANTI_SQL)
-def parts_never_ordered(spark, sf_dir):
+@register("parts_never_ordered_bulk", sql=_ANTI_SQL)
+def parts_never_ordered_bulk(spark, sf_dir):
     """LEFT ANTI join (NOT EXISTS) — the relational form of the reference's
-    exclude-pattern semantics (F4, SURVEY §2.4 note)."""
+    exclude-pattern semantics (F4, SURVEY §2.4 note). Every part appears in
+    some lineitem in this corpus, so the anti-join keys on bulk orders
+    (l_quantity > 45): ~114 qualifying parts at sf0.01 — a non-degenerate
+    gate."""
     p = load_table(spark, sf_dir, "part")
-    l = load_table(spark, sf_dir, "lineitem")
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
     return p.join(l, p.p_partkey == l.l_partkey, "left_anti").select(
         "p_partkey", "p_name"
     )

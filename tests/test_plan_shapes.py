@@ -48,7 +48,7 @@ def test_top_customers_broadcasts_nation(spark):
 
 def test_semi_anti_join_strategies(spark):
     semi = _plan(spark, "customers_with_big_orders")
-    anti = _plan(spark, "parts_never_ordered")
+    anti = _plan(spark, "parts_never_ordered_bulk")
     assert "LeftSemi" in semi
     assert "LeftAnti" in anti
     # the o_totalprice predicate reaches the orders scan
