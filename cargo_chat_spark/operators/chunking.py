@@ -48,6 +48,104 @@ def chunk_text(
     )
 
 
+# --------------------------------------------------------------------------
+# Syntax-aware chunking (the reference's tree-sitter splitter,
+# chunker.rs:64-74). py-tree-sitter isn't available here, so the
+# deterministic core is a boundary-regex splitter: prefer splitting at
+# function/class/impl starts, fall back to the char window, always capping
+# at max_chars (chunker.rs:70). Runs as an Arrow-batched mapInPandas stage
+# (per-task compiled patterns = the per-executor splitter cache of
+# chunker.rs:64-74).
+
+_BOUNDARY_PATTERNS = {
+    # language display name -> declaration-start regex (multiline)
+    "Rust": r"^\s*(?:pub\s+)?(?:fn|struct|enum|impl|trait|mod)\b",
+    "Python": r"^(?:def|class|async\s+def)\b",
+    "JavaScript": r"^\s*(?:function|class|const\s+\w+\s*=|export)\b",
+    "TypeScript": r"^\s*(?:function|class|interface|type\s+\w+|export)\b",
+    "Java": r"^\s*(?:public|private|protected|class|interface)\b",
+    "Go": r"^(?:func|type|var|const)\b",
+    "C": r"^\w[\w\s\*]*\([^;]*$",
+    "C++": r"^\w[\w\s\*:<>]*\([^;]*$",
+    "Markdown": r"^#{1,6}\s",
+}
+
+
+def split_structured(text: str, language: str | None, max_chars: int) -> list[str]:
+    """Pure function: split at declaration boundaries, merge small pieces
+    forward, hard-wrap anything over max_chars. Deterministic spec — the
+    chunk boundaries are OUR contract (SURVEY §7 risk register)."""
+    import re as _re
+
+    pat = _BOUNDARY_PATTERNS.get(language or "")
+    if not pat:
+        return [text[i : i + max_chars] for i in range(0, len(text), max_chars)]
+    rx = _re.compile(pat, _re.MULTILINE)
+    lines = text.splitlines(keepends=True)
+    pieces: list[str] = []
+    cur = ""
+    for ln in lines:
+        if rx.match(ln) and cur.strip():
+            pieces.append(cur)
+            cur = ln
+        else:
+            cur += ln
+    if cur:
+        pieces.append(cur)
+    out: list[str] = []
+    buf = ""
+    for p in pieces:
+        if len(buf) + len(p) <= max_chars:
+            buf += p
+        else:
+            if buf:
+                out.append(buf)
+            while len(p) > max_chars:  # oversized declaration: hard wrap
+                out.append(p[:max_chars])
+                p = p[max_chars:]
+            buf = p
+    if buf:
+        out.append(buf)
+    return [c for c in out if c]
+
+
+def chunk_structured(
+    df: DataFrame,
+    text_col: str = "content",
+    lang_col: str = "language",
+    id_cols: tuple[str, ...] = ("path",),
+    max_chars: int = 1000,
+) -> DataFrame:
+    """Syntax-aware P3 as mapInPandas (language-aware boundaries need
+    imperative merging — the one chunking variant that earns Python)."""
+    import pandas as pd
+
+    id_list = list(id_cols)
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                for seq, chunk in enumerate(
+                    split_structured(r[text_col] or "", r[lang_col], max_chars)
+                ):
+                    rows.append(
+                        {**{c: r[c] for c in id_list},
+                         "chunk_seq": seq, "chunk_text": chunk,
+                         "chunk_len": len(chunk)}
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=id_list + ["chunk_seq", "chunk_text", "chunk_len"],
+            )
+
+    id_schema = ", ".join(
+        f"{c}:{df.schema[c].dataType.simpleString()}" for c in id_list
+    ).replace(", ", ",")
+    schema = f"{id_schema},chunk_seq:int,chunk_text:string,chunk_len:int"
+    return df.mapInPandas(fn, "struct<" + schema + ">")
+
+
 def chunk_text_sql(
     table: str,
     text_col: str = "text",

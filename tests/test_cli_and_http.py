@@ -1,0 +1,102 @@
+"""CLI command tests (driven via subprocess — the real user surface) and
+HTTP-provider tests with an injected fake transport (no network)."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+from cargo_chat_spark.models.openai_http import OpenAIHttpProvider
+
+
+def _fake_transport(responses: dict):
+    calls = []
+
+    def transport(path: str, payload: dict) -> dict:
+        calls.append((path, payload))
+        content = responses[payload["model"]]
+        return {"choices": [{"message": {"content": content}}]}
+
+    transport.calls = calls
+    return transport
+
+
+def test_http_provider_classify_and_hyde():
+    t = _fake_transport(
+        {
+            "gpt-4o-mini": json.dumps(
+                {
+                    "language": "rust",
+                    "intent": "implementation",
+                    "wants_code": True,
+                    "confidence": 0.85,
+                    "target_folders": ["src"],
+                }
+            ),
+            "gpt-4o": "final answer",
+        }
+    )
+    p = OpenAIHttpProvider(transport=t)
+    cls = p.classify_query("implement a rust parser")
+    assert cls.language == "rust" and cls.wants_code and cls.confidence == 0.85
+    # strict JSON-schema structured output requested (hyde.rs:353-392)
+    assert t.calls[0][1]["response_format"]["type"] == "json_schema"
+    assert t.calls[0][1]["temperature"] == 0.1
+
+    # HyDE respects the char budget (main.rs:497)
+    t2 = _fake_transport({"gpt-4o-mini": "x" * 5000})
+    p2 = OpenAIHttpProvider(transport=t2)
+    assert len(p2.hyde_document("q", "explanation", 1000)) == 1000
+
+    assert list(p.synthesize_answer("ctx")) == ["final answer"]
+    # embeddings fall back to the deterministic mock
+    assert len(p.embed_batch(["a"])[0]) == 16
+
+
+def test_http_provider_requires_key(monkeypatch):
+    monkeypatch.delenv("OPENAI_API_KEY", raising=False)
+    with pytest.raises(OSError, match="OPENAI_API_KEY"):
+        OpenAIHttpProvider()
+
+
+@pytest.mark.slow
+def test_cli_index_query_profile(tmp_path):
+    repo = tmp_path / "repo"
+    (repo / "src").mkdir(parents=True)
+    (repo / "src" / "main.rs").write_text("fn main() { let x = 1; }\n" * 30)
+    (repo / "README.md").write_text("# Demo\nDemo repo.\n")
+    (repo / "Cargo.toml").write_text("[dependencies]\nserde = \"1\"\n")
+    index_dir = str(tmp_path / "idx")
+
+    import os
+
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4",
+           "PYTHONPATH": "/root/repo"}  # executors' Python workers must
+    # import cargo_chat_spark too, not just the driver process
+    base = [sys.executable, "-m", "cargo_chat_spark"]
+    out = subprocess.run(
+        base + ["index", str(repo), index_dir],
+        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "Indexed" in out.stdout
+
+    out = subprocess.run(
+        base + ["query", index_dir, "how does the rust main function work", "-k", "3"],
+        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "[classification]" in out.stdout
+    assert "src/main.rs" in out.stdout
+
+    out = subprocess.run(
+        base + ["profile", str(repo)],
+        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    prof = json.loads(out.stdout[out.stdout.index("{"):])
+    assert prof["primary_languages"][0] == "Rust"
+    assert "Cargo.toml" in prof["build_files"]
