@@ -136,8 +136,7 @@ FROM th
 @register("simhash_fingerprints", sql=_SIMHASH_SQL)
 def simhash_fingerprints(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
-    th = d.select("doc_id", D.token_hashes(F.col("text")).alias("h"))
-    return th.select("doc_id", D.simhash32_from_hashes(F.col("h")).alias("simhash"))
+    return D.simhash32_agg(d)
 
 
 # ------------------------------------------- n-gram Jaccard on LSH survivors

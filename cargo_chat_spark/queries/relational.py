@@ -8,6 +8,7 @@ engines, so the value hash can't drift with float summation order.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from cargo_chat_spark.sources.testdata import load_table
@@ -88,4 +89,109 @@ def top_customers(spark, sf_dir):
         )
         .orderBy(F.desc("total_spend"), F.asc("c_custkey"))
         .limit(10)
+    )
+
+
+_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+    COUNT(*) AS n_items
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@register("revenue_rollup", sql=_ROLLUP_SQL)
+def revenue_rollup(spark, sf_dir):
+    """GROUP BY ROLLUP — hierarchical subtotals (flag, status) → (flag) →
+    grand total, one pass. Spark expands rollup into a single Expand +
+    hash aggregate: no extra scans for the subtotal levels."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_OUTER_SQL = """
+SELECT p.p_partkey, p.p_brand,
+    COALESCE(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE), 0.0)
+        AS bulk_qty,
+    COUNT(l.l_orderkey) AS bulk_lines
+FROM part p
+LEFT JOIN lineitem l
+    ON l.l_partkey = p.p_partkey AND l.l_quantity > 45
+GROUP BY p.p_partkey, p.p_brand
+"""
+
+
+@register("part_bulk_outer", sql=_OUTER_SQL)
+def part_bulk_outer(spark, sf_dir):
+    """LEFT OUTER join with a selective join-side predicate: unmatched
+    parts survive with zeroed aggregates (COUNT of the null side = 0)."""
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        p.join(
+            l,
+            (l.l_partkey == p.p_partkey) & (l.l_quantity > 45),
+            "left",
+        )
+        .groupBy("p_partkey", "p_brand")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"),
+                F.lit(0.0),
+            ).alias("bulk_qty"),
+            F.count("l_orderkey").alias("bulk_lines"),
+        )
+    )
+
+
+_RUNNING_SQL = """
+WITH monthly AS (
+    SELECT c.c_mktsegment AS segment,
+        CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS month,
+        CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS month_total
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 2
+)
+SELECT segment, month, month_total,
+    CAST(SUM(CAST(month_total AS DECIMAL(18,2))) OVER (
+        PARTITION BY segment ORDER BY month
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS DOUBLE) AS running_total
+FROM monthly
+"""
+
+
+@register("segment_running_totals", sql=_RUNNING_SQL)
+def segment_running_totals(spark, sf_dir):
+    """Cumulative window over monthly aggregates per market segment — the
+    agg output is already partitioned by segment, so the window reuses the
+    groupBy shuffle (one exchange total)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("month_total")
+        )
+    )
+    w = (
+        Window.partitionBy("segment")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return monthly.withColumn(
+        "running_total",
+        F.sum(F.col("month_total").cast("decimal(18,2)")).over(w).cast("double"),
     )
