@@ -23,6 +23,10 @@ from cargo_chat_spark.session import get_spark  # noqa: E402
 # profiling, dedup families, text analysis, streaming-batch windows.
 HEADLINE = [
     "knn_exact",
+    "knn_exact_numpy",
+    "rp_lsh_topk",
+    "revenue_rollup",
+    "segment_running_totals",
     "cosine_topk",
     "ivf_topk",
     "embedding_neardup_pairs",

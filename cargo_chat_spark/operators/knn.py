@@ -70,6 +70,64 @@ def knn_join(
     )
 
 
+def knn_join_numpy(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    *,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Exact kNN with a NumPy batch kernel — the SCALE.md exit ramp for
+    when the distance computation dominates (high dim × huge corpus): the
+    higher-order-function expression is interpreted per element, while this
+    kernel does one vectorized (nq × batch) distance matrix per Arrow batch
+    and prunes to the local top-k BEFORE emitting, so the window shuffle
+    sees O(|Q| · k · num_batches) rows.
+
+    The query side is collected (it is the per-request side, bounded) and
+    broadcast to executors. Results are identical to knn_join up to float
+    summation order (~1e-15) — same oracle applies.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = queries.select(query_id, query_vec).collect()
+    qids = np.array([r[query_id] for r in rows], dtype=np.int64)
+    qm = np.array([r[query_vec] for r in rows], dtype=np.float64)
+    spark = queries.sparkSession
+    bc = spark.sparkContext.broadcast((qids, qm))
+
+    def fn(batches):
+        bqids, bqm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            emb = np.asarray(pdf[corpus_vec].tolist(), dtype=np.float64)
+            ids = pdf[corpus_id].to_numpy()
+            # (nq, n) squared distances, vectorized
+            d2 = ((bqm[:, None, :] - emb[None, :, :]) ** 2).sum(axis=-1)
+            n = d2.shape[1]
+            keep = min(k, n)
+            # local top-k per query (argpartition then exact sort)
+            part = np.argpartition(d2, keep - 1, axis=1)[:, :keep]
+            out = {"query_id": [], "neighbor_id": [], "distance": []}
+            for qi in range(len(bqids)):
+                cols = part[qi]
+                out["query_id"].extend([bqids[qi]] * len(cols))
+                out["neighbor_id"].extend(ids[cols])
+                out["distance"].extend(np.sqrt(d2[qi, cols]))
+            yield pd.DataFrame(out)
+
+    local = corpus.mapInPandas(
+        fn, "query_id bigint, neighbor_id bigint, distance double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("neighbor_id"))
+    return local.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def overfetch_knn(queries: DataFrame, corpus: DataFrame, k: int, **kw) -> DataFrame:
     """Reference-mode retrieval fetch: k*2 candidates before filtering
     (hyde.rs:500), truncated to k only after the classification filters

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from cargo_chat_spark.operators.knn import knn_join, overfetch_knn
+from cargo_chat_spark.operators.knn import knn_join, knn_join_numpy, overfetch_knn
 from cargo_chat_spark.sources.testdata import load_table
 from cargo_chat_spark.queries.registry import register
 
@@ -56,6 +56,14 @@ def _query_vectors(spark, sf_dir):
 def knn_exact(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_join(_query_vectors(spark, sf_dir), emb, k=10)
+
+
+@register("knn_exact_numpy", sql=_KNN_SQL)
+def knn_exact_numpy(spark, sf_dir):
+    """Same contract as knn_exact via the NumPy batch kernel (the
+    distance-dominated exit ramp, SCALE.md) — shares knn_exact's oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_join_numpy(_query_vectors(spark, sf_dir), emb, k=10)
 
 
 _KNN_OVERFETCH_SQL = _KNN_SQL.replace('"rank" <= 10', '"rank" <= 20')
