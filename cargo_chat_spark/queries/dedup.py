@@ -181,3 +181,69 @@ def ngram_jaccard_pairs(spark, sf_dir):
             (inter.cast("double") / union.cast("double")).alias("jaccard"),
         )
     )
+
+
+# ------------------------------------------ simhash hamming near-dup pairs
+# Candidate generation mirrors the pigeonhole trick: a pair within hamming
+# distance 8 of a 32-bit fingerprint must agree on at least one of its 4
+# bytes — band join on (byte_index, byte_value), verify with bit_count(xor).
+_HAMMING_T = 8
+
+_SIMHASH_PAIRS_SQL = f"""
+WITH th AS (
+    SELECT doc_id, {D.token_hashes_sql('text')} AS h FROM documents
+),
+sh AS (
+    SELECT doc_id, {D.simhash32_from_hashes_sql('h')} AS s FROM th
+),
+bands AS (
+    SELECT doc_id, s, b.b AS band,
+        CAST(floor(s / power(2.0, 8 * b.b)) AS BIGINT) % 256 AS byte
+    FROM sh, (SELECT unnest(generate_series(0, 3)) AS b) b
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, a.s AS sa, b.doc_id AS doc_b, b.s AS sb
+    FROM bands a JOIN bands b ON a.band = b.band AND a.byte = b.byte
+    WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM pairs
+WHERE bit_count(xor(sa, sb)) <= {_HAMMING_T}
+"""
+
+
+@register("simhash_neardup_pairs", sql=_SIMHASH_PAIRS_SQL)
+def simhash_neardup_pairs(spark, sf_dir):
+    """SimHash near-dup: byte-band candidate join + exact hamming verify.
+    Pigeonhole over 4 byte-bands guarantees zero false negatives up to
+    hamming 3 (3 flipped bits cannot touch all 4 bands); at the looser
+    threshold {_HAMMING_T} it is a high-recall heuristic. Shuffle is
+    O(docs x 4 bands), pairs verified with two bit ops."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = D.simhash32_agg(d).withColumnRenamed("simhash", "s")
+    band_entries = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            (F.floor(F.col("s") / F.pow(F.lit(2.0), F.lit(8 * b))).cast("bigint") % 256)
+            .alias("byte"),
+        )
+        for b in range(4)
+    ])
+    bands = sh.select("doc_id", "s", F.explode(band_entries).alias("bb")).select(
+        "doc_id", "s", F.col("bb.band").alias("band"), F.col("bb.byte").alias("byte")
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"), "band", "byte"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"), "band", "byte"
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        a.join(b, ["band", "byte"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sa", "sb")
+        .distinct()
+        .where(hamming <= _HAMMING_T)
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+    )
