@@ -6,8 +6,8 @@ Mirrors the reference's static 12-language table
 
 Two interchangeable Spark forms:
 - ``detect_language_expr`` — a chained CASE expression (stays inside
-  whole-stage codegen; best for a 26-branch literal table)
-- ``language_lookup_df`` — a 26-row lookup DataFrame for broadcast joins
+  whole-stage codegen; best for a 24-branch literal table)
+- ``language_lookup_df`` — a 24-row lookup DataFrame for broadcast joins
   (the idiomatic form when the mapping is data, not code)
 
 ``detect_language_sql_case`` emits the equivalent DuckDB/ANSI CASE so
@@ -73,12 +73,12 @@ def detect_language_sql_case(ext_sql: str) -> str:
 
 
 def language_lookup_df(spark: SparkSession) -> DataFrame:
-    """26-row (extension, language) table for broadcast joins."""
+    """24-row (extension, language) table for broadcast joins."""
     rows = [(e, lang) for e, lang in EXT_TO_LANGUAGE.items()]
     return spark.createDataFrame(rows, "extension string, language string")
 
 
 def is_supported_extension(ext: Column) -> Column:
     """Ingest filter F1 (chunker.rs:44-62): case-insensitive membership in
-    the 26 supported extensions."""
+    the 24 supported extensions."""
     return F.lower(ext).isin(SUPPORTED_EXTENSIONS)
