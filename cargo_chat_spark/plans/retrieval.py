@@ -128,28 +128,14 @@ def retrieve(
             .withColumn("rank", F.row_number().over(w))
         )
 
-    # P6 context assembly for the answer prompt
-    block = F.concat(
-        F.lit("### "), F.col("rank").cast("string"), F.lit(". "), F.col("file"),
-        F.lit(" (distance: "), F.format_string("%.3f", F.col("distance")),
-        F.lit(")\n```\n"), F.col("code"), F.lit("\n```"),
-    )
-    ctx_row = (
-        ranked.withColumn("_block", block)
-        .groupBy("query_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("rank", "_block"))),
-                    lambda x: x["_block"],
-                ),
-                "\n\n",
-            ).alias("context")
-        )
-        .collect()
-    )
-    context = ctx_row[0]["context"] if ctx_row else ""
-    answer = provider.synthesize_answer(f"{query}\n\n{context}")  # M6
+    # P6 context assembly — reference-exact prompt format (hyde.rs:645-740)
+    from cargo_chat_spark.operators.context import assemble_prompt
+
+    prompt_rows = assemble_prompt(
+        ranked.withColumn("query_text", F.lit(query)), F.col("query_text")
+    ).collect()
+    prompt = prompt_rows[0]["user_prompt"] if prompt_rows else query
+    answer = provider.synthesize_answer(prompt)  # M6
 
     return {
         "classification": asdict(cls),

@@ -46,6 +46,42 @@ def read_index(spark: SparkSession, index_dir: str) -> tuple[DataFrame, dict]:
     return df, meta
 
 
+def write_index_partitioned(
+    df: DataFrame, index_dir: str, dim: int, centroids: DataFrame
+) -> None:
+    """S6 at scale: assign each vector to its nearest centroid and write
+    the index PARTITIONED BY cell_id. ANN queries then probe a subset of
+    cells → Spark partition pruning turns each query into a scan of
+    nprobe/ncells of the data (SCALE.md, IVF section). ``centroids``:
+    (cell_id, cvec)."""
+    from pyspark.sql import Window
+
+    from cargo_chat_spark.functions.vectors import euclidean
+
+    w = Window.partitionBy("chunk_id").orderBy("cdist", "cell_id")
+    assigned = (
+        df.crossJoin(F.broadcast(centroids))
+        .withColumn("cdist", euclidean(F.col("cvec"), F.col("embedding")))
+        .withColumn("_cr", F.row_number().over(w))
+        .where(F.col("_cr") == 1)
+        .drop("cvec", "cdist", "_cr")
+    )
+    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(
+        os.path.join(index_dir, "index")
+    )
+    meta = {"dim": dim, "format": "parquet", "version": 1,
+            "partitioned_by": "cell_id"}
+    with open(os.path.join(index_dir, "index_meta.json"), "w") as fh:
+        json.dump(meta, fh, indent=2)
+
+
+def read_index_cells(spark: SparkSession, index_dir: str, cell_ids: list[int]) -> DataFrame:
+    """Partition-pruned read: only the probed cells' files are scanned
+    (PartitionFilters in the plan — asserted in tests)."""
+    df = spark.read.parquet(os.path.join(index_dir, "index"))
+    return df.where(F.col("cell_id").isin(cell_ids))
+
+
 def write_profile(profile_row: dict, index_dir: str) -> None:
     """S7 (main.rs:373-376): pretty JSON sidecar."""
     with open(os.path.join(index_dir, "profile.json"), "w") as fh:
