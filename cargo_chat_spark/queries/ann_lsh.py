@@ -121,3 +121,92 @@ def rp_lsh_topk(spark, sf_dir):
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 10)
     )
+
+
+# ------------------------------------------------------- multiprobe variant
+def _flip_sql(key: str, i: int) -> str:
+    """SQL: flip bit-char i (0-based) of the 8-char key string."""
+    return (
+        f"substring({key}, 1, {i}) || "
+        f"(CASE substring({key}, {i + 1}, 1) WHEN '0' THEN '1' ELSE '0' END) || "
+        f"substring({key}, {i + 2}, {N_PLANES - i - 1})"
+    )
+
+
+_PROBE_KEYS_SQL = "[bkey, " + ", ".join(
+    _flip_sql("bkey", i) for i in range(N_PLANES)
+) + "]"
+
+_RP_MULTI_SQL = f"""
+WITH corpus AS (
+    SELECT vec_id, embedding, {bucket_key_sql('embedding')} AS bkey
+    FROM embeddings
+),
+q AS (
+    SELECT vec_id AS query_id, embedding AS qvec, {bucket_key_sql('embedding')} AS bkey
+    FROM embeddings WHERE vec_id % 100 = 0
+),
+probes AS (
+    SELECT query_id, qvec, unnest({_PROBE_KEYS_SQL}) AS pkey FROM q
+),
+scored AS (
+    SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id,
+        sqrt(list_sum(list_transform(generate_series(1, len(p.qvec)),
+            i -> (CAST(p.qvec[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+               * (CAST(p.qvec[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)))))
+            AS distance
+    FROM probes p JOIN corpus c ON p.pkey = c.bkey
+)
+SELECT query_id, neighbor_id, distance,
+    CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY distance, neighbor_id
+    ) AS INT) AS "rank"
+FROM scored
+QUALIFY "rank" <= 10
+"""
+
+
+def _flip_col(key, i: int):
+    flipped = F.when(F.substring(key, i + 1, 1) == "0", "1").otherwise("0")
+    parts = []
+    if i > 0:
+        parts.append(F.substring(key, 1, i))
+    parts.append(flipped)
+    if i < N_PLANES - 1:
+        parts.append(F.substring(key, i + 2, N_PLANES - i - 1))
+    return F.concat(*parts)
+
+
+@register("rp_lsh_multiprobe_topk", sql=_RP_MULTI_SQL)
+def rp_lsh_multiprobe_topk(spark, sf_dir):
+    """Multiprobe RP-LSH: each query probes its own bucket plus the
+    {N_PLANES} hamming-1-adjacent buckets (flip one sign bit) — the
+    standard recall lever: ~(1+{N_PLANES})x candidate cost for a large
+    recall jump, still an equi-join (no cross join). Candidates reached
+    via multiple probes dedup before re-scoring."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding", bucket_key(F.col("embedding")).alias("bkey"))
+    q = (
+        emb.where(F.col("vec_id") % 100 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+            bucket_key(F.col("embedding")).alias("bkey"),
+        )
+    )
+    probe_keys = F.array(F.col("bkey"), *[_flip_col(F.col("bkey"), i) for i in range(N_PLANES)])
+    probes = q.select("query_id", "qvec", F.explode(probe_keys).alias("bkey"))
+    scored = (
+        probes.join(corpus, "bkey")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            vectors.euclidean(F.col("qvec"), F.col("embedding")).alias("distance"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy("distance", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+    )

@@ -52,3 +52,11 @@ def test_approx_distinct_error(spark):
     for src, n in exact.items():
         rel = abs(approx[src] - n) / n
         assert rel <= 0.05, f"approx_count_distinct off by {rel:.1%} for {src}"
+
+
+def test_multiprobe_lifts_recall(spark):
+    single = _recall(spark, "rp_lsh_topk")
+    multi = _recall(spark, "rp_lsh_multiprobe_topk")
+    # measured 0.44 -> 0.54 at sf0.001; the lever must never hurt
+    assert multi >= single, f"multiprobe lowered recall: {multi:.2f} < {single:.2f}"
+    assert multi > 0.4
