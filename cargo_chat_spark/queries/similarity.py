@@ -82,28 +82,60 @@ LIMIT 20
 
 
 @register("embedding_neardup_pairs", sql=_PAIRS_SQL)
-def embedding_neardup_pairs(spark, sf_dir):
+def embedding_neardup_pairs(spark, sf_dir, top: int = 20):
     """Embedding-cosine near-dup: global top-20 most-similar pairs
-    (threshold-free so it stays meaningful on any corpus)."""
+    (threshold-free so it stays meaningful on any corpus).
+
+    Physical strategy: normalized corpus matrix broadcast (n×d doubles —
+    ~1 MB here; valid while the matrix is broadcastable, beyond that the
+    LSH/IVF paths take over per SCALE.md), then each partition computes a
+    GEMM block of the similarity matrix, masks the upper triangle, and
+    emits only its local top-``top`` pairs — the driver-side sort sees
+    O(top × partitions) rows, never O(n²)."""
+    import numpy as np
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings")
-    with_norm = emb.select(
-        "vec_id", "embedding", vectors.norm(F.col("embedding")).alias("nrm")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    m = np.array([rows[i]["embedding"] for i in order], dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, m))
+
+    def fn(batches):
+        all_ids, all_m = bc.value
+        pos = {v: i for i, v in enumerate(all_ids)}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            batch_idx = np.array([pos[v] for v in pdf["vec_id"]], dtype=np.int64)
+            bm = all_m[batch_idx]                       # (b, d)
+            sims = bm @ all_m.T                         # (b, n)
+            # keep only pairs (batch_row, j) with id_batch < id_j
+            mask = all_ids[None, :] <= all_ids[batch_idx][:, None]
+            sims[mask] = -np.inf
+            flat = sims.ravel()
+            keep = min(top, (flat > -np.inf).sum())
+            if keep == 0:
+                continue
+            top_idx = np.argpartition(-flat, keep - 1)[:keep]
+            bi, j = np.unravel_index(top_idx, sims.shape)
+            yield pd.DataFrame(
+                {
+                    "vec_a": all_ids[batch_idx[bi]],
+                    "vec_b": all_ids[j],
+                    "cosine_sim": flat[top_idx],
+                }
+            )
+
+    local = emb.select("vec_id").mapInPandas(
+        fn, "vec_a bigint, vec_b bigint, cosine_sim double"
     )
-    normed = with_norm.select(
-        "vec_id",
-        F.transform(
-            F.col("embedding"), lambda x: x.cast("double") / F.col("nrm")
-        ).alias("ne"),
-    )
-    a = normed.select(F.col("vec_id").alias("vec_a"), F.col("ne").alias("na"))
-    b = normed.select(F.col("vec_id").alias("vec_b"), F.col("ne").alias("nb"))
-    sim = vectors.dot(F.col("na"), F.col("nb"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", sim.alias("cosine_sim"))
-        .orderBy(F.desc("cosine_sim"), F.asc("vec_a"), F.asc("vec_b"))
-        .limit(20)
-    )
+    return local.orderBy(
+        F.desc("cosine_sim"), F.asc("vec_a"), F.asc("vec_b")
+    ).limit(top)
 
 
 # --------------------------------------------------------- IVF-style search
