@@ -11,7 +11,20 @@ matches.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# the driver may import this file by path; make the package importable (and
+# visible to executor Python workers) regardless of the caller's sys.path
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+os.environ["PYTHONPATH"] = (
+    _REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+    if _REPO_ROOT not in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+    else os.environ["PYTHONPATH"]
+)
 
 from pyspark.sql import DataFrame, SparkSession
 
