@@ -68,14 +68,17 @@ sigs AS (
 # ------------------------------------------------------- minhash signatures
 _MINHASH_SQL = f"""
 WITH {_SIGS_CTE}
-SELECT doc_id, mh AS minhash FROM sigs
+SELECT doc_id, array_to_string(mh, '|') AS minhash FROM sigs
 """
 
 
 @register("minhash_signatures", sql=_MINHASH_SQL)
 def minhash_signatures(spark, sf_dir):
-    """16-perm minhash signature per document (3-token shingles)."""
-    return _sigs_df(spark, sf_dir).select("doc_id", F.col("mh").alias("minhash"))
+    """16-perm minhash signature per document (3-token shingles),
+    '|'-joined (harness needs hashable cells)."""
+    return _sigs_df(spark, sf_dir).select(
+        "doc_id", F.array_join(F.col("mh").cast("array<string>"), "|").alias("minhash")
+    )
 
 
 # ----------------------------------------------------- LSH candidate pairs

@@ -134,7 +134,7 @@ counted AS (
     FROM repo_files
     WHERE NOT {P.is_build_file_sql('filename')}
 )
-SELECT repo, language, SUM(line_count) AS total_lines
+SELECT repo, language, CAST(SUM(line_count) AS BIGINT) AS total_lines
 FROM counted WHERE language IS NOT NULL
 GROUP BY repo, language
 """
@@ -164,7 +164,7 @@ counted AS (
     WHERE NOT {P.is_build_file_sql('filename')}
 ),
 grouped AS (
-    SELECT repo, language, SUM(line_count) AS total_lines
+    SELECT repo, language, CAST(SUM(line_count) AS BIGINT) AS total_lines
     FROM counted WHERE language IS NOT NULL
     GROUP BY repo, language
 ),
@@ -193,22 +193,31 @@ def primary_languages(spark, sf_dir):
 
 # ------------------------------------------------------- F6 + A4: build files
 _BUILD_SQL = f"""{_RF}
-SELECT repo, list_sort(list(filename)) AS build_files
+SELECT repo, array_to_string(list_sort(list(filename)), '|') AS build_files
 FROM repo_files
 WHERE {P.is_build_file_sql('filename')}
 GROUP BY repo
 """
 
 
-@register("build_files_by_repo", sql=_BUILD_SQL)
-def build_files_by_repo(spark, sf_dir):
-    """A4 (repo.rs:64-70): build filenames per repo; sorted (not deduped —
-    the reference keeps duplicates) for deterministic order."""
+def _build_files_arr(spark, sf_dir):
     rf = repo_files_df(spark, sf_dir)
     return (
         rf.where(P.is_build_file(F.col("filename")))
         .groupBy("repo")
         .agg(F.array_sort(F.collect_list("filename")).alias("build_files"))
+    )
+
+
+@register("build_files_by_repo", sql=_BUILD_SQL)
+def build_files_by_repo(spark, sf_dir):
+    """A4 (repo.rs:64-70): build filenames per repo; sorted (not deduped —
+    the reference keeps duplicates) for deterministic order. The list is
+    emitted '|'-joined: the driver's canonicalizer requires hashable
+    (scalar) output cells, so arrays are serialized identically in both
+    engines."""
+    return _build_files_arr(spark, sf_dir).select(
+        "repo", F.array_join("build_files", "|").alias("build_files")
     )
 
 
@@ -220,16 +229,12 @@ hits AS (
     FROM repo_files rf JOIN probes p ON rf.filename = p.build_file
     WHERE contains(rf.content, p.needle)
 )
-SELECT repo, list_sort(list(framework))[1:10] AS frameworks
+SELECT repo, array_to_string(list_sort(list(framework))[1:10], '|') AS frameworks
 FROM hits GROUP BY repo
 """
 
 
-@register("frameworks_by_repo", sql=_FRAMEWORKS_SQL)
-def frameworks_by_repo(spark, sf_dir):
-    """A5 (repo.rs:144-358): substring probes over dispatched build files;
-    sort + dedup + truncate 10 (repo.rs:161-163). The 42-row probe table
-    broadcasts."""
+def _frameworks_arr(spark, sf_dir):
     rf = repo_files_df(spark, sf_dir)
     hits = (
         rf.join(F.broadcast(P.probes_df(spark)), rf.filename == F.col("build_file"))
@@ -239,6 +244,16 @@ def frameworks_by_repo(spark, sf_dir):
     )
     return hits.groupBy("repo").agg(
         F.slice(F.array_sort(F.collect_list("framework")), 1, 10).alias("frameworks")
+    )
+
+
+@register("frameworks_by_repo", sql=_FRAMEWORKS_SQL)
+def frameworks_by_repo(spark, sf_dir):
+    """A5 (repo.rs:144-358): substring probes over dispatched build files;
+    sort + dedup + truncate 10 (repo.rs:161-163). The 42-row probe table
+    broadcasts. Output '|'-joined (harness needs hashable cells)."""
+    return _frameworks_arr(spark, sf_dir).select(
+        "repo", F.array_join("frameworks", "|").alias("frameworks")
     )
 
 
@@ -365,7 +380,11 @@ assembled AS (
     LEFT JOIN fw f ON f.repo = r.repo
     LEFT JOIN readmes rm ON rm.repo = r.repo
 )
-SELECT name, primary_languages, build_files, frameworks, readme_summary,
+SELECT name,
+    COALESCE(array_to_string(primary_languages, '|'), '') AS primary_languages,
+    COALESCE(array_to_string(build_files, '|'), '') AS build_files,
+    COALESCE(array_to_string(frameworks, '|'), '') AS frameworks,
+    readme_summary,
     CASE
         WHEN len(primary_languages) = 0 AND len(frameworks) = 0
             THEN 'the ''' || name || ''' repository'
@@ -394,7 +413,8 @@ def repo_profile(spark, sf_dir):
     languages, build files, frameworks, readme summary, human-readable
     description, project type. All joins are per-repo (20 keys) after
     per-repo aggregation — at scale each sub-aggregate shuffles once on
-    repo and the final assembly is a co-partitioned multi-join."""
+    repo and the final assembly is a co-partitioned multi-join. List
+    columns are emitted '|'-joined (harness needs hashable cells)."""
     repos = repo_files_df(spark, sf_dir).select("repo").distinct()
     pl = (
         primary_languages(spark, sf_dir)
@@ -409,8 +429,8 @@ def repo_profile(spark, sf_dir):
     empty = F.array().cast("array<string>")
     prof = (
         repos.join(pl, "repo", "left")
-        .join(build_files_by_repo(spark, sf_dir), "repo", "left")
-        .join(frameworks_by_repo(spark, sf_dir), "repo", "left")
+        .join(_build_files_arr(spark, sf_dir), "repo", "left")
+        .join(_frameworks_arr(spark, sf_dir), "repo", "left")
         .join(readme_summary(spark, sf_dir), "repo", "left")
         .select(
             F.col("repo").alias("name"),
@@ -449,6 +469,19 @@ def repo_profile(spark, sf_dir):
             ),
         )
     )
-    return prof.withColumn("description", description).withColumn(
-        "project_type", P.project_type_expr(F.col("build_files"), F.col("primary_languages"))
+    return (
+        prof.withColumn("description", description)
+        .withColumn(
+            "project_type",
+            P.project_type_expr(F.col("build_files"), F.col("primary_languages")),
+        )
+        .select(
+            "name",
+            F.array_join("primary_languages", "|").alias("primary_languages"),
+            F.array_join("build_files", "|").alias("build_files"),
+            F.array_join("frameworks", "|").alias("frameworks"),
+            "readme_summary",
+            "description",
+            "project_type",
+        )
     )

@@ -118,7 +118,8 @@ WITH lang_exts AS (
     SELECT * FROM (VALUES {_EXT_ROWS}) AS t(language, exts)
 )
 SELECT CAST(len(flatten(list(exts ORDER BY language))) AS BIGINT) AS n_extensions,
-       list_sort(flatten(list(exts ORDER BY language))) AS all_extensions
+       array_to_string(list_sort(flatten(list(exts ORDER BY language))), '|')
+           AS all_extensions
 FROM lang_exts
 """
 
@@ -126,19 +127,23 @@ FROM lang_exts
 @register("supported_extensions_union", sql=_EXT_UNION_SQL)
 def supported_extensions_union(spark, sf_dir):
     """U1 (language.rs:103-125): concatenation of per-language extension
-    lists (disjoint → union-all), rendered sorted for determinism."""
+    lists (disjoint → union-all), rendered sorted + '|'-joined for
+    determinism (harness needs hashable cells)."""
     rows = [(lang, exts) for lang, exts in LANGUAGE_EXTENSIONS.items()]
     df = spark.createDataFrame(rows, "language string, exts array<string>")
     return df.agg(
         F.size(F.flatten(F.array_sort(F.collect_list(F.struct("language", "exts")))
                          .getField("exts"))).cast("bigint").alias("n_extensions"),
-        F.array_sort(
-            F.flatten(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("language", "exts"))),
-                    lambda x: x["exts"],
+        F.array_join(
+            F.array_sort(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("language", "exts"))),
+                        lambda x: x["exts"],
+                    )
                 )
-            )
+            ),
+            "|",
         ).alias("all_extensions"),
     )
 

@@ -248,11 +248,14 @@ def ivf_topk(spark, sf_dir):
 _MOCK_DIM = 16
 _MOCK_SQL = f"""
 SELECT doc_id,
-    list_transform(generate_series(1, {_MOCK_DIM}), j ->
-        CAST((({hashing.h32_sql('text')}) % {hashing.PRIME}
-              * ((2654435761 * j + 1) % {hashing.PRIME}) + j) % {hashing.PRIME} AS DOUBLE)
-        / {hashing.PRIME}.0
-    ) AS embedding
+    array_to_string(list_transform(generate_series(1, {_MOCK_DIM}), j ->
+        CAST(floor(
+            CAST((({hashing.h32_sql('text')}) % {hashing.PRIME}
+                  * ((2654435761 * j + 1) % {hashing.PRIME}) + j) % {hashing.PRIME}
+                 AS DOUBLE)
+            / {hashing.PRIME}.0 * 1000000
+        ) AS BIGINT)
+    ), '|') AS embedding
 FROM documents
 """
 
@@ -262,14 +265,24 @@ def mock_embed_documents(spark, sf_dir):
     """M1's deterministic test double (SURVEY §2.8): a seeded
     hash-projection embedding, expressed portably so even the embedding
     stage is value-checked. (The real provider is a pluggable
-    mapInPandas stage — models.provider.)"""
+    mapInPandas stage — models.provider.)
+
+    Output serialization: the harness requires hashable (scalar) cells, so
+    the float vector is emitted as '|'-joined fixed-point micro-units
+    (floor(x * 1e6)) — identical integer results in both engines, immune
+    to float-formatting and rounding-mode divergence."""
     d = load_table(spark, sf_dir, "documents")
     h = hashing.h32(F.col("text")) % hashing.PRIME
     emb = F.transform(
         F.sequence(F.lit(1), F.lit(_MOCK_DIM)),
-        lambda j: (
-            (h * ((F.lit(2654435761) * j + 1) % hashing.PRIME) + j) % hashing.PRIME
-        ).cast("double")
-        / F.lit(float(hashing.PRIME)),
+        lambda j: F.floor(
+            (
+                (h * ((F.lit(2654435761) * j + 1) % hashing.PRIME) + j) % hashing.PRIME
+            ).cast("double")
+            / F.lit(float(hashing.PRIME))
+            * 1000000
+        ).cast("bigint"),
     )
-    return d.select("doc_id", emb.alias("embedding"))
+    return d.select(
+        "doc_id", F.array_join(emb.cast("array<string>"), "|").alias("embedding")
+    )

@@ -62,7 +62,8 @@ def ingest_stats(spark, sf_dir):
 
 # -------------------------------------------------- A2 files-by-lang histo
 _HISTO_SQL = """
-SELECT lang, source, COUNT(*) AS file_count, SUM(n_chars) AS total_chars
+SELECT lang, source, COUNT(*) AS file_count,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY lang, source
 """
@@ -75,7 +76,7 @@ def files_by_language(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return d.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("file_count"),
-        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
 
 
@@ -262,10 +263,10 @@ WITH sh AS (
     SELECT doc_id, list_transform({sh}, s -> {h}) AS hashes FROM documents
 )
 SELECT doc_id,
-    list_sort(list_distinct(list_transform(
+    array_to_string(list_sort(list_distinct(list_transform(
         generate_series(1, greatest(len(hashes) - {_W - 1}, 1)),
         i -> list_min(list_slice(hashes, i, i + {_W - 1}))
-    ))) AS fingerprints
+    ))), '|') AS fingerprints
 FROM sh
 """
 
@@ -273,7 +274,8 @@ FROM sh
 @register("doc_fingerprints", sql=_fingerprint_sql())
 def doc_fingerprints(spark, sf_dir):
     """Winnowing-style fingerprinting: k-gram hashes → min per sliding
-    window of {_W} → sorted distinct fingerprint set per document."""
+    window of {_W} → sorted distinct fingerprint set per document,
+    '|'-joined (harness needs hashable cells)."""
     d = load_table(spark, sf_dir, "documents")
     hashes = F.transform(D.shingles_all(F.col("text")), hashing.h32)
     df = d.select("doc_id", hashes.alias("hashes"))
@@ -286,4 +288,4 @@ def doc_fingerprints(spark, sf_dir):
             )
         )
     )
-    return df.select("doc_id", fps.alias("fingerprints"))
+    return df.select("doc_id", F.array_join(fps.cast("array<string>"), "|").alias("fingerprints"))

@@ -26,16 +26,25 @@ def _cell(v):
         return v
     if isinstance(v, Decimal):
         v = float(v)
+    if hasattr(v, "tolist"):  # numpy scalars/arrays
+        v = v.tolist()
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 6)
+        # keep the float/int distinction: the driver hashes pandas frames,
+        # where DuckDB HUGEINT->float64 vs Spark int64 is a value mismatch
+        # (round 1: uncast SUM() oracles). round() preserves float type.
+        return ("f", round(v, 6))
     if isinstance(v, datetime):
         return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, (list, tuple)):
-        return tuple(_cell(x) for x in v)
-    if hasattr(v, "tolist"):  # numpy scalars/arrays
-        return _cell(v.tolist())
+    if isinstance(v, (list, tuple, dict, set)):
+        # the driver's canonicalizer (pandas sort_values) dies on list
+        # cells — surface that locally instead of silently tuple-izing
+        raise TypeError(
+            f"non-hashable output cell {type(v).__name__}: the driver "
+            "contract requires scalar columns (serialize arrays, e.g. "
+            "array_join(...,'|'), in BOTH engines)"
+        )
     return v
 
 
