@@ -197,6 +197,75 @@ def hamming32(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+# --------------------------------------------------------- 64-bit simhash
+# Kept as FOUR 16-bit band words (w0..w3) rather than one BIGINT: bit 63
+# would make a packed int64 negative, and signed shift/modulo semantics
+# differ across engines — the words sidestep that entirely AND are exactly
+# the 4x16-bit LSH bands (65,536 values/band, so bucket occupancy stays
+# O(n/65536): no hot-key skew, pigeonhole-exact for hamming <= 3).
+# Bits 0-31 come from the low md5 word of each token, 32-63 from the high.
+SIMHASH64_BANDS = 4
+SIMHASH64_BAND_BITS = 16
+
+
+def simhash64_bands_agg(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash as explode + 64 conditional sums → (id, w0, w1, w2,
+    w3). Same plan shape as simhash32_agg: codegen'd conditional SUMs with
+    map-side partial aggregation — the shuffle carries one 64-sum row per
+    (doc, partition), not tokens."""
+    md5c = F.md5(F.col("t"))
+    ex = df.select(id_col, F.explode(tokens(F.col(text_col))).alias("t")).select(
+        id_col,
+        F.conv(F.substring(md5c, 1, 8), 16, 10).cast("bigint").alias("hlo"),
+        F.conv(F.substring(md5c, 9, 8), 16, 10).cast("bigint").alias("hhi"),
+    )
+    aggs = []
+    for w in range(SIMHASH64_BANDS):
+        src = "hlo" if w < 2 else "hhi"
+        off = SIMHASH64_BAND_BITS * (w % 2)
+        for b in range(SIMHASH64_BAND_BITS):
+            bit = _bit(F.col(src), F.lit(off + b)) == 1
+            aggs.append(F.sum(F.when(bit, 1).otherwise(-1)).alias(f"_w{w}b{b}"))
+    g = ex.groupBy(id_col).agg(*aggs)
+    words = []
+    for w in range(SIMHASH64_BANDS):
+        acc = F.lit(0).cast("bigint")
+        for b in range(SIMHASH64_BAND_BITS):
+            acc = acc + F.when(
+                F.col(f"_w{w}b{b}") > 0, F.lit(2**b).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+        words.append(acc.alias(f"w{w}"))
+    return g.select(id_col, *words)
+
+
+def simhash64_bands_sql(text_sql: str) -> list[str]:
+    """DuckDB twins of w0..w3 (to be SELECTed from a CTE that binds ``hlo``
+    and ``hhi`` token-hash arrays — see token_hashes64_sql)."""
+    exprs = []
+    for w in range(SIMHASH64_BANDS):
+        arr = "hlo" if w < 2 else "hhi"
+        off = SIMHASH64_BAND_BITS * (w % 2)
+        exprs.append(
+            f"""CAST(list_sum(list_transform(generate_series(0, {SIMHASH64_BAND_BITS - 1}), b ->
+        CASE WHEN list_sum(list_transform({arr}, h ->
+                 CASE WHEN CAST(floor(h / power(2.0, b + {off})) AS BIGINT) % 2 = 1
+                      THEN 1 ELSE -1 END)) > 0
+             THEN CAST(power(2.0, b) AS BIGINT) ELSE 0 END)) AS BIGINT)"""
+        )
+    return exprs
+
+
+def token_hashes64_sql(text_sql: str) -> tuple[str, str]:
+    """(hlo, hhi) DuckDB array exprs: low/high 32-bit words of md5 per
+    whitespace token."""
+    toks = f"regexp_split_to_array(trim({text_sql}), '\\s+')"
+    hlo = f"list_transform({toks}, t -> ('0x' || substring(md5(t), 1, 8))::BIGINT)"
+    hhi = f"list_transform({toks}, t -> ('0x' || substring(md5(t), 9, 8))::BIGINT)"
+    return hlo, hhi
+
+
 def exact_dedup(
     df: DataFrame, key: Column, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -81,57 +81,83 @@ LIMIT 20
 """
 
 
+_PAIR_BLOCKS = 8
+
+
 @register("embedding_neardup_pairs", sql=_PAIRS_SQL)
-def embedding_neardup_pairs(spark, sf_dir, top: int = 20):
+def embedding_neardup_pairs(spark, sf_dir, top: int = 20, n_blocks: int = _PAIR_BLOCKS):
     """Embedding-cosine near-dup: global top-20 most-similar pairs
     (threshold-free so it stays meaningful on any corpus).
 
-    Physical strategy: normalized corpus matrix broadcast (n×d doubles —
-    ~1 MB here; valid while the matrix is broadcastable, beyond that the
-    LSH/IVF paths take over per SCALE.md), then each partition computes a
-    GEMM block of the similarity matrix, masks the upper triangle, and
-    emits only its local top-``top`` pairs — the driver-side sort sees
-    O(top × partitions) rows, never O(n²)."""
+    Physical strategy — EXACT blocked self-join GEMM, fully distributed
+    (no driver collect, no corpus broadcast; VERDICT r1 item 2): vectors
+    hash into ``n_blocks`` blocks by vec_id; every unordered block pair
+    (ga <= gb) becomes one applyInPandas group holding the two blocks'
+    rows, which NumPy-GEMMs its (n/B × n/B) similarity tile, masks
+    id_a >= id_b, and emits only its local top-``top``. The global sort
+    sees O(top × B²) rows, never O(n²). Shuffle volume is O(n × B) —
+    each row is replicated to its B block-pair groups — and every global
+    top-``top`` pair lives in exactly one group, so the result is exact.
+    At 100 TB, B grows as sqrt(corpus/executor-tile) and the LSH/IVF
+    bucketed paths (SCALE.md) take over for threshold queries."""
     import numpy as np
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings")
-    rows = emb.select("vec_id", "embedding").collect()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    order = np.argsort(ids)
-    ids = ids[order]
-    m = np.array([rows[i]["embedding"] for i in order], dtype=np.float64)
-    m = m / np.linalg.norm(m, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, m))
+    base = emb.select(
+        "vec_id", "embedding", (F.col("vec_id") % n_blocks).cast("int").alias("bid")
+    )
+    keys = [(a, b) for a in range(n_blocks) for b in range(a, n_blocks)]
+    kdf = spark.createDataFrame(keys, "ga int, gb int")
+    lhs = base.join(F.broadcast(kdf), base.bid == kdf.ga).select(
+        "ga", "gb", "vec_id", "embedding", F.lit(0).alias("side")
+    )
+    rhs = base.join(F.broadcast(kdf), base.bid == kdf.gb).where(
+        F.col("ga") != F.col("gb")
+    ).select("ga", "gb", "vec_id", "embedding", F.lit(1).alias("side"))
+    both = lhs.unionByName(rhs)
 
-    def fn(batches):
-        all_ids, all_m = bc.value
-        pos = {v: i for i, v in enumerate(all_ids)}
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            batch_idx = np.array([pos[v] for v in pdf["vec_id"]], dtype=np.int64)
-            bm = all_m[batch_idx]                       # (b, d)
-            sims = bm @ all_m.T                         # (b, n)
-            # keep only pairs (batch_row, j) with id_batch < id_j
-            mask = all_ids[None, :] <= all_ids[batch_idx][:, None]
-            sims[mask] = -np.inf
-            flat = sims.ravel()
-            keep = min(top, (flat > -np.inf).sum())
-            if keep == 0:
-                continue
-            top_idx = np.argpartition(-flat, keep - 1)[:keep]
-            bi, j = np.unravel_index(top_idx, sims.shape)
-            yield pd.DataFrame(
-                {
-                    "vec_a": all_ids[batch_idx[bi]],
-                    "vec_b": all_ids[j],
-                    "cosine_sim": flat[top_idx],
-                }
+    def tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        m = np.array(list(pdf["embedding"]), dtype=np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        same_block = bool((pdf["ga"].iat[0] == pdf["gb"].iat[0]))
+        if same_block:
+            a_idx = np.arange(len(ids))
+            b_idx = a_idx
+        else:
+            a_idx = np.flatnonzero((pdf["side"] == 0).to_numpy())
+            b_idx = np.flatnonzero((pdf["side"] == 1).to_numpy())
+        if len(a_idx) == 0 or len(b_idx) == 0:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine_sim": []}).astype(
+                {"vec_a": np.int64, "vec_b": np.int64, "cosine_sim": np.float64}
             )
+        sims = m[a_idx] @ m[b_idx].T
+        if same_block:
+            # mask the diagonal + lower triangle: each unordered pair once
+            mask = ids[b_idx][None, :] <= ids[a_idx][:, None]
+            sims[mask] = -np.inf
+        # cross-block tiles are bipartite over disjoint id sets — every
+        # unordered pair appears exactly once already, no mask needed
+        flat = sims.ravel()
+        keep = min(top, int((flat > -np.inf).sum()))
+        if keep == 0:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine_sim": []}).astype(
+                {"vec_a": np.int64, "vec_b": np.int64, "cosine_sim": np.float64}
+            )
+        top_idx = np.argpartition(-flat, keep - 1)[:keep]
+        ai, bi = np.unravel_index(top_idx, sims.shape)
+        ia, ib = ids[a_idx[ai]], ids[b_idx[bi]]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(ia, ib),
+                "vec_b": np.maximum(ia, ib),
+                "cosine_sim": flat[top_idx],
+            }
+        )
 
-    local = emb.select("vec_id").mapInPandas(
-        fn, "vec_a bigint, vec_b bigint, cosine_sim double"
+    local = both.groupBy("ga", "gb").applyInPandas(
+        tile, "vec_a bigint, vec_b bigint, cosine_sim double"
     )
     return local.orderBy(
         F.desc("cosine_sim"), F.asc("vec_a"), F.asc("vec_b")

@@ -65,6 +65,22 @@ def test_distance_stays_jvm_side(spark):
     )
 
 
+def test_embedding_neardup_is_distributed(spark):
+    """VERDICT r1 item 2: the near-dup pair stage must be a distributed
+    blocked GEMM — a grouped Arrow stage over block-pair keys — with no
+    driver-side collect/broadcast of the corpus matrix. The only broadcast
+    allowed is the O(B²)-row block-pair key table."""
+    plan = _plan(spark, "embedding_neardup_pairs")
+    assert "FlatMapGroupsInPandas" in plan, (
+        "blocked-GEMM applyInPandas stage missing from the plan"
+    )
+    # the corpus reaches the tile stage via shuffle on the block-pair key,
+    # never via a driver collect / full-matrix broadcast
+    assert "Exchange hashpartitioning(ga" in plan, (
+        "corpus no longer shuffles to block-pair tiles"
+    )
+
+
 def test_lsh_join_is_equijoin(spark):
     plan = _plan(spark, "rp_lsh_topk")
     # bucket join must be a hash equi-join on bkey, not a nested-loop scan
