@@ -49,6 +49,41 @@ HEADLINE = [
 ]
 
 
+# Frozen per-query baseline seconds (BASELINE.md, measured round 1 at
+# sf0.1 / local[32]) — the numbers BENCH must stay within 2x of.
+BASELINE_S = {
+    "knn_exact": 5.7, "knn_exact_numpy": 2.4, "rp_lsh_topk": 2.5,
+    "revenue_rollup": 1.9, "segment_running_totals": 1.1, "cosine_topk": 2.0,
+    "ivf_topk": 1.5, "embedding_neardup_pairs": 0.8,
+    "retrieval_rank_reference": 4.5, "context_assembly": 3.0,
+    "pricing_summary": 1.6, "top_customers": 1.0, "repo_profile": 4.4,
+    "dedup_exact": 0.3, "minhash_lsh_pairs": 5.2, "ngram_jaccard_pairs": 4.3,
+    "simhash_fingerprints": 1.9, "doc_fingerprints": 3.3,
+    "chunk_documents": 0.23, "mock_embed_documents": 0.28,
+    "token_count": 0.31, "quality_score": 0.49,
+    "events_tumbling_window": 0.49, "event_sessions": 0.83,
+}
+
+
+def _reference_timings(path: str) -> dict[str, float]:
+    """Per-query seconds from a driver-recorded BENCH_r{N}.json."""
+    try:
+        with open(path) as f:
+            data = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return {}
+    data = data.get("parsed", data)  # driver wraps the JSON line in 'parsed'
+    q = data.get("queries", {})
+    return {k: float(v) for k, v in q.items() if isinstance(v, (int, float))}
+
+
+def _latest_bench_path(here: str) -> str | None:
+    benches = sorted(
+        f for f in os.listdir(here) if re.fullmatch(r"BENCH_r\d+\.json", f)
+    )
+    return os.path.join(here, benches[-1]) if benches else None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -63,6 +98,30 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # Per-query regression report vs the frozen BASELINE and the previous
+    # round's BENCH (VERDICT r1 item 10) — to stderr so stdout stays the
+    # single driver-contract JSON line.
+    here = os.path.dirname(os.path.abspath(__file__))
+    refs: dict[str, dict[str, float]] = {"baseline": BASELINE_S}
+    prev = _latest_bench_path(here)
+    if prev:
+        refs[os.path.basename(prev)] = _reference_timings(prev)
+    for ref_name, ref in refs.items():
+        if not ref:
+            continue
+        deltas = {
+            q: round(t / ref[q], 2)
+            for q, t in timings.items()
+            if q in ref and ref[q] > 0
+        }
+        regressions = {q: r for q, r in deltas.items() if r > 1.25}
+        print(
+            f"[bench] vs {ref_name}: "
+            + json.dumps({"ratios": deltas, "regressions_gt_1.25x": regressions}),
+            file=sys.stderr,
+        )
+
     print(
         json.dumps(
             {

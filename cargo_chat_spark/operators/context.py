@@ -57,24 +57,29 @@ OUTPUT_TEMPLATE = """===== RESPONSE TEMPLATE =====
 
 def snippet_block(
     rank: Column, file: Column, code: Column, language: Column, extension: Column,
-    distance: Column,
+    distance: Column, chunk_index: Column | None = None,
 ) -> Column:
     """One "## Code Reference N" block (hyde.rs:648-685); ``rank`` is the
-    1-based output rank (idx+1); Chunk ID prints rank-1 (the enumerate
-    index quirk)."""
+    1-based output rank (idx+1). **Chunk ID** prints ``chunk_index`` — the
+    0-based enumerate position HydeResult.index carries from the RAW k*2
+    similarity output, assigned BEFORE filtering/rerank (hyde.rs:1227-1231)
+    — so after filters drop candidates the printed ids are non-contiguous,
+    exactly like the reference. Falls back to rank-1 (contiguous) only when
+    no index column is supplied."""
     clean = F.regexp_replace(file, r"^(\./)+", "")
     ext_info = F.when(extension.isNotNull(), F.concat(F.lit("."), extension)).otherwise("")
     lang_info = F.when(
         language.isNotNull(), F.concat(F.lit(" ["), F.upper(language), F.lit("]"))
     ).otherwise("")
     fence = F.coalesce(language, F.lit("rust"))
+    cid = (rank - 1) if chunk_index is None else chunk_index
     return F.concat(
         F.lit("## Code Reference "), rank.cast("string"), F.lit(" - "),
         clean, ext_info, lang_info, F.lit("\n"),
         F.lit("**Location:** "), clean, F.lit("\n"),
         F.lit("**Relevance Score:** "), F.format_string("%.3f", distance),
         F.lit(" (lower = more relevant)\n"),
-        F.lit("**Chunk ID:** "), (rank - 1).cast("string"), F.lit("\n\n"),
+        F.lit("**Chunk ID:** "), cid.cast("string"), F.lit("\n\n"),
         F.lit("```"), fence, F.lit("\n"),
         # Rust str::trim strips ALL whitespace; Spark's trim() only strips
         # spaces — regexp matches the reference exactly
@@ -96,8 +101,9 @@ def assemble_prompt(
     repo_description: str | None = None,
 ) -> DataFrame:
     """ranked (query_id, rank, file, code, language, extension, distance,
-    intent, + query_text col) → one user_prompt row per query
-    (hyde.rs:722-740 layout)."""
+    intent, + query_text col, optionally chunk_index) → one user_prompt row
+    per query (hyde.rs:722-740 layout). When ``chunk_index`` is present it
+    is printed as Chunk ID (the reference's pre-filter enumerate index)."""
     system_context = (
         f"You are analyzing {repo_description}"
         if repo_description
@@ -106,6 +112,9 @@ def assemble_prompt(
     block = snippet_block(
         F.col("rank"), F.col("file"), F.col("code"),
         F.col("language"), F.col("extension"), F.col("distance"),
+        chunk_index=(
+            F.col("chunk_index") if "chunk_index" in ranked.columns else None
+        ),
     )
     return (
         ranked.withColumn("_block", block)

@@ -45,13 +45,22 @@ def lang_match(language: Column, extension: Column, target_lang: Column) -> Colu
     return F.coalesce(meta_match, F.lit(False)) | F.coalesce(ext_match, F.lit(False))
 
 
-def reference_rank(candidates: DataFrame, k_col: str = "k") -> DataFrame:
+def reference_rank(
+    candidates: DataFrame, k_col: str = "k", final_sort: bool = True
+) -> DataFrame:
     """Input: candidate rows already joined with their query's
     classification columns (query_id, chunk_id, file, extension, language,
     distance, wants_code, confidence, intent, q_language, k).
 
     Output: rows surviving filtering + doc caps + truncate(k), with a
     1-based ``rank`` encoding the reference's output order.
+
+    ``final_sort=True`` models the full retrieve(): after truncate(k) the
+    reference re-sorts the survivors purely by ascending distance
+    (hyde.rs:545-552, non-rerank path) — the tier order only chooses WHICH
+    rows survive. ``final_sort=False`` stops at the selection order, i.e.
+    the output of apply_llm_based_filtering itself (what the reference's
+    unit tests assert against, hyde.rs:1451-1549).
     """
     branch_a = filters.high_confidence_code(F.col("wants_code"), F.col("confidence"))
     code = filters.is_code(F.col("extension"), F.col("file"))
@@ -114,13 +123,26 @@ def reference_rank(candidates: DataFrame, k_col: str = "k") -> DataFrame:
         )
     )
 
-    rank_window = Window.partitionBy("query_id").orderBy(
+    # The tiered order only decides WHICH rows survive truncate(k); the
+    # reference then re-sorts the truncated results purely by ascending
+    # distance (hyde.rs:545-552, non-rerank path) — so the OUTPUT rank is
+    # a second window over (distance, chunk_id) on the survivors.
+    select_window = Window.partitionBy("query_id").orderBy(
         F.asc("_tier"), F.asc("_langkey"), F.asc("distance"), F.asc("chunk_id")
     )
-    return (
+    final_window = Window.partitionBy("query_id").orderBy(
+        F.asc("distance"), F.asc("chunk_id")
+    )
+    out = (
         df.where(F.col("_included"))
-        .withColumn("rank", F.row_number().over(rank_window))
-        .where(F.col("rank") <= F.col(k_col))
+        .withColumn("_sel_rank", F.row_number().over(select_window))
+        .where(F.col("_sel_rank") <= F.col(k_col))
+    )
+    rank_col = (
+        F.row_number().over(final_window) if final_sort else F.col("_sel_rank")
+    )
+    return (
+        out.withColumn("rank", rank_col)
         .drop(
             "_branch_a",
             "_is_code",
@@ -130,5 +152,6 @@ def reference_rank(candidates: DataFrame, k_col: str = "k") -> DataFrame:
             "_doc_rank",
             "_doc_limit",
             "_included",
+            "_sel_rank",
         )
     )

@@ -46,6 +46,17 @@ def _classification_df(
     return spark.createDataFrame([row], schema)
 
 
+def _with_chunk_index(hits: DataFrame) -> DataFrame:
+    """Assign the reference's HydeResult.index: the 0-based enumerate
+    position over the RAW k*2 similarity output, BEFORE filtering/rerank
+    (hyde.rs:1227-1231). P6 prints this as Chunk ID, so when filters drop
+    candidates the printed ids are non-contiguous, like the reference."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("distance"), F.asc("neighbor_id")
+    )
+    return hits.withColumn("chunk_index", (F.row_number().over(w) - 1).cast("int"))
+
+
 def _apply_filters(df: DataFrame) -> DataFrame:
     return df.where(
         filters.folder_match(F.col("file"), F.col("target_folders"))
@@ -95,19 +106,19 @@ def retrieve(
             queries, pre, 2 * k,
             keep_corpus_cols=["file", "code", "language", "extension"],
         )
-        joined = hits.join(F.broadcast(cls_df), "query_id")
+        joined = _with_chunk_index(hits).join(F.broadcast(cls_df), "query_id")
     else:
         hits = knn_join(
             queries, corpus, 2 * k,  # O2 over-fetch (hyde.rs:500)
             keep_corpus_cols=["file", "code", "language", "extension"],
         )
-        joined = hits.join(F.broadcast(cls_df), "query_id")
+        joined = _with_chunk_index(hits).join(F.broadcast(cls_df), "query_id")
         joined = _apply_filters(joined)
 
     candidates = joined.select(
         "query_id",
         F.col("neighbor_id").alias("chunk_id"),
-        "file", "code", "language", "extension", "distance",
+        "file", "code", "language", "extension", "distance", "chunk_index",
         "q_language", "intent", "wants_code", "confidence", "k",
     )
     ranked = ranking.reference_rank(candidates)

@@ -118,14 +118,35 @@ filter_exclude = _filter_query(
 )
 
 # --------------------------------------------- full reference ranking (O1-O7)
+def _indexed_candidates(spark, sf_dir):
+    """joined candidates + ``chunk_index``: the 0-based enumerate position
+    the reference assigns over the RAW k*2 similarity output BEFORE any
+    filtering (hyde.rs:1227-1231). Computed pre-filter so filtered-out
+    candidates leave holes in the printed indices, like the reference."""
+    from pyspark.sql import Window
+
+    j = fixtures.joined_candidates_df(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("chunk_id"))
+    return j.withColumn("chunk_index", (F.row_number().over(w) - 1).cast("int"))
+
+
 _LMATCH_SQL = f"""(
     COALESCE(lower(language) = lower(q_language), FALSE)
     OR COALESCE(lower({detect_language_sql_case('extension')}) = lower(q_language), FALSE)
 )"""
 
 _RETRIEVAL_SQL = f"""{_BASE},
+indexed AS (
+    -- the reference enumerates the RAW k*2 similarity output BEFORE any
+    -- filtering (hyde.rs:1227-1231); that 0-based position is what P6
+    -- later prints as Chunk ID, so it is pinned here, pre-filter
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY distance, chunk_id
+    ) - 1 AS INT) AS chunk_index
+    FROM joined
+),
 filtered AS (
-    SELECT * FROM joined
+    SELECT * FROM indexed
     WHERE {filters.folder_match_sql('file', 'target_folders')}
       AND {filters.extension_match_sql('extension', 'file', 'target_extensions')}
       AND {filters.exclude_match_sql('file', 'exclude_patterns')}
@@ -166,14 +187,25 @@ included AS (
     SELECT * FROM capped
     WHERE (NOT _branch_a) OR _is_code OR _doc_rank <= _doc_limit
 ),
-ranked AS (
-    SELECT query_id, chunk_id, file, code, language, extension, distance, k,
-        CAST(row_number() OVER (
+selected AS (
+    SELECT *,
+        row_number() OVER (
             PARTITION BY query_id ORDER BY _tier, _langkey, distance, chunk_id
-        ) AS INT) AS "rank"
+        ) AS _sel_rank
     FROM included
+),
+ranked AS (
+    -- tiers choose WHICH rows survive truncate(k); the output rank is the
+    -- reference's final re-sort by ascending distance (hyde.rs:545-552)
+    SELECT query_id, chunk_id, file, code, language, extension, distance, k,
+        chunk_index,
+        CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY distance, chunk_id
+        ) AS INT) AS "rank"
+    FROM selected WHERE _sel_rank <= k
 )
-SELECT query_id, chunk_id, file, language, extension, distance, "rank"
+SELECT query_id, chunk_id, file, language, extension, distance, chunk_index,
+       "rank"
 FROM ranked WHERE "rank" <= k
 """.replace("FROM capped_src", "FROM enriched")
 
@@ -181,9 +213,11 @@ FROM ranked WHERE "rank" <= k
 @register("retrieval_rank_reference", sql=_RETRIEVAL_SQL)
 def retrieval_rank_reference(spark, sf_dir):
     """The reference's full post-search pipeline: F2-F4 filters, code/doc
-    partition, language priority, intent doc caps, truncate(k)
-    (hyde.rs:500-552 + 975-1215) — one declarative window pass."""
-    j = fixtures.joined_candidates_df(spark, sf_dir)
+    partition, language priority, intent doc caps, truncate(k), final
+    distance re-sort (hyde.rs:500-552 + 975-1215) — declarative window
+    passes. ``chunk_index`` is the 0-based enumerate position over the RAW
+    pre-filter candidate list (hyde.rs:1227-1231) carried through for P6."""
+    j = _indexed_candidates(spark, sf_dir)
     j = j.where(
         filters.folder_match(F.col("file"), F.col("target_folders"))
         & filters.extension_match(
@@ -193,7 +227,8 @@ def retrieval_rank_reference(spark, sf_dir):
     )
     out = ranking.reference_rank(j)
     return out.select(
-        "query_id", "chunk_id", "file", "language", "extension", "distance", "rank"
+        "query_id", "chunk_id", "file", "language", "extension", "distance",
+        "chunk_index", "rank",
     )
 
 

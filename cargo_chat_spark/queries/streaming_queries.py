@@ -71,8 +71,9 @@ def events_sliding_window(spark, sf_dir):
 _SESSIONS_SQL = """
 WITH ordered AS (
     SELECT user_id, event_id, ts, value,
-        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                  > INTERVAL '30 minutes'
+        CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id)
+                  > 30 * 60 * 1000000
              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
              THEN 1 ELSE 0 END AS new_session
     FROM events
@@ -97,14 +98,19 @@ GROUP BY user_id, session_id
 def event_sessions(spark, sf_dir):
     """Sessionization (30-min inactivity gap) — the batch equivalent of a
     session-window / applyInPandasWithState stateful operator. Windows
-    partition by user_id: one shuffle, per-user linear scan."""
+    partition by user_id: one shuffle, per-user linear scan.
+
+    Gap compares at MICROSECOND precision in both engines (ADVICE r1):
+    a whole-second cast would truncate sub-second timestamps and flip
+    session assignment for gaps within 1 s of exactly 30 min."""
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
     new_session = F.when(
-        gap.isNull() | (gap > 30 * 60), 1
+        gap.isNull() | (gap > 30 * 60 * 1_000_000), 1
     ).otherwise(0)
     wsum = (
         Window.partitionBy("user_id")

@@ -23,7 +23,9 @@ OUTPUT_SCHEMA = (
 )
 STATE_SCHEMA = "start long, end long, n long"
 
-_GAP_SECONDS = 30 * 60
+# Work in MICROSECONDS end-to-end (ADVICE r1): whole-second truncation
+# would flip session assignment for gaps within 1 s of exactly 30 min.
+_GAP_US = 30 * 60 * 1_000_000
 
 
 def _sessionize_fn(
@@ -40,7 +42,8 @@ def _sessionize_fn(
     else:
         ts_list: list[int] = []
         for pdf in pdfs:
-            ts_list.extend(int(t.timestamp()) for t in pdf["ts"])
+            # pd.Timestamp.value is epoch nanos -> integer micros (exact)
+            ts_list.extend(int(t.value) // 1000 for t in pdf["ts"])
         ts_list.sort()
         if state.exists:
             cur_s, cur_e, cur_n = state.get
@@ -49,7 +52,7 @@ def _sessionize_fn(
         for t in ts_list:
             if cur_s is None:
                 cur_s, cur_e, cur_n = t, t, 1
-            elif t - cur_e <= _GAP_SECONDS:
+            elif t - cur_e <= _GAP_US:
                 cur_e, cur_n = max(cur_e, t), cur_n + 1
             else:
                 emitted.append((user_id, cur_s, cur_e, cur_n))
@@ -57,14 +60,14 @@ def _sessionize_fn(
         if cur_s is not None:
             state.update((cur_s, cur_e, cur_n))
             # close the session once event time passes end + gap
-            state.setTimeoutTimestamp((cur_e + _GAP_SECONDS) * 1000)
+            state.setTimeoutTimestamp((cur_e + _GAP_US) // 1000)
 
     if emitted:
         yield pd.DataFrame(
             {
                 "user_id": [e[0] for e in emitted],
-                "session_start": [pd.Timestamp(e[1], unit="s") for e in emitted],
-                "session_end": [pd.Timestamp(e[2], unit="s") for e in emitted],
+                "session_start": [pd.Timestamp(e[1], unit="us") for e in emitted],
+                "session_end": [pd.Timestamp(e[2], unit="us") for e in emitted],
                 "n_events": [e[3] for e in emitted],
             }
         )

@@ -9,10 +9,12 @@ from pyspark.sql import functions as F
 from cargo_chat_spark.operators import context as C
 
 ROWS = [
-    # (rank, file, code, language, extension, distance)
-    (1, "./src/hyde.rs", "fn hyde_impl() {}\n", "Rust", "rs", 0.312),
-    (2, "src/main.rs", "  fn main() {}  ", None, "rs", 0.4),
-    (3, "README.md", "# Docs", "Markdown", None, 0.55),
+    # (rank, file, code, language, extension, distance, chunk_index)
+    # chunk_index is the PRE-FILTER enumerate position (hyde.rs:1227-1231):
+    # non-contiguous values pin that filters leave holes in printed ids
+    (1, "./src/hyde.rs", "fn hyde_impl() {}\n", "Rust", "rs", 0.312, 0),
+    (2, "src/main.rs", "  fn main() {}  ", None, "rs", 0.4, 3),
+    (3, "README.md", "# Docs", "Markdown", None, 0.55, 5),
 ]
 QUERY = "how does retrieval work"
 INTENT = "how_it_works"
@@ -21,17 +23,17 @@ INTENT = "how_it_works"
 def _expected() -> str:
     # independent mirror of the Rust format! calls
     snippets = []
-    for idx, (rank, file, code, lang, ext, dist) in enumerate(ROWS):
+    for rank, file, code, lang, ext, dist, cidx in ROWS:
         lang_info = f" [{lang.upper()}]" if lang else ""
         ext_info = f".{ext}" if ext else ""
         clean = file
         while clean.startswith("./"):
             clean = clean[2:]
         snippets.append(
-            f"## Code Reference {idx + 1} - {clean}{ext_info}{lang_info}\n"
+            f"## Code Reference {rank} - {clean}{ext_info}{lang_info}\n"
             f"**Location:** {clean}\n"
             f"**Relevance Score:** {dist:.3f} (lower = more relevant)\n"
-            f"**Chunk ID:** {idx}\n\n"
+            f"**Chunk ID:** {cidx}\n\n"
             f"```{lang or 'rust'}\n"
             f"{code.strip()}```\n"
         )
@@ -46,9 +48,13 @@ def _expected() -> str:
 
 def test_prompt_matches_reference_format(spark):
     df = spark.createDataFrame(
-        [(0, r[0], r[1], r[2], r[3], r[4], float(r[5]), INTENT, QUERY) for r in ROWS],
+        [
+            (0, r[0], r[1], r[2], r[3], r[4], float(r[5]), r[6], INTENT, QUERY)
+            for r in ROWS
+        ],
         "query_id bigint, rank int, file string, code string, language string, "
-        "extension string, distance double, intent string, query_text string",
+        "extension string, distance double, chunk_index int, intent string, "
+        "query_text string",
     )
     out = C.assemble_prompt(df, F.col("query_text")).collect()
     assert len(out) == 1

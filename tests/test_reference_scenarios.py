@@ -61,8 +61,28 @@ def _rank(spark, cand_rows, cls_kwargs):
         & filters.extension_match(F.col("extension"), F.col("file"), F.col("target_extensions"))
         & filters.exclude_match(F.col("file"), F.col("exclude_patterns"))
     )
-    out = ranking.reference_rank(joined)
+    # final_sort=False: these scenarios are the reference's unit tests of
+    # apply_llm_based_filtering itself (hyde.rs:1451-1549) — the SELECTION
+    # order, before retrieve()'s final distance re-sort (hyde.rs:545-552)
+    out = ranking.reference_rank(joined, final_sort=False)
     return [r["file"] for r in out.orderBy("rank").collect()]
+
+
+def test_retrieve_final_order_is_distance_sorted(spark):
+    """End-to-end retrieve() order (hyde.rs:545-552): language priority
+    decides survival, but the OUTPUT is re-sorted by ascending distance."""
+    rows = [
+        ("src/main.py", "def main():", "py", "python", 0.2),
+        ("src/hyde.rs", "fn hyde_impl() {}", "rs", "rust", 0.3),
+        ("src/app.js", "function app() {}", "js", "javascript", 0.1),
+    ]
+    c = _candidates(spark, rows)
+    cls = _classification(spark, language="rust", intent="implementation",
+                          wants_code=True, confidence=0.9)
+    joined = c.join(F.broadcast(cls), "query_id")
+    out = ranking.reference_rank(joined)  # final_sort defaults True
+    files = [r["file"] for r in out.orderBy("rank").collect()]
+    assert files == ["src/app.js", "src/main.py", "src/hyde.rs"]
 
 
 # --------------------------- hyde.rs:1451-1489 (code over docs, high conf)
