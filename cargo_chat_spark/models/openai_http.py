@@ -45,6 +45,7 @@ class OpenAIHttpProvider(MockProvider):
         hyde_model: str = "gpt-4o-mini",   # main.rs:71-75 defaults
         answer_model: str = "gpt-4o",
         transport=None,                    # injectable for tests
+        stream_transport=None,             # injectable: yields raw SSE lines
     ):
         super().__init__(dim=dim)
         key = os.environ.get("OPENAI_API_KEY")
@@ -57,6 +58,7 @@ class OpenAIHttpProvider(MockProvider):
         self.hyde_model = hyde_model
         self.answer_model = answer_model
         self._transport = transport or self._http_post
+        self._stream_transport = stream_transport or self._http_post_stream
 
     def _http_post(self, path: str, payload: dict) -> dict:
         req = urllib.request.Request(
@@ -118,11 +120,49 @@ class OpenAIHttpProvider(MockProvider):
         )
         return content[:max_chars]
 
-    # M6 (hyde.rs:605-764; temp 0.0 / max 2048)
-    def synthesize_answer(self, prompt: str) -> Iterator[str]:
-        yield self._chat(
-            self.answer_model,
-            [{"role": "user", "content": prompt}],
-            temperature=0.0,
-            max_tokens=2048,
+    def _http_post_stream(self, path: str, payload: dict) -> Iterator[str]:
+        """POST with a streaming body; yields response lines as they arrive
+        (the lazily-consumed byte stream of hyde.rs:780-786)."""
+        req = urllib.request.Request(
+            f"{self.api_url}{path}",
+            data=json.dumps(payload).encode(),
+            headers={
+                "Content-Type": "application/json",
+                "Authorization": f"Bearer {self.api_key}",
+            },
         )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            for raw in resp:
+                yield raw.decode("utf-8", errors="replace")
+
+    # M6 (hyde.rs:605-764; temp 0.0 / max 2048). Streaming SSE parse per
+    # hyde.rs:788-810: each event is a `data: ` line holding a chunk JSON;
+    # `data: [DONE]` is the end sentinel; blank lines are event separators;
+    # tokens surface to the caller AS THEY ARRIVE (lazy generator), not
+    # after the full response.
+    def synthesize_answer(self, prompt: str) -> Iterator[str]:
+        lines = self._stream_transport(
+            "/chat/completions",
+            {
+                "model": self.answer_model,
+                "messages": [{"role": "user", "content": prompt}],
+                "temperature": 0.0,
+                "max_tokens": 2048,
+                "stream": True,
+            },
+        )
+        for line in lines:
+            line = line.strip()
+            if not line or not line.startswith("data:"):
+                continue  # event separators / comment lines (hyde.rs:795)
+            data = line[len("data:"):].strip()
+            if data == "[DONE]":  # hyde.rs:797-799 sentinel
+                return
+            try:
+                chunk = json.loads(data)
+            except json.JSONDecodeError:
+                continue  # partial/keep-alive frame: skip, as the reference does
+            for choice in chunk.get("choices", []):
+                token = (choice.get("delta") or {}).get("content")
+                if token:
+                    yield token

@@ -128,6 +128,70 @@ def knn_join_numpy(
     return local.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def knn_join_batched(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    *,
+    batch_size: int = 4096,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    metric: str = "euclidean",
+) -> DataFrame:
+    """Exact kNN for query sets too large to broadcast whole.
+
+    ``knn_join`` broadcasts the full query side — correct for the bounded
+    per-request case (ann.rs:252-268 is one query vector), but a liability
+    when |Q| outgrows broadcast limits (bulk re-embedding, offline eval).
+    This variant never materializes the whole query set anywhere:
+
+    - The query side is split into ``ceil(|Q| / batch_size)`` hash blocks
+      (``pmod(hash(id), nblocks)``). The only driver-side action is one
+      ``count()`` — a scalar, not a collect.
+    - Each block is broadcast-joined against the corpus independently, so
+      peak broadcast/executor memory is O(batch_size · dim), regardless of
+      |Q|. Blocks partition the query-id space, so per-block window top-k
+      results are globally correct and simply union.
+    - The corpus DataFrame is referenced once per block; callers looping
+      many blocks should ``.persist()`` the corpus scan (the catalog entry
+      does at test scale; at 100 TB the scan re-reads pruned parquet, which
+      is the intended trade — broadcast memory stays bounded while total
+      work is the same O(|Q|·|C|) as any exact method).
+
+    Same output contract and oracle as ``knn_join``.
+    """
+    n = queries.count()
+    if n == 0:
+        return knn_join(
+            queries, corpus, k,
+            query_id=query_id, query_vec=query_vec,
+            corpus_id=corpus_id, corpus_vec=corpus_vec, metric=metric,
+        )
+    nblocks = -(-n // batch_size)
+    blocked = queries.withColumn(
+        "_blk", F.pmod(F.hash(F.col(query_id)), F.lit(nblocks))
+    )
+    parts = [
+        knn_join(
+            blocked.where(F.col("_blk") == b).drop("_blk"),
+            corpus,
+            k,
+            query_id=query_id,
+            query_vec=query_vec,
+            corpus_id=corpus_id,
+            corpus_vec=corpus_vec,
+            metric=metric,
+        )
+        for b in range(nblocks)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def overfetch_knn(queries: DataFrame, corpus: DataFrame, k: int, **kw) -> DataFrame:
     """Reference-mode retrieval fetch: k*2 candidates before filtering
     (hyde.rs:500), truncated to k only after the classification filters

@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import tempfile
+
 from pyspark.sql import functions as F
 
 from cargo_chat_spark.queries.registry import register
@@ -92,6 +94,82 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
 FROM numbered
 GROUP BY user_id, session_id
 """
+
+
+# Same session semantics as _SESSIONS_SQL, but the streaming operator's
+# output carries no session_id column — project it away in the oracle.
+_SESSIONS_NOID_SQL = (
+    _SESSIONS_SQL.replace(
+        "SELECT user_id, CAST(session_id AS BIGINT) AS session_id,",
+        "SELECT user_id,",
+    )
+)
+
+
+@register("sessionize_stateful", sql=_SESSIONS_NOID_SQL)
+def sessionize_stateful(spark, sf_dir):
+    """The REAL stateful streaming sessionizer (applyInPandasWithState,
+    streaming/sessionize.py) run to completion over the events table —
+    VERDICT r1 item 9: the streaming surface itself, not just its batch
+    twin, sits behind the driver's correctness gate.
+
+    Execution: the events table streams from a temp copy in one availableNow
+    batch (initial watermark → nothing late-dropped), then two far-future
+    sentinel batches advance the watermark so every open session fires its
+    event-time timeout (timeouts fire in the batch AFTER the watermark
+    passes end+gap, hence two sentinels; same choreography as
+    tests/test_sessionize_stream.py). Sentinel users are negative ids and
+    filtered out, so the emitted set is EXACTLY the batch sessionization —
+    oracle-checkable against the same SQL as ``event_sessions``.
+
+    State is one open session per user (O(active users)); at 100 TB the
+    same query is `readStream` on the live source with the sentinel dance
+    replaced by real event-time progress.
+    """
+    work = tempfile.mkdtemp(prefix="sessionize_stateful_")
+    src, ckpt, sink = f"{work}/src", f"{work}/ckpt", f"{work}/sink"
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ev.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    from cargo_chat_spark.streaming.sessionize import sessionize_stream
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = sessionize_stream(stream, watermark="30 minutes")
+        q = (
+            out.writeStream.foreachBatch(
+                lambda b, _id: b.write.mode("append").parquet(sink)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    for i, sentinel_ts in enumerate(("2100-01-01 00:00:00", "2100-01-02 00:00:00")):
+        spark.createDataFrame(
+            [(-(i + 1), sentinel_ts, -(i + 1), "sentinel", 0.0)],
+            "event_id bigint, ts string, user_id bigint, event_type string, value double",
+        ).select(
+            "event_id",
+            F.to_timestamp("ts").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+        ).coalesce(1).write.mode("append").parquet(src)
+        run_once()
+
+    return (
+        spark.read.parquet(sink)
+        .where(F.col("user_id") >= 0)
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
 
 
 @register("event_sessions", sql=_SESSIONS_SQL)

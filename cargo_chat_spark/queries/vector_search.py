@@ -11,7 +11,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from cargo_chat_spark.operators.knn import knn_join, knn_join_numpy, overfetch_knn
+from cargo_chat_spark.operators.knn import (
+    knn_join,
+    knn_join_batched,
+    knn_join_numpy,
+    overfetch_knn,
+)
 from cargo_chat_spark.sources.testdata import load_table
 from cargo_chat_spark.queries.registry import register
 
@@ -64,6 +69,16 @@ def knn_exact_numpy(spark, sf_dir):
     distance-dominated exit ramp, SCALE.md) — shares knn_exact's oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_join_numpy(_query_vectors(spark, sf_dir), emb, k=10)
+
+
+@register("knn_exact_batched", sql=_KNN_SQL)
+def knn_exact_batched(spark, sf_dir):
+    """Same contract as knn_exact with the query side processed in bounded
+    hash blocks — no full-query-set broadcast/collect anywhere (the large-|Q|
+    path; VERDICT r1 item 5). batch_size=16 forces multiple blocks even at
+    sf0.001 so the union path is actually exercised."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_join_batched(_query_vectors(spark, sf_dir), emb, k=10, batch_size=16)
 
 
 _KNN_OVERFETCH_SQL = _KNN_SQL.replace('"rank" <= 10', '"rank" <= 20')

@@ -51,9 +51,56 @@ def test_http_provider_classify_and_hyde():
     p2 = OpenAIHttpProvider(transport=t2)
     assert len(p2.hyde_document("q", "explanation", 1000)) == 1000
 
-    assert list(p.synthesize_answer("ctx")) == ["final answer"]
     # embeddings fall back to the deterministic mock
     assert len(p.embed_batch(["a"])[0]) == 16
+
+
+def _sse(content: str) -> str:
+    return "data: " + json.dumps(
+        {"choices": [{"delta": {"content": content}}]}
+    ) + "\n"
+
+
+def test_http_provider_streams_sse():
+    """M6 streaming parity (hyde.rs:788-810): `data:` lines parse to a lazy
+    token iterator, `[DONE]` ends the stream, separators/keep-alives skip."""
+    calls = []
+    consumed = []
+
+    def stream_transport(path, payload):
+        calls.append((path, payload))
+        frames = [
+            _sse("Hello"),
+            "\n",                      # event separator
+            ": keep-alive comment\n",  # SSE comment line
+            _sse(" wor"),
+            _sse("ld"),
+            "data: {not json\n",       # partial frame — skipped
+            "data: [DONE]\n",
+            _sse("after-done never emitted"),
+        ]
+        for f in frames:
+            consumed.append(f)
+            yield f
+
+    p = OpenAIHttpProvider(
+        transport=_fake_transport({"gpt-4o": "unused"}),
+        stream_transport=stream_transport,
+    )
+    it = p.synthesize_answer("ctx")
+    # lazy: nothing consumed until the first token is pulled
+    assert consumed == []
+    first = next(it)
+    assert first == "Hello"
+    # the transport has NOT been drained past the first data frame
+    assert len(consumed) <= 2
+    assert list(it) == [" wor", "ld"]
+    # stream request flags set per the reference client
+    assert calls[0][1]["stream"] is True
+    assert calls[0][1]["temperature"] == 0.0
+    # stopped AT the sentinel: the post-DONE frame was never consumed
+    assert "data: [DONE]\n" in consumed
+    assert not any("after-done" in f for f in consumed)
 
 
 def test_http_provider_requires_key(monkeypatch):

@@ -81,6 +81,41 @@ def test_embedding_neardup_is_distributed(spark):
     )
 
 
+def test_knn_batched_never_collects(spark, monkeypatch):
+    """VERDICT r1 item 5: the large-|Q| kNN path must not collect the query
+    side. count() (a scalar) is the only permitted action during plan
+    construction; any DataFrame.collect call fails the test."""
+    from pyspark.sql import DataFrame
+
+    def _no_collect(self):
+        raise AssertionError("knn_exact_batched collected a DataFrame")
+
+    from cargo_chat_spark.operators.knn import knn_join_batched
+    from cargo_chat_spark.queries.vector_search import _query_vectors
+    from cargo_chat_spark.sources.testdata import load_table
+
+    monkeypatch.setattr(DataFrame, "collect", _no_collect)
+    emb = load_table(spark, SF_DIR_SMALL, "embeddings")
+    # batch_size=2 forces multiple blocks even on the sf0.001 query set
+    df = knn_join_batched(_query_vectors(spark, SF_DIR_SMALL), emb, k=10, batch_size=2)
+    monkeypatch.undo()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # every block still gets the map-side top-k prune and a bounded broadcast
+    assert "WindowGroupLimit" in plan
+    assert "Union" in plan, "batched path should union per-block top-k results"
+    # and the per-block result matches the unbatched contract
+    base = catalog.SPARK_QUERIES["knn_exact"](spark, SF_DIR_SMALL)
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in df.select("query_id", "neighbor_id", "rank").collect()
+    )
+    want = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in base.select("query_id", "neighbor_id", "rank").collect()
+    )
+    assert got == want
+
+
 def test_lsh_join_is_equijoin(spark):
     plan = _plan(spark, "rp_lsh_topk")
     # bucket join must be a hash equi-join on bkey, not a nested-loop scan
