@@ -82,6 +82,56 @@ def read_index_cells(spark: SparkSession, index_dir: str, cell_ids: list[int]) -
     return df.where(F.col("cell_id").isin(cell_ids))
 
 
+def import_reference_index(
+    spark: SparkSession, index_bin_path: str, out_dir: str
+) -> tuple[DataFrame, dict]:
+    """One-way migration from the reference's ``index.bin`` JSON
+    (main.rs:365-368: ``{"index": ..., "vectors": [[f32,..],..],
+    "metadata": [{file, code, language, extension},..]}`` — parallel
+    arrays, ann.rs:165-172) into the parquet index layout, so an existing
+    cargo-chat user can point this engine at their index unchanged.
+
+    Mirrors the reference loader's contract (ann.rs:128-161): dimension is
+    sniffed from the first vector, every vector must match it, and
+    ``vectors``/``metadata`` lengths must agree. The reference only accepts
+    512/1024 (its two ONNX models); we import any consistent dim and record
+    it in the sidecar. Chunk ids are the positional indices the reference's
+    in-memory Vec implies (ann.rs:263-268 returns positions).
+
+    The JSON blob is inherently single-file/single-node (that's WHY the
+    parquet layout replaces it) — parsing happens driver-side once, then the
+    rows distribute via createDataFrame; fine for migration-sized indexes.
+    """
+    with open(index_bin_path, encoding="utf-8") as fh:
+        raw = json.load(fh)
+    vectors = raw.get("vectors")
+    if not isinstance(vectors, list) or not vectors:
+        raise ValueError("Missing or invalid 'vectors' field")  # ann.rs:133-139
+    metadata = raw.get("metadata")
+    if not isinstance(metadata, list) or len(metadata) != len(vectors):
+        raise ValueError("vectors and metadata length mismatch")  # ann.rs:223-225
+    dim = len(vectors[0])
+    for i, v in enumerate(vectors):
+        if len(v) != dim:
+            raise ValueError(
+                f"Expected vector of length {dim} but got {len(v)}"
+            )  # ann.rs:200-204
+    rows = [
+        (
+            i,
+            m.get("file"),
+            m.get("code"),
+            m.get("language"),
+            m.get("extension"),
+            [float(x) for x in v],
+        )
+        for i, (v, m) in enumerate(zip(vectors, metadata))
+    ]
+    df = spark.createDataFrame(rows, INDEX_SCHEMA)
+    write_index(df, out_dir, dim)
+    return read_index(spark, out_dir)
+
+
 def write_profile(profile_row: dict, index_dir: str) -> None:
     """S7 (main.rs:373-376): pretty JSON sidecar."""
     with open(os.path.join(index_dir, "profile.json"), "w") as fh:

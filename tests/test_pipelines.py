@@ -54,6 +54,86 @@ def test_scan_repo_gitignore(spark, tmp_path):
     assert "target/junk.rs" in all_paths
 
 
+def test_gitignore_rule_semantics():
+    """gitignore(5) pattern semantics matching the `ignore` crate's standard
+    filters (chunker.rs:36-40) — pure matcher, no Spark."""
+    from cargo_chat_spark.sources.repo import _Rule, _ignored
+
+    def ignored(lines_by_base, rel, is_dir=False):
+        rules = [_Rule(ln, base) for base, lines in lines_by_base for ln in lines]
+        return _ignored(rel, rules, is_dir)
+
+    # unanchored name matches at any depth; anchored (leading /) only at base
+    assert ignored([("", ["foo.log"])], "a/b/foo.log")
+    assert ignored([("", ["/foo.log"])], "foo.log")
+    assert not ignored([("", ["/foo.log"])], "a/foo.log")
+    # middle '/' anchors too (git: separator at start OR middle)
+    assert ignored([("", ["doc/frotz"])], "doc/frotz", is_dir=True)
+    assert not ignored([("", ["doc/frotz"])], "a/doc/frotz", is_dir=True)
+    # dir-only pattern: matches dirs and their contents, not same-named files
+    assert ignored([("", ["build/"])], "build", is_dir=True)
+    assert ignored([("", ["build/"])], "build/x/y.o")
+    assert not ignored([("", ["build/"])], "build", is_dir=False)
+    # negation, last match wins — in-file order and nested-overrides-parent
+    assert not ignored([("", ["*.log", "!keep.log"])], "keep.log")
+    assert ignored([("", ["!keep.log", "*.log"])], "keep.log")
+    assert not ignored(
+        [("", ["*.tmp"]), ("sub", ["!special.tmp"])], "sub/special.tmp"
+    )
+    # nested .gitignore scopes to its own subtree
+    assert ignored([("sub", ["*.gen"])], "sub/x.gen")
+    assert not ignored([("sub", ["*.gen"])], "other/x.gen")
+    # ** globs: leading crosses depth, middle matches zero-or-more dirs
+    assert ignored([("", ["**/logs"])], "a/b/logs", is_dir=True)
+    assert ignored([("", ["a/**/b"])], "a/b", is_dir=True)
+    assert ignored([("", ["a/**/b"])], "a/x/y/b", is_dir=True)
+    assert ignored([("", ["abc/**"])], "abc/anything/deep")
+    # ? and character classes stop at '/'
+    assert ignored([("", ["fo?.txt"])], "foo.txt")
+    assert not ignored([("", ["fo?.txt"])], "fo/.txt")
+    assert ignored([("", ["[a-c].rs"])], "b.rs")
+    assert not ignored([("", ["[!a-c].rs"])], "b.rs")
+
+
+def test_scan_repo_nested_and_negated_gitignore(spark, tmp_path):
+    """S1 walk honors nested .gitignore files, ! re-inclusion, anchored and
+    dir-only patterns; excluded-parent pruning is absolute."""
+    (tmp_path / "src").mkdir()
+    (tmp_path / "src" / "gen").mkdir()
+    (tmp_path / "vendor").mkdir()
+    (tmp_path / "logs").mkdir()
+    (tmp_path / "src" / "main.rs").write_text("fn main() {}\n")
+    (tmp_path / "src" / "debug.log").write_text("x\n")
+    (tmp_path / "src" / "keep.log").write_text("x\n")
+    (tmp_path / "src" / "gen" / "out.rs").write_text("x\n")
+    (tmp_path / "src" / "gen" / "precious.rs").write_text("x\n")
+    (tmp_path / "vendor" / "lib.rs").write_text("x\n")
+    (tmp_path / "logs" / "a.txt").write_text("x\n")
+    (tmp_path / "main.rs").write_text("fn other() {}\n")
+    # root: ignore all .log, anchored /main.rs, dir-only logs/, vendor tree
+    (tmp_path / ".gitignore").write_text(
+        "*.log\n/main.rs\nlogs/\nvendor/\n"
+    )
+    # nested: re-include keep.log; ignore gen outputs except precious.rs
+    (tmp_path / "src" / ".gitignore").write_text(
+        "!keep.log\ngen/*.rs\n!gen/precious.rs\n"
+    )
+    paths = {
+        r["path"]
+        for r in scan_repo(spark, str(tmp_path), respects_gitignore=True)
+        .select("path")
+        .collect()
+    }
+    assert "src/main.rs" in paths
+    assert "main.rs" not in paths          # anchored at root only
+    assert "src/debug.log" not in paths    # parent *.log
+    assert "src/keep.log" in paths         # nested negation overrides parent
+    assert "src/gen/out.rs" not in paths   # nested scoped pattern
+    assert "src/gen/precious.rs" in paths  # nested negation, same file
+    assert not any(p.startswith("vendor/") for p in paths)  # pruned subtree
+    assert not any(p.startswith("logs/") for p in paths)    # dir-only
+
+
 def test_index_and_retrieve_reference_mode(spark, tmp_path):
     root = _mk_repo(tmp_path)
     files = scan_repo(spark, root)
