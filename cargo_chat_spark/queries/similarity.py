@@ -51,7 +51,7 @@ def cosine_topk(spark, sf_dir):
     q = emb.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return knn_join(q, emb, k=10, metric="cosine")
+    return knn_join(q, emb, k=10, metric="cosine", dim="auto")
 
 
 # ---------------------------------------------------- most-similar pairs
@@ -81,11 +81,11 @@ LIMIT 20
 """
 
 
-_PAIR_BLOCKS = 8
+_PAIR_BLOCK_ROWS = 4096  # target rows per block: tile = 4096^2 doubles = 128 MB
 
 
 @register("embedding_neardup_pairs", sql=_PAIRS_SQL)
-def embedding_neardup_pairs(spark, sf_dir, top: int = 20, n_blocks: int = _PAIR_BLOCKS):
+def embedding_neardup_pairs(spark, sf_dir, top: int = 20, n_blocks: int | None = None):
     """Embedding-cosine near-dup: global top-20 most-similar pairs
     (threshold-free so it stays meaningful on any corpus).
 
@@ -104,6 +104,13 @@ def embedding_neardup_pairs(spark, sf_dir, top: int = 20, n_blocks: int = _PAIR_
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings")
+    if n_blocks is None:
+        # scale B with the corpus so each tile stays ~bounded-memory
+        # (exactness is independent of B; only tiling changes). Shuffle
+        # volume is n·B = n²/_PAIR_BLOCK_ROWS — the O(n²) is inherent to
+        # exact all-pairs; the LSH/IVF bucketed paths take over beyond it.
+        n = emb.count()
+        n_blocks = max(2, min(64, -(-n // _PAIR_BLOCK_ROWS)))
     base = emb.select(
         "vec_id", "embedding", (F.col("vec_id") % n_blocks).cast("int").alias("bid")
     )

@@ -60,7 +60,7 @@ def _query_vectors(spark, sf_dir):
 @register("knn_exact", sql=_KNN_SQL)
 def knn_exact(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    return knn_join(_query_vectors(spark, sf_dir), emb, k=10)
+    return knn_join(_query_vectors(spark, sf_dir), emb, k=10, dim="auto")
 
 
 @register("knn_exact_numpy", sql=_KNN_SQL)
@@ -78,7 +78,9 @@ def knn_exact_batched(spark, sf_dir):
     path; VERDICT r1 item 5). batch_size=16 forces multiple blocks even at
     sf0.001 so the union path is actually exercised."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return knn_join_batched(_query_vectors(spark, sf_dir), emb, k=10, batch_size=16)
+    return knn_join_batched(
+        _query_vectors(spark, sf_dir), emb, k=10, batch_size=16, dim="auto"
+    )
 
 
 _KNN_OVERFETCH_SQL = _KNN_SQL.replace('"rank" <= 10', '"rank" <= 20')
@@ -88,4 +90,4 @@ _KNN_OVERFETCH_SQL = _KNN_SQL.replace('"rank" <= 10', '"rank" <= 20')
 def knn_overfetch_2k(spark, sf_dir):
     """Reference-mode k*2 over-fetch before filtering (hyde.rs:500)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return overfetch_knn(_query_vectors(spark, sf_dir), emb, k=10)
+    return overfetch_knn(_query_vectors(spark, sf_dir), emb, k=10, dim="auto")
