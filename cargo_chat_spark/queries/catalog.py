@@ -12,6 +12,7 @@ from cargo_chat_spark.queries import rerank  # noqa: F401
 from cargo_chat_spark.queries import profiling  # noqa: F401
 from cargo_chat_spark.queries import relational  # noqa: F401
 from cargo_chat_spark.queries import retrieval  # noqa: F401
+from cargo_chat_spark.queries import sampling  # noqa: F401
 from cargo_chat_spark.queries import similarity  # noqa: F401
 from cargo_chat_spark.queries import streaming_queries  # noqa: F401
 from cargo_chat_spark.queries import textstats  # noqa: F401
@@ -30,6 +31,12 @@ _OVERFLOW_TAIL = [
     "repo_files_fixture",      # synthesis parity; 6 downstream profiling gates
     "candidates_fixture",      # synthesis parity; rerank/retrieval gates consume it
     "distinct_counts_approx",  # rows-only HLL twin; exact twin carries the oracle
+    # round-2 curation extensions: beyond-SURVEY ops, oracle-checked by
+    # tests/test_sampling.py (the 50-row driver window is reserved for the
+    # unique SURVEY §2 gates above)
+    "stratified_sample",
+    "source_mix",
+    "pack_sequences",
 ]
 
 

@@ -1,0 +1,254 @@
+"""Training-data curation operators over ``documents``: deterministic
+stratified sampling, weighted source mixing, and token-budget sequence
+packing (north-star extension — the sampling/packing stages every
+large-scale LLM data pipeline runs between dedup and tokenization).
+
+All three are pure Catalyst plans with exact DuckDB twins:
+
+- Selection is DETERMINISTIC hash-threshold sampling — ``md5(doc_id)``'s
+  low 32 bits modulo 10,000 against a per-stratum rate — not ``rand()``:
+  reproducible across runs/engines, cheap (one md5 per row, no shuffle for
+  the Bernoulli stage), and stable under repartitioning. This is the
+  standard trick for resumable dataset curation at 100 TB: membership is a
+  function of the KEY, so incremental reruns keep prior decisions.
+- Rates that depend on corpus statistics (source mixing) come from a
+  per-source aggregate broadcast back onto the scan — one small shuffle of
+  counts, never of documents.
+- Sequence packing shards by ``doc_id % N`` and runs the running-token-sum
+  window per shard, so the sort is per-shard (bounded), not global.
+
+These entries sit in the catalog's overflow tail: fully oracle-checked by
+``tests/test_sampling.py`` (the driver's 50-row gate is already occupied by
+the unique SURVEY §2 gates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cargo_chat_spark.queries.registry import register
+from cargo_chat_spark.sources.testdata import load_table
+
+# deterministic per-doc draw in [0, 10000): low 32 bits of md5(doc_id)
+_DRAW_MOD = 10_000
+
+
+def _draw(doc_id_col):
+    low32 = F.conv(F.substring(F.md5(doc_id_col.cast("string")), 1, 8), 16, 10)
+    return F.pmod(low32.cast("bigint"), F.lit(_DRAW_MOD))
+
+
+def _draw_sql(id_sql: str) -> str:
+    return (
+        f"(('0x' || substring(md5(CAST({id_sql} AS VARCHAR)), 1, 8))::BIGINT"
+        f" % {_DRAW_MOD})"
+    )
+
+
+# --------------------------------------------------- stratified sampling
+# Per-language keep rates (language-rebalancing pass: downsample the
+# over-represented strata). Unknown strata keep everything.
+_STRATA_RATES = {"en": 0.50, "de": 0.80, "fr": 0.80}
+_DEFAULT_RATE = 1.0
+
+_STRATIFIED_SQL = f"""
+WITH sampled AS (
+    SELECT doc_id, lang,
+        {_draw_sql('doc_id')} AS draw,
+        CAST({_DRAW_MOD} * CASE lang
+            WHEN 'en' THEN 0.50 WHEN 'de' THEN 0.80 WHEN 'fr' THEN 0.80
+            ELSE 1.0 END AS BIGINT) AS threshold
+    FROM documents
+)
+SELECT lang,
+    CAST(COUNT(*) AS BIGINT) AS n_total,
+    CAST(SUM(CASE WHEN draw < threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM sampled
+GROUP BY lang
+"""
+
+
+@register("stratified_sample", sql=_STRATIFIED_SQL)
+def stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum downsampling: keep doc iff
+    ``draw(doc_id) < rate[lang] * 10000``. Output: per-language totals and
+    kept counts (the aggregate makes the gate order-free; the kept SET
+    itself is what a pipeline would write out)."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = None
+    for lang, r in _STRATA_RATES.items():
+        clause = (F.col("lang") == lang, F.lit(r))
+        rate = F.when(*clause) if rate is None else rate.when(*clause)
+    rate = rate.otherwise(F.lit(_DEFAULT_RATE))
+    threshold = (F.lit(_DRAW_MOD) * rate).cast("bigint")
+    kept = F.when(_draw(F.col("doc_id")) < threshold, 1).otherwise(0)
+    return (
+        docs.select("doc_id", "lang", kept.alias("is_kept"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("is_kept").cast("bigint").alias("n_kept"),
+        )
+    )
+
+
+# ----------------------------------------------------- weighted source mix
+# Target mixture proportions by source. Rates derive from corpus counts:
+# the bottleneck source s* maximizes w_s/n_s; every source keeps
+# rate_s = (w_s / n_s) / (w_s* / n_s*) — s* keeps 100%, others downsample
+# so the OUTPUT proportions match the weights exactly (in expectation).
+_MIX_WEIGHTS = {"web": 0.5, "code": 0.3, "wiki": 0.2}
+
+_MIX_CASE = " ".join(
+    f"WHEN '{s}' THEN {w}" for s, w in _MIX_WEIGHTS.items()
+)
+
+_SOURCE_MIX_SQL = f"""
+WITH weighted AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_source,
+        CAST(CASE source {_MIX_CASE} ELSE 0.0 END AS DOUBLE) AS w
+    FROM documents GROUP BY source
+),
+bottleneck AS (
+    SELECT MAX(w / n_source) AS max_ratio FROM weighted WHERE w > 0
+),
+rates AS (
+    SELECT source, n_source, w,
+        CASE WHEN w > 0 THEN (w / n_source) / (SELECT max_ratio FROM bottleneck)
+             ELSE 0.0 END AS keep_rate
+    FROM weighted
+)
+SELECT d.source, r.n_source,
+    CAST(SUM(CASE WHEN {_draw_sql('d.doc_id')}
+                       < CAST({_DRAW_MOD} * r.keep_rate AS BIGINT)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+    round(r.keep_rate, 6) AS keep_rate
+FROM documents d JOIN rates r USING (source)
+GROUP BY d.source, r.n_source, r.keep_rate
+"""
+
+
+@register("source_mix", sql=_SOURCE_MIX_SQL)
+def source_mix(spark, sf_dir):
+    """Mix sources to target weights by deterministic downsampling.
+
+    Plan shape: one count aggregate (rows = #sources) → driver-free
+    broadcast join back onto the scan → hash-threshold filter. The only
+    shuffles move per-source COUNTS; documents flow map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.lit(0.0)
+    for s, wt in _MIX_WEIGHTS.items():
+        w = F.when(F.col("source") == s, F.lit(float(wt))).otherwise(w)
+    weighted = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_source")
+    ).withColumn("w", w.cast("double"))
+    max_ratio = weighted.where(F.col("w") > 0).agg(
+        F.max(F.col("w") / F.col("n_source")).alias("max_ratio")
+    )
+    rates = weighted.crossJoin(F.broadcast(max_ratio)).select(
+        "source",
+        "n_source",
+        F.when(
+            F.col("w") > 0, (F.col("w") / F.col("n_source")) / F.col("max_ratio")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("keep_rate"),
+    )
+    joined = docs.join(F.broadcast(rates), "source")
+    kept = F.when(
+        _draw(F.col("doc_id"))
+        < (F.lit(_DRAW_MOD) * F.col("keep_rate")).cast("bigint"),
+        1,
+    ).otherwise(0)
+    return (
+        joined.select("source", "n_source", "keep_rate", kept.alias("is_kept"))
+        .groupBy("source", "n_source", "keep_rate")
+        .agg(F.sum("is_kept").cast("bigint").alias("n_kept"))
+        .select(
+            "source",
+            "n_source",
+            "n_kept",
+            F.round("keep_rate", 6).alias("keep_rate"),
+        )
+    )
+
+
+# ------------------------------------------------------- sequence packing
+# Greedy first-fit-in-id-order packing into token-budget bins, sharded by
+# doc_id % N_SHARDS so each window sort is per-shard. pack_id encodes
+# (shard, bin): the bin index is the running token total BEFORE the doc,
+# integer-divided by the budget — docs overflow into the next bin exactly
+# when the budget would be crossed, matching a streaming packer fed in id
+# order.
+_PACK_BUDGET = 2048
+_N_SHARDS = 32
+
+_TOKENS = "CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+
+_PACK_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, doc_id % {_N_SHARDS} AS shard, {_TOKENS} AS n_tokens
+    FROM documents
+),
+packed AS (
+    SELECT shard, doc_id, n_tokens,
+        -- floor() explicitly: DuckDB CAST(DOUBLE AS BIGINT) ROUNDS while
+        -- Spark's cast truncates — without floor the engines split packs
+        -- at different boundaries
+        CAST(floor((SUM(n_tokens) OVER (
+                PARTITION BY shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) - n_tokens) / {_PACK_BUDGET}) AS BIGINT) AS bin_idx
+    FROM toks
+)
+SELECT CAST(shard * 1000000 + bin_idx AS BIGINT) AS pack_id,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+    CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+    CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM packed
+GROUP BY 1
+"""
+
+
+@register("pack_sequences", sql=_PACK_SQL)
+def pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing (the pre-tokenization batching pass).
+
+    Whitespace token counts (same spec as textstats.token_count), running
+    sum per shard, bin = floor(preceding_total / budget). One shuffle on
+    shard, per-shard linear window — no global sort, scales with shards."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.when(F.trim("text") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+"))
+    )
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % _N_SHARDS).alias("shard"),
+        n_tokens.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "bin_idx",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / _PACK_BUDGET
+        ).cast("bigint"),
+    )
+    return (
+        packed.groupBy(
+            (F.col("shard") * 1_000_000 + F.col("bin_idx"))
+            .cast("bigint")
+            .alias("pack_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
