@@ -1,0 +1,32 @@
+"""Per-(session, key) memo for persisted DataFrame subtrees.
+
+Repeated catalog runs (bench loops, oracle harness, REPL) would otherwise
+stack fresh cached RDDs until the ContextCleaner happens to GC them
+(ADVICE r1). One entry per key; invalidated when the owning SparkSession
+changes (keyed by applicationId).
+
+A persist() boundary is also the supported way to SPLIT a whole-stage
+codegen unit: a fused Project+HashAggregate whose generated method exceeds
+Janino's 64 KB limit silently falls back to interpreted evaluation for the
+whole stage (ERROR CodeGenerator → WholeStageCodegenExec disabled). An
+InMemoryTableScan in between gives each side its own (small) codegen unit.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_PERSIST_MEMO: dict = {}
+
+
+def memo_persist(
+    spark: SparkSession, key, build: Callable[[], DataFrame]
+) -> DataFrame:
+    k = (spark.sparkContext.applicationId, key)
+    df = _PERSIST_MEMO.get(k)
+    if df is None:
+        df = build().persist()
+        _PERSIST_MEMO[k] = df
+    return df

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from cargo_chat_spark.caching import memo_persist as _memo_persist
 from cargo_chat_spark.operators import dedup as D
 from cargo_chat_spark.queries.registry import register
 from cargo_chat_spark.sources.testdata import load_table
@@ -101,22 +102,6 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
 WHERE a.doc_id < b.doc_id
 """
-
-
-# Per-(session, sf_dir) memo for persisted subtrees: repeated catalog runs
-# (bench loops, oracle harness, REPL) would otherwise stack fresh cached
-# RDDs until the ContextCleaner happens to GC them (ADVICE r1). One entry
-# per sf_dir; invalidated when the owning SparkSession changes.
-_PERSIST_MEMO: dict = {}
-
-
-def _memo_persist(spark, key, build):
-    k = (spark.sparkContext.applicationId, key)
-    df = _PERSIST_MEMO.get(k)
-    if df is None:
-        df = build().persist()
-        _PERSIST_MEMO[k] = df
-    return df
 
 
 def _bands_df(spark, sf_dir):

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cargo_chat_spark.caching import memo_persist
 from cargo_chat_spark.functions.language import (
     detect_language_expr,
     detect_language_sql_case,
@@ -46,6 +47,19 @@ _README_NAMES = ["README.md", "README.txt", "README"]
 
 
 def repo_files_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized repo_files relation, memo-persisted per (session, sf_dir).
+
+    The persist boundary is load-bearing twice over: (a) seven profiling
+    queries (and repo_profile's five sub-aggregates) share the synthesis
+    projection, and (b) the synthesis CASE tree is so wide that fusing it
+    into a downstream HashAggregate's whole-stage codegen blows Janino's
+    64 KB method limit — Spark then silently runs the WHOLE stage
+    interpreted. The InMemoryTableScan in between keeps each codegen unit
+    small enough to compile (asserted by tests/test_plan_shapes.py)."""
+    return memo_persist(spark, ("repo_files", sf_dir), lambda: _repo_files_build(spark, sf_dir))
+
+
+def _repo_files_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     doc_id = F.col("doc_id")
     is_build = doc_id % 19 == 0

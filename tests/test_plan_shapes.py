@@ -126,3 +126,46 @@ def test_lsh_join_is_equijoin(spark):
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
         "ShuffledHashJoin" in plan
     ), "LSH candidate join degraded to a non-equi strategy"
+
+
+def test_profiling_agg_codegen_compiles(spark):
+    """The repo_files synthesis CASE tree fused into a HashAggregate blew
+    Janino's 64 KB method limit — Spark fell back to interpreted execution
+    for the whole stage (ERROR CodeGenerator, silent perf cliff). The
+    memo-persisted fixture splits the codegen units; pin the boundary and
+    that every generated subtree now compiles."""
+    plan = _plan(spark, "lines_by_language")
+    assert "InMemoryTableScan" in plan, (
+        "repo_files persist boundary gone — synthesis re-fuses into the "
+        "aggregate stage and overflows the codegen method limit"
+    )
+    # AQE wraps the plan in AdaptiveSparkPlanExec, which exposes no
+    # codegen subtrees until execution — build this one plan with AQE off
+    # (generated code per stage is identical either way)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = catalog.SPARK_QUERIES["lines_by_language"](spark, SF_DIR_SMALL)
+        # force physical planning while AQE is still off (plans are lazy)
+        executed = df._jdf.queryExecution().executedPlan()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    debug_pkg = getattr(
+        spark._jvm.org.apache.spark.sql.execution.debug, "package$"
+    )
+    module = getattr(debug_pkg, "MODULE$")
+    subtrees = module.codegenStringSeq(executed)
+    cg = spark._jvm.org.apache.spark.sql.catalyst.expressions.codegen
+    compiler = getattr(getattr(cg, "CodeGenerator$"), "MODULE$")
+    n = subtrees.size()
+    assert n >= 1, "no whole-stage codegen units in the aggregate plan"
+    for i in range(n):
+        code = subtrees.apply(i)._2()
+        # CodeGenerator.compile raises on 64 KB overflow instead of the
+        # runtime's silent interpreted fallback
+        empty_map = getattr(
+            getattr(spark._jvm.scala.collection.immutable, "Map$"), "MODULE$"
+        ).empty()
+        compiler.compile(
+            spark._jvm.org.apache.spark.sql.catalyst.expressions.codegen
+            .CodeAndComment(code, empty_map)
+        )
