@@ -60,10 +60,14 @@ def knn_join(
     if dim == "auto":
         dim = vectors.infer_dim(corpus, corpus_vec)
     if isinstance(dim, int):
-        fixed = vectors.DISTANCES_FIXED[metric]
-        dist_fn = lambda a, b: fixed(a, b, dim)  # noqa: E731
+        # one SQL string, one py4j round trip — the Column-loop form costs
+        # hundreds of driver round trips per plan build (see vectors.py)
+        sql = vectors.DISTANCES_FIXED_SQL[metric](
+            f"`{query_vec}`", f"`{corpus_vec}`", dim
+        )
+        distance = F.expr(sql)
     else:
-        dist_fn = vectors.DISTANCES[metric]
+        distance = vectors.DISTANCES[metric](F.col(query_vec), F.col(corpus_vec))
     keep = keep_corpus_cols or []
 
     scored = (
@@ -71,7 +75,7 @@ def knn_join(
         .select(
             F.col(query_id).alias("query_id"),
             F.col(corpus_id).alias("neighbor_id"),
-            dist_fn(F.col(query_vec), F.col(corpus_vec)).alias("distance"),
+            distance.alias("distance"),
             *[F.col(c) for c in keep],
         )
     )

@@ -43,6 +43,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parquet_rows(path: str) -> int:
+    """Exact row count from the parquet footer — a driver-side metadata
+    read (no Spark job). For plan-shaping decisions (block counts, bucket
+    fan-out) where an eager ``df.count()`` would serialize a whole scan
+    into every plan build. On a multi-file dataset this is one footer per
+    file, still metadata-only."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
