@@ -7,6 +7,7 @@ domain module. ``__spark_entry__.py`` re-exports these to the driver.
 from __future__ import annotations
 
 from cargo_chat_spark.queries import ann_lsh  # noqa: F401
+from cargo_chat_spark.queries import curation  # noqa: F401
 from cargo_chat_spark.queries import dedup  # noqa: F401
 from cargo_chat_spark.queries import rerank  # noqa: F401
 from cargo_chat_spark.queries import profiling  # noqa: F401
@@ -37,6 +38,8 @@ _OVERFLOW_TAIL = [
     "stratified_sample",
     "source_mix",
     "pack_sequences",
+    "contamination_13gram",
+    "pii_scan",
 ]
 
 

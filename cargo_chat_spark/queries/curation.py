@@ -1,0 +1,191 @@
+"""Training-data curation: benchmark decontamination and PII scanning
+(north-star extensions — the two scrubbing passes every LLM data pipeline
+runs before training; neither exists in the reference, which indexes code
+repos, but both are first-class here per the build brief).
+
+Both are pure Catalyst plans with exact DuckDB twins:
+
+- **Decontamination** is the standard 13-gram overlap check (the GPT-3 /
+  PaLM recipe): any document sharing a 13-token n-gram with the held-out
+  eval set is flagged. The eval side is tiny (benchmarks are MBs) — its
+  distinct gram keys BROADCAST; the corpus side is a narrow flatMap
+  (explode) feeding a broadcast hash join, so the plan is
+  scan → explode → BHJ → partial agg: no all-pairs stage, no shuffle of
+  document text, only of (doc_id, gram-hash) hits. Grams join on md5 so
+  the shuffled key is 32 bytes regardless of gram length.
+- **PII scan** is regexp-based (emails / IPv4s / NANP-style phone
+  numbers) with per-document counts and an md5 of the redacted text —
+  single scan, one projection, codegen'd Java regex. The synthetic corpus
+  contains no PII, so a deterministic injection (a pure function of
+  doc_id, identical in both engines) plants known PII first; detection
+  then has real positives and negatives to discriminate on.
+
+Patterns are written in the common subset of Java regex (Spark) and RE2
+(DuckDB): no backreferences, no lookaround.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cargo_chat_spark.queries.registry import register
+from cargo_chat_spark.sources.testdata import load_table
+
+# ------------------------------------------------- 13-gram decontamination
+# Eval-set surrogate: every 7th doc (deterministic, both engines).
+_GRAM_N = 13
+_EVAL_MOD = 7
+
+_GRAMS_CTE = f"""
+toks AS (
+    SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+),
+grams AS (
+    SELECT doc_id, md5(array_to_string(list_slice(t, i, i + {_GRAM_N - 1}), ' ')) AS gkey
+    FROM toks, UNNEST(generate_series(1, len(t) - {_GRAM_N - 1})) AS u(i)
+    WHERE len(t) >= {_GRAM_N}
+)
+"""
+
+_CONTAM_SQL = f"""
+WITH {_GRAMS_CTE},
+ev AS (
+    SELECT DISTINCT doc_id AS eval_id, gkey FROM grams
+    WHERE doc_id % {_EVAL_MOD} = 0
+),
+corpus AS (
+    SELECT DISTINCT doc_id, gkey FROM grams WHERE doc_id % {_EVAL_MOD} != 0
+)
+SELECT c.doc_id,
+    CAST(COUNT(DISTINCT c.gkey) AS BIGINT) AS n_hit_grams,
+    CAST(COUNT(DISTINCT e.eval_id) AS BIGINT) AS n_eval_docs
+FROM corpus c JOIN ev e USING (gkey)
+GROUP BY c.doc_id
+"""
+
+
+@register("contamination_13gram", sql=_CONTAM_SQL)
+def contamination_13gram(spark, sf_dir):
+    """Docs sharing any 13-gram with the eval split, with hit counts.
+
+    Plan: the eval gram set (distinct, hashed) broadcasts; corpus grams
+    stream through a broadcast hash join — the corpus is scanned once,
+    exploded ~tokens-per-doc ways, and only matching (doc_id, gkey,
+    eval_id) rows reach the aggregate. At 100 TB the eval side is still
+    MBs, so the broadcast holds; the corpus explode is map-side only."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    grams = (
+        docs.select("doc_id", toks.alias("t"))
+        .where(F.size("t") >= _GRAM_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (_GRAM_N - 1)),
+                    lambda i: F.md5(F.array_join(F.slice(F.col("t"), i, _GRAM_N), " ")),
+                )
+            ).alias("gkey"),
+        )
+    )
+    ev = (
+        grams.where(F.col("doc_id") % _EVAL_MOD == 0)
+        .select(F.col("doc_id").alias("eval_id"), "gkey")
+        .distinct()
+    )
+    corpus = grams.where(F.col("doc_id") % _EVAL_MOD != 0).distinct()
+    return (
+        corpus.join(F.broadcast(ev), "gkey")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gkey").cast("bigint").alias("n_hit_grams"),
+            F.countDistinct("eval_id").cast("bigint").alias("n_eval_docs"),
+        )
+    )
+
+
+# ----------------------------------------------------------- PII scanning
+# Deterministic injection: a pure function of doc_id, identical SQL/Spark.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PHONE_RE = r"\+1-555-\d{4}"
+
+_INJECT_SQL = """
+    text
+    || CASE WHEN doc_id % 7 = 3
+            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+            ELSE '' END
+    || CASE WHEN doc_id % 11 = 5
+            THEN ' node at 10.' || CAST(doc_id % 256 AS VARCHAR)
+                 || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+            ELSE '' END
+    || CASE WHEN doc_id % 13 = 7
+            THEN ' call +1-555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+            ELSE '' END
+"""
+
+_PII_SQL = f"""
+WITH injected AS (
+    SELECT doc_id, {_INJECT_SQL} AS itext FROM documents
+)
+SELECT doc_id,
+    CAST(len(regexp_extract_all(itext, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+    CAST(len(regexp_extract_all(itext, '{_IPV4_RE}')) AS BIGINT) AS n_ips,
+    CAST(len(regexp_extract_all(itext, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+    md5(regexp_replace(regexp_replace(regexp_replace(itext,
+        '{_EMAIL_RE}', '[EMAIL]', 'g'),
+        '{_IPV4_RE}', '[IP]', 'g'),
+        '{_PHONE_RE}', '[PHONE]', 'g')) AS redacted_hash
+FROM injected
+"""
+
+
+@register("pii_scan", sql=_PII_SQL)
+def pii_scan(spark, sf_dir):
+    """Per-doc PII counts + md5 of the redacted text (hashable stand-in
+    for the redacted output a real pipeline would write). Single scan,
+    all regex work codegen'd JVM-side — no shuffle at all until the
+    driver collects."""
+    docs = load_table(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    inject = F.concat(
+        F.col("text"),
+        F.when(
+            doc_id % 7 == 3,
+            F.concat(F.lit(" contact user"), doc_id.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            doc_id % 11 == 5,
+            F.concat(
+                F.lit(" node at 10."),
+                (doc_id % 256).cast("string"),
+                F.lit(".0."),
+                (doc_id % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            doc_id % 13 == 7,
+            F.concat(F.lit(" call +1-555-"), (1000 + doc_id % 9000).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    itext = F.col("itext")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(itext, _EMAIL_RE, "[EMAIL]"), _IPV4_RE, "[IP]"
+        ),
+        _PHONE_RE,
+        "[PHONE]",
+    )
+    return docs.select("doc_id", inject.alias("itext")).select(
+        "doc_id",
+        F.size(F.regexp_extract_all(itext, F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(itext, F.lit(_IPV4_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_ips"),
+        F.size(F.regexp_extract_all(itext, F.lit(_PHONE_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.md5(redacted).alias("redacted_hash"),
+    )

@@ -98,7 +98,11 @@ def stratified_sample(spark, sf_dir):
 # the bottleneck source s* maximizes w_s/n_s; every source keeps
 # rate_s = (w_s / n_s) / (w_s* / n_s*) — s* keeps 100%, others downsample
 # so the OUTPUT proportions match the weights exactly (in expectation).
-_MIX_WEIGHTS = {"web": 0.5, "code": 0.3, "wiki": 0.2}
+# Sources not in the mix get weight 0 → dropped (curation selects the
+# desired sources). Keys are the testdata corpus's actual source labels
+# (src0..src19) — weights naming absent sources make the whole op a
+# no-op that still oracle-matches (both engines agree on zeros).
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
 
 _MIX_CASE = " ".join(
     f"WHEN '{s}' THEN {w}" for s, w in _MIX_WEIGHTS.items()

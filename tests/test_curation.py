@@ -1,0 +1,62 @@
+"""Decontamination + PII scan — full Spark-vs-DuckDB oracle equivalence at
+sf0.001 (overflow-tail entries: THIS is their correctness gate), plus
+semantic property checks."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from cargo_chat_spark.queries import curation
+from cargo_chat_spark.queries.registry import ORACLE_SQL, SPARK_QUERIES
+from tests.conftest import SF_DIR_SMALL
+
+
+def _oracle(name: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR_SMALL}/documents.parquet')"
+    )
+    return con.execute(ORACLE_SQL[name]).df()
+
+
+def _both(spark, name: str) -> tuple[pd.DataFrame, pd.DataFrame]:
+    got = SPARK_QUERIES[name](spark, SF_DIR_SMALL).toPandas()
+    want = _oracle(name)
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    got = got[cols].round(6).sort_values(cols).reset_index(drop=True)
+    want = want[cols].round(6).sort_values(cols).reset_index(drop=True)
+    return got, want.astype(got.dtypes.to_dict())
+
+
+@pytest.mark.parametrize("name", ["contamination_13gram", "pii_scan"])
+def test_oracle_equivalence(spark, name):
+    got, want = _both(spark, name)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_contamination_flags_real_overlaps(spark):
+    got = SPARK_QUERIES["contamination_13gram"](spark, SF_DIR_SMALL).toPandas()
+    # the gate must discriminate: some (not all) docs are contaminated
+    assert 0 < len(got) < 400, len(got)
+    # no eval doc may appear as a flagged corpus doc
+    assert (got["doc_id"] % curation._EVAL_MOD != 0).all()
+    assert (got["n_hit_grams"] >= 1).all() and (got["n_eval_docs"] >= 1).all()
+
+
+def test_pii_counts_match_injection(spark):
+    got = SPARK_QUERIES["pii_scan"](spark, SF_DIR_SMALL).toPandas()
+    assert len(got) == 500
+    by_id = got.set_index("doc_id")
+    for doc_id, row in by_id.iterrows():
+        assert row["n_emails"] == (1 if doc_id % 7 == 3 else 0), doc_id
+        assert row["n_ips"] == (1 if doc_id % 11 == 5 else 0), doc_id
+        assert row["n_phones"] == (1 if doc_id % 13 == 7 else 0), doc_id
+    # redaction changes the text exactly when something was found
+    injected = got[(got.n_emails + got.n_ips + got.n_phones) > 0]
+    assert len(injected) > 0
+    # hashes are 32-char hex (stable, hashable gate output)
+    assert got["redacted_hash"].str.fullmatch("[0-9a-f]{32}").all()

@@ -57,13 +57,19 @@ def test_source_mix_proportions(spark):
     got = SPARK_QUERIES["source_mix"](spark, SF_DIR_SMALL).toPandas()
     kept = {r["source"]: r["n_kept"] for _, r in got.iterrows()}
     weights = sampling._MIX_WEIGHTS
-    total = sum(kept[s] for s in weights if s in kept)
-    if total:
-        for s, w in weights.items():
-            if s in kept:
-                assert abs(kept[s] / total - w) < 0.1, (s, kept, w)
+    # the weighted sources must actually exist in the corpus — weights
+    # naming absent sources silently turn the op into a no-op (caught
+    # round 2: web/code/wiki vs the corpus's src0..src19)
+    assert all(s in kept for s in weights), (sorted(weights), sorted(kept)[:5])
+    total = sum(kept[s] for s in weights)
+    assert total > 0
+    for s, w in weights.items():
+        assert abs(kept[s] / total - w) < 0.1, (s, kept, w)
     # the bottleneck source keeps ~everything (rate 1.0)
-    assert (got["keep_rate"].max() - 1.0) < 1e-6
+    assert abs(got["keep_rate"].max() - 1.0) < 1e-6
+    # non-weighted sources are dropped entirely
+    others = got[~got["source"].isin(weights)]
+    assert (others["n_kept"] == 0).all() and (others["keep_rate"] == 0).all()
 
 
 def test_pack_budget_respected(spark):
