@@ -10,6 +10,7 @@ from cargo_chat_spark.queries import ann_lsh  # noqa: F401
 from cargo_chat_spark.queries import curation  # noqa: F401
 from cargo_chat_spark.queries import dedup  # noqa: F401
 from cargo_chat_spark.queries import rerank  # noqa: F401
+from cargo_chat_spark.queries import multimodal_queries  # noqa: F401
 from cargo_chat_spark.queries import profiling  # noqa: F401
 from cargo_chat_spark.queries import relational  # noqa: F401
 from cargo_chat_spark.queries import retrieval  # noqa: F401
@@ -40,6 +41,7 @@ _OVERFLOW_TAIL = [
     "pack_sequences",
     "contamination_13gram",
     "pii_scan",
+    "media_featurize",
 ]
 
 

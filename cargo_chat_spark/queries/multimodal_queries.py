@@ -1,0 +1,76 @@
+"""Multimodal featurization as a REGISTERED, oracle-checked catalog entry.
+
+``operators/multimodal.py`` provides the binary-column convention and the
+Arrow-batched ``mapInPandas`` featurizer (real decode stubbed — no codec
+libs in this environment). This entry drives that exact plumbing end to
+end: documents → UTF-8 payload bytes → ``attach_media_columns`` →
+``extract_features`` (the deterministic byte-statistics kernel) → exploded
+fixed-point feature rows.
+
+It is fully DuckDB-oracle-checkable because the synthetic corpus is pure
+ASCII: the payload byte at position i equals the codepoint of character
+i+1, so the kernel's per-stride byte means are reproducible in SQL with
+``ord(substring(text, i, 1))``. Arithmetic is matched op-for-op
+(sum/len → /255.0 → *1e6 → floor; explicit floor — DuckDB's
+CAST(DOUBLE AS BIGINT) rounds while Spark's truncates).
+
+Plan shape: scan → encode projection → mapInPandas (Arrow batches,
+the only Python stage — this IS the operator under test) → posexplode →
+fixed-point projection. One scan, no shuffle; at 100 TB the featurizer
+parallelism is the scan partitioning, exactly how a real decoder fleet
+would run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cargo_chat_spark.operators.multimodal import (
+    attach_media_columns,
+    extract_features,
+)
+from cargo_chat_spark.queries.registry import register
+from cargo_chat_spark.sources.testdata import load_table
+
+_N_FEATURES = 8
+
+_MEDIA_SQL = f"""
+WITH chars AS (
+    SELECT doc_id, (i - 1) % {_N_FEATURES} AS bucket,
+        ord(substring(text, i, 1)) AS byte
+    FROM documents, UNNEST(generate_series(1, len(text))) AS u(i)
+    WHERE len(text) > 0
+)
+SELECT doc_id AS media_id,
+    CAST(bucket AS INT) AS bucket,
+    CAST(floor(AVG(byte) / 255.0 * 1000000) AS BIGINT) AS feat_fp,
+    TRUE AS decode_ok
+FROM chars
+GROUP BY doc_id, bucket
+"""
+
+
+@register("media_featurize", sql=_MEDIA_SQL)
+def media_featurize(spark, sf_dir):
+    """Byte-statistics features through the real mapInPandas media path,
+    exploded to (media_id, bucket, fixed-point feature) rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_media_columns(
+        docs.where(F.length("text") > 0).select(
+            F.col("doc_id").alias("media_id"),
+            F.encode(F.col("text"), "UTF-8").alias("payload"),
+        ),
+        payload_col="payload",
+        media_type="image/fake",
+    )
+    feats = extract_features(media, n_features=_N_FEATURES, fake=True)
+    return feats.select(
+        "media_id",
+        F.posexplode("feature").alias("bucket", "feat"),
+        "decode_ok",
+    ).select(
+        "media_id",
+        F.col("bucket").cast("int").alias("bucket"),
+        F.floor(F.col("feat") * 1_000_000).cast("bigint").alias("feat_fp"),
+        "decode_ok",
+    )

@@ -8,6 +8,7 @@ import duckdb
 import pandas as pd
 import pytest
 
+from cargo_chat_spark.queries import catalog  # noqa: F401  (fills registry)
 from cargo_chat_spark.queries import curation
 from cargo_chat_spark.queries.registry import ORACLE_SQL, SPARK_QUERIES
 from tests.conftest import SF_DIR_SMALL
@@ -60,3 +61,12 @@ def test_pii_counts_match_injection(spark):
     assert len(injected) > 0
     # hashes are 32-char hex (stable, hashable gate output)
     assert got["redacted_hash"].str.fullmatch("[0-9a-f]{32}").all()
+
+
+def test_media_featurize_oracle(spark):
+    """The multimodal mapInPandas path vs its DuckDB byte-statistics twin
+    (ASCII corpus: payload byte i == codepoint of char i+1)."""
+    got, want = _both(spark, "media_featurize")
+    pd.testing.assert_frame_equal(got, want)
+    assert got["decode_ok"].all()
+    assert set(got["bucket"]) == set(range(8))
