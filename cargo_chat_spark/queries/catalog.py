@@ -42,6 +42,7 @@ _OVERFLOW_TAIL = [
     "contamination_13gram",
     "pii_scan",
     "media_featurize",
+    "quality_filter",
 ]
 
 

@@ -168,6 +168,90 @@ def quality_score(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------- quality filter
+# Gopher-style composite keep/drop: each rule that FIRES names itself in a
+# pipe-joined reasons string (fixed rule order → deterministic, hashable);
+# keep = no rule fired. Same metric formulas as quality_score so both
+# entries share the oracle-checked arithmetic.
+_QF_RULES_SQL = """
+    [CASE WHEN n_tokens < 15 THEN 'too_short' END,
+     CASE WHEN n_tokens > 90 THEN 'too_long' END,
+     CASE WHEN stopword_ratio < 0.05 THEN 'low_stopword' END,
+     CASE WHEN punct_ratio >= 0.2 THEN 'high_punct' END,
+     CASE WHEN distinct_ratio <= 0.5 THEN 'repetitive' END,
+     CASE WHEN lang NOT IN ('en', 'de', 'fr') THEN 'off_language' END]
+"""
+
+_QFILTER_SQL = f"""
+WITH t AS (
+    SELECT doc_id, lang, text,
+        regexp_split_to_array(trim(text), '\\s+') AS toks,
+        length(text) AS n_chars
+    FROM documents
+),
+m AS (
+    SELECT doc_id, lang,
+        len(toks) AS n_tokens,
+        CAST(len(list_filter(toks, w -> w IN ({_SW_LIST}))) AS DOUBLE)
+            / len(toks) AS stopword_ratio,
+        CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+            / n_chars AS punct_ratio,
+        CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio
+    FROM t
+)
+SELECT doc_id,
+    COALESCE(array_to_string(
+        list_filter({_QF_RULES_SQL}, v -> v IS NOT NULL), '|'), '') AS reasons,
+    CAST(len(list_filter({_QF_RULES_SQL}, v -> v IS NOT NULL)) = 0
+        AS BOOLEAN) AS keep
+FROM m
+"""
+
+
+@register("quality_filter", sql=_QFILTER_SQL)
+def quality_filter(spark, sf_dir):
+    """Composite Gopher-style document filter: keep + named fail reasons.
+
+    Single scan, one projection — the rule array, null-filter, and join
+    are all codegen'd; the decision column is what a pipeline would
+    partition its keep/drop writes on."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    n_tokens = F.size(toks)
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    stopword_ratio = (
+        F.size(F.filter(toks, lambda w: F.array_contains(sw, w))).cast("double")
+        / n_tokens
+    )
+    punct_ratio = (
+        F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", "")).cast("double")
+        / F.length("text")
+    )
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    m = d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        stopword_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+    )
+    rules = F.array(
+        F.when(F.col("n_tokens") < 15, "too_short"),
+        F.when(F.col("n_tokens") > 90, "too_long"),
+        F.when(F.col("stopword_ratio") < 0.05, "low_stopword"),
+        F.when(F.col("punct_ratio") >= 0.2, "high_punct"),
+        F.when(F.col("distinct_ratio") <= 0.5, "repetitive"),
+        F.when(~F.col("lang").isin("en", "de", "fr"), "off_language"),
+    )
+    fired = F.filter(rules, lambda v: v.isNotNull())
+    return m.select(
+        "doc_id",
+        F.array_join(fired, "|").alias("reasons"),
+        (F.size(fired) == 0).alias("keep"),
+    )
+
+
 # ------------------------------------------------------- language-ID (n-gram)
 _LANG_MARKERS = [
     ("en", ["the", "is", "and"]),

@@ -70,3 +70,13 @@ def test_media_featurize_oracle(spark):
     pd.testing.assert_frame_equal(got, want)
     assert got["decode_ok"].all()
     assert set(got["bucket"]) == set(range(8))
+
+
+def test_quality_filter_oracle(spark):
+    got, want = _both(spark, "quality_filter")
+    pd.testing.assert_frame_equal(got, want)
+    # discriminates: both kept and dropped docs exist, with named reasons
+    assert got["keep"].any() and (~got["keep"]).any()
+    dropped = got[~got["keep"]]
+    assert (dropped["reasons"].str.len() > 0).all()
+    assert (got[got["keep"]]["reasons"] == "").all()
