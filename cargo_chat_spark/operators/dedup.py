@@ -56,12 +56,22 @@ def tokens(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
-def shingles_all(text: Column, k: int = 3) -> Column:
-    """All k-token shingles in document order (winnowing input)."""
-    toks = tokens(text)
+def shingles_all_from_tokens(toks: Column, k: int = 3) -> Column:
+    """All k-token shingles in document order from a MATERIALIZED token
+    array column. Pass an attribute (two-step select), not ``tokens(text)``
+    inline: a raw expression here gets inlined into the per-index lambda
+    and the split() re-runs per shingle — O(tokens²) per doc (measured
+    3 s of the sf0.1 minhash stage, vs ~0.2 s materialized)."""
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+
+
+def shingles_all(text: Column, k: int = 3) -> Column:
+    """All k-token shingles in document order (winnowing input).
+    Prefer the ``_from_tokens`` form with a materialized token column —
+    see its docstring."""
+    return shingles_all_from_tokens(tokens(text), k)
 
 
 def shingles_all_sql(text_sql: str, k: int = 3) -> str:
@@ -88,12 +98,21 @@ def _perm_fn(a: int, b: int):
     return lambda h: hashing.universal(h, a, b)
 
 
+def shingle_hashes_from_tokens(toks: Column, k: int = 3) -> Column:
+    """h32 of each distinct k-shingle from a materialized token column —
+    compute ONCE, then feed the permutation minima / set ops. Evaluating
+    md5 per-permutation would be a 16x blowup (Catalyst's CollapseProject
+    keeps a non-cheap alias referenced many times in its own projection,
+    so a two-step select preserves single evaluation)."""
+    return F.transform(
+        F.array_distinct(shingles_all_from_tokens(toks, k)), hashing.h32
+    )
+
+
 def shingle_hashes(text: Column, k: int = 3) -> Column:
-    """h32 of each distinct k-shingle — compute ONCE, then feed the
-    permutation minima / set ops. md5 dominates minhash cost; evaluating it
-    per-permutation would be a 16x blowup (Catalyst's CollapseProject keeps
-    a non-cheap alias referenced many times in its own projection, so a
-    two-step select preserves single evaluation)."""
+    """h32 of each distinct k-shingle — see shingle_hashes_from_tokens;
+    this inline form re-tokenizes per shingle index, use only on small
+    frames."""
     return F.transform(shingles(text, k), hashing.h32)
 
 

@@ -50,7 +50,13 @@ hashes AS (
 
 def _hashes_df(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", D.shingle_hashes(F.col("text")).alias("h"))
+    # two-step: materialize the token array so the shingle lambda slices an
+    # attribute instead of re-running split() per shingle index (operators.
+    # dedup.shingles_all_from_tokens docstring; measured ~3 s → ~0.4 s)
+    toks = d.select("doc_id", D.tokens(F.col("text")).alias("toks"))
+    return toks.select(
+        "doc_id", D.shingle_hashes_from_tokens(F.col("toks")).alias("h")
+    )
 
 
 def _sigs_df(spark, sf_dir):

@@ -361,8 +361,11 @@ def doc_fingerprints(spark, sf_dir):
     window of {_W} → sorted distinct fingerprint set per document,
     '|'-joined (harness needs hashable cells)."""
     d = load_table(spark, sf_dir, "documents")
-    hashes = F.transform(D.shingles_all(F.col("text")), hashing.h32)
-    df = d.select("doc_id", hashes.alias("hashes"))
+    # materialize tokens first — the inline form re-splits per shingle
+    # index (operators.dedup.shingles_all_from_tokens docstring)
+    toks = d.select("doc_id", D.tokens(F.col("text")).alias("toks"))
+    hashes = F.transform(D.shingles_all_from_tokens(F.col("toks")), hashing.h32)
+    df = toks.select("doc_id", hashes.alias("hashes"))
     n = F.size("hashes")
     fps = F.array_sort(
         F.array_distinct(
