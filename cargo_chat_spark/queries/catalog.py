@@ -43,6 +43,7 @@ _OVERFLOW_TAIL = [
     "pii_scan",
     "media_featurize",
     "quality_filter",
+    "ivf_topk_trained",  # rows-only (iterative k-means); fixture ivf_topk carries the oracle
 ]
 
 

@@ -316,6 +316,73 @@ def ivf_topk(spark, sf_dir):
     )
 
 
+# --------------------------------------------- IVF with trained centroids
+@register("ivf_topk_trained")  # rows-only: Lloyd's iterations aren't SQL
+def ivf_topk_trained(spark, sf_dir):
+    """IVF top-10 with k-means-TRAINED centroids (operators/kmeans.py)
+    instead of the fixture's first-8-vectors — the production path the
+    round-1 verdict asked for. Training: 5 Lloyd's iterations, driver-held
+    k×dim centroids, one codegen'd assign + one mean-aggregate pass per
+    iteration; memo-persisted per (session, sf_dir) so repeated catalog
+    runs train once. Recall vs exact is pinned ≥ the fixture-centroid IVF
+    in tests/test_ann_recall.py."""
+    from cargo_chat_spark.operators import kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = vectors.infer_dim(emb, "embedding")
+
+    def build():
+        cents = kmeans.train_kmeans(
+            spark, emb, _N_CELLS, dim=dim, n_iter=5
+        )
+        return kmeans.assign_cells(emb, cents, dim=dim).select(
+            "vec_id", "embedding", "cell_id"
+        ), cents
+
+    # memo both the assigned frame and the centroid list
+    key = ("ivf_trained", sf_dir)
+    cached = _TRAINED_MEMO.get((spark.sparkContext.applicationId, key))
+    if cached is None:
+        cells_df, cents = build()
+        cells_df = cells_df.persist()
+        cached = (cells_df, cents)
+        _TRAINED_MEMO[(spark.sparkContext.applicationId, key)] = cached
+    cells, cents = cached
+
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    # nprobe cells per query: rank trained centroids by distance to qvec
+    cent_rows = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cell_id int, cvec array<double>"
+    )
+    w_probe = Window.partitionBy("query_id").orderBy("cdist", "cell_id")
+    probes = (
+        queries.crossJoin(F.broadcast(cent_rows))
+        .withColumn("cdist", _euclid(F.col("cvec"), F.col("qvec")))
+        .withColumn("pr", F.row_number().over(w_probe))
+        .where(F.col("pr") <= _N_PROBE)
+        .select("query_id", "cell_id")
+    )
+    scored = (
+        cells.join(F.broadcast(probes), "cell_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _euclid(F.col("qvec"), F.col("embedding")).alias("distance"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy("distance", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= 10)
+    )
+
+
+_TRAINED_MEMO: dict = {}
+
+
 # ------------------------------------------------ M1 mock embedder (SQL-portable)
 _MOCK_DIM = 16
 _MOCK_SQL = f"""

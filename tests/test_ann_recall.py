@@ -60,3 +60,14 @@ def test_multiprobe_lifts_recall(spark):
     # measured 0.44 -> 0.54 at sf0.001; the lever must never hurt
     assert multi >= single, f"multiprobe lowered recall: {multi:.2f} < {single:.2f}"
     assert multi > 0.4
+
+
+def test_trained_ivf_recall_beats_fixture(spark):
+    fixture = _recall(spark, "ivf_topk")
+    trained = _recall(spark, "ivf_topk_trained")
+    # Lloyd-trained centroids must not be worse than the first-8-vectors
+    # fixture at the same (k, nprobe); measured 0.48 -> higher at sf0.001
+    assert trained >= fixture - 0.02, (
+        f"trained IVF recall {trained:.2f} < fixture {fixture:.2f}"
+    )
+    assert trained >= 0.4
