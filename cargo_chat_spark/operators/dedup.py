@@ -199,17 +199,21 @@ def simhash32_agg(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     Identical results to simhash32_from_hashes (verified at sf0.1)."""
     th = df.select(id_col, token_hashes(F.col(text_col)).alias("h"))
     ex = th.select(id_col, F.explode("h").alias("hh"))
-    aggs = []
-    for b in range(32):
-        bit = _bit(F.col("hh"), F.lit(b)) == 1
-        aggs.append(F.sum(F.when(bit, 1).otherwise(-1)).alias(f"_s{b}"))
-    g = ex.groupBy(id_col).agg(*aggs)
-    acc = F.lit(0).cast("bigint")
-    for b in range(32):
-        acc = acc + F.when(F.col(f"_s{b}") > 0, F.lit(2 ** b).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-    return g.select(id_col, acc.alias("simhash"))
+    # one SQL string per stage (not a 32-iteration Column loop) — the py4j
+    # round trips of building 32 agg Columns dominated the sf0.1 plan
+    # build (see vectors.py / SCALE.md "Driver-side plan costs")
+    sums = "array(" + ", ".join(
+        f"sum(CASE WHEN (CAST(floor(`hh` / {float(2 ** b)!r}D) AS BIGINT) % 2) = 1"
+        f" THEN 1 ELSE -1 END)"
+        for b in range(32)
+    ) + ")"
+    g = ex.groupBy(id_col).agg(F.expr(sums).alias("__sums"))
+    fp = " + ".join(
+        f"IF(element_at(`__sums`, {b + 1}) > 0, CAST({2 ** b} AS BIGINT),"
+        f" CAST(0 AS BIGINT))"
+        for b in range(32)
+    )
+    return g.select(id_col, F.expr(f"({fp})").alias("simhash"))
 
 
 def hamming32(a: Column, b: Column) -> Column:
@@ -240,22 +244,27 @@ def simhash64_bands_agg(
         F.conv(F.substring(md5c, 1, 8), 16, 10).cast("bigint").alias("hlo"),
         F.conv(F.substring(md5c, 9, 8), 16, 10).cast("bigint").alias("hhi"),
     )
-    aggs = []
+    # one SQL string per stage — see simhash32_agg
+    terms = []
     for w in range(SIMHASH64_BANDS):
         src = "hlo" if w < 2 else "hhi"
         off = SIMHASH64_BAND_BITS * (w % 2)
         for b in range(SIMHASH64_BAND_BITS):
-            bit = _bit(F.col(src), F.lit(off + b)) == 1
-            aggs.append(F.sum(F.when(bit, 1).otherwise(-1)).alias(f"_w{w}b{b}"))
-    g = ex.groupBy(id_col).agg(*aggs)
+            terms.append(
+                f"sum(CASE WHEN (CAST(floor(`{src}` / {float(2 ** (off + b))!r}D)"
+                f" AS BIGINT) % 2) = 1 THEN 1 ELSE -1 END)"
+            )
+    g = ex.groupBy(id_col).agg(
+        F.expr("array(" + ", ".join(terms) + ")").alias("__sums")
+    )
     words = []
     for w in range(SIMHASH64_BANDS):
-        acc = F.lit(0).cast("bigint")
-        for b in range(SIMHASH64_BAND_BITS):
-            acc = acc + F.when(
-                F.col(f"_w{w}b{b}") > 0, F.lit(2**b).cast("bigint")
-            ).otherwise(F.lit(0).cast("bigint"))
-        words.append(acc.alias(f"w{w}"))
+        fp = " + ".join(
+            f"IF(element_at(`__sums`, {w * SIMHASH64_BAND_BITS + b + 1}) > 0,"
+            f" CAST({2 ** b} AS BIGINT), CAST(0 AS BIGINT))"
+            for b in range(SIMHASH64_BAND_BITS)
+        )
+        words.append(F.expr(f"({fp})").alias(f"w{w}"))
     return g.select(id_col, *words)
 
 
