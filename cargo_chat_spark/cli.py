@@ -117,8 +117,12 @@ def cmd_interactive(spark) -> None:
     from cargo_chat_spark.sources.index_io import read_index
 
     index_df = None
-    print("cargo_chat_spark REPL — commands: index <repo> <out> | "
-          "load-index <dir> | query <question...> [-k K] | status | exit")
+    usage = (
+        "cargo_chat_spark REPL — commands: index <repo> <out> | "
+        "load-index <dir> | query <question...> [-k K] [--use-rerank] | "
+        "status | help | exit"
+    )
+    print(usage)
     while True:
         try:
             line = input("> ").strip()
@@ -146,7 +150,12 @@ def cmd_interactive(spark) -> None:
                     i = args.index("-k")
                     k = int(args[i + 1])
                     args = args[:i] + args[i + 2:]
-                cmd_query(spark, index_df, " ".join(args), k, rerank=False)
+                rerank = "--use-rerank" in args
+                if rerank:
+                    args = [a for a in args if a != "--use-rerank"]
+                cmd_query(spark, index_df, " ".join(args), k, rerank=rerank)
+            elif cmd == "help":
+                print(usage)  # ReplSubCmd::Help, main.rs:110-113
             elif cmd == "status":
                 n = index_df.count() if index_df is not None else 0
                 print(f"index: {'loaded, ' + str(n) + ' chunks' if n else 'not loaded'}")

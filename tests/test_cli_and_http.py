@@ -147,3 +147,18 @@ def test_cli_index_query_profile(tmp_path):
     prof = json.loads(out.stdout[out.stdout.index("{"):])
     assert prof["primary_languages"][0] == "Rust"
     assert "Cargo.toml" in prof["build_files"]
+
+
+def test_repl_help_status_and_rerank_parse(spark, capsys, monkeypatch):
+    """REPL parity (main.rs:101-120): help/status commands answer, query
+    without an index warns, --use-rerank parses; loop survives bad input."""
+    from cargo_chat_spark import cli
+
+    feed = iter(["help", "status", "query what is this --use-rerank", "bogus", "exit"])
+    monkeypatch.setattr("builtins.input", lambda *_: next(feed))
+    cli.cmd_interactive(spark)
+    out = capsys.readouterr().out
+    assert out.count("cargo_chat_spark REPL") >= 2  # banner + help
+    assert "index: not loaded" in out
+    assert "No index loaded" in out
+    assert "unknown command" in out
