@@ -22,9 +22,15 @@ from pyspark.sql import functions as F
 
 from cargo_chat_spark.functions import hashing, vectors
 from cargo_chat_spark.queries.registry import register
-from cargo_chat_spark.sources.testdata import load_table
+from cargo_chat_spark.sources.testdata import load_table, parquet_rows
 
 N_PLANES = 8
+
+# Unrolled literal-weight bucket keys win only when per-row work dominates
+# the one-off plan cost of an 8x(dim)-term expression tree (~0.5 s of
+# driver-side analysis, measured): below this corpus size the interpreted
+# HOF fold is net faster, above it the codegen'd chain is.
+_FIXED_KEY_MIN_ROWS = 50_000
 
 
 def _weight_sql(l: str, i: str) -> str:
@@ -44,7 +50,9 @@ def _weight(l: Column, i: Column) -> Column:
 
 
 def bucket_key(embedding: Column) -> Column:
-    """Sign-bit key over N_PLANES deterministic hyperplanes."""
+    """Sign-bit key over N_PLANES deterministic hyperplanes (dim-agnostic
+    HOF form — interpreted; prefer ``bucket_key_fixed`` when the dim is
+    known)."""
     def _proj_fn(plane: int):
         return lambda x, i: x.cast("double") * _weight(F.lit(plane), i)
 
@@ -57,6 +65,29 @@ def bucket_key(embedding: Column) -> Column:
         )
         bits.append(F.when(proj > 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
+
+
+def _weight_py(l: int, i: int) -> float:
+    # EXACTLY the Column/SQL arithmetic: integer ops are exact in all three
+    # engines, the division and subtraction are the same IEEE doubles, and
+    # repr() round-trips — so the literal-weight form is bit-identical
+    return ((l * 10007 + i * 97) * 2654435761 % hashing.PRIME) / hashing.PRIME - 0.5
+
+
+def bucket_key_fixed(col_name: str, dim: int) -> Column:
+    """Sign-bit key with the hyperplane weights PRE-COMPUTED as literals
+    and the projection unrolled into one SQL string: whole-stage-codegen'd
+    straight-line arithmetic instead of 8 interpreted HOF folds per row,
+    and one py4j round trip instead of ~100 (see SCALE.md driver-side plan
+    costs). Same values as ``bucket_key`` — same fold order from 0.0."""
+    bits = []
+    for l in range(N_PLANES):
+        terms = " + ".join(
+            f"(CAST(element_at(`{col_name}`, {i}) AS DOUBLE) * {_weight_py(l + 1, i)!r}D)"
+            for i in range(1, dim + 1)
+        )
+        bits.append(f"(CASE WHEN (0.0D + {terms}) > 0.0D THEN '1' ELSE '0' END)")
+    return F.expr("concat(" + ", ".join(bits) + ")")
 
 
 def bucket_key_sql(embedding: str) -> str:
@@ -102,19 +133,31 @@ def rp_lsh_topk(spark, sf_dir):
     bucket. May return < 10 rows per query (bucket smaller than k) — the
     accuracy/recall tradeoff the reference's RP-trees make too."""
     emb = load_table(spark, sf_dir, "embeddings")
-    corpus = emb.select("vec_id", "embedding", bucket_key(F.col("embedding")).alias("bkey"))
+    dim = vectors.infer_dim(emb, "embedding")
+    big = parquet_rows(f"{sf_dir}/embeddings.parquet") >= _FIXED_KEY_MIN_ROWS
+    bkey = (
+        (lambda: bucket_key_fixed("embedding", dim))
+        if big
+        else (lambda: bucket_key(F.col("embedding")))
+    )
+    dist = (
+        F.expr(vectors.euclidean_fixed_sql("`qvec`", "`embedding`", dim))
+        if big
+        else vectors.euclidean(F.col("qvec"), F.col("embedding"))
+    )
+    corpus = emb.select("vec_id", "embedding", bkey().alias("bkey"))
     q = (
         emb.where(F.col("vec_id") % 100 == 0)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qvec"),
-            bucket_key(F.col("embedding")).alias("bkey"),
+            bkey().alias("bkey"),
         )
     )
     scored = q.join(corpus, "bkey").select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        vectors.euclidean(F.col("qvec"), F.col("embedding")).alias("distance"),
+        dist.alias("distance"),
     )
     w = Window.partitionBy("query_id").orderBy("distance", "neighbor_id")
     return (
@@ -185,13 +228,25 @@ def rp_lsh_multiprobe_topk(spark, sf_dir):
     recall jump, still an equi-join (no cross join). Candidates reached
     via multiple probes dedup before re-scoring."""
     emb = load_table(spark, sf_dir, "embeddings")
-    corpus = emb.select("vec_id", "embedding", bucket_key(F.col("embedding")).alias("bkey"))
+    dim = vectors.infer_dim(emb, "embedding")
+    big = parquet_rows(f"{sf_dir}/embeddings.parquet") >= _FIXED_KEY_MIN_ROWS
+    bkey = (
+        (lambda: bucket_key_fixed("embedding", dim))
+        if big
+        else (lambda: bucket_key(F.col("embedding")))
+    )
+    dist = (
+        F.expr(vectors.euclidean_fixed_sql("`qvec`", "`embedding`", dim))
+        if big
+        else vectors.euclidean(F.col("qvec"), F.col("embedding"))
+    )
+    corpus = emb.select("vec_id", "embedding", bkey().alias("bkey"))
     q = (
         emb.where(F.col("vec_id") % 100 == 0)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qvec"),
-            bucket_key(F.col("embedding")).alias("bkey"),
+            bkey().alias("bkey"),
         )
     )
     probe_keys = F.array(F.col("bkey"), *[_flip_col(F.col("bkey"), i) for i in range(N_PLANES)])
@@ -201,7 +256,7 @@ def rp_lsh_multiprobe_topk(spark, sf_dir):
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            vectors.euclidean(F.col("qvec"), F.col("embedding")).alias("distance"),
+            dist.alias("distance"),
         )
         .distinct()
     )
