@@ -44,6 +44,7 @@ _OVERFLOW_TAIL = [
     "media_featurize",
     "quality_filter",
     "ivf_topk_trained",  # rows-only (iterative k-means); fixture ivf_topk carries the oracle
+    "neardup_components",  # recursive-CTE oracle in tests; iterative Pregel-style Spark side
 ]
 
 

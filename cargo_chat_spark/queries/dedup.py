@@ -139,6 +139,85 @@ def minhash_lsh_pairs(spark, sf_dir):
     )
 
 
+# --------------------------------------------- near-dup connected components
+# Pairs are not enough for a dedup pipeline — the keep/drop decision is per
+# CLUSTER (keep the min-id doc of each connected component of the near-dup
+# graph). Spark side: iterative min-label propagation (the Pregel pattern —
+# one join + one aggregate per round, converges in O(graph diameter) rounds;
+# the 100 TB version is the same loop with the label frame checkpointed).
+# Oracle: DuckDB recursive-CTE reachability closure — different algorithm,
+# same canonical answer (component id = min reachable doc_id), which is the
+# point: the gate pins the SEMANTICS, not the iteration strategy.
+_COMPONENTS_SQL = f"""
+WITH RECURSIVE {_BANDS_CTE},
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+    WHERE a.doc_id < b.doc_id
+),
+edges AS (
+    SELECT doc_a AS s, doc_b AS d FROM pairs
+    UNION ALL
+    SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach(src, dst) AS (
+    SELECT s, s FROM edges
+    UNION
+    SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s
+)
+SELECT src AS doc_id,
+    CAST(MIN(dst) AS BIGINT) AS component_id
+FROM reach GROUP BY src
+"""
+
+
+@register("neardup_components", sql=_COMPONENTS_SQL)
+def neardup_components(spark, sf_dir, max_iter: int = 20):
+    """Connected components of the LSH near-dup graph: (doc_id,
+    component_id = min doc_id reachable). A pipeline drops every doc where
+    doc_id != component_id to keep exactly one representative per
+    cluster."""
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    edges = pairs.selectExpr("doc_a AS s", "doc_b AS d").unionByName(
+        pairs.selectExpr("doc_b AS s", "doc_a AS d")
+    ).persist()
+    labels = edges.select(F.col("s").alias("doc_id")).distinct().withColumn(
+        "label", F.col("doc_id")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.d == labels.doc_id)
+            .groupBy(F.col("s").alias("doc_id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        if labels.is_cached:
+            labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"neardup_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter)"
+        )
+    edges.unpersist()
+    return labels.select("doc_id", F.col("label").cast("bigint").alias("component_id"))
+
+
 # ------------------------------------------------------------------ simhash
 _SIMHASH_SQL = f"""
 WITH th AS (

@@ -80,3 +80,16 @@ def test_quality_filter_oracle(spark):
     dropped = got[~got["keep"]]
     assert (dropped["reasons"].str.len() > 0).all()
     assert (got[got["keep"]]["reasons"] == "").all()
+
+
+def test_neardup_components_oracle(spark):
+    """Iterative min-label propagation (Spark) vs recursive-CTE
+    reachability closure (DuckDB) — different algorithms, same canonical
+    (doc_id, min-reachable-id) answer."""
+    got, want = _both(spark, "neardup_components")
+    pd.testing.assert_frame_equal(got, want)
+    # component ids are members of their own component (canonical rep)
+    reps = set(got["component_id"])
+    assert reps <= set(got["doc_id"])
+    # at least one non-trivial cluster (doc_id != component_id)
+    assert (got["doc_id"] != got["component_id"]).any()
