@@ -218,6 +218,64 @@ def neardup_components(spark, sf_dir, max_iter: int = 20):
     return labels.select("doc_id", F.col("label").cast("bigint").alias("component_id"))
 
 
+# ----------------------------------------------------- dedup keep decision
+_KEEP_SQL = f"""
+WITH RECURSIVE {_BANDS_CTE},
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+    WHERE a.doc_id < b.doc_id
+),
+edges AS (
+    SELECT doc_a AS s, doc_b AS d FROM pairs
+    UNION ALL
+    SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach(src, dst) AS (
+    SELECT s, s FROM edges
+    UNION
+    SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s
+),
+comp AS (
+    SELECT src AS doc_id, MIN(dst) AS component_id
+    FROM reach GROUP BY src
+),
+sizes AS (
+    SELECT component_id, COUNT(*) AS csize FROM comp GROUP BY component_id
+)
+SELECT d.doc_id,
+    CAST(COALESCE(s.csize, 1) AS BIGINT) AS cluster_size,
+    CAST(c.doc_id IS NULL OR c.component_id = d.doc_id AS BOOLEAN) AS kept
+FROM documents d
+LEFT JOIN comp c USING (doc_id)
+LEFT JOIN sizes s ON s.component_id = c.component_id
+"""
+
+
+@register("neardup_dedup_keep", sql=_KEEP_SQL)
+def neardup_dedup_keep(spark, sf_dir):
+    """The end-to-end near-dup dedup DECISION over the full corpus: every
+    document with its cluster size and whether a keep-one-per-cluster
+    pipeline retains it (singletons always kept; in a cluster, only the
+    min-id representative). This is the frame a curation pipeline
+    partitions its keep/drop writes on."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    comp = neardup_components(spark, sf_dir)
+    sizes = comp.groupBy("component_id").agg(F.count(F.lit(1)).alias("csize"))
+    return (
+        docs.join(comp, "doc_id", "left")
+        .join(F.broadcast(sizes), "component_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("csize", F.lit(1)).cast("bigint").alias("cluster_size"),
+            (
+                F.col("component_id").isNull()
+                | (F.col("component_id") == F.col("doc_id"))
+            ).alias("kept"),
+        )
+    )
+
+
 # ------------------------------------------------------------------ simhash
 _SIMHASH_SQL = f"""
 WITH th AS (

@@ -93,3 +93,14 @@ def test_neardup_components_oracle(spark):
     assert reps <= set(got["doc_id"])
     # at least one non-trivial cluster (doc_id != component_id)
     assert (got["doc_id"] != got["component_id"]).any()
+
+
+def test_neardup_dedup_keep_oracle(spark):
+    got, want = _both(spark, "neardup_dedup_keep")
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) == 500  # full corpus, not just paired docs
+    # exactly one kept doc per multi-doc cluster; singletons all kept
+    multi = got[got["cluster_size"] > 1]
+    assert len(multi) > 0
+    assert multi["kept"].sum() < len(multi)
+    assert got[got["cluster_size"] == 1]["kept"].all()
