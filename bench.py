@@ -86,16 +86,21 @@ BASELINE_S = {
 }
 
 
-def _reference_timings(path: str) -> dict[str, float]:
-    """Per-query seconds from a driver-recorded BENCH_r{N}.json."""
+def _reference_timings(path: str) -> tuple[dict[str, float], float | None]:
+    """(per-query seconds, that run's calib_sec) from a recorded
+    BENCH_r{N}.json. calib_sec is None for pre-calibration rounds."""
     try:
         with open(path) as f:
             data = json.load(f)
     except (OSError, json.JSONDecodeError):
-        return {}
+        return {}, None
     data = data.get("parsed", data)  # driver wraps the JSON line in 'parsed'
     q = data.get("queries", {})
-    return {k: float(v) for k, v in q.items() if isinstance(v, (int, float))}
+    calib = data.get("calib_sec")
+    return (
+        {k: float(v) for k, v in q.items() if isinstance(v, (int, float))},
+        float(calib) if isinstance(calib, (int, float)) else None,
+    )
 
 
 def _latest_bench_path(here: str) -> str | None:
@@ -126,11 +131,19 @@ def main() -> None:
     # round's BENCH (VERDICT r1 item 10) — to stderr so stdout stays the
     # single driver-contract JSON line.
     here = os.path.dirname(os.path.abspath(__file__))
-    refs: dict[str, dict[str, float]] = {"baseline": BASELINE_S}
+    # env anchor per reference: BASELINE numbers are tied to CALIB_REF_S;
+    # a previous round's BENCH records its own calib_sec, so the right
+    # adjustment there is current_calib / that_run's_calib (dividing by the
+    # baseline-anchored env_factor would deflate same-host comparisons)
+    refs: dict[str, tuple[dict[str, float], float]] = {
+        "baseline": (BASELINE_S, env_factor)
+    }
     prev = _latest_bench_path(here)
     if prev:
-        refs[os.path.basename(prev)] = _reference_timings(prev)
-    for ref_name, ref in refs.items():
+        prev_timings, prev_calib = _reference_timings(prev)
+        prev_factor = calib / prev_calib if prev_calib else 1.0
+        refs[os.path.basename(prev)] = (prev_timings, prev_factor)
+    for ref_name, (ref, factor) in refs.items():
         if not ref:
             continue
         deltas = {
@@ -139,13 +152,13 @@ def main() -> None:
             if q in ref and ref[q] > 0
         }
         regressions = {q: r for q, r in deltas.items() if r > 1.25}
-        adjusted = {q: round(r / env_factor, 2) for q, r in deltas.items()}
+        adjusted = {q: round(r / factor, 2) for q, r in deltas.items()}
         adj_regressions = {q: r for q, r in adjusted.items() if r > 1.25}
         print(
             f"[bench] vs {ref_name}: "
             + json.dumps(
                 {
-                    "env_factor": round(env_factor, 3),
+                    "env_factor": round(factor, 3),
                     "ratios": deltas,
                     "ratios_env_adjusted": adjusted,
                     "regressions_gt_1.25x_adjusted": adj_regressions,

@@ -21,12 +21,30 @@ from pyspark.sql import DataFrame, SparkSession
 _PERSIST_MEMO: dict = {}
 
 
+def _sweep_dead_sessions(current_app_id: str) -> None:
+    """Drop entries owned by stopped SparkSessions — otherwise a process
+    that restarts sessions (pytest suites, REPL reconnects) accumulates
+    unreachable DataFrame handles forever."""
+    for k in list(_PERSIST_MEMO):
+        if k[0] == current_app_id:
+            continue
+        df = _PERSIST_MEMO[k]
+        try:
+            stopped = df.sparkSession._jsparkSession.sparkContext().isStopped()
+        except Exception:
+            stopped = True
+        if stopped:
+            del _PERSIST_MEMO[k]
+
+
 def memo_persist(
     spark: SparkSession, key, build: Callable[[], DataFrame]
 ) -> DataFrame:
-    k = (spark.sparkContext.applicationId, key)
+    app_id = spark.sparkContext.applicationId
+    k = (app_id, key)
     df = _PERSIST_MEMO.get(k)
     if df is None:
+        _sweep_dead_sessions(app_id)
         df = build().persist()
         _PERSIST_MEMO[k] = df
     return df

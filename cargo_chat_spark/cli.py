@@ -157,8 +157,10 @@ def cmd_interactive(spark) -> None:
             elif cmd == "help":
                 print(usage)  # ReplSubCmd::Help, main.rs:110-113
             elif cmd == "status":
-                n = index_df.count() if index_df is not None else 0
-                print(f"index: {'loaded, ' + str(n) + ' chunks' if n else 'not loaded'}")
+                if index_df is None:
+                    print("index: not loaded")
+                else:
+                    print(f"index: loaded, {index_df.count()} chunks")
             else:
                 print("unknown command")
         except Exception as exc:  # REPL survives bad input, like rustyline loop

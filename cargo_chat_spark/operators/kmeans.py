@@ -83,6 +83,11 @@ def train_kmeans(
         train.orderBy("__id").limit(k).select(vec_col).collect()
     )
     centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
+    if not centroids:
+        raise ValueError("train_kmeans: empty training frame")
+    # fewer rows than k: every point is its own centroid (k collapses)
+    k = min(k, len(centroids))
+    centroids = centroids[:k]
 
     mean_sql = "array(" + ", ".join(
         f"avg(CAST(element_at(`{vec_col}`, {i}) AS DOUBLE))"

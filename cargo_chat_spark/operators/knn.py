@@ -183,15 +183,21 @@ def knn_join_batched(
     """
     if dim == "auto":  # sniff once here, not once per block
         dim = vectors.infer_dim(corpus, corpus_vec)
-    n = queries.count()
+    # persist the blocked query side: its lineage would otherwise re-run
+    # once for the count and once per block's broadcast build — a derived
+    # query frame (embed/normalize pipeline) multiplies accordingly.
+    # Footprint is the query set itself (the side small enough to batch);
+    # the ContextCleaner reclaims it when the result goes out of scope.
+    blocked = queries.persist()
+    n = blocked.count()
     if n == 0:
         return knn_join(
-            queries, corpus, k,
+            blocked, corpus, k,
             query_id=query_id, query_vec=query_vec,
             corpus_id=corpus_id, corpus_vec=corpus_vec, metric=metric, dim=dim,
         )
     nblocks = -(-n // batch_size)
-    blocked = queries.withColumn(
+    blocked = blocked.withColumn(
         "_blk", F.pmod(F.hash(F.col(query_id)), F.lit(nblocks))
     )
     parts = [

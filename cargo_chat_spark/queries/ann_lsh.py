@@ -133,18 +133,14 @@ def rp_lsh_topk(spark, sf_dir):
     bucket. May return < 10 rows per query (bucket smaller than k) — the
     accuracy/recall tradeoff the reference's RP-trees make too."""
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = vectors.infer_dim(emb, "embedding")
     big = parquet_rows(f"{sf_dir}/embeddings.parquet") >= _FIXED_KEY_MIN_ROWS
-    bkey = (
-        (lambda: bucket_key_fixed("embedding", dim))
-        if big
-        else (lambda: bucket_key(F.col("embedding")))
-    )
-    dist = (
-        F.expr(vectors.euclidean_fixed_sql("`qvec`", "`embedding`", dim))
-        if big
-        else vectors.euclidean(F.col("qvec"), F.col("embedding"))
-    )
+    if big:
+        dim = vectors.infer_dim(emb, "embedding")  # one scalar job, big path only
+        bkey = lambda: bucket_key_fixed("embedding", dim)  # noqa: E731
+        dist = F.expr(vectors.euclidean_fixed_sql("`qvec`", "`embedding`", dim))
+    else:
+        bkey = lambda: bucket_key(F.col("embedding"))  # noqa: E731
+        dist = vectors.euclidean(F.col("qvec"), F.col("embedding"))
     corpus = emb.select("vec_id", "embedding", bkey().alias("bkey"))
     q = (
         emb.where(F.col("vec_id") % 100 == 0)
@@ -228,18 +224,14 @@ def rp_lsh_multiprobe_topk(spark, sf_dir):
     recall jump, still an equi-join (no cross join). Candidates reached
     via multiple probes dedup before re-scoring."""
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = vectors.infer_dim(emb, "embedding")
     big = parquet_rows(f"{sf_dir}/embeddings.parquet") >= _FIXED_KEY_MIN_ROWS
-    bkey = (
-        (lambda: bucket_key_fixed("embedding", dim))
-        if big
-        else (lambda: bucket_key(F.col("embedding")))
-    )
-    dist = (
-        F.expr(vectors.euclidean_fixed_sql("`qvec`", "`embedding`", dim))
-        if big
-        else vectors.euclidean(F.col("qvec"), F.col("embedding"))
-    )
+    if big:
+        dim = vectors.infer_dim(emb, "embedding")  # one scalar job, big path only
+        bkey = lambda: bucket_key_fixed("embedding", dim)  # noqa: E731
+        dist = F.expr(vectors.euclidean_fixed_sql("`qvec`", "`embedding`", dim))
+    else:
+        bkey = lambda: bucket_key(F.col("embedding"))  # noqa: E731
+        dist = vectors.euclidean(F.col("qvec"), F.col("embedding"))
     corpus = emb.select("vec_id", "embedding", bkey().alias("bkey"))
     q = (
         emb.where(F.col("vec_id") % 100 == 0)

@@ -39,7 +39,9 @@ WITH chars AS (
     SELECT doc_id, (i - 1) % {_N_FEATURES} AS bucket,
         ord(substring(text, i, 1)) AS byte
     FROM documents, UNNEST(generate_series(1, len(text))) AS u(i)
-    WHERE len(text) > 0
+    -- >= 8 chars so every stride bucket is populated: the kernel pads
+    -- empty buckets with 0.0 rows the SQL GROUP BY would not produce
+    WHERE len(text) >= 8
 )
 SELECT doc_id AS media_id,
     CAST(bucket AS INT) AS bucket,
@@ -56,7 +58,7 @@ def media_featurize(spark, sf_dir):
     exploded to (media_id, bucket, fixed-point feature) rows."""
     docs = load_table(spark, sf_dir, "documents")
     media = attach_media_columns(
-        docs.where(F.length("text") > 0).select(
+        docs.where(F.length("text") >= _N_FEATURES).select(
             F.col("doc_id").alias("media_id"),
             F.encode(F.col("text"), "UTF-8").alias("payload"),
         ),

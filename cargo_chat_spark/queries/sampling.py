@@ -56,9 +56,11 @@ _STRATIFIED_SQL = f"""
 WITH sampled AS (
     SELECT doc_id, lang,
         {_draw_sql('doc_id')} AS draw,
-        CAST({_DRAW_MOD} * CASE lang
+        -- floor() explicitly: DuckDB CAST(DOUBLE AS BIGINT) rounds,
+        -- Spark's cast truncates (same rule as pack_sequences below)
+        CAST(floor({_DRAW_MOD} * CASE lang
             WHEN 'en' THEN 0.50 WHEN 'de' THEN 0.80 WHEN 'fr' THEN 0.80
-            ELSE 1.0 END AS BIGINT) AS threshold
+            ELSE 1.0 END) AS BIGINT) AS threshold
     FROM documents
 )
 SELECT lang,
@@ -81,7 +83,7 @@ def stratified_sample(spark, sf_dir):
         clause = (F.col("lang") == lang, F.lit(r))
         rate = F.when(*clause) if rate is None else rate.when(*clause)
     rate = rate.otherwise(F.lit(_DEFAULT_RATE))
-    threshold = (F.lit(_DRAW_MOD) * rate).cast("bigint")
+    threshold = F.floor(F.lit(_DRAW_MOD) * rate).cast("bigint")
     kept = F.when(_draw(F.col("doc_id")) < threshold, 1).otherwise(0)
     return (
         docs.select("doc_id", "lang", kept.alias("is_kept"))
@@ -125,7 +127,7 @@ rates AS (
 )
 SELECT d.source, r.n_source,
     CAST(SUM(CASE WHEN {_draw_sql('d.doc_id')}
-                       < CAST({_DRAW_MOD} * r.keep_rate AS BIGINT)
+                       < CAST(floor({_DRAW_MOD} * r.keep_rate) AS BIGINT)
              THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
     round(r.keep_rate, 6) AS keep_rate
 FROM documents d JOIN rates r USING (source)
@@ -162,7 +164,7 @@ def source_mix(spark, sf_dir):
     joined = docs.join(F.broadcast(rates), "source")
     kept = F.when(
         _draw(F.col("doc_id"))
-        < (F.lit(_DRAW_MOD) * F.col("keep_rate")).cast("bigint"),
+        < F.floor(F.lit(_DRAW_MOD) * F.col("keep_rate")).cast("bigint"),
         1,
     ).otherwise(0)
     return (
