@@ -127,6 +127,19 @@ def minhash_signature(hash_arr: Column) -> Column:
     return F.array(*sigs)
 
 
+def minhash_signature_spark_sql(hashes_col: str) -> str:
+    """Spark-dialect twin of ``minhash_signature`` as ONE SQL string —
+    16 Column-builder round trips (py4j per transform/array_min) collapse
+    into a single parse. Same trick as the simhash conditional-sum
+    aggregates; semantics identical to the Column form (asserted in
+    tests/test_minhash_forms.py)."""
+    parts = []
+    for a, b in _PERMS:
+        inner = hashing.universal_sql("x", a, b)
+        parts.append(f"array_min(transform(`{hashes_col}`, x -> {inner}))")
+    return "array(" + ",\n        ".join(parts) + ")"
+
+
 def minhash_signature_sql(hashes_sql_expr: str) -> str:
     parts = []
     for a, b in _PERMS:

@@ -68,11 +68,20 @@ def train_kmeans(
     dim: int,
     n_iter: int = 5,
     sample_mod: int = 1,
+    tol: float = 0.0,
 ) -> list[list[float]]:
     """Lloyd's iterations; returns the trained centroid list (k × dim).
 
     ``sample_mod`` > 1 trains on the deterministic subset
     ``id % sample_mod == 0`` (the 100 TB posture — see module docstring).
+
+    ``tol`` > 0 adds a convergence stop: when the max squared centroid
+    shift of an iteration falls below ``tol``, later iterations are
+    skipped — on a converged corpus this turns n_iter distributed passes
+    into however many the data needs. The shift test is driver-side
+    arithmetic on the k×dim lists (no extra Spark job), so determinism
+    is unchanged; ``tol=0`` (default) reproduces the fixed-iteration
+    behavior exactly.
     """
     train = emb
     if sample_mod > 1:
@@ -103,7 +112,15 @@ def train_kmeans(
         )
         by_cell = {int(r["cell_id"]): [float(x) for x in r["cvec"]] for r in new}
         # empty cells keep their previous centroid (standard Lloyd's)
+        prev = centroids
         centroids = [by_cell.get(c, centroids[c]) for c in range(k)]
+        if tol > 0:
+            shift = max(
+                sum((a - b) ** 2 for a, b in zip(pc, nc))
+                for pc, nc in zip(prev, centroids)
+            )
+            if shift < tol:
+                break
     return centroids
 
 
