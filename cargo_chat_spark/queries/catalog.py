@@ -46,6 +46,7 @@ _OVERFLOW_TAIL = [
     "ivf_topk_trained",  # rows-only (iterative k-means); fixture ivf_topk carries the oracle
     "neardup_components",  # recursive-CTE oracle in tests; iterative Pregel-style Spark side
     "neardup_dedup_keep",    # keep-one-per-cluster decision over the full corpus
+    "repetition_signals",  # Gopher-style dup-n-gram quality signals
 ]
 
 

@@ -376,3 +376,103 @@ def doc_fingerprints(spark, sf_dir):
         )
     )
     return df.select("doc_id", F.array_join(fps.cast("array<string>"), "|").alias("fingerprints"))
+
+
+# ------------------------------------- repetition signals (Gopher-style)
+# Duplicate-n-gram and top-bigram fractions — the repetition family of
+# quality signals from the Gopher/MassiveText filtering recipe (Rae et al.
+# 2021, table A1): highly repetitive documents are low-value training
+# text. Raw DOUBLE ratios, no round(): both engines divide the same exact
+# integers, so the IEEE results are bit-identical and the harness's 6-d.p.
+# canonicalization sees the same value.
+_REPETITION_SQL = rf"""
+WITH base AS (
+    SELECT doc_id,
+        len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS d1,
+        {D.shingles_all_sql('text', 2)} AS g2,
+        {D.shingles_all_sql('text', 3)} AS g3
+    FROM documents
+),
+bigrams AS (SELECT doc_id, unnest(g2) AS g FROM base),
+counts AS (SELECT doc_id, g, COUNT(*) AS n FROM bigrams GROUP BY doc_id, g),
+bi AS (
+    SELECT doc_id, CAST(SUM(n) AS BIGINT) AS total2,
+           CAST(COUNT(*) AS BIGINT) AS d2, CAST(MAX(n) AS BIGINT) AS top2
+    FROM counts GROUP BY doc_id
+)
+SELECT base.doc_id,
+    CAST(n_tokens AS BIGINT) AS n_tokens,
+    1.0 - CAST(d1 AS DOUBLE) / n_tokens AS dup_token_frac,
+    1.0 - CAST(d2 AS DOUBLE) / total2 AS dup_2gram_frac,
+    1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) AS dup_3gram_frac,
+    CAST(top2 * 2 AS DOUBLE) / n_tokens AS top_bigram_frac
+FROM base JOIN bi ON base.doc_id = bi.doc_id
+ORDER BY base.doc_id
+"""
+
+
+@register("repetition_signals", sql=_REPETITION_SQL)
+def repetition_signals(spark, sf_dir):
+    """Per-document repetition signals: duplicate-token / -2-gram /
+    -3-gram fractions and the fraction of tokens covered by the most
+    frequent bigram.
+
+    Plan shape: token/3-gram distinctness are per-row array expressions
+    (no shuffle — the whole corpus streams through one scan); the bigram
+    MODE genuinely needs a grouped count, so it explodes bigrams and
+    aggregates on (doc_id, gram) — map-side combined, one shuffle keyed
+    by doc, then a doc_id equi-join back. The shared token/shingle
+    subtree is memo-persisted (referenced by both branches)."""
+    from cargo_chat_spark.caching import memo_persist
+
+    def build():
+        d = load_table(spark, sf_dir, "documents")
+        toks = d.select("doc_id", D.tokens(F.col("text")).alias("t"))
+        return toks.select(
+            "doc_id",
+            F.size("t").cast("bigint").alias("n_tokens"),
+            F.size(F.array_distinct("t")).cast("bigint").alias("d1"),
+            D.shingles_all_from_tokens(F.col("t"), 2).alias("g2"),
+            D.shingles_all_from_tokens(F.col("t"), 3).alias("g3"),
+        )
+
+    base = memo_persist(spark, ("repetition_base", sf_dir), build)
+    bi = (
+        base.select("doc_id", F.explode("g2").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("total2"),
+            F.count(F.lit(1)).cast("bigint").alias("d2"),
+            F.max("n").cast("bigint").alias("top2"),
+        )
+    )
+    per_doc = base.select(
+        "doc_id",
+        "n_tokens",
+        (F.lit(1.0) - F.col("d1").cast("double") / F.col("n_tokens")).alias(
+            "dup_token_frac"
+        ),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct("g3")).cast("double") / F.size("g3")
+        ).alias("dup_3gram_frac"),
+    )
+    return (
+        per_doc.join(bi, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_token_frac",
+            (F.lit(1.0) - F.col("d2").cast("double") / F.col("total2")).alias(
+                "dup_2gram_frac"
+            ),
+            "dup_3gram_frac",
+            ((F.col("top2") * 2).cast("double") / F.col("n_tokens")).alias(
+                "top_bigram_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
