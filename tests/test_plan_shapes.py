@@ -169,3 +169,25 @@ def test_profiling_agg_codegen_compiles(spark):
             spark._jvm.org.apache.spark.sql.catalyst.expressions.codegen
             .CodeAndComment(code, empty_map)
         )
+
+
+def test_repetition_signals_plan_shape(spark):
+    """Repetition signals: the whole corpus streams through ONE scan into
+    a shared persisted subtree; the only shuffles are the bigram-mode
+    grouped count (map-side combined) and the doc_id join/sort. No Python
+    boundary anywhere."""
+    plan = _plan(spark, "repetition_signals")
+    assert "EvalPython" not in plan and "PythonUDF" not in plan
+    assert "InMemoryTableScan" in plan, (
+        "shared token/shingle subtree lost its persist boundary — both "
+        "branches would re-split every document"
+    )
+    # both branches must read the CACHE (the parquet scan text below each
+    # InMemoryRelation is the cached build plan rendered per reference,
+    # not an extra physical scan)
+    assert plan.count("InMemoryTableScan") == 2, (
+        "a branch bypasses the persisted subtree and re-splits documents"
+    )
+    assert "partial_count" in plan, (
+        "bigram counts lost the map-side partial aggregate"
+    )
