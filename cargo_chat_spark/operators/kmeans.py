@@ -58,6 +58,95 @@ def _assign(df: DataFrame, vec_col: str, centroids: list[list[float]], dim: int)
     return df.withColumn("cell_id", F.expr(assign))
 
 
+def kmeans_parallel_init(
+    train: DataFrame,
+    k: int,
+    *,
+    vec_col: str,
+    dim: int,
+    oversample: int | None = None,
+    rounds: int = 3,
+) -> list[list[float]]:
+    """Deterministic k-means|| (Bahmani et al., VLDB 2012) — the init
+    MLlib's KMeans uses, re-expressed over DataFrames with md5 draws in
+    place of RNG so the whole pipeline stays reproducible.
+
+    Each round is one distributed pass: score every point's min squared
+    distance to the current candidate set (a broadcast literal — the set
+    is bounded by rounds x oversample, tens of vectors), then keep points
+    whose deterministic md5 draw falls under oversample * d2 / phi. The
+    bounded candidate set is weighted by cluster population (one more
+    pass) and reduced to k seeds with a driver-side weighted
+    farthest-first sweep — the standard final step, trivially cheap at
+    |C| <= 1 + rounds*oversample.
+
+    At 100 TB: every pass is scan -> narrow projection -> scalar agg;
+    nothing shuffles but the final tiny groupBy(cell) count.
+    """
+    l = oversample or 2 * k
+    first = (
+        train.orderBy("__id").limit(1).select(vec_col).collect()
+    )
+    if not first:
+        raise ValueError("kmeans_parallel_init: empty training frame")
+    cands = [[float(x) for x in first[0][vec_col]]]
+
+    draw_mod = 1_000_003
+    low32 = F.conv(F.substring(F.md5(F.col("__id").cast("string")), 1, 8), 16, 10)
+    draw = F.pmod(low32.cast("bigint"), F.lit(draw_mod))
+
+    for _ in range(rounds):
+        cents = _centroid_array_sql(cands)
+        d2_sql = (
+            f"aggregate({cents}, CAST('Infinity' AS DOUBLE),"
+            f" (acc, __c) -> least(acc,"
+            f" {vectors.euclidean_sq_fixed_sql(f'`{vec_col}`', '__c', dim)}))"
+        )
+        scored = train.withColumn("__d2", F.expr(d2_sql))
+        phi = scored.agg(F.sum("__d2")).first()[0]
+        if not phi or phi <= 0:  # every point already a candidate
+            break
+        # P(select) = min(1, l * d2 / phi), realized via the md5 draw
+        new_rows = (
+            scored.where(draw / draw_mod < F.lit(float(l)) * F.col("__d2") / F.lit(float(phi)))
+            .orderBy("__id")
+            .select(vec_col)
+            .collect()
+        )
+        cands.extend([float(x) for x in r[vec_col]] for r in new_rows)
+
+    if len(cands) <= k:
+        return cands
+    # weight candidates by how many points they currently own
+    counts = {
+        int(r["cell_id"]): int(r["n"])
+        for r in _assign(train, vec_col, cands, dim)
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    weights = [counts.get(i, 0) for i in range(len(cands))]
+    # driver-side weighted farthest-first: seed with the heaviest
+    # candidate, then repeatedly take the one maximizing weight * d2 to
+    # the chosen set (deterministic k-means++ MAP variant; ties to the
+    # lower index)
+    chosen = [max(range(len(cands)), key=lambda i: (weights[i], -i))]
+    while len(chosen) < k:
+        best, best_score = None, -1.0
+        for i in range(len(cands)):
+            if i in chosen:
+                continue
+            d2 = min(
+                sum((a - b) ** 2 for a, b in zip(cands[i], cands[j]))
+                for j in chosen
+            )
+            score = weights[i] * d2
+            if score > best_score:
+                best, best_score = i, score
+        chosen.append(best)
+    return [cands[i] for i in chosen]
+
+
 def train_kmeans(
     spark: SparkSession,
     emb: DataFrame,
@@ -69,6 +158,7 @@ def train_kmeans(
     n_iter: int = 5,
     sample_mod: int = 1,
     tol: float = 0.0,
+    init: str = "first_k",
 ) -> list[list[float]]:
     """Lloyd's iterations; returns the trained centroid list (k × dim).
 
@@ -88,10 +178,13 @@ def train_kmeans(
         train = train.where(F.col(id_col) % sample_mod == 0)
     train = train.select(F.col(id_col).alias("__id"), vec_col)
 
-    init_rows = (
-        train.orderBy("__id").limit(k).select(vec_col).collect()
-    )
-    centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
+    if init == "parallel":
+        centroids = kmeans_parallel_init(train, k, vec_col=vec_col, dim=dim)
+    else:
+        init_rows = (
+            train.orderBy("__id").limit(k).select(vec_col).collect()
+        )
+        centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
     if not centroids:
         raise ValueError("train_kmeans: empty training frame")
     # fewer rows than k: every point is its own centroid (k collapses)

@@ -321,11 +321,14 @@ def ivf_topk(spark, sf_dir):
 def ivf_topk_trained(spark, sf_dir):
     """IVF top-10 with k-means-TRAINED centroids (operators/kmeans.py)
     instead of the fixture's first-8-vectors — the production path the
-    round-1 verdict asked for. Training: 5 Lloyd's iterations, driver-held
-    k×dim centroids, one codegen'd assign + one mean-aggregate pass per
+    round-1 verdict asked for. Training: deterministic k-means|| seeding
+    (Bahmani et al. — the init MLlib uses; md5 draws, no RNG) then
+    Lloyd's iterations with a convergence stop, driver-held k×dim
+    centroids, one codegen'd assign + one mean-aggregate pass per
     iteration; memo-persisted per (session, sf_dir) so repeated catalog
-    runs train once. Recall vs exact is pinned ≥ the fixture-centroid IVF
-    in tests/test_ann_recall.py."""
+    runs train once. Recall vs exact is pinned ≥ the fixture-centroid
+    IVF in tests/test_ann_recall.py (measured 0.48 fixture / 0.64
+    first-k init / 0.68 k-means|| at sf0.001)."""
     from cargo_chat_spark.operators import kmeans
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -333,7 +336,8 @@ def ivf_topk_trained(spark, sf_dir):
 
     def build():
         cents = kmeans.train_kmeans(
-            spark, emb, _N_CELLS, dim=dim, n_iter=5
+            spark, emb, _N_CELLS, dim=dim, n_iter=5, tol=1e-9,
+            init="parallel",
         )
         return kmeans.assign_cells(emb, cents, dim=dim).select(
             "vec_id", "embedding", "cell_id"

@@ -65,9 +65,10 @@ def test_multiprobe_lifts_recall(spark):
 def test_trained_ivf_recall_beats_fixture(spark):
     fixture = _recall(spark, "ivf_topk")
     trained = _recall(spark, "ivf_topk_trained")
-    # Lloyd-trained centroids must not be worse than the first-8-vectors
-    # fixture at the same (k, nprobe); measured 0.48 -> higher at sf0.001
+    # k-means||-seeded Lloyd's centroids must not be worse than the
+    # first-8-vectors fixture at the same (k, nprobe); measured 0.48
+    # fixture vs 0.68 trained at sf0.001
     assert trained >= fixture - 0.02, (
         f"trained IVF recall {trained:.2f} < fixture {fixture:.2f}"
     )
-    assert trained >= 0.4
+    assert trained >= 0.6

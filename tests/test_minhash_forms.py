@@ -59,3 +59,15 @@ def test_kmeans_k_collapses_to_row_count(spark):
     emb = _toy_embeddings(spark).limit(3)
     cents = kmeans.train_kmeans(spark, emb, 8, dim=2, n_iter=2)
     assert len(cents) == 3
+
+
+def test_kmeans_parallel_init_deterministic_and_converges(spark):
+    emb = _toy_embeddings(spark)
+    a = kmeans.train_kmeans(spark, emb, 2, dim=2, n_iter=5, init="parallel")
+    b = kmeans.train_kmeans(spark, emb, 2, dim=2, n_iter=5, init="parallel")
+    assert a == b and len(a) == 2  # md5 draws, no RNG: bit-reproducible
+    # both inits must land on the same two tight clusters (order-free)
+    c = kmeans.train_kmeans(spark, emb, 2, dim=2, n_iter=10)
+    assert sorted(round(x) for cent in a for x in cent) == sorted(
+        round(x) for cent in c for x in cent
+    )
