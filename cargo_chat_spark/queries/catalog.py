@@ -47,6 +47,7 @@ _OVERFLOW_TAIL = [
     "neardup_components",  # recursive-CTE oracle in tests; iterative Pregel-style Spark side
     "neardup_dedup_keep",    # keep-one-per-cluster decision over the full corpus
     "repetition_signals",  # Gopher-style dup-n-gram quality signals
+    "vocab_top50",  # corpus heavy-hitters: top tokens by count
 ]
 
 

@@ -476,3 +476,46 @@ def repetition_signals(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------ corpus vocabulary top-k
+# The heavy-hitters pass every corpus build runs (vocab sizing, stopword
+# discovery, tokenizer sanity). Plan: explode tokens -> map-side-combined
+# count per token -> single shuffle on the token key -> global top-50.
+# At 100 TB the token key is high-cardinality and near-uniform (no skew
+# hot key worse than the stopword head, which partial aggregation absorbs
+# on the map side).
+_VOCAB_K = 50
+_VOCAB_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+    FROM documents
+)
+SELECT token,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM toks
+GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT {_VOCAB_K}
+"""
+
+
+@register("vocab_top50", sql=_VOCAB_SQL)
+def vocab_top50(spark, sf_dir):
+    """Global top-50 tokens by occurrence count (ties broken by
+    token text, the id tie-break invariant): occurrences + document
+    frequency per token."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(D.tokens(F.col("text"))).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "token")
+        .limit(_VOCAB_K)
+    )
