@@ -191,3 +191,15 @@ def test_repetition_signals_plan_shape(spark):
     assert "partial_count" in plan, (
         "bigram counts lost the map-side partial aggregate"
     )
+
+
+def test_vocab_topk_avoids_global_sort(spark):
+    """Global top-50 must compile to TakeOrderedAndProject (per-partition
+    top-k, merged on the driver) — an Exchange rangepartitioning + full
+    Sort before the limit would shuffle the whole vocabulary at scale."""
+    plan = _plan(spark, "vocab_top50")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+    assert "partial_count" in plan, (
+        "token counts lost the map-side partial aggregate"
+    )
