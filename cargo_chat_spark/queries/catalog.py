@@ -48,6 +48,7 @@ _OVERFLOW_TAIL = [
     "neardup_dedup_keep",    # keep-one-per-cluster decision over the full corpus
     "repetition_signals",  # Gopher-style dup-n-gram quality signals
     "vocab_top50",  # corpus heavy-hitters: top tokens by count
+    "substring_dup_pairs",  # suffix-array-style exact substring dedup
 ]
 
 

@@ -433,3 +433,65 @@ def simhash_neardup_pairs(spark, sf_dir):
         .where(hamming <= _HAMMING_T)
         .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
     )
+
+
+# ------------------------------------------- exact-substring dup pairs
+# The Spark-native form of suffix-array substring dedup (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better"): doc pairs
+# sharing a long exact character run. Side A samples W-char windows at
+# stride S; side B emits every W-char window (stride 1). Any common run
+# of length >= W+S-1 chars necessarily contains a stride-aligned A-window,
+# so detection is GUARANTEED at 149 chars and opportunistic down to 100.
+# Both sides dedup windows within-doc before the join (repetitive docs
+# would otherwise multiply pair rows quadratically). Cost is linear in
+# corpus chars; the join is a hash equi-join on the window. At 100 TB,
+# join on md5(window) instead of the raw 100-char string to shrink the
+# shuffle width (collision odds ~n²/2¹²⁸ — negligible).
+_SUB_W, _SUB_S = 100, 50
+
+_SUBSTR_SQL = f"""
+WITH a AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+        generate_series(1, len(text) - {_SUB_W - 1}, {_SUB_S}),
+        i -> substring(text, i, {_SUB_W})))) AS w
+    FROM documents WHERE len(text) >= {_SUB_W}
+),
+b AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+        generate_series(1, len(text) - {_SUB_W - 1}),
+        i -> substring(text, i, {_SUB_W})))) AS w
+    FROM documents WHERE len(text) >= {_SUB_W}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM a JOIN b ON a.w = b.w AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("substring_dup_pairs", sql=_SUBSTR_SQL)
+def substring_dup_pairs(spark, sf_dir):
+    """Doc pairs sharing an exact 100-char substring (guaranteed for
+    common runs >= W+S-1 = 149 chars) — see the note above."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.length("text") >= _SUB_W
+    )
+
+    def windows(stride: int, out: str):
+        expr = (
+            f"explode(array_distinct(transform("
+            f"sequence(1, length(text) - {_SUB_W - 1}, {stride}),"
+            f" i -> substring(text, i, {_SUB_W}))))"
+        )
+        return d.select(
+            F.col("doc_id").alias(out), F.expr(expr).alias("w")
+        )
+
+    a = windows(_SUB_S, "doc_a")
+    b = windows(1, "doc_b")
+    return (
+        a.join(b, "w")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
