@@ -28,24 +28,36 @@ from cargo_chat_spark.queries.registry import ORACLE_SQL, SPARK_QUERIES
 # _OVERFLOW_TAIL duplicate coverage carried by an earlier entry (or are
 # fixture parity checks whose consumers are themselves gated) and are
 # moved to the end, where falling off the cap loses no operator coverage.
+# Round-3 rotation (per round-2 ADVICE): tail entries rotate through the
+# gated window across rounds so every registered operator eventually gets an
+# external CORRECTNESS row. This round promotes the curation/cluster suite
+# (neardup_dedup_keep, contamination_13gram, pii_scan, quality_filter,
+# neardup_components) plus the repo_files_fixture parity gate (gives S1-S3 a
+# driver row), and demotes six gates whose semantics stay covered by an
+# in-window twin or consumer:
+#   knn_exact_numpy / knn_overfetch_2k  -> J1/O2 contract re-proven by
+#       knn_exact + knn_exact_batched (same kernel, same sort/tie-break)
+#   minhash_signatures                  -> consumed by minhash_lsh_pairs
+#   simhash_fingerprints                -> consumed by simhash_neardup_pairs
+#   event_sessions                      -> batch twin of sessionize_stateful
+#   events_sliding_window               -> windowing gated by events_tumbling_window
 _OVERFLOW_TAIL = [
     "rp_lsh_multiprobe_topk",  # J1-approx also gated by rp_lsh_topk + ivf_topk
-    "repo_files_fixture",      # synthesis parity; 6 downstream profiling gates
     "candidates_fixture",      # synthesis parity; rerank/retrieval gates consume it
     "distinct_counts_approx",  # rows-only HLL twin; exact twin carries the oracle
-    # round-2 curation extensions: beyond-SURVEY ops, oracle-checked by
-    # tests/test_sampling.py (the 50-row driver window is reserved for the
-    # unique SURVEY §2 gates above)
+    "knn_exact_numpy",         # round-3 demotion (see above)
+    "knn_overfetch_2k",
+    "minhash_signatures",
+    "simhash_fingerprints",
+    "event_sessions",
+    "events_sliding_window",
+    # remaining round-2 curation extensions, oracle-checked locally by
+    # tests/test_sampling.py + tests/test_oracle_harness.py; rotate next round
     "stratified_sample",
     "source_mix",
     "pack_sequences",
-    "contamination_13gram",
-    "pii_scan",
     "media_featurize",
-    "quality_filter",
     "ivf_topk_trained",  # rows-only (iterative k-means); fixture ivf_topk carries the oracle
-    "neardup_components",  # recursive-CTE oracle in tests; iterative Pregel-style Spark side
-    "neardup_dedup_keep",    # keep-one-per-cluster decision over the full corpus
     "repetition_signals",  # Gopher-style dup-n-gram quality signals
     "vocab_top50",  # corpus heavy-hitters: top tokens by count
     "substring_dup_pairs",  # suffix-array-style exact substring dedup
