@@ -8,14 +8,17 @@ column-prune shortcut), mirroring how a cluster job would evaluate it.
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from cargo_chat_spark import caching  # noqa: E402
 from cargo_chat_spark.queries import catalog  # noqa: E402
 from cargo_chat_spark.session import get_spark  # noqa: E402
 
@@ -110,20 +113,49 @@ def _latest_bench_path(here: str) -> str | None:
     return os.path.join(here, benches[-1]) if benches else None
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else -1.0
-
-    spark = get_spark(app_name="cargo_chat_spark_bench")
-    calib = _calibrate(spark)
-    env_factor = calib / CALIB_REF_S if calib > 0 else 1.0
+def _run_suite(spark, sf_dir: str) -> dict[str, float]:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = catalog.SPARK_QUERIES[name]
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
+def main() -> None:
+    # Round-2 verdict: one run cannot adjudicate a regression on a host with
+    # ±40% drift — support --repeat N (median per query across repeats, calib
+    # re-measured per repeat so drift WITHIN a bench run is visible too).
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--repeat", type=int, default=int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1")))
+    opts = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(app_name="cargo_chat_spark_bench")
+    calibs = [_calibrate(spark)]
+    runs = [_run_suite(spark, sf_dir)]
+    for _ in range(max(0, opts.repeat - 1)):
+        # cold repeats: drop memo-persisted subtrees so every repeat pays
+        # the same build cost as the driver's single-shot run
+        caching.invalidate_all()
+        calibs.append(_calibrate(spark))
+        runs.append(_run_suite(spark, sf_dir))
+    calib = round(statistics.median(calibs), 3)
+    env_factor = calib / CALIB_REF_S if calib > 0 else 1.0
+    timings = {
+        name: round(statistics.median([r[name] for r in runs]), 3)
+        for name in HEADLINE
+    }
+    if opts.repeat > 1:
+        print(
+            "[bench] per-repeat: "
+            + json.dumps({"calibs": calibs, "runs": runs}),
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
 
@@ -177,6 +209,7 @@ def main() -> None:
                 "sf": sf,
                 "calib_sec": calib,
                 "calib_ref_sec": CALIB_REF_S,
+                "repeats": opts.repeat,
             }
         )
     )

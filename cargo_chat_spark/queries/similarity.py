@@ -10,6 +10,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from cargo_chat_spark.caching import memo_persist
+from cargo_chat_spark.caching import register_memo as memo_register
 from cargo_chat_spark.functions import hashing, vectors
 from cargo_chat_spark.operators.knn import knn_join
 from cargo_chat_spark.queries.registry import register
@@ -385,6 +386,7 @@ def ivf_topk_trained(spark, sf_dir):
 
 
 _TRAINED_MEMO: dict = {}
+memo_register(_TRAINED_MEMO)
 
 
 # ------------------------------------------------ M1 mock embedder (SQL-portable)

@@ -9,6 +9,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
+from cargo_chat_spark.caching import register_memo
 from cargo_chat_spark.queries.registry import register
 from cargo_chat_spark.sources.testdata import load_table
 from cargo_chat_spark.streaming.incremental import windowed_event_counts
@@ -187,6 +188,7 @@ def sessionize_stateful(spark, sf_dir):
 
 
 _STATEFUL_MEMO: dict = {}
+register_memo(_STATEFUL_MEMO)
 
 
 @register("event_sessions", sql=_SESSIONS_SQL)
