@@ -1,0 +1,122 @@
+"""Distributed connected components (min-label propagation).
+
+The near-dup dedup pipeline needs components of the LSH candidate graph:
+every doc labeled with the smallest doc_id reachable from it. This is the
+one genuinely iterative algorithm in the curation suite, so its 100 TB
+posture is about TWO things Catalyst cannot do for us:
+
+* **Round count.** Plain neighbor-min propagation needs O(diameter) rounds;
+  a chain-shaped cluster (plausible in crawl data: A~B~C~... via sliding
+  boilerplate) would need one shuffle round per hop. Each round here
+  therefore also does a *pointer jump* (label := min(label, label[label]),
+  the hash-to-min shortcut from Rastogi et al., "Finding Connected
+  Components in Map-Reduce in Logarithmic Rounds", ICDE 2013): label chains
+  halve every round, so convergence is O(log diameter) — max_iter=20 covers
+  component diameters around 2**20, which is not a real corpus shape.
+* **Lineage.** Every round stacks join+agg on the label frame; by round 20
+  the logical plan (and any recovery replay) is 20 joins deep. The label
+  frame is localCheckpoint()ed every ``checkpoint_every`` rounds, which
+  truncates lineage to the materialized blocks (VERDICT r2 item 4).
+
+Semantics parity: the reference engine dedups via exact groupBy only
+(cargo-chat has no graph stage); this operator extends it per SURVEY §2.8
+(LLM-curation suite). Oracle = DuckDB recursive CTE (min reachable id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 20,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Min-label connected components over an undirected edge list.
+
+    ``edges`` must have two integer-ish columns ``s`` and ``d`` and contain
+    BOTH directions of every undirected edge (callers union the swap).
+    Returns (doc_id, component_id) where component_id = min node id in the
+    node's component. Isolated nodes (absent from ``edges``) are the
+    caller's concern — a left join + coalesce(doc_id), see
+    ``neardup_dedup_keep``.
+    """
+    edges = edges.persist()
+    labels = (
+        edges.select(F.col("s").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    to_release: list[DataFrame] = [labels]
+    converged = False
+    for it in range(max_iter):
+        # 1. neighbor min: the smallest label among my neighbors
+        neighbor_min = (
+            edges.join(labels, edges.d == labels.doc_id)
+            .groupBy(F.col("s").alias("doc_id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        stepped = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+        )
+        # 2. pointer jump: follow my label to ITS label (label values are
+        #    always node ids present in `labels`, so the self-join is total)
+        parent = stepped.select(
+            F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
+        )
+        new_labels = (
+            stepped.join(parent, stepped.label == parent.p_id, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("p_label", "label")
+                ).alias("label"),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0:
+            # truncate lineage: plan depth stays O(checkpoint_every) joins
+            # instead of O(rounds); on a cluster use checkpoint() with a
+            # reliable dir — local[] has no HDFS, so localCheckpoint.
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
+        to_release.append(new_labels)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            converged = True
+            break
+    for df in to_release:
+        if df is not labels:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+    edges.unpersist()
+    if not converged:
+        # With pointer jumping this needs diameter > ~2**max_iter — not a
+        # plausible corpus. Degrade, don't fail: the labels at this point
+        # are a valid REFINEMENT (every labeled pair truly is connected;
+        # some components may still carry >1 label), so a dedup built on it
+        # drops strictly fewer docs than the fixed point — safe direction.
+        import warnings
+
+        warnings.warn(
+            f"connected_components stopped after {max_iter} rounds without "
+            "reaching the fixed point; labels are a conservative refinement "
+            "(over-segmented components, never merged-across)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return labels.select(
+        "doc_id", F.col("label").cast("bigint").alias("component_id")
+    )

@@ -125,13 +125,16 @@ def reference_rank(
 
     # The tiered order only decides WHICH rows survive truncate(k); the
     # reference then re-sorts the truncated results purely by ascending
-    # distance (hyde.rs:545-552, non-rerank path) — so the OUTPUT rank is
-    # a second window over (distance, chunk_id) on the survivors.
+    # distance (hyde.rs:545-552, non-rerank path). That Vec sort is STABLE:
+    # on exact distance ties it preserves the tiered selection order — so
+    # the final window tie-breaks on _sel_rank (the selection rank), not
+    # chunk_id (ADVICE r2). _sel_rank is unique per query, so the output
+    # stays totally ordered and oracle-hashable.
     select_window = Window.partitionBy("query_id").orderBy(
         F.asc("_tier"), F.asc("_langkey"), F.asc("distance"), F.asc("chunk_id")
     )
     final_window = Window.partitionBy("query_id").orderBy(
-        F.asc("distance"), F.asc("chunk_id")
+        F.asc("distance"), F.asc("_sel_rank")
     )
     out = (
         df.where(F.col("_included"))

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from cargo_chat_spark.caching import memo_persist as _memo_persist
 from cargo_chat_spark.operators import dedup as D
+from cargo_chat_spark.operators.graph import connected_components
 from cargo_chat_spark.queries.registry import register
 from cargo_chat_spark.sources.testdata import load_table
 
@@ -177,47 +178,14 @@ FROM reach GROUP BY src
 def neardup_components(spark, sf_dir, max_iter: int = 20):
     """Connected components of the LSH near-dup graph: (doc_id,
     component_id = min doc_id reachable). A pipeline drops every doc where
-    doc_id != component_id to keep exactly one representative per
-    cluster."""
+    doc_id != component_id to keep exactly one representative per cluster.
+    Propagation + pointer-jumping + lineage checkpointing live in
+    :func:`cargo_chat_spark.operators.graph.connected_components`."""
     pairs = minhash_lsh_pairs(spark, sf_dir)
     edges = pairs.selectExpr("doc_a AS s", "doc_b AS d").unionByName(
         pairs.selectExpr("doc_b AS s", "doc_a AS d")
-    ).persist()
-    labels = edges.select(F.col("s").alias("doc_id")).distinct().withColumn(
-        "label", F.col("doc_id")
     )
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.d == labels.doc_id)
-            .groupBy(F.col("s").alias("doc_id"))
-            .agg(F.min("label").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
-            )
-            .persist()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        if labels.is_cached:
-            labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"neardup_components did not converge in {max_iter} rounds "
-            "(component diameter exceeds max_iter)"
-        )
-    edges.unpersist()
-    return labels.select("doc_id", F.col("label").cast("bigint").alias("component_id"))
+    return connected_components(edges, max_iter=max_iter)
 
 
 # ----------------------------------------------------- dedup keep decision
@@ -493,5 +461,4 @@ def substring_dup_pairs(spark, sf_dir):
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
-        .orderBy("doc_a", "doc_b")
     )

@@ -196,11 +196,13 @@ selected AS (
 ),
 ranked AS (
     -- tiers choose WHICH rows survive truncate(k); the output rank is the
-    -- reference's final re-sort by ascending distance (hyde.rs:545-552)
+    -- reference's final re-sort by ascending distance (hyde.rs:545-552).
+    -- Rust's sort is stable, so distance ties keep selection order:
+    -- tie-break on _sel_rank, not chunk_id (ADVICE r2)
     SELECT query_id, chunk_id, file, code, language, extension, distance, k,
         chunk_index,
         CAST(row_number() OVER (
-            PARTITION BY query_id ORDER BY distance, chunk_id
+            PARTITION BY query_id ORDER BY distance, _sel_rank
         ) AS INT) AS "rank"
     FROM selected WHERE _sel_rank <= k
 )

@@ -208,7 +208,10 @@ packed AS (
             ) - n_tokens) / {_PACK_BUDGET}) AS BIGINT) AS bin_idx
     FROM toks
 )
-SELECT CAST(shard * 1000000 + bin_idx AS BIGINT) AS pack_id,
+-- shard << 40: a shard would need 2**40 bins (~2.2e15 tokens/shard at
+-- budget 2048) before colliding into the next shard's id space — beyond
+-- any single-corpus scale; shard*1e6 collided at ~2G tokens/shard
+SELECT CAST(shard * 1099511627776 + bin_idx AS BIGINT) AS pack_id,
     CAST(COUNT(*) AS BIGINT) AS n_docs,
     CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
     CAST(MIN(doc_id) AS BIGINT) AS first_doc,
@@ -246,8 +249,10 @@ def pack_sequences(spark, sf_dir):
         ).cast("bigint"),
     )
     return (
+        # pack_id = shard << 40 | bin: collision needs 2**40 bins in one
+        # shard (~2.2e15 tokens at budget 2048) — see oracle SQL comment
         packed.groupBy(
-            (F.col("shard") * 1_000_000 + F.col("bin_idx"))
+            (F.shiftleft(F.col("shard").cast("bigint"), 40) + F.col("bin_idx"))
             .cast("bigint")
             .alias("pack_id")
         )

@@ -1,0 +1,73 @@
+"""Connected-components operator: pointer-jump convergence + lineage bound.
+
+VERDICT r2 item 4 (checkpoint the label frame) and ADVICE r2 (a chain with
+diameter > max_iter must not fail the whole dedup query).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cargo_chat_spark.operators.graph import connected_components
+
+
+def _chain_edges(spark, n: int):
+    """Path graph 0-1-2-...-(n-1), both directions."""
+    e = spark.range(n - 1).select(
+        F.col("id").alias("s"), (F.col("id") + 1).alias("d")
+    )
+    return e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+
+
+def test_chain_diameter_beyond_plain_max_iter(spark):
+    """A 40-hop chain needs 40 plain propagation rounds; pointer jumping
+    must close it well inside max_iter=20 (ADVICE r2: degrade-don't-fail
+    is the backstop, but this shape shouldn't even need it)."""
+    comp = connected_components(_chain_edges(spark, 41), max_iter=20)
+    rows = comp.collect()
+    assert len(rows) == 41
+    assert {r.component_id for r in rows} == {0}
+
+
+def test_two_components_and_min_label(spark):
+    e1 = _chain_edges(spark, 5)  # nodes 0..4
+    e2 = _chain_edges(spark, 3).select(
+        (F.col("s") + 100).alias("s"), (F.col("d") + 100).alias("d")
+    )  # nodes 100..102
+    comp = connected_components(e1.unionByName(e2), max_iter=20)
+    got = {r.doc_id: r.component_id for r in comp.collect()}
+    assert all(got[i] == 0 for i in range(5))
+    assert all(got[i] == 100 for i in (100, 101, 102))
+
+
+def test_lineage_stays_bounded_by_checkpoint(spark):
+    """The label frame is localCheckpoint()ed every `checkpoint_every`
+    rounds, so the FINAL plan must not stack one join per round — a 2**k
+    star-of-chains forces several rounds, and the optimized plan's join
+    count must stay below what an uncheckpointed loop would accumulate."""
+    comp = connected_components(
+        _chain_edges(spark, 300), max_iter=20, checkpoint_every=2
+    )
+    plan = comp._jdf.queryExecution().optimizedPlan().toString()
+    # the checkpoint shows up as a lineage-free RDD scan standing in for
+    # all rounds before the cut...
+    assert "ExistingRDD" in plan, "no localCheckpoint truncation in lineage"
+    # ...and at most ~2 rounds of joins (3 joins/round, AQE may render a
+    # plan section twice) survive above it; an uncheckpointed 6+-round run
+    # accumulates 18+ joins in a single rendering.
+    joins = plan.count("Join")
+    assert joins <= 14, f"lineage not truncated: {joins} joins in final plan"
+    assert {r.component_id for r in comp.collect()} == {0}
+
+
+def test_nonconvergence_degrades_with_warning(spark):
+    """max_iter=1 cannot close a 10-chain: expect a RuntimeWarning and a
+    conservative refinement (no cross-component merges), not an error."""
+    with pytest.warns(RuntimeWarning, match="refinement"):
+        comp = connected_components(_chain_edges(spark, 10), max_iter=1)
+    got = {r.doc_id: r.component_id for r in comp.collect()}
+    assert len(got) == 10
+    # refinement property: label <= own id, and label is in the same
+    # (here: only) component
+    assert all(lbl <= i for i, lbl in got.items())

@@ -203,3 +203,15 @@ def test_vocab_topk_avoids_global_sort(spark):
     assert "partial_count" in plan, (
         "token counts lost the map-side partial aggregate"
     )
+
+
+def test_substring_dup_pairs_no_global_sort(spark):
+    """VERDICT r2 item 5: the driver canonicalizes order-insensitively, so a
+    global orderBy on the (potentially huge) pair set is a pure-waste full
+    range-partition shuffle + sort at 100 TB. The plan must end at the
+    dedup HashAggregate — no Sort node, no rangepartitioning Exchange."""
+    plan = _plan(spark, "substring_dup_pairs")
+    assert "rangepartitioning" not in plan, (
+        "global sort shuffle reappeared in substring_dup_pairs"
+    )
+    assert "Sort [" not in plan, "global Sort node in substring_dup_pairs"

@@ -85,6 +85,23 @@ def test_retrieve_final_order_is_distance_sorted(spark):
     assert files == ["src/app.js", "src/main.py", "src/hyde.rs"]
 
 
+def test_final_resort_is_stable_on_distance_ties(spark):
+    """retrieve()'s final sort is Rust's STABLE Vec sort (hyde.rs:545-552):
+    exact distance ties keep the tiered selection order — the lang-matched
+    rust row outranks the python row at equal distance even though the
+    python row has the smaller chunk_id (ADVICE r2)."""
+    rows = [
+        ("src/main.py", "def main():", "py", "python", 0.2),   # chunk_id 0
+        ("src/hyde.rs", "fn hyde_impl() {}", "rs", "rust", 0.2),  # chunk_id 1
+    ]
+    c = _candidates(spark, rows)
+    cls = _classification(spark, language="rust", intent="implementation",
+                          wants_code=True, confidence=0.9)
+    out = ranking.reference_rank(c.join(F.broadcast(cls), "query_id"))
+    files = [r["file"] for r in out.orderBy("rank").collect()]
+    assert files == ["src/hyde.rs", "src/main.py"]
+
+
 # --------------------------- hyde.rs:1451-1489 (code over docs, high conf)
 def test_prioritizes_code_over_docs_when_wants_code_high_confidence(spark):
     rows = [
