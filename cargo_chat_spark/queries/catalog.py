@@ -28,39 +28,46 @@ from cargo_chat_spark.queries.registry import ORACLE_SQL, SPARK_QUERIES
 # _OVERFLOW_TAIL duplicate coverage carried by an earlier entry (or are
 # fixture parity checks whose consumers are themselves gated) and are
 # moved to the end, where falling off the cap loses no operator coverage.
-# Round-3 rotation (per round-2 ADVICE): tail entries rotate through the
-# gated window across rounds so every registered operator eventually gets an
-# external CORRECTNESS row. This round promotes the curation/cluster suite
-# (neardup_dedup_keep, contamination_13gram, pii_scan, quality_filter,
-# neardup_components) plus the repo_files_fixture parity gate (gives S1-S3 a
-# driver row), and demotes six gates whose semantics stay covered by an
-# in-window twin or consumer:
-#   knn_exact_numpy / knn_overfetch_2k  -> J1/O2 contract re-proven by
-#       knn_exact + knn_exact_batched (same kernel, same sort/tie-break)
-#   minhash_signatures                  -> consumed by minhash_lsh_pairs
-#   simhash_fingerprints                -> consumed by simhash_neardup_pairs
-#   event_sessions                      -> batch twin of sessionize_stateful
-#   events_sliding_window               -> windowing gated by events_tumbling_window
+# Round-4 rotation (finishes the plan from round-2 ADVICE / round-3 VERDICT
+# item 3): promotes the EIGHT entries that had never had an external
+# CORRECTNESS row across r1-r3 (stratified_sample, source_mix,
+# pack_sequences, media_featurize, ivf_topk_trained, repetition_signals,
+# vocab_top50, substring_dup_pairs) plus the new index_roundtrip gate
+# (S4/S6 — previously the only §2 rows with no external gate; VERDICT item
+# 4). With that, every registered operator has at least one green external
+# row across r1-r4. Nine demotions make room — each is green in r1-r3 AND
+# its semantics stay re-proven by an in-window twin or consumer:
+#   filter_folder/extension/exclude -> F2-F4 re-proven by
+#       retrieval_rank_reference (applies all three in the pipeline)
+#   minhash_lsh_pairs  -> consumed verbatim by neardup_components (+ keep)
+#   ngram_jaccard_pairs -> LSH-candidate verify, green r1-r3; banded-join
+#       machinery re-proven by neardup_components
+#   simhash_neardup_pairs -> green r1-r3 (fingerprints + pairs both gated
+#       in earlier rounds)
+#   knn_exact_batched  -> same oracle + kernel as in-window knn_exact
+#   dim_validation     -> P7, green r1-r3; retrieval pipeline enforces dim
+#   cosine_topk        -> cosine kernel re-proven by rp_lsh_topk's exact
+#       re-rank and knn_exact's distance contract
 _OVERFLOW_TAIL = [
     "rp_lsh_multiprobe_topk",  # J1-approx also gated by rp_lsh_topk + ivf_topk
     "candidates_fixture",      # synthesis parity; rerank/retrieval gates consume it
     "distinct_counts_approx",  # rows-only HLL twin; exact twin carries the oracle
-    "knn_exact_numpy",         # round-3 demotion (see above)
-    "knn_overfetch_2k",
-    "minhash_signatures",
-    "simhash_fingerprints",
-    "event_sessions",
-    "events_sliding_window",
-    # remaining round-2 curation extensions, oracle-checked locally by
-    # tests/test_sampling.py + tests/test_oracle_harness.py; rotate next round
-    "stratified_sample",
-    "source_mix",
-    "pack_sequences",
-    "media_featurize",
-    "ivf_topk_trained",  # rows-only (iterative k-means); fixture ivf_topk carries the oracle
-    "repetition_signals",  # Gopher-style dup-n-gram quality signals
-    "vocab_top50",  # corpus heavy-hitters: top tokens by count
-    "substring_dup_pairs",  # suffix-array-style exact substring dedup
+    "knn_exact_numpy",         # round-3 demotion: J1 re-proven by knn_exact
+    "knn_overfetch_2k",        # O2 re-proven inside retrieval_rank_reference
+    "minhash_signatures",      # consumed by minhash_lsh_pairs
+    "simhash_fingerprints",    # consumed by simhash_neardup_pairs
+    "event_sessions",          # batch twin of sessionize_stateful
+    "events_sliding_window",   # windowing gated by events_tumbling_window
+    # round-4 demotions (rationale above)
+    "filter_folder",
+    "filter_extension",
+    "filter_exclude",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_neardup_pairs",
+    "knn_exact_batched",
+    "dim_validation",
+    "cosine_topk",
 ]
 
 

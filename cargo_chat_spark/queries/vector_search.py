@@ -91,3 +91,58 @@ def knn_overfetch_2k(spark, sf_dir):
     """Reference-mode k*2 over-fetch before filtering (hyde.rs:500)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return overfetch_knn(_query_vectors(spark, sf_dir), emb, k=10, dim="auto")
+
+
+# ------------------------------------------- S4/S6 index persistence roundtrip
+# Oracle: the roundtrip must be the identity over the embeddings fixture.
+# Float arrays aren't hashable cells for the harness, so both sides emit the
+# vector as '|'-joined fixed-point micro-units (floor(x*1e6) in DOUBLE) —
+# float→double widening is exact, parquet double roundtrip is exact, so the
+# integers agree iff write_index∘read_index preserved every value.
+_ROUNDTRIP_SQL = """
+SELECT vec_id AS chunk_id,
+       CAST(len(embedding) AS INT) AS dim,
+       array_to_string(list_transform(embedding, x ->
+           CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)), '|') AS emb_fp
+FROM embeddings
+"""
+
+
+@register("index_roundtrip", sql=_ROUNDTRIP_SQL)
+def index_roundtrip(spark, sf_dir):
+    """S6→S4 parity gate (sources/index_io.py:27-46): persist the embeddings
+    fixture through write_index, load it back with read_index (which
+    re-validates dim like ann.rs:128-161), and emit every value. A lost row,
+    reordered column, or perturbed float shows up as a hash mismatch against
+    the identity oracle."""
+    import os
+    import tempfile
+
+    from cargo_chat_spark.sources.index_io import read_index, write_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    idx = emb.select(
+        F.col("vec_id").alias("chunk_id"),
+        F.concat(F.lit("vec_"), F.col("vec_id"), F.lit(".txt")).alias("file"),
+        F.col("label").cast("string").alias("code"),
+        F.lit("text").alias("language"),
+        F.lit("txt").alias("extension"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"ccs_index_roundtrip_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    write_index(idx, out_dir, dim)
+    back, meta = read_index(spark, out_dir)
+    assert meta["dim"] == dim
+    fp = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x * F.lit(1000000.0)).cast("bigint"),
+    )
+    return back.select(
+        "chunk_id",
+        F.size("embedding").alias("dim"),
+        F.array_join(fp.cast("array<string>"), "|").alias("emb_fp"),
+    )

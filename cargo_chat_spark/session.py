@@ -37,8 +37,10 @@ def get_spark(
         # model-inference UDFs batch at the reference's embed batch size x4;
         # Arrow batches are the unit of pandas_udf work (SURVEY §2.8 M1)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
-        # the driver's events table carries parquet TIMESTAMP(NANOS); read
-        # as BIGINT nanos (sources.testdata converts to micros, DuckDB-style)
+        # the driver's events table has shipped as parquet TIMESTAMP(NANOS)
+        # in some fixture generations (and timestamp[us] in others); with
+        # this conf the nanos generation reads as BIGINT and
+        # sources.testdata.load_table branches on the loaded dtype
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

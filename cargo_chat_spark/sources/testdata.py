@@ -28,18 +28,31 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # set defensively (runtime SQL conf) — the driver's own session may
-        # not have gone through session.get_spark
+        # set defensively (runtime SQL confs) — the driver's own session may
+        # not have gone through session.get_spark. nanosAsLong makes a
+        # TIMESTAMP(NANOS) fixture readable at all (Spark otherwise refuses);
+        # UTC keeps NTZ→LTZ normalization value-identical to the DuckDB
+        # oracle's naive timestamps.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark won't read as a
-        # timestamp (the session sets legacy nanosAsLong → BIGINT nanos).
-        # Truncate to micros exactly like DuckDB does when it reads ns.
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) in some fixture
+        # generations (loaded as BIGINT nanos via nanosAsLong) and plain
+        # timestamp[us] in others. Branch on the dtype actually loaded so
+        # both generations work; output is always TIMESTAMP (LTZ, UTC).
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-        # integer division — epoch nanos (~1.7e18) exceed double's 2^53
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            # integer division — epoch nanos (~1.7e18) exceed double's 2^53;
+            # truncate to micros exactly like DuckDB does when it reads ns.
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        else:
+            # timestamp[us] arrives as TIMESTAMP_NTZ (Spark infers NTZ for
+            # isAdjustedToUTC=false); normalize to the session type under UTC
+            # so downstream window/sessionize semantics are unchanged.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
