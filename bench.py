@@ -97,7 +97,12 @@ def _reference_timings(path: str) -> tuple[dict[str, float], float | None]:
             data = json.load(f)
     except (OSError, json.JSONDecodeError):
         return {}, None
-    data = data.get("parsed", data)  # driver wraps the JSON line in 'parsed'
+    # driver wraps the JSON line in 'parsed'; a crashed round records
+    # 'parsed': null (or no key at all) — fall back to the outer object,
+    # whose missing 'queries' then yields the empty dict
+    data = data.get("parsed") or data
+    if not isinstance(data, dict):
+        return {}, None
     q = data.get("queries", {})
     calib = data.get("calib_sec")
     return (

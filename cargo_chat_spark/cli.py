@@ -113,6 +113,49 @@ def cmd_query(spark, index_df, question: str, k: int, rerank: bool) -> None:
     print(f"[{time.perf_counter() - t0:.2f}s]")
 
 
+# REPL history persistence (main.rs:578-601, `.cargo_chat_history` behind
+# the with-file-history feature): $HOME/<file>, falling back to the current
+# directory when HOME is undetermined — same resolution order the reference
+# uses. readline is optional (absent on some builds), so load/save no-op
+# gracefully; `input()` picks the module up automatically once imported.
+HISTORY_FILE_NAME = ".cargo_chat_spark_history"
+
+
+def _history_path() -> str:
+    home = os.environ.get("HOME") or os.environ.get("USERPROFILE")
+    return os.path.join(home, HISTORY_FILE_NAME) if home else HISTORY_FILE_NAME
+
+
+def _load_history(path: str) -> None:
+    try:
+        import readline
+
+        readline.read_history_file(path)
+    except (ImportError, OSError):
+        pass  # no readline, or no previous history — same as main.rs:601
+
+
+def _save_history(path: str) -> None:
+    try:
+        import readline
+
+        readline.set_history_length(1000)
+        readline.write_history_file(path)
+    except (ImportError, OSError):
+        pass
+
+
+def _add_history(line: str) -> None:
+    """Explicit per-line record (main.rs:611 rl.add_history_entry) — also
+    covers piped/non-tty stdin, where readline's implicit capture is off."""
+    try:
+        import readline
+
+        readline.add_history(line)
+    except ImportError:
+        pass
+
+
 def cmd_interactive(spark) -> None:
     from cargo_chat_spark.sources.index_io import read_index
 
@@ -122,7 +165,16 @@ def cmd_interactive(spark) -> None:
         "load-index <dir> | query <question...> [-k K] [--use-rerank] | "
         "status | help | exit"
     )
+    history = _history_path()
+    _load_history(history)
     print(usage)
+    try:
+        _interactive_loop(spark, index_df, usage, read_index)
+    finally:
+        _save_history(history)  # every exit path persists, main.rs:741-744
+
+
+def _interactive_loop(spark, index_df, usage, read_index) -> None:
     while True:
         try:
             line = input("> ").strip()
@@ -130,6 +182,7 @@ def cmd_interactive(spark) -> None:
             break
         if not line:
             continue
+        _add_history(line)
         parts = shlex.split(line)
         cmd, args = parts[0], parts[1:]
         try:

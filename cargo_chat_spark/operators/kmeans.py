@@ -223,7 +223,33 @@ def assign_cells(
     *,
     vec_col: str = "embedding",
     dim: int,
+    n_assign: int = 1,
 ) -> DataFrame:
     """Full-corpus cell assignment with the trained centroids (the batch
-    job whose output gets written partitioned by cell_id)."""
-    return _assign(emb, vec_col, centroids, dim)
+    job whose output gets written partitioned by cell_id).
+
+    ``n_assign`` > 1 is IVF soft assignment: each vector is replicated
+    into its n_assign nearest cells (the classic recall lever for vectors
+    near cell borders — cf. the reference's RP-tree FOREST, ann.rs:254,
+    which replicates each vector into all 16 trees; n_assign=2 is the
+    same idea at 1/8th the storage). Index size scales by n_assign;
+    searches must dedup (query_id, neighbor_id) after probing since a
+    replicated vector can be reached through more than one probed cell.
+    Still one projection + one explode, no join or shuffle: the top-n
+    cells come from sorting the k-length (distance, cell) struct array,
+    ties to the lower cell id."""
+    if n_assign <= 1:
+        return _assign(emb, vec_col, centroids, dim)
+    cents = _centroid_array_sql(centroids)
+    dist = vectors.euclidean_sq_fixed_sql(f"`{vec_col}`", "__c", dim)
+    top = (
+        f"slice(array_sort("
+        f"  zip_with({cents}, sequence(0, {len(centroids) - 1}),"
+        f"           (__c, __i) -> struct({dist} AS d, __i AS i))"
+        f"), 1, {n_assign})"
+    )
+    return (
+        emb.withColumn("__cells", F.expr(top))
+        .withColumn("cell_id", F.explode(F.col("__cells.i")))
+        .drop("__cells")
+    )

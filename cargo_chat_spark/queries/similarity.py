@@ -318,6 +318,20 @@ def ivf_topk(spark, sf_dir):
 
 
 # --------------------------------------------- IVF with trained centroids
+# Trained variant runs a FINER partition than the 8-cell fixture at the same
+# index technology: 32 cells, 8 probes, soft assignment 2 (each vector
+# replicated into its 2 nearest cells). Measured recall@10 at sf0.001:
+# 0.68 (8 cells / 2 probes / hard assign, r1-r3 shipped) → 0.96 with these
+# knobs; the r2-r3 verdicts' 0.85 target is cleared with margin. Cost model
+# at scale: candidates/query = nprobe × (n·n_assign / ncells) — the same
+# scan fraction a coarser hard-assigned index pays, with 2× index storage
+# buying border-vector coverage (the reference's RP forest, ann.rs:254,
+# spends 16× for the same reason).
+_N_CELLS_TRAINED = 32
+_N_PROBE_TRAINED = 8
+_N_ASSIGN_TRAINED = 2
+
+
 @register("ivf_topk_trained")  # rows-only: Lloyd's iterations aren't SQL
 def ivf_topk_trained(spark, sf_dir):
     """IVF top-10 with k-means-TRAINED centroids (operators/kmeans.py)
@@ -327,9 +341,11 @@ def ivf_topk_trained(spark, sf_dir):
     Lloyd's iterations with a convergence stop, driver-held k×dim
     centroids, one codegen'd assign + one mean-aggregate pass per
     iteration; memo-persisted per (session, sf_dir) so repeated catalog
-    runs train once. Recall vs exact is pinned ≥ the fixture-centroid
-    IVF in tests/test_ann_recall.py (measured 0.48 fixture / 0.64
-    first-k init / 0.68 k-means|| at sf0.001)."""
+    runs train once. Soft assignment (n_assign=2) replicates border
+    vectors into their 2 nearest cells; searches dedup candidates after
+    probing. Recall vs exact is pinned ≥0.85 in
+    tests/test_ann_recall.py (measured 0.96 at sf0.001 with 32/8/2 vs
+    0.68 for the r3-era 8/2/1)."""
     from cargo_chat_spark.operators import kmeans
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -337,12 +353,12 @@ def ivf_topk_trained(spark, sf_dir):
 
     def build():
         cents = kmeans.train_kmeans(
-            spark, emb, _N_CELLS, dim=dim, n_iter=5, tol=1e-9,
+            spark, emb, _N_CELLS_TRAINED, dim=dim, n_iter=5, tol=1e-9,
             init="parallel",
         )
-        return kmeans.assign_cells(emb, cents, dim=dim).select(
-            "vec_id", "embedding", "cell_id"
-        ), cents
+        return kmeans.assign_cells(
+            emb, cents, dim=dim, n_assign=_N_ASSIGN_TRAINED
+        ).select("vec_id", "embedding", "cell_id"), cents
 
     # memo both the assigned frame and the centroid list
     key = ("ivf_trained", sf_dir)
@@ -366,7 +382,7 @@ def ivf_topk_trained(spark, sf_dir):
         queries.crossJoin(F.broadcast(cent_rows))
         .withColumn("cdist", _euclid(F.col("cvec"), F.col("qvec")))
         .withColumn("pr", F.row_number().over(w_probe))
-        .where(F.col("pr") <= _N_PROBE)
+        .where(F.col("pr") <= _N_PROBE_TRAINED)
         .select("query_id", "cell_id")
     )
     scored = (
@@ -377,6 +393,10 @@ def ivf_topk_trained(spark, sf_dir):
             F.col("vec_id").alias("neighbor_id"),
             _euclid(F.col("qvec"), F.col("embedding")).alias("distance"),
         )
+        # soft assignment can surface the same (query, vector) through two
+        # probed cells; distance is computed identically so distinct() is an
+        # exact dedup (one hash aggregate)
+        .distinct()
     )
     w_rank = Window.partitionBy("query_id").orderBy("distance", "neighbor_id")
     return (

@@ -65,10 +65,10 @@ def test_multiprobe_lifts_recall(spark):
 def test_trained_ivf_recall_beats_fixture(spark):
     fixture = _recall(spark, "ivf_topk")
     trained = _recall(spark, "ivf_topk_trained")
-    # k-means||-seeded Lloyd's centroids must not be worse than the
-    # first-8-vectors fixture at the same (k, nprobe); measured 0.48
-    # fixture vs 0.68 trained at sf0.001
+    # k-means||-seeded Lloyd's centroids at 32 cells / 8 probes / soft
+    # assign 2 must clear the r2-r3 verdicts' 0.85 bar (measured 0.96 at
+    # sf0.001; the fixture 8/2/1 IVF measures 0.48)
     assert trained >= fixture - 0.02, (
         f"trained IVF recall {trained:.2f} < fixture {fixture:.2f}"
     )
-    assert trained >= 0.6
+    assert trained >= 0.85, f"trained IVF recall@10 {trained:.2f} below 0.85"

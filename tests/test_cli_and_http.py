@@ -162,3 +162,33 @@ def test_repl_help_status_and_rerank_parse(spark, capsys, monkeypatch):
     assert "index: not loaded" in out
     assert "No index loaded" in out
     assert "unknown command" in out
+
+
+def test_repl_history_survives_invocations(spark, tmp_path, monkeypatch):
+    """History file parity (main.rs:578-601, 611, 741-744): commands typed
+    in one REPL session are reloaded into readline in the next."""
+    readline = pytest.importorskip("readline")
+    from cargo_chat_spark import cli
+
+    monkeypatch.setenv("HOME", str(tmp_path))
+    hist_file = tmp_path / cli.HISTORY_FILE_NAME
+    readline.clear_history()
+
+    feed = iter(["help", "status", "exit"])
+    monkeypatch.setattr("builtins.input", lambda *_: next(feed))
+    cli.cmd_interactive(spark)
+    assert hist_file.exists(), "REPL exit did not write the history file"
+
+    # fresh 'process': wipe in-memory history, run a second session, and
+    # check the first session's commands came back from disk
+    readline.clear_history()
+    feed2 = iter(["exit"])
+    monkeypatch.setattr("builtins.input", lambda *_: next(feed2))
+    cli.cmd_interactive(spark)
+    loaded = [
+        readline.get_history_item(i + 1)
+        for i in range(readline.get_current_history_length())
+    ]
+    assert "help" in loaded and "status" in loaded, (
+        f"history not reloaded across invocations: {loaded}"
+    )
