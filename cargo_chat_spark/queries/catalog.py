@@ -68,6 +68,10 @@ _OVERFLOW_TAIL = [
     "knn_exact_batched",
     "dim_validation",
     "cosine_topk",
+    # new in round 4 (oracle-checked by the local replica harness); rotate
+    # into the gated window next round
+    "rp_lsh_forest_topk",
+    "events_asof_join",
 ]
 
 

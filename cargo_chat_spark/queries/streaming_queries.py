@@ -222,3 +222,76 @@ def event_sessions(spark, sf_dir):
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ------------------------------------------------------------- as-of join
+# Point-in-time enrichment (operators/asof.py): every click gets the most
+# recent purchase by the same user at or before its timestamp. The oracle is
+# the same UNION-AND-CARRY window spec in portable SQL (DuckDB's native ASOF
+# JOIN leaves equal-timestamp ties unspecified; the explicit window makes
+# the tie-break — right rows first, then largest event_id — part of the
+# contract both engines implement).
+_ASOF_SQL = """
+WITH tagged AS (
+    SELECT user_id, ts, 1 AS tag, event_id,
+           NULL::BIGINT AS p_id, NULL::TIMESTAMP AS p_ts,
+           NULL::DOUBLE AS p_value
+    FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT user_id, ts, 0 AS tag, event_id,
+           event_id AS p_id, ts AS p_ts, value AS p_value
+    FROM events WHERE event_type = 'purchase'
+),
+carried AS (
+    SELECT *,
+        LAST_VALUE(p_id IGNORE NULLS) OVER w AS last_purchase_id,
+        LAST_VALUE(p_ts IGNORE NULLS) OVER w AS last_purchase_ts,
+        LAST_VALUE(p_value IGNORE NULLS) OVER w AS last_purchase_value
+    FROM tagged
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts, tag, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    )
+)
+SELECT event_id AS click_id, user_id, ts,
+       last_purchase_id, last_purchase_ts, last_purchase_value,
+       CAST(
+           CASE WHEN last_purchase_ts IS NOT NULL
+                THEN date_diff('second', last_purchase_ts, ts) END
+       AS BIGINT) AS secs_since_purchase
+FROM carried WHERE tag = 1
+"""
+
+
+@register("events_asof_join", sql=_ASOF_SQL)
+def events_asof_join(spark, sf_dir):
+    """As-of join over events: clicks enriched with the latest prior-or-
+    equal purchase per user (id, ts, value, whole seconds elapsed). One
+    shuffle on user_id via the union-and-carry operator — no range join."""
+    from cargo_chat_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = e.where(F.col("event_type") == "purchase")
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload={
+            "event_id": "last_purchase_id",
+            "ts": "last_purchase_ts",
+            "value": "last_purchase_value",
+        },
+        right_id="event_id",
+    )
+    secs = (
+        F.unix_timestamp("ts") - F.unix_timestamp("last_purchase_ts")
+    ).cast("bigint")
+    return out.withColumn(
+        "secs_since_purchase",
+        F.when(F.col("last_purchase_ts").isNotNull(), secs),
+    )

@@ -62,6 +62,16 @@ def test_multiprobe_lifts_recall(spark):
     assert multi > 0.4
 
 
+def test_lsh_forest_recall(spark):
+    """The L-table forest (the reference's 16-tree analog, ann.rs:254)
+    must clear 0.8 and dominate single-table multiprobe (measured 0.90 vs
+    0.54 at sf0.001)."""
+    multi = _recall(spark, "rp_lsh_multiprobe_topk")
+    forest = _recall(spark, "rp_lsh_forest_topk")
+    assert forest >= multi, f"forest {forest:.2f} < multiprobe {multi:.2f}"
+    assert forest >= 0.8, f"LSH-forest recall@10 {forest:.2f} below 0.8"
+
+
 def test_trained_ivf_recall_beats_fixture(spark):
     fixture = _recall(spark, "ivf_topk")
     trained = _recall(spark, "ivf_topk_trained")

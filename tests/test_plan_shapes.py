@@ -128,6 +128,18 @@ def test_lsh_join_is_equijoin(spark):
     ), "LSH candidate join degraded to a non-equi strategy"
 
 
+def test_lsh_forest_join_is_equijoin(spark):
+    """The L-table forest must stay an equi-join on (t, bkey) — 12 tables
+    of candidate traffic through a nested-loop would be the quadratic
+    blowup the forest exists to avoid."""
+    plan = _plan(spark, "rp_lsh_forest_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    ), "forest candidate join degraded to a non-equi strategy"
+
+
 def test_profiling_agg_codegen_compiles(spark):
     """The repo_files synthesis CASE tree fused into a HashAggregate blew
     Janino's 64 KB method limit — Spark fell back to interpreted execution
