@@ -72,6 +72,9 @@ _OVERFLOW_TAIL = [
     # into the gated window next round
     "rp_lsh_forest_topk",
     "events_asof_join",
+    "events_within_5min_pairs",
+    "event_value_percentiles",
+    "knn_int8_rerank",
 ]
 
 

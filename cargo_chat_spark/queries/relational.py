@@ -195,3 +195,33 @@ def segment_running_totals(spark, sf_dir):
         "running_total",
         F.sum(F.col("month_total").cast("decimal(18,2)")).over(w).cast("double"),
     )
+
+
+# ------------------------------------------------------- exact percentiles
+# Exact linear-interpolated quantiles (both engines use the type-7 /
+# "continuous" definition: value at rank p*(n-1), interpolated). At 100 TB
+# the exact form is one shuffle of per-group sorted states; the sketch form
+# (percentile_approx / KLL) is the exit ramp when groups stop fitting —
+# engine sketches differ, so the EXACT form is the oracle-checkable one.
+_PCT_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.95) AS p95,
+       quantile_cont(value, 0.99) AS p99
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("event_value_percentiles", sql=_PCT_SQL)
+def event_value_percentiles(spark, sf_dir):
+    """p50/p95/p99 of ``value`` per event type — exact interpolated
+    percentiles (Spark ``percentile`` == DuckDB ``quantile_cont``)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )

@@ -295,3 +295,39 @@ def events_asof_join(spark, sf_dir):
         "secs_since_purchase",
         F.when(F.col("last_purchase_ts").isNotNull(), secs),
     )
+
+
+# ------------------------------------------------------ bucketed range join
+# Pairs of events by the same user within 5 minutes of each other
+# (operators/rangejoin.py — candidate stage is an equi-join on (user, time
+# bucket), never a per-key cartesian). The oracle is the naive range join:
+# fine at fixture scale, and the point — same answer, different plan.
+_RANGE_PAIRS_SQL = """
+SELECT a.user_id,
+       a.event_id AS id_a, b.event_id AS id_b,
+       a.ts AS ts_a, b.ts AS ts_b,
+       CAST(date_diff('microsecond', a.ts, b.ts) AS DOUBLE) / 1000000.0
+           AS gap_seconds,
+       a.event_type AS event_type_a, b.event_type AS event_type_b
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+ AND date_diff('microsecond', a.ts, b.ts) <= 300 * 1000000
+"""
+
+
+@register("events_within_5min_pairs", sql=_RANGE_PAIRS_SQL)
+def events_within_5min_pairs(spark, sf_dir):
+    """Interval self-join: all (earlier, later) event pairs per user with
+    gap <= 300 s, pair orientation on (ts, event_id)."""
+    from cargo_chat_spark.operators.rangejoin import within_tolerance_pairs
+
+    e = load_table(spark, sf_dir, "events")
+    return within_tolerance_pairs(
+        e,
+        key="user_id",
+        ts="ts",
+        id_col="event_id",
+        tol_seconds=300,
+        payload=("event_type",),
+    )

@@ -93,6 +93,130 @@ def knn_overfetch_2k(spark, sf_dir):
     return overfetch_knn(_query_vectors(spark, sf_dir), emb, k=10, dim="auto")
 
 
+# ------------------------------------------------- int8-quantized kNN + re-rank
+# The 100 TB memory/bandwidth lever: store the corpus as int8 (4x smaller
+# than float32, 8x than float64), scan candidates in the integer domain,
+# re-rank only the short list at full precision. Symmetric GLOBAL-scale
+# quantization (one scale for the whole corpus, gscale = max|x|/127) keeps
+# the candidate metric PURE INTEGER — sum((qa-qb)^2) is exact in any engine,
+# so candidate selection is deterministic and oracle-checkable, unlike
+# per-vector-scale schemes whose float mixing reintroduces rounding drift.
+# floor(x/gscale + 0.5) is the portable round-half-up (Spark round() and
+# DuckDB round() disagree on tie direction in general).
+_QUANT_CAND = 32  # candidates per query entering the exact re-rank
+
+_KNN_INT8_SQL = f"""
+WITH g AS (
+    SELECT max(list_max(list_transform(embedding,
+        x -> abs(CAST(x AS DOUBLE))))) / 127.0 AS gscale
+    FROM embeddings
+),
+quant AS (
+    -- gscale joined in as a column: DuckDB lambdas can capture row columns
+    -- but not subqueries
+    SELECT vec_id, embedding,
+        list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) / gscale + 0.5) AS BIGINT)) AS q
+    FROM embeddings CROSS JOIN g
+),
+qq AS (
+    SELECT vec_id AS query_id, embedding AS qvec, q AS qq
+    FROM quant WHERE vec_id % 100 = 0
+),
+cand AS (
+    SELECT qq.query_id, qq.qvec, c.vec_id AS neighbor_id, c.embedding,
+        list_sum(list_transform(generate_series(1, len(qq.qq)),
+            i -> (qq.qq[i] - c.q[i]) * (qq.qq[i] - c.q[i]))) AS qdist
+    FROM quant c CROSS JOIN qq
+),
+shortlist AS (
+    SELECT query_id, qvec, neighbor_id, embedding,
+        row_number() OVER (
+            PARTITION BY query_id ORDER BY qdist, neighbor_id
+        ) AS qr
+    FROM cand
+),
+rescored AS (
+    SELECT query_id, neighbor_id,
+        sqrt(list_sum(list_transform(generate_series(1, len(qvec)),
+            i -> (CAST(qvec[i] AS DOUBLE) - CAST(embedding[i] AS DOUBLE))
+               * (CAST(qvec[i] AS DOUBLE) - CAST(embedding[i] AS DOUBLE)))))
+            AS distance
+    FROM shortlist WHERE qr <= {_QUANT_CAND}
+)
+SELECT query_id, neighbor_id, distance,
+    CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY distance, neighbor_id
+    ) AS INT) AS "rank"
+FROM rescored
+QUALIFY "rank" <= 10
+"""
+
+
+@register("knn_int8_rerank", sql=_KNN_INT8_SQL)
+def knn_int8_rerank(spark, sf_dir):
+    """Quantize → integer-distance shortlist ({_QUANT_CAND}/query) → exact
+    re-rank top-10. The global scale is a bounded driver scalar (like the
+    k-means centroids); quantized vectors would be the stored form at scale
+    (4x less scan bandwidth), with the float originals read only for the
+    shortlist."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    gmax = emb.agg(
+        F.max(
+            F.aggregate(
+                F.col("embedding"),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+            )
+        )
+    ).first()[0]
+    gscale = float(gmax) / 127.0
+    quant = emb.select(
+        "vec_id",
+        "embedding",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") / F.lit(gscale) + F.lit(0.5)).cast(
+                "bigint"
+            ),
+        ).alias("q"),
+    )
+    qq = quant.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("q").alias("qq"),
+    )
+    qdist = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("q"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    cand = quant.crossJoin(F.broadcast(qq)).select(
+        "query_id", "qvec",
+        F.col("vec_id").alias("neighbor_id"), "embedding",
+        qdist.alias("qdist"),
+    )
+    w_q = Window.partitionBy("query_id").orderBy("qdist", "neighbor_id")
+    shortlist = (
+        cand.withColumn("qr", F.row_number().over(w_q))
+        .where(F.col("qr") <= _QUANT_CAND)
+    )
+    from cargo_chat_spark.functions import vectors
+
+    rescored = shortlist.select(
+        "query_id",
+        "neighbor_id",
+        vectors.euclidean(F.col("qvec"), F.col("embedding")).alias("distance"),
+    )
+    w_r = Window.partitionBy("query_id").orderBy("distance", "neighbor_id")
+    return (
+        rescored.withColumn("rank", F.row_number().over(w_r))
+        .where(F.col("rank") <= 10)
+    )
+
+
 # ------------------------------------------- S4/S6 index persistence roundtrip
 # Oracle: the roundtrip must be the identity over the embeddings fixture.
 # Float arrays aren't hashable cells for the harness, so both sides emit the

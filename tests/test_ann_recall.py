@@ -72,6 +72,14 @@ def test_lsh_forest_recall(spark):
     assert forest >= 0.8, f"LSH-forest recall@10 {forest:.2f} below 0.8"
 
 
+def test_int8_rerank_recall(spark):
+    """int8 shortlist (32/query) + exact re-rank must be near-lossless —
+    quantization noise only matters if a true top-10 neighbor falls out of
+    the integer-domain top-32."""
+    r = _recall(spark, "knn_int8_rerank")
+    assert r >= 0.9, f"int8+re-rank recall@10 {r:.2f} below 0.9"
+
+
 def test_trained_ivf_recall_beats_fixture(spark):
     fixture = _recall(spark, "ivf_topk")
     trained = _recall(spark, "ivf_topk_trained")

@@ -140,6 +140,20 @@ def test_lsh_forest_join_is_equijoin(spark):
     ), "forest candidate join degraded to a non-equi strategy"
 
 
+def test_range_join_is_bucketed_equijoin(spark):
+    """The 5-min pair join must hit the bucketed path: candidates from an
+    equi-join on (user, time-bin) — the naive per-key range join Spark
+    would plan as a nested-loop inside each key is exactly what
+    operators/rangejoin.py exists to avoid."""
+    plan = _plan(spark, "events_within_5min_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    ), "range-join candidates degraded to a non-equi strategy"
+    assert "__pbin" in plan, "time-bucket key missing from the join"
+
+
 def test_profiling_agg_codegen_compiles(spark):
     """The repo_files synthesis CASE tree fused into a HashAggregate blew
     Janino's 64 KB method limit — Spark fell back to interpreted execution
