@@ -51,6 +51,82 @@ def test_asof_join_semantics(spark):
     assert out[4]["p_id"] is None
 
 
+def test_asof_join_randomized_vs_naive(spark):
+    """Seeded random datasets vs a quadratic Python reference — catches
+    window-frame/tie-break mistakes the hand-built fixture can't."""
+    import random
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        n_left, n_right = 40, 30
+        left_rows = [
+            (i, rng.randrange(4), _ts("2026-01-01T00:00:00").replace(
+                hour=rng.randrange(24), minute=rng.randrange(60)))
+            for i in range(n_left)
+        ]
+        right_rows = [
+            (100 + i, rng.randrange(4), _ts("2026-01-01T00:00:00").replace(
+                hour=rng.randrange(24), minute=rng.randrange(60)), float(i))
+            for i in range(n_right)
+        ]
+        left = spark.createDataFrame(
+            left_rows, "click_id bigint, user_id bigint, ts timestamp"
+        )
+        right = spark.createDataFrame(
+            right_rows, "event_id bigint, user_id bigint, ts timestamp, value double"
+        )
+        got = {
+            r["click_id"]: (r["p_id"], r["p_value"])
+            for r in asof_join(
+                left, right, on="user_id",
+                payload={"event_id": "p_id", "value": "p_value"},
+                right_id="event_id",
+            ).collect()
+        }
+        for cid, key, lts in left_rows:
+            cands = [
+                (rts, rid, val)
+                for rid, rkey, rts, val in right_rows
+                if rkey == key and rts <= lts
+            ]
+            want = max(cands)[1:] if cands else (None, None)
+            assert got[cid] == (want[0], want[1] if cands else None), (
+                f"seed {seed} click {cid}: {got[cid]} != {want}"
+            )
+
+
+def test_rangejoin_randomized_vs_naive(spark):
+    from cargo_chat_spark.operators.rangejoin import within_tolerance_pairs
+
+    import random
+
+    for seed in (5, 41):
+        rng = random.Random(seed)
+        rows = [
+            (i, rng.randrange(3), _ts("2026-01-01T00:00:00").replace(
+                hour=rng.randrange(4), minute=rng.randrange(60),
+                second=rng.randrange(60)))
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(rows, "event_id bigint, user_id bigint, ts timestamp")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in within_tolerance_pairs(
+                df, key="user_id", ts="ts", id_col="event_id", tol_seconds=300
+            ).collect()
+        }
+        want = set()
+        for ida, ka, ta in rows:
+            for idb, kb, tb in rows:
+                if ka != kb:
+                    continue
+                if (ta, ida) < (tb, idb) and (tb - ta).total_seconds() <= 300:
+                    want.add((ida, idb))
+        assert got == want, (
+            f"seed {seed}: missing={want - got} extra={got - want}"
+        )
+
+
 def test_asof_join_single_shuffle_plan(spark):
     """Scale contract: the union-and-carry as-of is ONE exchange on the
     join key — no range join, no cartesian."""
