@@ -75,6 +75,7 @@ _OVERFLOW_TAIL = [
     "events_within_5min_pairs",
     "event_value_percentiles",
     "knn_int8_rerank",
+    "temperature_mix",
 ]
 
 

@@ -263,3 +263,77 @@ def pack_sequences(spark, sf_dir):
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+# --------------------------------------------------- temperature-based mix
+# Multilingual/LLM-corpus mixing with sampling temperature: target weight
+# w_s ∝ n_s^ALPHA (ALPHA < 1 upweights small sources relative to their
+# natural frequency — the standard rebalancing for low-resource languages
+# and long-tail domains). keep_rate_s = (n_min / n_s)^(1-ALPHA): the
+# smallest source keeps 100%, larger sources downsample toward the
+# tempered proportions.
+#
+# ALPHA is fixed at 3/4 so the exponent (1-ALPHA = 1/4) computes as
+# sqrt(sqrt(x)) — IEEE sqrt is CORRECTLY ROUNDED and division is exact, so
+# the keep rates are bit-identical in Spark and DuckDB. A general pow()
+# would not be (libm pow is not correctly rounded; the two engines may use
+# different libms), and a 1-ULP rate difference could flip a threshold
+# count. Same reasoning as the md5 draw replacing RNG.
+_TEMP_ALPHA_NUM, _TEMP_ALPHA_DEN = 3, 4  # documentation; the code uses 1/4
+
+_TEMP_MIX_SQL = f"""
+WITH counts AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_source
+    FROM documents GROUP BY source
+),
+floor_n AS (SELECT MIN(n_source) AS n_min FROM counts),
+rates AS (
+    SELECT source, n_source,
+        sqrt(sqrt(CAST((SELECT n_min FROM floor_n) AS DOUBLE) / n_source))
+            AS keep_rate
+    FROM counts
+)
+SELECT d.source, r.n_source,
+    CAST(SUM(CASE WHEN {{draw}} < CAST(floor({_DRAW_MOD} * r.keep_rate) AS BIGINT)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+    round(r.keep_rate, 6) AS keep_rate
+FROM documents d JOIN rates r USING (source)
+GROUP BY d.source, r.n_source, r.keep_rate
+""".replace("{draw}", _draw_sql("d.doc_id"))
+
+
+@register("temperature_mix", sql=_TEMP_MIX_SQL)
+def temperature_mix(spark, sf_dir):
+    """Temperature-tempered source mix (alpha = 3/4): per-source keep
+    counts under keep_rate = (n_min/n_s)^(1/4). Same plan shape as
+    source_mix — counts shuffle, documents flow map-side under a
+    broadcast-joined rate."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_source")
+    )
+    n_min = counts.agg(F.min("n_source").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "source",
+        "n_source",
+        F.sqrt(F.sqrt(F.col("n_min").cast("double") / F.col("n_source"))).alias(
+            "keep_rate"
+        ),
+    )
+    joined = docs.join(F.broadcast(rates), "source")
+    kept = F.when(
+        _draw(F.col("doc_id"))
+        < F.floor(F.lit(_DRAW_MOD) * F.col("keep_rate")).cast("bigint"),
+        1,
+    ).otherwise(0)
+    return (
+        joined.select("source", "n_source", "keep_rate", kept.alias("is_kept"))
+        .groupBy("source", "n_source", "keep_rate")
+        .agg(F.sum("is_kept").cast("bigint").alias("n_kept"))
+        .select(
+            "source",
+            "n_source",
+            "n_kept",
+            F.round("keep_rate", 6).alias("keep_rate"),
+        )
+    )

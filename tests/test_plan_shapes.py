@@ -140,6 +140,15 @@ def test_lsh_forest_join_is_equijoin(spark):
     ), "forest candidate join degraded to a non-equi strategy"
 
 
+def test_int8_shortlist_prunes_map_side(spark):
+    """The quantized candidate pass must keep knn_exact's posture: corpus
+    never shuffles (query side broadcasts) and the per-query shortlist
+    window gets the map-side WindowGroupLimit prune."""
+    plan = _plan(spark, "knn_int8_rerank")
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
 def test_range_join_is_bucketed_equijoin(spark):
     """The 5-min pair join must hit the bucketed path: candidates from an
     equi-join on (user, time-bin) — the naive per-key range join Spark
