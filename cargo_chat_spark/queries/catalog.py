@@ -76,6 +76,7 @@ _OVERFLOW_TAIL = [
     "event_value_percentiles",
     "knn_int8_rerank",
     "temperature_mix",
+    "events_props_extract",
 ]
 
 

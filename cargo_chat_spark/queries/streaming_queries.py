@@ -331,3 +331,40 @@ def events_within_5min_pairs(spark, sf_dir):
         tol_seconds=300,
         payload=("event_type",),
     )
+
+
+# ----------------------------------------------------- JSON props extraction
+# Semi-structured handling: events.props is a JSON string; extraction stays
+# JVM-side (get_json_object is a Catalyst expression — no Python, pushes
+# through whole-stage codegen). At 100 TB the answer is the same but the
+# posture matters more: parse ONCE into a materialized column (from_json at
+# ingest) instead of re-parsing per query; this query pins the per-query
+# extraction semantics both engines agree on.
+_PROPS_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INT) AS k_min,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INT) AS k_max,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE)
+           / COUNT(*) AS k_avg
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("events_props_extract", sql=_PROPS_SQL)
+def events_props_extract(spark, sf_dir):
+    """Extract props.k from the JSON payload and aggregate per event type.
+    k_avg is computed as exact-integer sum / count in DOUBLE — one IEEE
+    division, identical in both engines (never avg() over doubles, whose
+    accumulation order differs)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+        F.sum("k").cast("bigint").alias("k_sum"),
+        (F.sum("k").cast("double") / F.count(F.lit(1))).alias("k_avg"),
+    )
