@@ -77,6 +77,7 @@ _OVERFLOW_TAIL = [
     "knn_int8_rerank",
     "temperature_mix",
     "events_props_extract",
+    "events_moving_avg",
 ]
 
 

@@ -368,3 +368,49 @@ def events_props_extract(spark, sf_dir):
         F.sum("k").cast("bigint").alias("k_sum"),
         (F.sum("k").cast("double") / F.count(F.lit(1))).alias("k_avg"),
     )
+
+
+# ------------------------------------------------------ moving-window average
+# Bounded sliding frame (last 4 events per user by time) — the windowed
+# complement of segment_running_totals' unbounded cumulative frame. The
+# frame sum routes through DECIMAL(18,6): a 4-row double sum is
+# order-sensitive in the 17th digit, and the two engines may accumulate the
+# frame in different orders; decimal addition is exact and associative, so
+# the oracle hash can't drift. Division back in DOUBLE is one exact IEEE op.
+_MOVING_AVG_SQL = """
+SELECT event_id, user_id, ts,
+    CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+        / CAST(COUNT(*) OVER w AS DOUBLE) AS moving_avg_4,
+    CAST(COUNT(*) OVER w AS BIGINT) AS frame_n
+FROM events
+WINDOW w AS (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+)
+"""
+
+
+@register("events_moving_avg", sql=_MOVING_AVG_SQL)
+def events_moving_avg(spark, sf_dir):
+    """4-event moving average of value per user (deterministic (ts,
+    event_id) frame order). One exchange on user_id; the frame is O(1)
+    state per row at any scale."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    frame_n = F.count(F.lit(1)).over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+            / frame_n.cast("double")
+        ).alias("moving_avg_4"),
+        frame_n.cast("bigint").alias("frame_n"),
+    )
