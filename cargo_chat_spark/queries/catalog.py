@@ -78,6 +78,7 @@ _OVERFLOW_TAIL = [
     "temperature_mix",
     "events_props_extract",
     "events_moving_avg",
+    "sources_by_lang",
 ]
 
 

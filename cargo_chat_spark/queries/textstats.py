@@ -519,3 +519,33 @@ def vocab_top50(spark, sf_dir):
         .orderBy(F.desc("n_occurrences"), "token")
         .limit(_VOCAB_K)
     )
+
+
+# --------------------------------------------------- sorted string aggregate
+# Grouped list aggregation with a TOTAL order inside the cell: collect the
+# distinct sources per language, sort, comma-join. Unordered string_agg /
+# collect_list is nondeterministic in BOTH engines (hash-aggregate arrival
+# order) — the sort inside the cell is what makes a list-valued aggregate
+# oracle-checkable at all, and is the same discipline the profile assembly
+# uses for human_list. Scale: per-group distinct-collect is bounded by the
+# source-label cardinality (20), not row count — partial aggregation
+# collapses duplicates map-side.
+_SOURCES_BY_LANG_SQL = """
+SELECT lang,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       string_agg(DISTINCT source, ',' ORDER BY source) AS sources_csv
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("sources_by_lang", sql=_SOURCES_BY_LANG_SQL)
+def sources_by_lang(spark, sf_dir):
+    """Distinct sources per document language, sorted and comma-joined."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.array_join(
+            F.sort_array(F.collect_set("source")), ","
+        ).alias("sources_csv"),
+    )
