@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def asof_join(
@@ -45,12 +46,24 @@ def asof_join(
     wins, matching "latest write wins").
     """
     lcols = left.columns
+    # The whole payload is carried as ONE struct (not per-column last):
+    # per-column ignorenulls would splice a legitimately-NULL payload field
+    # from an OLDER right row onto the newer row's other fields — torn
+    # cross-row enrichment for feature-store-style lookups. A struct is
+    # NULL only for left rows, so last(ignorenulls) always lands on one
+    # intact right row.
+    ptype = StructType(
+        [StructField(alias, right.schema[src].dataType)
+         for src, alias in payload.items()]
+    )
     tagged_r = right.select(
         F.col(on),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__tag"),  # right rows first at equal ts (inclusive)
         F.col(right_id).cast("long").alias("__rid"),
-        *[F.col(src).alias(f"__p_{alias}") for src, alias in payload.items()],
+        F.struct(
+            *[F.col(src).alias(alias) for src, alias in payload.items()]
+        ).alias("__p"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != on],
     )
     tagged_l = left.select(
@@ -58,8 +71,7 @@ def asof_join(
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__tag"),
         F.lit(None).cast("long").alias("__rid"),
-        *[F.lit(None).cast(right.schema[src].dataType).alias(f"__p_{alias}")
-          for src, alias in payload.items()],
+        F.lit(None).cast(ptype).alias("__p"),
         *[F.col(c) for c in lcols if c != on],
     )
     w = (
@@ -68,12 +80,9 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = tagged_r.unionByName(tagged_l).select(
-        "*",
-        *[
-            F.last(f"__p_{alias}", ignorenulls=True).over(w).alias(alias)
-            for alias in payload.values()
-        ],
+        "*", F.last("__p", ignorenulls=True).over(w).alias("__carried")
     )
     return carried.where(F.col("__tag") == 1).select(
-        *lcols, *payload.values()
+        *lcols,
+        *[F.col("__carried").getField(a).alias(a) for a in payload.values()],
     )

@@ -49,8 +49,16 @@ def within_tolerance_pairs(
         F.col(id_col).alias("__id"),
         F.col(ts).alias("__ts"),
         us.alias("__us"),
-        (us / F.lit(tol_us)).cast("bigint").alias("__bin"),
         *[F.col(c).alias(f"__p_{c}") for c in payload],
+    )
+    # Exact integer FLOOR division for the bin id. The float form
+    # (us / tol).cast('bigint') truncates instead of flooring (pre-1970
+    # bin 0 doubles in width) and loses exactness as epochs approach
+    # 2^53. `div` truncates toward zero, so shift negative non-multiples
+    # down one to get floor semantics for any epoch.
+    q = F.expr(f"__us div {tol_us}")
+    base = base.withColumn(
+        "__bin", F.when(F.col("__us") % tol_us < 0, q - 1).otherwise(q)
     )
     # left probes its own bin and the next: a forward-looking candidate set
     # (b at or after a's bin) that still sees backward partners because THEY

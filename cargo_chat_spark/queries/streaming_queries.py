@@ -343,10 +343,10 @@ def events_within_5min_pairs(spark, sf_dir):
 _PROPS_SQL = """
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INT) AS k_min,
-       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INT) AS k_max,
-       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
-       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE)
+       CAST(MIN(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INT) AS k_min,
+       CAST(MAX(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INT) AS k_max,
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE)
            / COUNT(*) AS k_avg
 FROM events
 GROUP BY event_type
@@ -358,7 +358,9 @@ def events_props_extract(spark, sf_dir):
     """Extract props.k from the JSON payload and aggregate per event type.
     k_avg is computed as exact-integer sum / count in DOUBLE — one IEEE
     division, identical in both engines (never avg() over doubles, whose
-    accumulation order differs)."""
+    accumulation order differs). The oracle uses TRY_CAST to mirror
+    Spark's NULL-on-failure cast: a malformed props.k degrades to NULL in
+    both engines instead of crashing only the DuckDB side."""
     e = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
     return e.select("event_type", k.alias("k")).groupBy("event_type").agg(

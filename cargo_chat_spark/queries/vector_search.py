@@ -254,9 +254,13 @@ def index_roundtrip(spark, sf_dir):
         F.lit("txt").alias("extension"),
         F.col("embedding").cast("array<double>").alias("embedding"),
     )
+    # PID-keyed dir: stable across repeated catalog runs in one process
+    # (write_index overwrites), but two concurrent runs (parallel pytest
+    # workers, driver alongside local tests) never race on the same path.
     out_dir = os.path.join(
         tempfile.gettempdir(),
-        f"ccs_index_roundtrip_{os.path.basename(os.path.normpath(sf_dir))}",
+        f"ccs_index_roundtrip_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{os.getpid()}",
     )
     write_index(idx, out_dir, dim)
     back, meta = read_index(spark, out_dir)

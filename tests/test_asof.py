@@ -95,6 +95,55 @@ def test_asof_join_randomized_vs_naive(spark):
             )
 
 
+def test_asof_join_null_payload_not_torn(spark):
+    """A right row with a legitimately-NULL payload FIELD must win intact:
+    the whole payload comes from that one row (value=NULL), never a splice
+    of its id with an older row's non-NULL value (struct-carry contract)."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2026-01-01T12:00:00"))],
+        "click_id bigint, user_id bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, _ts("2026-01-01T10:00:00"), 5.0),
+            (101, 10, _ts("2026-01-01T11:00:00"), None),  # newest, NULL value
+        ],
+        "event_id bigint, user_id bigint, ts timestamp, value double",
+    )
+    row = asof_join(
+        left,
+        right,
+        on="user_id",
+        payload={"event_id": "p_id", "value": "p_value"},
+        right_id="event_id",
+    ).collect()[0]
+    assert row["p_id"] == 101
+    assert row["p_value"] is None, (
+        f"torn enrichment: value {row['p_value']} carried from an older row"
+    )
+
+
+def test_rangejoin_pre_epoch_timestamps(spark):
+    """Floor (not truncate) bucketing: pre-1970 timestamps must still pair
+    correctly — the float-division form collapsed bins around epoch 0."""
+    from cargo_chat_spark.operators.rangejoin import within_tolerance_pairs
+
+    rows = [
+        (1, 1, _ts("1969-12-31T23:58:00")),
+        (2, 1, _ts("1969-12-31T23:59:30")),  # 90 s after id 1
+        (3, 1, _ts("1970-01-01T00:01:00")),  # 90 s after id 2, 180 after id 1
+        (4, 1, _ts("1969-12-31T23:50:00")),  # > 300 s from all others
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, user_id bigint, ts timestamp")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in within_tolerance_pairs(
+            df, key="user_id", ts="ts", id_col="event_id", tol_seconds=300
+        ).collect()
+    }
+    assert got == {(1, 2), (2, 3), (1, 3)}, got
+
+
 def test_rangejoin_randomized_vs_naive(spark):
     from cargo_chat_spark.operators.rangejoin import within_tolerance_pairs
 
