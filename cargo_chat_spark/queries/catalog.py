@@ -28,28 +28,36 @@ from cargo_chat_spark.queries.registry import ORACLE_SQL, SPARK_QUERIES
 # _OVERFLOW_TAIL duplicate coverage carried by an earlier entry (or are
 # fixture parity checks whose consumers are themselves gated) and are
 # moved to the end, where falling off the cap loses no operator coverage.
-# Round-4 rotation (finishes the plan from round-2 ADVICE / round-3 VERDICT
-# item 3): promotes the EIGHT entries that had never had an external
-# CORRECTNESS row across r1-r3 (stratified_sample, source_mix,
-# pack_sequences, media_featurize, ivf_topk_trained, repetition_signals,
-# vocab_top50, substring_dup_pairs) plus the new index_roundtrip gate
-# (S4/S6 — previously the only §2 rows with no external gate; VERDICT item
-# 4). With that, every registered operator has at least one green external
-# row across r1-r4. Nine demotions make room — each is green in r1-r3 AND
-# its semantics stay re-proven by an in-window twin or consumer:
-#   filter_folder/extension/exclude -> F2-F4 re-proven by
-#       retrieval_rank_reference (applies all three in the pipeline)
-#   minhash_lsh_pairs  -> consumed verbatim by neardup_components (+ keep)
-#   ngram_jaccard_pairs -> LSH-candidate verify, green r1-r3; banded-join
-#       machinery re-proven by neardup_components
-#   simhash_neardup_pairs -> green r1-r3 (fingerprints + pairs both gated
-#       in earlier rounds)
-#   knn_exact_batched  -> same oracle + kernel as in-window knn_exact
-#   dim_validation     -> P7, green r1-r3; retrieval pipeline enforces dim
-#   cosine_topk        -> cosine kernel re-proven by rp_lsh_topk's exact
-#       re-rank and knn_exact's distance contract
+# Round-5 rotation (executes round-4 VERDICT item 1): promotes the NINE
+# round-4 operators that were implemented + locally oracle-green but never
+# had an external CORRECTNESS row (events_asof_join, rp_lsh_forest_topk,
+# knn_int8_rerank, events_within_5min_pairs, event_value_percentiles,
+# temperature_mix, events_props_extract, events_moving_avg,
+# sources_by_lang). Nine demotions make room — each is green in the r4
+# window AND its semantics stay re-proven by an in-window twin or consumer:
+#   customers_with_big_orders / parts_never_ordered_bulk / part_bulk_outer
+#       -> beyond-reference relational extras; the relational gate set
+#          keeps pricing_summary, top_customers, revenue_rollup,
+#          segment_running_totals in-window
+#   media_featurize    -> Arrow applyInPandas/mapInPandas plumbing
+#       re-proven by embedding_neardup_pairs' GEMM tiles; multimodal
+#       schema pinned by tests
+#   stratified_sample / source_mix -> the deterministic md5-threshold
+#       draw is re-proven by temperature_mix (same draw core composed
+#       with sqrt-chain tempered rates)
+#   substring_dup_pairs -> window/bucket equi-join machinery re-proven by
+#       events_within_5min_pairs; dedup family gated by dedup_exact +
+#       neardup_components + neardup_dedup_keep in-window
+#   quality_filter     -> threshold predicate over quality_score's
+#       signals; quality_score stays in-window
+#   ivf_topk           -> static fixture-centroid IVF; superseded
+#       in-window by ivf_topk_trained, which as of round 5 carries a full
+#       literal-centroid value-hash oracle over the same assign/probe/
+#       search path at finer parameters (32 cells / 8 probes / soft 2)
+# Earlier-round demotion rationales (r3-r4) are preserved in git history;
+# every tail entry below keeps a one-line reason.
 _OVERFLOW_TAIL = [
-    "rp_lsh_multiprobe_topk",  # J1-approx also gated by rp_lsh_topk + ivf_topk
+    "rp_lsh_multiprobe_topk",  # J1-approx gated by rp_lsh_topk + forest + IVF
     "candidates_fixture",      # synthesis parity; rerank/retrieval gates consume it
     "distinct_counts_approx",  # rows-only HLL twin; exact twin carries the oracle
     "knn_exact_numpy",         # round-3 demotion: J1 re-proven by knn_exact
@@ -58,7 +66,11 @@ _OVERFLOW_TAIL = [
     "simhash_fingerprints",    # consumed by simhash_neardup_pairs
     "event_sessions",          # batch twin of sessionize_stateful
     "events_sliding_window",   # windowing gated by events_tumbling_window
-    # round-4 demotions (rationale above)
+    # round-4 demotions (F2-F4 re-proven by retrieval_rank_reference; LSH/
+    # ngram/simhash pairs green r1-r3 with banded-join machinery re-proven
+    # by neardup_components; batched kNN shares knn_exact's oracle; P7
+    # enforced inside retrieval; cosine kernel re-proven by rp_lsh_topk's
+    # exact re-rank)
     "filter_folder",
     "filter_extension",
     "filter_exclude",
@@ -68,17 +80,20 @@ _OVERFLOW_TAIL = [
     "knn_exact_batched",
     "dim_validation",
     "cosine_topk",
-    # new in round 4 (oracle-checked by the local replica harness); rotate
-    # into the gated window next round
-    "rp_lsh_forest_topk",
-    "events_asof_join",
-    "events_within_5min_pairs",
-    "event_value_percentiles",
-    "knn_int8_rerank",
-    "temperature_mix",
-    "events_props_extract",
-    "events_moving_avg",
-    "sources_by_lang",
+    # round-5 demotions (rationale above)
+    "customers_with_big_orders",
+    "parts_never_ordered_bulk",
+    "part_bulk_outer",
+    "media_featurize",
+    "stratified_sample",
+    "source_mix",
+    "substring_dup_pairs",
+    "quality_filter",
+    "ivf_topk",
+    # live-trained IVF twin of the frozen-centroid in-window gate: rows-only
+    # by design (distributed-mean float association), recall pinned in
+    # tests/test_ann_recall.py
+    "ivf_topk_trained_live",
 ]
 
 

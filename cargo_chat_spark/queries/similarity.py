@@ -332,44 +332,107 @@ _N_PROBE_TRAINED = 8
 _N_ASSIGN_TRAINED = 2
 
 
-@register("ivf_topk_trained")  # rows-only: Lloyd's iterations aren't SQL
+def _cent_values_sql() -> str:
+    """Render the frozen centroids as a DuckDB VALUES list (cell_id, cvec)."""
+    from cargo_chat_spark.queries._ivf_centroids import TRAINED_CENTROIDS
+
+    rows = ", ".join(
+        "(" + str(i) + ", [" + ", ".join(repr(x) for x in c) + "])"
+        for i, c in enumerate(TRAINED_CENTROIDS)
+    )
+    return rows
+
+
+def _trained_sql() -> str:
+    # Assignment ranks by SQUARED distance (matching assign_cells'
+    # array_sort over squared-distance structs); probes and scoring use the
+    # sqrt form (matching _euclid). sqrt is monotone but NOT injective in
+    # floats, so each stage mirrors its Spark twin's exact form to keep
+    # tie-breaks identical.
+    sq = """list_sum(list_transform(generate_series(1, len({a})),
+            i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))
+               * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"""
+    return f"""
+WITH centroids AS (
+    SELECT * FROM (VALUES {_cent_values_sql()}) AS t(cell_id, cvec)
+),
+assigned AS (
+    SELECT b.vec_id, b.embedding, a.cell_id,
+        row_number() OVER (
+            PARTITION BY b.vec_id
+            ORDER BY {sq.format(a="a.cvec", b="b.embedding")}, a.cell_id
+        ) AS cr
+    FROM embeddings b CROSS JOIN centroids a
+),
+cells AS (
+    SELECT vec_id, embedding, cell_id FROM assigned
+    WHERE cr <= {_N_ASSIGN_TRAINED}
+),
+queries AS (
+    SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 100 = 0
+),
+probes AS (
+    SELECT b.query_id, a.cell_id,
+        row_number() OVER (
+            PARTITION BY b.query_id
+            ORDER BY sqrt({sq.format(a="a.cvec", b="b.embedding")}), a.cell_id
+        ) AS pr
+    FROM queries b CROSS JOIN centroids a
+    QUALIFY pr <= {_N_PROBE_TRAINED}
+),
+scored AS (
+    SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id,
+        sqrt({sq.format(a="q.embedding", b="c.embedding")}) AS distance
+    FROM queries q
+    JOIN probes p ON p.query_id = q.query_id
+    JOIN cells c ON c.cell_id = p.cell_id
+)
+SELECT query_id, neighbor_id, distance,
+    CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY distance, neighbor_id
+    ) AS INT) AS "rank"
+FROM scored
+QUALIFY "rank" <= 10
+"""
+
+
+@register("ivf_topk_trained", sql=_trained_sql())
 def ivf_topk_trained(spark, sf_dir):
-    """IVF top-10 with k-means-TRAINED centroids (operators/kmeans.py)
-    instead of the fixture's first-8-vectors — the production path the
-    round-1 verdict asked for. Training: deterministic k-means|| seeding
-    (Bahmani et al. — the init MLlib uses; md5 draws, no RNG) then
-    Lloyd's iterations with a convergence stop, driver-held k×dim
-    centroids, one codegen'd assign + one mean-aggregate pass per
-    iteration; memo-persisted per (session, sf_dir) so repeated catalog
-    runs train once. Soft assignment (n_assign=2) replicates border
-    vectors into their 2 nearest cells; searches dedup candidates after
-    probing. Recall vs exact is pinned ≥0.85 in
-    tests/test_ann_recall.py (measured 0.96 at sf0.001 with 32/8/2 vs
-    0.68 for the r3-era 8/2/1)."""
+    """IVF top-10 with k-means-TRAINED centroids — the production path the
+    round-1 verdict asked for, now fully value-hash oracle-checked: the
+    centroids are the FROZEN output of one deterministic training run
+    (queries/_ivf_centroids.py — k-means|| init, 5 Lloyd's iterations over
+    the sf0.01 fixture) rendered as literals into BOTH engines, exactly
+    like the serialized index the reference searches against
+    (ann.rs:254). Live re-training is reproducible only up to distributed
+    float-reduction order, which a value-hash oracle can't absorb — the
+    live path stays registered as ivf_topk_trained_live and its recall is
+    pinned ≥0.85 in tests/test_ann_recall.py (measured 0.96 at sf0.001
+    with 32 cells / 8 probes / soft-assign 2). Search: soft cell
+    assignment replicates border vectors into their 2 nearest cells
+    (one projection + explode, no shuffle), probe join prunes the scan to
+    nprobe/ncells of the corpus, candidates dedup exactly via distinct()."""
     from cargo_chat_spark.operators import kmeans
+    from cargo_chat_spark.queries._ivf_centroids import (
+        TRAINED_CENTROIDS,
+        TRAINED_DIM,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     dim = vectors.infer_dim(emb, "embedding")
-
-    def build():
-        cents = kmeans.train_kmeans(
-            spark, emb, _N_CELLS_TRAINED, dim=dim, n_iter=5, tol=1e-9,
-            init="parallel",
+    if dim != TRAINED_DIM:
+        raise ValueError(
+            f"frozen centroids are dim {TRAINED_DIM}, corpus is dim {dim} — "
+            "retrain via operators/kmeans.py and refresh _ivf_centroids.py"
         )
-        return kmeans.assign_cells(
-            emb, cents, dim=dim, n_assign=_N_ASSIGN_TRAINED
-        ).select("vec_id", "embedding", "cell_id"), cents
+    cells = kmeans.assign_cells(
+        emb, TRAINED_CENTROIDS, dim=dim, n_assign=_N_ASSIGN_TRAINED
+    ).select("vec_id", "embedding", "cell_id")
+    return _ivf_search(spark, emb, cells, TRAINED_CENTROIDS)
 
-    # memo both the assigned frame and the centroid list
-    key = ("ivf_trained", sf_dir)
-    cached = _TRAINED_MEMO.get((spark.sparkContext.applicationId, key))
-    if cached is None:
-        cells_df, cents = build()
-        cells_df = cells_df.persist()
-        cached = (cells_df, cents)
-        _TRAINED_MEMO[(spark.sparkContext.applicationId, key)] = cached
-    cells, cents = cached
 
+def _ivf_search(spark, emb, cells, cents):
+    """Shared probe/score/rank stage for the trained-IVF variants."""
     queries = emb.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
@@ -403,6 +466,44 @@ def ivf_topk_trained(spark, sf_dir):
         scored.withColumn("rank", F.row_number().over(w_rank))
         .where(F.col("rank") <= 10)
     )
+
+
+@register("ivf_topk_trained_live")  # rows-only: Lloyd's iterations aren't SQL
+def ivf_topk_trained_live(spark, sf_dir):
+    """Same IVF search but with centroids trained LIVE in-session
+    (operators/kmeans.py): deterministic k-means|| seeding (Bahmani et
+    al. — the init MLlib uses; md5 draws, no RNG) then Lloyd's iterations
+    with a convergence stop, driver-held k×dim centroids, one codegen'd
+    assign + one mean-aggregate pass per iteration; memo-persisted per
+    (session, sf_dir) so repeated catalog runs train once. Rows-only by
+    design: distributed mean reduction order makes the trained floats
+    reproducible only up to association, so the value-hash contract lives
+    on ivf_topk_trained (frozen centroids) while recall of THIS path is
+    pinned in tests/test_ann_recall.py."""
+    from cargo_chat_spark.operators import kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = vectors.infer_dim(emb, "embedding")
+
+    def build():
+        cents = kmeans.train_kmeans(
+            spark, emb, _N_CELLS_TRAINED, dim=dim, n_iter=5, tol=1e-9,
+            init="parallel",
+        )
+        return kmeans.assign_cells(
+            emb, cents, dim=dim, n_assign=_N_ASSIGN_TRAINED
+        ).select("vec_id", "embedding", "cell_id"), cents
+
+    # memo both the assigned frame and the centroid list
+    key = ("ivf_trained", sf_dir)
+    cached = _TRAINED_MEMO.get((spark.sparkContext.applicationId, key))
+    if cached is None:
+        cells_df, cents = build()
+        cells_df = cells_df.persist()
+        cached = (cells_df, cents)
+        _TRAINED_MEMO[(spark.sparkContext.applicationId, key)] = cached
+    cells, cents = cached
+    return _ivf_search(spark, emb, cells, cents)
 
 
 _TRAINED_MEMO: dict = {}

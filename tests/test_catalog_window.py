@@ -42,7 +42,7 @@ def test_tail_entries_keep_oracle_coverage():
     """Tail entries are only externally ungated — they must still be
     locally checkable: every tail entry needs oracle SQL unless it is one
     of the documented rows-only ops."""
-    rows_only_ok = {"distinct_counts_approx", "ivf_topk_trained"}
+    rows_only_ok = {"distinct_counts_approx", "ivf_topk_trained_live"}
     missing = [
         n
         for n in catalog._OVERFLOW_TAIL
