@@ -161,6 +161,40 @@ def band_keys(sig: Column) -> Column:
     return F.array(*entries)
 
 
+# Hot-bucket cap: a pathological band key (boilerplate shingles — cookie
+# banners, license headers — or a mass-duplicated doc) puts B docs in one
+# bucket and the candidate self-join emits B²/2 pairs from it: the one
+# skew shape AQE's skew-join split cannot fix, because the blowup is the
+# JOIN RESULT, not a lopsided input partition. Keeping only the first
+# BUCKET_CAP members (deterministic: lowest doc_ids) bounds any bucket's
+# contribution at cap²/2 pairs, so the pair stage is O(docs × bands +
+# bands × cap²) — linear in the corpus. Recall cost is confined to the
+# capped bucket, and members of a giant bucket are near-identical by
+# construction (they share a full band slice), so the survivors still
+# chain the cluster together for connected-components.
+BUCKET_CAP = 64
+
+
+def cap_hot_buckets(
+    bands: DataFrame,
+    cap: int = BUCKET_CAP,
+    *,
+    id_col: str = "doc_id",
+    band_col: str = "band",
+    key_col: str = "key",
+) -> DataFrame:
+    """Keep at most ``cap`` members per (band, key) bucket, lowest ids
+    first (deterministic in both engines: row_number ordered by id). The
+    per-bucket window is one sort of the bucket's rows — LINEAR in bucket
+    size, vs the quadratic join it guards against."""
+    w = Window.partitionBy(band_col, key_col).orderBy(id_col)
+    return (
+        bands.withColumn("__bn", F.row_number().over(w))
+        .where(F.col("__bn") <= cap)
+        .drop("__bn")
+    )
+
+
 def _bit(h: Column, b: Column) -> Column:
     """Bit b of non-negative h, without shift-by-column (Spark's shiftright
     needs a literal). floor(h / 2^b) is exact: h < 2^32 << 2^53 mantissa."""

@@ -57,7 +57,6 @@ from cargo_chat_spark.queries.registry import ORACLE_SQL, SPARK_QUERIES
 # Earlier-round demotion rationales (r3-r4) are preserved in git history;
 # every tail entry below keeps a one-line reason.
 _OVERFLOW_TAIL = [
-    "rp_lsh_multiprobe_topk",  # J1-approx gated by rp_lsh_topk + forest + IVF
     "candidates_fixture",      # synthesis parity; rerank/retrieval gates consume it
     "distinct_counts_approx",  # rows-only HLL twin; exact twin carries the oracle
     "knn_exact_numpy",         # round-3 demotion: J1 re-proven by knn_exact

@@ -92,8 +92,13 @@ def minhash_signatures(spark, sf_dir):
 
 
 # ----------------------------------------------------- LSH candidate pairs
+# bands are hot-bucket-capped in BOTH engines (operators/dedup.py
+# BUCKET_CAP): deterministic row_number-by-doc_id guard so a degenerate
+# bucket can't go quadratic in the candidate join. On the fixture corpus
+# no bucket approaches the cap, so results are unchanged — the cap is the
+# 100 TB skew lever, value-checked here.
 _BANDS_CTE = f"""{_SIGS_CTE},
-bands AS (
+bands_all AS (
     SELECT doc_id, b.band,
            array_to_string(list_transform(
                list_slice(mh, b.band * {D.ROWS_PER_BAND} + 1,
@@ -102,6 +107,12 @@ bands AS (
     FROM sigs, (
         SELECT unnest(generate_series(0, {D.N_BANDS - 1})) AS band
     ) b
+),
+bands AS (
+    SELECT doc_id, band, key FROM bands_all
+    QUALIFY row_number() OVER (
+        PARTITION BY band, key ORDER BY doc_id
+    ) <= {D.BUCKET_CAP}
 )
 """
 
@@ -116,12 +127,15 @@ WHERE a.doc_id < b.doc_id
 def _bands_df(spark, sf_dir):
     # persist: the LSH self-join references this subtree twice, and the md5
     # shingle hashing behind it dominates the query (measured 2.6x).
-    # Footprint is 4 short rows per doc.
+    # Footprint is 4 short rows per doc. Hot-bucket cap applied before the
+    # persist so every consumer (pairs, components, keep, jaccard) sees the
+    # same bounded candidate universe as the oracle's bands CTE.
     def build():
         sigs = _sigs_df(spark, sf_dir)
-        return sigs.select(
+        bands = sigs.select(
             "doc_id", F.explode(D.band_keys(F.col("mh"))).alias("bk")
         ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        return D.cap_hot_buckets(bands)
 
     return _memo_persist(spark, ("bands", sf_dir), build)
 

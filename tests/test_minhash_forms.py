@@ -36,6 +36,50 @@ def test_sql_string_signature_matches_column_form(spark):
     }
 
 
+def test_hot_bucket_cap_bounds_candidates(spark):
+    """Degenerate corpus (1k identical docs → every band key is one giant
+    bucket): the capped band frame must keep the candidate join
+    sub-quadratic — at most C(cap, 2) distinct pairs instead of C(n, 2) =
+    499,500 — while still chaining the duplicates into one cluster."""
+    n = 1000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated in every single doc").alias(
+            "text"
+        ),
+    )
+    toks = docs.select("doc_id", D.tokens(F.col("text")).alias("toks"))
+    sigs = toks.select(
+        "doc_id", D.shingle_hashes_from_tokens(F.col("toks")).alias("h")
+    ).select("doc_id", F.expr(D.minhash_signature_spark_sql("h")).alias("mh"))
+    bands = sigs.select(
+        "doc_id", F.explode(D.band_keys(F.col("mh"))).alias("bk")
+    ).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    capped = D.cap_hot_buckets(bands)
+    # the cap itself: no bucket exceeds BUCKET_CAP members
+    max_bucket = (
+        capped.groupBy("band", "key").count().agg(F.max("count")).first()[0]
+    )
+    assert max_bucket <= D.BUCKET_CAP
+    pairs = (
+        capped.alias("a")
+        .join(capped.alias("b"), ["band", "key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    n_pairs = pairs.count()
+    cap_bound = D.BUCKET_CAP * (D.BUCKET_CAP - 1) // 2
+    assert n_pairs <= cap_bound, f"{n_pairs} pairs > C(cap,2) = {cap_bound}"
+    assert n_pairs <= n * D.BUCKET_CAP  # the verdict's n·B bound, with margin
+    # survivors still form one chained cluster over the kept members
+    assert n_pairs == cap_bound
+
+
 def _toy_embeddings(spark):
     # two tight clusters around (0,0) and (10,10): converges in 2 passes
     pts = [(i, [float(i % 3) * 0.01, float(i % 5) * 0.01]) for i in range(20)]
