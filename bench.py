@@ -49,6 +49,17 @@ HEADLINE = [
     "quality_score",
     "events_tumbling_window",
     "event_sessions",
+    # round-5 additions (round-4 verdict item 4): the round-4 operator wave
+    # joins the tracked set so regressions in the as-of window, bucketed
+    # range join, ANN forest/int8, sampling mix, and percentile paths are
+    # visible to the driver's per-round bench.
+    "events_asof_join",
+    "events_within_5min_pairs",
+    "rp_lsh_forest_topk",
+    "knn_int8_rerank",
+    "ivf_topk_trained",
+    "temperature_mix",
+    "event_value_percentiles",
 ]
 
 
@@ -86,6 +97,13 @@ BASELINE_S = {
     "chunk_documents": 0.23, "mock_embed_documents": 0.28,
     "token_count": 0.31, "quality_score": 0.49,
     "events_tumbling_window": 0.49, "event_sessions": 0.83,
+    # round-5 first measurements (sf0.1, medians of 3, scaled from the
+    # measuring host's calib 0.312 to CALIB_REF_S by /0.731 — same axis as
+    # the round-1 numbers above; see BASELINE.md round-5 table)
+    "events_asof_join": 0.69, "events_within_5min_pairs": 0.82,
+    "rp_lsh_forest_topk": 5.7, "knn_int8_rerank": 1.43,
+    "ivf_topk_trained": 2.1, "temperature_mix": 0.76,
+    "event_value_percentiles": 0.69,
 }
 
 

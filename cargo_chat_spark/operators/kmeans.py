@@ -240,16 +240,42 @@ def assign_cells(
     ties to the lower cell id."""
     if n_assign <= 1:
         return _assign(emb, vec_col, centroids, dim)
-    cents = _centroid_array_sql(centroids)
-    dist = vectors.euclidean_sq_fixed_sql(f"`{vec_col}`", "__c", dim)
-    top = (
-        f"slice(array_sort("
-        f"  zip_with({cents}, sequence(0, {len(centroids) - 1}),"
-        f"           (__c, __i) -> struct({dist} AS d, __i AS i))"
-        f"), 1, {n_assign})"
-    )
-    return (
-        emb.withColumn("__cells", F.expr(top))
-        .withColumn("cell_id", F.explode(F.col("__cells.i")))
-        .drop("__cells")
-    )
+    # Arrow-batched NumPy kernel (the knn_exact_numpy pattern): the HOF
+    # zip_with/array_sort form is interpreted per element by Catalyst —
+    # measured 2-4 s for 2k rows × 32 cells × 64 dims at sf0.1, i.e. the
+    # bulk of the trained-IVF query. The kernel accumulates (a_i - c_i)²
+    # dim-by-dim with a Python-level loop over vectorized float64 ops, so
+    # the per-(row, cell) addition order is the SAME left fold from 0.0
+    # as the JVM chain and DuckDB's list_sum — bit-identical distances,
+    # same oracle. Still a narrow map (no shuffle, no collect); at 100 TB
+    # this is the one-off batch job whose output lands partitioned by
+    # cell_id.
+    import numpy as np
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    k = len(centroids)
+    n_keep = min(n_assign, k)
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in emb.schema.fields
+    ) + ", cell_id int"
+
+    def assign_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                out = pdf.copy()
+                out["cell_id"] = np.array([], dtype="int32")
+                yield out
+                continue
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            acc = np.zeros((len(pdf), k), dtype=np.float64)
+            for i in range(m.shape[1]):
+                d = m[:, i, None] - cents[None, :, i]
+                acc += d * d
+            # per row: cells ranked by (distance, cell_id); stable argsort
+            # keeps the lower cell first on exact float ties
+            order = np.argsort(acc, axis=1, kind="stable")[:, :n_keep]
+            out = pdf.iloc[np.repeat(np.arange(len(pdf)), n_keep)].copy()
+            out["cell_id"] = order.ravel().astype("int32")
+            yield out
+
+    return emb.mapInPandas(assign_batches, out_schema)

@@ -93,6 +93,10 @@ _OVERFLOW_TAIL = [
     # by design (distributed-mean float association), recall pinned in
     # tests/test_ann_recall.py
     "ivf_topk_trained_live",
+    # sketch twin of event_value_percentiles: rows-only by design (Spark
+    # GK sketch vs DuckDB t-digest can't hash-match); error bound pinned
+    # in tests/test_ann_recall.py
+    "event_value_percentiles_approx",
 ]
 
 

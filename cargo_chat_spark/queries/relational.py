@@ -225,3 +225,27 @@ def event_value_percentiles(spark, sf_dir):
         F.expr("percentile(value, 0.95)").alias("p95"),
         F.expr("percentile(value, 0.99)").alias("p99"),
     )
+
+
+_APPROX_PCT_ACCURACY = 10_000
+
+
+@register("event_value_percentiles_approx")  # rows-only: engine sketches differ
+def event_value_percentiles_approx(spark, sf_dir):
+    """Sketch twin of event_value_percentiles — what a 100 TB pipeline
+    actually runs: ``percentile_approx`` (Greenwald-Khanna sketch,
+    rank error <= 1/accuracy) needs only bounded per-group sketch state
+    and merges map-side, where the exact form shuffles every value to its
+    group's sorter. Rows-only by design (mirrors the
+    distinct_counts_exact/approx pair): DuckDB's approx quantile is a
+    different sketch (t-digest), so values can't hash-match — the
+    error bound vs the exact result is pinned in
+    tests/test_ann_recall.py::test_approx_percentile_error."""
+    e = load_table(spark, sf_dir, "events")
+    acc = F.lit(_APPROX_PCT_ACCURACY)
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx("value", F.lit(0.5), acc).alias("p50_approx"),
+        F.percentile_approx("value", F.lit(0.95), acc).alias("p95_approx"),
+        F.percentile_approx("value", F.lit(0.99), acc).alias("p99_approx"),
+    )

@@ -42,7 +42,11 @@ def test_tail_entries_keep_oracle_coverage():
     """Tail entries are only externally ungated — they must still be
     locally checkable: every tail entry needs oracle SQL unless it is one
     of the documented rows-only ops."""
-    rows_only_ok = {"distinct_counts_approx", "ivf_topk_trained_live"}
+    rows_only_ok = {
+        "distinct_counts_approx",
+        "ivf_topk_trained_live",
+        "event_value_percentiles_approx",
+    }
     missing = [
         n
         for n in catalog._OVERFLOW_TAIL
