@@ -101,7 +101,7 @@ BASELINE_S = {
     # measuring host's calib 0.312 to CALIB_REF_S by /0.731 — same axis as
     # the round-1 numbers above; see BASELINE.md round-5 table)
     "events_asof_join": 0.69, "events_within_5min_pairs": 0.82,
-    "rp_lsh_forest_topk": 5.7, "knn_int8_rerank": 1.43,
+    "rp_lsh_forest_topk": 3.2, "knn_int8_rerank": 1.43,
     "ivf_topk_trained": 2.1, "temperature_mix": 0.76,
     "event_value_percentiles": 0.69,
 }

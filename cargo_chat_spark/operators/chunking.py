@@ -56,6 +56,15 @@ def chunk_text(
 # at max_chars (chunker.rs:70). Runs as an Arrow-batched mapInPandas stage
 # (per-task compiled patterns = the per-executor splitter cache of
 # chunker.rs:64-74).
+#
+# STATUS (round 5, final for this environment): py-tree-sitter wheels are
+# not installable in this sandbox (no network installs; verified rounds
+# 2-4), so this boundary tier IS the shipped syntax-aware chunker. The
+# upgrade path is documented and mechanical: a grammar-backed Splitter
+# drops in behind split_structured's signature (text, language,
+# max_chars) -> chunks, and the boundary-fixture contract in
+# tests/test_chunking.py plus the chunk_documents oracle stay the
+# acceptance gate for it.
 
 _BOUNDARY_PATTERNS = {
     # language display name -> declaration-start regex (multiline).

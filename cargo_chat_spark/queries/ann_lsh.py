@@ -263,6 +263,64 @@ def bucket_key_forest(embedding: Column, t: Column) -> Column:
     return F.concat(*bits)
 
 
+def _forest_keys_numpy(df, vec_col: str, id_col: str, out_id: str, out_vec: str):
+    """(id, vec) -> one row per hash table: (out_id, out_vec, t, bkey) via
+    an Arrow-batched NumPy kernel. The HOF form (bucket_key_forest) runs
+    12 tables × 5 planes interpreted folds per row — measured ~4 s for
+    2k rows at sf0.1, the bulk of the forest query; here all 60
+    projections accumulate dim-by-dim with vectorized float64 ops in the
+    SAME left-fold order from 0.0, and the weights come from _weight_py
+    (bit-identical to the SQL arithmetic — the bucket_key_fixed
+    precedent), so keys match both the HOF form and the DuckDB oracle
+    exactly. One narrow map, no shuffle; the explode-by-table happens in
+    the kernel output."""
+    import numpy as np
+
+    def keys(batches):
+        w = None  # (tables, planes, dim) literal weights, built per dim
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            dim = m.shape[1]
+            if w is None or w.shape[2] != dim:
+                w = np.array(
+                    [
+                        [
+                            [_weight_py(t * 16 + p, i) for i in range(1, dim + 1)]
+                            for p in range(1, N_PLANES_FOREST + 1)
+                        ]
+                        for t in range(1, N_TABLES_FOREST + 1)
+                    ],
+                    dtype=np.float64,
+                )
+            n = len(pdf)
+            proj = np.zeros((n, N_TABLES_FOREST, N_PLANES_FOREST))
+            for i in range(dim):
+                proj += m[:, i, None, None] * w[None, :, :, i]
+            bits = np.where(proj > 0, "1", "0")
+            out_rows = {
+                out_id: np.repeat(pdf[id_col].to_numpy(), N_TABLES_FOREST),
+                out_vec: [v for v in pdf[vec_col] for _ in range(N_TABLES_FOREST)],
+                "t": np.tile(
+                    np.arange(1, N_TABLES_FOREST + 1), n
+                ).astype("int32"),
+                "bkey": [
+                    "".join(bits[r, t])
+                    for r in range(n)
+                    for t in range(N_TABLES_FOREST)
+                ],
+            }
+            import pandas as pd
+
+            yield pd.DataFrame(out_rows)
+
+    vec_type = df.schema[vec_col].dataType.simpleString()
+    return df.mapInPandas(
+        keys, f"`{out_id}` bigint, `{out_vec}` {vec_type}, t int, bkey string"
+    )
+
+
 def bucket_key_forest_sql(embedding: str, t_expr: str = "t") -> str:
     bits = []
     for p in range(1, N_PLANES_FOREST + 1):
@@ -310,29 +368,30 @@ QUALIFY "rank" <= 10
 @register("rp_lsh_forest_topk", sql=_RP_FOREST_SQL)
 def rp_lsh_forest_topk(spark, sf_dir):
     """L-table LSH forest top-10 (module comment above): explode each
-    vector into its {N_TABLES_FOREST} table keys, equi-join queries to the
-    corpus on (table, key), dedup candidates, exact re-rank."""
+    vector into its {N_TABLES_FOREST} table keys (NumPy kernel,
+    _forest_keys_numpy — bit-identical to the HOF form), equi-join
+    queries to the corpus on (table, key), dedup candidates, exact
+    re-rank."""
     emb = load_table(spark, sf_dir, "embeddings")
-    t = F.explode(F.sequence(F.lit(1), F.lit(N_TABLES_FOREST))).alias("t")
-    corpus = (
-        emb.select("vec_id", "embedding", t)
-        .withColumn("bkey", bucket_key_forest(F.col("embedding"), F.col("t")))
+    if parquet_rows(f"{sf_dir}/embeddings.parquet") >= _FIXED_KEY_MIN_ROWS:
+        dim = vectors.infer_dim(emb, "embedding")
+        dist = F.expr(vectors.euclidean_fixed_sql("`qvec`", "`embedding`", dim))
+    else:
+        dist = vectors.euclidean(F.col("qvec"), F.col("embedding"))
+    corpus = _forest_keys_numpy(
+        emb.select("vec_id", "embedding"),
+        "embedding", "vec_id", "vec_id", "embedding",
     )
-    q = (
-        emb.where(F.col("vec_id") % 100 == 0)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qvec"),
-            t,
-        )
-        .withColumn("bkey", bucket_key_forest(F.col("qvec"), F.col("t")))
+    q = _forest_keys_numpy(
+        emb.where(F.col("vec_id") % 100 == 0).select("vec_id", "embedding"),
+        "embedding", "vec_id", "query_id", "qvec",
     )
     scored = (
         q.join(corpus, ["t", "bkey"])
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            vectors.euclidean(F.col("qvec"), F.col("embedding")).alias("distance"),
+            dist.alias("distance"),
         )
         .distinct()
     )

@@ -56,6 +56,39 @@ def test_approx_distinct_error(spark):
         assert rel <= 0.05, f"approx_count_distinct off by {rel:.1%} for {src}"
 
 
+def test_forest_numpy_keys_match_hof(spark):
+    """The Arrow/NumPy forest-key kernel must emit byte-identical
+    (t, bkey) rows to the interpreted HOF form it replaced — the sign-bit
+    keys depend on exact float fold order, so any divergence flips
+    buckets."""
+    from pyspark.sql import functions as SF
+
+    from cargo_chat_spark.queries.ann_lsh import (
+        N_TABLES_FOREST,
+        _forest_keys_numpy,
+        bucket_key_forest,
+    )
+    from cargo_chat_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF_DIR_SMALL, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    kernel = {
+        (r["vec_id"], r["t"]): r["bkey"]
+        for r in _forest_keys_numpy(
+            emb, "embedding", "vec_id", "vec_id", "embedding"
+        ).collect()
+    }
+    t = SF.explode(SF.sequence(SF.lit(1), SF.lit(N_TABLES_FOREST))).alias("t")
+    hof = {
+        (r["vec_id"], r["t"]): r["bkey"]
+        for r in emb.select("vec_id", "embedding", t)
+        .withColumn("bkey", bucket_key_forest(SF.col("embedding"), SF.col("t")))
+        .collect()
+    }
+    assert kernel == hof
+
+
 def test_approx_percentile_error(spark):
     """The sketch twin must track the exact percentiles within the GK
     rank-error bound (1/accuracy = 1e-4 — far inside the ±0.02-quantile
