@@ -97,6 +97,10 @@ _OVERFLOW_TAIL = [
     # GK sketch vs DuckDB t-digest can't hash-match); error bound pinned
     # in tests/test_ann_recall.py
     "event_value_percentiles_approx",
+    # new in round 5 (oracle-checked locally by test_sampling.py); rotate
+    # into the gated window next round — md5-draw machinery meanwhile
+    # re-proven in-window by temperature_mix
+    "dataset_split",
 ]
 
 

@@ -95,6 +95,41 @@ def stratified_sample(spark, sf_dir):
     )
 
 
+# ------------------------------------------------- train/val/test splitter
+# Holdout membership as a PURE FUNCTION of the document key: split(doc) =
+# bucket of md5(doc_id)'s draw against fixed boundaries. The properties a
+# 100 TB pipeline needs fall out for free — splits are disjoint + complete
+# by construction, stable under repartitioning/reruns/incremental appends
+# (a doc can never migrate between splits, so eval never contaminates
+# train across dataset versions), and assignment needs no shuffle, no
+# global sort, no stored membership table. 98/1/1 boundaries.
+_SPLIT_VAL_LO = 9_800   # draw < 9800 -> train
+_SPLIT_TEST_LO = 9_900  # 9800 <= draw < 9900 -> val; >= 9900 -> test
+
+_SPLIT_SQL = f"""
+SELECT doc_id, lang, source,
+    CASE WHEN {_draw_sql('doc_id')} < {_SPLIT_VAL_LO} THEN 'train'
+         WHEN {_draw_sql('doc_id')} < {_SPLIT_TEST_LO} THEN 'val'
+         ELSE 'test' END AS split
+FROM documents
+"""
+
+
+@register("dataset_split", sql=_SPLIT_SQL)
+def dataset_split(spark, sf_dir):
+    """Deterministic 98/1/1 train/val/test assignment per document (see
+    the note above). Emits every row with its split label so the oracle
+    value-hashes the full assignment, not just counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    draw = _draw(F.col("doc_id"))
+    split = (
+        F.when(draw < _SPLIT_VAL_LO, "train")
+        .when(draw < _SPLIT_TEST_LO, "val")
+        .otherwise("test")
+    )
+    return docs.select("doc_id", "lang", "source", split.alias("split"))
+
+
 # ----------------------------------------------------- weighted source mix
 # Target mixture proportions by source. Rates derive from corpus counts:
 # the bottleneck source s* maximizes w_s/n_s; every source keeps

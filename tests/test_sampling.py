@@ -33,10 +33,37 @@ def _both(spark, name: str) -> tuple[pd.DataFrame, pd.DataFrame]:
     return got, want.astype(got.dtypes.to_dict())
 
 
-@pytest.mark.parametrize("name", ["stratified_sample", "source_mix", "pack_sequences"])
+@pytest.mark.parametrize(
+    "name",
+    ["stratified_sample", "source_mix", "pack_sequences", "dataset_split"],
+)
 def test_oracle_equivalence(spark, name):
     got, want = _both(spark, name)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_dataset_split_properties(spark):
+    """Disjoint+complete by construction; ratios near 98/1/1; and
+    assignment is a pure key function — a doc keeps its split when the
+    corpus around it changes (the anti-leak property)."""
+    full = SPARK_QUERIES["dataset_split"](spark, SF_DIR_SMALL).toPandas()
+    assert len(full) == full["doc_id"].nunique()  # one split per doc
+    frac = full["split"].value_counts(normalize=True)
+    assert 0.93 <= frac.get("train", 0) <= 1.0
+    assert frac.get("val", 0) <= 0.05 and frac.get("test", 0) <= 0.05
+    # purity: recompute on a half-corpus view — overlapping docs keep labels
+    import duckdb
+
+    con = duckdb.connect()
+    half = con.execute(
+        "SELECT doc_id, CASE WHEN (('0x' || substring(md5(CAST(doc_id AS "
+        "VARCHAR)), 1, 8))::BIGINT % 10000) < 9800 THEN 'train' WHEN "
+        "(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT "
+        "% 10000) < 9900 THEN 'val' ELSE 'test' END AS split FROM "
+        f"read_parquet('{SF_DIR_SMALL}/documents.parquet') WHERE doc_id % 2 = 0"
+    ).df()
+    merged = half.merge(full, on="doc_id", suffixes=("_half", "_full"))
+    assert (merged["split_half"] == merged["split_full"]).all()
 
 
 def test_stratified_rates_hold(spark):
