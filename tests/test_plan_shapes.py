@@ -240,6 +240,16 @@ def test_vocab_topk_avoids_global_sort(spark):
     )
 
 
+def test_dataset_split_zero_shuffle(spark):
+    """Holdout assignment is a pure per-row function of the key: the plan
+    must be scan → project, no Exchange of any kind and no Python stage —
+    at 100 TB this runs as a zero-shuffle pass (or folds into the next
+    scan entirely)."""
+    plan = _plan(spark, "dataset_split")
+    assert "Exchange" not in plan, f"dataset_split shuffles:\n{plan}"
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 def test_substring_dup_pairs_no_global_sort(spark):
     """VERDICT r2 item 5: the driver canonicalizes order-insensitively, so a
     global orderBy on the (potentially huge) pair set is a pure-waste full
