@@ -101,6 +101,10 @@ _OVERFLOW_TAIL = [
     # into the gated window next round — md5-draw machinery meanwhile
     # re-proven in-window by temperature_mix
     "dataset_split",
+    # new in round 5: batch twin of streaming/dedup_stream.py (oracle-
+    # checked locally by test_stream_dedup.py); rotate next round —
+    # hash-groupBy collapse machinery re-proven in-window by dedup_exact
+    "events_dedup_collapse",
 ]
 
 

@@ -416,3 +416,31 @@ def events_moving_avg(spark, sf_dir):
         ).alias("moving_avg_4"),
         frame_n.cast("bigint").alias("frame_n"),
     )
+
+
+# ------------------------------------------------------- event dedup collapse
+# Batch twin of streaming/dedup_stream.py (the at-least-once repair stage):
+# collapse events identical in (user_id, event_type, ts) to one kept row
+# (min event_id — "first delivery wins") with the duplicate count. On the
+# fixture the corpus may be duplicate-free — the oracle then pins that the
+# collapse is the identity, which is exactly the invariant a pipeline
+# wants asserted before trusting the stream's exactly-once repair.
+_EVENTS_DEDUP_SQL = """
+SELECT user_id, event_type, ts,
+       CAST(MIN(event_id) AS BIGINT) AS kept_event_id,
+       CAST(COUNT(*) AS BIGINT) AS n_deliveries
+FROM events
+GROUP BY user_id, event_type, ts
+"""
+
+
+@register("events_dedup_collapse", sql=_EVENTS_DEDUP_SQL)
+def events_dedup_collapse(spark, sf_dir):
+    """Exact re-delivery collapse per (user_id, event_type, ts): one
+    hash-groupBy shuffle, map-side partial agg — the batch form of the
+    watermark-bounded streaming dedup."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id", "event_type", "ts").agg(
+        F.min("event_id").cast("bigint").alias("kept_event_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_deliveries"),
+    )
