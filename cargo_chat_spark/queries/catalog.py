@@ -105,6 +105,10 @@ _OVERFLOW_TAIL = [
     # checked locally by test_stream_dedup.py); rotate next round —
     # hash-groupBy collapse machinery re-proven in-window by dedup_exact
     "events_dedup_collapse",
+    # new in round 5: CDC latest-per-key snapshot (oracle-checked locally
+    # by test_stream_dedup.py); rotate next round — rank-1 WindowGroupLimit
+    # machinery re-proven in-window by knn_exact
+    "latest_event_per_user",
 ]
 
 

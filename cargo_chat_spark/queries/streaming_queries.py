@@ -444,3 +444,46 @@ def events_dedup_collapse(spark, sf_dir):
         F.min("event_id").cast("bigint").alias("kept_event_id"),
         F.count(F.lit(1)).cast("bigint").alias("n_deliveries"),
     )
+
+
+# ------------------------------------------------------ latest-per-key snapshot
+# The CDC / changelog-compaction primitive: reduce an event log to each
+# key's most recent row ("current state" view). Deterministic order
+# (ts DESC, event_id DESC) so concurrent same-timestamp writes resolve to
+# the largest id — the same "latest write wins" rule as the as-of join's
+# tie-break. Spark plans the rank-1 filter as a map-side WindowGroupLimit:
+# each input partition keeps one candidate row per key BEFORE the
+# exchange, so the shuffle carries O(keys × partitions) rows, not the log
+# (plan-pinned in test_plan_shapes.py). At 100 TB this is the compaction
+# job behind every materialized snapshot table.
+_LATEST_SQL = """
+SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+       event_type AS last_event_type, value AS last_value
+FROM events
+QUALIFY row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+) = 1
+"""
+
+
+@register("latest_event_per_user", sql=_LATEST_SQL)
+def latest_event_per_user(spark, sf_dir):
+    """Each user's most recent event — log → current-state compaction
+    (see the note above)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+    )

@@ -240,6 +240,16 @@ def test_vocab_topk_avoids_global_sort(spark):
     )
 
 
+def test_latest_snapshot_map_side_prune(spark):
+    """Log → current-state compaction must keep the map-side
+    WindowGroupLimit: each partition emits one candidate per key BEFORE
+    the exchange, so the shuffle is O(keys × partitions), not the log."""
+    plan = _plan(spark, "latest_event_per_user")
+    assert "WindowGroupLimit" in plan and "Partial" in plan, (
+        f"latest_event_per_user lost the map-side rank prune:\n{plan}"
+    )
+
+
 def test_dataset_split_zero_shuffle(spark):
     """Holdout assignment is a pure per-row function of the key: the plan
     must be scan → project, no Exchange of any kind and no Python stage —

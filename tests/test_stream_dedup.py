@@ -67,14 +67,17 @@ def test_stream_dedup_drops_redeliveries_across_batches(spark, tmp_path):
     assert got == [1, 2, 3], f"expected each event once, got {got}"
 
 
-def test_events_dedup_collapse_oracle(spark):
+@pytest.mark.parametrize(
+    "name", ["events_dedup_collapse", "latest_event_per_user"]
+)
+def test_events_twin_oracles(spark, name):
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW events AS SELECT * FROM "
         f"read_parquet('{SF_DIR_SMALL}/events.parquet')"
     )
-    want = con.execute(ORACLE_SQL["events_dedup_collapse"]).df()
-    got = SPARK_QUERIES["events_dedup_collapse"](spark, SF_DIR_SMALL).toPandas()
+    want = con.execute(ORACLE_SQL[name]).df()
+    got = SPARK_QUERIES[name](spark, SF_DIR_SMALL).toPandas()
     cols = sorted(got.columns)
     got = got[cols].sort_values(cols).reset_index(drop=True)
     want = want[cols].sort_values(cols).reset_index(drop=True)
