@@ -109,6 +109,10 @@ _OVERFLOW_TAIL = [
     # by test_stream_dedup.py); rotate next round — rank-1 WindowGroupLimit
     # machinery re-proven in-window by knn_exact
     "latest_event_per_user",
+    # new in round 5: fixed-size per-group sample (oracle-checked locally
+    # by test_sampling.py); rotate next round — md5-draw + rank-N
+    # machinery re-proven in-window by temperature_mix + knn_exact
+    "per_source_sample",
 ]
 
 

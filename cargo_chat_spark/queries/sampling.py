@@ -372,3 +372,42 @@ def temperature_mix(spark, sf_dir):
             F.round("keep_rate", 6).alias("keep_rate"),
         )
     )
+
+
+# --------------------------------------------- fixed-size per-group sample
+# The complement of rate-based sampling: "exactly N examples per source"
+# (eval-set construction, per-domain inspection samples, few-shot pools).
+# Membership = the N smallest md5 draws per group — deterministic,
+# engine-portable, append-UNstable by design (a fixed-size sample must
+# change as the group grows; the rate-based ops above are the
+# append-stable family). The rank-N filter compiles to the same map-side
+# WindowGroupLimit as latest_event_per_user: each partition forwards at
+# most N candidates per group, so the shuffle is O(groups × N ×
+# partitions) regardless of corpus size.
+_PER_SOURCE_N = 10
+
+_PER_SOURCE_SQL = f"""
+SELECT doc_id, source, CAST(rnk AS INT) AS sample_rank
+FROM (
+    SELECT doc_id, source,
+        row_number() OVER (
+            PARTITION BY source
+            ORDER BY {_draw_sql('doc_id')}, doc_id
+        ) AS rnk
+    FROM documents
+)
+WHERE rnk <= {_PER_SOURCE_N}
+"""
+
+
+@register("per_source_sample", sql=_PER_SOURCE_SQL)
+def per_source_sample(spark, sf_dir):
+    """Exactly {N} docs per source, chosen by smallest md5 draw (ties to
+    the lower doc_id) — see the note above."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(_draw(F.col("doc_id")), "doc_id")
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= _PER_SOURCE_N)
+        .select("doc_id", "source", F.col("sample_rank").cast("int"))
+    )

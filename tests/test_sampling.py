@@ -35,11 +35,26 @@ def _both(spark, name: str) -> tuple[pd.DataFrame, pd.DataFrame]:
 
 @pytest.mark.parametrize(
     "name",
-    ["stratified_sample", "source_mix", "pack_sequences", "dataset_split"],
+    [
+        "stratified_sample",
+        "source_mix",
+        "pack_sequences",
+        "dataset_split",
+        "per_source_sample",
+    ],
 )
 def test_oracle_equivalence(spark, name):
     got, want = _both(spark, name)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_per_source_sample_is_fixed_size(spark):
+    got = SPARK_QUERIES["per_source_sample"](spark, SF_DIR_SMALL).toPandas()
+    sizes = got.groupby("source").size()
+    assert (sizes <= sampling._PER_SOURCE_N).all()
+    # every source present in the corpus is represented
+    docs = SPARK_QUERIES["dataset_split"](spark, SF_DIR_SMALL).toPandas()
+    assert set(sizes.index) == set(docs["source"].unique())
 
 
 def test_dataset_split_properties(spark):
