@@ -113,6 +113,10 @@ _OVERFLOW_TAIL = [
     # by test_sampling.py); rotate next round — md5-draw + rank-N
     # machinery re-proven in-window by temperature_mix + knn_exact
     "per_source_sample",
+    # new in round 5: exact fixed-point embedding pooling (oracle-checked
+    # locally by test_ann_recall.py); rotate next round — the only
+    # array-AGGREGATION gate (posexplode + exact integer mean)
+    "label_centroids",
 ]
 
 

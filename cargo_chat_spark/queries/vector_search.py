@@ -274,3 +274,69 @@ def index_roundtrip(spark, sf_dir):
         F.size("embedding").alias("dim"),
         F.array_join(fp.cast("array<string>"), "|").alias("emb_fp"),
     )
+
+
+# ------------------------------------------------- per-label centroid pooling
+# Group-wise embedding aggregation — the pooling primitive behind class
+# centroids, per-cluster summaries, and mean-pooled doc embeddings. The
+# only operator family that AGGREGATES array columns (everything else
+# scores or buckets them), so its machinery gets its own gate: posexplode
+# to (label, dim_pos, value), one hash aggregate, then reassembly into
+# dim order. Cross-engine exactness: doubles are fixed-pointed FIRST
+# (floor(x*1e6) — exact integers), summed exactly (integer addition is
+# associative, so shuffle/accumulation order cannot matter), and the mean
+# is integer division (x div n) — every step identical in both engines,
+# no float reduction anywhere. Scale: explode is map-side (rows x dim,
+# narrow), the shuffle carries (labels x dim) partial sums after map-side
+# combine — the same shape as any wide aggregate.
+_CENTROID_SQL = """
+WITH exploded AS (
+    SELECT label, i AS pos,
+        CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v
+    FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+),
+sums AS (
+    SELECT label, pos, SUM(v) AS s, COUNT(*) AS n
+    FROM exploded GROUP BY label, pos
+)
+SELECT label,
+    CAST(MIN(n) AS BIGINT) AS n_vectors,
+    array_to_string(list(CAST(s // n AS VARCHAR) ORDER BY pos), '|')
+        AS centroid_fp
+FROM sums
+GROUP BY label
+"""
+
+
+@register("label_centroids", sql=_CENTROID_SQL)
+def label_centroids(spark, sf_dir):
+    """Mean embedding per label in exact fixed-point (see note above);
+    centroid serialized as '|'-joined per-dim integers (floor(x*1e6),
+    floor-divided by the group count)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    expl = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "x"),
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("x") * 1000000).cast("bigint").alias("v"),
+    )
+    sums = expl.groupBy("label", "pos").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    per_dim = sums.select(
+        "label", "pos", F.expr("s div n").alias("m"), "n"
+    )
+    return per_dim.groupBy("label").agg(
+        F.min("n").cast("bigint").alias("n_vectors"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ),
+                lambda st: st.getField("m").cast("string"),
+            ),
+            "|",
+        ).alias("centroid_fp"),
+    )

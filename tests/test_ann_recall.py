@@ -56,6 +56,27 @@ def test_approx_distinct_error(spark):
         assert rel <= 0.05, f"approx_count_distinct off by {rel:.1%} for {src}"
 
 
+def test_label_centroids_oracle(spark):
+    """Exact fixed-point pooling must match DuckDB cell-for-cell — integer
+    sums are associative, so this holds under ANY shuffle order."""
+    import duckdb
+    import pandas as pd
+
+    from cargo_chat_spark.queries.registry import ORACLE_SQL
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF_DIR_SMALL}/embeddings.parquet')"
+    )
+    want = con.execute(ORACLE_SQL["label_centroids"]).df()
+    got = catalog.SPARK_QUERIES["label_centroids"](spark, SF_DIR_SMALL).toPandas()
+    cols = sorted(got.columns)
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    want = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
 def test_forest_numpy_keys_match_hof(spark):
     """The Arrow/NumPy forest-key kernel must emit byte-identical
     (t, bkey) rows to the interpreted HOF form it replaced — the sign-bit
