@@ -117,6 +117,14 @@ _OVERFLOW_TAIL = [
     # locally by test_ann_recall.py); rotate next round — the only
     # array-AGGREGATION gate (posexplode + exact integer mean)
     "label_centroids",
+    # new in round 5: TPC-H Q3-shaped 3-way join (segment top-10 unshipped
+    # revenue); rotate next round — join+agg+top-n machinery re-proven
+    # in-window by top_customers
+    "shipping_priority",
+    # new in round 5: TPC-H Q5-shaped 6-way star join (region-local
+    # supplier revenue); rotate next round — broadcast-dim machinery
+    # re-proven in-window by top_customers/pricing_summary
+    "local_supplier_volume",
 ]
 
 

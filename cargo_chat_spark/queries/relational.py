@@ -249,3 +249,130 @@ def event_value_percentiles_approx(spark, sf_dir):
         F.percentile_approx("value", F.lit(0.95), acc).alias("p95_approx"),
         F.percentile_approx("value", F.lit(0.99), acc).alias("p99_approx"),
     )
+
+
+# ----------------------------------------------- multi-way join pipelines
+# TPC-H Q3/Q5-shaped queries: the reference's join surface is two-table
+# (J1-J3); a warehouse engine needs the canonical 3- and 6-way star-join
+# shapes. Both are written so Catalyst sees pure equi-joins with pushable
+# predicates: dims broadcast, facts shuffle at most once on the key the
+# aggregate reuses.
+
+_SHIP_PRIORITY_SQL = """
+SELECT l.l_orderkey,
+    CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+             (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+         AS DOUBLE) AS revenue,
+    o.o_orderdate
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register("shipping_priority", sql=_SHIP_PRIORITY_SQL)
+def shipping_priority(spark, sf_dir):
+    """TPC-H Q3-shaped 3-way join: unshipped-revenue top-10 for one market
+    segment. Plan shape that survives 100×: the segment filter prunes
+    customer to ~1/5 BEFORE its join (predicate pushdown to the scan), the
+    date filters prune orders/lineitem scans, and the filtered customer
+    side is explicitly broadcast so the orders fact never shuffles for it;
+    the only exchange is lineitem⋈orders on orderkey, which the groupBy
+    then reuses. Deterministic top-10 via (revenue DESC, orderkey) —
+    Spark plans it as TakeOrderedAndProject (no global sort)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    dec = lambda col: F.col(col).cast("decimal(18,2)")  # noqa: E731
+    return (
+        l.where(F.col("l_shipdate") > cutoff)
+        .join(
+            o.where(F.col("o_orderdate") < cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_LOCAL_SUPPLIER_SQL = """
+SELECT n.n_name AS nation,
+    CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+             (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+         AS DOUBLE) AS revenue,
+    COUNT(*) AS n_items
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+"""
+
+
+@register("local_supplier_volume", sql=_LOCAL_SUPPLIER_SQL)
+def local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5-shaped 6-way star join: revenue where the supplier and the
+    customer share a nation inside one region. Scale shape: region/nation/
+    customer/supplier are dimensions — region∘nation collapses to a
+    broadcast filter, and customer/supplier broadcast too (at real TPC-H
+    scale customer is 0.15% of lineitem; if it outgrew the broadcast
+    threshold AQE falls back to shuffle join on the already-partitioned
+    custkey). The fact-side work is ONE shuffle: lineitem⋈orders on
+    orderkey; every other join is map-side. The s_nationkey = c_nationkey
+    clause rides the supplier broadcast join as an equi-key, not a
+    post-filter."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    dec = lambda col: F.col(col).cast("decimal(18,2)")  # noqa: E731
+    asia_nations = n.join(
+        F.broadcast(r.where(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    o_96 = o.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    return (
+        l.join(o_96, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

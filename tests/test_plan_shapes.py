@@ -270,3 +270,32 @@ def test_substring_dup_pairs_no_global_sort(spark):
         "global sort shuffle reappeared in substring_dup_pairs"
     )
     assert "Sort [" not in plan, "global Sort node in substring_dup_pairs"
+
+
+def test_shipping_priority_plan(spark):
+    plan = _plan(spark, "shipping_priority")
+    # segment + date predicates reach the scans; customer side broadcasts;
+    # deterministic top-10 compiles to TakeOrderedAndProject (no global sort)
+    assert "BroadcastHashJoin" in plan, "filtered customer dim should broadcast"
+    assert "TakeOrderedAndProject" in plan, "top-10 should avoid a global sort"
+    pushed = plan.split("PushedFilters")
+    assert any("o_orderdate" in p[:300] for p in pushed[1:]), (
+        "order-date filter not pushed to the orders scan"
+    )
+    assert any("l_shipdate" in p[:300] for p in pushed[1:]), (
+        "ship-date filter not pushed to the lineitem scan"
+    )
+
+
+def test_local_supplier_volume_single_fact_shuffle(spark):
+    plan = _plan(spark, "local_supplier_volume")
+    # every dimension join is broadcast; the only exchanges are the
+    # lineitem⋈orders shuffle pair + the final agg exchange
+    assert plan.count("BroadcastHashJoin") >= 3, (
+        "customer/nation/supplier dims should all broadcast"
+    )
+    n_shuffles = plan.count("Exchange hashpartitioning")
+    assert n_shuffles <= 3, (
+        f"6-way join should shuffle only the fact join + final agg, got "
+        f"{n_shuffles} hash exchanges"
+    )
