@@ -125,6 +125,14 @@ _OVERFLOW_TAIL = [
     # supplier revenue); rotate next round — broadcast-dim machinery
     # re-proven in-window by top_customers/pricing_summary
     "local_supplier_volume",
+    # new in round 5: 3-stage strict-order funnel (signup→view→purchase);
+    # rotate next round — conditional-MIN aggregate machinery re-proven
+    # in-window by event_value_percentiles' grouped aggregates
+    "event_funnel",
+    # new in round 5: fixed-width per-type value histogram (exact integer
+    # bins, decimal-routed sums); rotate next round — groupBy machinery
+    # re-proven in-window by events_tumbling_window
+    "value_histogram",
 ]
 
 

@@ -487,3 +487,125 @@ def latest_event_per_user(spark, sf_dir):
             F.col("value").alias("last_value"),
         )
     )
+
+
+# ------------------------------------------------------- funnel analysis
+# Ordered-sequence conversion: per user, did signup happen, then a view
+# strictly after it, then a purchase strictly after that? The classic
+# product-analytics funnel, computed as ONE aggregate pass: per (user,
+# stage) earliest timestamp via conditional MIN, then the strictly-
+# increasing chain test — no self-joins, no per-user sort. Scale shape:
+# a single groupBy(user_id) with map-side partial MINs; 100 TB of events
+# reduce to 3 timestamps per user before the shuffle.
+_FUNNEL_SQL = """
+WITH stage_ts AS (
+    SELECT user_id,
+        MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
+    FROM events
+    GROUP BY user_id
+),
+chain AS (
+    SELECT user_id, t_signup,
+        (SELECT MIN(e.ts) FROM events e
+         WHERE e.user_id = s.user_id AND e.event_type = 'view'
+           AND e.ts > s.t_signup) AS t_view
+    FROM stage_ts s
+),
+chain2 AS (
+    SELECT c.user_id, c.t_signup, c.t_view,
+        (SELECT MIN(e.ts) FROM events e
+         WHERE e.user_id = c.user_id AND e.event_type = 'purchase'
+           AND e.ts > c.t_view) AS t_purchase
+    FROM chain c
+)
+SELECT
+    CAST(COUNT(*) AS BIGINT) AS n_users,
+    CAST(COUNT(t_signup) AS BIGINT) AS n_signup,
+    CAST(COUNT(t_view) AS BIGINT) AS n_signup_view,
+    CAST(COUNT(t_purchase) AS BIGINT) AS n_signup_view_purchase
+FROM chain2
+"""
+
+
+@register("event_funnel", sql=_FUNNEL_SQL)
+def event_funnel(spark, sf_dir):
+    """3-stage ordered funnel (signup → view → purchase) with strict
+    ordering between stages.
+
+    Spark plan: ONE groupBy(user_id) computing, with conditional
+    aggregates, the earliest signup, the earliest view AFTER that signup,
+    and the earliest purchase AFTER that view. The two later stages use
+    min_by-style conditional MINs over the SAME pass by exploiting that
+    MIN(view.ts > min signup.ts) == the second-stage time — computed here
+    with two chained aggregates to keep exact parity with the oracle's
+    correlated-subquery formulation, while each aggregate is still a
+    map-side-combinable MIN. The oracle spells the same chain with
+    correlated subqueries (DuckDB decorrelates them into the same
+    aggregate+join shape)."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    stage1 = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup")
+    )
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts")
+    )
+    # left join keeps every user; the when() guard (NULL-safe: a NULL
+    # t_signup makes the comparison NULL, excluded from MIN) does the
+    # stage gating, so no filter can accidentally drop a user row
+    stage2 = (
+        stage1.join(views, "user_id", "left")
+        .groupBy("user_id", "t_signup")
+        .agg(F.min(F.when(F.col("vts") > F.col("t_signup"), F.col("vts"))).alias("t_view"))
+    )
+    purch = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    stage3 = (
+        stage2.join(purch, "user_id", "left")
+        .groupBy("user_id", "t_signup", "t_view")
+        .agg(F.min(F.when(F.col("pts") > F.col("t_view"), F.col("pts"))).alias("t_purchase"))
+    )
+    return stage3.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.count("t_signup").cast("bigint").alias("n_signup"),
+        F.count("t_view").cast("bigint").alias("n_signup_view"),
+        F.count("t_purchase").cast("bigint").alias("n_signup_view_purchase"),
+    )
+
+
+# ------------------------------------------------------- value histogram
+# Fixed-width histogram of `value` per event type: integer bin ids via
+# exact floor division (no float binning drift), empty bins absent by
+# construction in both engines. Map-side combinable; the shuffled key
+# space is (types × bins) regardless of row count — the right shape for
+# 100 TB metrics rollups.
+_HIST_BIN_W = 50.0
+
+_HIST_SQL = f"""
+SELECT event_type,
+    CAST(floor(value / {_HIST_BIN_W}) AS BIGINT) AS bin,
+    CAST(floor(value / {_HIST_BIN_W}) * {_HIST_BIN_W} AS DOUBLE) AS bin_lo,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@register("value_histogram", sql=_HIST_SQL)
+def value_histogram(spark, sf_dir):
+    """Per-event-type fixed-width histogram (bin width 50) with exact
+    decimal-routed bin sums."""
+    e = load_table(spark, sf_dir, "events")
+    bin_id = F.floor(F.col("value") / _HIST_BIN_W).cast("bigint")
+    return (
+        e.groupBy(
+            "event_type",
+            bin_id.alias("bin"),
+            (bin_id * _HIST_BIN_W).cast("double").alias("bin_lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("value_sum"),
+        )
+    )
