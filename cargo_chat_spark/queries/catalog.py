@@ -133,6 +133,14 @@ _OVERFLOW_TAIL = [
     # bins, decimal-routed sums); rotate next round — groupBy machinery
     # re-proven in-window by events_tumbling_window
     "value_histogram",
+    # new in round 5: per-doc top-3 TF-IDF terms (rank on rounded score —
+    # libm-divergence-proof); rotate next round — explode+agg+rank
+    # machinery re-proven in-window by vocab_top50 and knn_exact
+    "tfidf_top_terms",
+    # new in round 5: corpus-internal heavy-hitter 5-grams (boilerplate
+    # detection, per-doc distinct before shuffle); rotate next round —
+    # gram-explode machinery re-proven in-window by contamination_13gram
+    "boilerplate_grams",
 ]
 
 

@@ -189,3 +189,72 @@ def pii_scan(spark, sf_dir):
         .alias("n_phones"),
         F.md5(redacted).alias("redacted_hash"),
     )
+
+
+# -------------------------------------------------- boilerplate n-grams
+# Corpus-internal heavy-hitter detection (the CCNet/RefinedWeb boilerplate
+# pass): 5-grams that recur across many DISTINCT documents are template
+# text (headers, footers, license blurbs) — candidates for stripping
+# before training. Plan: explode 5-grams (map-side), per-doc DISTINCT on
+# the md5 gram key (collapses within-doc repetition before the shuffle),
+# one shuffle on the 32-byte key, then a bounded global top-k
+# (TakeOrderedAndProject). The gram TEXT rides along via any_value —
+# same-key rows carry identical text, so the choice is deterministic.
+_BP_N = 5
+_BP_MIN_DOCS = 3
+_BP_K = 40
+
+_BOILERPLATE_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+),
+grams AS (
+    SELECT DISTINCT doc_id,
+        md5(array_to_string(list_slice(t, i, i + {_BP_N - 1}), ' ')) AS gkey,
+        array_to_string(list_slice(t, i, i + {_BP_N - 1}), ' ') AS gram
+    FROM toks, UNNEST(generate_series(1, len(t) - {_BP_N - 1})) AS u(i)
+    WHERE len(t) >= {_BP_N}
+)
+SELECT any_value(gram) AS gram,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM grams
+GROUP BY gkey
+HAVING COUNT(*) >= {_BP_MIN_DOCS}
+ORDER BY n_docs DESC, gram
+LIMIT {_BP_K}
+"""
+
+
+@register("boilerplate_grams", sql=_BOILERPLATE_SQL)
+def boilerplate_grams(spark, sf_dir):
+    """Top-40 5-grams by document frequency (min 3 docs) — boilerplate
+    candidates. The per-doc distinct runs BEFORE the global shuffle so a
+    doc repeating one template line 1,000× still counts once."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    grams = (
+        docs.select("doc_id", toks.alias("t"))
+        .where(F.size("t") >= _BP_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (_BP_N - 1)),
+                    lambda i: F.array_join(F.slice(F.col("t"), i, _BP_N), " "),
+                )
+            ).alias("gram"),
+        )
+        .select("doc_id", F.md5("gram").alias("gkey"), "gram")
+        .distinct()
+    )
+    return (
+        grams.groupBy("gkey")
+        .agg(
+            F.any_value(F.col("gram")).alias("gram"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+        .where(F.col("n_docs") >= _BP_MIN_DOCS)
+        .select("gram", "n_docs")
+        .orderBy(F.desc("n_docs"), "gram")
+        .limit(_BP_K)
+    )

@@ -8,6 +8,7 @@ map-side aggregation; none shuffles more than its groupBy key.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from cargo_chat_spark.functions import hashing
@@ -548,4 +549,79 @@ def sources_by_lang(spark, sf_dir):
         F.array_join(
             F.sort_array(F.collect_set("source")), ","
         ).alias("sources_csv"),
+    )
+
+
+# ----------------------------------------------------- TF-IDF top terms
+# Per-document characteristic terms — the classic relevance weighting
+# (tf × ln(N/df)), used in corpus curation for topic balancing and
+# near-duplicate triage. Plan shape: tf is one shuffle on (doc_id, token);
+# document frequency REUSES the tf frame (df = row count per token — no
+# second pass over text); N is a broadcast scalar; the per-doc top-3 is a
+# WindowGroupLimit-prunable rank over doc_id. Cross-engine float
+# discipline: the RANKING key is round(tfidf, 6) with a token tie-break,
+# so a sub-1e-6 libm divergence in ln() can reorder nothing — both
+# engines sort on the identical rounded double (the same trick
+# temperature_mix uses for pow-free rates).
+_TFIDF_K = 3
+
+_TFIDF_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM toks GROUP BY doc_id, token
+),
+df AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS df_docs
+    FROM tf GROUP BY token
+),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.token, tf.tf, df.df_docs,
+        round(CAST(tf.tf AS DOUBLE) * ln(n.n_docs / CAST(df.df_docs AS DOUBLE)), 6)
+            AS tfidf_r
+    FROM tf JOIN df USING (token), n
+)
+SELECT doc_id, token, tf, df_docs, tfidf_r,
+    CAST(row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf_r DESC, token
+    ) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {_TFIDF_K}
+"""
+
+
+@register("tfidf_top_terms", sql=_TFIDF_SQL)
+def tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (idf = ln(N/df), ranked on the
+    6-d.p.-rounded score with token tie-break)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(D.tokens(F.col("text"))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("df_docs"))
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df_docs",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs") / F.col("df_docs").cast("double")),
+                6,
+            ).alias("tfidf_r"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_r"), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= _TFIDF_K)
     )
