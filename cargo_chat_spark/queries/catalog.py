@@ -141,6 +141,14 @@ _OVERFLOW_TAIL = [
     # detection, per-doc distinct before shuffle); rotate next round —
     # gram-explode machinery re-proven in-window by contamination_13gram
     "boilerplate_grams",
+    # new in round 5: exact decontamination behind a broadcast Bloom
+    # prefilter (same oracle as contamination_13gram — FN-free bloom +
+    # exact verify); rotate next round
+    "contamination_bloom",
+    # new in round 5: MinHash-LSH eval↔corpus fuzzy decontamination;
+    # rotate next round — band machinery re-proven in-window by
+    # neardup_components
+    "fuzzy_decontamination",
 ]
 
 

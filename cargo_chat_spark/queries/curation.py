@@ -26,6 +26,8 @@ Patterns are written in the common subset of Java regex (Spark) and RE2
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import functions as F
 
 from cargo_chat_spark.queries.registry import register
@@ -258,3 +260,158 @@ def boilerplate_grams(spark, sf_dir):
         .orderBy(F.desc("n_docs"), "gram")
         .limit(_BP_K)
     )
+
+
+# ----------------------------------- bloom-prefiltered decontamination
+# Same SEMANTICS as contamination_13gram (the oracle is literally the same
+# SQL — a Bloom filter has no false negatives, and the exact join after it
+# kills false positives), different 100 TB posture: the broadcast eval
+# structure is a BIT ARRAY (~10 bits/gram at 1% FP) instead of a hash
+# relation (~100 bytes/gram), so an eval suite that outgrows the broadcast
+# hash-join threshold still fits in every executor. Corpus grams hit the
+# bloom BEFORE the per-doc DISTINCT, so the dedup shuffle sees only
+# survivors (~hit-rate × corpus grams, not all of them).
+#
+# The membership test runs as an Arrow-batched pandas_udf over two
+# JVM-computed int64 hashes (xxhash64 two-seed double hashing) — pure
+# NumPy bit math per batch, no per-row Python. (Spark's own runtime bloom
+# join — spark.sql.optimizer.runtime.bloomFilter.enabled — only fires on
+# shuffle joins; this explicit form keeps the map-side-only plan.)
+_BLOOM_K = 5
+_BLOOM_MIN_BITS = 1 << 16
+
+
+def _gram_frame(docs):
+    """(doc_id, gram) for every 13-token window — shared by the exact and
+    bloom contamination variants."""
+    toks = F.split(F.trim(F.col("text")), " ")
+    return (
+        docs.select("doc_id", toks.alias("t"))
+        .where(F.size("t") >= _GRAM_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (_GRAM_N - 1)),
+                    lambda i: F.array_join(F.slice(F.col("t"), i, _GRAM_N), " "),
+                )
+            ).alias("gram"),
+        )
+    )
+
+
+@register("contamination_bloom", sql=_CONTAM_SQL)
+def contamination_bloom(spark, sf_dir):
+    """Exact 13-gram decontamination behind a broadcast Bloom prefilter.
+
+    Steps: (1) eval gram (h1, h2) pairs collect to the driver — bounded by
+    contract, benchmarks are MBs; (2) a power-of-two Bloom bit array
+    (k=5, ≥10 bits/gram) broadcasts to executors; (3) corpus grams stream
+    through the vectorized membership test map-side; (4) survivors only
+    are distinct-ed and exact-joined against the broadcast eval gram set,
+    so the final output is IDENTICAL to contamination_13gram."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _gram_frame(docs)
+    h1c = F.xxhash64("gram")
+    h2c = F.xxhash64("gram", F.lit(1))
+
+    ev_grams = grams.where(F.col("doc_id") % _EVAL_MOD == 0)
+    ev_pairs = (
+        ev_grams.select(h1c.alias("h1"), h2c.alias("h2")).distinct().toPandas()
+    )
+    n = max(len(ev_pairs), 1)
+    m = _BLOOM_MIN_BITS
+    while m < 16 * n:  # ~16 bits/gram → FP well under 1%
+        m <<= 1
+    mask = np.uint64(m - 1)
+    bits = np.zeros(m >> 6, dtype=np.uint64)
+    eh1 = ev_pairs["h1"].to_numpy().astype(np.uint64)
+    eh2 = ev_pairs["h2"].to_numpy().astype(np.uint64)
+    for i in range(_BLOOM_K):
+        pos = (eh1 + np.uint64(i) * eh2) & mask
+        np.bitwise_or.at(bits, pos >> np.uint64(6), np.uint64(1) << (pos & np.uint64(63)))
+    bc = spark.sparkContext.broadcast(bits)
+
+    @F.pandas_udf("boolean")
+    def in_bloom(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        b = bc.value
+        u1 = h1.to_numpy().astype(np.uint64)
+        u2 = h2.to_numpy().astype(np.uint64)
+        acc = np.ones(len(u1), dtype=bool)
+        for i in range(_BLOOM_K):
+            pos = (u1 + np.uint64(i) * u2) & mask
+            acc &= ((b[pos >> np.uint64(6)] >> (pos & np.uint64(63))) & np.uint64(1)).astype(bool)
+        return pd.Series(acc)
+
+    corpus = (
+        grams.where(F.col("doc_id") % _EVAL_MOD != 0)
+        .where(in_bloom(h1c, h2c))
+        .select("doc_id", F.md5("gram").alias("gkey"))
+        .distinct()
+    )
+    ev = (
+        ev_grams.select(F.col("doc_id").alias("eval_id"), F.md5("gram").alias("gkey"))
+        .distinct()
+    )
+    return (
+        corpus.join(F.broadcast(ev), "gkey")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gkey").cast("bigint").alias("n_hit_grams"),
+            F.countDistinct("eval_id").cast("bigint").alias("n_eval_docs"),
+        )
+    )
+
+
+# ----------------------------------- fuzzy (near-dup) decontamination
+# Exact n-gram overlap misses PARAPHRASED eval leakage (whitespace edits,
+# token swaps, partial rewrites). The standard second line of defense is
+# MinHash-LSH between the eval split and the corpus — the same banded
+# signatures the near-dup pipeline already computes, consumed as an
+# eval↔corpus join instead of a self-join. A corpus doc sharing ANY
+# (band, signature-slice) bucket with an eval doc is Jaccard-suspect
+# (P(collision) = 1-(1-s^4)^4 for similarity s: >96% at s=0.9, <2% at
+# s=0.3). Plan: bands are computed once (memoized subtree shared with the
+# dedup family), the eval side is tiny and broadcasts, the join is a
+# bucket equi-join — no all-pairs stage, exactly the dedup scale shape.
+from cargo_chat_spark.queries import dedup as _dq
+
+_FUZZY_DECON_SQL = f"""
+WITH {_dq._BANDS_CTE},
+ev AS (
+    SELECT doc_id AS eval_id, band, key FROM bands
+    WHERE doc_id % {_EVAL_MOD} = 0
+),
+corpus AS (
+    SELECT doc_id, band, key FROM bands WHERE doc_id % {_EVAL_MOD} != 0
+)
+SELECT c.doc_id,
+    CAST(COUNT(DISTINCT e.eval_id) AS BIGINT) AS n_eval_docs,
+    CAST(COUNT(DISTINCT (c.band, c.key)) AS BIGINT) AS n_bucket_hits
+FROM corpus c JOIN ev e ON e.band = c.band AND e.key = c.key
+GROUP BY c.doc_id
+"""
+
+
+@register("fuzzy_decontamination", sql=_FUZZY_DECON_SQL)
+def fuzzy_decontamination(spark, sf_dir):
+    """Corpus docs MinHash-LSH-colliding with the eval split: per doc, how
+    many eval docs and how many distinct buckets collide. Reuses the
+    dedup family's capped band frame (identical in the oracle CTE)."""
+    from cargo_chat_spark.queries import dedup as dq
+
+    bands = dq._bands_df(spark, sf_dir)
+    ev = (
+        bands.where(F.col("doc_id") % _EVAL_MOD == 0)
+        .select(F.col("doc_id").alias("eval_id"), "band", "key")
+    )
+    corpus = bands.where(F.col("doc_id") % _EVAL_MOD != 0)
+    return (
+        corpus.join(F.broadcast(ev), ["band", "key"])
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("eval_id").cast("bigint").alias("n_eval_docs"),
+            F.countDistinct("band", "key").cast("bigint").alias("n_bucket_hits"),
+        )
+    )
+
