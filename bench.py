@@ -60,6 +60,16 @@ HEADLINE = [
     "ivf_topk_trained",
     "temperature_mix",
     "event_value_percentiles",
+    # round-5 wave 2: multi-way star joins, funnel/histogram rollups,
+    # TF-IDF + boilerplate text passes, bloom/fuzzy decontamination.
+    "shipping_priority",
+    "local_supplier_volume",
+    "event_funnel",
+    "value_histogram",
+    "tfidf_top_terms",
+    "boilerplate_grams",
+    "contamination_bloom",
+    "fuzzy_decontamination",
 ]
 
 

@@ -299,3 +299,34 @@ def test_local_supplier_volume_single_fact_shuffle(spark):
         f"6-way join should shuffle only the fact join + final agg, got "
         f"{n_shuffles} hash exchanges"
     )
+
+
+def test_tfidf_topk_window_prunes_map_side(spark):
+    plan = _plan(spark, "tfidf_top_terms")
+    assert "WindowGroupLimit" in plan, (
+        "per-doc top-3 lost the map-side rank prune — every (doc, token) "
+        "row would reach the window shuffle at full width"
+    )
+
+
+def test_contamination_bloom_prefilters_before_distinct(spark):
+    plan = _plan(spark, "contamination_bloom")
+    # the Arrow-batched bloom membership must run BEFORE the distinct's
+    # exchange: survivors-only shuffle is the point of the operator
+    assert "ArrowEvalPython" in plan, "bloom stage missing from the plan"
+    arrow_pos = plan.index("ArrowEvalPython")
+    exchanges_before = plan[:arrow_pos].count("Exchange")
+    # plan string is rendered top-down (sink first): every Exchange above
+    # the Arrow node in the text consumes its output. The corpus-side
+    # distinct + agg exchanges must appear ABOVE (i.e. after) the bloom.
+    assert exchanges_before >= 1, (
+        "no exchange consumes the bloom survivors — filter not ahead of "
+        "the distinct shuffle"
+    )
+
+
+def test_boilerplate_grams_no_global_sort(spark):
+    plan = _plan(spark, "boilerplate_grams")
+    assert "TakeOrderedAndProject" in plan, (
+        "top-40 heavy hitters should not globally sort the gram counts"
+    )
