@@ -70,6 +70,8 @@ HEADLINE = [
     "boilerplate_grams",
     "contamination_bloom",
     "fuzzy_decontamination",
+    "event_transitions",
+    "cohort_retention",
 ]
 
 

@@ -149,6 +149,13 @@ _OVERFLOW_TAIL = [
     # rotate next round — band machinery re-proven in-window by
     # neardup_components
     "fuzzy_decontamination",
+    # new in round 5: event-type transition matrix (lag window + agg);
+    # rotate next round — ordered-window machinery re-proven in-window by
+    # sessionize_stateful/events_moving_avg
+    "event_transitions",
+    # new in round 5: weekly cohort retention matrix; rotate next round —
+    # user-keyed join+agg machinery re-proven in-window by events_asof_join
+    "cohort_retention",
 ]
 
 

@@ -7,6 +7,7 @@ import atexit
 import shutil
 import tempfile
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from cargo_chat_spark.caching import register_memo
@@ -608,4 +609,106 @@ def value_histogram(spark, sf_dir):
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("value_sum"),
         )
+    )
+
+
+# --------------------------------------------------- transition bigrams
+# Markov-style path analytics: which event-type follows which, per user
+# timeline. lag() over (user_id ORDER BY ts, event_id) — the event_id
+# tie-break makes simultaneous timestamps deterministic — then one
+# aggregate on the (from, to) pair. Scale: the window partitions by
+# user_id (many small partitions, no skew — a user's timeline fits in
+# memory by construction) and the transition matrix is |types|² rows.
+_TRANSITIONS_SQL = """
+WITH seq AS (
+    SELECT user_id, event_type,
+        lag(event_type) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+        ) AS prev_type
+    FROM events
+)
+SELECT prev_type, event_type AS next_type,
+    CAST(COUNT(*) AS BIGINT) AS n_transitions,
+    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM seq
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+"""
+
+
+@register("event_transitions", sql=_TRANSITIONS_SQL)
+def event_transitions(spark, sf_dir):
+    """Event-type transition matrix ((prev, next) counts + distinct
+    users) over per-user timelines."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
+
+
+# ----------------------------------------------------- cohort retention
+# Weekly signup cohorts × activity weeks: the standard retention matrix.
+# Two aggregates, both on user-sized or cohort-sized keys: (1) per-user
+# signup week (conditional MIN — map-side combinable), (2) distinct
+# active users per (cohort_week, week_offset). The matrix is
+# O(weeks²) rows regardless of event volume.
+_COHORT_SQL = """
+WITH cohorts AS (
+    SELECT user_id,
+        MIN(CASE WHEN event_type = 'signup'
+            THEN CAST(date_trunc('week', ts) AS TIMESTAMP) END) AS cohort_week
+    FROM events GROUP BY user_id
+),
+activity AS (
+    SELECT DISTINCT e.user_id,
+        CAST(date_trunc('week', e.ts) AS TIMESTAMP) AS activity_week
+    FROM events e
+)
+SELECT c.cohort_week,
+    CAST(date_diff('day', c.cohort_week, a.activity_week) // 7 AS BIGINT)
+        AS week_offset,
+    CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+FROM cohorts c
+JOIN activity a ON a.user_id = c.user_id
+WHERE c.cohort_week IS NOT NULL AND a.activity_week >= c.cohort_week
+GROUP BY 1, 2
+"""
+
+
+@register("cohort_retention", sql=_COHORT_SQL)
+def cohort_retention(spark, sf_dir):
+    """Weekly cohort retention matrix: users active N weeks after their
+    signup week. The cohorts join is user_id-keyed on both sides — one
+    shuffle each side, reused by the distinct and the final aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    cohorts = e.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.date_trunc("week", F.col("ts")))
+        ).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("activity_week")
+    ).distinct()
+    return (
+        cohorts.where(F.col("cohort_week").isNotNull())
+        .join(activity, "user_id")
+        .where(F.col("activity_week") >= F.col("cohort_week"))
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("activity_week"), F.col("cohort_week")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
     )
