@@ -72,6 +72,10 @@ HEADLINE = [
     "fuzzy_decontamination",
     "event_transitions",
     "cohort_retention",
+    "value_stats_salted",
+    "pq_knn_rerank",
+    "order_price_deciles",
+    "segment_status_pivot",
 ]
 
 
@@ -116,6 +120,17 @@ BASELINE_S = {
     "rp_lsh_forest_topk": 3.2, "knn_int8_rerank": 1.43,
     "ivf_topk_trained": 2.1, "temperature_mix": 0.76,
     "event_value_percentiles": 0.69,
+    # round-5 wave-2 first measurements (sf0.1, medians of 3, measuring
+    # host calib 0.445 scaled to CALIB_REF_S by x0.96 — see BASELINE.md
+    # round-5 wave-2 table)
+    "shipping_priority": 1.36, "local_supplier_volume": 1.27,
+    "event_funnel": 0.70, "value_histogram": 0.40,
+    "tfidf_top_terms": 1.66, "boilerplate_grams": 2.42,
+    "contamination_bloom": 2.13, "fuzzy_decontamination": 0.76,
+    "event_transitions": 0.94, "cohort_retention": 0.90,
+    # (second batch, measuring host calib 0.585 → ×0.73)
+    "value_stats_salted": 0.39, "pq_knn_rerank": 1.16,
+    "order_price_deciles": 0.41, "segment_status_pivot": 0.55,
 }
 
 

@@ -156,6 +156,23 @@ _OVERFLOW_TAIL = [
     # new in round 5: weekly cohort retention matrix; rotate next round —
     # user-keyed join+agg machinery re-proven in-window by events_asof_join
     "cohort_retention",
+    # new in round 5: salted two-phase hot-key aggregate behind the gate
+    # (decimal-routed so the rewrite is value-invisible); rotate next
+    # round — converts operators/skew.py from test-only to oracle-gated
+    "value_stats_salted",
+    # new in round 5: product-quantized kNN (32× compression, frozen
+    # sub-codebooks from the trained IVF centroids, asymmetric-distance
+    # shortlist + exact re-rank); rotate next round — completes the
+    # exact→int8→PQ compression ladder, int8 twin in-window
+    "pq_knn_rerank",
+    # new in round 5: NTILE decile stats under a total order; rotate next
+    # round — window machinery re-proven in-window by
+    # segment_running_totals
+    "order_price_deciles",
+    # new in round 5: explicit-values pivot (wide conditional agg);
+    # rotate next round — agg machinery re-proven in-window by
+    # pricing_summary
+    "segment_status_pivot",
 ]
 
 

@@ -376,3 +376,96 @@ def local_supplier_volume(spark, sf_dir):
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# ------------------------------------------------------- decile statistics
+# NTILE window + per-bucket aggregate. Determinism rule: NTILE is only
+# well-defined under a TOTAL order — ties at a bucket boundary would be
+# engine-chosen — so the order key is (o_totalprice, o_orderkey). Scale:
+# a global NTILE needs a global sort; the exit ramp at 100 TB is
+# approx-quantile cut points + a map-side bucket assign (the
+# event_value_percentiles_approx posture), which this exact form gates.
+_DECILE_SQL = """
+WITH ranked AS (
+    SELECT o_totalprice,
+        ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+    FROM orders
+)
+SELECT decile,
+    CAST(COUNT(*) AS BIGINT) AS n_orders,
+    CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+    CAST(MAX(o_totalprice) AS DOUBLE) AS hi,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM ranked
+GROUP BY decile
+"""
+
+
+@register("order_price_deciles", sql=_DECILE_SQL)
+def order_price_deciles(spark, sf_dir):
+    """Order-value deciles (NTILE 10 under a total order) with per-bucket
+    count/min/max/exact-decimal sum."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- pivot
+# Wide-format conditional aggregation: per customer segment, one column
+# per order status. Spark's pivot with an EXPLICIT value list compiles to
+# a single pass of conditional aggregates (same plan as the CASE form) —
+# never use implicit pivot values at scale (it runs a distinct scan to
+# discover them). The oracle spells the equivalent CASE columns.
+_PIVOT_SQL = """
+SELECT c.c_mktsegment AS segment,
+    CAST(COUNT(CASE WHEN o.o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_f,
+    CAST(COUNT(CASE WHEN o.o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_o,
+    CAST(COUNT(CASE WHEN o.o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_p,
+    CAST(SUM(CASE WHEN o.o_orderstatus = 'F'
+        THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS spend_f,
+    CAST(SUM(CASE WHEN o.o_orderstatus = 'O'
+        THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS spend_o,
+    CAST(SUM(CASE WHEN o.o_orderstatus = 'P'
+        THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS spend_p
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@register("segment_status_pivot", sql=_PIVOT_SQL)
+def segment_status_pivot(spark, sf_dir):
+    """Orders pivoted to one (count, spend) column pair per order status,
+    per market segment — explicit pivot values, one aggregation pass."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = o.join(c, o.o_custkey == c.c_custkey)
+    piv = (
+        joined.groupBy(F.col("c_mktsegment").alias("segment"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("spend"),
+        )
+    )
+    return piv.select(
+        "segment",
+        F.coalesce(F.col("F_n"), F.lit(0)).cast("bigint").alias("n_f"),
+        F.coalesce(F.col("O_n"), F.lit(0)).cast("bigint").alias("n_o"),
+        F.coalesce(F.col("P_n"), F.lit(0)).cast("bigint").alias("n_p"),
+        F.col("F_spend").alias("spend_f"),
+        F.col("O_spend").alias("spend_o"),
+        F.col("P_spend").alias("spend_p"),
+    )

@@ -712,3 +712,54 @@ def cohort_retention(spark, sf_dir):
         )
         .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
     )
+
+
+# ------------------------------------------------- salted hot-key aggregate
+# operators/skew.py::salted_aggregate behind the correctness gate: the
+# two-phase rewrite (groupBy(keys+salt) partial → groupBy(keys) final)
+# must be INVISIBLE in the results — the oracle is the plain one-phase
+# aggregate. Float discipline: the sum routes through DECIMAL(18,6)
+# BEFORE salting, because two-phase double summation reassociates (salt
+# subtotals) while decimal addition is exact and associative — the same
+# rule every money sum in the catalog follows. event_type is the stand-in
+# hot key (5 values over 10k+ rows — every key is "hot" relative to key
+# cardinality, exactly the shape salting exists for).
+_SALTED_STATS_SQL = """
+SELECT event_type,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+    CAST(MIN(value) AS DOUBLE) AS value_min,
+    CAST(MAX(value) AS DOUBLE) AS value_max
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("value_stats_salted", sql=_SALTED_STATS_SQL)
+def value_stats_salted(spark, sf_dir):
+    """Per-type value stats computed through the salted two-phase
+    aggregate (16 deterministic xxhash64 salts on event_id)."""
+    from cargo_chat_spark.operators.skew import salted_aggregate
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(18,6)")
+    )
+    out = salted_aggregate(
+        e,
+        keys=["event_type"],
+        aggs={
+            "n_events": ("count", "event_id"),
+            "value_sum_dec": ("sum", "value_dec"),
+            "value_min": ("min", "value"),
+            "value_max": ("max", "value"),
+        },
+        n_salts=16,
+        salt_on="event_id",
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("value_sum_dec").cast("double").alias("value_sum"),
+        F.col("value_min").cast("double").alias("value_min"),
+        F.col("value_max").cast("double").alias("value_max"),
+    )
