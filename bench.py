@@ -76,6 +76,9 @@ HEADLINE = [
     "pq_knn_rerank",
     "order_price_deciles",
     "segment_status_pivot",
+    "customer_balance_ranks",
+    "flag_status_grouping_sets",
+    "daily_signup_purchase",
 ]
 
 

@@ -173,6 +173,17 @@ _OVERFLOW_TAIL = [
     # rotate next round — agg machinery re-proven in-window by
     # pricing_summary
     "segment_status_pivot",
+    # new in round 5: percent_rank/cume_dist under a total order; rotate
+    # next round — window machinery re-proven in-window by
+    # segment_running_totals
+    "customer_balance_ranks",
+    # new in round 5: GROUPING SETS + grouping_id (one Expand pass);
+    # rotate next round — revenue_rollup gates the Expand machinery
+    "flag_status_grouping_sets",
+    # new in round 5: FULL OUTER join (the one join type previously
+    # ungated); rotate next round — outer-join machinery re-proven
+    # in-window by part_bulk_outer's consumers
+    "daily_signup_purchase",
 ]
 
 

@@ -469,3 +469,127 @@ def segment_status_pivot(spark, sf_dir):
         F.col("O_spend").alias("spend_o"),
         F.col("P_spend").alias("spend_p"),
     )
+
+
+# ------------------------------------------------- rank-function coverage
+# percent_rank / cume_dist over a TOTAL order (price, custkey) — the
+# SQL-standard definitions agree across engines only when the order is
+# total: both are rank-based, so any tie left to the engine would shift
+# entire result rows. Rounded to 6 d.p. in BOTH engines (the harness
+# float discipline).
+_RANK_FNS_SQL = """
+SELECT c_custkey,
+    c_mktsegment AS segment,
+    CAST(round(percent_rank() OVER w, 6) AS DOUBLE) AS acctbal_pct_rank,
+    CAST(round(cume_dist() OVER w, 6) AS DOUBLE) AS acctbal_cume_dist
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+"""
+
+
+@register("customer_balance_ranks", sql=_RANK_FNS_SQL)
+def customer_balance_ranks(spark, sf_dir):
+    """percent_rank + cume_dist of account balance within each market
+    segment (total order, 6-d.p. rounding in both engines)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.percent_rank().over(w), 6).cast("double").alias("acctbal_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).cast("double").alias("acctbal_cume_dist"),
+    )
+
+
+# ---------------------------------------------------------- grouping sets
+# GROUPING SETS with grouping_id disambiguation: per-(flag,status),
+# per-flag, and per-status subtotals in ONE pass (Spark Expand node — one
+# scan regardless of set count; rollup covers only the hierarchical
+# prefix case). gid identifies which set a row belongs to, since NULL
+# alone can't distinguish "subtotal over status" from a NULL status.
+_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+    CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+    CAST(COUNT(*) AS BIGINT) AS n_items,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+"""
+
+
+@register("flag_status_grouping_sets", sql=_GROUPING_SETS_SQL)
+def flag_status_grouping_sets(spark, sf_dir):
+    """Three grouping sets in one aggregation pass, disambiguated by the
+    grouping-bit id."""
+    l = load_table(spark, sf_dir, "lineitem")
+    gid = (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).cast("bigint")
+    return (
+        l.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], ["l_linestatus"]],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            gid.alias("gid"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n_items", "revenue")
+    )
+
+
+# ---------------------------------------------------------- full outer join
+# Daily signup vs purchase volumes: FULL OUTER on the day key keeps days
+# that have only one kind of activity (both unmatched sides survive with
+# NULL counterparts) — the join type the catalog lacked (inner/left/
+# semi/anti/broadcast variants are all gated elsewhere).
+_FULL_OUTER_SQL = """
+WITH s AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        CAST(COUNT(*) AS BIGINT) AS n_signups
+    FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+p AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS purchase_value
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT COALESCE(s.day, p.day) AS day,
+    COALESCE(s.n_signups, 0) AS n_signups,
+    COALESCE(p.n_purchases, 0) AS n_purchases,
+    p.purchase_value
+FROM s FULL OUTER JOIN p ON p.day = s.day
+"""
+
+
+@register("daily_signup_purchase", sql=_FULL_OUTER_SQL)
+def daily_signup_purchase(spark, sf_dir):
+    """Daily signup and purchase volumes, FULL OUTER joined on day."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    s = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy(day)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_signups"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy(day)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("purchase_value"),
+        )
+    )
+    sj = s.select(F.col("day").alias("s_day"), "n_signups")
+    pj = p.select(F.col("day").alias("p_day"), "n_purchases", "purchase_value")
+    return sj.join(pj, sj.s_day == pj.p_day, "full_outer").select(
+        F.coalesce("s_day", "p_day").alias("day"),
+        F.coalesce("n_signups", F.lit(0)).cast("bigint").alias("n_signups"),
+        F.coalesce("n_purchases", F.lit(0)).cast("bigint").alias("n_purchases"),
+        "purchase_value",
+    )
