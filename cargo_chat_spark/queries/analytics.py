@@ -1,0 +1,262 @@
+"""Product/time-series analytics over the ``events`` table (round-5 wave 3).
+
+Beyond-reference operators a training-data/product pipeline needs at scale:
+calendar gap-fill with last-observation-carried-forward (the hypertable
+rollup pattern), trailing-window distinct actives, co-occurrence mining,
+statistical outlier flagging, and set-algebra cohort definitions.
+
+Cross-engine rules follow ``queries/registry.py``: money-like sums routed
+through DECIMAL (exact, shuffle-order-proof), floats rounded before any
+filter that could straddle an ulp, every top-k under a total order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cargo_chat_spark.queries.registry import register
+from cargo_chat_spark.sources.testdata import load_table
+
+# ----------------------------------------------------- gap-fill + LOCF
+# Hypertable-style rollup: hourly per-type totals on a DENSE calendar spine
+# (missing hours materialized), gaps filled by carrying the last observed
+# value forward. Scale shape: the heavy stage is the hourly groupBy (map-side
+# partial agg over the raw events); the spine explode and the LOCF window run
+# AFTER aggregation, on O(types x hours) rows — bounded by calendar time, not
+# data volume, so the per-type window state stays tiny even at 100 TB
+# (10 years = 87,600 rows per type).
+_GAP_FILL_SQL = """
+WITH hourly AS (
+    SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS hour_sum,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2),
+bounds AS (
+    SELECT event_type, MIN(hour_start) AS mn, MAX(hour_start) AS mx
+    FROM hourly GROUP BY 1),
+spine AS (
+    SELECT event_type,
+           unnest(generate_series(mn, mx, INTERVAL '1 hour')) AS hour_start
+    FROM bounds)
+SELECT s.event_type, s.hour_start,
+       last_value(h.hour_sum IGNORE NULLS) OVER (
+           PARTITION BY s.event_type ORDER BY s.hour_start
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum,
+       h.hour_sum IS NOT NULL AS is_observed,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events
+FROM spine s LEFT JOIN hourly h USING (event_type, hour_start)
+"""
+
+
+@register("events_gap_fill_locf", sql=_GAP_FILL_SQL)
+def events_gap_fill_locf(spark, sf_dir):
+    """Dense hourly rollup per event type with LOCF gap filling.
+
+    Spine bounds are each type's own [min, max] observed hour;
+    ``filled_sum`` carries the last non-null hourly total forward (exact:
+    hourly sums are decimal-routed before the double cast, so both engines
+    carry bit-identical values)."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("hour_sum"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hour_start").alias("mn"), F.max("hour_start").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("interval 1 hour"))
+            ).alias("hour_start"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return spine.join(hourly, ["event_type", "hour_start"], "left").select(
+        "event_type",
+        "hour_start",
+        F.last("hour_sum", ignorenulls=True).over(w).alias("filled_sum"),
+        F.col("hour_sum").isNotNull().alias("is_observed"),
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+    )
+
+
+# ----------------------------------------------- trailing 7-day actives
+# Rolling distinct-count via EXPLODE, not a range self-join: each (user, day)
+# contributes itself to the 7 report days it is visible from, then a plain
+# distinct-count groupBy. Map-side 7x inflation of the (already distinct)
+# user-day set beats a per-day range join at scale — no broadcast, no skew,
+# and Spark's window frames can't do COUNT(DISTINCT) anyway.
+_ROLLING_7D_SQL = """
+WITH user_days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+spine AS (SELECT DISTINCT CAST(ts AS DATE) AS report_day FROM events),
+expanded AS (
+    SELECT user_id,
+           unnest(generate_series(d, d + INTERVAL '6 days',
+                                  INTERVAL '1 day'))::DATE AS report_day
+    FROM user_days)
+SELECT s.report_day,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users_7d
+FROM spine s JOIN expanded e USING (report_day)
+GROUP BY 1
+"""
+
+
+@register("rolling_7d_actives", sql=_ROLLING_7D_SQL)
+def rolling_7d_actives(spark, sf_dir):
+    """Distinct users active in the trailing 7 days, per observed day."""
+    e = load_table(spark, sf_dir, "events")
+    user_days = e.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    spine = e.select(F.col("ts").cast("date").alias("report_day")).distinct()
+    expanded = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence("d", F.date_add("d", 6), F.expr("interval 1 day"))
+        ).alias("report_day"),
+    )
+    return (
+        spine.join(expanded, "report_day")
+        .groupBy("report_day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("active_users_7d"))
+    )
+
+
+# --------------------------------------------------- type co-occurrence
+# Market-basket style: for each unordered pair of event types, how many
+# users exhibit both. The self-join key is user_id over the DISTINCT
+# (user, type) set, so each user contributes at most C(|types|, 2) pairs —
+# bounded by type cardinality, not event volume. For open-ended item
+# domains (e.g. SKUs) the same plan needs the hot-basket cap used by
+# `operators/dedup.py::cap_hot_buckets`; with a closed enum it is exact.
+_COOC_SQL = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
+@register("event_type_cooccurrence", sql=_COOC_SQL)
+def event_type_cooccurrence(spark, sf_dir):
+    """Users-in-common count for every unordered event-type pair."""
+    e = load_table(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    a = ut.alias("a")
+    b = ut.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+
+
+# ------------------------------------------------------ z-score outliers
+# Per-type population mean/std from EXACT decimal sums (value has 2 dp, so
+# sum and sum-of-squares are both exactly representable); the double-domain
+# math downstream is then bit-identical in both engines. The filter runs on
+# the ROUNDED z so a boundary value can't straddle the threshold across
+# engines. One scan + tiny stats broadcast — zero extra shuffles.
+_ZSCORE_THRESHOLD = 2.0
+
+_ZSCORE_SQL = f"""
+WITH stats AS (
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))
+                    * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+    FROM events GROUP BY 1)
+SELECT e.event_id, e.event_type, e.value,
+       round((e.value - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)), 6)
+           AS zscore
+FROM events e JOIN stats USING (event_type)
+WHERE abs(round((e.value - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)), 6))
+      >= {_ZSCORE_THRESHOLD}
+"""
+
+
+@register("value_zscore_outliers", sql=_ZSCORE_SQL)
+def value_zscore_outliers(spark, sf_dir):
+    """Events whose value is >= 2 population std-devs from their type mean."""
+    e = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("s1"),
+        F.sum(dec * dec).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    std = F.sqrt(F.col("s2") / F.col("n") - mean * mean)
+    z = F.round((F.col("value") - mean) / std, 6)
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", "value", z.alias("zscore"))
+        .where(F.abs(F.col("zscore")) >= F.lit(_ZSCORE_THRESHOLD))
+    )
+
+
+# ------------------------------------------------- set-algebra cohorts
+# INTERSECT / EXCEPT — the one relational-algebra family previously ungated.
+# Cohort: high-value purchasers (per-user purchase total > 700, exact
+# decimal) who signed up in week 1, minus error-prone users (> 15 errors).
+# Each leg is a map-side-combinable aggregate; the set ops are hash
+# semi/anti joins on a single bigint key.
+_SET_OPS_SQL = """
+SELECT user_id FROM (
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    GROUP BY 1
+    HAVING CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) > 700
+    INTERSECT
+    SELECT DISTINCT user_id FROM events
+    WHERE event_type = 'signup' AND ts < TIMESTAMP '2024-01-08')
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error'
+GROUP BY 1 HAVING COUNT(*) > 15
+"""
+
+
+@register("engaged_clean_users", sql=_SET_OPS_SQL)
+def engaged_clean_users(spark, sf_dir):
+    """High-value week-1 purchasers minus error-prone users (set algebra)."""
+    e = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    high_value = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(dec).cast("double").alias("total"))
+        .where(F.col("total") > 700)
+        .select("user_id")
+    )
+    early_signup = (
+        e.where(
+            (F.col("event_type") == "signup")
+            & (F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
+        )
+        .select("user_id")
+        .distinct()
+    )
+    error_prone = (
+        e.where(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 15)
+        .select("user_id")
+    )
+    return high_value.intersect(early_signup).subtract(error_prone)

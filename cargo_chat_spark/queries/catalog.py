@@ -6,6 +6,7 @@ domain module. ``__spark_entry__.py`` re-exports these to the driver.
 
 from __future__ import annotations
 
+from cargo_chat_spark.queries import analytics  # noqa: F401
 from cargo_chat_spark.queries import ann_lsh  # noqa: F401
 from cargo_chat_spark.queries import curation  # noqa: F401
 from cargo_chat_spark.queries import dedup  # noqa: F401
@@ -184,6 +185,32 @@ _OVERFLOW_TAIL = [
     # ungated); rotate next round — outer-join machinery re-proven
     # in-window by part_bulk_outer's consumers
     "daily_signup_purchase",
+    # round-5 wave 3 (all oracle-checked locally by test_oracle_harness;
+    # rotate next round):
+    # hypertable-style dense rollup + LOCF — spine/window machinery
+    # re-proven in-window by events_moving_avg's ordered frames
+    "events_gap_fill_locf",
+    # trailing-7d distinct actives via explode (no range self-join) —
+    # distinct-agg machinery re-proven in-window by events_tumbling_window
+    "rolling_7d_actives",
+    # market-basket type co-occurrence — bounded self-join; equi-join+agg
+    # machinery re-proven in-window by events_asof_join
+    "event_type_cooccurrence",
+    # per-type z-score outliers from exact decimal moments — broadcast
+    # stats join re-proven in-window by temperature_mix's rate join
+    "value_zscore_outliers",
+    # INTERSECT/EXCEPT cohort algebra — semi/anti-join machinery re-proven
+    # in-window by parts_never_ordered_bulk's consumers
+    "engaged_clean_users",
+    # A-Res weighted sampling (priority = -ln(u)/w) — md5-draw + top-N
+    # machinery re-proven in-window by temperature_mix + vocab_top50
+    "weighted_sample",
+    # per-doc token-distribution entropy — explode+agg machinery re-proven
+    # in-window by quality_score/repetition_signals
+    "word_entropy",
+    # correlated scalar subquery (Catalyst decorrelation) — agg+broadcast
+    # join machinery re-proven in-window by top_customers
+    "above_nation_avg_customers",
 ]
 
 

@@ -593,3 +593,41 @@ def daily_signup_purchase(spark, sf_dir):
         F.coalesce("n_purchases", F.lit(0)).cast("bigint").alias("n_purchases"),
         "purchase_value",
     )
+
+
+# --------------------------------------------- correlated scalar subquery
+# Customers above their own nation's average balance. Exercises Catalyst's
+# subquery decorrelation: the correlated scalar subquery rewrites to an
+# aggregate-then-join — per-nation averages (25 rows) broadcast against the
+# customer scan, so the "per-row subquery" costs one map-side agg + one
+# broadcast join at any scale. The average is an exact decimal sum divided
+# in double, bit-identical across engines (c_acctbal has 2 dp).
+_NATION_AVG_SQL = """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal
+FROM customer c
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(*)
+    FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+"""
+
+
+@register("above_nation_avg_customers", sql=_NATION_AVG_SQL)
+def above_nation_avg_customers(spark, sf_dir):
+    """Customers with balance above their nation's average (correlated
+    scalar subquery, written as SQL so Catalyst's decorrelation is the
+    code path under test)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "cust_nation_avg_v"
+    )
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal
+        FROM cust_nation_avg_v c
+        WHERE c_acctbal > (
+            SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*)
+            FROM cust_nation_avg_v c2
+            WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )

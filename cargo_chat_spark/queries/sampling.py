@@ -411,3 +411,51 @@ def per_source_sample(spark, sf_dir):
         .where(F.col("sample_rank") <= _PER_SOURCE_N)
         .select("doc_id", "source", F.col("sample_rank").cast("int"))
     )
+
+
+# --------------------------------------------------- weighted sampling
+# Deterministic weighted sampling without replacement (Efraimidis-Spirakis
+# A-Res): priority = -ln(u) / w with u = (low32(md5(doc_id)) + 1) / 2^32
+# in (0, 1] and w = n_chars; keep the N smallest priorities. Char-weighted
+# selection is the standard "sample by token mass, not by document count"
+# pipeline draw. The md5 draw replaces the RNG (resumable, engine-portable);
+# ln() is the only libm call and a selection flip would need two priorities
+# within ~1 ulp of each other AND straddling rank N — vanishing for random
+# draws; ties after the 6 dp rounding break on doc_id. TakeOrderedAndProject
+# keeps the top-N without a global sort (local N per partition -> driver
+# merge), the same plan shape pinned for vocab_top50.
+_WEIGHTED_N = 100
+
+_WEIGHTED_SQL = f"""
+WITH draws AS (
+    SELECT doc_id, n_chars,
+        (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+            / 4294967296.0 AS u
+    FROM documents)
+SELECT doc_id, n_chars, round(-ln(u) / n_chars, 6) AS priority
+FROM draws
+ORDER BY -ln(u) / n_chars ASC, doc_id
+LIMIT {_WEIGHTED_N}
+"""
+
+
+@register("weighted_sample", sql=_WEIGHTED_SQL)
+def weighted_sample(spark, sf_dir):
+    """Top-{N} docs by A-Res weighted-sampling priority (weight = n_chars)."""
+    docs = load_table(spark, sf_dir, "documents")
+    low32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    u = (low32 + F.lit(1)) / F.lit(4294967296.0)
+    priority = -F.log(u) / F.col("n_chars")
+    return (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            priority.alias("_p"),
+            F.round(priority, 6).alias("priority"),
+        )
+        .orderBy(F.col("_p").asc(), F.col("doc_id").asc())
+        .limit(_WEIGHTED_N)
+        .drop("_p")
+    )

@@ -625,3 +625,65 @@ def tfidf_top_terms(spark, sf_dir):
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= _TFIDF_K)
     )
+
+
+# ------------------------------------------------- word-distribution entropy
+# Shannon entropy of the per-document token distribution — a repetitiveness
+# / quality signal complementing repetition_signals (low entropy = template
+# or looping text; filters of this family gate pre-training corpora).
+# Tokenization is the shared D.tokens regex, so the signal is consistent
+# with the minhash/TF-IDF family. Floats: p and log2(p) are double; the
+# per-doc sum runs over ~tens of terms, so cross-engine fold-order error is
+# <= 1e-12 and the 6 dp rounding absorbs it. Plan: two map-side-combinable
+# groupBys (doc x token, then doc) — no window, no join back to the corpus.
+_ENTROPY_SQL = """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+    FROM documents),
+cnt AS (
+    SELECT doc_id, token, COUNT(*) AS c
+    FROM toks WHERE token <> '' GROUP BY 1, 2),
+tot AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS n FROM cnt GROUP BY 1)
+SELECT c.doc_id,
+       CAST(t.n AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
+       round(-SUM((c.c / t.n) * log2(c.c / t.n)), 6) AS entropy
+FROM cnt c JOIN tot t USING (doc_id)
+GROUP BY c.doc_id, t.n
+"""
+
+
+@register("word_entropy", sql=_ENTROPY_SQL)
+def word_entropy(spark, sf_dir):
+    """Per-document Shannon entropy of the token distribution (bits)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(D.tokens(F.col("text"))).alias("token"))
+    cnt = (
+        toks.where(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("double").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_tokens"),
+    )
+    return (
+        cnt.join(tot, "doc_id")
+        .groupBy("doc_id", "n", "distinct_tokens")
+        .agg(
+            F.round(
+                -F.sum(
+                    (F.col("c") / F.col("n"))
+                    * F.log2(F.col("c") / F.col("n"))
+                ),
+                6,
+            ).alias("entropy")
+        )
+        .select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_tokens"),
+            "distinct_tokens",
+            "entropy",
+        )
+    )
