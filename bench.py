@@ -79,6 +79,17 @@ HEADLINE = [
     "customer_balance_ranks",
     "flag_status_grouping_sets",
     "daily_signup_purchase",
+    # round-5 wave 3: time-series gap fill, trailing actives, co-occurrence,
+    # outlier flagging, set-algebra cohorts, weighted sampling, entropy,
+    # correlated-subquery decorrelation.
+    "events_gap_fill_locf",
+    "rolling_7d_actives",
+    "event_type_cooccurrence",
+    "value_zscore_outliers",
+    "engaged_clean_users",
+    "weighted_sample",
+    "word_entropy",
+    "above_nation_avg_customers",
 ]
 
 
@@ -134,6 +145,17 @@ BASELINE_S = {
     # (second batch, measuring host calib 0.585 → ×0.73)
     "value_stats_salted": 0.39, "pq_knn_rerank": 1.16,
     "order_price_deciles": 0.41, "segment_status_pivot": 0.55,
+    # round-5 wave-3 first measurements (sf0.1, medians of 3, measuring
+    # host calib 0.375 scaled to CALIB_REF_S by ×1.139 — see BASELINE.md
+    # round-5 wave-3 table). customer_balance_ranks /
+    # flag_status_grouping_sets / daily_signup_purchase were measured in
+    # the same session (they joined HEADLINE in wave 2 without a bar).
+    "customer_balance_ranks": 0.47, "flag_status_grouping_sets": 1.52,
+    "daily_signup_purchase": 0.52,
+    "events_gap_fill_locf": 0.76, "rolling_7d_actives": 0.89,
+    "event_type_cooccurrence": 0.60, "value_zscore_outliers": 0.72,
+    "engaged_clean_users": 0.56, "weighted_sample": 0.29,
+    "word_entropy": 1.12, "above_nation_avg_customers": 0.44,
 }
 
 
