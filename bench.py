@@ -90,6 +90,12 @@ HEADLINE = [
     "weighted_sample",
     "word_entropy",
     "above_nation_avg_customers",
+    # round-5 wave 3b: argmin aggregate, 1→N Arrow frame sampling,
+    # hybrid lexical retrieval (BM25 + RRF fusion).
+    "cheapest_supplier_per_part",
+    "media_frame_sample",
+    "bm25_topk",
+    "hybrid_rrf_retrieval",
 ]
 
 
@@ -156,6 +162,9 @@ BASELINE_S = {
     "event_type_cooccurrence": 0.60, "value_zscore_outliers": 0.72,
     "engaged_clean_users": 0.56, "weighted_sample": 0.29,
     "word_entropy": 1.12, "above_nation_avg_customers": 0.44,
+    # (wave-3b batch, measuring host calib 0.358 → ×1.193)
+    "cheapest_supplier_per_part": 1.30, "media_frame_sample": 0.53,
+    "bm25_topk": 1.01, "hybrid_rrf_retrieval": 1.62,
 }
 
 

@@ -10,6 +10,7 @@ from cargo_chat_spark.queries import analytics  # noqa: F401
 from cargo_chat_spark.queries import ann_lsh  # noqa: F401
 from cargo_chat_spark.queries import curation  # noqa: F401
 from cargo_chat_spark.queries import dedup  # noqa: F401
+from cargo_chat_spark.queries import hybrid  # noqa: F401
 from cargo_chat_spark.queries import rerank  # noqa: F401
 from cargo_chat_spark.queries import multimodal_queries  # noqa: F401
 from cargo_chat_spark.queries import profiling  # noqa: F401
@@ -211,6 +212,19 @@ _OVERFLOW_TAIL = [
     # correlated scalar subquery (Catalyst decorrelation) — agg+broadcast
     # join machinery re-proven in-window by top_customers
     "above_nation_avg_customers",
+    # argmin-per-group via lexicographic struct MIN (single-pass, built-in
+    # tie-break) — agg machinery re-proven in-window by pricing_summary
+    "cheapest_supplier_per_part",
+    # 1→N Arrow mapInPandas frame sampling (fake demuxer) — Arrow-stage
+    # machinery re-proven in-window by mock_embed_documents
+    "media_frame_sample",
+    # Okapi BM25 lexical ranking (integer tf/df/dl, scalar-broadcast
+    # stats) — explode+agg machinery re-proven in-window by vocab_top50
+    "bm25_topk",
+    # reciprocal-rank fusion of BM25 + token-Jaccard top-100s — rank
+    # window + FULL OUTER machinery re-proven in-window by knn_exact's
+    # rank windows
+    "hybrid_rrf_retrieval",
 ]
 
 

@@ -1,0 +1,227 @@
+"""Hybrid lexical retrieval: BM25 scoring + reciprocal-rank fusion.
+
+The reference's retrieval is embedding-kNN (+ rerank); production RAG
+engines pair that with a lexical ranker and fuse the two rankings. This
+module supplies the missing half Spark-first:
+
+- ``bm25_topk``: Okapi BM25 (k1=1.2, b=0.75) over the documents table for
+  a fixed query — tf/df/dl computed as integer aggregates (exact), the
+  floating-point scoring formula evaluated with identical structure in
+  both engines, ranked on the 6-dp-rounded score with doc_id tie-break.
+- ``hybrid_rrf_retrieval``: reciprocal-rank fusion (k=60) of the BM25
+  ranking with a token-set Jaccard ranking — the standard score-free
+  fusion (ranks only, so heterogeneous scorers compose without
+  calibration). FULL OUTER over the two top-100 lists, missing-list
+  contributions drop out, top-20 under a total order.
+
+Scale: every stage is a map-side-combinable aggregate over the exploded
+token frame (query terms filter BEFORE the tf aggregate, so the per-term
+frame is |terms|/|vocab| of the corpus); ranks are global row_numbers over
+top-100 frames (tiny). At 100 TB the BM25 side is one scan + one shuffle
+on doc_id; df/avgdl are scalar broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cargo_chat_spark.operators import dedup as D
+from cargo_chat_spark.queries.registry import register
+from cargo_chat_spark.sources.testdata import load_table
+
+_TERMS = ("spark", "join", "window")
+_K1 = 1.2
+_B = 0.75
+_TOPK = 20
+_FUSE_N = 100
+_RRF_K = 60
+
+_TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in _TERMS) + ")"
+
+_BM25_CTES = f"""
+toks AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+    FROM documents),
+dl AS (
+    SELECT doc_id, COUNT(*) AS dl FROM toks WHERE token <> '' GROUP BY 1),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+    FROM dl),
+tf AS (
+    SELECT doc_id, token, COUNT(*) AS tf
+    FROM toks WHERE token IN {_TERMS_SQL} GROUP BY 1, 2),
+df AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+scored AS (
+    SELECT t.doc_id,
+        round(SUM(
+            ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+            * (t.tf * ({_K1} + 1.0))
+            / (t.tf + {_K1} * (1 - {_B} + {_B} * d.dl / s.avgdl))
+        ), 6) AS bm25
+    FROM tf t
+    JOIN df f USING (token)
+    JOIN dl d USING (doc_id)
+    CROSS JOIN stats s
+    GROUP BY t.doc_id),
+bm25_ranked AS (
+    SELECT doc_id, bm25,
+           row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+    FROM scored)
+"""
+
+_BM25_SQL = f"""
+WITH {_BM25_CTES}
+SELECT doc_id, bm25, CAST(rnk AS INT) AS rank
+FROM bm25_ranked WHERE rnk <= {_TOPK}
+"""
+
+
+def _bm25_scored(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(D.tokens(F.col("text"))).alias("token")
+    )
+    dl = (
+        toks.where(F.col("token") != "")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dl"))
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.where(F.col("token").isin(*_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    idf = F.log(
+        F.lit(1)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    contrib = idf * (
+        F.col("tf") * F.lit(_K1 + 1.0)
+    ) / (
+        F.col("tf")
+        + F.lit(_K1)
+        * (F.lit(1 - _B) + F.lit(_B) * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+    )
+
+
+@register("bm25_topk", sql=_BM25_SQL)
+def bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-20 for the fixed query (see module docstring)."""
+    scored = _bm25_scored(spark, sf_dir)
+    w = Window.orderBy(F.desc("bm25"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= _TOPK)
+    )
+
+
+_JACCARD_CTES = f"""
+jtoks AS (
+    SELECT DISTINCT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+    FROM documents),
+jstats AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(CASE WHEN token IN {_TERMS_SQL} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_inter
+    FROM jtoks WHERE token <> '' GROUP BY 1),
+jscored AS (
+    SELECT doc_id,
+           round(CAST(n_inter AS DOUBLE)
+                 / (n_distinct + {len(_TERMS)} - n_inter), 6) AS jaccard
+    FROM jstats),
+jac_ranked AS (
+    SELECT doc_id, jaccard,
+           row_number() OVER (ORDER BY jaccard DESC, doc_id) AS rnk
+    FROM jscored)
+"""
+
+_RRF_SQL = f"""
+WITH {_BM25_CTES},
+{_JACCARD_CTES},
+fused AS (
+    SELECT COALESCE(b.doc_id, j.doc_id) AS doc_id,
+           round(COALESCE(1.0 / ({_RRF_K} + b.rnk), 0)
+                 + COALESCE(1.0 / ({_RRF_K} + j.rnk), 0), 6) AS rrf_score,
+           CAST(b.rnk AS INT) AS bm25_rank,
+           CAST(j.rnk AS INT) AS jaccard_rank
+    FROM (SELECT * FROM bm25_ranked WHERE rnk <= {_FUSE_N}) b
+    FULL OUTER JOIN (SELECT * FROM jac_ranked WHERE rnk <= {_FUSE_N}) j
+        ON b.doc_id = j.doc_id)
+SELECT doc_id, rrf_score, bm25_rank, jaccard_rank,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT)
+           AS fused_rank
+FROM fused
+ORDER BY rrf_score DESC, doc_id
+LIMIT {_TOPK}
+"""
+
+
+@register("hybrid_rrf_retrieval", sql=_RRF_SQL)
+def hybrid_rrf_retrieval(spark, sf_dir):
+    """Reciprocal-rank fusion of the BM25 and token-Jaccard rankings."""
+    docs = load_table(spark, sf_dir, "documents")
+    jtoks = docs.select(
+        "doc_id", F.explode(D.tokens(F.col("text"))).alias("token")
+    ).where(F.col("token") != "").distinct()
+    jstats = jtoks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum(
+            F.when(F.col("token").isin(*_TERMS), 1).otherwise(0)
+        ).cast("bigint").alias("n_inter"),
+    )
+    jscored = jstats.select(
+        "doc_id",
+        F.round(
+            F.col("n_inter").cast("double")
+            / (F.col("n_distinct") + F.lit(len(_TERMS)) - F.col("n_inter")),
+            6,
+        ).alias("jaccard"),
+    )
+    wq = Window.orderBy(F.desc("jaccard"), "doc_id")
+    jac = (
+        jscored.withColumn("jrnk", F.row_number().over(wq))
+        .where(F.col("jrnk") <= _FUSE_N)
+        .select("doc_id", "jrnk")
+    )
+    wb = Window.orderBy(F.desc("bm25"), "doc_id")
+    bm = (
+        _bm25_scored(spark, sf_dir)
+        .withColumn("brnk", F.row_number().over(wb))
+        .where(F.col("brnk") <= _FUSE_N)
+        .select("doc_id", "brnk")
+    )
+    fused = bm.join(jac, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("brnk")), F.lit(0.0))
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(_RRF_K) + F.col("jrnk")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf_score"),
+        F.col("brnk").cast("int").alias("bm25_rank"),
+        F.col("jrnk").cast("int").alias("jaccard_rank"),
+    )
+    wf = Window.orderBy(F.desc("rrf_score"), "doc_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf).cast("int"))
+        .where(F.col("fused_rank") <= _TOPK)
+    )

@@ -76,3 +76,53 @@ def media_featurize(spark, sf_dir):
         F.floor(F.col("feat") * 1_000_000).cast("bigint").alias("feat_fp"),
         "decode_ok",
     )
+
+
+# ----------------------------------------------------- frame sampling
+# Drives operators/multimodal.sample_frames — the 1→N Arrow mapInPandas
+# stage (each media row expands to its sampled "frames"). Oracle-checkable
+# for the same reason media_featurize is: the ASCII corpus makes payload
+# byte k equal the codepoint of character k+1, so frame k's bytes are
+# exactly substring(text, k*FB+1, FB) and DuckDB's md5(varchar) equals the
+# kernel's md5(bytes).
+_FRAME_BYTES = 64
+_FRAME_STRIDE = 4
+
+_FRAME_SQL = f"""
+WITH frames AS (
+    SELECT doc_id,
+           (k - 1) AS frame_idx,
+           substring(text, (k - 1) * {_FRAME_BYTES} + 1, {_FRAME_BYTES})
+               AS chunk
+    FROM documents,
+         UNNEST(generate_series(
+             1, CAST(ceil(len(text) / {_FRAME_BYTES}.0) AS BIGINT))) AS u(k)
+    WHERE len(text) >= 1
+)
+SELECT doc_id AS media_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       CAST(len(chunk) AS INT) AS frame_len,
+       md5(chunk) AS frame_md5
+FROM frames
+WHERE frame_idx % {_FRAME_STRIDE} = 0
+"""
+
+
+@register("media_frame_sample", sql=_FRAME_SQL)
+def media_frame_sample(spark, sf_dir):
+    """Every 4th fixed-size frame per media payload through the real
+    mapInPandas demux plumbing (fake kernel — see operators/multimodal)."""
+    from cargo_chat_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_media_columns(
+        docs.where(F.length("text") >= 1).select(
+            F.col("doc_id").alias("media_id"),
+            F.encode(F.col("text"), "UTF-8").alias("payload"),
+        ),
+        payload_col="payload",
+        media_type="video/fake",
+    )
+    return sample_frames(
+        media, frame_bytes=_FRAME_BYTES, stride=_FRAME_STRIDE, fake=True
+    )

@@ -631,3 +631,65 @@ def above_nation_avg_customers(spark, sf_dir):
             WHERE c2.c_nationkey = c.c_nationkey)
         """
     )
+
+
+# ------------------------------------------------------- argmin per group
+# TPC-H Q2's core shape: cheapest offer per part, WHO supplies it (argmin,
+# not just min). Single-pass MIN over a (price, suppkey) struct — the
+# lexicographic struct ordering makes the tie-break (lowest suppkey)
+# part of the aggregate itself, so the result is deterministic and the
+# whole argmin costs ONE map-side-combinable aggregation, not a
+# min-then-self-join. Price is exact decimal (2 dp x 2 dp -> 4 dp), so
+# struct comparison is bit-identical across engines.
+_ARGMIN_SQL = """
+WITH offers AS (
+    SELECT l_partkey, l_suppkey,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                AS DECIMAL(18,4)) AS price
+    FROM lineitem),
+best AS (
+    SELECT l_partkey,
+           struct_extract(MIN({'p': price, 's': l_suppkey}), 's')
+               AS cheapest_suppkey,
+           CAST(struct_extract(MIN({'p': price, 's': l_suppkey}), 'p')
+                AS DOUBLE) AS min_price,
+           CAST(COUNT(*) AS BIGINT) AS n_offers
+    FROM offers GROUP BY 1)
+SELECT b.l_partkey AS partkey, b.cheapest_suppkey, s.s_name,
+       b.min_price, b.n_offers
+FROM best b JOIN supplier s ON s.s_suppkey = b.cheapest_suppkey
+"""
+
+
+@register("cheapest_supplier_per_part", sql=_ARGMIN_SQL)
+def cheapest_supplier_per_part(spark, sf_dir):
+    """Argmin-per-group: which supplier ships each part cheapest
+    (discounted price), resolved to the supplier name."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    price = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("decimal(18,4)")
+    offers = li.select(
+        "l_partkey", "l_suppkey", price.alias("price")
+    )
+    best_struct = F.min(F.struct(F.col("price"), F.col("l_suppkey")))
+    best = offers.groupBy("l_partkey").agg(
+        best_struct.alias("b"),
+        F.count(F.lit(1)).cast("bigint").alias("n_offers"),
+    )
+    return (
+        best.select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("b.l_suppkey").alias("cheapest_suppkey"),
+            F.col("b.price").cast("double").alias("min_price"),
+            "n_offers",
+        )
+        .join(
+            F.broadcast(sup.select("s_suppkey", "s_name")),
+            F.col("cheapest_suppkey") == F.col("s_suppkey"),
+        )
+        .select("partkey", "cheapest_suppkey", "s_name", "min_price", "n_offers")
+    )

@@ -237,3 +237,37 @@ def test_multimodal_stub(spark):
     # real decode path is explicitly stubbed
     with pytest.raises(Exception):
         extract_features(media, n_features=8, fake=False).collect()
+
+
+def test_multimodal_resize_and_frames(spark):
+    from cargo_chat_spark.operators.multimodal import resize_media, sample_frames
+
+    rows = [(i, bytes(range(i % 7, i % 7 + 200))) for i in range(6)]
+    rows.append((99, b""))  # empty payload edge case
+    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    media = attach_media_columns(df, "payload", "image/fake")
+
+    resized = resize_media(media, out_w=4, out_h=4, fake=True).collect()
+    assert len(resized) == 7
+    assert all(len(r["payload"]) == 16 for r in resized)
+    assert all(r["meta"]["width"] == 4 and r["meta"]["height"] == 4 for r in resized)
+    # deterministic across runs
+    again = resize_media(media, out_w=4, out_h=4, fake=True).collect()
+    assert sorted(bytes(r["payload"]) for r in resized) == sorted(
+        bytes(r["payload"]) for r in again
+    )
+
+    frames = sample_frames(media, frame_bytes=64, stride=2, fake=True).collect()
+    # 200 bytes -> 4 frames (64,64,64,8), stride 2 keeps idx 0 and 2
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert 99 not in by_id  # empty payload yields no frames
+    for mid, rs in by_id.items():
+        assert [r["frame_idx"] for r in sorted(rs, key=lambda x: x["frame_idx"])] == [0, 2]
+        assert all(r["frame_len"] == 64 for r in rs)
+
+    with pytest.raises(Exception):
+        sample_frames(media, fake=False).collect()
+    with pytest.raises(Exception):
+        resize_media(media, fake=False).collect()
