@@ -96,6 +96,9 @@ HEADLINE = [
     "media_frame_sample",
     "bm25_topk",
     "hybrid_rrf_retrieval",
+    "unigram_logprob",
+    "forecast_revenue_q6",
+    "flag_status_cube",
 ]
 
 
@@ -165,6 +168,10 @@ BASELINE_S = {
     # (wave-3b batch, measuring host calib 0.358 → ×1.193)
     "cheapest_supplier_per_part": 1.30, "media_frame_sample": 0.53,
     "bm25_topk": 1.01, "hybrid_rrf_retrieval": 1.62,
+    # (measuring host calib 0.538 → ×0.794)
+    "unigram_logprob": 1.00,
+    # (measuring host calib 0.416 → ×1.026)
+    "forecast_revenue_q6": 0.50, "flag_status_cube": 1.32,
 }
 
 

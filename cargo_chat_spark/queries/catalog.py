@@ -225,6 +225,16 @@ _OVERFLOW_TAIL = [
     # window + FULL OUTER machinery re-proven in-window by knn_exact's
     # rank windows
     "hybrid_rrf_retrieval",
+    # corpus-unigram-LM bits-per-token (the no-model member of the
+    # perplexity-filter family) — explode+agg machinery re-proven
+    # in-window by quality_score
+    "unigram_logprob",
+    # TPC-H Q6 pure scan+filter+agg (pushdown showcase) — predicate
+    # machinery re-proven in-window by pricing_summary's filters
+    "forecast_revenue_q6",
+    # CUBE completes ROLLUP/GROUPING SETS — Expand machinery re-proven
+    # in-window by revenue_rollup
+    "flag_status_cube",
 ]
 
 

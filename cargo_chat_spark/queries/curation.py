@@ -415,3 +415,65 @@ def fuzzy_decontamination(spark, sf_dir):
         )
     )
 
+
+
+# --------------------------------------------- unigram-LM quality scoring
+# The cheapest member of the perplexity-filter family (CCNet/Gopher use a
+# 5-gram KenLM; the unigram form needs no external model): score each doc
+# by bits-per-token under the corpus's own unigram distribution. Unusually
+# high bits-per-token = rare-token soup (OCR noise, hex dumps); unusually
+# low = repetitive boilerplate. Plan: one explode -> two integer aggs
+# (per-(doc,token) tf and corpus unigram counts — both map-side
+# combinable), token-keyed broadcast-able join, per-doc weighted sum.
+# The corpus total is a scalar broadcast. No Python, no windows; the only
+# O(corpus) shuffles are the two token-keyed groupBys. log2 on exact
+# integer ratios, per-doc fold error absorbed by the 6 dp round.
+_UNIGRAM_SQL = """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+    FROM documents),
+clean AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+uni AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM clean GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uni),
+doc_tok AS (
+    SELECT doc_id, token, COUNT(*) AS tf FROM clean GROUP BY 1, 2)
+SELECT d.doc_id,
+       CAST(SUM(d.tf) AS BIGINT) AS n_tokens,
+       round(-SUM(d.tf * log2(u.c / t.n)) / SUM(d.tf), 6) AS bits_per_token
+FROM doc_tok d JOIN uni u USING (token) CROSS JOIN tot t
+GROUP BY d.doc_id
+"""
+
+
+@register("unigram_logprob", sql=_UNIGRAM_SQL)
+def unigram_logprob(spark, sf_dir):
+    """Per-doc bits-per-token under the corpus unigram LM (see note)."""
+    from cargo_chat_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    clean = docs.select(
+        "doc_id", F.explode(D.tokens(F.col("text"))).alias("token")
+    ).where(F.col("token") != "")
+    doc_tok = clean.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    uni = clean.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = uni.agg(F.sum("c").cast("double").alias("n"))
+    return (
+        doc_tok.join(uni, "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.round(
+                -F.sum(
+                    F.col("tf") * F.log2(F.col("c") / F.col("n"))
+                )
+                / F.sum("tf"),
+                6,
+            ).alias("bits_per_token"),
+        )
+    )

@@ -693,3 +693,76 @@ def cheapest_supplier_per_part(spark, sf_dir):
         )
         .select("partkey", "cheapest_suppkey", "s_name", "min_price", "n_offers")
     )
+
+
+# -------------------------------------------------------------- Q6 shape
+# TPC-H Q6: the canonical pure scan+filter+agg — no join, no shuffle
+# beyond the single-row final agg. Every predicate (date range, discount
+# band, quantity cap) is scan-pushable (PushedFilters), so at 100 TB the
+# query cost is the parquet scan of the pruned row groups, nothing else.
+# Revenue is an exact decimal sum-of-products (2 dp × 2 dp) cast once.
+_Q6_SQL = """
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2)))
+             AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("forecast_revenue_q6", sql=_Q6_SQL)
+def forecast_revenue_q6(spark, sf_dir):
+    """TPC-H Q6 forecasting-revenue: filter-heavy scan, single-row agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_discount").cast("decimal(18,2)")
+            )
+            .cast("decimal(38,4)")
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ CUBE
+# Completes the grouping-variant family (ROLLUP gated by revenue_rollup,
+# GROUPING SETS by flag_status_grouping_sets): all four flag×status
+# grouping combinations in ONE Expand pass over the scan, grouping()
+# markers distinguishing NULL-as-total from NULL-as-value.
+_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(grouping(l_returnflag) AS INT) AS g_flag,
+       CAST(grouping(l_linestatus) AS INT) AS g_status
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
+@register("flag_status_cube", sql=_CUBE_SQL)
+def flag_status_cube(spark, sf_dir):
+    """CUBE over (returnflag, linestatus) with grouping() markers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+    )

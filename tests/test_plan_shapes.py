@@ -330,3 +330,48 @@ def test_boilerplate_grams_no_global_sort(spark):
     assert "TakeOrderedAndProject" in plan, (
         "top-40 heavy hitters should not globally sort the gram counts"
     )
+
+
+def test_weighted_sample_no_global_sort(spark):
+    plan = _plan(spark, "weighted_sample")
+    assert "TakeOrderedAndProject" in plan, (
+        "weighted_sample top-N lost the TakeOrderedAndProject plan (a "
+        "global Sort would materialize the full corpus ordering)"
+    )
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_zscore_broadcasts_moments(spark):
+    plan = _plan(spark, "value_zscore_outliers")
+    assert "BroadcastHashJoin" in plan, (
+        "per-type moments must broadcast — a shuffle join re-partitions "
+        "the whole events scan for a 5-row stats side"
+    )
+
+
+def test_q6_filters_reach_scan(spark):
+    plan = _plan(spark, "forecast_revenue_q6")
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "l_discount" in pushed and "l_quantity" in pushed, (
+        "Q6 predicates not pushed to the parquet scan: " + pushed
+    )
+    scan = plan[plan.index("FileScan"):]
+    assert "l_orderkey" not in scan.split("ReadSchema")[1][:400], (
+        "Q6 scan reads columns the query never uses"
+    )
+
+
+def test_bm25_stats_are_broadcast(spark):
+    plan = _plan(spark, "bm25_topk")
+    assert plan.count("BroadcastExchange") >= 2, (
+        "df and corpus-stats sides of BM25 must broadcast (they are "
+        "O(|terms|) and O(1) rows)"
+    )
+
+
+def test_above_nation_avg_decorrelates_to_broadcast(spark):
+    plan = _plan(spark, "above_nation_avg_customers")
+    assert "BroadcastHashJoin" in plan, (
+        "correlated scalar subquery should decorrelate into an aggregate "
+        "+ broadcast join, not a per-row subquery or shuffle join"
+    )
