@@ -52,3 +52,76 @@ def upsert_batch_writer(path: str, partition_col: str, key_cols: list[str]):
 
 def read_rollup(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def merge_rollup_writer(path: str, partition_col: str = "day"):
+    """foreachBatch callback maintaining an incremental (day, event_type)
+    rollup: counts and exact-decimal value sums accumulate across
+    micro-batches instead of replacing each other.
+
+    Exactly-once under replay via a CONTRIBUTION LOG with batch-id
+    fencing: the table stores one row per (group, src_batch) — batches
+    are never blended together in storage, only at read time
+    (``read_rollup_agg``). On (re)delivery of batch B the writer rewrites
+    each touched partition as (existing rows minus any stamped B) plus
+    B's fresh delta, so replaying ANY batch converges to the same table:
+    a batch's contribution is removable precisely because it was never
+    merged into other batches' rows. (A first cut that merged groups
+    across batches and fenced on max(src_batch) was WRONG — discarding a
+    replayed batch's stamped row also discarded the older contributions
+    merged into it; the regression test below caught it.) This is the
+    log-structured design a transactional table format gives you for
+    free; storage stays bounded because rows are pre-aggregated per group
+    within each batch, and a periodic compaction of committed batches
+    would keep the log at ~one row per group.
+
+    The touched-partition list is collected to the driver: bounded by
+    partitions-per-batch (hours/days of event time), not data volume.
+    Single-writer assumption, as with any non-transactional table format.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = (
+            batch_df.groupBy(
+                F.col("ts").cast("date").cast("string").alias(partition_col),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,6)")).alias("value_sum"),
+            )
+            .withColumn("src_batch", F.lit(batch_id).cast("bigint"))
+        )
+        touched = [r[0] for r in delta.select(partition_col).distinct().collect()]
+        if not touched:
+            return
+        try:
+            current = spark.read.parquet(path).where(
+                F.col(partition_col).isin(touched)
+                & (F.col("src_batch") != batch_id)  # fence: drop replayed rows
+            )
+        except AnalysisException:
+            current = None
+        out = delta if current is None else current.unionByName(delta)
+        overwrite_partitions(out, path, partition_col)
+
+    return write
+
+
+def read_rollup_agg(spark: SparkSession, path: str) -> DataFrame:
+    """Fold the contribution log to the logical rollup (one row per
+    (day, event_type)): counts and exact-decimal sums add across the
+    per-batch contribution rows."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(path)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("value_sum").alias("value_sum"),
+        )
+    )
