@@ -99,6 +99,7 @@ HEADLINE = [
     "unigram_logprob",
     "forecast_revenue_q6",
     "flag_status_cube",
+    "curation_pipeline",
 ]
 
 
@@ -172,6 +173,8 @@ BASELINE_S = {
     "unigram_logprob": 1.00,
     # (measuring host calib 0.416 → ×1.026)
     "forecast_revenue_q6": 0.50, "flag_status_cube": 1.32,
+    # (measuring host calib 0.747 → ×0.572)
+    "curation_pipeline": 2.66,
 }
 
 

@@ -235,6 +235,10 @@ _OVERFLOW_TAIL = [
     # CUBE completes ROLLUP/GROUPING SETS — Expand machinery re-proven
     # in-window by revenue_rollup
     "flag_status_cube",
+    # end-to-end curation funnel COMPOSING the registered quality/dedup/
+    # decontam/split operators (oracle nests their SQL twins verbatim) —
+    # every constituent stage is itself gated
+    "curation_pipeline",
 ]
 
 

@@ -477,3 +477,89 @@ def unigram_logprob(spark, sf_dir):
             ).alias("bits_per_token"),
         )
     )
+
+
+# ---------------------------------------------- end-to-end curation funnel
+# The flagship composition: quality filter -> exact dedup -> benchmark
+# decontamination -> train/val/test split, reported as a per-(stage, lang)
+# attrition funnel. Each stage IS the registered operator (the callables
+# compose; the oracle nests each stage's SQL twin verbatim as a CTE), so
+# this entry certifies that the engine's building blocks snap together the
+# way a real pipeline uses them — and the funnel row counts are exactly
+# what a data-curation run reports to its operators. Scale: semi/anti
+# joins on doc_id after each stage's own (already scale-shaped) plan; the
+# funnel aggregates are trivial.
+def _pipeline_sql() -> str:
+    from cargo_chat_spark.queries.dedup import _EXACT_SQL
+    from cargo_chat_spark.queries.sampling import _SPLIT_SQL
+    from cargo_chat_spark.queries.textstats import _QFILTER_SQL
+
+    return f"""
+WITH qf AS ({_QFILTER_SQL}),
+dd AS ({_EXACT_SQL}),
+ct AS ({_CONTAM_SQL}),
+sp AS ({_SPLIT_SQL}),
+s1 AS (SELECT d.doc_id, d.lang FROM documents d
+       JOIN qf ON qf.doc_id = d.doc_id AND qf.keep),
+s2 AS (SELECT s1.* FROM s1
+       JOIN (SELECT DISTINCT kept_id FROM dd) k ON k.kept_id = s1.doc_id),
+s3 AS (SELECT s2.* FROM s2
+       WHERE s2.doc_id % {_EVAL_MOD} != 0
+         AND NOT EXISTS (SELECT 1 FROM ct WHERE ct.doc_id = s2.doc_id)),
+funnel AS (
+  SELECT 'all' AS stage, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 2
+  UNION ALL SELECT 'quality', lang, CAST(COUNT(*) AS BIGINT)
+  FROM s1 GROUP BY 2
+  UNION ALL SELECT 'dedup', lang, CAST(COUNT(*) AS BIGINT)
+  FROM s2 GROUP BY 2
+  UNION ALL SELECT 'decontam', lang, CAST(COUNT(*) AS BIGINT)
+  FROM s3 GROUP BY 2
+  UNION ALL SELECT 'final_' || sp.split, s3.lang, CAST(COUNT(*) AS BIGINT)
+  FROM s3 JOIN sp ON sp.doc_id = s3.doc_id GROUP BY 1, 2)
+SELECT * FROM funnel
+"""
+
+
+def curation_pipeline(spark, sf_dir):
+    """Quality -> dedup -> decontam -> split attrition funnel (see note)."""
+    from cargo_chat_spark.queries.dedup import dedup_exact
+    from cargo_chat_spark.queries.sampling import dataset_split
+    from cargo_chat_spark.queries.textstats import quality_filter
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    s1 = docs.join(
+        quality_filter(spark, sf_dir).where("keep").select("doc_id"), "doc_id"
+    )
+    kept = (
+        dedup_exact(spark, sf_dir)
+        .select(F.col("kept_id").alias("doc_id"))
+        .distinct()
+    )
+    s2 = s1.join(kept, "doc_id")
+    contaminated = contamination_13gram(spark, sf_dir).select("doc_id")
+    s3 = s2.where(F.col("doc_id") % _EVAL_MOD != 0).join(
+        contaminated, "doc_id", "left_anti"
+    )
+    splits = dataset_split(spark, sf_dir).select("doc_id", "split")
+
+    def counts(df, stage_col):
+        return df.groupBy(stage_col.alias("stage"), "lang").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs")
+        )
+
+    return (
+        counts(docs, F.lit("all"))
+        .unionByName(counts(s1, F.lit("quality")))
+        .unionByName(counts(s2, F.lit("dedup")))
+        .unionByName(counts(s3, F.lit("decontam")))
+        .unionByName(
+            counts(
+                s3.join(splits, "doc_id"),
+                F.concat(F.lit("final_"), F.col("split")),
+            )
+        )
+    )
+
+
+register("curation_pipeline", sql=_pipeline_sql())(curation_pipeline)
