@@ -1,0 +1,60 @@
+"""Pins for the Spark 4 Python DataSource connector (sources/pyds.py):
+determinism, partitioned parallel reads, and Python-side filter pushdown
+parity (pushed == post-filtered)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cargo_chat_spark.sources import pyds
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    pyds.register(spark)
+    yield spark
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+
+
+def _load(spark, **opts):
+    r = spark.read.format("synthetic_events")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_deterministic_and_partitioned(registered):
+    a = _load(registered, n_rows=500, n_partitions=4).collect()
+    b = _load(registered, n_rows=500, n_partitions=7).collect()
+    assert len(a) == 500
+    # same rows regardless of split count
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    parts = _load(registered, n_rows=500, n_partitions=4).rdd.getNumPartitions()
+    assert parts == 4
+
+
+def test_filter_pushdown_matches_post_filter(registered):
+    df = _load(registered, n_rows=2000, n_partitions=4)
+    pushed = df.where(
+        (F.col("event_type") == "purchase") & (F.col("user_id") >= 50)
+    )
+    # reference: same predicate applied AFTER a full unfiltered read
+    full = _load(registered, n_rows=2000, n_partitions=4).collect()
+    expected = sorted(
+        tuple(r) for r in full if r[3] == "purchase" and r[2] >= 50
+    )
+    assert sorted(tuple(r) for r in pushed.collect()) == expected
+    assert len(expected) > 0
+
+
+def test_unsupported_filters_stay_with_spark(registered):
+    df = _load(registered, n_rows=1000, n_partitions=2)
+    # value-range predicates are NOT pushed (reader yields them back);
+    # Spark must still apply them
+    got = df.where(F.col("value") > 50.0).collect()
+    full = df.collect()
+    assert sorted(tuple(r) for r in got) == sorted(
+        tuple(r) for r in full if r[4] > 50.0
+    )
