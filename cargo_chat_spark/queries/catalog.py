@@ -239,6 +239,10 @@ _OVERFLOW_TAIL = [
     # decontam/split operators (oracle nests their SQL twins verbatim) —
     # every constituent stage is itself gated
     "curation_pipeline",
+    # cogroup().applyInPandas per-key pandas merge_asof — gates the
+    # cogrouped-Arrow surface; the RELATIONAL as-of (events_asof_join)
+    # remains the preferred form for this semantics
+    "cogroup_purchase_view_asof",
 ]
 
 

@@ -96,7 +96,8 @@ class SyntheticEventsReader(DataSourceReader):
                 yield f  # not handled — Spark keeps this filter
 
     def partitions(self):
-        per = max(1, self.n_rows // self.n_parts)
+        # ceil division: exactly n_parts splits (no remainder partition)
+        per = max(1, -(-self.n_rows // self.n_parts))
         parts = []
         start = 0
         while start < self.n_rows:
@@ -134,3 +135,132 @@ def register(spark) -> None:
     without `spark.sql.python.filterPushdown.enabled=true`)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+# --------------------------------------------------- streaming + sink side
+# The same connector surface, streaming-in and writing-out:
+#
+# - ``SyntheticEventsStreamReader`` (SimpleDataSourceStreamReader): offsets
+#   are row counters ({"offset": n}); each micro-batch reads the next
+#   ``rows_per_batch`` deterministic events. readBetweenOffsets() makes
+#   replay exact — a re-delivered (start, end) range regenerates the
+#   identical rows, which is the property every exactly-once sink
+#   downstream (streaming/upsert_sink.py) relies on.
+# - ``JsonlShardWriter`` (DataSourceWriter): each task writes one JSONL
+#   shard then reports it in its WriterCommitMessage; commit() writes a
+#   _MANIFEST listing exactly the committed shards (readers that honor the
+#   manifest never see an aborted task's partial shard — the minimal
+#   file-sink commit protocol).
+
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceWriter,
+    SimpleDataSourceStreamReader,
+    WriterCommitMessage,
+)
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+        self.max_rows = int(options.get("max_rows", 10**9))
+        self.n_users = int(options.get("n_users", 100))
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def read(self, start: dict):
+        lo = start["offset"]
+        hi = min(lo + self.rows_per_batch, self.max_rows)
+        return (iter([_row(i, self.n_users) for i in range(lo, hi)]),
+                {"offset": hi})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            [_row(i, self.n_users)
+             for i in range(start["offset"], end["offset"])]
+        )
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class _ShardCommit(WriterCommitMessage):
+    def __init__(self, shard_path: str, n_rows: int):
+        self.shard_path = shard_path
+        self.n_rows = n_rows
+
+
+class JsonlShardWriter(DataSourceWriter):
+    """DataSourceWriter: JSONL shards + commit manifest (see note)."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_shards sink requires option 'path'")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        shard = os.path.join(self.path, f"shard-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(shard, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _ShardCommit(shard, n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        manifest = {
+            "shards": sorted(
+                os.path.basename(m.shard_path) for m in messages if m
+            ),
+            "rows": sum(m.n_rows for m in messages if m),
+        }
+        with open(os.path.join(self.path, "_MANIFEST"), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(m.shard_path)
+                except OSError:
+                    pass
+
+
+class JsonlShardsDataSource(DataSource):
+    """Sink-only data source: ``df.write.format("jsonl_shards")``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_shards"
+
+    def schema(self) -> str:  # unused for a sink, required by the ABC
+        return "value string"
+
+    def writer(self, schema, overwrite: bool) -> JsonlShardWriter:
+        return JsonlShardWriter(self.options, overwrite)
+
+
+def _streaming_reader(self, schema):
+    return SyntheticEventsStreamReader(self.options)
+
+
+# the batch source doubles as a streaming source
+SyntheticEventsDataSource.simpleStreamReader = _streaming_reader
+
+
+def register_all(spark) -> None:
+    """Register batch+stream source and the JSONL sharded sink."""
+    register(spark)
+    spark.dataSource.register(JsonlShardsDataSource)

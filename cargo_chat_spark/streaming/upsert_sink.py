@@ -125,3 +125,27 @@ def read_rollup_agg(spark: SparkSession, path: str) -> DataFrame:
             F.sum("value_sum").alias("value_sum"),
         )
     )
+
+
+def compact_rollup(spark: SparkSession, path: str, partition_col: str = "day") -> None:
+    """Offline compaction of the contribution log: fold each group's
+    per-batch rows into a single row stamped ``src_batch = -1``. Run only
+    while the stream is STOPPED (i.e. every written batch has committed):
+    replay can then only involve batches newer than anything compacted,
+    so the fence never needs to peel a compacted row apart. Keeps the log
+    at one row per group between maintenance windows — the same
+    rewrite-partitions primitive, so it is itself idempotent."""
+    from pyspark.sql import functions as F
+
+    compacted = (
+        spark.read.parquet(path)
+        .groupBy(partition_col, "event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("value_sum").alias("value_sum"),
+        )
+        .withColumn("src_batch", F.lit(-1).cast("bigint"))
+    )
+    # static overwrite of the whole table: compaction touches every
+    # partition by definition
+    compacted.write.mode("overwrite").partitionBy(partition_col).parquet(path)

@@ -199,3 +199,50 @@ def test_merge_rollup_fence_makes_last_batch_replay_idempotent(spark, tmp_path):
     # property a last-batch-only fence cannot give)
     writer(b0, 0)
     assert snapshot() == base
+
+
+def test_compaction_preserves_totals_and_shrinks_log(spark, tmp_path):
+    from cargo_chat_spark.streaming.upsert_sink import (
+        compact_rollup,
+        merge_rollup_writer,
+        read_rollup_agg,
+    )
+
+    path = str(tmp_path / "rollup")
+    writer = merge_rollup_writer(path, "day")
+    for i in range(4):
+        b = spark.createDataFrame(
+            [(f"2024-01-0{1 + i % 2} 0{i}:00:00", "click", float(i + 1))],
+            "ts string, event_type string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        writer(b, i)
+
+    def agg_snapshot():
+        return sorted(
+            tuple(r)
+            for r in read_rollup_agg(spark, path)
+            .select(
+                F.col("day").cast("string"), "event_type", "n",
+                F.col("value_sum").cast("double"),
+            )
+            .collect()
+        )
+
+    before = agg_snapshot()
+    raw_before = spark.read.parquet(path).count()
+    compact_rollup(spark, path, "day")
+    assert agg_snapshot() == before
+    raw_after = spark.read.parquet(path).count()
+    assert raw_after < raw_before  # 4 contribution rows -> 2 groups
+    # post-compaction stream resumption: a NEW batch merges normally
+    writer(
+        spark.createDataFrame(
+            [("2024-01-01 09:00:00", "click", 10.0)],
+            "ts string, event_type string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp")),
+        4,
+    )
+    after = agg_snapshot()
+    d1 = [r for r in after if r[0] == "2024-01-01"][0]
+    b1 = [r for r in before if r[0] == "2024-01-01"][0]
+    assert d1[2] == b1[2] + 1 and abs(d1[3] - (b1[3] + 10.0)) < 1e-9
