@@ -100,6 +100,7 @@ HEADLINE = [
     "forecast_revenue_q6",
     "flag_status_cube",
     "curation_pipeline",
+    "token_spans_udtf",
 ]
 
 
@@ -175,6 +176,8 @@ BASELINE_S = {
     "forecast_revenue_q6": 0.50, "flag_status_cube": 1.32,
     # (measuring host calib 0.747 → ×0.572)
     "curation_pipeline": 2.66,
+    # (measuring host calib 0.384 → ×1.112)
+    "token_spans_udtf": 0.74,
 }
 
 

@@ -352,3 +352,53 @@ def cogroup_purchase_view_asof(spark, sf_dir):
         .cogroup(views.groupBy("user_id"))
         .applyInPandas(_align_purchases_views, _COGROUP_SCHEMA)
     )
+
+
+# --------------------------------------------------- Python UDTF spans
+# Spark 4 user-defined TABLE function surface: one input row → N output
+# rows from Python, invoked via SQL LATERAL join. The example emits
+# token spans WITH CHARACTER OFFSETS — the shape span-level redaction /
+# annotation pipelines need and plain explode() drops (explode gives the
+# token, not where it was). Literal single-space split on both sides, so
+# offsets are exact integers and the oracle (window-summed lengths) is
+# bit-identical. Scale: the UDTF runs inside the scan's partitioning like
+# any projection; no shuffle. Prefer built-in explode when offsets are
+# not needed — the UDTF exists for the 1→N PYTHON row generator case.
+_SPANS_SQL = """
+WITH toks AS (
+    SELECT doc_id, i AS ord, string_split(text, ' ')[i] AS tok
+    FROM documents,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS u(i))
+SELECT doc_id, CAST(ord AS BIGINT) AS ord, tok,
+       CAST(COALESCE(SUM(len(tok) + 1) OVER (
+           PARTITION BY doc_id ORDER BY ord
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_off,
+       CAST(len(tok) AS BIGINT) AS tok_len
+FROM toks
+"""
+
+
+@register("token_spans_udtf", sql=_SPANS_SQL)
+def token_spans_udtf(spark, sf_dir):
+    """Token spans with character offsets via a Python UDTF + LATERAL."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="ord bigint, tok string, start_off bigint, tok_len bigint")
+    class TokenSpans:
+        def eval(self, text: str):
+            off = 0
+            for i, tok in enumerate((text or "").split(" "), start=1):
+                yield i, tok, off, len(tok)
+                off += len(tok) + 1
+
+    spark.udtf.register("token_spans", TokenSpans)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "docs_for_spans_v"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.ord, s.tok, s.start_off, s.tok_len
+        FROM docs_for_spans_v d, LATERAL token_spans(d.text) s
+        """
+    )

@@ -243,6 +243,10 @@ _OVERFLOW_TAIL = [
     # cogrouped-Arrow surface; the RELATIONAL as-of (events_asof_join)
     # remains the preferred form for this semantics
     "cogroup_purchase_view_asof",
+    # Python UDTF via SQL LATERAL (1→N row generator with char offsets)
+    # — gates the Spark 4 UDTF surface; explode covers the offset-free
+    # case in-window (contamination_13gram et al.)
+    "token_spans_udtf",
 ]
 
 
