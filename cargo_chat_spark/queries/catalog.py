@@ -247,6 +247,9 @@ _OVERFLOW_TAIL = [
     # — gates the Spark 4 UDTF surface; explode covers the offset-free
     # case in-window (contamination_13gram et al.)
     "token_spans_udtf",
+    # Spark 4 VARIANT parse-once extraction — JSON-path machinery
+    # re-proven in-window by events_props_extract
+    "events_props_variant",
 ]
 
 

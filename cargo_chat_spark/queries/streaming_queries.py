@@ -763,3 +763,31 @@ def value_stats_salted(spark, sf_dir):
         F.col("value_min").cast("double").alias("value_min"),
         F.col("value_max").cast("double").alias("value_max"),
     )
+
+
+# ------------------------------------------------------- VARIANT parsing
+# Spark 4 VARIANT: semi-structured values parsed once into a binary-typed
+# tree and field-extracted without re-parsing the JSON text per access —
+# at 100 TB the parse-once property matters when several fields are read
+# from the same payload. Twin of events_props_extract (string-path
+# extraction); the oracle is shared JSON semantics in DuckDB. The VARIANT
+# itself cannot cross the gate (non-scalar) — the extracted typed fields
+# are the checked surface, which is how a pipeline consumes it anyway.
+_VARIANT_SQL = """
+SELECT event_id,
+       TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+       json_extract_string(props, '$.missing') AS missing_str
+FROM events
+"""
+
+
+@register("events_props_variant", sql=_VARIANT_SQL)
+def events_props_variant(spark, sf_dir):
+    """props → VARIANT via parse_json, typed variant_get extraction."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return e.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "int").alias("k_int"),
+        F.try_variant_get(v, "$.missing", "string").alias("missing_str"),
+    )
