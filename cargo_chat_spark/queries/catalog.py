@@ -58,6 +58,30 @@ from cargo_chat_spark.queries.registry import ORACLE_SQL, SPARK_QUERIES
 #       search path at finer parameters (32 cells / 8 probes / soft 2)
 # Earlier-round demotion rationales (r3-r4) are preserved in git history;
 # every tail entry below keeps a one-line reason.
+#
+# ROUND-6 ROTATION PLAN (drafted end of round 5; execute after
+# CORRECTNESS_r05 lands): the round-5 waves added ~50 tail entries that
+# have never had an external gate row. Promote in this priority order —
+# breadth of NEW machinery first, twins last:
+#   1. curation_pipeline, hybrid_rrf_retrieval, bm25_topk,
+#      events_gap_fill_locf, rolling_7d_actives, cheapest_supplier_per_part,
+#      media_frame_sample, token_spans_udtf, cogroup_purchase_view_asof,
+#      pq_knn_rerank, value_stats_salted, dataset_split, event_funnel,
+#      shipping_priority, local_supplier_volume
+#   2. weighted_sample, word_entropy, unigram_logprob, engaged_clean_users,
+#      value_zscore_outliers, event_type_cooccurrence, tfidf_top_terms,
+#      boilerplate_grams, contamination_bloom, fuzzy_decontamination,
+#      latest_event_per_user, per_source_sample, label_centroids,
+#      events_dedup_collapse, event_transitions, cohort_retention
+#   3. remaining relational variants (cube/deciles/pivot/rank-fns/
+#      grouping-sets/full-outer/q6/subquery/variant/set-ops twins)
+# Demotion candidates with in-window re-proof: the r5-gated rows whose
+# machinery is re-proven by a promoted consumer (e.g. events_asof_join by
+# cogroup_purchase_view_asof + events_within_5min_pairs; knn family twins
+# by knn_exact; sampling twins by the promoted samplers). Keep knn_exact,
+# retrieval_rank_reference, neardup_components, sessionize_stateful, and
+# the S1-S7/A1-A7/P1-P7 reference-surface gates in-window permanently —
+# they ARE the reference parity claim.
 _OVERFLOW_TAIL = [
     "candidates_fixture",      # synthesis parity; rerank/retrieval gates consume it
     "distinct_counts_approx",  # rows-only HLL twin; exact twin carries the oracle
