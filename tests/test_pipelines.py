@@ -271,3 +271,31 @@ def test_multimodal_resize_and_frames(spark):
         sample_frames(media, fake=False).collect()
     with pytest.raises(Exception):
         resize_media(media, fake=False).collect()
+
+
+def test_observation_metrics_match_aggregates(spark):
+    """Query-level Observation metrics — the zero-cost pipeline telemetry
+    hook (metrics ride the existing job instead of a second pass). A
+    curation run uses this to report rows-kept / value-sums without
+    re-scanning 100 TB."""
+    from pyspark.sql import Observation
+
+    from cargo_chat_spark.sources.testdata import load_table
+    from tests.conftest import SF_DIR_SMALL
+
+    events = load_table(spark, SF_DIR_SMALL, "events")
+    obs = Observation("ingest")
+    observed = events.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("value_sum"),
+    )
+    kept = observed.where(F.col("event_type") != "error").count()
+    metrics = obs.get
+    expected = events.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("s"),
+    ).collect()[0]
+    assert metrics["n_rows"] == expected["n"]
+    assert abs(metrics["value_sum"] - expected["s"]) < 1e-9
+    assert kept < metrics["n_rows"]
