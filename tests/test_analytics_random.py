@@ -1,0 +1,106 @@
+"""Randomized semantic pins for the analytics operators, independent of
+the driver fixture: generated event frames (seeded) are written as a
+stand-in events.parquet and the REGISTERED callables run against them,
+compared to straightforward pandas/python references. Catches semantics
+the fixed fixture can't (empty hours at the spine edges, single-event
+types, users active on disjoint day patterns)."""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta
+
+import pandas as pd
+import pytest
+
+from cargo_chat_spark.queries.analytics import (
+    events_gap_fill_locf,
+    rolling_7d_actives,
+)
+
+_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def _random_events(rng, n):
+    base = datetime(2024, 3, 1)
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i,
+                base
+                + timedelta(
+                    hours=rng.randrange(0, 200), seconds=rng.randrange(3600)
+                ),
+                rng.randrange(6),
+                rng.choice(["a", "b", "c"]),
+                round(rng.uniform(0, 100), 2),
+                "{}",
+            )
+        )
+    return rows
+
+
+def _write_fixture(spark, tmp_path, rows, name):
+    d = tmp_path / name
+    d.mkdir()
+    spark.createDataFrame(rows, _SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d / "events.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("seed", [7, 23, 101])
+def test_gap_fill_matches_pandas_locf(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    rows = _random_events(rng, 300)
+    sf_dir = _write_fixture(spark, tmp_path, rows, f"gf{seed}")
+
+    got = {
+        (r["event_type"], r["hour_start"]): (
+            round(r["filled_sum"], 6) if r["filled_sum"] is not None else None,
+            r["is_observed"],
+            r["n_events"],
+        )
+        for r in events_gap_fill_locf(spark, sf_dir).collect()
+    }
+
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
+    pdf["hour"] = pdf["ts"].dt.floor("h")
+    expected = {}
+    for etype, g in pdf.groupby("event_type"):
+        hourly = g.groupby("hour")["value"].agg(["sum", "count"])
+        spine = pd.date_range(hourly.index.min(), hourly.index.max(), freq="h")
+        dense = hourly.reindex(spine)
+        filled = dense["sum"].ffill()
+        for h in spine:
+            observed = not pd.isna(dense.loc[h, "sum"])
+            expected[(etype, h.to_pydatetime())] = (
+                round(float(filled.loc[h]), 6),
+                observed,
+                int(dense.loc[h, "count"]) if observed else 0,
+            )
+    assert got == expected
+
+
+@pytest.mark.parametrize("seed", [5, 77])
+def test_rolling_7d_matches_bruteforce(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    rows = _random_events(rng, 250)
+    sf_dir = _write_fixture(spark, tmp_path, rows, f"r7{seed}")
+
+    got = {
+        r["report_day"]: r["active_users_7d"]
+        for r in rolling_7d_actives(spark, sf_dir).collect()
+    }
+
+    user_days = {(r[2], r[1].date()) for r in rows}
+    days = sorted({d for _, d in user_days})
+    expected = {}
+    for d in days:
+        lo = d - timedelta(days=6)
+        expected[d] = len({u for (u, ud) in user_days if lo <= ud <= d})
+    assert got == expected
