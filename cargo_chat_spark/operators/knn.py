@@ -43,8 +43,18 @@ def knn_join(
     metric: str = "euclidean",
     keep_corpus_cols: list[str] | None = None,
     dim: int | str | None = None,
+    candidate_filter=None,
 ) -> DataFrame:
     """Top-k neighbors per query, ascending ``(distance, corpus_id)``.
+
+    ``candidate_filter``: optional Column predicate over the joined
+    (corpus x query) row, applied BEFORE ranking — i.e. true filtered
+    vector search (top-k among rows satisfying the predicate), not
+    post-filtering that can return < k rows. The predicate may reference
+    both corpus and query columns (e.g. metadata scoping, or hard-negative
+    mining's ``corpus.label != query.label``). It stays a codegen'd
+    predicate on the map side, so the broadcast/no-corpus-shuffle plan
+    shape is unchanged.
 
     Returns columns: query_id, neighbor_id, distance, rank (1-based)
     plus any ``keep_corpus_cols`` (J3 metadata resolution folded into the
@@ -70,8 +80,11 @@ def knn_join(
         distance = vectors.DISTANCES[metric](F.col(query_vec), F.col(corpus_vec))
     keep = keep_corpus_cols or []
 
+    joined = corpus.crossJoin(F.broadcast(queries))  # corpus never shuffles
+    if candidate_filter is not None:
+        joined = joined.where(candidate_filter)
     scored = (
-        corpus.crossJoin(F.broadcast(queries))  # every corpus row scores every query
+        joined
         .select(
             F.col(query_id).alias("query_id"),
             F.col(corpus_id).alias("neighbor_id"),

@@ -9,7 +9,9 @@ from __future__ import annotations
 from cargo_chat_spark.queries import analytics  # noqa: F401
 from cargo_chat_spark.queries import ann_lsh  # noqa: F401
 from cargo_chat_spark.queries import curation  # noqa: F401
+from cargo_chat_spark.queries import dataprofile  # noqa: F401
 from cargo_chat_spark.queries import dedup  # noqa: F401
+from cargo_chat_spark.queries import entity  # noqa: F401
 from cargo_chat_spark.queries import hybrid  # noqa: F401
 from cargo_chat_spark.queries import rerank  # noqa: F401
 from cargo_chat_spark.queries import multimodal_queries  # noqa: F401
@@ -18,7 +20,9 @@ from cargo_chat_spark.queries import relational  # noqa: F401
 from cargo_chat_spark.queries import retrieval  # noqa: F401
 from cargo_chat_spark.queries import sampling  # noqa: F401
 from cargo_chat_spark.queries import similarity  # noqa: F401
+from cargo_chat_spark.queries import storage  # noqa: F401
 from cargo_chat_spark.queries import streaming_queries  # noqa: F401
+from cargo_chat_spark.queries import temporal  # noqa: F401
 from cargo_chat_spark.queries import textstats  # noqa: F401
 from cargo_chat_spark.queries import vector_search  # noqa: F401
 from cargo_chat_spark.queries.registry import ORACLE_SQL, SPARK_QUERIES
@@ -274,6 +278,55 @@ _OVERFLOW_TAIL = [
     # Spark 4 VARIANT parse-once extraction — JSON-path machinery
     # re-proven in-window by events_props_extract
     "events_props_variant",
+    # round-5 wave 4 (data-quality profiling family; oracle-checked
+    # locally by test_oracle_harness): single-pass long-format column
+    # profile — single-row agg machinery re-proven in-window by
+    # ingest_stats
+    "table_profile",
+    # equi-depth quartile histogram (exact cutpoints broadcast + CASE
+    # binning) — percentile machinery re-proven in-window by
+    # event_value_percentiles
+    "value_equidepth_histogram",
+    # robust median/MAD outliers (modified z-score > 3.5) — broadcast
+    # stats join re-proven in-window by value_zscore_outliers' consumers
+    "mad_outliers",
+    # round-5 wave 4 (temporal family): single-pass OHLC bars via
+    # lexicographic struct MIN/MAX — argmin machinery re-proven in-window
+    # by event_value_percentiles' grouped aggregates
+    "events_ohlc_hourly",
+    # changelog -> SCD2 validity intervals (LEAD + sentinel close) —
+    # window machinery re-proven in-window by events_moving_avg
+    "user_value_scd2",
+    # per-(user,day) ordered event paths, top-20 — sorted-collect
+    # machinery re-proven in-window by context_assembly's ordered lists
+    "session_paths_top",
+    # filtered vector search via knn_join's candidate_filter (hard-negative
+    # mining for contrastive training) — broadcast-kNN machinery re-proven
+    # in-window by knn_exact
+    "hard_negatives_topk",
+    # round-5 wave 4 (entity-resolution family): blocked Levenshtein
+    # candidate pairs over the distinct-name dim — equi-join blocking
+    # re-proven in-window by neardup_components' band joins
+    "similar_part_names",
+    # canonical entity ids via connected components over the pair graph —
+    # pointer-jump machinery re-proven in-window by neardup_components
+    "part_name_entities",
+    # C4/Dolma paragraph-level dedup with order-preserving doc rebuild —
+    # first-occurrence rank re-proven in-window by dedup_exact; ordered
+    # rebuild by context_assembly's sorted collects
+    "paragraph_dedup_rebuild",
+    # TPC-H Q13 shape (distribution of per-customer counts, zero-preserving
+    # left join) — outer-join machinery re-proven in-window by
+    # retrieval_rank_reference's left joins
+    "order_count_distribution",
+    # TPC-H Q11 shape (HAVING vs fraction-of-global-total, exact decimal
+    # through the comparison) — scalar-broadcast machinery re-proven
+    # in-window by temperature_mix
+    "important_parts_q11",
+    # hive-partitioned sink + partition-pruned read round-trip — sink
+    # round-trip machinery re-proven in-window by index_roundtrip; pruning
+    # physically pinned by tests/test_partition_pruning.py
+    "events_partitioned_pruned",
 ]
 
 

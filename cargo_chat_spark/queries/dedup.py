@@ -476,3 +476,76 @@ def substring_dup_pairs(spark, sf_dir):
         .select("doc_a", "doc_b")
         .distinct()
     )
+
+
+# ----------------------------------------- paragraph-level dedup + rebuild
+# C4/Dolma-style paragraph dedup: split each document into paragraphs,
+# drop every paragraph that already occurred earlier in the corpus (first
+# occurrence by (doc_id, idx) wins), and REBUILD each document from its
+# surviving paragraphs in original order. The synthetic corpus has no
+# newline structure, so the splitter tier here is a fixed 12-word window
+# (the splitter is the pluggable part — on a real crawl it is
+# split(text, '\n') — while the dedup/rebuild machinery below is the
+# invariant part this gate pins).
+#
+# Scale shape: ONE shuffle on the paragraph hash for the global
+# first-occurrence rank, ONE shuffle back on doc_id for the ordered
+# rebuild. The rebuild is sort_array(collect_list(struct(idx, chunk)))
+# — deterministic regardless of partition arrival order. Docs whose
+# every paragraph is a duplicate drop out entirely (both engines).
+_PARA_DEDUP_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+ix AS (SELECT doc_id, words,
+              unnest(generate_series(0, CAST(ceil(len(words)/12.0) AS BIGINT) - 1)) AS idx
+       FROM w),
+c AS (SELECT doc_id, idx,
+             array_to_string(words[(idx*12+1):(idx*12+12)], ' ') AS chunk
+      FROM ix),
+k AS (SELECT doc_id, idx, chunk,
+             ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_total
+      FROM c)
+SELECT doc_id, string_agg(chunk, ' ' ORDER BY idx) AS rebuilt_text,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(ANY_VALUE(n_total) AS BIGINT) AS n_chunks
+FROM k WHERE rn = 1 GROUP BY doc_id
+"""
+
+
+@register("paragraph_dedup_rebuild", sql=_PARA_DEDUP_SQL)
+def paragraph_dedup_rebuild(spark, sf_dir):
+    """Corpus-global paragraph dedup with order-preserving document
+    rebuild (first occurrence kept)."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    chunks = (
+        d.select("doc_id", F.split("text", " ").alias("words"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, cast(ceil(size(words)/12.0) as int) - 1),"
+                    " i -> array_join(slice(words, i*12+1, 12), ' '))"
+                )
+            ).alias("idx", "chunk"),
+        )
+    )
+    w_first = Window.partitionBy("chunk").orderBy("doc_id", "idx")
+    w_doc = Window.partitionBy("doc_id")
+    ranked = chunks.select(
+        "doc_id",
+        "idx",
+        "chunk",
+        F.row_number().over(w_first).alias("rn"),
+        F.count(F.lit(1)).over(w_doc).alias("n_total"),
+    )
+    kept = ranked.where(F.col("rn") == 1)
+    ordered = F.sort_array(F.collect_list(F.struct(F.col("idx"), F.col("chunk"))))
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(ordered, lambda s: s.getField("chunk")), " "
+        ).alias("rebuilt_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.first("n_total").alias("n_chunks"),
+    )

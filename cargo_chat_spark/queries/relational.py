@@ -766,3 +766,82 @@ def flag_status_cube(spark, sf_dir):
         F.grouping("l_returnflag").cast("int").alias("g_flag"),
         F.grouping("l_linestatus").cast("int").alias("g_status"),
     )
+
+
+# ------------------------------------------- distribution of counts (Q13)
+# TPC-H Q13's shape: how many customers placed exactly N orders — a LEFT
+# join so zero-order customers survive (COUNT(o.key) counts only matches),
+# then a second aggregation over the per-customer counts. Both aggs are
+# map-side combinable; the first reuses the join's partitioning on
+# custkey, so the whole query is one fact shuffle plus a tiny recount.
+_ORDER_DIST_SQL = """
+SELECT order_cnt, COUNT(*) AS n_customers
+FROM (
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS order_cnt
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+)
+GROUP BY order_cnt
+"""
+
+
+@register("order_count_distribution", sql=_ORDER_DIST_SQL)
+def order_count_distribution(spark, sf_dir):
+    """Customer-order-count histogram (zero-order customers included)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+    )
+    return per_cust.groupBy("order_cnt").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+# --------------------------------------- global-threshold HAVING (Q11)
+# TPC-H Q11's shape: groups whose aggregate exceeds a share of the
+# GLOBAL TOTAL — the scalar threshold is an aggregate of the grouped
+# frame itself, broadcast back as a 1-row cross join (Catalyst keeps it a
+# BroadcastNestedLoopJoin over one row; the grouped frame is computed
+# once per side from the same shuffle). All money math stays in exact
+# DECIMAL through the comparison so the boundary predicate cannot drift.
+_IMPORTANT_PARTS_SQL = """
+WITH part_rev AS (
+    SELECT l_partkey,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+    FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT SUM(rev) AS total_rev, COUNT(*) AS n_parts FROM part_rev)
+SELECT p.l_partkey, CAST(p.rev AS DOUBLE) AS part_revenue
+FROM part_rev p, tot t
+WHERE p.rev * t.n_parts * 5 > t.total_rev * 7
+"""
+
+
+@register("important_parts_q11", sql=_IMPORTANT_PARTS_SQL)
+def important_parts_q11(spark, sf_dir):
+    """Parts whose discounted revenue exceeds 1.4x the mean part revenue.
+
+    The threshold is scale-invariant (a fixed fraction-of-total goes
+    empty as the part count grows), and the comparison is multiplicative
+    — rev*n_parts*5 > total*7 — so it stays in exact DECIMAL with no
+    division rounding on either engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    part_rev = li.groupBy("l_partkey").agg(
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias("rev")
+    )
+    tot = part_rev.agg(
+        F.sum("rev").alias("total_rev"), F.count(F.lit(1)).alias("n_parts")
+    )
+    return (
+        part_rev.crossJoin(F.broadcast(tot))
+        .where(
+            F.col("rev") * F.col("n_parts") * F.lit(5)
+            > F.col("total_rev") * F.lit(7)
+        )
+        .select("l_partkey", F.col("rev").cast("double").alias("part_revenue"))
+    )

@@ -552,3 +552,73 @@ def mock_embed_documents(spark, sf_dir):
     return d.select(
         "doc_id", F.array_join(emb.cast("array<string>"), "|").alias("embedding")
     )
+
+
+# ---------------------------------------------------- hard-negative mining
+# Embedding-training data prep: for each anchor, the top-k most-similar
+# vectors with a DIFFERENT label — the "hard negatives" a contrastive /
+# triplet objective needs. This is FILTERED vector search (the predicate
+# participates in candidate generation, so k survivors are guaranteed),
+# exercised through knn_join's candidate_filter: the label predicate is a
+# codegen'd map-side filter on the broadcast-join row, corpus still never
+# shuffles. At 100 TB the same plan serves metadata-scoped retrieval
+# (tenant / language / license filters) — the vector-DB feature the exact
+# kNN family was missing.
+_HARD_NEG_SQL = """
+WITH normed AS (
+    SELECT vec_id, label,
+        CASE WHEN sqrt(list_sum(list_transform(embedding,
+                 y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) = 0
+             THEN list_transform(embedding, y -> 0.0)
+             ELSE list_transform(embedding, y -> CAST(y AS DOUBLE) /
+                 sqrt(list_sum(list_transform(embedding,
+                      z -> CAST(z AS DOUBLE) * CAST(z AS DOUBLE)))))
+        END AS ne
+    FROM embeddings
+),
+q AS (
+    SELECT vec_id AS query_id, label AS query_label, ne
+    FROM normed WHERE vec_id % 100 = 0
+),
+scored AS (
+    SELECT a.query_id, b.vec_id AS neighbor_id, b.label,
+        1.0 - list_sum(list_transform(generate_series(1, len(a.ne)),
+            i -> a.ne[i] * b.ne[i])) AS distance
+    FROM q a CROSS JOIN normed b
+    WHERE b.label <> a.query_label
+)
+SELECT query_id, neighbor_id, label, distance,
+    CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY distance, neighbor_id
+    ) AS INT) AS "rank"
+FROM scored
+QUALIFY "rank" <= 5
+"""
+
+
+@register("hard_negatives_topk", sql=_HARD_NEG_SQL)
+def hard_negatives_topk(spark, sf_dir):
+    """Top-5 nearest different-label vectors per anchor (hard negatives)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = vectors.infer_dim(emb, "embedding")
+
+    def build():
+        return vectors.with_l2_normalized(
+            emb.select("vec_id", "label", "embedding"), "embedding", dim
+        )
+
+    normed = memo_persist(spark, ("normed_embeddings_labeled", sf_dir), build)
+    q = normed.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return knn_join(
+        q,
+        normed,
+        k=5,
+        metric="dot_normed",
+        dim=dim,
+        keep_corpus_cols=["label"],
+        candidate_filter=F.col("label") != F.col("query_label"),
+    )
