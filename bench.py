@@ -101,6 +101,39 @@ HEADLINE = [
     "flag_status_cube",
     "curation_pipeline",
     "token_spans_udtf",
+    # round-5 wave 4: data-quality profiling, temporal/OHLC/SCD2, entity
+    # resolution, paragraph dedup, filtered vector search, TPC-H
+    # Q11/Q13/Q15/Q18/Q21 shapes, storage-layout round-trips, bitmap/HLL
+    # distinct machinery, exact-moment correlation, fixed-point PageRank.
+    "table_profile",
+    "value_equidepth_histogram",
+    "mad_outliers",
+    "events_ohlc_hourly",
+    "user_value_scd2",
+    "session_paths_top",
+    "hard_negatives_topk",
+    "similar_part_names",
+    "part_name_entities",
+    "paragraph_dedup_rebuild",
+    "order_count_distribution",
+    "important_parts_q11",
+    "events_partitioned_pruned",
+    "events_trailing_1h_sum",
+    "daily_active_bitmap",
+    "weekly_hll_rollup",
+    "quantity_price_corr",
+    "part_copurchase_pagerank",
+    "events_jsonl_roundtrip",
+    "top_revenue_supplier",
+    "big_quantity_orders",
+    "sole_returning_supplier",
+    # round-5 wave 5: constraint audit, snapshot drift, CSV/mergeSchema
+    # round-trips, scalar pandas_udf surface.
+    "constraint_violations",
+    "events_weekly_drift",
+    "events_csv_roundtrip",
+    "events_schema_merge",
+    "token_count_pandas",
 ]
 
 
@@ -178,6 +211,24 @@ BASELINE_S = {
     "curation_pipeline": 2.66,
     # (measuring host calib 0.384 → ×1.112)
     "token_spans_udtf": 0.74,
+    # round-5 wave-4 first measurements (sf0.1, medians of 3 cold repeats
+    # after a JIT warm pass, measuring host calib 0.344 → ×1.241 — see
+    # BASELINE.md round-5 wave-4 table)
+    "table_profile": 2.19, "value_equidepth_histogram": 0.69,
+    "mad_outliers": 0.95, "events_ohlc_hourly": 0.76,
+    "user_value_scd2": 0.42, "session_paths_top": 0.89,
+    "hard_negatives_topk": 2.56, "similar_part_names": 0.48,
+    "part_name_entities": 1.17, "paragraph_dedup_rebuild": 0.93,
+    "order_count_distribution": 0.72, "important_parts_q11": 1.63,
+    "events_partitioned_pruned": 1.27, "events_trailing_1h_sum": 1.19,
+    "daily_active_bitmap": 0.62, "weekly_hll_rollup": 0.52,
+    "quantity_price_corr": 1.73, "part_copurchase_pagerank": 6.37,
+    "events_jsonl_roundtrip": 0.79, "top_revenue_supplier": 1.12,
+    "big_quantity_orders": 0.96, "sole_returning_supplier": 1.53,
+    # (wave-5 batch, measuring host calib 0.355 → ×1.203)
+    "constraint_violations": 0.91, "events_weekly_drift": 0.60,
+    "events_csv_roundtrip": 0.92, "events_schema_merge": 0.84,
+    "token_count_pandas": 0.29,
 }
 
 

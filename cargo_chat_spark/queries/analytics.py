@@ -402,3 +402,122 @@ def token_spans_udtf(spark, sf_dir):
         FROM docs_for_spans_v d, LATERAL token_spans(d.text) s
         """
     )
+
+
+# ------------------------------------------- time-interval window frames
+# RANGE BETWEEN <interval> PRECEDING — the trailing-window form keyed by
+# EVENT TIME, not row position (a rows-frame is wrong under irregular
+# arrival gaps; events_moving_avg gates the rows-frame twin). The order
+# key is integer epoch MICROS in both engines, so frame boundaries are
+# exact and peer-row semantics (equal timestamps) agree. One shuffle on
+# event_type; the running frame is maintained per partition in a single
+# sort pass. The summed value is exact DECIMAL, so in-frame accumulation
+# order cannot drift the hash.
+_TRAILING_1H_SQL = """
+SELECT event_id, event_type,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_1h
+FROM (SELECT event_id, event_type, value,
+             CAST(epoch_us(ts) AS BIGINT) AS us FROM events)
+WINDOW w AS (PARTITION BY event_type ORDER BY us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("events_trailing_1h_sum", sql=_TRAILING_1H_SQL)
+def events_trailing_1h_sum(spark, sf_dir):
+    """Per-event trailing-1-hour sum/count over event time (RANGE frame)."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        e.select("event_id", "event_type", "value", us.alias("us"))
+        .select(
+            "event_id",
+            "event_type",
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .over(w)
+            .cast("double")
+            .alias("sum_1h"),
+            F.count(F.lit(1)).over(w).alias("n_1h"),
+        )
+    )
+
+
+# --------------------------------------------- bitmap-exact distinct counts
+# Spark 4's bitmap aggregate family: user ids are folded into per-bucket
+# bitmaps (bitmap_bucket_number / bitmap_bit_position), counted per
+# bucket, and the per-day total is a SUM of bucket counts. This is the
+# EXACT re-aggregatable distinct — at 100 TB the per-(day, bucket) bitmap
+# is a tiny mergeable state (like a sketch, but lossless), where
+# COUNT(DISTINCT) shuffles every id. The oracle is a plain
+# COUNT(DISTINCT), so the whole bitmap path is value-checked.
+_BITMAP_DAU_SQL = """
+SELECT CAST(ts AS DATE) AS day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+FROM events
+GROUP BY 1
+"""
+
+
+@register("daily_active_bitmap", sql=_BITMAP_DAU_SQL)
+def daily_active_bitmap(spark, sf_dir):
+    """Daily distinct actives via two-level bitmap aggregation
+    (bucket bitmaps, then a sum of bucket cardinalities)."""
+    e = load_table(spark, sf_dir, "events")
+    per_bucket = (
+        e.select(
+            F.to_date("ts").alias("day"),
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("day", "bucket")
+        .agg(
+            F.expr("bitmap_count(bitmap_construct_agg(pos))").alias("bucket_cnt")
+        )
+    )
+    return per_bucket.groupBy("day").agg(
+        F.sum("bucket_cnt").cast("bigint").alias("active_users")
+    )
+
+
+# --------------------------------------------------- HLL sketch rollup
+# The Datasketches HLL surface (Spark 4): per-day sketches built once,
+# then MERGED into weekly cardinalities with hll_union_agg — the
+# re-aggregatable approximate rollup a 100 TB metrics store actually
+# materializes (daily sketch partitions, any coarser window unioned on
+# read, never re-scanning raw events). Rows-only by design: sketch
+# estimates are engine-specific (DuckDB has no compatible HLL), so the
+# external check is row-shape; the estimate-vs-exact error is pinned
+# <= 5% by tests/test_sketch_bounds.py.
+@register("weekly_hll_rollup")  # rows-only: sketch estimates engine-specific
+def weekly_hll_rollup(spark, sf_dir):
+    """Weekly distinct-user estimates by merging per-day HLL sketches."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            F.date_trunc("week", "ts").alias("week"),
+            F.to_date("ts").alias("day"),
+            "user_id",
+        )
+        .groupBy("week", "day")
+        .agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk"))
+    )
+    return (
+        daily.groupBy("week")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_users"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .select(
+            F.col("week").cast("date").alias("week"),
+            F.col("est_users").cast("bigint").alias("est_users"),
+            "n_days",
+        )
+    )

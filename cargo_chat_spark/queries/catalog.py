@@ -12,6 +12,7 @@ from cargo_chat_spark.queries import curation  # noqa: F401
 from cargo_chat_spark.queries import dataprofile  # noqa: F401
 from cargo_chat_spark.queries import dedup  # noqa: F401
 from cargo_chat_spark.queries import entity  # noqa: F401
+from cargo_chat_spark.queries import graph_queries  # noqa: F401
 from cargo_chat_spark.queries import hybrid  # noqa: F401
 from cargo_chat_spark.queries import rerank  # noqa: F401
 from cargo_chat_spark.queries import multimodal_queries  # noqa: F401
@@ -327,6 +328,57 @@ _OVERFLOW_TAIL = [
     # round-trip machinery re-proven in-window by index_roundtrip; pruning
     # physically pinned by tests/test_partition_pruning.py
     "events_partitioned_pruned",
+    # time-interval RANGE window frame (trailing 1h over event time) —
+    # window machinery re-proven in-window by events_moving_avg
+    "events_trailing_1h_sum",
+    # Spark 4 bitmap aggregates vs a COUNT(DISTINCT) oracle — exact
+    # re-aggregatable distinct; distinct machinery re-proven in-window by
+    # distinct_counts_exact
+    "daily_active_bitmap",
+    # Datasketches HLL rollup (rows-only by design: sketches are
+    # engine-specific; error bound pinned by tests/test_sketch_bounds.py)
+    "weekly_hll_rollup",
+    # Pearson corr + OLS from exact decimal moments — moment machinery
+    # re-proven in-window by value_zscore_outliers' consumers
+    "quantity_price_corr",
+    # fixed-point integer PageRank (3 unrolled iterations, value-hash
+    # oracle over an ITERATIVE algorithm) — iterative machinery re-proven
+    # in-window by neardup_components
+    "part_copurchase_pagerank",
+    # TPC-H Q15 shape (max-of-aggregate with ties preserved, exact decimal
+    # equality) — scalar-broadcast machinery re-proven in-window by
+    # temperature_mix
+    "top_revenue_supplier",
+    # TPC-H Q18 shape (semi-join on an aggregated HAVING subquery,
+    # co-partitioned) — join+agg machinery re-proven in-window by
+    # top_customers
+    "big_quantity_orders",
+    # TPC-H Q21 shape (EXISTS/NOT EXISTS chain, decorrelated into
+    # aggregates; oracle keeps the correlated form) — agg machinery
+    # re-proven in-window by event_value_percentiles
+    "sole_returning_supplier",
+    # JSONL sink/source round-trip at full microsecond precision (the
+    # gate caught the default format's millis truncation) — round-trip
+    # machinery re-proven in-window by index_roundtrip
+    "events_jsonl_roundtrip",
+    # dbt-test-style bulk constraint audit (FK orphans, uniqueness,
+    # domain, non-null) — anti-join machinery re-proven in-window by
+    # retrieval_rank_reference
+    "constraint_violations",
+    # week-1 vs week-4 data-diff per type (volume/value/user drift) —
+    # conditional-agg machinery re-proven in-window by ingest_stats
+    "events_weekly_drift",
+    # CSV sink/source round-trip (third interchange format) — round-trip
+    # machinery re-proven in-window by index_roundtrip
+    "events_csv_roundtrip",
+    # additive schema evolution under mergeSchema (old generation lacks
+    # props; reads as NULL) — round-trip machinery re-proven in-window by
+    # index_roundtrip
+    "events_schema_merge",
+    # scalar Arrow pandas_udf surface (Series->Series token counts; every
+    # other Python stage is mapInPandas/applyInPandas) — token semantics
+    # re-proven in-window by token_count
+    "token_count_pandas",
 ]
 
 

@@ -19,17 +19,22 @@ Scale posture:
   block key domain is the noun vocabulary.
 - ``levenshtein`` is a JVM built-in on both engines (classic DP — no
   float, bit-identical results).
-- Entity canonicalization reuses operators/graph.py::connected_components
-  (pointer-jumping min-label propagation) over integer name ids
-  (min p_partkey per name), exactly like the document near-dup
-  components; the oracle is an independent recursive-CTE closure.
+- Entity canonicalization runs
+  operators/graph.py::connected_components_local — the bounded-collect
+  union-find: the name graph is DIM-sized by construction (nodes <=
+  distinct names), where the distributed pointer-jump loop would pay
+  ~15 s of per-round scheduler overhead for microseconds of work
+  (measured; see the operator docstring). Document-scale graphs keep the
+  distributed loop (neardup_components). Label equivalence between the
+  two is pinned by tests/test_graph_components.py; the oracle is an
+  independent recursive-CTE closure.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from cargo_chat_spark.operators.graph import connected_components
+from cargo_chat_spark.operators.graph import connected_components_local
 from cargo_chat_spark.queries.registry import register
 from cargo_chat_spark.sources.testdata import load_table
 
@@ -147,7 +152,10 @@ def part_name_entities(spark, sf_dir):
     edges = pairs.selectExpr("id_a AS s", "id_b AS d").unionAll(
         pairs.selectExpr("id_b AS s", "id_a AS d")
     )
-    comp = connected_components(edges)
+    # name graphs are dim-sized by construction (nodes <= distinct part
+    # names, a vocabulary, not a fact table) -> bounded-collect union-find;
+    # document-scale graphs keep the distributed loop (neardup_components)
+    comp = connected_components_local(edges)
     return (
         names.join(comp, names.name_id == comp.doc_id, "left")
         .select(

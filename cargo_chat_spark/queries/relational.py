@@ -845,3 +845,184 @@ def important_parts_q11(spark, sf_dir):
         )
         .select("l_partkey", F.col("rev").cast("double").alias("part_revenue"))
     )
+
+
+# ----------------------------------- bivariate stats from exact moments
+# Pearson correlation + OLS slope/intercept of quantity vs extendedprice
+# per returnflag. Built-in corr()/covar_pop() accumulate doubles in
+# shuffle order (non-deterministic across engines/partitionings), so the
+# moments (n, Sx, Sy, Sxx, Syy, Sxy) are accumulated as EXACT DECIMALS —
+# associative, order-proof — and the float math happens once, on the
+# driver-side of the aggregate, from identical inputs in both engines.
+# One map-side-combinable aggregate; same shape at any scale.
+_CORR_SQL = """
+WITH m AS (
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                    * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                    * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       ROUND((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6)
+           AS corr_qty_price,
+       ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+       ROUND((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6)
+           AS intercept
+FROM m
+"""
+
+
+@register("quantity_price_corr", sql=_CORR_SQL)
+def quantity_price_corr(spark, sf_dir):
+    """Per-flag Pearson corr and OLS fit of extendedprice on quantity,
+    from exact decimal moments (see note above)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dq = F.col("l_quantity").cast("decimal(18,2)")
+    dp = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dq).cast("double").alias("sx"),
+        F.sum(dp).cast("double").alias("sy"),
+        F.sum(dq * dq).cast("double").alias("sxx"),
+        F.sum(dp * dp).cast("double").alias("syy"),
+        F.sum(dq * dp).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cov = n * F.col("sxy") - sx * sy
+    varx = n * F.col("sxx") - sx * sx
+    vary = n * F.col("syy") - sy * sy
+    slope = cov / varx
+    return m.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        F.round(cov / F.sqrt(varx * vary), 6).alias("corr_qty_price"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )
+
+
+# ----------------------------------------- max-of-aggregate with ties (Q15)
+# TPC-H Q15: the supplier(s) with THE maximum revenue — ties must all
+# survive (the reason Q15 is a view + equality, not ORDER BY ... LIMIT 1).
+# The scalar max broadcasts back over the aggregated frame; revenue stays
+# exact DECIMAL through the equality so a tie can't be split by float fuzz.
+_TOP_SUPPLIER_SQL = """
+WITH rev AS (
+    SELECT l_suppkey,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS r
+    FROM lineitem GROUP BY l_suppkey
+),
+mx AS (SELECT MAX(r) AS m FROM rev)
+SELECT s.s_suppkey, s.s_name, CAST(rev.r AS DOUBLE) AS total_revenue
+FROM rev, mx
+JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+WHERE rev.r = mx.m
+"""
+
+
+@register("top_revenue_supplier", sql=_TOP_SUPPLIER_SQL)
+def top_revenue_supplier(spark, sf_dir):
+    """Q15 shape: supplier(s) with the maximum discounted revenue,
+    ties preserved."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias("r")
+    )
+    mx = rev.agg(F.max("r").alias("m"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("r") == F.col("m"))
+        .join(F.broadcast(sup.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.col("r").cast("double").alias("total_revenue"))
+    )
+
+
+# ------------------------------------- semi-join on aggregated subquery (Q18)
+# TPC-H Q18: orders whose total quantity exceeds a threshold — the filter
+# is a HAVING on an AGGREGATED subquery of the same fact table, joined
+# back to carry the aggregate. One shuffle on orderkey serves both the
+# aggregate and the join (co-partitioned), so the "IN (SELECT ... HAVING)"
+# costs no extra fact-table pass.
+_BIG_ORDERS_SQL = """
+SELECT o.o_orderkey, o.o_custkey, o.o_orderpriority,
+       CAST(b.q AS DOUBLE) AS total_qty
+FROM orders o JOIN (
+    SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+    FROM lineitem GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+) b ON b.l_orderkey = o.o_orderkey
+"""
+
+
+@register("big_quantity_orders", sql=_BIG_ORDERS_SQL)
+def big_quantity_orders(spark, sf_dir):
+    """Q18 shape: orders with total line quantity > 150 (aggregated
+    semi-join carrying the aggregate)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
+        .where(F.col("q") > 150)
+    )
+    return o.join(big, o.o_orderkey == big.l_orderkey).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        F.col("q").cast("double").alias("total_qty"),
+    )
+
+
+# ------------------------------------------ exists / not-exists chain (Q21)
+# TPC-H Q21's core: suppliers who were the ONLY one to return lines in a
+# multi-supplier order. The reference formulation is a correlated
+# EXISTS + NOT EXISTS pair (the oracle keeps that form); the Spark plan
+# DECORRELATES it into per-(order, supplier) then per-order aggregates —
+# one extra tiny aggregate instead of two more passes over the fact
+# table, and the oracle proves both formulations agree.
+_SOLE_RETURNER_SQL = """
+SELECT DISTINCT l1.l_suppkey AS suppkey, l1.l_orderkey AS orderkey
+FROM lineitem l1
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+"""
+
+
+@register("sole_returning_supplier", sql=_SOLE_RETURNER_SQL)
+def sole_returning_supplier(spark, sf_dir):
+    """Q21 shape: the sole returning supplier per multi-supplier order,
+    via aggregate decorrelation (see note above)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_os = li.groupBy(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_suppkey").alias("suppkey"),
+    ).agg(F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_r"))
+    per_o = per_os.groupBy("orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("has_r").alias("n_ret"),
+    )
+    return (
+        per_os.where(F.col("has_r") == 1)
+        .join(
+            per_o.where((F.col("n_supp") >= 2) & (F.col("n_ret") == 1)),
+            "orderkey",
+        )
+        .select("suppkey", "orderkey")
+    )

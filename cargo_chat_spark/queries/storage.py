@@ -65,3 +65,142 @@ def events_partitioned_pruned(spark, sf_dir):
             .alias("total_value"),
         )
     )
+
+
+# ------------------------------------------------------ JSONL round-trip
+# The interchange-format gate: events written as JSON Lines (the lingua
+# franca of crawl/LLM-pipeline handoffs) and read back under an EXPLICIT
+# schema (schema inference is a full extra pass at 100 TB — never pay it
+# on a known feed). The oracle aggregates the raw table, so any
+# serialization loss (timestamp formatting, float round-trip, null
+# handling) is a value mismatch.
+_JSONL_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       CAST(MIN(ts) AS TIMESTAMP) AS first_ts,
+       CAST(MAX(ts) AS TIMESTAMP) AS last_ts,
+       CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_props
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("events_jsonl_roundtrip", sql=_JSONL_SQL)
+def events_jsonl_roundtrip(spark, sf_dir):
+    """Write events as JSONL, read back with the explicit schema, and
+    aggregate — value parity proves the text round-trip is lossless."""
+    e = load_table(spark, sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"ccs_events_jsonl_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{os.getpid()}",
+    )
+    # default JSON timestamp format truncates to MILLIS — the oracle
+    # caught the 589998us -> 589000us loss; write and read at full
+    # microsecond precision
+    fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    opts = {"timestampNTZFormat": fmt, "timestampFormat": fmt}
+    e.write.mode("overwrite").options(**opts).json(out)
+    back = spark.read.schema(e.schema).options(**opts).json(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.sum(F.col("props").isNull().cast("int")).cast("bigint").alias("null_props"),
+    )
+
+
+# ------------------------------------------------------- CSV round-trip
+# Same contract as the JSONL gate for the third interchange format. CSV
+# needs two extra explicit decisions the gate pins: microsecond timestamp
+# format (same truncation trap as JSON) and explicit null handling
+# (nullValue/emptyValue disambiguation for the props column).
+_CSV_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       CAST(MIN(ts) AS TIMESTAMP) AS first_ts,
+       CAST(MAX(ts) AS TIMESTAMP) AS last_ts,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("events_csv_roundtrip", sql=_CSV_SQL)
+def events_csv_roundtrip(spark, sf_dir):
+    """Write events as headered CSV, read back with the explicit schema,
+    aggregate — value parity proves the text round-trip is lossless."""
+    e = load_table(spark, sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"ccs_events_csv_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{os.getpid()}",
+    )
+    fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    opts = {
+        "header": "true",
+        "timestampFormat": fmt,
+        "timestampNTZFormat": fmt,
+    }
+    e.write.mode("overwrite").options(**opts).csv(out)
+    back = spark.read.schema(e.schema).options(**opts).csv(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.countDistinct("user_id").alias("users"),
+    )
+
+
+# --------------------------------------------------- schema evolution
+# mergeSchema gate: an old batch written WITHOUT the props column and a
+# new batch WITH it must union under the evolved schema, old rows reading
+# props as NULL. This is how a long-lived 100 TB table absorbs additive
+# schema changes without rewriting history. The oracle simulates the
+# evolution relationally (props nulled for the old slice).
+_EVOLVE_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN (CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                                THEN NULL ELSE props END) IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("events_schema_merge", sql=_EVOLVE_SQL)
+def events_schema_merge(spark, sf_dir):
+    """Two-generation parquet layout (pre/post props column) read under
+    mergeSchema; old rows surface props as NULL."""
+    e = load_table(spark, sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"ccs_events_evolve_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{os.getpid()}",
+    )
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    old = e.where(F.col("ts") < cut).drop("props")
+    new = e.where(F.col("ts") >= cut)
+    old.write.mode("overwrite").parquet(f"{out}/gen=0")
+    new.write.mode("overwrite").parquet(f"{out}/gen=1")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        f"{out}/gen=0", f"{out}/gen=1"
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("props").isNull().cast("int")).cast("bigint").alias("null_props"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )

@@ -687,3 +687,39 @@ def word_entropy(spark, sf_dir):
             "entropy",
         )
     )
+
+
+# --------------------------------------------- scalar pandas_udf surface
+# Every other Python stage in the repo is mapInPandas / applyInPandas /
+# cogroup / UDTF; this gates the remaining Arrow surface — the SCALAR
+# @pandas_udf (Series -> Series, vectorized per Arrow batch, usable inside
+# any select). Semantics are exact-integer (token count = space count + 1
+# on the single-spaced corpus) so pandas and the SQL oracle cannot drift.
+# Scale note: a scalar pandas_udf pays one Arrow serialization round-trip
+# per batch — fine for genuinely-Python logic, but the JVM twin
+# (token_count) is the default for anything expressible in SQL, which is
+# exactly the comparison this pair makes visible in the bench.
+def _n_tokens_pandas():
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def n_tokens(s):
+        return s.str.count(" ").add(1).astype("int64")
+
+    return n_tokens
+
+
+_TOKENS_PANDAS_SQL = """
+SELECT doc_id,
+       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+           AS n_tokens
+FROM documents
+"""
+
+
+@register("token_count_pandas", sql=_TOKENS_PANDAS_SQL)
+def token_count_pandas(spark, sf_dir):
+    """Per-doc token counts through a scalar Arrow pandas_udf."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", _n_tokens_pandas()(F.col("text")).alias("n_tokens"))

@@ -46,6 +46,9 @@ def test_tail_entries_keep_oracle_coverage():
         "distinct_counts_approx",
         "ivf_topk_trained_live",
         "event_value_percentiles_approx",
+        # HLL sketches are engine-specific (no DuckDB twin); error bound
+        # pinned by tests/test_sketch_bounds.py
+        "weekly_hll_rollup",
     }
     missing = [
         n

@@ -103,3 +103,42 @@ def test_nonconvergence_degrades_with_warning(spark):
     # refinement property: label <= own id, and label is in the same
     # (here: only) component
     assert all(lbl <= i for i, lbl in got.items())
+
+
+def test_local_union_find_matches_distributed(spark):
+    """connected_components_local (bounded-collect union-find) must produce
+    identical labels to the distributed pointer-jump loop on random
+    graphs."""
+    import random
+
+    from cargo_chat_spark.operators.graph import connected_components_local
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        pairs = {
+            tuple(sorted(rng.sample(range(n), 2)))
+            for _ in range(rng.randint(10, 80))
+        }
+        rows = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+        edges = spark.createDataFrame(rows, "s: long, d: long")
+        dist = {
+            (r["doc_id"], r["component_id"])
+            for r in connected_components(edges).collect()
+        }
+        loc = {
+            (r["doc_id"], r["component_id"])
+            for r in connected_components_local(edges).collect()
+        }
+        assert dist == loc
+
+
+def test_local_union_find_node_guard(spark):
+    from cargo_chat_spark.operators.graph import connected_components_local
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)] + [(i + 1, i) for i in range(30)],
+        "s: long, d: long",
+    )
+    with pytest.raises(ValueError, match="max_nodes|use the"):
+        connected_components_local(edges, max_nodes=10)
