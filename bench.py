@@ -134,6 +134,7 @@ HEADLINE = [
     "events_csv_roundtrip",
     "events_schema_merge",
     "token_count_pandas",
+    "ivfpq_topk",
 ]
 
 
@@ -229,6 +230,8 @@ BASELINE_S = {
     "constraint_violations": 0.91, "events_weekly_drift": 0.60,
     "events_csv_roundtrip": 0.92, "events_schema_merge": 0.84,
     "token_count_pandas": 0.29,
+    # (wave-6 batch, measuring host calib 0.324 → ×1.318)
+    "ivfpq_topk": 2.30,
 }
 
 

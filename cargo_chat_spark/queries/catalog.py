@@ -379,6 +379,15 @@ _OVERFLOW_TAIL = [
     # other Python stage is mapInPandas/applyInPandas) — token semantics
     # re-proven in-window by token_count
     "token_count_pandas",
+    # FAISS-IVFPQ-shaped composition of the gated IVF + PQ artifacts
+    # (assign -> encode -> probe -> ADC shortlist -> exact re-rank, one
+    # end-to-end value-hash oracle; recall 0.72 pinned >= 0.6) — stage
+    # machinery re-proven in-window by ivf_topk_trained + knn_int8_rerank
+    "ivfpq_topk",
+    # built-in session_window aggregate (declarative sessionizer, third
+    # family member; shared oracle) — session semantics re-proven
+    # in-window by sessionize_stateful
+    "events_session_window_builtin",
 ]
 
 

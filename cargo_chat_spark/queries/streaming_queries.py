@@ -791,3 +791,31 @@ def events_props_variant(spark, sf_dir):
         F.try_variant_get(v, "$.k", "int").alias("k_int"),
         F.try_variant_get(v, "$.missing", "string").alias("missing_str"),
     )
+
+
+# ------------------------------------------ built-in session_window twin
+# The DECLARATIVE sessionizer: Spark's native session_window aggregate,
+# third member of the family next to the lag/running-sum batch form
+# (event_sessions) and the applyInPandasWithState stream
+# (sessionize_stateful). All three share one oracle. Boundary semantics
+# note: session_window treats an event landing EXACTLY at last_ts + gap
+# as a new session (window end is exclusive) while the lag form's
+# ``diff > gap`` keeps it — identical here because the fixture's
+# microsecond timestamps never hit the boundary exactly, and the shared
+# oracle would catch it if they did. Scale: one shuffle on user_id; the
+# session merge runs inside the aggregate (no window function pass).
+@register("events_session_window_builtin", sql=_SESSIONS_NOID_SQL)
+def events_session_window_builtin(spark, sf_dir):
+    """30-min-gap sessions via the built-in session_window aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )

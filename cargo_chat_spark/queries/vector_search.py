@@ -520,3 +520,220 @@ def pq_knn_rerank(spark, sf_dir):
         rescored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 10)
     )
+
+
+# --------------------------------------------------- IVF-PQ composition
+# The production ANN index shape (FAISS IVFPQ): coarse cell pruning
+# (probe nprobe of ncells — scan 1/4 of the corpus) COMPOSED with PQ
+# compression (approx distances on 8-byte codes — the scanned quarter is
+# 32x smaller in memory), then exact re-rank of the survivors. Both
+# stages reuse their individually-gated frozen artifacts
+# (_ivf_centroids.py, _pq_codebooks.py), and the full pipeline —
+# assign -> encode -> probe -> ADC shortlist -> exact top-10 — carries a
+# single value-hash oracle, so the COMPOSITION itself is what this gate
+# pins. At 100 TB: cell_id is the partition column, codes are the
+# in-memory scan artifact, raw vectors are fetched only for the
+# shortlist (64 rows/query).
+def _ivfpq_sql() -> str:
+    from cargo_chat_spark.queries.similarity import (
+        _N_ASSIGN_TRAINED,
+        _N_PROBE_TRAINED,
+        _cent_values_sql,
+    )
+
+    cbs = _pq_codebooks()
+    cb_rows = ", ".join(
+        f"({s}, {c}, [" + ", ".join(repr(x) for x in cbs[s][c]) + "])"
+        for s in range(_PQ_M)
+        for c in range(_PQ_NCODES)
+    )
+    sq = """list_sum(list_transform(generate_series(1, len({a})),
+            i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))
+               * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"""
+    sq64 = """sqrt(list_sum(list_transform(generate_series(1, 64),
+            i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))
+               * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))))"""
+    return f"""
+WITH centroids AS (
+    SELECT * FROM (VALUES {_cent_values_sql()}) AS t(cell_id, cvec)
+),
+cb AS (
+    SELECT * FROM (VALUES {cb_rows}) AS t(s, c, sub)
+),
+assigned AS (
+    SELECT b.vec_id, b.embedding, a.cell_id,
+        row_number() OVER (
+            PARTITION BY b.vec_id
+            ORDER BY {sq.format(a="a.cvec", b="b.embedding")}, a.cell_id
+        ) AS cr
+    FROM embeddings b CROSS JOIN centroids a
+),
+cells AS (
+    SELECT vec_id, cell_id FROM assigned WHERE cr <= {_N_ASSIGN_TRAINED}
+),
+subdists AS (
+    SELECT e.vec_id, cb.s, cb.c,
+        list_sum(list_transform(generate_series(1, {_PQ_SUB}),
+            j -> (CAST(e.embedding[cb.s * {_PQ_SUB} + j] AS DOUBLE) - cb.sub[j])
+               * (CAST(e.embedding[cb.s * {_PQ_SUB} + j] AS DOUBLE) - cb.sub[j])))
+            AS sd
+    FROM embeddings e CROSS JOIN cb
+),
+codes AS (
+    SELECT vec_id, s, c FROM subdists
+    QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY sd, c) = 1
+),
+recon AS (
+    SELECT codes.vec_id, flatten(list(cb.sub ORDER BY cb.s)) AS rvec
+    FROM codes JOIN cb ON cb.s = codes.s AND cb.c = codes.c
+    GROUP BY codes.vec_id
+),
+queries AS (
+    SELECT vec_id AS query_id, embedding AS qvec
+    FROM embeddings WHERE vec_id % 100 = 0
+),
+probes AS (
+    SELECT q.query_id, a.cell_id,
+        row_number() OVER (
+            PARTITION BY q.query_id
+            ORDER BY sqrt({sq.format(a="a.cvec", b="q.qvec")}), a.cell_id
+        ) AS pr
+    FROM queries q CROSS JOIN centroids a
+    QUALIFY pr <= {_N_PROBE_TRAINED}
+),
+cand AS (
+    SELECT DISTINCT p.query_id, c.vec_id
+    FROM probes p JOIN cells c ON c.cell_id = p.cell_id
+),
+shortlist AS (
+    SELECT cand.query_id, cand.vec_id AS neighbor_id
+    FROM cand
+    JOIN queries q ON q.query_id = cand.query_id
+    JOIN recon r ON r.vec_id = cand.vec_id
+    QUALIFY row_number() OVER (
+        PARTITION BY cand.query_id
+        ORDER BY {sq64.format(a="q.qvec", b="r.rvec")}, cand.vec_id
+    ) <= {_PQ_SHORTLIST}
+),
+rescored AS (
+    SELECT sl.query_id, sl.neighbor_id,
+        {sq64.format(a="q.qvec", b="e.embedding")} AS distance
+    FROM shortlist sl
+    JOIN queries q USING (query_id)
+    JOIN embeddings e ON e.vec_id = sl.neighbor_id
+)
+SELECT query_id, neighbor_id, distance,
+    CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY distance, neighbor_id
+    ) AS INT) AS "rank"
+FROM rescored
+QUALIFY "rank" <= 10
+"""
+
+
+def _pq_encoded(spark, emb):
+    """PQ-encode the corpus (same NumPy kernel/fold order as
+    pq_knn_rerank) and reconstruct from the frozen codebook literals."""
+    import numpy as np
+
+    cb_arr = np.asarray(_pq_codebooks(), dtype=np.float64)
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            codes = np.empty((len(pdf), _PQ_M), dtype=np.int32)
+            for s in range(_PQ_M):
+                xs = x[:, s * _PQ_SUB : (s + 1) * _PQ_SUB]
+                acc = np.zeros((len(pdf), _PQ_NCODES), dtype=np.float64)
+                for j in range(_PQ_SUB):
+                    d = xs[:, j : j + 1] - cb_arr[s, :, j][None, :]
+                    acc += d * d
+                codes[:, s] = np.argmin(acc, axis=1)
+            yield pdf[["vec_id"]].assign(codes=list(codes))
+
+    encoded = emb.mapInPandas(encode, schema="vec_id bigint, codes array<int>")
+    return encoded.select("vec_id", F.expr(_pq_recon_expr()).alias("rvec"))
+
+
+@register("ivfpq_topk", sql=_ivfpq_sql())
+def ivfpq_topk(spark, sf_dir):
+    """IVF cell pruning + PQ approximate shortlist + exact re-rank —
+    the composed production index, one value-hash oracle end to end."""
+    from pyspark.sql import Window
+
+    from cargo_chat_spark.functions import vectors
+    from cargo_chat_spark.operators import kmeans
+    from cargo_chat_spark.queries.similarity import (
+        _N_ASSIGN_TRAINED,
+        _N_PROBE_TRAINED,
+        _euclid,
+    )
+    from cargo_chat_spark.queries._ivf_centroids import (
+        TRAINED_CENTROIDS,
+        TRAINED_DIM,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = vectors.infer_dim(emb, "embedding")
+    if dim != TRAINED_DIM:
+        raise ValueError(
+            f"frozen centroids are dim {TRAINED_DIM}, corpus is dim {dim}"
+        )
+    cells = kmeans.assign_cells(
+        emb, TRAINED_CENTROIDS, dim=dim, n_assign=_N_ASSIGN_TRAINED
+    ).select("vec_id", "cell_id")
+    recon = _pq_encoded(spark, emb)
+    queries = _query_vectors(spark, sf_dir)
+
+    cent_rows = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(TRAINED_CENTROIDS)],
+        "cell_id int, cvec array<double>",
+    )
+    w_probe = Window.partitionBy("query_id").orderBy("cdist", "cell_id")
+    probes = (
+        queries.crossJoin(F.broadcast(cent_rows))
+        .withColumn("cdist", _euclid(F.col("cvec"), F.col("query_vec")))
+        .withColumn("pr", F.row_number().over(w_probe))
+        .where(F.col("pr") <= _N_PROBE_TRAINED)
+        .select("query_id", "cell_id")
+    )
+    cand = (
+        cells.join(F.broadcast(probes), "cell_id")
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    adist = F.expr(
+        vectors.DISTANCES_FIXED_SQL["euclidean"]("`query_vec`", "`rvec`", 64)
+    )
+    w_short = Window.partitionBy("query_id").orderBy("adist", "vec_id")
+    short = (
+        cand.join(recon, "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select("query_id", "vec_id", adist.alias("adist"))
+        .withColumn("sr", F.row_number().over(w_short))
+        .where(F.col("sr") <= _PQ_SHORTLIST)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    rescored = (
+        short.join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+            "neighbor_id",
+        )
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            vectors.euclidean(F.col("query_vec"), F.col("embedding")).alias(
+                "distance"
+            ),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy("distance", "neighbor_id")
+    return (
+        rescored.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= 10)
+    )
