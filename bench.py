@@ -135,6 +135,9 @@ HEADLINE = [
     "events_schema_merge",
     "token_count_pandas",
     "ivfpq_topk",
+    "events_session_window_builtin",
+    "flag_metrics_unpivot",
+    "token_count_arrow",
 ]
 
 
@@ -232,6 +235,9 @@ BASELINE_S = {
     "token_count_pandas": 0.29,
     # (wave-6 batch, measuring host calib 0.324 → ×1.318)
     "ivfpq_topk": 2.30,
+    # (wave-6b batch, measuring host calib 0.399 → ×1.070)
+    "events_session_window_builtin": 0.70, "flag_metrics_unpivot": 1.08,
+    "token_count_arrow": 0.38,
 }
 
 

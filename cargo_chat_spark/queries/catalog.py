@@ -388,6 +388,14 @@ _OVERFLOW_TAIL = [
     # family member; shared oracle) — session semantics re-proven
     # in-window by sessionize_stateful
     "events_session_window_builtin",
+    # built-in unpivot (wide->long; completes the reshaping pair with
+    # segment_status_pivot) — agg machinery re-proven in-window by
+    # pricing_summary
+    "flag_metrics_unpivot",
+    # mapInArrow surface (raw RecordBatch + pyarrow.compute — third
+    # Python tier next to pandas_udf and JVM exprs, one oracle family) —
+    # token semantics re-proven in-window by token_count
+    "token_count_arrow",
 ]
 
 

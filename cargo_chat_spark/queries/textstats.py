@@ -723,3 +723,40 @@ def token_count_pandas(spark, sf_dir):
     """Per-doc token counts through a scalar Arrow pandas_udf."""
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", _n_tokens_pandas()(F.col("text")).alias("n_tokens"))
+
+
+# ------------------------------------------------- mapInArrow surface
+# The LOWEST-level Arrow API: raw pyarrow.RecordBatch in/out, no pandas
+# conversion layer at all — the right tier when the Python logic is
+# itself columnar (here: zero-copy-ish compute over the text column via
+# pyarrow.compute). Exact-integer semantics shared with
+# token_count_pandas so the three Python tiers (JVM expr / pandas_udf /
+# mapInArrow) are mutually checkable through one oracle family.
+_TOKENS_ARROW_SQL = """
+SELECT doc_id,
+       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+           AS n_tokens
+FROM documents
+"""
+
+
+@register("token_count_arrow", sql=_TOKENS_ARROW_SQL)
+def token_count_arrow(spark, sf_dir):
+    """Per-doc token counts through mapInArrow (pyarrow compute)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def count_tokens(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            n = pc.add(
+                pc.count_substring(batch.column("text"), pattern=" "),
+                1,
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), pc.cast(n, pa.int64())],
+                ["doc_id", "n_tokens"],
+            )
+
+    return d.mapInArrow(count_tokens, schema="doc_id bigint, n_tokens bigint")
