@@ -138,6 +138,8 @@ HEADLINE = [
     "events_session_window_builtin",
     "flag_metrics_unpivot",
     "token_count_arrow",
+    "abandoned_purchases",
+    "source_quality_report",
 ]
 
 
@@ -238,6 +240,10 @@ BASELINE_S = {
     # (wave-6b batch, measuring host calib 0.399 → ×1.070)
     "events_session_window_builtin": 0.70, "flag_metrics_unpivot": 1.08,
     "token_count_arrow": 0.38,
+    # (wave-7 batch, measuring host calib 0.336 → ×1.271)
+    "abandoned_purchases": 0.99,
+    # (measuring host calib 0.393 → ×1.087)
+    "source_quality_report": 0.98,
 }
 
 

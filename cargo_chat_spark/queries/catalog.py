@@ -396,6 +396,15 @@ _OVERFLOW_TAIL = [
     # Python tier next to pandas_udf and JVM exprs, one oracle family) —
     # token semantics re-proven in-window by token_count
     "token_count_arrow",
+    # batch twin of the left-outer stream-stream interval join (anti
+    # range join over tol-binned candidates; oracle keeps the correlated
+    # NOT EXISTS) — bin machinery re-proven in-window by
+    # events_within_5min_pairs
+    "abandoned_purchases",
+    # per-source curation report card (composes quality_score +
+    # dedup_exact keep rule + token counts; oracle nests the quality twin
+    # verbatim) — stage machinery gated individually in-window
+    "source_quality_report",
 ]
 
 

@@ -563,3 +563,74 @@ def curation_pipeline(spark, sf_dir):
 
 
 register("curation_pipeline", sql=_pipeline_sql())(curation_pipeline)
+
+
+# ------------------------------------------------- per-source report card
+# The curation dashboard: one row per source with volume, mean quality,
+# token mass, and exact-dup rate — the table a data lead reads before
+# deciding per-source mixture weights. Composes the REGISTERED stage
+# operators (quality_score, dedup_exact's keep rule, token counts); the
+# oracle nests quality_score's SQL twin verbatim, so this gate also
+# re-proves the stages agree under composition. Cross-engine mean
+# discipline: quality_score is exact quarters (multiples of 0.25), so
+# the mean routes through an integer quarter-count sum — no float
+# accumulation order anywhere.
+def _source_report_sql() -> str:
+    from cargo_chat_spark.queries.textstats import _QUALITY_SQL
+
+    return f"""
+WITH q AS ({_QUALITY_SQL}),
+dk AS (SELECT doc_id, source, md5(substring(text, 1, 40)) AS k
+       FROM documents),
+keep AS (SELECT k, MIN(doc_id) AS kept FROM dk GROUP BY k),
+flags AS (
+    SELECT dk.doc_id, dk.source,
+           CASE WHEN dk.doc_id = keep.kept THEN 0 ELSE 1 END AS is_dup
+    FROM dk JOIN keep ON keep.k = dk.k)
+SELECT f.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(CAST(q.quality_score * 4 AS BIGINT)) AS DOUBLE)
+             / (4 * COUNT(*)), 6) AS avg_quality,
+       CAST(SUM(q.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(f.is_dup) AS BIGINT) AS n_dup_docs,
+       ROUND(CAST(SUM(f.is_dup) AS DOUBLE) / COUNT(*), 6) AS dup_rate
+FROM flags f JOIN q ON q.doc_id = f.doc_id
+GROUP BY f.source
+"""
+
+
+@register("source_quality_report", sql=_source_report_sql())
+def source_quality_report(spark, sf_dir):
+    """Per-source curation report card (volume, mean quality, tokens,
+    exact-dup rate)."""
+    from pyspark.sql import Window
+
+    from cargo_chat_spark.queries.textstats import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    q = quality_score(spark, sf_dir).select("doc_id", "quality_score", "n_tokens")
+    w_keep = Window.partitionBy(F.md5(F.substring("text", 1, 40)))
+    flags = d.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") != F.min("doc_id").over(w_keep))
+        .cast("int")
+        .alias("is_dup"),
+    )
+    return (
+        flags.join(q, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum((F.col("quality_score") * 4).cast("bigint")).cast("double")
+                / (F.lit(4) * F.count(F.lit(1))),
+                6,
+            ).alias("avg_quality"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("is_dup").cast("bigint").alias("n_dup_docs"),
+            F.round(
+                F.sum("is_dup").cast("double") / F.count(F.lit(1)), 6
+            ).alias("dup_rate"),
+        )
+    )

@@ -819,3 +819,62 @@ def events_session_window_builtin(spark, sf_dir):
         )
         .select("user_id", "session_start", "session_end", "n_events")
     )
+
+
+# -------------------------------------------- abandonment (anti range join)
+# Batch twin of the LEFT-OUTER stream-stream interval join
+# (streaming/interval_join.py, how="left_outer"): purchases with NO view
+# by the same user within the following 5 minutes. Spark side expresses
+# the NOT EXISTS as a left_anti join over the same (user, tol-bin)
+# bucketed candidates as within_tolerance_pairs — the probe stays an
+# equi-join on (user_id, bin) with the forward-bin union, never a
+# per-user cross product; the oracle keeps the correlated NOT EXISTS
+# form, so the two formulations prove each other.
+_ABANDONED_SQL = """
+SELECT p.event_id, p.user_id, p.ts, p.value
+FROM events p
+WHERE p.event_type = 'purchase'
+  AND NOT EXISTS (
+      SELECT 1 FROM events v
+      WHERE v.event_type = 'view'
+        AND v.user_id = p.user_id
+        AND v.ts >= p.ts
+        AND date_diff('microsecond', p.ts, v.ts) <= 300 * 1000000)
+"""
+
+
+@register("abandoned_purchases", sql=_ABANDONED_SQL)
+def abandoned_purchases(spark, sf_dir):
+    """Purchases with no follow-up view inside 5 minutes (left-anti over
+    tol-binned candidates)."""
+    e = load_table(spark, sf_dir, "events")
+    tol_us = 300 * 1_000_000
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value", us.alias("us")
+    )
+    v = (
+        e.where(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), us.alias("v_us"))
+    )
+    # candidate views live in the purchase's bin or the next one
+    p_binned = p.withColumn("bin", F.expr(f"us div {tol_us}"))
+    v_binned = v.withColumn("v_bin", F.expr(f"v_us div {tol_us}"))
+    v_both = v_binned.unionAll(
+        v_binned.withColumn("v_bin", F.col("v_bin") - F.lit(1))
+    )
+    matched = (
+        p_binned.join(
+            v_both,
+            (F.col("user_id") == F.col("v_user"))
+            & (F.col("bin") == F.col("v_bin"))
+            & (F.col("v_us") >= F.col("us"))
+            & (F.col("v_us") <= F.col("us") + F.lit(tol_us)),
+            "left_semi",
+        )
+    )
+    return p_binned.join(
+        matched.select("event_id"), "event_id", "left_anti"
+    ).select("event_id", "user_id", "ts", "value")

@@ -38,6 +38,7 @@ def interval_join_streams(
     tol_seconds: int,
     watermark: str = "10 minutes",
     payload: tuple[str, ...] = (),
+    how: str = "inner",
 ) -> DataFrame:
     """Join two STREAMING frames (same schema) into ordered co-occurrence
     pairs: same ``key``, ``0 <= ts_b - ts_a <= tol_seconds``, orientation
@@ -45,7 +46,17 @@ def interval_join_streams(
 
     Output columns match operators/rangejoin.py::within_tolerance_pairs:
     key, id_a, id_b, ts_a, ts_b, gap_seconds, <payload>_a, <payload>_b.
+
+    ``how="left_outer"`` additionally emits each UNMATCHED left row once
+    — with NULL right columns — but only after the right watermark passes
+    ``ts_a + tol`` (Spark cannot declare a row unmatched while a match
+    could still arrive). That makes the outer mode the streaming
+    "abandonment detector": purchases with no follow-up event inside the
+    tolerance surface exactly when their match window provably closed.
+    State bound is identical to the inner form.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported join mode: {how}")
     a = left.select(
         F.col(key).alias(key),
         F.col(id_col).alias("id_a"),
@@ -72,7 +83,7 @@ def interval_join_streams(
         / 1_000_000.0
     )
     return (
-        a.join(b, cond, "inner")
+        a.join(b, cond, how)
         .drop("__k_b")
         .withColumn("gap_seconds", gap)
         .select(
