@@ -140,6 +140,7 @@ HEADLINE = [
     "token_count_arrow",
     "abandoned_purchases",
     "source_quality_report",
+    "semdedup_keep",
 ]
 
 
@@ -244,6 +245,8 @@ BASELINE_S = {
     "abandoned_purchases": 0.99,
     # (measuring host calib 0.393 → ×1.087)
     "source_quality_report": 0.98,
+    # (measuring host calib 0.339 → ×1.260)
+    "semdedup_keep": 3.48,
 }
 
 

@@ -405,6 +405,10 @@ _OVERFLOW_TAIL = [
     # dedup_exact keep rule + token counts; oracle nests the quality twin
     # verbatim) — stage machinery gated individually in-window
     "source_quality_report",
+    # SemDeDup (cluster-pruned embedding dedup, greedy-by-id keep rule;
+    # fixture-calibrated tau documented in-module) — cell machinery
+    # re-proven in-window by ivf_topk_trained
+    "semdedup_keep",
 ]
 
 
