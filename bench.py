@@ -141,6 +141,8 @@ HEADLINE = [
     "abandoned_purchases",
     "source_quality_report",
     "semdedup_keep",
+    "promo_revenue_disjunctive",
+    "part_name_entities_recursive",
 ]
 
 
@@ -247,6 +249,10 @@ BASELINE_S = {
     "source_quality_report": 0.98,
     # (measuring host calib 0.339 → ×1.260)
     "semdedup_keep": 3.48,
+    # (measuring host calib 0.303 → ×1.409)
+    "promo_revenue_disjunctive": 0.72,
+    # (measuring host calib 0.568 → ×0.752)
+    "part_name_entities_recursive": 1.37,
 }
 
 

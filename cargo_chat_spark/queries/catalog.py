@@ -87,6 +87,34 @@ from cargo_chat_spark.queries.registry import ORACLE_SQL, SPARK_QUERIES
 # retrieval_rank_reference, neardup_components, sessionize_stateful, and
 # the S1-S7/A1-A7/P1-P7 reference-surface gates in-window permanently —
 # they ARE the reference parity claim.
+# Executable form of the ROUND-6 ROTATION PLAN above (priority order,
+# breadth-of-new-machinery first). tests/test_catalog_window.py pins that
+# every name resolves, so a rename can't silently orphan the plan.
+ROUND6_PROMOTION_PLAN = [
+    # tier 1 — new machinery families
+    "curation_pipeline", "hybrid_rrf_retrieval", "bm25_topk",
+    "events_gap_fill_locf", "rolling_7d_actives",
+    "cheapest_supplier_per_part", "media_frame_sample", "token_spans_udtf",
+    "cogroup_purchase_view_asof", "pq_knn_rerank", "value_stats_salted",
+    "dataset_split", "event_funnel", "shipping_priority",
+    "local_supplier_volume",
+    # tier 1b — this session's wave 4-8 families
+    "table_profile", "constraint_violations", "part_name_entities",
+    "paragraph_dedup_rebuild", "part_copurchase_pagerank",
+    "hard_negatives_topk", "ivfpq_topk", "semdedup_keep",
+    "events_partitioned_pruned", "events_jsonl_roundtrip",
+    "daily_active_bitmap", "events_ohlc_hourly", "user_value_scd2",
+    "source_quality_report", "quantity_price_corr",
+    # tier 2 — remaining distinct machinery
+    "weighted_sample", "word_entropy", "unigram_logprob",
+    "engaged_clean_users", "value_zscore_outliers",
+    "event_type_cooccurrence", "tfidf_top_terms", "boilerplate_grams",
+    "contamination_bloom", "fuzzy_decontamination", "latest_event_per_user",
+    "per_source_sample", "label_centroids", "events_dedup_collapse",
+    "event_transitions", "cohort_retention", "mad_outliers",
+    "similar_part_names", "events_trailing_1h_sum", "session_paths_top",
+]
+
 _OVERFLOW_TAIL = [
     "candidates_fixture",      # synthesis parity; rerank/retrieval gates consume it
     "distinct_counts_approx",  # rows-only HLL twin; exact twin carries the oracle
@@ -409,6 +437,14 @@ _OVERFLOW_TAIL = [
     # fixture-calibrated tau documented in-module) — cell machinery
     # re-proven in-window by ivf_topk_trained
     "semdedup_keep",
+    # TPC-H Q19 shape (OR-of-conjunctions join predicate; per-side
+    # disjunctive pushdown visible in PushedFilters) — predicate
+    # machinery re-proven in-window by pricing_summary
+    "promo_revenue_disjunctive",
+    # Spark 4 WITH RECURSIVE surface (depth-bounded UNION ALL closure vs
+    # DuckDB's fixed-point UNION oracle) — closure semantics re-proven
+    # in-window by neardup_components
+    "part_name_entities_recursive",
 ]
 
 

@@ -32,6 +32,8 @@ Scale posture:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from cargo_chat_spark.operators.graph import connected_components_local
@@ -166,4 +168,53 @@ def part_name_entities(spark, sf_dir):
             .cast("bigint")
             .alias("entity_id"),
         )
+    )
+
+
+# --------------------------------------- recursive-CTE closure (Spark 4)
+# Third member of the connected-components family, and the gate for
+# Spark 4's WITH RECURSIVE surface: the SAME entity closure computed
+# declaratively in SQL on BOTH engines. Spark does not yet support UNION
+# (dedup) inside recursion, so the Spark side runs UNION ALL with an
+# explicit depth bound (8 — far above the name graph's diameter; the
+# path-enumeration blowup is bounded because blocked-edit-distance
+# components are tiny chains) and dedups in the final aggregate. The
+# oracle keeps DuckDB's fixed-point UNION form — agreement proves the
+# bounded unrolling reached the same closure.
+@register("part_name_entities_recursive", sql=_ENTITY_SQL)
+def part_name_entities_recursive(spark, sf_dir):
+    """Entity ids via a recursive CTE (transitive closure in SQL)."""
+    names = _names(spark, sf_dir)
+    view = "rcte_names_" + os.path.basename(os.path.normpath(sf_dir)).replace(
+        ".", "_"
+    )
+    names.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+WITH RECURSIVE pairs AS (
+    SELECT a.name_id AS id_a, b.name_id AS id_b
+    FROM {view} a JOIN {view} b
+      ON a.block_key = b.block_key AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+),
+edges AS (
+    SELECT id_a AS s, id_b AS d FROM pairs
+    UNION ALL
+    SELECT id_b AS s, id_a AS d FROM pairs
+),
+reach(src, dst, depth) AS (
+    SELECT s, s, 0 FROM edges
+    UNION ALL
+    SELECT r.src, e.d, r.depth + 1
+    FROM reach r JOIN edges e ON r.dst = e.s
+    WHERE r.depth < 8
+),
+comp AS (
+    SELECT src AS name_id, MIN(dst) AS component_id
+    FROM reach GROUP BY src
+)
+SELECT n.p_name, n.name_id, n.n_parts,
+       CAST(COALESCE(c.component_id, n.name_id) AS BIGINT) AS entity_id
+FROM {view} n LEFT JOIN comp c ON c.name_id = n.name_id
+"""
     )

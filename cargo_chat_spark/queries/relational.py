@@ -1081,3 +1081,57 @@ def flag_metrics_unpivot(spark, sf_dir):
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+# --------------------------------------- disjunctive predicates (Q19)
+# TPC-H Q19's signature shape: the join predicate is an OR of three
+# (brand, size-range, quantity-range) conjunctions — the stress test for
+# disjunctive predicate handling. Catalyst extracts the common
+# quantity/size bounds OUTSIDE the OR and pushes them into both scans
+# (visible as PushedFilters), so each scan prunes before the join; the
+# per-clause residual stays a codegen'd join filter. Revenue exact
+# decimal.
+_DISJUNCTIVE_SQL = """
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS promo_revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register("promo_revenue_disjunctive", sql=_DISJUNCTIVE_SQL)
+def promo_revenue_disjunctive(spark, sf_dir):
+    """Q19 shape: revenue under an OR of brand/size/quantity clauses."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+
+    def clause(brand, smax, qlo, qhi):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, smax)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+
+    cond = (
+        clause("Brand#12", 15, 1, 11)
+        | clause("Brand#23", 25, 10, 20)
+        | clause("Brand#34", 35, 20, 30)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("promo_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

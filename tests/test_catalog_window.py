@@ -58,3 +58,21 @@ def test_tail_entries_keep_oracle_coverage():
         and n not in rows_only_ok
     ]
     assert not missing, f"tail entries without oracle SQL: {missing}"
+
+
+def test_round6_promotion_plan_names_resolve():
+    """The drafted rotation plan must stay executable: every planned
+    promotion names a registered query, and none of them is already
+    inside the gated window (promoting an in-window name is a no-op that
+    wastes a slot)."""
+    names = list(catalog.SPARK_QUERIES)
+    window = set(names[:WINDOW])
+    unknown = [
+        n for n in catalog.ROUND6_PROMOTION_PLAN if n not in catalog.SPARK_QUERIES
+    ]
+    assert not unknown, f"rotation plan names unknown queries: {unknown}"
+    already = [n for n in catalog.ROUND6_PROMOTION_PLAN if n in window]
+    assert not already, f"rotation plan promotes in-window names: {already}"
+    assert len(set(catalog.ROUND6_PROMOTION_PLAN)) == len(
+        catalog.ROUND6_PROMOTION_PLAN
+    ), "duplicate names in rotation plan"
