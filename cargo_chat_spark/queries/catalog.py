@@ -445,6 +445,10 @@ _OVERFLOW_TAIL = [
     # DuckDB's fixed-point UNION oracle) — closure semantics re-proven
     # in-window by neardup_components
     "part_name_entities_recursive",
+    # Spark 4 from_xml surface (fourth interchange format, integer-exact
+    # render->parse) — format machinery re-proven in-window by
+    # events_props_extract
+    "events_xml_parse",
 ]
 
 

@@ -204,3 +204,48 @@ def events_schema_merge(spark, sf_dir):
         .cast("double")
         .alias("total_value"),
     )
+
+
+# --------------------------------------------------------- XML parsing
+# The fourth interchange surface (Spark 4's built-in from_xml). XML rows
+# are RENDERED from the events columns inside the query (deterministic
+# markup, integer cents so no float-formatting round-trip exists), parsed
+# back with an explicit struct schema, and aggregated; the oracle
+# aggregates the raw table, so any parse/render asymmetry is a value
+# mismatch.
+_XML_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+       CAST(MAX(event_id) AS BIGINT) AS max_id
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("events_xml_parse", sql=_XML_SQL)
+def events_xml_parse(spark, sf_dir):
+    """Render events as XML, parse with from_xml, aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    xml = F.concat(
+        F.lit("<e><id>"),
+        F.col("event_id").cast("string"),
+        F.lit("</id><t>"),
+        F.col("event_type"),
+        F.lit("</t><c>"),
+        cents.cast("string"),
+        F.lit("</c></e>"),
+    )
+    parsed = e.select(
+        F.from_xml(xml, "id BIGINT, t STRING, c BIGINT").alias("p")
+    )
+    return (
+        parsed.select("p.*")
+        .groupBy(F.col("t").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").cast("bigint").alias("cents"),
+            F.max("id").cast("bigint").alias("max_id"),
+        )
+    )
