@@ -22,126 +22,56 @@ from cargo_chat_spark import caching  # noqa: E402
 from cargo_chat_spark.queries import catalog  # noqa: E402
 from cargo_chat_spark.session import get_spark  # noqa: E402
 
-# Representative spread: vector search, retrieval pipeline, relational aggs,
-# profiling, dedup families, text analysis, streaming-batch windows.
+# Round-6 fix (r5 verdict items 2+5): the 102-entry headline pushed the
+# stdout summary line past the driver's capture buffer (BENCH_r05 parsed:
+# null). HEADLINE is now a FIXED ~30-query representative set — one line of
+# rationale each — so the stdout contract line stays compact; everything
+# else (per-repeat timings, baseline ratios, DETAIL_EXTRA) goes to the
+# BENCH_DETAIL.json sidecar.
 HEADLINE = [
-    "knn_exact",
-    "knn_exact_numpy",
-    "rp_lsh_topk",
-    "revenue_rollup",
-    "segment_running_totals",
-    "cosine_topk",
-    "ivf_topk",
-    "embedding_neardup_pairs",
-    "retrieval_rank_reference",
-    "context_assembly",
-    "pricing_summary",
-    "top_customers",
-    "repo_profile",
-    "dedup_exact",
-    "minhash_lsh_pairs",
-    "ngram_jaccard_pairs",
-    "simhash_fingerprints",
-    "doc_fingerprints",
-    "chunk_documents",
-    "mock_embed_documents",
-    "token_count",
-    "quality_score",
-    "events_tumbling_window",
-    "event_sessions",
-    # round-5 additions (round-4 verdict item 4): the round-4 operator wave
-    # joins the tracked set so regressions in the as-of window, bucketed
-    # range join, ANN forest/int8, sampling mix, and percentile paths are
-    # visible to the driver's per-round bench.
-    "events_asof_join",
-    "events_within_5min_pairs",
-    "rp_lsh_forest_topk",
-    "knn_int8_rerank",
-    "ivf_topk_trained",
-    "temperature_mix",
-    "event_value_percentiles",
-    # round-5 wave 2: multi-way star joins, funnel/histogram rollups,
-    # TF-IDF + boilerplate text passes, bloom/fuzzy decontamination.
-    "shipping_priority",
-    "local_supplier_volume",
-    "event_funnel",
-    "value_histogram",
-    "tfidf_top_terms",
-    "boilerplate_grams",
-    "contamination_bloom",
-    "fuzzy_decontamination",
-    "event_transitions",
-    "cohort_retention",
-    "value_stats_salted",
-    "pq_knn_rerank",
-    "order_price_deciles",
-    "segment_status_pivot",
-    "customer_balance_ranks",
-    "flag_status_grouping_sets",
-    "daily_signup_purchase",
-    # round-5 wave 3: time-series gap fill, trailing actives, co-occurrence,
-    # outlier flagging, set-algebra cohorts, weighted sampling, entropy,
-    # correlated-subquery decorrelation.
-    "events_gap_fill_locf",
-    "rolling_7d_actives",
-    "event_type_cooccurrence",
-    "value_zscore_outliers",
-    "engaged_clean_users",
-    "weighted_sample",
-    "word_entropy",
-    "above_nation_avg_customers",
-    # round-5 wave 3b: argmin aggregate, 1→N Arrow frame sampling,
-    # hybrid lexical retrieval (BM25 + RRF fusion).
-    "cheapest_supplier_per_part",
-    "media_frame_sample",
-    "bm25_topk",
-    "hybrid_rrf_retrieval",
-    "unigram_logprob",
-    "forecast_revenue_q6",
-    "flag_status_cube",
-    "curation_pipeline",
-    "token_spans_udtf",
-    # round-5 wave 4: data-quality profiling, temporal/OHLC/SCD2, entity
-    # resolution, paragraph dedup, filtered vector search, TPC-H
-    # Q11/Q13/Q15/Q18/Q21 shapes, storage-layout round-trips, bitmap/HLL
-    # distinct machinery, exact-moment correlation, fixed-point PageRank.
-    "table_profile",
-    "value_equidepth_histogram",
-    "mad_outliers",
-    "events_ohlc_hourly",
-    "user_value_scd2",
-    "session_paths_top",
-    "hard_negatives_topk",
-    "similar_part_names",
-    "part_name_entities",
-    "paragraph_dedup_rebuild",
-    "order_count_distribution",
-    "important_parts_q11",
-    "events_partitioned_pruned",
-    "events_trailing_1h_sum",
-    "daily_active_bitmap",
-    "weekly_hll_rollup",
-    "quantity_price_corr",
-    "part_copurchase_pagerank",
-    "events_jsonl_roundtrip",
-    "top_revenue_supplier",
-    "big_quantity_orders",
-    "sole_returning_supplier",
-    # round-5 wave 5: constraint audit, snapshot drift, CSV/mergeSchema
-    # round-trips, scalar pandas_udf surface.
-    "constraint_violations",
-    "events_weekly_drift",
-    "events_csv_roundtrip",
-    "events_schema_merge",
-    "token_count_pandas",
-    "ivfpq_topk",
-    "events_session_window_builtin",
-    "flag_metrics_unpivot",
-    "token_count_arrow",
-    "abandoned_purchases",
-    "source_quality_report",
-    "semdedup_keep",
-    "promo_revenue_disjunctive",
+    # --- vector search / ANN compression ladder (6) ---
+    "knn_exact",             # flagship J1: broadcast-kNN, map-side top-k prune
+    "rp_lsh_forest_topk",    # LSH forest (12 tables), recall-pinned ANN
+    "ivf_topk_trained",      # trained IVF cell probe (partition-prune path)
+    "knn_int8_rerank",       # int8 quantized scan + exact re-rank (4x bandwidth)
+    "pq_knn_rerank",         # PQ ADC shortlist + re-rank (32x compression)
+    "ivfpq_topk",            # IVF+PQ composition — most expensive ANN entry
+    # --- retrieval (3) ---
+    "retrieval_rank_reference",  # full reference semantics: filters+rank+limit
+    "bm25_topk",             # lexical Okapi BM25 (integer tf/df/dl)
+    "hybrid_rrf_retrieval",  # BM25 + Jaccard reciprocal-rank fusion
+    # --- dedup families (5) ---
+    "dedup_exact",           # hash-groupBy exact dedup (1 shuffle)
+    "minhash_lsh_pairs",     # banded MinHash-LSH join (the 100 TB near-dup)
+    "semdedup_keep",         # cell-pruned embedding dedup (SemDeDup)
+    "paragraph_dedup_rebuild",  # C4/Dolma paragraph dedup + ordered rebuild
+    "fuzzy_decontamination",  # MinHash eval<->corpus decontamination
+    # --- curation / text quality (3) ---
+    "contamination_bloom",   # broadcast-Bloom prefilter + exact verify
+    "curation_pipeline",     # end-to-end quality->dedup->decontam->split
+    "quality_score",         # JVM-only quality signals over documents
+    # --- relational / TPC-H shapes (6) ---
+    "pricing_summary",       # Q1 shape: scan + wide decimal agg
+    "top_customers",         # join + agg + top-n with broadcast dim
+    "shipping_priority",     # Q3 shape: 3-way join, segment top-10
+    "local_supplier_volume",  # Q5 shape: 6-way star join
+    "cheapest_supplier_per_part",  # argmin-per-group via packed MIN
+    "part_copurchase_pagerank",  # iterative fixed-point graph (3 rounds)
+    # --- temporal / event-stream batch twins (4) ---
+    "events_asof_join",      # as-of join (bucketed backward search)
+    "events_tumbling_window",  # watermark-window batch twin
+    "events_gap_fill_locf",  # hypertable-style spine + LOCF
+    "events_ohlc_hourly",    # single-pass OHLC via lexicographic MIN/MAX
+    # --- profiling / multimodal (3) ---
+    "repo_profile",          # reference profile-pipeline assembly (A7)
+    "table_profile",         # single-pass long-format data profile
+    "media_frame_sample",    # 1->N Arrow demux (multimodal plumbing)
+]
+
+# Timed after HEADLINE and reported ONLY in the sidecar (not part of the
+# stdout contract line or the headline total): the two entries the r5
+# verdict flagged for honest re-measurement under the repeats protocol.
+DETAIL_EXTRA = [
     "part_name_entities_recursive",
     "events_xml_parse",
 ]
@@ -288,9 +218,9 @@ def _latest_bench_path(here: str) -> str | None:
     return os.path.join(here, benches[-1]) if benches else None
 
 
-def _run_suite(spark, sf_dir: str) -> dict[str, float]:
+def _run_suite(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         fn = catalog.SPARK_QUERIES[name]
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -310,27 +240,23 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    all_names = HEADLINE + DETAIL_EXTRA
     spark = get_spark(app_name="cargo_chat_spark_bench")
     calibs = [_calibrate(spark)]
-    runs = [_run_suite(spark, sf_dir)]
+    runs = [_run_suite(spark, sf_dir, all_names)]
     for _ in range(max(0, opts.repeat - 1)):
         # cold repeats: drop memo-persisted subtrees so every repeat pays
         # the same build cost as the driver's single-shot run
         caching.invalidate_all()
         calibs.append(_calibrate(spark))
-        runs.append(_run_suite(spark, sf_dir))
+        runs.append(_run_suite(spark, sf_dir, all_names))
     calib = round(statistics.median(calibs), 3)
     env_factor = calib / CALIB_REF_S if calib > 0 else 1.0
-    timings = {
+    timings_all = {
         name: round(statistics.median([r[name] for r in runs]), 3)
-        for name in HEADLINE
+        for name in all_names
     }
-    if opts.repeat > 1:
-        print(
-            "[bench] per-repeat: "
-            + json.dumps({"calibs": calibs, "runs": runs}),
-            file=sys.stderr,
-        )
+    timings = {name: timings_all[name] for name in HEADLINE}
 
     total = round(sum(timings.values()), 3)
 
@@ -350,30 +276,54 @@ def main() -> None:
         prev_timings, prev_calib = _reference_timings(prev)
         prev_factor = calib / prev_calib if prev_calib else 1.0
         refs[os.path.basename(prev)] = (prev_timings, prev_factor)
+    reports = {}
     for ref_name, (ref, factor) in refs.items():
         if not ref:
             continue
         deltas = {
             q: round(t / ref[q], 2)
-            for q, t in timings.items()
+            for q, t in timings_all.items()
             if q in ref and ref[q] > 0
         }
-        regressions = {q: r for q, r in deltas.items() if r > 1.25}
         adjusted = {q: round(r / factor, 2) for q, r in deltas.items()}
         adj_regressions = {q: r for q, r in adjusted.items() if r > 1.25}
+        reports[ref_name] = {
+            "env_factor": round(factor, 3),
+            "ratios": deltas,
+            "ratios_env_adjusted": adjusted,
+            "regressions_gt_1.25x_adjusted": adj_regressions,
+        }
         print(
             f"[bench] vs {ref_name}: "
             + json.dumps(
                 {
                     "env_factor": round(factor, 3),
-                    "ratios": deltas,
-                    "ratios_env_adjusted": adjusted,
                     "regressions_gt_1.25x_adjusted": adj_regressions,
                 }
             ),
             file=sys.stderr,
         )
 
+    # Full per-query evidence goes to the sidecar, NOT stdout: the r5
+    # driver capture truncated a 102-entry stdout line (parsed: null), so
+    # the stdout contract line must stay compact.
+    detail = {
+        "sf": sf,
+        "repeats": opts.repeat,
+        "calibs": calibs,
+        "calib_sec": calib,
+        "calib_ref_sec": CALIB_REF_S,
+        "per_repeat_runs": runs,
+        "medians": timings_all,
+        "detail_extra": {n: timings_all[n] for n in DETAIL_EXTRA},
+        "headline_total_sec": total,
+        "vs_references": reports,
+    }
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    # THE driver-contract line: final line on stdout, compact (~30 query
+    # entries), nothing printed after it.
     print(
         json.dumps(
             {

@@ -87,32 +87,145 @@ from cargo_chat_spark.queries.registry import ORACLE_SQL, SPARK_QUERIES
 # retrieval_rank_reference, neardup_components, sessionize_stateful, and
 # the S1-S7/A1-A7/P1-P7 reference-surface gates in-window permanently —
 # they ARE the reference parity claim.
-# Executable form of the ROUND-6 ROTATION PLAN above (priority order,
-# breadth-of-new-machinery first). tests/test_catalog_window.py pins that
-# every name resolves, so a rename can't silently orphan the plan.
-ROUND6_PROMOTION_PLAN = [
-    # tier 1 — new machinery families
-    "curation_pipeline", "hybrid_rrf_retrieval", "bm25_topk",
-    "events_gap_fill_locf", "rolling_7d_actives",
-    "cheapest_supplier_per_part", "media_frame_sample", "token_spans_udtf",
-    "cogroup_purchase_view_asof", "pq_knn_rerank", "value_stats_salted",
-    "dataset_split", "event_funnel", "shipping_priority",
+# ---------------------------------------------------------------------
+# ROUND-6 ROTATION — EXECUTED. The window is now an EXPLICIT list (below)
+# instead of registration-order-plus-tail: the driver gates exactly
+# GATE_WINDOW, so a new registration can never silently displace a gate.
+#
+# Composition (50 = 20 + 15 + 11 + 4):
+# - 20 permanent reference-parity gates (knn_exact,
+#   retrieval_rank_reference, neardup_components, sessionize_stateful,
+#   and the S/A/P/M-family gates — they ARE the parity claim vs
+#   /root/reference and stay in-window every round);
+# - 15 round-5 tier-1 promotions (new machinery families, never
+#   externally gated before this round);
+# - 11 round-5 tier-1b promotions;
+# - 4 round-6 closures: the two remaining streaming batch twins
+#   (events_dedup_collapse, abandoned_purchases — with daily_active_
+#   bitmap, events_ohlc_hourly and the permanent sessionize_stateful
+#   this gives every streaming behavior an externally-gated twin) and
+#   the two new round-6 gates (index_import_reference closes the S4
+#   reference-index interop seam; frame_neardup composes the multimodal
+#   1→N demux into the exact-dedup machinery).
+#
+# Arithmetic forced 4 tier-1b deferrals to the HEAD of the round-7 queue
+# (20 permanents + 30 promotions fill the window exactly; the verdict's
+# items 6-8 added 4 more must-gate rows). Deferred, each with its
+# machinery already exercised by an in-window member and an r7 slot
+# reserved: hard_negatives_topk (filtered broadcast-kNN — knn_exact +
+# pq_knn_rerank in-window), user_value_scd2 (LEAD/sentinel windows —
+# events_gap_fill_locf + events_ohlc_hourly in-window),
+# quantity_price_corr (exact-decimal moments — value_stats_salted
+# in-window), events_jsonl_roundtrip (interchange round-trip —
+# events_partitioned_pruned in-window).
+#
+# The 30 r5-window rows rotating OUT all keep their green r5 external
+# row (correctness claims stand on CORRECTNESS_r05.json, not on twin
+# arguments); the machinery of each additionally stays exercised
+# in-window: ANN ladder rows (rp_lsh_topk, rp_lsh_forest_topk,
+# ivf_topk_trained, knn_int8_rerank) by ivfpq_topk + pq_knn_rerank +
+# permanent knn_exact; text-quality rows (quality_score, token_count,
+# langid_heuristic, repetition_signals, pii_scan, contamination_13gram)
+# by curation_pipeline + source_quality_report which nest their SQL;
+# dedup rows (dedup_exact, neardup_dedup_keep, embedding_neardup_pairs,
+# doc_fingerprints) by frame_neardup (same exact_dedup core) +
+# semdedup_keep + paragraph_dedup_rebuild + permanent
+# neardup_components; sampling rows (pack_sequences, temperature_mix)
+# by dataset_split + curation_pipeline; relational rows
+# (pricing_summary, top_customers, revenue_rollup,
+# segment_running_totals, event_value_percentiles) by shipping_priority
+# + local_supplier_volume + cheapest_supplier_per_part + table_profile;
+# events rows (events_tumbling_window, events_asof_join,
+# events_within_5min_pairs, events_props_extract, events_moving_avg)
+# by events_ohlc_hourly + cogroup_purchase_view_asof +
+# abandoned_purchases + events_gap_fill_locf; distinct_counts_exact by
+# daily_active_bitmap; vocab_top50/sources_by_lang by bm25_topk +
+# table_profile; repo_files_fixture by its permanent consumers
+# (repo_profile et al.).
+GATE_WINDOW = [
+    # --- permanent reference-parity gates (20) ---
+    "knn_exact",
+    "retrieval_rank_reference",
+    "neardup_components",
+    "sessionize_stateful",
+    "index_roundtrip",
+    "snippet_and_paths",
+    "language_detect",
+    "chunk_documents",
+    "context_assembly",
+    "supported_extensions_union",
+    "ingest_stats",
+    "files_by_language",
+    "lines_by_language",
+    "build_files_by_repo",
+    "frameworks_by_repo",
+    "readme_summary",
+    "repo_profile",
+    "primary_languages",
+    "mock_embed_documents",
+    "rerank_topk",
+    # --- round-6 promotions: tier 1 (15) ---
+    "curation_pipeline",
+    "hybrid_rrf_retrieval",
+    "bm25_topk",
+    "events_gap_fill_locf",
+    "rolling_7d_actives",
+    "cheapest_supplier_per_part",
+    "media_frame_sample",
+    "token_spans_udtf",
+    "cogroup_purchase_view_asof",
+    "pq_knn_rerank",
+    "value_stats_salted",
+    "dataset_split",
+    "event_funnel",
+    "shipping_priority",
     "local_supplier_volume",
-    # tier 1b — this session's wave 4-8 families
-    "table_profile", "constraint_violations", "part_name_entities",
-    "paragraph_dedup_rebuild", "part_copurchase_pagerank",
-    "hard_negatives_topk", "ivfpq_topk", "semdedup_keep",
-    "events_partitioned_pruned", "events_jsonl_roundtrip",
-    "daily_active_bitmap", "events_ohlc_hourly", "user_value_scd2",
-    "source_quality_report", "quantity_price_corr",
+    # --- round-6 promotions: tier 1b (11) ---
+    "table_profile",
+    "constraint_violations",
+    "part_name_entities",
+    "paragraph_dedup_rebuild",
+    "part_copurchase_pagerank",
+    "ivfpq_topk",
+    "semdedup_keep",
+    "events_partitioned_pruned",
+    "daily_active_bitmap",
+    "events_ohlc_hourly",
+    "source_quality_report",
+    # --- round-6 closures: streaming twins + new gates (4) ---
+    "events_dedup_collapse",
+    "abandoned_purchases",
+    "index_import_reference",
+    "frame_neardup",
+]
+
+# Round-7 rotation queue (priority order). Heads are the four tier-1b
+# deferrals above; then the remaining never-externally-gated machinery
+# by novelty; then relational/format variants whose cores are gated.
+ROUND7_PROMOTION_PLAN = [
+    # deferred tier-1b (slots reserved first)
+    "hard_negatives_topk", "user_value_scd2", "quantity_price_corr",
+    "events_jsonl_roundtrip",
     # tier 2 — remaining distinct machinery
     "weighted_sample", "word_entropy", "unigram_logprob",
     "engaged_clean_users", "value_zscore_outliers",
     "event_type_cooccurrence", "tfidf_top_terms", "boilerplate_grams",
     "contamination_bloom", "fuzzy_decontamination", "latest_event_per_user",
-    "per_source_sample", "label_centroids", "events_dedup_collapse",
-    "event_transitions", "cohort_retention", "mad_outliers",
-    "similar_part_names", "events_trailing_1h_sum", "session_paths_top",
+    "per_source_sample", "label_centroids", "event_transitions",
+    "cohort_retention", "mad_outliers", "similar_part_names",
+    "events_trailing_1h_sum", "session_paths_top", "value_histogram",
+    "value_equidepth_histogram", "above_nation_avg_customers",
+    # tier 3 — relational/format variants (cores gated in r6)
+    "order_price_deciles", "segment_status_pivot",
+    "customer_balance_ranks", "flag_status_grouping_sets",
+    "daily_signup_purchase", "forecast_revenue_q6", "flag_status_cube",
+    "events_props_variant", "order_count_distribution",
+    "important_parts_q11", "top_revenue_supplier", "big_quantity_orders",
+    "sole_returning_supplier", "events_weekly_drift",
+    "events_csv_roundtrip", "events_schema_merge", "token_count_pandas",
+    "events_session_window_builtin", "flag_metrics_unpivot",
+    "token_count_arrow", "promo_revenue_disjunctive",
+    "part_name_entities_recursive", "events_xml_parse",
 ]
 
 _OVERFLOW_TAIL = [
@@ -453,8 +566,22 @@ _OVERFLOW_TAIL = [
 
 
 def _reorder() -> None:
-    names = [n for n in SPARK_QUERIES if n not in _OVERFLOW_TAIL]
-    names += [n for n in _OVERFLOW_TAIL if n in SPARK_QUERIES]
+    """Iteration order = GATE_WINDOW, then ungated entries (registration
+    order), then the historical _OVERFLOW_TAIL (its per-entry demotion
+    rationales remain the record of WHY each left the window)."""
+    window = set(GATE_WINDOW)
+    assert len(GATE_WINDOW) == 50, f"gate window is {len(GATE_WINDOW)}, not 50"
+    assert len(window) == 50, "duplicate names in GATE_WINDOW"
+    missing = [n for n in GATE_WINDOW if n not in SPARK_QUERIES]
+    assert not missing, f"GATE_WINDOW names match no registered query: {missing}"
+    names = list(GATE_WINDOW)
+    names += [
+        n for n in SPARK_QUERIES
+        if n not in window and n not in _OVERFLOW_TAIL
+    ]
+    names += [
+        n for n in _OVERFLOW_TAIL if n in SPARK_QUERIES and n not in window
+    ]
     sq = {n: SPARK_QUERIES[n] for n in names}
     osql = {n: ORACLE_SQL[n] for n in names if n in ORACLE_SQL}
     SPARK_QUERIES.clear()
@@ -465,4 +592,4 @@ def _reorder() -> None:
 
 _reorder()
 
-__all__ = ["SPARK_QUERIES", "ORACLE_SQL"]
+__all__ = ["SPARK_QUERIES", "ORACLE_SQL", "GATE_WINDOW", "ROUND7_PROMOTION_PLAN"]

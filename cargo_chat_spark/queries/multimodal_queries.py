@@ -126,3 +126,90 @@ def media_frame_sample(spark, sf_dir):
     return sample_frames(
         media, frame_bytes=_FRAME_BYTES, stride=_FRAME_STRIDE, fake=True
     )
+
+
+# ------------------------------------------------ frame-level near-dup
+# Round-6 composition gate: the 1→N frame demux FEEDING the exact-dedup
+# machinery (operators/dedup.exact_dedup — the same md5-groupBy/min-id
+# core behind the gated ``dedup_exact``). This proves the multimodal
+# demux output composes into the dedup family end to end: duplicate
+# video/image frames across assets collapse to one canonical keeper —
+# the frame-fingerprint dedup pass a crawl pipeline runs before decode.
+#
+# Scale shape: demux is mapInPandas on the scan partitioning (no
+# shuffle); the dedup groupBy is ONE shuffle on the 128-bit key with
+# map-side partial aggregation — identical posture to dedup_exact.
+# The (media_id, frame_idx) pair packs into one BIGINT (media_id < 2^31
+# by schema, frame_idx < 2^32 — a 2 GiB payload at 64 B/frame stays
+# under 2^25) so exact_dedup's MIN(id) keeps the lexicographic-first
+# frame, bit-for-bit reproducible in the oracle.
+_FRAME_UID = 1 << 32
+
+_FRAME_NEARDUP_SQL = f"""
+WITH frames AS (
+    SELECT doc_id,
+           (k - 1) AS frame_idx,
+           substring(text, (k - 1) * {_FRAME_BYTES} + 1, {_FRAME_BYTES})
+               AS chunk
+    FROM documents,
+         UNNEST(generate_series(
+             1, CAST(ceil(len(text) / {_FRAME_BYTES}.0) AS BIGINT))) AS u(k)
+    WHERE len(text) >= 1
+),
+sampled AS (
+    SELECT doc_id, frame_idx, md5(chunk) AS frame_md5
+    FROM frames WHERE frame_idx % {_FRAME_STRIDE} = 0
+),
+g AS (
+    SELECT md5(frame_md5) AS dedup_key,
+           MIN(doc_id * {_FRAME_UID} + frame_idx) AS kept,
+           COUNT(*) AS group_size
+    FROM sampled
+    GROUP BY 1
+    HAVING COUNT(*) >= 2
+)
+SELECT dedup_key,
+       CAST(kept // {_FRAME_UID} AS BIGINT) AS kept_media,
+       CAST(kept % {_FRAME_UID} AS BIGINT) AS kept_frame,
+       CAST(group_size AS BIGINT) AS group_size
+FROM g
+"""
+
+
+@register("frame_neardup", sql=_FRAME_NEARDUP_SQL)
+def frame_neardup(spark, sf_dir):
+    """Duplicate-frame groups (size >= 2) across all media assets:
+    demuxed frames keyed by content md5 through exact_dedup, keeper =
+    lexicographically first (media_id, frame_idx)."""
+    from cargo_chat_spark.operators.dedup import exact_dedup
+    from cargo_chat_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_media_columns(
+        docs.where(F.length("text") >= 1).select(
+            F.col("doc_id").alias("media_id"),
+            F.encode(F.col("text"), "UTF-8").alias("payload"),
+        ),
+        payload_col="payload",
+        media_type="video/fake",
+    )
+    frames = sample_frames(
+        media, frame_bytes=_FRAME_BYTES, stride=_FRAME_STRIDE, fake=True
+    )
+    uid = (
+        F.col("media_id").cast("bigint") * F.lit(_FRAME_UID)
+        + F.col("frame_idx").cast("bigint")
+    )
+    groups = exact_dedup(
+        frames.select(uid.alias("frame_uid"), "frame_md5"),
+        key=F.col("frame_md5"),
+        id_col="frame_uid",
+    )
+    return groups.where(F.col("group_size") >= 2).select(
+        "dedup_key",
+        F.floor(F.col("kept_id") / F.lit(_FRAME_UID))
+        .cast("bigint")
+        .alias("kept_media"),
+        (F.col("kept_id") % F.lit(_FRAME_UID)).cast("bigint").alias("kept_frame"),
+        F.col("group_size").cast("bigint").alias("group_size"),
+    )

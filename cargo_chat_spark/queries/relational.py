@@ -695,12 +695,24 @@ def cheapest_supplier_per_part(spark, sf_dir):
     return (
         best.select(
             F.col("l_partkey").alias("partkey"),
-            # domain guards: packing is exact only within these ranges
+            # domain guards: packing is exact only within these ranges.
+            # Out-of-domain keys fail LOUDLY — a bare when() would emit
+            # NULL and the inner supplier join would silently drop the
+            # part instead of surfacing the contract violation.
             F.when(
                 (F.col("_maxq") < F.lit(1 << 42))
                 & (F.col("_maxsk") < F.lit(1 << 20)),
                 (F.col("pk") % F.lit(1 << 20)).cast("bigint"),
-            ).alias("cheapest_suppkey"),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "cheapest_supplier_per_part: price quanta >= 2^42 "
+                        "or suppkey >= 2^20 breaks the argmin bit-packing"
+                    )
+                ).cast("bigint")
+            )
+            .alias("cheapest_suppkey"),
             (
                 F.floor(F.col("pk") / F.lit(1 << 20)).cast("decimal(18,0)")
                 / F.lit(10000)

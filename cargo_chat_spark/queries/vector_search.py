@@ -737,3 +737,90 @@ def ivfpq_topk(spark, sf_dir):
         rescored.withColumn("rank", F.row_number().over(w_rank))
         .where(F.col("rank") <= 10)
     )
+
+
+# ------------------------------------- S4 interop: reference index.bin import
+# Round-6 gate closing the last S4 seam: sources/index_io.import_reference_
+# index reads the reference's single-JSON ``index.bin`` layout
+# (main.rs:365-368 parallel arrays, ann.rs:165-172) into the parquet index.
+# The fixture is BUILT from the embeddings table itself (first N rows by
+# vec_id, rendered driver-side into the reference layout), so the oracle can
+# verify the migration end-to-end against the source data: a dropped row, a
+# misaligned metadata/vector zip, or a float perturbed by the JSON round trip
+# all break the fixed-point value hash. N is migration-fixture bounded (the
+# reference's whole index is one JSON blob — driver-side by construction).
+_IMPORT_N = 200
+
+_IMPORT_SQL = f"""
+WITH src AS (
+    SELECT vec_id, label, embedding,
+           ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS chunk_id
+    FROM embeddings
+    WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_IMPORT_N})
+)
+SELECT chunk_id,
+       'vec_' || CAST(vec_id AS VARCHAR) || '.txt' AS file,
+       CAST(label AS VARCHAR) AS code,
+       'text' AS language,
+       'txt' AS extension,
+       CAST(len(embedding) AS INT) AS dim,
+       array_to_string(list_transform(embedding, x ->
+           CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)), '|') AS emb_fp
+FROM src
+"""
+
+
+@register("index_import_reference", sql=_IMPORT_SQL)
+def index_import_reference(spark, sf_dir):
+    """S4 interop gate: render the first N embeddings rows into the
+    reference's index.bin JSON layout, import via import_reference_index
+    (dim sniff + length checks per ann.rs:128-161, positional chunk ids),
+    and emit every imported value fixed-point — identity vs the source
+    table proves the migration path lossless."""
+    import json
+    import os
+    import tempfile
+
+    from cargo_chat_spark.sources.index_io import import_reference_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = emb.orderBy("vec_id").limit(_IMPORT_N).collect()  # fixture-bounded
+    blob = {
+        "index": {"kind": "reference"},
+        "vectors": [[float(x) for x in r["embedding"]] for r in src],
+        "metadata": [
+            {
+                "file": f"vec_{r['vec_id']}.txt",
+                "code": str(r["label"]),
+                "language": "text",
+                "extension": "txt",
+            }
+            for r in src
+        ],
+    }
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"ccs_index_import_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{os.getpid()}",
+    )
+    os.makedirs(base, exist_ok=True)
+    bin_path = os.path.join(base, "index.bin")
+    with open(bin_path, "w", encoding="utf-8") as fh:
+        json.dump(blob, fh)
+    imported, meta = import_reference_index(
+        spark, bin_path, os.path.join(base, "imported")
+    )
+    assert meta["dim"] == len(src[0]["embedding"])
+    fp = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x * F.lit(1000000.0)).cast("bigint"),
+    )
+    return imported.select(
+        "chunk_id",
+        "file",
+        "code",
+        "language",
+        "extension",
+        F.size("embedding").alias("dim"),
+        F.array_join(fp.cast("array<string>"), "|").alias("emb_fp"),
+    )

@@ -77,21 +77,34 @@ class SyntheticEventsReader(DataSourceReader):
         self.type_eq: str | None = None
         self.user_lo: int | None = None  # inclusive
         self.user_hi: int | None = None  # exclusive
+        self.never_match = False  # contradictory pushed equalities
+
+    def _tighten_lo(self, lo: int) -> None:
+        self.user_lo = lo if self.user_lo is None else max(self.user_lo, lo)
+
+    def _tighten_hi(self, hi: int) -> None:
+        self.user_hi = hi if self.user_hi is None else min(self.user_hi, hi)
 
     def pushFilters(self, filters):
+        # Conjunctive semantics: every consumed filter must hold, so repeated
+        # filters on one column TIGHTEN the accepted range (max of lower
+        # bounds, min of upper bounds) rather than overwrite each other.
         for f in filters:
             # ColumnPath is a tuple of name parts; top-level columns only
             col = f.attribute[0] if len(f.attribute) == 1 else None
             if isinstance(f, EqualTo) and col == "event_type":
+                if self.type_eq is not None and self.type_eq != f.value:
+                    # two different required equalities: provably empty scan
+                    self.never_match = True
                 self.type_eq = f.value
             elif isinstance(f, GreaterThan) and col == "user_id":
-                self.user_lo = f.value + 1
+                self._tighten_lo(f.value + 1)
             elif isinstance(f, GreaterThanOrEqual) and col == "user_id":
-                self.user_lo = f.value
+                self._tighten_lo(f.value)
             elif isinstance(f, LessThan) and col == "user_id":
-                self.user_hi = f.value
+                self._tighten_hi(f.value)
             elif isinstance(f, LessThanOrEqual) and col == "user_id":
-                self.user_hi = f.value + 1
+                self._tighten_hi(f.value + 1)
             else:
                 yield f  # not handled — Spark keeps this filter
 
@@ -106,6 +119,8 @@ class SyntheticEventsReader(DataSourceReader):
         return parts
 
     def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        if self.never_match:
+            return
         for i in range(partition.start, partition.end):
             row = _row(i, self.n_users)
             if self.type_eq is not None and row[3] != self.type_eq:

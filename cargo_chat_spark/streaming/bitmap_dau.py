@@ -19,6 +19,7 @@ micro-batches (same user in two batches must count once).
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -39,6 +40,13 @@ def merge_batch_into_state(
     )
     try:
         state = spark.read.parquet(state_dir)
+    except AnalysisException:  # first batch: no state table yet
+        # Match merge_rollup_writer: only the plan-time "missing path"
+        # failure means empty state. Runtime read/collect failures must
+        # propagate, or a dynamic overwrite of the touched days would
+        # silently replace merged bitmaps with one batch's worth.
+        merged = delta
+    else:
         touched = [r["day"] for r in delta.select("day").distinct().collect()]
         merged = (
             state.where(F.col("day").isin(touched))
@@ -46,8 +54,6 @@ def merge_batch_into_state(
             .groupBy("day", "bucket")
             .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
         )
-    except Exception:  # first batch: no state yet
-        merged = delta
     old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -84,4 +90,8 @@ def run_dau_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # availableNow terminates on its own once the backlog drains; wait
+    # without a timeout so callers never observe half-merged state. (The
+    # prior 300 s-bounded wait discarded awaitTermination's boolean and
+    # could return mid-merge on a slow drain.)
+    q.awaitTermination()

@@ -19,7 +19,35 @@ batch touching partition P does not disturb partition Q (locality).
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+
+# Sidecar (underscore-prefixed so parquet readers ignore it) recording the
+# highest batch id folded into a ``src_batch = -1`` row by compact_rollup.
+# Replays of batches at or below this watermark must be rejected: their
+# contribution is inside the compacted row, so the != batch_id fence can no
+# longer peel it out and a replay would double-count.
+_WATERMARK_FILE = "_compaction_watermark.json"
+
+
+def _local_path(path: str) -> str:
+    return path[len("file:"):] if path.startswith("file:") else path
+
+
+def read_compaction_watermark(path: str) -> int:
+    """Highest batch id absorbed by compaction (-1 if never compacted)."""
+    try:
+        with open(os.path.join(_local_path(path), _WATERMARK_FILE)) as f:
+            return int(json.load(f)["max_compacted_batch"])
+    except (OSError, ValueError, KeyError):
+        return -1
+
+
+def _write_compaction_watermark(path: str, batch_id: int) -> None:
+    with open(os.path.join(_local_path(path), _WATERMARK_FILE), "w") as f:
+        json.dump({"max_compacted_batch": int(batch_id)}, f)
 
 
 def overwrite_partitions(df: DataFrame, path: str, partition_col: str) -> None:
@@ -95,6 +123,11 @@ def merge_rollup_writer(path: str, partition_col: str = "day"):
             )
             .withColumn("src_batch", F.lit(batch_id).cast("bigint"))
         )
+        if batch_id <= read_compaction_watermark(path):
+            # Replay of a batch already folded into the compacted row —
+            # its delta is not removable via the fence anymore, so the
+            # only idempotent action is a no-op.
+            return
         touched = [r[0] for r in delta.select(partition_col).distinct().collect()]
         if not touched:
             return
@@ -134,12 +167,22 @@ def compact_rollup(spark: SparkSession, path: str, partition_col: str = "day") -
     replay can then only involve batches newer than anything compacted,
     so the fence never needs to peel a compacted row apart. Keeps the log
     at one row per group between maintenance windows — the same
-    rewrite-partitions primitive, so it is itself idempotent."""
+    rewrite-partitions primitive, so it is itself idempotent.
+
+    The stopped-stream precondition is ENFORCED, not just documented: the
+    max batch id folded away is persisted to a sidecar watermark and
+    ``merge_rollup_writer`` no-ops any (re)delivery at or below it, so a
+    replayed already-compacted batch cannot double-count."""
     from pyspark.sql import functions as F
 
+    src = spark.read.parquet(path)
+    max_row = src.agg(F.max("src_batch")).first()[0]
+    watermark = max(
+        read_compaction_watermark(path),
+        int(max_row) if max_row is not None else -1,
+    )
     compacted = (
-        spark.read.parquet(path)
-        .groupBy(partition_col, "event_type")
+        src.groupBy(partition_col, "event_type")
         .agg(
             F.sum("n").cast("bigint").alias("n"),
             F.sum("value_sum").alias("value_sum"),
@@ -147,5 +190,10 @@ def compact_rollup(spark: SparkSession, path: str, partition_col: str = "day") -
         .withColumn("src_batch", F.lit(-1).cast("bigint"))
     )
     # static overwrite of the whole table: compaction touches every
-    # partition by definition
+    # partition by definition. localCheckpoint first — the plan reads the
+    # same files the overwrite truncates.
+    compacted = compacted.localCheckpoint(eager=True)
     compacted.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    # after the overwrite: static mode truncates the table dir, so the
+    # sidecar must be (re)written once the new layout exists
+    _write_compaction_watermark(path, watermark)

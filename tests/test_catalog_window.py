@@ -1,11 +1,14 @@
 """Gate-window tripwires: the driver's correctness gate reads the FIRST 50
-`queries()` entries. These pins catch the two silent failure modes of the
-rotation machinery in `queries/catalog.py`:
+`queries()` entries. Since round 6 the window is the EXPLICIT
+`catalog.GATE_WINDOW` list, so the failure modes shift from silent
+displacement to list drift — these pins catch:
 
-- a new query registered without a tail decision displaces entry #50 out
-  of the gated window (round 4 nearly shipped this with events_asof_join);
-- a typo'd name in `_OVERFLOW_TAIL` matches nothing, leaving the query
-  in-window while the comment claims it was demoted.
+- GATE_WINDOW not actually occupying positions 0-49 of queries();
+- a typo'd name in GATE_WINDOW / _OVERFLOW_TAIL / ROUND7_PROMOTION_PLAN
+  matching nothing;
+- a window entry losing its value-hash oracle (every gated row must be a
+  STRONG check — rows-only entries stay outside the window);
+- an out-of-window entry without local oracle coverage.
 """
 
 from __future__ import annotations
@@ -14,22 +17,38 @@ from cargo_chat_spark.queries import catalog
 
 WINDOW = 50
 
+# Documented rows-only entries (no DuckDB twin possible); each pins its
+# error/recall bound in a dedicated test instead.
+ROWS_ONLY_OK = {
+    "distinct_counts_approx",
+    "ivf_topk_trained_live",
+    "event_value_percentiles_approx",
+    # HLL sketches are engine-specific (no DuckDB twin); error bound
+    # pinned by tests/test_sketch_bounds.py
+    "weekly_hll_rollup",
+}
 
-def test_window_and_tail_partition_cleanly():
+
+def test_gate_window_is_the_first_fifty():
     names = list(catalog.SPARK_QUERIES)
-    window = set(names[:WINDOW])
     assert len(names) >= WINDOW, "registry shrank below the gate window"
-    assert not window & set(catalog._OVERFLOW_TAIL), (
-        "tail entries leaked into the gated window: "
-        f"{sorted(window & set(catalog._OVERFLOW_TAIL))}"
+    assert names[:WINDOW] == catalog.GATE_WINDOW, (
+        "queries() iteration order no longer leads with GATE_WINDOW — "
+        "the driver would gate the wrong entries"
     )
-    # every name past the window must be an explicit tail decision
-    overflow = set(names[WINDOW:])
-    undeclared = overflow - set(catalog._OVERFLOW_TAIL)
-    assert not undeclared, (
-        f"queries pushed out of the gate window without a tail entry: "
-        f"{sorted(undeclared)} — add them to _OVERFLOW_TAIL (with a "
-        "rationale) or demote something else"
+
+
+def test_gate_window_exactly_fifty_unique_resolving_names():
+    assert len(catalog.GATE_WINDOW) == WINDOW
+    assert len(set(catalog.GATE_WINDOW)) == WINDOW, "duplicates in GATE_WINDOW"
+    unknown = [n for n in catalog.GATE_WINDOW if n not in catalog.SPARK_QUERIES]
+    assert not unknown, f"GATE_WINDOW names match no registered query: {unknown}"
+
+
+def test_gate_window_entries_all_have_value_hash_oracles():
+    weak = [n for n in catalog.GATE_WINDOW if n not in catalog.ORACLE_SQL]
+    assert not weak, (
+        f"in-window entries without oracle SQL (would gate rows-only): {weak}"
     )
 
 
@@ -38,41 +57,62 @@ def test_tail_names_all_resolve():
     assert not unknown, f"_OVERFLOW_TAIL names match no registered query: {unknown}"
 
 
-def test_tail_entries_keep_oracle_coverage():
-    """Tail entries are only externally ungated — they must still be
-    locally checkable: every tail entry needs oracle SQL unless it is one
-    of the documented rows-only ops."""
-    rows_only_ok = {
-        "distinct_counts_approx",
-        "ivf_topk_trained_live",
-        "event_value_percentiles_approx",
-        # HLL sketches are engine-specific (no DuckDB twin); error bound
-        # pinned by tests/test_sketch_bounds.py
-        "weekly_hll_rollup",
-    }
+def test_out_of_window_entries_keep_local_oracle_coverage():
+    """Ungated entries must still be locally checkable: every registered
+    query outside the window needs oracle SQL unless it is a documented
+    rows-only op."""
+    window = set(catalog.GATE_WINDOW)
     missing = [
         n
-        for n in catalog._OVERFLOW_TAIL
-        if n in catalog.SPARK_QUERIES
+        for n in catalog.SPARK_QUERIES
+        if n not in window
         and n not in catalog.ORACLE_SQL
-        and n not in rows_only_ok
+        and n not in ROWS_ONLY_OK
     ]
-    assert not missing, f"tail entries without oracle SQL: {missing}"
+    assert not missing, f"out-of-window entries without oracle SQL: {missing}"
 
 
-def test_round6_promotion_plan_names_resolve():
+def test_round7_promotion_plan_names_resolve():
     """The drafted rotation plan must stay executable: every planned
     promotion names a registered query, and none of them is already
     inside the gated window (promoting an in-window name is a no-op that
     wastes a slot)."""
-    names = list(catalog.SPARK_QUERIES)
-    window = set(names[:WINDOW])
+    window = set(catalog.GATE_WINDOW)
     unknown = [
-        n for n in catalog.ROUND6_PROMOTION_PLAN if n not in catalog.SPARK_QUERIES
+        n for n in catalog.ROUND7_PROMOTION_PLAN if n not in catalog.SPARK_QUERIES
     ]
     assert not unknown, f"rotation plan names unknown queries: {unknown}"
-    already = [n for n in catalog.ROUND6_PROMOTION_PLAN if n in window]
+    already = [n for n in catalog.ROUND7_PROMOTION_PLAN if n in window]
     assert not already, f"rotation plan promotes in-window names: {already}"
-    assert len(set(catalog.ROUND6_PROMOTION_PLAN)) == len(
-        catalog.ROUND6_PROMOTION_PLAN
+    assert len(set(catalog.ROUND7_PROMOTION_PLAN)) == len(
+        catalog.ROUND7_PROMOTION_PLAN
     ), "duplicate names in rotation plan"
+
+
+def test_every_never_gated_entry_is_window_or_planned():
+    """No registry entry may fall through the rotation: anything outside
+    the window must either already carry an external row (r1-r5), sit in
+    the round-7 queue, or be a documented tail duplicate."""
+    import json
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    gated: set[str] = set()
+    for fn in sorted(os.listdir(here)):
+        if fn.startswith("CORRECTNESS_r") and fn.endswith(".json"):
+            try:
+                with open(os.path.join(here, fn)) as f:
+                    gated |= set(json.load(f).keys())
+            except (OSError, ValueError):
+                continue
+    accounted = (
+        set(catalog.GATE_WINDOW)
+        | set(catalog.ROUND7_PROMOTION_PLAN)
+        | set(catalog._OVERFLOW_TAIL)
+        | gated
+    )
+    orphans = [n for n in catalog.SPARK_QUERIES if n not in accounted]
+    assert not orphans, (
+        f"registry entries with no external row, no window slot, no "
+        f"rotation-plan slot, and no tail rationale: {orphans}"
+    )

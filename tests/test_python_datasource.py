@@ -109,3 +109,31 @@ def test_jsonl_shard_sink_writes_manifest(registered, tmp_path):
         with open(os.path.join(path, shard)) as f:
             lines += sum(1 for _ in f)
     assert lines == 200
+
+
+def test_conjunctive_same_column_filters_tighten(registered):
+    """Two pushed filters on one column must BOTH apply (round-6 advice:
+    the last-wins overwrite silently widened the scan)."""
+    df = _load(registered, n_rows=2000, n_partitions=4)
+    out = df.where((F.col("user_id") > 10) & (F.col("user_id") > 50))
+    rows = out.collect()
+    assert rows, "tightened range should still match rows"
+    assert all(r["user_id"] > 50 for r in rows)
+    # symmetric: two upper bounds
+    out2 = df.where((F.col("user_id") < 90) & (F.col("user_id") <= 40))
+    assert all(r["user_id"] <= 40 for r in out2.collect())
+    # bounded band from both sides
+    band = df.where(
+        (F.col("user_id") >= 30) & (F.col("user_id") >= 35) & (F.col("user_id") < 37)
+    ).collect()
+    assert band and all(35 <= r["user_id"] < 37 for r in band)
+
+
+def test_contradictory_pushed_equalities_yield_empty(registered):
+    """Two different required event_type equalities are provably empty —
+    the reader must return nothing rather than rows for the later value."""
+    df = _load(registered, n_rows=2000, n_partitions=4)
+    out = df.where(
+        (F.col("event_type") == "view") & (F.col("event_type") == "purchase")
+    )
+    assert out.count() == 0

@@ -246,3 +246,50 @@ def test_compaction_preserves_totals_and_shrinks_log(spark, tmp_path):
     d1 = [r for r in after if r[0] == "2024-01-01"][0]
     b1 = [r for r in before if r[0] == "2024-01-01"][0]
     assert d1[2] == b1[2] + 1 and abs(d1[3] - (b1[3] + 10.0)) < 1e-9
+
+
+def test_compaction_watermark_rejects_replayed_compacted_batch(spark, tmp_path):
+    """Round-6 advice: after compact_rollup folds batches into the
+    src_batch=-1 row, replaying an already-compacted batch id must no-op
+    (the fence can no longer peel its contribution out), while a NEW
+    batch id still merges normally."""
+    from cargo_chat_spark.streaming.upsert_sink import (
+        compact_rollup,
+        merge_rollup_writer,
+        read_compaction_watermark,
+        read_rollup_agg,
+    )
+
+    path = str(tmp_path / "rollup")
+    write = merge_rollup_writer(path)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "ts timestamp, event_type string, value double"
+        ).selectExpr("ts", "event_type", "value")
+
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    write(batch([(t, "view", 1.0), (t, "view", 2.0)]), 0)
+    write(batch([(t, "view", 4.0)]), 1)
+    before = {
+        (str(r["day"]), r["event_type"]): (r["n"], float(r["value_sum"]))
+        for r in read_rollup_agg(spark, path).collect()
+    }
+    assert before[(str(t.date()), "view")] == (3, 7.0)
+
+    compact_rollup(spark, path)
+    assert read_compaction_watermark(path) == 1
+    # replay of compacted batch 1: must not double-count
+    write(batch([(t, "view", 4.0)]), 1)
+    after = {
+        (str(r["day"]), r["event_type"]): (r["n"], float(r["value_sum"]))
+        for r in read_rollup_agg(spark, path).collect()
+    }
+    assert after == before
+    # a genuinely new batch still lands
+    write(batch([(t, "view", 10.0)]), 2)
+    final = read_rollup_agg(spark, path).collect()
+    row = [r for r in final if r["event_type"] == "view"][0]
+    assert (row["n"], float(row["value_sum"])) == (4, 17.0)
