@@ -98,95 +98,62 @@ def _calibrate(spark) -> float:
     return round(t[-1], 3)
 
 
-# Frozen per-query baseline seconds (BASELINE.md, measured round 1 at
-# sf0.1 / local[32]) — the numbers BENCH must stay within 2x of.
-BASELINE_S = {
-    "knn_exact": 5.7, "knn_exact_numpy": 2.4, "rp_lsh_topk": 2.5,
-    "revenue_rollup": 1.9, "segment_running_totals": 1.1, "cosine_topk": 2.0,
-    "ivf_topk": 1.5, "embedding_neardup_pairs": 0.8,
-    "retrieval_rank_reference": 4.5, "context_assembly": 3.0,
-    "pricing_summary": 1.6, "top_customers": 1.0, "repo_profile": 4.4,
-    "dedup_exact": 0.3, "minhash_lsh_pairs": 5.2, "ngram_jaccard_pairs": 4.3,
-    "simhash_fingerprints": 1.9, "doc_fingerprints": 3.3,
-    "chunk_documents": 0.23, "mock_embed_documents": 0.28,
-    "token_count": 0.31, "quality_score": 0.49,
-    "events_tumbling_window": 0.49, "event_sessions": 0.83,
-    # round-5 first measurements (sf0.1, medians of 3, scaled from the
-    # measuring host's calib 0.312 to CALIB_REF_S by /0.731 — same axis as
-    # the round-1 numbers above; see BASELINE.md round-5 table)
-    "events_asof_join": 0.69, "events_within_5min_pairs": 0.82,
-    "rp_lsh_forest_topk": 3.2, "knn_int8_rerank": 1.43,
-    "ivf_topk_trained": 2.1, "temperature_mix": 0.76,
-    "event_value_percentiles": 0.69,
-    # round-5 wave-2 first measurements (sf0.1, medians of 3, measuring
-    # host calib 0.445 scaled to CALIB_REF_S by x0.96 — see BASELINE.md
-    # round-5 wave-2 table)
-    "shipping_priority": 1.36, "local_supplier_volume": 1.27,
-    "event_funnel": 0.70, "value_histogram": 0.40,
-    "tfidf_top_terms": 1.66, "boilerplate_grams": 2.42,
-    "contamination_bloom": 2.13, "fuzzy_decontamination": 0.76,
-    "event_transitions": 0.94, "cohort_retention": 0.90,
-    # (second batch, measuring host calib 0.585 → ×0.73)
-    "value_stats_salted": 0.39, "pq_knn_rerank": 1.16,
-    "order_price_deciles": 0.41, "segment_status_pivot": 0.55,
-    # round-5 wave-3 first measurements (sf0.1, medians of 3, measuring
-    # host calib 0.375 scaled to CALIB_REF_S by ×1.139 — see BASELINE.md
-    # round-5 wave-3 table). customer_balance_ranks /
-    # flag_status_grouping_sets / daily_signup_purchase were measured in
-    # the same session (they joined HEADLINE in wave 2 without a bar).
-    "customer_balance_ranks": 0.47, "flag_status_grouping_sets": 1.52,
-    "daily_signup_purchase": 0.52,
-    "events_gap_fill_locf": 0.76, "rolling_7d_actives": 0.89,
-    "event_type_cooccurrence": 0.60, "value_zscore_outliers": 0.72,
-    "engaged_clean_users": 0.56, "weighted_sample": 0.29,
-    "word_entropy": 1.12, "above_nation_avg_customers": 0.44,
-    # (wave-3b batch, measuring host calib 0.358 → ×1.193)
-    "cheapest_supplier_per_part": 1.30, "media_frame_sample": 0.53,
-    "bm25_topk": 1.01, "hybrid_rrf_retrieval": 1.62,
-    # (measuring host calib 0.538 → ×0.794)
-    "unigram_logprob": 1.00,
-    # (measuring host calib 0.416 → ×1.026)
-    "forecast_revenue_q6": 0.50, "flag_status_cube": 1.32,
-    # (measuring host calib 0.747 → ×0.572)
-    "curation_pipeline": 2.66,
-    # (measuring host calib 0.384 → ×1.112)
-    "token_spans_udtf": 0.74,
-    # round-5 wave-4 first measurements (sf0.1, medians of 3 cold repeats
-    # after a JIT warm pass, measuring host calib 0.344 → ×1.241 — see
-    # BASELINE.md round-5 wave-4 table)
-    "table_profile": 2.19, "value_equidepth_histogram": 0.69,
-    "mad_outliers": 0.95, "events_ohlc_hourly": 0.76,
-    "user_value_scd2": 0.42, "session_paths_top": 0.89,
-    "hard_negatives_topk": 2.56, "similar_part_names": 0.48,
-    "part_name_entities": 1.17, "paragraph_dedup_rebuild": 0.93,
-    "order_count_distribution": 0.72, "important_parts_q11": 1.63,
-    "events_partitioned_pruned": 1.27, "events_trailing_1h_sum": 1.19,
-    "daily_active_bitmap": 0.62, "weekly_hll_rollup": 0.52,
-    "quantity_price_corr": 1.73, "part_copurchase_pagerank": 6.37,
-    "events_jsonl_roundtrip": 0.79, "top_revenue_supplier": 1.12,
-    "big_quantity_orders": 0.96, "sole_returning_supplier": 1.53,
-    # (wave-5 batch, measuring host calib 0.355 → ×1.203)
-    "constraint_violations": 0.91, "events_weekly_drift": 0.60,
-    "events_csv_roundtrip": 0.92, "events_schema_merge": 0.84,
-    "token_count_pandas": 0.29,
-    # (wave-6 batch, measuring host calib 0.324 → ×1.318)
-    "ivfpq_topk": 2.30,
-    # (wave-6b batch, measuring host calib 0.399 → ×1.070)
-    "events_session_window_builtin": 0.70, "flag_metrics_unpivot": 1.08,
-    "token_count_arrow": 0.38,
-    # (wave-7 batch, measuring host calib 0.336 → ×1.271)
-    "abandoned_purchases": 0.99,
-    # (measuring host calib 0.393 → ×1.087)
-    "source_quality_report": 0.98,
-    # (measuring host calib 0.339 → ×1.260)
-    "semdedup_keep": 3.48,
-    # (measuring host calib 0.303 → ×1.409)
-    "promo_revenue_disjunctive": 0.72,
-    # (measuring host calib 0.568 → ×0.752)
-    "part_name_entities_recursive": 1.37,
-    # (measuring host calib 0.691 → ×0.618)
-    "events_xml_parse": 0.37,
+# Per-query baseline seconds on the CALIB_REF_S axis, the numbers BENCH
+# must stay within 2x of.
+#
+# _R6_BARS is the CONSOLIDATED round-6 table (r5 verdict item 4): every
+# tracked query re-measured in ONE session (sf0.1, local[32], 3 cold
+# repeats after a JIT warm pass, median; measuring-host median calib
+# 0.468 s scaled to CALIB_REF_S 0.427 s by /1.096), replacing the
+# round-1/round-5 wave patchwork of single-shot bars recorded on hosts
+# whose calib drifted 0.30-0.75 s. The per-repeat evidence for this table
+# is BENCH_DETAIL.json (committed with the same change).
+_R6_BARS = {
+    "bm25_topk": 0.61, "cheapest_supplier_per_part": 0.72, "contamination_bloom": 1.37,
+    "curation_pipeline": 1.82, "dedup_exact": 0.17, "events_asof_join": 0.41,
+    "events_gap_fill_locf": 0.46, "events_ohlc_hourly": 0.42, "events_tumbling_window": 0.34,
+    "events_xml_parse": 0.83, "fuzzy_decontamination": 0.36, "hybrid_rrf_retrieval": 0.93,
+    "ivf_topk_trained": 1.34, "ivfpq_topk": 1.78, "knn_exact": 0.98,
+    "knn_int8_rerank": 0.93, "local_supplier_volume": 0.7, "media_frame_sample": 0.35,
+    "minhash_lsh_pairs": 1.89, "paragraph_dedup_rebuild": 0.54, "part_copurchase_pagerank": 5.36,
+    "part_name_entities_recursive": 1.81, "pq_knn_rerank": 1.3, "pricing_summary": 0.74,
+    "quality_score": 0.41, "repo_profile": 1.74, "retrieval_rank_reference": 1.3,
+    "rp_lsh_forest_topk": 2.34, "semdedup_keep": 3.01, "shipping_priority": 0.66,
+    "table_profile": 1.53, "top_customers": 0.64,
 }
+
+# Bars for registry entries NOT in the tracked set (HEADLINE +
+# DETAIL_EXTRA): last recorded value on the same axis, kept for ad-hoc
+# `--repeat` runs over custom query lists; superseded whenever a query
+# joins the tracked set and gets a consolidated re-measurement.
+_LEGACY_BARS = {
+    "abandoned_purchases": 0.99, "above_nation_avg_customers": 0.44, "big_quantity_orders": 0.96,
+    "boilerplate_grams": 2.42, "chunk_documents": 0.23, "cohort_retention": 0.9,
+    "constraint_violations": 0.91, "context_assembly": 3.0, "cosine_topk": 2.0,
+    "customer_balance_ranks": 0.47, "daily_active_bitmap": 0.62, "daily_signup_purchase": 0.52,
+    "doc_fingerprints": 3.3, "embedding_neardup_pairs": 0.8, "engaged_clean_users": 0.56,
+    "event_funnel": 0.7, "event_sessions": 0.83, "event_transitions": 0.94,
+    "event_type_cooccurrence": 0.6, "event_value_percentiles": 0.69, "events_csv_roundtrip": 0.92,
+    "events_jsonl_roundtrip": 0.79, "events_partitioned_pruned": 1.27, "events_schema_merge": 0.84,
+    "events_session_window_builtin": 0.7, "events_trailing_1h_sum": 1.19, "events_weekly_drift": 0.6,
+    "events_within_5min_pairs": 0.82, "flag_metrics_unpivot": 1.08, "flag_status_cube": 1.32,
+    "flag_status_grouping_sets": 1.52, "forecast_revenue_q6": 0.5, "hard_negatives_topk": 2.56,
+    "important_parts_q11": 1.63, "ivf_topk": 1.5, "knn_exact_numpy": 2.4,
+    "mad_outliers": 0.95, "mock_embed_documents": 0.28, "ngram_jaccard_pairs": 4.3,
+    "order_count_distribution": 0.72, "order_price_deciles": 0.41, "part_name_entities": 1.17,
+    "promo_revenue_disjunctive": 0.72, "quantity_price_corr": 1.73, "revenue_rollup": 1.9,
+    "rolling_7d_actives": 0.89, "rp_lsh_topk": 2.5, "segment_running_totals": 1.1,
+    "segment_status_pivot": 0.55, "session_paths_top": 0.89, "simhash_fingerprints": 1.9,
+    "similar_part_names": 0.48, "sole_returning_supplier": 1.53, "source_quality_report": 0.98,
+    "temperature_mix": 0.76, "tfidf_top_terms": 1.66, "token_count": 0.31,
+    "token_count_arrow": 0.38, "token_count_pandas": 0.29, "token_spans_udtf": 0.74,
+    "top_revenue_supplier": 1.12, "unigram_logprob": 1.0, "user_value_scd2": 0.42,
+    "value_equidepth_histogram": 0.69, "value_histogram": 0.4, "value_stats_salted": 0.39,
+    "value_zscore_outliers": 0.72, "weekly_hll_rollup": 0.52, "weighted_sample": 0.29,
+    "word_entropy": 1.12,
+}
+
+BASELINE_S = {**_LEGACY_BARS, **_R6_BARS}
 
 
 def _reference_timings(path: str) -> tuple[dict[str, float], float | None]:

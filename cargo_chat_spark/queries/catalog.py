@@ -206,6 +206,9 @@ ROUND7_PROMOTION_PLAN = [
     # deferred tier-1b (slots reserved first)
     "hard_negatives_topk", "user_value_scd2", "quantity_price_corr",
     "events_jsonl_roundtrip",
+    # new in round 6 (local oracle green; incremental cell-partitioned
+    # index maintenance — write_index_partitioned + upsert_index_cells)
+    "index_upsert_cells",
     # tier 2 — remaining distinct machinery
     "weighted_sample", "word_entropy", "unigram_logprob",
     "engaged_clean_users", "value_zscore_outliers",

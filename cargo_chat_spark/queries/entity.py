@@ -181,32 +181,60 @@ def part_name_entities(spark, sf_dir):
 # components are tiny chains) and dedups in the final aggregate. The
 # oracle keeps DuckDB's fixed-point UNION form — agreement proves the
 # bounded unrolling reached the same closure.
+#
+# r5 verdict item 3: CTEs referenced from inside the recursion are
+# INLINED into every iteration step, so the blocked Levenshtein pair
+# build re-ran up to 9 times (measured 2.08x the bar single-shot). The
+# edge frame is therefore PERSISTED before the recursion (memo-keyed, so
+# bench cold repeats invalidate it like every other persisted subtree):
+# each recursion step now reads an InMemoryTableScan of the dim-sized
+# edge list instead of re-running groupBy+broadcast-join+levenshtein.
 @register("part_name_entities_recursive", sql=_ENTITY_SQL)
 def part_name_entities_recursive(spark, sf_dir):
     """Entity ids via a recursive CTE (transitive closure in SQL)."""
+    from cargo_chat_spark import caching
+
     names = _names(spark, sf_dir)
-    view = "rcte_names_" + os.path.basename(os.path.normpath(sf_dir)).replace(
-        ".", "_"
-    )
+    suffix = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    view = f"rcte_names_{suffix}"
+    eview = f"rcte_edges_{suffix}"
     names.createOrReplaceTempView(view)
+
+    def _build_edges():
+        a = names.select(
+            F.col("p_name").alias("name_a"),
+            F.col("name_id").alias("id_a"),
+            F.col("block_key").alias("bk"),
+        )
+        b = names.select(
+            F.col("p_name").alias("name_b"),
+            F.col("name_id").alias("id_b"),
+            F.col("block_key").alias("bk2"),
+        )
+        pairs = (
+            a.join(
+                F.broadcast(b),
+                (F.col("bk") == F.col("bk2"))
+                & (F.col("name_a") < F.col("name_b")),
+            )
+            .where(F.levenshtein("name_a", "name_b") <= 2)
+            .select("id_a", "id_b")
+        )
+        return pairs.selectExpr("id_a AS s", "id_b AS d").unionAll(
+            pairs.selectExpr("id_b AS s", "id_a AS d")
+        )
+
+    edges = caching.memo_persist(
+        spark, ("rcte_edges", os.path.normpath(sf_dir)), _build_edges
+    )
+    edges.createOrReplaceTempView(eview)
     return spark.sql(
         f"""
-WITH RECURSIVE pairs AS (
-    SELECT a.name_id AS id_a, b.name_id AS id_b
-    FROM {view} a JOIN {view} b
-      ON a.block_key = b.block_key AND a.p_name < b.p_name
-    WHERE levenshtein(a.p_name, b.p_name) <= 2
-),
-edges AS (
-    SELECT id_a AS s, id_b AS d FROM pairs
-    UNION ALL
-    SELECT id_b AS s, id_a AS d FROM pairs
-),
-reach(src, dst, depth) AS (
-    SELECT s, s, 0 FROM edges
+WITH RECURSIVE reach(src, dst, depth) AS (
+    SELECT s, s, 0 FROM {eview}
     UNION ALL
     SELECT r.src, e.d, r.depth + 1
-    FROM reach r JOIN edges e ON r.dst = e.s
+    FROM reach r JOIN {eview} e ON r.dst = e.s
     WHERE r.depth < 8
 ),
 comp AS (

@@ -824,3 +824,74 @@ def index_import_reference(spark, sf_dir):
         F.size("embedding").alias("dim"),
         F.array_join(fp.cast("array<string>"), "|").alias("emb_fp"),
     )
+
+
+# --------------------------------- incremental IVF index maintenance
+# Round-6 gate for sources/index_io.upsert_index_cells: a training-corpus
+# index is never static — new/changed vectors must land WITHOUT rewriting
+# the table. Fixture: build the cell-partitioned index from vec_id < 400,
+# then upsert vec_id >= 350 with NEGATED embeddings (ids 350-399 are true
+# in-place updates whose new vector may move cells; 400-499 are inserts).
+# The oracle states the expected FINAL table directly from the source
+# data, so a lost row, a stale pre-update survivor, a duplicate across
+# cells, or a perturbed float is a value/row mismatch. Cell layout is an
+# implementation detail the values never depend on; the physical
+# only-touched-partitions / moved-cell / emptied-cell behaviors are
+# pinned by tests/test_partitioned_index.py.
+_UPSERT_SQL = """
+SELECT vec_id AS chunk_id,
+       CAST(len(embedding) AS INT) AS dim,
+       array_to_string(list_transform(embedding, x ->
+           CAST(floor(CAST(CASE WHEN vec_id >= 350 THEN -x ELSE x END
+                           AS DOUBLE) * 1000000) AS BIGINT)), '|') AS emb_fp
+FROM embeddings
+"""
+
+
+@register("index_upsert_cells", sql=_UPSERT_SQL)
+def index_upsert_cells(spark, sf_dir):
+    """Build cell-partitioned index on vec_id<400, upsert negated
+    vec_id>=350, emit the final table fixed-point (identity vs the
+    expected post-upsert state)."""
+    import os
+    import tempfile
+
+    from cargo_chat_spark.queries._ivf_centroids import TRAINED_CENTROIDS
+    from cargo_chat_spark.sources.index_io import (
+        upsert_index_cells,
+        write_index_partitioned,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    base = emb.where(F.col("vec_id") < 400).select(
+        F.col("vec_id").alias("chunk_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    centroids = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(TRAINED_CENTROIDS)],
+        "cell_id int, cvec array<double>",
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"ccs_index_upsert_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{os.getpid()}",
+    )
+    write_index_partitioned(base, out_dir, dim, centroids)
+    updates = emb.where(F.col("vec_id") >= 350).select(
+        F.col("vec_id").alias("chunk_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: -x
+        ).alias("embedding"),
+    )
+    upsert_index_cells(spark, out_dir, updates)
+    back = spark.read.parquet(os.path.join(out_dir, "index"))
+    fp = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x * F.lit(1000000.0)).cast("bigint"),
+    )
+    return back.select(
+        "chunk_id",
+        F.size("embedding").alias("dim"),
+        F.array_join(fp.cast("array<string>"), "|").alias("emb_fp"),
+    )

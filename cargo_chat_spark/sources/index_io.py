@@ -46,6 +46,23 @@ def read_index(spark: SparkSession, index_dir: str) -> tuple[DataFrame, dict]:
     return df, meta
 
 
+def _assign_cells(df: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the (cell_id, cvec) dim
+    table, argmin Euclidean per row (deterministic cell_id tie-break)."""
+    from pyspark.sql import Window
+
+    from cargo_chat_spark.functions.vectors import euclidean
+
+    w = Window.partitionBy("chunk_id").orderBy("cdist", "cell_id")
+    return (
+        df.crossJoin(F.broadcast(centroids))
+        .withColumn("cdist", euclidean(F.col("cvec"), F.col("embedding")))
+        .withColumn("_cr", F.row_number().over(w))
+        .where(F.col("_cr") == 1)
+        .drop("cvec", "cdist", "_cr")
+    )
+
+
 def write_index_partitioned(
     df: DataFrame, index_dir: str, dim: int, centroids: DataFrame
 ) -> None:
@@ -53,26 +70,94 @@ def write_index_partitioned(
     the index PARTITIONED BY cell_id. ANN queries then probe a subset of
     cells → Spark partition pruning turns each query into a scan of
     nprobe/ncells of the data (SCALE.md, IVF section). ``centroids``:
-    (cell_id, cvec)."""
-    from pyspark.sql import Window
-
-    from cargo_chat_spark.functions.vectors import euclidean
-
-    w = Window.partitionBy("chunk_id").orderBy("cdist", "cell_id")
-    assigned = (
-        df.crossJoin(F.broadcast(centroids))
-        .withColumn("cdist", euclidean(F.col("cvec"), F.col("embedding")))
-        .withColumn("_cr", F.row_number().over(w))
-        .where(F.col("_cr") == 1)
-        .drop("cvec", "cdist", "_cr")
-    )
+    (cell_id, cvec) — persisted in the sidecar so maintenance
+    (``upsert_index_cells``) assigns with the exact centroids the index
+    was built with."""
+    assigned = _assign_cells(df, centroids)
     assigned.write.mode("overwrite").partitionBy("cell_id").parquet(
         os.path.join(index_dir, "index")
     )
-    meta = {"dim": dim, "format": "parquet", "version": 1,
-            "partitioned_by": "cell_id"}
+    meta = {
+        "dim": dim,
+        "format": "parquet",
+        "version": 1,
+        "partitioned_by": "cell_id",
+        "centroids": [
+            [r["cell_id"], [float(x) for x in r["cvec"]]]
+            for r in centroids.orderBy("cell_id").collect()  # k rows, bounded
+        ],
+    }
     with open(os.path.join(index_dir, "index_meta.json"), "w") as fh:
         json.dump(meta, fh, indent=2)
+
+
+def upsert_index_cells(spark: SparkSession, index_dir: str, updates: DataFrame) -> None:
+    """Incremental maintenance of the cell-partitioned index: new/changed
+    vectors land WITHOUT rewriting the table — only the touched cells'
+    partitions rewrite (dynamic partition overwrite, the same idempotent
+    primitive as streaming/upsert_sink).
+
+    Upsert-by-chunk_id semantics: an updated vector REPLACES its old row
+    even when the new embedding assigns to a DIFFERENT cell, so touched =
+    cells receiving new rows ∪ cells holding old versions of the updated
+    ids. Locating old versions is a (cell_id, chunk_id) column-pruned
+    scan with a broadcast semi-join — no embedding bytes move; at 100 TB
+    a chunk→cell manifest (or parquet column-stat file skipping on
+    chunk_id) would prune that scan to the affected files, which is the
+    documented next lever, not a semantics change.
+
+    The touched-cell list collects to the driver: bounded by the number
+    of IVF cells (k), never by data volume.
+    """
+    with open(os.path.join(index_dir, "index_meta.json")) as fh:
+        meta = json.load(fh)
+    if meta.get("partitioned_by") != "cell_id" or "centroids" not in meta:
+        raise ValueError("upsert requires a cell-partitioned index with stored centroids")
+    bad = updates.where(F.size("embedding") != meta["dim"]).limit(1).count()
+    if bad:
+        raise ValueError(f"updates contain vectors with dim != {meta['dim']}")
+    centroids = spark.createDataFrame(
+        [(int(c), v) for c, v in meta["centroids"]],
+        "cell_id int, cvec array<double>",
+    )
+    assigned = _assign_cells(updates, centroids)
+    data_dir = os.path.join(index_dir, "index")
+    idx = spark.read.parquet(data_dir)
+    upd_ids = updates.select("chunk_id").distinct()
+    old_cells = (
+        idx.join(F.broadcast(upd_ids), "chunk_id").select("cell_id").distinct()
+    )
+    new_cells = assigned.select("cell_id").distinct()
+    touched = [
+        r["cell_id"] for r in old_cells.union(new_cells).distinct().collect()
+    ]
+    merged = (
+        idx.where(F.col("cell_id").isin(touched))
+        .join(F.broadcast(upd_ids), "chunk_id", "left_anti")
+        .unionByName(assigned.select(*idx.columns))
+    )
+    # the plan reads the files the overwrite replaces — materialize first
+    merged = merged.localCheckpoint(eager=True)
+    old_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("cell_id").parquet(data_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    # dynamic overwrite cannot express "this partition is now EMPTY": a
+    # cell whose only rows all moved elsewhere keeps its stale files.
+    # Drop such partitions explicitly (k-bounded loop; with a
+    # transactional table format this is the commit's delete set).
+    import shutil
+
+    present = {r["cell_id"] for r in merged.select("cell_id").distinct().collect()}
+    for c in touched:
+        if c not in present:
+            p = os.path.join(data_dir, f"cell_id={c}")
+            if os.path.isdir(p):
+                shutil.rmtree(p)
 
 
 def read_index_cells(spark: SparkSession, index_dir: str, cell_ids: list[int]) -> DataFrame:

@@ -85,3 +85,98 @@ def test_import_reference_index(spark, tmp_path):
     (tmp_path / "empty.bin").write_text(json.dumps(empty))
     with pytest.raises(ValueError, match="vectors"):
         import_reference_index(spark, str(tmp_path / "empty.bin"), str(tmp_path / "o4"))
+
+
+def _mk_index(spark, tmp_path, n_cells=4):
+    emb = load_table(spark, SF_DIR_SMALL, "embeddings")
+    index = emb.select(
+        F.col("vec_id").alias("chunk_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    centroids = emb.where(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").cast("int").alias("cell_id"),
+        F.col("embedding").cast("array<double>").alias("cvec"),
+    )
+    out = str(tmp_path / "pidx")
+    write_index_partitioned(index, out, 64, centroids)
+    return out, index
+
+
+def _partition_sig(out):
+    """{cell dir: sorted data file names} — changes iff a partition is
+    rewritten (parquet part file names embed a fresh task UUID)."""
+    import os as _os
+
+    data = _os.path.join(out, "index")
+    return {
+        d: sorted(
+            f for f in _os.listdir(_os.path.join(data, d))
+            if not f.startswith(("_", "."))
+        )
+        for d in _os.listdir(data)
+        if d.startswith("cell_id=")
+    }
+
+
+def test_upsert_rewrites_only_touched_cells(spark, tmp_path):
+    from cargo_chat_spark.sources.index_io import upsert_index_cells
+
+    out, index = _mk_index(spark, tmp_path)
+    before = _partition_sig(out)
+
+    # update one existing vector in place (same embedding -> same cell)
+    one = index.where(F.col("chunk_id") == 7).select(
+        "chunk_id",
+        F.transform("embedding", lambda x: x * F.lit(1.0)).alias("embedding"),
+    )
+    upsert_index_cells(spark, out, one)
+    after = _partition_sig(out)
+
+    changed = [d for d in before if after.get(d) != before[d]]
+    assert len(changed) == 1, (
+        f"expected exactly one rewritten cell, got {changed}"
+    )
+    back = spark.read.parquet(out + "/index")
+    assert back.count() == index.count()  # replace, not append
+    assert back.where(F.col("chunk_id") == 7).count() == 1
+
+
+def test_upsert_moves_vector_and_drops_emptied_cell(spark, tmp_path):
+    import os as _os
+
+    from cargo_chat_spark.sources.index_io import upsert_index_cells
+
+    emb = load_table(spark, SF_DIR_SMALL, "embeddings")
+    # two far-apart centroids; all corpus vectors near-origin -> cell 0,
+    # one planted outlier owns cell 1
+    import pyspark.sql.functions as Fn
+
+    base = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("chunk_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    outlier = base.where(F.col("chunk_id") == 0).select(
+        "chunk_id",
+        F.transform("embedding", lambda x: x + F.lit(100.0)).alias("embedding"),
+    )
+    planted = base.where(F.col("chunk_id") > 0).unionByName(outlier)
+    centroids = spark.createDataFrame(
+        [(0, [0.0] * 64), (1, [100.0] * 64)], "cell_id int, cvec array<double>"
+    )
+    out = str(tmp_path / "pidx2")
+    write_index_partitioned(planted, out, 64, centroids)
+    assert _os.path.isdir(_os.path.join(out, "index", "cell_id=1"))
+
+    # move the outlier back near the origin: its row must LEAVE cell 1,
+    # and the now-empty cell-1 partition must disappear
+    moved = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("chunk_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    upsert_index_cells(spark, out, moved)
+    back = spark.read.parquet(out + "/index")
+    assert back.count() == 50
+    assert back.where(F.col("chunk_id") == 0).count() == 1, "no duplicate"
+    assert not _os.path.isdir(_os.path.join(out, "index", "cell_id=1")), (
+        "emptied cell partition must be dropped"
+    )
