@@ -70,10 +70,14 @@ HEADLINE = [
 
 # Timed after HEADLINE and reported ONLY in the sidecar (not part of the
 # stdout contract line or the headline total): the two entries the r5
-# verdict flagged for honest re-measurement under the repeats protocol.
+# verdict flagged for honest re-measurement under the repeats protocol,
+# plus the round-6 operators collecting their first measured bars.
 DETAIL_EXTRA = [
     "part_name_entities_recursive",
     "events_xml_parse",
+    "index_import_reference",   # new r6: reference index.bin import parity
+    "frame_neardup",            # new r6: media demux ∘ exact dedup
+    "index_upsert_cells",       # new r6: incremental IVF cell upsert
 ]
 
 
@@ -153,7 +157,19 @@ _LEGACY_BARS = {
     "word_entropy": 1.12,
 }
 
-BASELINE_S = {**_LEGACY_BARS, **_R6_BARS}
+# First bars for the operators ADDED in round 6 (not in the consolidated
+# session above): medians of 3 cold repeats after a JIT warm pass,
+# measuring host median calib 0.339 scaled by /0.794.
+# index_upsert_cells is an end-to-end maintenance round-trip fixture —
+# warm split measured separately: initial partitioned build 2.3 s,
+# upsert itself 1.9 s, read-back 0.14 s.
+_R6_NEW_BARS = {
+    "index_import_reference": 1.35,
+    "frame_neardup": 0.89,
+    "index_upsert_cells": 7.71,
+}
+
+BASELINE_S = {**_LEGACY_BARS, **_R6_BARS, **_R6_NEW_BARS}
 
 
 def _reference_timings(path: str) -> tuple[dict[str, float], float | None]:
