@@ -78,6 +78,7 @@ DETAIL_EXTRA = [
     "index_import_reference",   # new r6: reference index.bin import parity
     "frame_neardup",            # new r6: media demux ∘ exact dedup
     "index_upsert_cells",       # new r6: incremental IVF cell upsert
+    "events_range_pruned_scan",  # new r6: min/max-manifest data skipping
 ]
 
 
@@ -167,6 +168,9 @@ _R6_NEW_BARS = {
     "index_import_reference": 1.35,
     "frame_neardup": 0.89,
     "index_upsert_cells": 7.71,
+    # measured at calib 0.327 (/0.766): layout write + manifest +
+    # pruned-scan aggregate end-to-end
+    "events_range_pruned_scan": 1.13,
 }
 
 BASELINE_S = {**_LEGACY_BARS, **_R6_BARS, **_R6_NEW_BARS}

@@ -209,6 +209,9 @@ ROUND7_PROMOTION_PLAN = [
     # new in round 6 (local oracle green; incremental cell-partitioned
     # index maintenance — write_index_partitioned + upsert_index_cells)
     "index_upsert_cells",
+    # new in round 6 (local oracle green; min/max-manifest data skipping
+    # over a range-sorted layout — sources/sorted_layout.py)
+    "events_range_pruned_scan",
     # tier 2 — remaining distinct machinery
     "weighted_sample", "word_entropy", "unigram_logprob",
     "engaged_clean_users", "value_zscore_outliers",

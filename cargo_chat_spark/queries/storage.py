@@ -249,3 +249,50 @@ def events_xml_parse(spark, sf_dir):
             F.max("id").cast("bigint").alias("max_id"),
         )
     )
+
+
+# -------------------------------------- min/max-manifest data skipping
+# The layout lever for predicates on NON-partition columns
+# (sources/sorted_layout.py): range-sorted files + a per-file min/max
+# manifest, reader opens only overlapping files. The oracle aggregates
+# the RAW table under the same predicate, so a file mis-binned by the
+# range writer, a manifest recording wrong stats, or a boundary row lost
+# by the overlap test (fmax < lo / fmin >= hi off-by-one) is a value
+# mismatch. The physical only-overlapping-files claim is pinned by
+# tests/test_sorted_layout.py.
+_RANGE_PRUNED_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+WHERE user_id >= 3 AND user_id < 10
+GROUP BY event_type
+"""
+
+
+@register("events_range_pruned_scan", sql=_RANGE_PRUNED_SQL)
+def events_range_pruned_scan(spark, sf_dir):
+    """Round-trip events through a range-sorted 16-file layout, then a
+    manifest-pruned scan of user_id in [3, 10) (populated at every sf) and a per-type
+    aggregate over it."""
+    from cargo_chat_spark.sources.sorted_layout import (
+        read_range_pruned,
+        write_range_sorted,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"ccs_events_rangesorted_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{os.getpid()}",
+    )
+    write_range_sorted(e, out, "user_id", n_files=16)
+    pruned = read_range_pruned(spark, out, "user_id", 3, 10)
+    return pruned.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
