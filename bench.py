@@ -167,7 +167,7 @@ _LEGACY_BARS = {
 _R6_NEW_BARS = {
     "index_import_reference": 1.35,
     "frame_neardup": 0.89,
-    "index_upsert_cells": 7.71,
+    "index_upsert_cells": 8.34,
     # measured at calib 0.327 (/0.766): layout write + manifest +
     # pruned-scan aggregate end-to-end
     "events_range_pruned_scan": 1.13,

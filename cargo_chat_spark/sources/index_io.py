@@ -89,6 +89,155 @@ def write_index_partitioned(
     }
     with open(os.path.join(index_dir, "index_meta.json"), "w") as fh:
         json.dump(meta, fh, indent=2)
+    # chunk→cell Bloom manifest (see below): built once here, kept fresh
+    # incrementally by upsert_index_cells
+    _refresh_cell_blooms(df.sparkSession, index_dir)
+
+
+# Per-cell Bloom filters over chunk_id — the "chunk→cell manifest" that
+# prunes the upsert's old-version lookup. Same double-hash scheme as the
+# decontamination bloom (queries/curation.py): positions
+# (h1 + i*h2) & (m-1) for i < K with h = xxhash64; built ENTIRELY
+# Spark-side as a bit_or aggregate over 64-bit words (one k×words-bounded
+# collect — O(bits), never O(ids)) and probed via a broadcast word-frame
+# join, so neither side materializes ids on the driver. 2^20 bits at
+# K=5 keeps FP ≈ 2.5% at 100k ids/cell; a false positive only rewrites
+# an extra cell unchanged, a false negative is impossible (Bloom
+# contract), so correctness never depends on the sidecar — delete it at
+# any time and the upsert falls back to the full (cell_id, chunk_id)
+# scan.
+_CELL_BLOOMS = "_cell_blooms.json"
+_CBLOOM_K = 5
+_CBLOOM_BITS = 1 << 20  # power of two: & (m-1) is the modulus
+
+
+def _bloom_positions():
+    """K (word, bit) column pairs for the current row's chunk_id.
+    Hashes are masked to m bits BEFORE combining so the arithmetic never
+    overflows a signed long under ANSI mode (i*(h2&mask) ≤ K·m ≪ 2^63);
+    build and probe share this exact expression, so the scheme only needs
+    to be self-consistent."""
+    cols = []
+    for i in range(_CBLOOM_K):
+        pos = F.expr(
+            f"((xxhash64(chunk_id) & {_CBLOOM_BITS - 1}L) "
+            f"+ {i}L * (xxhash64(chunk_id, 1L) & {_CBLOOM_BITS - 1}L)) "
+            f"& {_CBLOOM_BITS - 1}L"
+        )
+        cols.append(
+            F.struct(
+                F.shiftright(pos, 6).cast("int").alias("word"),
+                (pos.bitwiseAND(F.lit(63))).cast("int").alias("bit"),
+            )
+        )
+    return F.array(*cols)
+
+
+def _read_cell_blooms(index_dir: str) -> dict[int, dict[int, int]] | None:
+    try:
+        with open(os.path.join(index_dir, _CELL_BLOOMS)) as fh:
+            raw = json.load(fh)
+        if raw.get("m") != _CBLOOM_BITS or raw.get("k") != _CBLOOM_K:
+            return None  # parameter change: treat as absent, fall back
+        return {
+            int(c): {int(w): int(b) for w, b in words.items()}
+            for c, words in raw["cells"].items()
+        }
+    except (OSError, ValueError, KeyError):
+        return None
+
+
+def _refresh_cell_blooms(
+    spark: SparkSession, index_dir: str, cell_ids: list[int] | None = None
+) -> None:
+    """(Re)compute per-cell chunk-id Blooms; ``cell_ids=None`` rebuilds
+    all cells, else only those cells rescan (partition-pruned) and the
+    rest keep their stored filters. Cells that no longer exist on disk
+    drop out of the sidecar."""
+    data_dir = os.path.join(index_dir, "index")
+    df = spark.read.parquet(data_dir)
+    scan = df if cell_ids is None else df.where(F.col("cell_id").isin(cell_ids))
+    rows = (
+        scan.select("cell_id", F.explode(_bloom_positions()).alias("p"))
+        .groupBy("cell_id", F.col("p.word").alias("word"))
+        .agg(F.expr("bit_or(shiftleft(1L, p.bit))").alias("bits"))
+        .collect()  # bounded: k cells × (m/64) words, independent of ids
+    )
+    blooms = (
+        {} if cell_ids is None else (_read_cell_blooms(index_dir) or {})
+    )
+    if cell_ids is not None:
+        for c in cell_ids:
+            blooms[int(c)] = {}
+    for r in rows:
+        blooms.setdefault(int(r["cell_id"]), {})[int(r["word"])] = int(r["bits"])
+    live = {
+        int(d.split("=", 1)[1])
+        for d in os.listdir(data_dir)
+        if d.startswith("cell_id=")
+    }
+    blooms = {c: w for c, w in blooms.items() if c in live}
+    payload = {
+        "m": _CBLOOM_BITS,
+        "k": _CBLOOM_K,
+        "cells": {
+            str(c): {str(w): b for w, b in words.items()}
+            for c, words in blooms.items()
+        },
+    }
+    with open(os.path.join(index_dir, _CELL_BLOOMS), "w") as fh:
+        json.dump(payload, fh)
+
+
+def _bloom_candidate_cells(spark: SparkSession, blooms, upd_ids: DataFrame) -> DataFrame:
+    """Cells whose Bloom might contain ANY update id — FP-safe superset
+    of the cells holding old versions. All joined frames are bounded
+    broadcasts (k cells; k × m/64 words); probe volume is
+    |updates| × K × k rows, map-side, never collected."""
+    word_rows = [
+        (int(c), int(w), int(b))
+        for c, ws in blooms.items()
+        for w, b in ws.items()
+    ]
+    words_df = spark.createDataFrame(
+        word_rows, "wcell int, word int, bits bigint"
+    ) if word_rows else spark.createDataFrame([], "wcell int, word int, bits bigint")
+    cells_df = spark.createDataFrame([(int(c),) for c in blooms], "cell_id int")
+    probes = (
+        upd_ids.select("chunk_id", F.explode(_bloom_positions()).alias("p"))
+        .select(
+            "chunk_id",
+            F.col("p.word").alias("pword"),
+            F.col("p.bit").alias("pbit"),
+        )
+        .crossJoin(F.broadcast(cells_df))
+        .join(
+            F.broadcast(words_df),
+            (F.col("cell_id") == F.col("wcell"))
+            & (F.col("pword") == F.col("word")),
+            "left",
+        )
+        .select(
+            "cell_id",
+            "chunk_id",
+            (
+                F.col("bits").isNotNull()
+                & (
+                    F.col("bits").bitwiseAND(F.expr("shiftleft(1L, pbit)"))
+                    != 0
+                )
+            )
+            .cast("int")
+            .alias("hit"),
+        )
+    )
+    return (
+        probes.groupBy("cell_id", "chunk_id")
+        .agg(F.min("hit").alias("all_hit"))  # every one of the K bits set
+        .where(F.col("all_hit") == 1)
+        .select("cell_id")
+        .distinct()
+    )
 
 
 def upsert_index_cells(spark: SparkSession, index_dir: str, updates: DataFrame) -> None:
@@ -100,11 +249,13 @@ def upsert_index_cells(spark: SparkSession, index_dir: str, updates: DataFrame) 
     Upsert-by-chunk_id semantics: an updated vector REPLACES its old row
     even when the new embedding assigns to a DIFFERENT cell, so touched =
     cells receiving new rows ∪ cells holding old versions of the updated
-    ids. Locating old versions is a (cell_id, chunk_id) column-pruned
-    scan with a broadcast semi-join — no embedding bytes move; at 100 TB
-    a chunk→cell manifest (or parquet column-stat file skipping on
-    chunk_id) would prune that scan to the affected files, which is the
-    documented next lever, not a semantics change.
+    ids. Locating old versions uses the per-cell chunk-id Bloom sidecar
+    when present and complete — O(cells × update ids) driver-bounded
+    membership checks instead of scanning the index; Bloom false
+    positives only rewrite an extra cell unchanged, false negatives
+    cannot happen, and a missing/stale sidecar falls back to the
+    column-pruned (cell_id, chunk_id) scan with a broadcast semi-join
+    (no embedding bytes move either way).
 
     The touched-cell list collects to the driver: bounded by the number
     of IVF cells (k), never by data volume.
@@ -120,13 +271,37 @@ def upsert_index_cells(spark: SparkSession, index_dir: str, updates: DataFrame) 
         [(int(c), v) for c, v in meta["centroids"]],
         "cell_id int, cvec array<double>",
     )
-    assigned = _assign_cells(updates, centroids)
+    # Materialize the assignment ONCE: `assigned` feeds both the
+    # touched-cell collect and the overwrite job. Without this, a
+    # nondeterministic ``updates`` frame (e.g. a stream micro-batch
+    # deduped on a nondeterministic ordinal) could re-evaluate into a
+    # cell that is absent from `touched` — and a cell present in the
+    # written data but missing from the existing-rows union would be
+    # REPLACED by just the new row (silent data loss under dynamic
+    # overwrite). The checkpoint pins one evaluation for both jobs (and
+    # skips recomputing the assignment crossJoin).
+    assigned = _assign_cells(updates, centroids).localCheckpoint(eager=True)
+    if not assigned.head(1):  # empty update set: nothing to touch
+        return
     data_dir = os.path.join(index_dir, "index")
     idx = spark.read.parquet(data_dir)
-    upd_ids = updates.select("chunk_id").distinct()
-    old_cells = (
-        idx.join(F.broadcast(upd_ids), "chunk_id").select("cell_id").distinct()
-    )
+    upd_ids = assigned.select("chunk_id").distinct()
+    blooms = _read_cell_blooms(index_dir)
+    live_cells = {
+        int(d.split("=", 1)[1])
+        for d in os.listdir(data_dir)
+        if d.startswith("cell_id=")
+    }
+    if blooms is not None and live_cells <= set(blooms):
+        # manifest fast path: membership checks against the k stored
+        # filters (FP-safe superset of the cells holding old versions)
+        old_cells = _bloom_candidate_cells(spark, blooms, upd_ids)
+    else:
+        old_cells = (
+            idx.join(F.broadcast(upd_ids), "chunk_id")
+            .select("cell_id")
+            .distinct()
+        )
     new_cells = assigned.select("cell_id").distinct()
     touched = [
         r["cell_id"] for r in old_cells.union(new_cells).distinct().collect()
@@ -158,6 +333,10 @@ def upsert_index_cells(spark: SparkSession, index_dir: str, updates: DataFrame) 
             p = os.path.join(data_dir, f"cell_id={c}")
             if os.path.isdir(p):
                 shutil.rmtree(p)
+    if blooms is not None:
+        # keep the manifest consistent with the new state: rescan only
+        # the touched cells (partition-pruned); emptied cells drop out
+        _refresh_cell_blooms(spark, index_dir, sorted(present & set(touched)))
 
 
 def read_index_cells(spark: SparkSession, index_dir: str, cell_ids: list[int]) -> DataFrame:

@@ -180,3 +180,68 @@ def test_upsert_moves_vector_and_drops_emptied_cell(spark, tmp_path):
     assert not _os.path.isdir(_os.path.join(out, "index", "cell_id=1")), (
         "emptied cell partition must be dropped"
     )
+
+
+def test_bloom_manifest_fast_path_matches_scan_fallback(spark, tmp_path):
+    """The chunk→cell Bloom manifest is a pure optimization: upserting
+    with it present must produce exactly the table the scan fallback
+    (manifest deleted) produces, the manifest must exist after a build,
+    and must stay consistent (post-upsert membership checks locate the
+    moved ids) across an upsert."""
+    import json as _json
+    import os as _os
+
+    from cargo_chat_spark.sources.index_io import (
+        _CELL_BLOOMS,
+        _read_cell_blooms,
+        upsert_index_cells,
+    )
+
+    emb = load_table(spark, SF_DIR_SMALL, "embeddings")
+
+    def build(tag):
+        out, index = _mk_index(spark, tmp_path / tag)
+        return out, index
+
+    def updates():
+        return emb.where((F.col("vec_id") >= 450)).select(
+            F.col("vec_id").alias("chunk_id"),
+            F.transform(
+                F.col("embedding").cast("array<double>"), lambda x: -x
+            ).alias("embedding"),
+        )
+
+    out_fast, _ = _mk_index(spark, tmp_path / "fast")
+    assert _os.path.exists(_os.path.join(out_fast, _CELL_BLOOMS)), (
+        "build must create the Bloom manifest"
+    )
+    upsert_index_cells(spark, out_fast, updates())
+
+    out_slow, _ = _mk_index(spark, tmp_path / "slow")
+    _os.remove(_os.path.join(out_slow, _CELL_BLOOMS))
+    upsert_index_cells(spark, out_slow, updates())
+    assert not _os.path.exists(_os.path.join(out_slow, _CELL_BLOOMS)), (
+        "scan fallback must not resurrect the manifest"
+    )
+
+    def rows(path):
+        return sorted(
+            (r["chunk_id"], r["cell_id"], tuple(r["embedding"]))
+            for r in spark.read.parquet(path + "/index").collect()
+        )
+
+    assert rows(out_fast) == rows(out_slow)
+
+    # manifest consistency: every live cell has a bloom, and a second
+    # upsert of the SAME ids (replay) stays idempotent through the
+    # fast path
+    blooms = _read_cell_blooms(out_fast)
+    live = {
+        int(d.split("=", 1)[1])
+        for d in _os.listdir(_os.path.join(out_fast, "index"))
+        if d.startswith("cell_id=")
+    }
+    assert live <= set(blooms)
+    before = rows(out_fast)
+    upsert_index_cells(spark, out_fast, updates())
+    assert rows(out_fast) == before
