@@ -339,6 +339,68 @@ def upsert_index_cells(spark: SparkSession, index_dir: str, updates: DataFrame) 
         _refresh_cell_blooms(spark, index_dir, sorted(present & set(touched)))
 
 
+def compact_index_cells(
+    spark: SparkSession,
+    index_dir: str,
+    cell_ids: list[int] | None = None,
+    max_files_per_cell: int = 1,
+) -> list[int]:
+    """Small-files maintenance: every upsert round appends task files to
+    the touched cells, and at 100 TB a cell scanned per ANN probe wants
+    few large files, not hundreds of micro-batch leftovers. Rewrites each
+    over-fragmented cell (file count > ``max_files_per_cell``) as ONE
+    file via dynamic partition overwrite (hash-repartition on cell_id
+    with one partition per target cell, so each task writes exactly one
+    cell) — identical rows, identical cell assignment, identical Bloom
+    manifest (same ids), so only the file layout changes.
+    ``cell_ids=None`` considers every cell. Returns the cells rewritten.
+
+    Like streaming/upsert_sink.compact_rollup this is an offline
+    maintenance pass (single-writer); unlike it, no watermark is needed —
+    the upsert's replace-by-chunk_id semantics are layout-independent, so
+    replays remain correct across a compaction.
+    """
+    data_dir = os.path.join(index_dir, "index")
+    by_cell: dict[int, int] = {}
+    for d in os.listdir(data_dir):
+        if not d.startswith("cell_id="):
+            continue
+        c = int(d.split("=", 1)[1])
+        n = sum(
+            1
+            for f in os.listdir(os.path.join(data_dir, d))
+            if not f.startswith(("_", "."))
+        )
+        by_cell[c] = n
+    targets = sorted(
+        c
+        for c, n in by_cell.items()
+        if n > max_files_per_cell and (cell_ids is None or c in cell_ids)
+    )
+    if not targets:
+        return []
+    idx = spark.read.parquet(data_dir)
+    compacted = (
+        idx.where(F.col("cell_id").isin(targets))
+        # one shuffle partition per target cell -> one output file per cell
+        # (hash collisions just co-locate two cells in one task, which
+        # still writes one file per cell directory)
+        .repartition(len(targets), "cell_id")
+        .localCheckpoint(eager=True)  # plan reads the files the overwrite replaces
+    )
+    old_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        compacted.write.option(
+            "maxRecordsPerFile", 0
+        ).mode("overwrite").partitionBy("cell_id").parquet(data_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    return targets
+
+
 def read_index_cells(spark: SparkSession, index_dir: str, cell_ids: list[int]) -> DataFrame:
     """Partition-pruned read: only the probed cells' files are scanned
     (PartitionFilters in the plan — asserted in tests)."""

@@ -245,3 +245,72 @@ def test_bloom_manifest_fast_path_matches_scan_fallback(spark, tmp_path):
     before = rows(out_fast)
     upsert_index_cells(spark, out_fast, updates())
     assert rows(out_fast) == before
+
+
+def test_compact_index_cells_defragments_without_changing_values(spark, tmp_path):
+    import os as _os
+
+    from cargo_chat_spark.sources.index_io import (
+        compact_index_cells,
+        upsert_index_cells,
+    )
+
+    emb = load_table(spark, SF_DIR_SMALL, "embeddings")
+    out, index = _mk_index(spark, tmp_path)
+    # an upsert appends task files to the touched cells
+    upsert_index_cells(
+        spark,
+        out,
+        emb.where(F.col("vec_id") >= 480).select(
+            F.col("vec_id").alias("chunk_id"),
+            F.transform(
+                F.col("embedding").cast("array<double>"), lambda x: -x
+            ).alias("embedding"),
+        ),
+    )
+
+    def files_per_cell():
+        data = _os.path.join(out, "index")
+        return {
+            d: sum(
+                1
+                for f in _os.listdir(_os.path.join(data, d))
+                if not f.startswith(("_", "."))
+            )
+            for d in _os.listdir(data)
+            if d.startswith("cell_id=")
+        }
+
+    before_rows = sorted(
+        (r["chunk_id"], r["cell_id"], tuple(r["embedding"]))
+        for r in spark.read.parquet(out + "/index").collect()
+    )
+    assert max(files_per_cell().values()) > 1, "fixture produced no fragmentation"
+
+    rewritten = compact_index_cells(spark, out)
+    assert rewritten, "compaction found nothing to rewrite"
+    assert max(files_per_cell().values()) == 1
+    after_rows = sorted(
+        (r["chunk_id"], r["cell_id"], tuple(r["embedding"]))
+        for r in spark.read.parquet(out + "/index").collect()
+    )
+    assert after_rows == before_rows
+
+    # second pass is a no-op; a replayed upsert stays idempotent across
+    # the compaction (layout-independent replace-by-chunk_id)
+    assert compact_index_cells(spark, out) == []
+    upsert_index_cells(
+        spark,
+        out,
+        emb.where(F.col("vec_id") >= 480).select(
+            F.col("vec_id").alias("chunk_id"),
+            F.transform(
+                F.col("embedding").cast("array<double>"), lambda x: -x
+            ).alias("embedding"),
+        ),
+    )
+    final_rows = sorted(
+        (r["chunk_id"], r["cell_id"], tuple(r["embedding"]))
+        for r in spark.read.parquet(out + "/index").collect()
+    )
+    assert final_rows == before_rows
