@@ -95,12 +95,17 @@ CALIB_REF_S = 0.427
 
 
 def _calibrate(spark) -> float:
+    # first run pays JIT and is dropped; the warm value is the MEDIAN of
+    # three runs — a single warm shot measured 1.8x intra-run swings on
+    # this shared host (r6: per-repeat calibs 0.457/0.288/0.258 while the
+    # query medians didn't move), which turned the env adjustment into a
+    # phantom-regression generator.
     t = []
-    for _ in range(2):  # first run pays JIT; report the warm one
+    for _ in range(4):
         t0 = time.perf_counter()
         spark.range(0, 2_000_000_000, 1).selectExpr("sum(id % 1000003)").first()
         t.append(time.perf_counter() - t0)
-    return round(t[-1], 3)
+    return round(statistics.median(t[1:]), 3)
 
 
 # Per-query baseline seconds on the CALIB_REF_S axis, the numbers BENCH
@@ -273,19 +278,31 @@ def main() -> None:
             if q in ref and ref[q] > 0
         }
         adjusted = {q: round(r / factor, 2) for q, r in deltas.items()}
-        adj_regressions = {q: r for q, r in adjusted.items() if r > 1.25}
+        # a REAL regression shows on both axes: the raw ratio is immune to
+        # calib noise, the adjusted ratio is immune to genuine host drift
+        # — either one alone produces phantom flags (r6: a low-noise calib
+        # read inflated every adjusted ratio ~1.5x while raw sat at ~1.0).
+        # Sub-second rows additionally need a >0.3 s absolute delta: their
+        # ratios are dominated by fixed scheduler overhead (±0.1 s swings
+        # on a 0.2 s row read as 1.5x while meaning nothing at scale).
+        regressions = {
+            q: {"raw": deltas[q], "adjusted": adjusted[q]}
+            for q in deltas
+            if min(deltas[q], adjusted[q]) > 1.25
+            and (timings_all[q] - ref[q]) > 0.3
+        }
         reports[ref_name] = {
             "env_factor": round(factor, 3),
             "ratios": deltas,
             "ratios_env_adjusted": adjusted,
-            "regressions_gt_1.25x_adjusted": adj_regressions,
+            "regressions_gt_1.25x_both_axes": regressions,
         }
         print(
             f"[bench] vs {ref_name}: "
             + json.dumps(
                 {
                     "env_factor": round(factor, 3),
-                    "regressions_gt_1.25x_adjusted": adj_regressions,
+                    "regressions_gt_1.25x_both_axes": regressions,
                 }
             ),
             file=sys.stderr,

@@ -259,6 +259,11 @@ def upsert_index_cells(spark: SparkSession, index_dir: str, updates: DataFrame) 
 
     The touched-cell list collects to the driver: bounded by the number
     of IVF cells (k), never by data volume.
+
+    Contract (enforced): ``updates`` must carry ONE row per chunk_id —
+    the assignment window would otherwise silently keep an arbitrary
+    winner among duplicates (callers collapse first; see
+    streaming/index_stream.py's per-batch dedup).
     """
     with open(os.path.join(index_dir, "index_meta.json")) as fh:
         meta = json.load(fh)
@@ -280,6 +285,22 @@ def upsert_index_cells(spark: SparkSession, index_dir: str, updates: DataFrame) 
     # REPLACED by just the new row (silent data loss under dynamic
     # overwrite). The checkpoint pins one evaluation for both jobs (and
     # skips recomputing the assignment crossJoin).
+    # contract check BEFORE assignment: _assign_cells's per-chunk_id
+    # window would silently collapse duplicate ids to whichever row sits
+    # closest to its centroid — an arbitrary winner, not an error
+    dup = (
+        updates.groupBy("chunk_id")
+        .count()
+        .where(F.col("count") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            "updates must contain one row per chunk_id — collapse "
+            "duplicates before upserting (the assignment window would "
+            "otherwise pick an arbitrary winner)"
+        )
     assigned = _assign_cells(updates, centroids).localCheckpoint(eager=True)
     if not assigned.head(1):  # empty update set: nothing to touch
         return

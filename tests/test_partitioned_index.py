@@ -314,3 +314,16 @@ def test_compact_index_cells_defragments_without_changing_values(spark, tmp_path
         for r in spark.read.parquet(out + "/index").collect()
     )
     assert final_rows == before_rows
+
+
+def test_upsert_rejects_duplicate_chunk_ids(spark, tmp_path):
+    import pytest
+
+    from cargo_chat_spark.sources.index_io import upsert_index_cells
+
+    out, index = _mk_index(spark, tmp_path)
+    dup = index.where(F.col("chunk_id") == 5).unionByName(
+        index.where(F.col("chunk_id") == 5)
+    )
+    with pytest.raises(ValueError, match="one row per chunk_id"):
+        upsert_index_cells(spark, out, dup)
