@@ -79,6 +79,7 @@ DETAIL_EXTRA = [
     "frame_neardup",            # new r6: media demux ∘ exact dedup
     "index_upsert_cells",       # new r6: incremental IVF cell upsert
     "events_range_pruned_scan",  # new r6: min/max-manifest data skipping
+    "ivf_topk_persisted",       # new r6: ANN over the persisted index
 ]
 
 
@@ -176,6 +177,9 @@ _R6_NEW_BARS = {
     # measured at calib 0.327 (/0.766): layout write + manifest +
     # pruned-scan aggregate end-to-end
     "events_range_pruned_scan": 1.13,
+    # measured at calib 0.333 (/0.780): persisted-index build + probe +
+    # partition-pruned search end-to-end
+    "ivf_topk_persisted": 5.55,
 }
 
 BASELINE_S = {**_LEGACY_BARS, **_R6_BARS, **_R6_NEW_BARS}

@@ -212,6 +212,10 @@ ROUND7_PROMOTION_PLAN = [
     # new in round 6 (local oracle green; min/max-manifest data skipping
     # over a range-sorted layout — sources/sorted_layout.py)
     "events_range_pruned_scan",
+    # new in round 6 (local oracle green; ANN answered from the PERSISTED
+    # cell-partitioned index via partition-pruned probes — the production
+    # disk-backed search path; hard-assign twin of ivf_topk_trained)
+    "ivf_topk_persisted",
     # tier 2 — remaining distinct machinery
     "weighted_sample", "word_entropy", "unigram_logprob",
     "engaged_clean_users", "value_zscore_outliers",

@@ -895,3 +895,139 @@ def index_upsert_cells(spark, sf_dir):
         F.size("embedding").alias("dim"),
         F.array_join(fp.cast("array<string>"), "|").alias("emb_fp"),
     )
+
+
+# --------------------------------- ANN search over the PERSISTED index
+# Ties the index lifecycle together end to end: build the cell-partitioned
+# index ON DISK (write_index_partitioned, hard assignment, frozen trained
+# centroids), then answer the standard query set by probing nprobe cells
+# through read_index_cells — a PARTITION-PRUNED scan of the persisted
+# table (PartitionFilters pinned by tests/test_partitioned_index.py), not
+# an in-memory frame. This is the production shape at 100 TB: the index
+# is a table, queries scan probed-cells/ncells of it. The oracle states
+# hard-assigned IVF from the source table, so a row mis-assigned at write
+# time, lost in the layout, or probed from the wrong cell is a value
+# mismatch. (ivf_topk_trained gates the same technology with SOFT
+# assignment on an in-memory frame; this gate covers the persisted path.)
+_PERSIST_PROBE = 8
+
+_SQ = """list_sum(list_transform(generate_series(1, len({a})),
+        i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))
+           * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"""
+
+
+def _persisted_sql() -> str:
+    from cargo_chat_spark.queries.similarity import _cent_values_sql
+
+    sq = _SQ
+    return f"""
+WITH centroids AS (
+    SELECT * FROM (VALUES {_cent_values_sql()}) AS t(cell_id, cvec)
+),
+assigned AS (
+    SELECT b.vec_id, b.embedding, a.cell_id,
+        row_number() OVER (
+            PARTITION BY b.vec_id
+            ORDER BY sqrt({sq.format(a="a.cvec", b="b.embedding")}), a.cell_id
+        ) AS cr
+    FROM embeddings b CROSS JOIN centroids a
+),
+cells AS (
+    SELECT vec_id, embedding, cell_id FROM assigned WHERE cr = 1
+),
+queries AS (
+    SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 100 = 0
+),
+probes AS (
+    SELECT b.query_id, a.cell_id,
+        row_number() OVER (
+            PARTITION BY b.query_id
+            ORDER BY sqrt({sq.format(a="a.cvec", b="b.embedding")}), a.cell_id
+        ) AS pr
+    FROM queries b CROSS JOIN centroids a
+    QUALIFY pr <= {_PERSIST_PROBE}
+),
+scored AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+        sqrt({sq.format(a="q.embedding", b="c.embedding")}) AS distance
+    FROM queries q
+    JOIN probes p ON p.query_id = q.query_id
+    JOIN cells c ON c.cell_id = p.cell_id
+)
+SELECT query_id, neighbor_id, distance,
+    CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY distance, neighbor_id
+    ) AS INT) AS "rank"
+FROM scored
+QUALIFY "rank" <= 10
+"""
+
+
+@register("ivf_topk_persisted", sql=_persisted_sql())
+def ivf_topk_persisted(spark, sf_dir):
+    """IVF top-10 answered from the persisted cell-partitioned index:
+    hard-assign + write, probe 8/32 cells per query, partition-pruned
+    scan of the probed cells' union, exact rank within candidates."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from cargo_chat_spark.functions import vectors
+    from cargo_chat_spark.queries._ivf_centroids import TRAINED_CENTROIDS
+    from cargo_chat_spark.sources.index_io import (
+        read_index_cells,
+        write_index_partitioned,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = vectors.infer_dim(emb, "embedding")
+    centroids = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(TRAINED_CENTROIDS)],
+        "cell_id int, cvec array<double>",
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"ccs_ivf_persisted_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{os.getpid()}",
+    )
+    write_index_partitioned(
+        emb.select(
+            F.col("vec_id").alias("chunk_id"),
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        ),
+        out_dir,
+        dim,
+        centroids,
+    )
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy("cdist", "cell_id")
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("cdist", vectors.euclidean(F.col("cvec"), F.col("qvec")))
+        .withColumn("pr", F.row_number().over(w_probe))
+        .where(F.col("pr") <= _PERSIST_PROBE)
+        .select("query_id", "cell_id")
+    )
+    probed = sorted(
+        r["cell_id"] for r in probes.select("cell_id").distinct().collect()
+    )  # bounded by ncells
+    idx = read_index_cells(spark, out_dir, probed)
+    scored = (
+        idx.join(F.broadcast(probes), "cell_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            F.col("chunk_id").alias("neighbor_id"),
+            vectors.euclidean(F.col("qvec"), F.col("embedding")).alias(
+                "distance"
+            ),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy("distance", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= 10)
+    )
