@@ -80,6 +80,7 @@ DETAIL_EXTRA = [
     "index_upsert_cells",       # new r6: incremental IVF cell upsert
     "events_range_pruned_scan",  # new r6: min/max-manifest data skipping
     "ivf_topk_persisted",       # new r6: ANN over the persisted index
+    "events_zorder_pruned_scan",  # new r6: 2-D z-order data skipping
 ]
 
 
@@ -180,6 +181,9 @@ _R6_NEW_BARS = {
     # measured at calib 0.333 (/0.780): persisted-index build + probe +
     # partition-pruned search end-to-end
     "ivf_topk_persisted": 5.55,
+    # measured at calib 0.303 (/0.710): z-ordered layout write + 2-D
+    # manifest + two-band pruned aggregate end-to-end
+    "events_zorder_pruned_scan": 1.84,
 }
 
 BASELINE_S = {**_LEGACY_BARS, **_R6_BARS, **_R6_NEW_BARS}

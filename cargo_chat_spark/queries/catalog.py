@@ -216,6 +216,10 @@ ROUND7_PROMOTION_PLAN = [
     # cell-partitioned index via partition-pruned probes — the production
     # disk-backed search path; hard-assign twin of ivf_topk_trained)
     "ivf_topk_persisted",
+    # new in round 6 (local oracle green; 2-D z-order layout with
+    # two-column manifest skipping — the multi-dimension extension of
+    # events_range_pruned_scan)
+    "events_zorder_pruned_scan",
     # tier 2 — remaining distinct machinery
     "weighted_sample", "word_entropy", "unigram_logprob",
     "engaged_clean_users", "value_zscore_outliers",

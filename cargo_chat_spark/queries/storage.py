@@ -296,3 +296,62 @@ def events_range_pruned_scan(spark, sf_dir):
         .alias("total_value"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+# ------------------------------------------------ z-order data skipping
+# 2-D extension of the range-pruned gate: the layout is z-ordered on
+# (user_id, ts), so per-file min/max stay narrow on BOTH columns and the
+# manifest prunes on a conjunctive band over both. The oracle aggregates
+# the raw table under the same two-sided predicate — a row shuffled into
+# the wrong rectangle, stats recorded wrong, or a boundary row lost by
+# either overlap test is a value mismatch. Physical either-column
+# pruning is pinned by tests/test_sorted_layout.py.
+_ZORDER_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+WHERE user_id >= 3 AND user_id < 10
+  AND ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+GROUP BY event_type
+"""
+
+
+@register("events_zorder_pruned_scan", sql=_ZORDER_SQL)
+def events_zorder_pruned_scan(spark, sf_dir):
+    """Round-trip events through a z-ordered (user_id, ts) 16-file
+    layout, then a two-column manifest-pruned scan of the
+    user [3,10) × week-2 band and a per-type aggregate over it."""
+    import datetime
+
+    from cargo_chat_spark.sources.sorted_layout import (
+        read_zorder_pruned,
+        write_zordered,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"ccs_events_zorder_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{os.getpid()}",
+    )
+    write_zordered(e, out, "user_id", "ts", n_files=16)
+    pruned = read_zorder_pruned(
+        spark,
+        out,
+        "user_id",
+        "ts",
+        a_range=(3, 10),
+        b_range=(
+            datetime.datetime(2024, 1, 8),
+            datetime.datetime(2024, 1, 15),
+        ),
+    )
+    return pruned.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )

@@ -94,3 +94,144 @@ def read_range_pruned(
     if not files:
         return spark.read.parquet(path).where(F.lit(False))
     return spark.read.parquet(*files).where(pred)
+
+
+# ------------------------------------------------- 2-D z-order layout
+# The 1-D range layout above skips files for ONE column; a second
+# selective column gets no help (its values scatter uniformly across the
+# range-sorted files). Z-ORDERING interleaves the bits of both columns'
+# rank-normalized values so files cover compact rectangles in (a, b)
+# space — per-file min/max stats then stay narrow on BOTH columns and a
+# predicate on EITHER prunes files (Delta's OPTIMIZE ZORDER, expressed on
+# plain parquet). The z-value is a pure JVM integer expression (no UDF);
+# it orders the write and is dropped before storage.
+_ZBITS = 16
+
+
+def _serialize(v):
+    """Manifest-storable form preserving order: datetimes → ISO strings
+    (lexicographically ordered), everything else as-is."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ")
+    return v
+
+
+def _zvalue(col_a: str, col_b: str, bounds: tuple) -> F.Column:
+    """Interleave the _ZBITS-bit rank-normalized values of two numeric
+    columns (a gets the odd/higher bit positions). ``bounds`` =
+    (a_lo, a_hi, b_lo, b_hi) as longs."""
+    a_lo, a_hi, b_lo, b_hi = (int(x) for x in bounds)
+    top = (1 << _ZBITS) - 1
+
+    def scaled(col: str, lo: int, hi: int) -> str:
+        span = max(hi - lo, 1)
+        # (v - lo) * top fits a long for any span the fixture/real feeds
+        # produce (span * 65535 << 2^63)
+        return f"(({col} - {lo}L) * {top}L) div {span}L"
+
+    sa, sb = scaled(col_a, a_lo, a_hi), scaled(col_b, b_lo, b_hi)
+    terms = []
+    for i in range(_ZBITS):
+        terms.append(f"(shiftleft(shiftright({sa}, {i}) & 1L, {2 * i + 1}))")
+        terms.append(f"(shiftleft(shiftright({sb}, {i}) & 1L, {2 * i}))")
+    return F.expr(" + ".join(terms))
+
+
+def write_zordered(
+    df: DataFrame, path: str, col_a: str, col_b: str, n_files: int = 16
+) -> None:
+    """Write ``df`` as ``n_files`` parquet files ordered by the z-value of
+    (col_a, col_b), plus a per-file manifest of BOTH columns' min/max
+    (computed from the files as written). col_b may be a timestamp — it
+    is z-ordered via unix seconds and recorded in the manifest in ISO
+    form (order-preserving)."""
+    spark = df.sparkSession
+    kinds = dict(df.dtypes)
+    b_num = f"unix_seconds({col_b})" if kinds.get(col_b) == "timestamp" else col_b
+    lo_a, hi_a, lo_b, hi_b = (
+        df.selectExpr(
+            f"min({col_a})", f"max({col_a})", f"min({b_num})", f"max({b_num})"
+        ).first()
+    )
+    z = _zvalue(col_a, b_num, (lo_a, hi_a, lo_b, hi_b))
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    stats = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.min(col_a).alias("alo"),
+            F.max(col_a).alias("ahi"),
+            F.min(col_b).alias("blo"),
+            F.max(col_b).alias("bhi"),
+        )
+        .collect()  # bounded: one row per file
+    )
+    manifest = {
+        "columns": [col_a, col_b],
+        "files": sorted(
+            (
+                os.path.basename(_local(r["file"])),
+                _serialize(r["alo"]),
+                _serialize(r["ahi"]),
+                _serialize(r["blo"]),
+                _serialize(r["bhi"]),
+            )
+            for r in stats
+        ),
+    }
+    with open(os.path.join(_local(path), _MANIFEST), "w") as fh:
+        json.dump(manifest, fh, indent=1)
+
+
+def pruned_files_2d(path: str, a_range=None, b_range=None) -> list[str]:
+    """Files overlapping [a_lo, a_hi) × [b_lo, b_hi); either range may be
+    None (no constraint on that column). Timestamp bounds are passed as
+    datetimes and compared in ISO form."""
+    with open(os.path.join(_local(path), _MANIFEST)) as fh:
+        manifest = json.load(fh)
+    if "columns" not in manifest:
+        raise ValueError("manifest is 1-D (write_range_sorted layout)")
+
+    def overlaps(lo, hi, rng):
+        if rng is None:
+            return True
+        r_lo, r_hi = (_serialize(v) for v in rng)
+        return not (hi < r_lo or lo >= r_hi)
+
+    return [
+        name
+        for name, alo, ahi, blo, bhi in manifest["files"]
+        if overlaps(alo, ahi, a_range) and overlaps(blo, bhi, b_range)
+    ]
+
+
+def read_zorder_pruned(
+    spark: SparkSession, path: str, col_a: str, col_b: str,
+    a_range=None, b_range=None,
+) -> DataFrame:
+    """Scan only the manifest-selected files, predicates re-applied
+    row-level (pruning is I/O-only, like read_range_pruned)."""
+    files = [
+        os.path.join(path, f) for f in pruned_files_2d(path, a_range, b_range)
+    ]
+    if not files:
+        return spark.read.parquet(path).where(F.lit(False))
+    out = spark.read.parquet(*files)
+    if a_range is not None:
+        out = out.where(
+            (F.col(col_a) >= F.lit(a_range[0])) & (F.col(col_a) < F.lit(a_range[1]))
+        )
+    if b_range is not None:
+        out = out.where(
+            (F.col(col_b) >= F.lit(b_range[0])) & (F.col(col_b) < F.lit(b_range[1]))
+        )
+    return out

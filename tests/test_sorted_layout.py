@@ -74,3 +74,59 @@ def test_empty_selection_and_wrong_column_guard(spark, tmp_path):
     assert none.count() == 0
     with pytest.raises(ValueError):
         pruned_files(out, "event_id", 0, 10)
+
+
+def test_zorder_prunes_on_either_column_and_matches_full_filter(
+    spark, tmp_path
+):
+    """Z-order's point vs the 1-D sort: a predicate on EITHER column
+    alone opens a strict subset of files, and the pruned two-column read
+    equals the full-scan filter exactly."""
+    import datetime
+
+    from cargo_chat_spark.sources.sorted_layout import (
+        pruned_files_2d,
+        read_zorder_pruned,
+        write_zordered,
+    )
+
+    e = load_table(spark, SF_DIR_SMALL, "events")
+    out = str(tmp_path / "zorder")
+    write_zordered(e, out, "user_id", "ts", n_files=16)
+    all_files = {f for f in os.listdir(out) if f.endswith(".parquet")}
+    assert len(all_files) == 16
+
+    a_only = pruned_files_2d(out, a_range=(3, 10))
+    b_only = pruned_files_2d(
+        out,
+        b_range=(datetime.datetime(2024, 1, 8), datetime.datetime(2024, 1, 15)),
+    )
+    assert 0 < len(a_only) < len(all_files), f"user band opened {len(a_only)}"
+    assert 0 < len(b_only) < len(all_files), f"time band opened {len(b_only)}"
+
+    both = pruned_files_2d(
+        out,
+        a_range=(3, 10),
+        b_range=(datetime.datetime(2024, 1, 8), datetime.datetime(2024, 1, 15)),
+    )
+    assert set(both) <= set(a_only) and set(both) <= set(b_only)
+
+    df = read_zorder_pruned(
+        spark, out, "user_id", "ts",
+        a_range=(3, 10),
+        b_range=(datetime.datetime(2024, 1, 8), datetime.datetime(2024, 1, 15)),
+    )
+    opened = {os.path.basename(f) for f in df.inputFiles()}
+    assert opened == set(both)
+
+    want = sorted(
+        tuple(r)
+        for r in e.where(
+            (F.col("user_id") >= 3)
+            & (F.col("user_id") < 10)
+            & (F.col("ts") >= F.lit(datetime.datetime(2024, 1, 8)))
+            & (F.col("ts") < F.lit(datetime.datetime(2024, 1, 15)))
+        ).collect()
+    )
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == want
