@@ -81,6 +81,10 @@ DETAIL_EXTRA = [
     "events_range_pruned_scan",  # new r6: min/max-manifest data skipping
     "ivf_topk_persisted",       # new r6: ANN over the persisted index
     "events_zorder_pruned_scan",  # new r6: 2-D z-order data skipping
+    "events_merge_on_read",     # new r6: tombstone deletes + compaction
+    "leakage_safe_split",       # new r6: group-aware train/val/test split
+    "events_time_travel",       # new r6: snapshot versioning / time travel
+    "events_snapshot_cdc",      # new r6: MERGE INTO + change feed (CDC)
 ]
 
 
@@ -184,6 +188,18 @@ _R6_NEW_BARS = {
     # measured at calib 0.303 (/0.710): z-ordered layout write + 2-D
     # manifest + two-band pruned aggregate end-to-end
     "events_zorder_pruned_scan": 1.84,
+    # measured at calib 0.280 (/0.656; low-calib caveat above applies —
+    # raw medians 2.74 / 6.71): full delete lifecycle (base write +
+    # tombstone + MOR read + compaction + re-read) and the group-aware
+    # split (runs the whole minhash→LSH→components pipeline per repeat)
+    "events_merge_on_read": 4.17,
+    "leakage_safe_split": 10.23,
+    # measured at calib 0.312 (/0.731; raw median 1.59): three snapshot
+    # commits (write/append/CoW-delete) + three time-travel reads
+    "events_time_travel": 2.17,
+    # measured at calib 0.329 (/0.770; raw median 2.53): write + MERGE
+    # INTO + CoW delete + row-level v0→v2 change feed
+    "events_snapshot_cdc": 3.28,
 }
 
 BASELINE_S = {**_LEGACY_BARS, **_R6_BARS, **_R6_NEW_BARS}

@@ -220,6 +220,22 @@ ROUND7_PROMOTION_PLAN = [
     # two-column manifest skipping — the multi-dimension extension of
     # events_range_pruned_scan)
     "events_zorder_pruned_scan",
+    # new in round 6 (local oracle green; merge-on-read tombstone deletes
+    # + affected-file-only compaction — sources/deletes.py, the GDPR/
+    # retraction lifecycle over immutable parquet)
+    "events_merge_on_read",
+    # new in round 6 (local oracle green; group-aware 98/1/1 split keyed
+    # on the near-dup component so near-duplicates never straddle
+    # train/test — the eval-decontamination twin of dataset_split)
+    "leakage_safe_split",
+    # new in round 6 (local oracle green at sf0.001 AND sf0.01; snapshot
+    # versioning with time travel, CoW deletes sharing unaffected files,
+    # and vacuum — sources/snapshots.py, the reproducible-corpus story)
+    "events_time_travel",
+    # new in round 6 (local oracle green at sf0.001 AND sf0.01; MERGE
+    # INTO by key + row-level change feed between snapshots reading only
+    # the manifest-diff files — the incremental-recompute primitive)
+    "events_snapshot_cdc",
     # tier 2 — remaining distinct machinery
     "weighted_sample", "word_entropy", "unigram_logprob",
     "engaged_clean_users", "value_zscore_outliers",

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from cargo_chat_spark.caching import memo_persist as _memo_persist
 from cargo_chat_spark.operators import dedup as D
 from cargo_chat_spark.operators.graph import connected_components
+from cargo_chat_spark.queries import _draws as _dr
 from cargo_chat_spark.queries.registry import register
 from cargo_chat_spark.sources.testdata import load_table
 
@@ -548,4 +549,71 @@ def paragraph_dedup_rebuild(spark, sf_dir):
         ).alias("rebuilt_text"),
         F.count(F.lit(1)).alias("n_kept"),
         F.first("n_total").alias("n_chunks"),
+    )
+
+
+# ------------------------------------------- leakage-safe train/val/test
+# The known eval-contamination failure mode (Lee et al., "Deduplicating
+# Training Data Makes Language Models Better"): a near-duplicate of a test
+# document sitting in train. A per-document hash split (dataset_split)
+# cannot prevent it — the twins draw independently. The fix is GROUP-AWARE
+# assignment: split on the near-dup CLUSTER id, so an entire component
+# lands in one split and a test doc's near-twin can never be trained on.
+# Spark side: the component frame (only docs appearing in near-dup pairs —
+# tiny next to the corpus) broadcast-left-joins onto the scan; singletons
+# fall back to their own id. Draw, boundaries, and md5 semantics are the
+# exact dataset_split primitives (queries/_draws.py), so split proportions
+# and append-stability carry over unchanged.
+_LEAKAGE_SPLIT_SQL = f"""
+WITH RECURSIVE {_BANDS_CTE},
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+    WHERE a.doc_id < b.doc_id
+),
+edges AS (
+    SELECT doc_a AS s, doc_b AS d FROM pairs
+    UNION ALL
+    SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach(src, dst) AS (
+    SELECT s, s FROM edges
+    UNION
+    SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s
+),
+comp AS (
+    SELECT src AS doc_id, MIN(dst) AS component_id
+    FROM reach GROUP BY src
+)
+SELECT d.doc_id,
+    CAST(COALESCE(c.component_id, d.doc_id) AS BIGINT) AS group_id,
+    CASE WHEN {_dr.draw_sql("COALESCE(c.component_id, d.doc_id)")}
+              < {_dr.SPLIT_VAL_LO} THEN 'train'
+         WHEN {_dr.draw_sql("COALESCE(c.component_id, d.doc_id)")}
+              < {_dr.SPLIT_TEST_LO} THEN 'val'
+         ELSE 'test' END AS split
+FROM documents d
+LEFT JOIN comp c USING (doc_id)
+"""
+
+
+@register("leakage_safe_split", sql=_LEAKAGE_SPLIT_SQL)
+def leakage_safe_split(spark, sf_dir):
+    """Group-aware 98/1/1 split: every document labeled with its near-dup
+    group (component id, own id for singletons) and the split drawn from
+    the GROUP key — near-duplicates can never straddle train/test. Emits
+    the full assignment so the oracle value-hashes it row by row."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    comp = neardup_components(spark, sf_dir)
+    group = F.coalesce(F.col("component_id"), F.col("doc_id"))
+    d = _dr.draw(group)
+    split = (
+        F.when(d < _dr.SPLIT_VAL_LO, "train")
+        .when(d < _dr.SPLIT_TEST_LO, "val")
+        .otherwise("test")
+    )
+    return docs.join(F.broadcast(comp), "doc_id", "left").select(
+        "doc_id",
+        group.cast("bigint").alias("group_id"),
+        split.alias("split"),
     )

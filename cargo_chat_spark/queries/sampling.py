@@ -27,23 +27,15 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from cargo_chat_spark.queries._draws import (
+    DRAW_MOD as _DRAW_MOD,
+    SPLIT_TEST_LO as _SPLIT_TEST_LO,
+    SPLIT_VAL_LO as _SPLIT_VAL_LO,
+    draw as _draw,
+    draw_sql as _draw_sql,
+)
 from cargo_chat_spark.queries.registry import register
 from cargo_chat_spark.sources.testdata import load_table
-
-# deterministic per-doc draw in [0, 10000): low 32 bits of md5(doc_id)
-_DRAW_MOD = 10_000
-
-
-def _draw(doc_id_col):
-    low32 = F.conv(F.substring(F.md5(doc_id_col.cast("string")), 1, 8), 16, 10)
-    return F.pmod(low32.cast("bigint"), F.lit(_DRAW_MOD))
-
-
-def _draw_sql(id_sql: str) -> str:
-    return (
-        f"(('0x' || substring(md5(CAST({id_sql} AS VARCHAR)), 1, 8))::BIGINT"
-        f" % {_DRAW_MOD})"
-    )
 
 
 # --------------------------------------------------- stratified sampling
@@ -103,9 +95,6 @@ def stratified_sample(spark, sf_dir):
 # (a doc can never migrate between splits, so eval never contaminates
 # train across dataset versions), and assignment needs no shuffle, no
 # global sort, no stored membership table. 98/1/1 boundaries.
-_SPLIT_VAL_LO = 9_800   # draw < 9800 -> train
-_SPLIT_TEST_LO = 9_900  # 9800 <= draw < 9900 -> val; >= 9900 -> test
-
 _SPLIT_SQL = f"""
 SELECT doc_id, lang, source,
     CASE WHEN {_draw_sql('doc_id')} < {_SPLIT_VAL_LO} THEN 'train'

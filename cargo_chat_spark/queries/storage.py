@@ -355,3 +355,205 @@ def events_zorder_pruned_scan(spark, sf_dir):
         .alias("total_value"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+# --------------------------------------------- merge-on-read delete gate
+# Full delete lifecycle in one externally-checkable run: write the base
+# (range-sorted on user_id so the deleted users' rows are file-local),
+# tombstone every event of users 7 and 11 (O(keys), base untouched),
+# read merge-on-read, COMPACT (only the affected files rewritten), read
+# again — both reads must equal the oracle's plain NOT-IN aggregate, so
+# a row leaked past the anti-join, lost by compaction, or double-kept by
+# the staged-file move is a value mismatch. Physical claims (base files
+# untouched by delete, only affected files rewritten, log cleared) are
+# pinned by tests/test_merge_on_read.py.
+_MOR_SQL = """
+WITH kept AS (
+    SELECT * FROM events WHERE user_id NOT IN (7, 11)
+),
+agg AS (
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM kept GROUP BY event_type
+)
+SELECT 'mor' AS stage, * FROM agg
+UNION ALL
+SELECT 'compacted' AS stage, * FROM agg
+"""
+
+
+@register("events_merge_on_read", sql=_MOR_SQL)
+def events_merge_on_read(spark, sf_dir):
+    """Tombstone-delete all events of users 7 and 11, aggregate through
+    the merge-on-read view, compact, aggregate again: both stages must
+    match the oracle's plain filtered aggregate."""
+    from cargo_chat_spark.sources.deletes import (
+        compact_deletes,
+        delete_keys,
+        read_merge_on_read,
+    )
+    from cargo_chat_spark.sources.sorted_layout import write_range_sorted
+
+    e = load_table(spark, sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"ccs_events_mor_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{os.getpid()}",
+    )
+    write_range_sorted(e, out, "user_id", n_files=16)
+    delete_keys(
+        e.where(F.col("user_id").isin(7, 11)).select("event_id"),
+        out,
+        "event_id",
+    )
+
+    def agg(df, stage):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        ).select(F.lit(stage).alias("stage"), "*")
+
+    mor = agg(read_merge_on_read(spark, out, "event_id"), "mor")
+    # the union forces the mor stage to evaluate against the PRE-compaction
+    # layout: materialize it before mutating the files under the scan
+    mor = spark.createDataFrame(mor.collect(), mor.schema)
+    compact_deletes(spark, out, "event_id")
+    post = agg(read_merge_on_read(spark, out, "event_id"), "compacted")
+    return mor.unionByName(post)
+
+
+# ------------------------------------------------- time-travel gate
+# Snapshot lifecycle end to end: commit v0 (users < 50), v1 (append the
+# rest), v2 (copy-on-write delete of users 7/11), then aggregate ALL
+# THREE versions through time-travel reads. The oracle states each
+# version as a plain filter over the raw table — a row bleeding between
+# versions (a delete visible at v1, an append visible at v0, a CoW
+# rewrite losing a survivor) is a value mismatch. Physical claims
+# (immutability, file sharing, reader isolation, vacuum reachability)
+# are pinned by tests/test_snapshots.py.
+_TT_SQL = """
+WITH agg0 AS (
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events WHERE user_id < 50
+),
+agg1 AS (
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+),
+agg2 AS (
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events WHERE user_id NOT IN (7, 11)
+)
+SELECT 0 AS version, * FROM agg0
+UNION ALL SELECT 1 AS version, * FROM agg1
+UNION ALL SELECT 2 AS version, * FROM agg2
+"""
+
+
+@register("events_time_travel", sql=_TT_SQL)
+def events_time_travel(spark, sf_dir):
+    """Commit three snapshots (write / append / CoW-delete) and aggregate
+    each through a time-travel read; every version must match the
+    oracle's plain filtered aggregate over the raw table."""
+    import shutil
+
+    from cargo_chat_spark.sources.snapshots import (
+        snap_append,
+        snap_delete,
+        snap_read,
+        snap_write,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"ccs_events_tt_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{os.getpid()}",
+    )
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    snap_write(e.where(F.col("user_id") < 50), out)
+    snap_append(e.where(F.col("user_id") >= 50), out)
+    snap_delete(
+        spark, out, e.where(F.col("user_id").isin(7, 11)).select("event_id"),
+        "event_id",
+    )
+
+    def agg(version):
+        return snap_read(spark, out, version).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        ).select(F.lit(version).cast("int").alias("version"), "*")
+
+    return agg(0).unionByName(agg(1)).unionByName(agg(2))
+
+
+# -------------------------------------------------- snapshot CDC gate
+# MERGE + change-feed lifecycle: v0 = the raw table; v1 = MERGE INTO
+# (every row of users 3/5 updated via value+1.5, user 9's rows re-keyed
+# +10^7 as inserts); v2 = CoW delete of users 7/11. The gate returns the
+# ROW-LEVEL change feed v0→v2 — the oracle states it directly from the
+# raw table, so a survivor misclassified as updated (CoW moved it but
+# the row-hash tie-break failed), a lost insert, or a delete bleeding
+# into the wrong version is a value mismatch. snap_changes reads ONLY
+# the manifest-diff files (shared files are immutable, hence
+# changeless) — CDC costs O(changed files), the property that makes
+# incremental downstream recompute viable at 100 TB.
+_CDC_SQL = """
+SELECT 'updated' AS change, event_id FROM events WHERE user_id IN (3, 5)
+UNION ALL
+SELECT 'deleted' AS change, event_id FROM events WHERE user_id IN (7, 11)
+UNION ALL
+SELECT 'inserted' AS change, event_id + 10000000 AS event_id
+FROM events WHERE user_id = 9
+"""
+
+
+@register("events_snapshot_cdc", sql=_CDC_SQL)
+def events_snapshot_cdc(spark, sf_dir):
+    """MERGE-then-delete over a snapshot table, returning the row-level
+    v0→v2 change feed (change ∈ inserted/deleted/updated, keyed)."""
+    import shutil
+
+    from cargo_chat_spark.sources.snapshots import (
+        snap_changes,
+        snap_delete,
+        snap_merge,
+        snap_write,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"ccs_events_cdc_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{os.getpid()}",
+    )
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    snap_write(e, out)
+    updates = e.where(F.col("user_id").isin(3, 5)).withColumn(
+        "value", F.col("value") + F.lit(1.5)
+    )
+    inserts = e.where(F.col("user_id") == 9).withColumn(
+        "event_id", F.col("event_id") + F.lit(10_000_000)
+    )
+    snap_merge(spark, out, updates.unionByName(inserts), "event_id")
+    snap_delete(
+        spark, out, e.where(F.col("user_id").isin(7, 11)).select("event_id"),
+        "event_id",
+    )
+    return snap_changes(spark, out, 0, 2, "event_id")

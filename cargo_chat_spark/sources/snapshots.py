@@ -1,0 +1,281 @@
+"""Snapshot-versioned parquet table: time travel, CoW deletes, vacuum.
+
+The remaining lakehouse primitive after data skipping
+(``sorted_layout``), compaction (``index_io``/``deletes``) and
+merge-on-read deletes (``deletes``): SNAPSHOT ISOLATION. A 100 TB
+training corpus needs reproducible reads ("train on exactly the corpus
+as of snapshot 12"), safe concurrent readers while a writer lands a new
+version, and auditable deletes — all of which Iceberg/Delta implement
+as an immutable-data-files + versioned-manifest log. Same mechanism
+here on plain parquet:
+
+- Data files are IMMUTABLE and accumulate in the table directory; a
+  snapshot is a JSON manifest (``_snapshots/v{N}.json``) listing the
+  basenames that belong to that version. Readers resolve a manifest and
+  scan exactly its file list — a concurrent writer can add files and
+  commit v{N+1} without disturbing any v{N} reader (writes stage into an
+  underscore-hidden directory and move in atomically per file).
+- ``snap_append`` writes only the new rows' files; the new manifest is
+  prev ∪ new (O(appended data), nothing rewritten).
+- ``snap_delete`` is COPY-ON-WRITE at file granularity: only the files
+  containing deleted keys are rewritten (same bounded
+  ``input_file_name`` discovery as ``deletes.compact_deletes``); every
+  unaffected file is SHARED between the old and new manifest, so a
+  delete costs O(affected files) and historical versions stay readable.
+- ``expire_snapshots`` (vacuum) drops old manifests and deletes only the
+  files no retained manifest references — bounded metadata work, the
+  one moment storage is actually reclaimed.
+
+Pinned by ``tests/test_snapshots.py`` (immutability of historical reads,
+file sharing across versions, vacuum reachability) and value-checked
+end-to-end by the ``events_time_travel`` gate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+_SNAP_DIR = "_snapshots"
+_STAGING = "_snap_staging"
+
+
+def _local(path: str) -> str:
+    return path[len("file:"):] if path.startswith("file:") else path
+
+
+def _snap_dir(path: str) -> str:
+    return os.path.join(_local(path), _SNAP_DIR)
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(_snap_dir(path), f"v{version}.json")
+
+
+def versions(path: str) -> list[int]:
+    """Committed snapshot versions, ascending."""
+    d = _snap_dir(path)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(f[1:-5])
+        for f in os.listdir(d)
+        if f.startswith("v") and f.endswith(".json")
+    )
+
+
+def manifest(path: str, version: int | None = None) -> dict:
+    """The manifest of ``version`` (default: latest)."""
+    vs = versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise ValueError(f"version {v} not in {vs}")
+    with open(_manifest_path(path, v)) as fh:
+        return json.load(fh)
+
+
+def _write_new_files(df: DataFrame, path: str, version: int) -> list[str]:
+    """Stage-write ``df`` and move its part files into the table dir with
+    a version-prefixed name (immutable; never collides with files of any
+    other version). Returns the new basenames."""
+    root = _local(path)
+    os.makedirs(root, exist_ok=True)
+    staging = os.path.join(root, _STAGING)
+    df.write.mode("overwrite").parquet(staging)
+    moved = []
+    for f in sorted(os.listdir(staging)):
+        if f.endswith(".parquet"):
+            name = f"v{version}-{f}"
+            os.rename(os.path.join(staging, f), os.path.join(root, name))
+            moved.append(name)
+    import shutil
+
+    shutil.rmtree(staging)
+    return moved
+
+
+def _commit(path: str, version: int, files: list[str]) -> None:
+    os.makedirs(_snap_dir(path), exist_ok=True)
+    tmp = _manifest_path(path, version) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"version": version, "files": sorted(files)}, fh, indent=1)
+    os.rename(tmp, _manifest_path(path, version))  # atomic commit point
+
+
+def snap_write(df: DataFrame, path: str) -> int:
+    """Create version 0 (or fully replace the logical content as a new
+    version if snapshots already exist — old versions stay readable)."""
+    v = (versions(path)[-1] + 1) if versions(path) else 0
+    _commit(path, v, _write_new_files(df, path, v))
+    return v
+
+
+def snap_append(df: DataFrame, path: str) -> int:
+    """New snapshot = previous files + the appended rows' new files."""
+    prev = manifest(path)
+    v = prev["version"] + 1
+    _commit(path, v, prev["files"] + _write_new_files(df, path, v))
+    return v
+
+
+def snap_read(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Scan exactly the manifest's file list (time travel when
+    ``version`` is given, latest otherwise)."""
+    m = manifest(path, version)
+    root = _local(path)
+    return spark.read.parquet(*(os.path.join(root, f) for f in m["files"]))
+
+
+def snap_delete(
+    spark: SparkSession, path: str, keys: DataFrame, key_col: str
+) -> int:
+    """Copy-on-write delete: rewrite ONLY the current version's files
+    that contain deleted keys; share every other file with the previous
+    manifest. Historical versions keep referencing the original files."""
+    from pyspark.sql import functions as F
+
+    prev = manifest(path)
+    v = prev["version"] + 1
+    root = _local(path)
+    k = F.broadcast(keys.select(key_col).distinct())
+    cur = spark.read.parquet(*(os.path.join(root, f) for f in prev["files"]))
+    affected = {
+        os.path.basename(_local(r["f"]))
+        for r in (
+            cur.select(key_col, F.input_file_name().alias("f"))
+            .join(k, on=key_col, how="left_semi")
+            .select("f")
+            .distinct()
+            .collect()  # bounded: one row per affected FILE
+        )
+    }
+    kept = [f for f in prev["files"] if f not in affected]
+    new: list[str] = []
+    if affected:
+        survivors = spark.read.parquet(
+            *(os.path.join(root, f) for f in sorted(affected))
+        ).join(k, on=key_col, how="left_anti")
+        new = _write_new_files(survivors, path, v)
+    _commit(path, v, kept + new)
+    return v
+
+
+def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
+    """Vacuum: drop all but the last ``keep_last`` manifests and delete
+    the data files no retained manifest references. Returns the deleted
+    basenames."""
+    vs = versions(path)
+    retained = set(vs[-keep_last:]) if keep_last > 0 else set(vs)
+    reachable: set[str] = set()
+    for v in retained:
+        reachable.update(manifest(path, v)["files"])
+    dropped: set[str] = set()
+    for v in vs:
+        if v in retained:
+            continue
+        dropped.update(manifest(path, v)["files"])
+        os.remove(_manifest_path(path, v))
+    root = _local(path)
+    removed = sorted(dropped - reachable)
+    for f in removed:
+        os.remove(os.path.join(root, f))
+    return removed
+
+
+def snap_merge(
+    spark: SparkSession, path: str, updates: DataFrame, key_col: str
+) -> int:
+    """MERGE INTO by key (whole-row upsert): rows of ``updates`` whose key
+    exists replace the stored row; unseen keys are inserts. Copy-on-write
+    like :func:`snap_delete` — only files containing MATCHED keys are
+    rewritten (their unmatched rows survive verbatim); the updates
+    themselves land as new files; everything else is shared with the
+    previous manifest. Cost: O(affected files + update size), never a
+    table rewrite — the same replace-by-key primitive as the ANN index
+    upsert (``index_io.upsert_index_cells``), lifted to table snapshots."""
+    from pyspark.sql import functions as F
+
+    prev = manifest(path)
+    v = prev["version"] + 1
+    root = _local(path)
+    k = F.broadcast(updates.select(key_col).distinct())
+    cur = spark.read.parquet(*(os.path.join(root, f) for f in prev["files"]))
+    affected = {
+        os.path.basename(_local(r["f"]))
+        for r in (
+            cur.select(key_col, F.input_file_name().alias("f"))
+            .join(k, on=key_col, how="left_semi")
+            .select("f")
+            .distinct()
+            .collect()  # bounded: one row per affected FILE
+        )
+    }
+    kept = [f for f in prev["files"] if f not in affected]
+    new_rows = updates
+    if affected:
+        survivors = spark.read.parquet(
+            *(os.path.join(root, f) for f in sorted(affected))
+        ).join(k, on=key_col, how="left_anti")
+        new_rows = survivors.unionByName(updates)
+    new = _write_new_files(new_rows, path, v)
+    _commit(path, v, kept + new)
+    return v
+
+
+def snap_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int,
+    key_col: str,
+) -> DataFrame:
+    """Row-level change feed between two snapshots: (change, key) rows
+    with change ∈ {inserted, deleted, updated}. Reads ONLY the files that
+    differ between the two manifests — shared files cannot contain
+    changes by construction (files are immutable), so CDC costs
+    O(changed files), not O(table); this is what makes incremental
+    downstream recompute viable at 100 TB. A key present in both diff
+    sets counts as updated only if its ROW changed (md5 over all columns
+    distinguishes a real update from a copy-on-write survivor that merely
+    moved files)."""
+    from pyspark.sql import functions as F
+
+    ma = set(manifest(path, from_version)["files"])
+    mb = set(manifest(path, to_version)["files"])
+    root = _local(path)
+
+    def side(files: set[str]) -> DataFrame | None:
+        if not files:
+            return None
+        df = spark.read.parquet(*(os.path.join(root, f) for f in sorted(files)))
+        cols = [F.col(c).cast("string") for c in sorted(df.columns)]
+        return df.select(
+            F.col(key_col).alias("k"),
+            F.md5(F.concat_ws("\x1f", *cols)).alias("h"),
+        )
+
+    a, b = side(ma - mb), side(mb - ma)
+    schema = f"change string, {key_col} bigint"
+    if a is None and b is None:
+        return spark.createDataFrame([], schema)
+    if a is None:
+        return b.select(F.lit("inserted").alias("change"), F.col("k").alias(key_col))
+    if b is None:
+        return a.select(F.lit("deleted").alias("change"), F.col("k").alias(key_col))
+    j = a.alias("a").join(b.alias("b"), F.col("a.k") == F.col("b.k"), "full_outer")
+    return (
+        j.select(
+            F.when(F.col("a.k").isNull(), "inserted")
+            .when(F.col("b.k").isNull(), "deleted")
+            .when(F.col("a.h") != F.col("b.h"), "updated")
+            .alias("change"),
+            F.coalesce(F.col("a.k"), F.col("b.k")).alias(key_col),
+        )
+        .where(F.col("change").isNotNull())
+    )

@@ -10,6 +10,7 @@ import pandas as pd
 import pytest
 
 from cargo_chat_spark.queries.registry import ORACLE_SQL, SPARK_QUERIES
+from cargo_chat_spark.queries import dedup  # noqa: F401 (leakage_safe_split)
 from cargo_chat_spark.queries import sampling
 from tests.conftest import SF_DIR_SMALL
 
@@ -127,3 +128,33 @@ def test_pack_budget_respected(spark):
     assert (got["total_tokens"] <= sampling._PACK_BUDGET + docs_tokens).all()
     # packs within a shard cover contiguous id ranges (first-fit in order)
     assert (got["first_doc"] <= got["last_doc"]).all()
+
+
+def test_leakage_safe_split_groups_never_straddle(spark):
+    """The property the operator exists for: every near-dup component is
+    entirely inside ONE split (a per-doc draw provably violates this on
+    the same fixture), singletons keep dataset_split-compatible draws,
+    and ratios stay near 98/1/1."""
+    ls = SPARK_QUERIES["leakage_safe_split"](spark, SF_DIR_SMALL).toPandas()
+    assert len(ls) == ls["doc_id"].nunique()
+
+    per_group = ls.groupby("group_id")["split"].nunique()
+    assert (per_group == 1).all()
+
+    clusters = ls[ls["group_id"] != ls["doc_id"]]
+    assert len(clusters) > 0, "fixture must contain near-dup clusters"
+
+    # every cluster member inherits exactly the REPRESENTATIVE's label:
+    # the split of group_id g equals the split a singleton with doc_id g
+    # would get from dataset_split (same draw primitive on the same key)
+    pd_split = SPARK_QUERIES["dataset_split"](spark, SF_DIR_SMALL).toPandas()
+    rep = pd_split.rename(
+        columns={"doc_id": "group_id", "split": "split_rep"}
+    )[["group_id", "split_rep"]]
+    merged = clusters.merge(rep, on="group_id")
+    assert len(merged) == len(clusters)
+    assert (merged["split"] == merged["split_rep"]).all()
+
+    frac = ls["split"].value_counts(normalize=True)
+    assert 0.93 <= frac.get("train", 0) <= 1.0
+    assert frac.get("val", 0) <= 0.05 and frac.get("test", 0) <= 0.05

@@ -1,0 +1,162 @@
+"""Physical pins for snapshot versioning (sources/snapshots.py):
+historical reads are immutable, copy-on-write deletes share unaffected
+files between manifests, a reader holding an old version is undisturbed
+by later commits, and vacuum removes exactly the unreachable files.
+The values contract is carried by the ``events_time_travel`` gate."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from cargo_chat_spark.sources.snapshots import (
+    expire_snapshots,
+    manifest,
+    snap_append,
+    snap_delete,
+    snap_read,
+    snap_write,
+    versions,
+)
+from cargo_chat_spark.sources.testdata import load_table
+from tests.conftest import SF_DIR_SMALL
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _file_stats(out, names):
+    return {
+        f: (os.path.getsize(os.path.join(out, f)),
+            os.path.getmtime(os.path.join(out, f)))
+        for f in names
+    }
+
+
+def _build(spark, out):
+    e = load_table(spark, SF_DIR_SMALL, "events")
+    v0 = snap_write(e.where(F.col("user_id") < 50), out)
+    v1 = snap_append(e.where(F.col("user_id") >= 50), out)
+    v2 = snap_delete(
+        spark, out, e.where(F.col("user_id").isin(7, 11)).select("event_id"),
+        "event_id",
+    )
+    return e, (v0, v1, v2)
+
+
+def test_time_travel_reads_and_immutability(spark, tmp_path):
+    out = str(tmp_path / "snap")
+    e, (v0, v1, v2) = _build(spark, out)
+    assert (v0, v1, v2) == (0, 1, 2)
+
+    m0 = manifest(out, 0)
+    stats_before = _file_stats(out, m0["files"])
+
+    assert _rows(snap_read(spark, out, 0)) == _rows(
+        e.where(F.col("user_id") < 50)
+    )
+    assert _rows(snap_read(spark, out, 1)) == _rows(e)
+    assert _rows(snap_read(spark, out)) == _rows(
+        e.where(~F.col("user_id").isin(7, 11))
+    )
+    # v0's physical files were never touched by the append or the delete
+    assert _file_stats(out, m0["files"]) == stats_before
+
+
+def test_cow_delete_shares_unaffected_files(spark, tmp_path):
+    out = str(tmp_path / "snap")
+    _build(spark, out)
+    m1, m2 = manifest(out, 1), manifest(out, 2)
+    shared = set(m1["files"]) & set(m2["files"])
+    rewritten = set(m1["files"]) - set(m2["files"])
+    assert shared, "CoW must share every unaffected file"
+    assert rewritten, "the deleted users' files must be replaced"
+    # new files belong to v2 exclusively
+    assert all(f.startswith("v2-") for f in set(m2["files"]) - shared)
+
+
+def test_reader_on_old_version_survives_later_commits(spark, tmp_path):
+    out = str(tmp_path / "snap")
+    e = load_table(spark, SF_DIR_SMALL, "events")
+    snap_write(e.where(F.col("user_id") < 50), out)
+    reader = snap_read(spark, out, 0)  # lazy plan pinned to v0's files
+    want = _rows(e.where(F.col("user_id") < 50))
+    snap_append(e.where(F.col("user_id") >= 50), out)
+    snap_delete(
+        spark, out, e.where(F.col("user_id") < 5).select("event_id"),
+        "event_id",
+    )
+    assert _rows(reader) == want  # collected AFTER both commits
+
+
+def test_vacuum_removes_exactly_unreachable_files(spark, tmp_path):
+    out = str(tmp_path / "snap")
+    e, _ = _build(spark, out)
+    m2 = manifest(out, 2)
+    unreachable = (
+        set(manifest(out, 0)["files"]) | set(manifest(out, 1)["files"])
+    ) - set(m2["files"])
+    want_latest = _rows(snap_read(spark, out))
+
+    removed = expire_snapshots(out, keep_last=1)
+    assert set(removed) == unreachable and removed
+    assert versions(out) == [2]
+    for f in m2["files"]:
+        assert os.path.exists(os.path.join(out, f))
+    assert _rows(snap_read(spark, out)) == want_latest
+
+
+def test_merge_upserts_by_key_and_shares_files(spark, tmp_path):
+    from cargo_chat_spark.sources.snapshots import snap_merge
+
+    out = str(tmp_path / "snap")
+    e = load_table(spark, SF_DIR_SMALL, "events")
+    # multi-file base, user-local files -> the merge must not touch the
+    # files that hold no matched keys
+    snap_write(e.repartitionByRange(8, F.col("user_id")), out)
+    updates = e.where(F.col("user_id").isin(3, 5)).withColumn(
+        "value", F.col("value") + F.lit(1.5)
+    )
+    inserts = e.where(F.col("user_id") == 9).withColumn(
+        "event_id", F.col("event_id") + F.lit(10_000_000)
+    )
+    snap_merge(spark, out, updates.unionByName(inserts), "event_id")
+
+    want = _rows(
+        e.where(~F.col("user_id").isin(3, 5))
+        .unionByName(updates)
+        .unionByName(inserts)
+    )
+    assert _rows(snap_read(spark, out)) == want
+    assert _rows(snap_read(spark, out, 0)) == _rows(e)  # history intact
+
+    m0, m1 = manifest(out, 0), manifest(out, 1)
+    assert set(m0["files"]) & set(m1["files"]), "CoW must share files"
+
+
+def test_changes_reads_only_diff_files_and_ignores_moved_survivors(
+    spark, tmp_path
+):
+    from cargo_chat_spark.sources.snapshots import snap_changes
+
+    out = str(tmp_path / "snap")
+    e, _ = _build(spark, out)  # v0 write, v1 append, v2 delete users 7/11
+
+    # CDC plan touches ONLY the manifest-diff files
+    ch = snap_changes(spark, out, 1, 2, "event_id")
+    m1, m2 = set(manifest(out, 1)["files"]), set(manifest(out, 2)["files"])
+    diff = (m1 - m2) | (m2 - m1)
+    opened = {os.path.basename(f) for f in ch.inputFiles()}
+    assert opened and opened <= diff
+
+    # v1->v2 was a pure delete: CoW moved the survivors of the affected
+    # files into new files, but none of them may surface as changes
+    got = _rows(ch)
+    want = _rows(
+        e.where(F.col("user_id").isin(7, 11)).select(
+            F.lit("deleted").alias("change"), "event_id"
+        )
+    )
+    assert got == want
