@@ -85,6 +85,7 @@ DETAIL_EXTRA = [
     "leakage_safe_split",       # new r6: group-aware train/val/test split
     "events_time_travel",       # new r6: snapshot versioning / time travel
     "events_snapshot_cdc",      # new r6: MERGE INTO + change feed (CDC)
+    "incremental_rollup_cdc",   # new r6: O(changed files) rollup refresh
 ]
 
 
@@ -200,6 +201,9 @@ _R6_NEW_BARS = {
     # measured at calib 0.329 (/0.770; raw median 2.53): write + MERGE
     # INTO + CoW delete + row-level v0→v2 change feed
     "events_snapshot_cdc": 3.28,
+    # measured at calib 0.316 (/0.740; raw median 2.16): same lifecycle
+    # + rollup maintained from the manifest-diff files alone
+    "incremental_rollup_cdc": 2.92,
 }
 
 BASELINE_S = {**_LEGACY_BARS, **_R6_BARS, **_R6_NEW_BARS}

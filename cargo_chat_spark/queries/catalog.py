@@ -236,6 +236,10 @@ ROUND7_PROMOTION_PLAN = [
     # INTO by key + row-level change feed between snapshots reading only
     # the manifest-diff files — the incremental-recompute primitive)
     "events_snapshot_cdc",
+    # new in round 6 (local oracle green at sf0.001 AND sf0.01; rollup
+    # maintained across versions from manifest-diff files only —
+    # CoW-moved survivors cancel exactly in the signed delta)
+    "incremental_rollup_cdc",
     # tier 2 — remaining distinct machinery
     "weighted_sample", "word_entropy", "unigram_logprob",
     "engaged_clean_users", "value_zscore_outliers",

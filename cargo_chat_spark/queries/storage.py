@@ -557,3 +557,101 @@ def events_snapshot_cdc(spark, sf_dir):
         "event_id",
     )
     return snap_changes(spark, out, 0, 2, "event_id")
+
+
+# -------------------------------------- incremental rollup via CDC gate
+# The payoff of the snapshot log: maintain a per-type rollup across
+# versions WITHOUT re-aggregating the table. delta = agg(files only in
+# v2) - agg(files only in v0): survivors that a CoW rewrite merely moved
+# appear on BOTH sides and cancel EXACTLY (counts are ints, sums are
+# decimal(18,2) — no float drift), so the delta is computed from the
+# manifest-diff files alone; maintained = rollup(v0) + delta. The oracle
+# aggregates the logical v2 content (updates applied, inserts added,
+# deletes removed) directly from the raw table — any survivor that
+# failed to cancel, any double-counted update, any missed delete is a
+# value mismatch. At 100 TB: rollup refresh costs O(changed files), not
+# O(table) — the incremental-recompute pattern every downstream consumer
+# of a versioned corpus wants.
+_INC_ROLLUP_SQL = """
+WITH final AS (
+    SELECT event_type,
+           CASE WHEN user_id IN (3, 5) THEN value + 1.5 ELSE value END AS value
+    FROM events WHERE user_id NOT IN (7, 11)
+    UNION ALL
+    SELECT event_type, value FROM events WHERE user_id = 9
+)
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM final GROUP BY event_type
+"""
+
+
+@register("incremental_rollup_cdc", sql=_INC_ROLLUP_SQL)
+def incremental_rollup_cdc(spark, sf_dir):
+    """Maintain rollup(v0) to v2 using only the manifest-diff files
+    (write → MERGE → delete lifecycle); must equal the oracle's direct
+    aggregate of the final logical content."""
+    import shutil
+
+    from cargo_chat_spark.sources.snapshots import (
+        manifest,
+        snap_delete,
+        snap_merge,
+        snap_read,
+        snap_write,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"ccs_events_incroll_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{os.getpid()}",
+    )
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    snap_write(e, out)
+    updates = e.where(F.col("user_id").isin(3, 5)).withColumn(
+        "value", F.col("value") + F.lit(1.5)
+    )
+    inserts = e.where(F.col("user_id") == 9).withColumn(
+        "event_id", F.col("event_id") + F.lit(10_000_000)
+    )
+    snap_merge(spark, out, updates.unionByName(inserts), "event_id")
+    snap_delete(
+        spark, out, e.where(F.col("user_id").isin(7, 11)).select("event_id"),
+        "event_id",
+    )
+
+    def signed_agg(df, sign):
+        return df.groupBy("event_type").agg(
+            (F.lit(sign) * F.count(F.lit(1))).alias("dn"),
+            (F.lit(sign) * F.sum(F.col("value").cast("decimal(18,2)")))
+            .alias("dt"),
+        )
+
+    m0 = set(manifest(out, 0)["files"])
+    m2 = set(manifest(out, 2)["files"])
+    old_only = sorted(m0 - m2)
+    new_only = sorted(m2 - m0)
+    rollup0 = signed_agg(snap_read(spark, out, 0), 1)
+    parts = [rollup0]
+    if new_only:
+        parts.append(signed_agg(
+            spark.read.parquet(*(os.path.join(out, f) for f in new_only)), 1
+        ))
+    if old_only:
+        parts.append(signed_agg(
+            spark.read.parquet(*(os.path.join(out, f) for f in old_only)), -1
+        ))
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = acc.unionByName(p)
+    return (
+        acc.groupBy("event_type")
+        .agg(
+            F.sum("dn").cast("bigint").alias("n"),
+            F.sum("dt").cast("double").alias("total_value"),
+        )
+        .where(F.col("n") > 0)
+    )

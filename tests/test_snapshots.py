@@ -160,3 +160,42 @@ def test_changes_reads_only_diff_files_and_ignores_moved_survivors(
         )
     )
     assert got == want
+
+
+def test_incremental_agg_survivor_cancellation(spark, tmp_path):
+    """File-level delta maintenance on a DIFFERENT lifecycle than the
+    gate (append then delete): rollup(v0) + agg(new-only files) -
+    agg(old-only files) equals the direct aggregate of the latest
+    version — CoW-moved survivors cancel exactly (int counts, decimal
+    sums)."""
+    out = str(tmp_path / "snap")
+    e, _ = _build(spark, out)  # v0 write(<50), v1 append, v2 delete 7/11
+
+    def agg(df, sign=1):
+        return df.groupBy("event_type").agg(
+            (F.lit(sign) * F.count(F.lit(1))).alias("dn"),
+            (F.lit(sign) * F.sum(F.col("value").cast("decimal(18,2)")))
+            .alias("dt"),
+        )
+
+    m0 = set(manifest(out, 0)["files"])
+    m2 = set(manifest(out, 2)["files"])
+    frames = [agg(snap_read(spark, out, 0))]
+    if m2 - m0:
+        frames.append(agg(spark.read.parquet(
+            *(os.path.join(out, f) for f in sorted(m2 - m0))), 1))
+    if m0 - m2:
+        frames.append(agg(spark.read.parquet(
+            *(os.path.join(out, f) for f in sorted(m0 - m2))), -1))
+    acc = frames[0]
+    for fr in frames[1:]:
+        acc = acc.unionByName(fr)
+    maintained = _rows(
+        acc.groupBy("event_type")
+        .agg(F.sum("dn").alias("n"), F.sum("dt").alias("t"))
+        .where(F.col("n") > 0)
+    )
+    direct = _rows(agg(snap_read(spark, out, 2)).select(
+        "event_type", F.col("dn").alias("n"), F.col("dt").alias("t")
+    ))
+    assert maintained == direct

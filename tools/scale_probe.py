@@ -35,6 +35,14 @@ QUERIES = [
     "quality_score",
     "doc_fingerprints",
     "langid_heuristic",
+    # storage-lifecycle gates (r6): base write scales linearly while the
+    # delete/merge/CDC maintenance targets a FIXED user set (the replicas
+    # shift user_id, so matched rows stay constant as the table grows) —
+    # the realistic "bounded change wave on a growing table" shape
+    "events_merge_on_read",
+    "events_time_travel",
+    "events_snapshot_cdc",
+    "incremental_rollup_cdc",
 ]
 TABLES = {
     "lineitem": ["l_orderkey"],
