@@ -86,6 +86,7 @@ DETAIL_EXTRA = [
     "events_time_travel",       # new r6: snapshot versioning / time travel
     "events_snapshot_cdc",      # new r6: MERGE INTO + change feed (CDC)
     "incremental_rollup_cdc",   # new r6: O(changed files) rollup refresh
+    "dedup_mor_apply",          # new r6: dedup drops landed as MOR deletes
 ]
 
 
@@ -204,6 +205,12 @@ _R6_NEW_BARS = {
     # measured at calib 0.316 (/0.740; raw median 2.16): same lifecycle
     # + rollup maintained from the manifest-diff files alone
     "incremental_rollup_cdc": 2.92,
+    # two 3-repeat sessions: raw median 8.67 @ calib 0.324 (→11.43) and
+    # 10.78 @ calib 0.300 (→15.34); bar = the session median 13.4.
+    # Cost is inherent: the full minhash→LSH→components decision (the
+    # eager checkpointed iteration) + base write + tombstone wave + MOR
+    # profile, all self-contained in one gate
+    "dedup_mor_apply": 13.4,
 }
 
 BASELINE_S = {**_LEGACY_BARS, **_R6_BARS, **_R6_NEW_BARS}

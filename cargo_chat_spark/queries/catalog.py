@@ -240,6 +240,10 @@ ROUND7_PROMOTION_PLAN = [
     # maintained across versions from manifest-diff files only —
     # CoW-moved survivors cancel exactly in the signed delta)
     "incremental_rollup_cdc",
+    # new in round 6 (local oracle green at sf0.001 AND sf0.01; the
+    # dedup keep-decision landed as a merge-on-read delete wave and the
+    # surviving corpus profiled through the MOR view — dedup ∘ deletes)
+    "dedup_mor_apply",
     # tier 2 — remaining distinct machinery
     "weighted_sample", "word_entropy", "unigram_logprob",
     "engaged_clean_users", "value_zscore_outliers",

@@ -617,3 +617,84 @@ def leakage_safe_split(spark, sf_dir):
         group.cast("bigint").alias("group_id"),
         split.alias("split"),
     )
+
+
+# ------------------------------------------- dedup drops as a delete wave
+# How a curation pipeline actually LANDS the keep/drop decision at 100 TB:
+# not by rewriting the corpus, but by issuing the dropped doc_ids as a
+# merge-on-read delete wave against the stored table (sources/deletes.py)
+# — O(dropped keys) now, file rewrites deferred to compaction. The gate
+# composes the two gated families end to end: neardup keep-decision →
+# tombstones → MOR read → per-language profile of the SURVIVING corpus,
+# which the oracle derives independently from the recursive-CTE
+# components. A drop that failed to tombstone, a keeper lost by the
+# anti-join, or a dropped doc leaking through the MOR view moves a
+# count/char-sum and mismatches.
+_DEDUP_MOR_SQL = f"""
+WITH RECURSIVE {_BANDS_CTE},
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+    WHERE a.doc_id < b.doc_id
+),
+edges AS (
+    SELECT doc_a AS s, doc_b AS d FROM pairs
+    UNION ALL
+    SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach(src, dst) AS (
+    SELECT s, s FROM edges
+    UNION
+    SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s
+),
+comp AS (
+    SELECT src AS doc_id, MIN(dst) AS component_id
+    FROM reach GROUP BY src
+),
+kept AS (
+    SELECT d.* FROM documents d
+    LEFT JOIN comp c USING (doc_id)
+    WHERE c.doc_id IS NULL OR c.component_id = d.doc_id
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM kept GROUP BY lang
+"""
+
+
+@register("dedup_mor_apply", sql=_DEDUP_MOR_SQL)
+def dedup_mor_apply(spark, sf_dir):
+    """Issue the near-dup drop set as a merge-on-read delete wave on the
+    stored documents table and profile the surviving corpus through the
+    MOR view."""
+    import os
+    import tempfile
+
+    from cargo_chat_spark.sources.deletes import (
+        delete_keys,
+        read_merge_on_read,
+    )
+    from cargo_chat_spark.sources.sorted_layout import write_range_sorted
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"ccs_docs_dedup_mor_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{os.getpid()}",
+    )
+    write_range_sorted(docs, out, "doc_id", n_files=8)
+    drops = (
+        neardup_dedup_keep(spark, sf_dir)
+        .where(~F.col("kept"))
+        .select("doc_id")
+    )
+    delete_keys(drops, out, "doc_id")
+    return (
+        read_merge_on_read(spark, out, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )

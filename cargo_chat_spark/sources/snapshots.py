@@ -254,7 +254,12 @@ def snap_changes(
         if not files:
             return None
         df = spark.read.parquet(*(os.path.join(root, f) for f in sorted(files)))
-        cols = [F.col(c).cast("string") for c in sorted(df.columns)]
+        # concat_ws silently DROPS null cells, so rows differing only in
+        # which column is null would collide — encode null explicitly
+        cols = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+            for c in sorted(df.columns)
+        ]
         return df.select(
             F.col(key_col).alias("k"),
             F.md5(F.concat_ws("\x1f", *cols)).alias("h"),
