@@ -106,16 +106,30 @@ def _commit(path: str, version: int, files: list[str]) -> None:
     os.rename(tmp, _manifest_path(path, version))  # atomic commit point
 
 
-def snap_write(df: DataFrame, path: str) -> int:
+def snap_write(
+    df: DataFrame, path: str,
+    expectations: list[tuple[str, str]] | None = None,
+    on_violation: str = "fail",
+) -> int:
     """Create version 0 (or fully replace the logical content as a new
-    version if snapshots already exist — old versions stay readable)."""
+    version if snapshots already exist — old versions stay readable).
+    ``expectations``: commit-time invariants (see check_expectations)."""
+    df = check_expectations(df, expectations or [], on_violation)
     v = (versions(path)[-1] + 1) if versions(path) else 0
     _commit(path, v, _write_new_files(df, path, v))
     return v
 
 
-def snap_append(df: DataFrame, path: str) -> int:
-    """New snapshot = previous files + the appended rows' new files."""
+def snap_append(
+    df: DataFrame, path: str,
+    expectations: list[tuple[str, str]] | None = None,
+    on_violation: str = "fail",
+) -> int:
+    """New snapshot = previous files + the appended rows' new files.
+    ``expectations``: commit-time invariants (see check_expectations) —
+    checked against the BATCH before any file or manifest lands, so a
+    failed commit leaves the table exactly at its previous version."""
+    df = check_expectations(df, expectations or [], on_violation)
     prev = manifest(path)
     v = prev["version"] + 1
     _commit(path, v, prev["files"] + _write_new_files(df, path, v))
@@ -169,7 +183,9 @@ def snap_delete(
 def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
     """Vacuum: drop all but the last ``keep_last`` manifests and delete
     the data files no retained manifest references. Returns the deleted
-    basenames."""
+    basenames. ``keep_last < 1`` is a defensive no-op (expiring every
+    manifest would leave an unreadable table, never what a vacuum
+    means)."""
     vs = versions(path)
     retained = set(vs[-keep_last:]) if keep_last > 0 else set(vs)
     reachable: set[str] = set()
@@ -284,3 +300,48 @@ def snap_changes(
         )
         .where(F.col("change").isNotNull())
     )
+
+
+class ExpectationViolation(ValueError):
+    """A commit-time expectation failed; the table was left at its
+    previous version (no manifest was written)."""
+
+
+def check_expectations(
+    df: DataFrame,
+    expectations: list[tuple[str, str]],
+    on_violation: str = "fail",
+) -> DataFrame:
+    """Delta-style commit-time data quality gates: each expectation is
+    (name, SQL predicate) that every committed row must satisfy.
+
+    ``on_violation='fail'`` counts violators per expectation in ONE
+    aggregate pass and raises :class:`ExpectationViolation` before
+    anything is written — the commit is atomic, so readers never see a
+    version that violates a declared invariant. ``'drop'`` instead
+    filters violating rows out of the commit (DLT's expect_or_drop).
+    Scale: the fail path costs one extra scan of the BATCH (not the
+    table); the drop path is a fused filter, zero extra passes."""
+    from pyspark.sql import functions as F
+
+    if not expectations:
+        return df
+    if on_violation == "drop":
+        out = df
+        for _, pred in expectations:
+            out = out.where(F.expr(pred))
+        return out
+    if on_violation != "fail":
+        raise ValueError(f"unknown on_violation mode: {on_violation}")
+    counts = df.agg(
+        *[
+            F.sum(F.when(~F.expr(pred), 1).otherwise(0)).alias(name)
+            for name, pred in expectations
+        ]
+    ).first()
+    bad = {n: counts[n] for n, _ in expectations if (counts[n] or 0) > 0}
+    if bad:
+        raise ExpectationViolation(
+            f"expectations violated, commit aborted: {bad}"
+        )
+    return df

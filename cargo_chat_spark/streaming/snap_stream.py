@@ -1,0 +1,108 @@
+"""Streaming ingest into the snapshot-versioned table.
+
+Closes the loop between Structured Streaming and the snapshot log
+(``sources/snapshots.py``): each micro-batch lands as ONE new snapshot
+version via ``snap_append`` — so the table gains exactly the Delta-style
+transactional-stream properties: readers always see a complete version
+(the manifest rename is the atomic commit point, never a half-written
+batch), every micro-batch boundary is a time-travelable version, and the
+change feed (``snap_changes``) doubles as the downstream CDC of the
+stream.
+
+``foreachBatch`` is at-least-once, and ``snap_append`` is NOT naturally
+idempotent (appending twice duplicates rows), so replays are fenced the
+same way ``streaming/upsert_sink.py`` fences its rollup log: each commit
+records its ``batch_id`` in the manifest, and a batch at or below the
+highest committed id is a no-op. This is exactly Delta's
+``txn``/``setTransaction`` idempotent-writer protocol expressed on the
+JSON manifest.
+
+Scale posture: per micro-batch cost is O(batch rows) — the append writes
+only the batch's files and one manifest; nothing existing is read or
+rewritten. Version count grows with batch count; ``expire_snapshots``
+bounds history and a periodic ``snap_merge``-style compaction can fold
+small batch files (both existing primitives).
+
+``tests/test_snap_stream.py`` pins batch-build equivalence, replay
+fencing (a re-delivered micro-batch cannot double-append), and per-batch
+time travel.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import SparkSession
+
+from cargo_chat_spark.sources.snapshots import (
+    _local,
+    _write_new_files,
+    manifest,
+    versions,
+)
+
+
+def append_batch(batch_df, table_path: str, batch_id: int) -> int | None:
+    """Commit one micro-batch as a new snapshot version, fenced by
+    ``batch_id``: replays (id <= the highest committed id) are no-ops.
+    The fence travels INSIDE the manifest and lands with the same atomic
+    rename as the version itself — a crash can leave orphan data files
+    (unreferenced by any manifest, invisible to readers and reclaimable)
+    but never a committed-yet-unfenced version, so the replay check and
+    the commit can't disagree. Returns the committed version, or None
+    for a fenced replay."""
+    vs = versions(table_path)
+    if vs:
+        prev = manifest(table_path)
+        last_txn = prev.get("batch_id")
+        if last_txn is not None and batch_id <= last_txn:
+            return None  # at-least-once replay; already committed
+        v = prev["version"] + 1
+        files = prev["files"]
+    else:
+        v, files = 0, []
+    new = _write_new_files(batch_df, table_path, v)
+    snap_dir = os.path.join(_local(table_path), "_snapshots")
+    os.makedirs(snap_dir, exist_ok=True)
+    mp = os.path.join(snap_dir, f"v{v}.json")
+    tmp = mp + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {"version": v, "files": sorted(files + new), "batch_id": batch_id},
+            fh, indent=1,
+        )
+    os.rename(tmp, mp)  # atomic commit point: version + fence together
+    return v
+
+
+def run_snapshot_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    table_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drain ``source_dir`` (availableNow), committing each micro-batch
+    as one snapshot version of the table at ``table_path``.
+    ``max_files_per_trigger`` bounds batch size (and hence per-version
+    file count) — availableNow still drains everything, in more,
+    smaller commits."""
+
+    def _apply(batch_df, batch_id: int) -> None:
+        append_batch(batch_df, table_path, batch_id)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        reader.parquet(source_dir)
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    # availableNow terminates on its own; unbounded wait so the caller
+    # never reads a half-drained table
+    q.awaitTermination()

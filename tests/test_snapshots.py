@@ -37,8 +37,16 @@ def _file_stats(out, names):
 
 def _build(spark, out):
     e = load_table(spark, SF_DIR_SMALL, "events")
-    v0 = snap_write(e.where(F.col("user_id") < 50), out)
-    v1 = snap_append(e.where(F.col("user_id") >= 50), out)
+    # user-local multi-file layout so the later delete of users 7/11
+    # affects a strict subset of each version's files
+    v0 = snap_write(
+        e.where(F.col("user_id") < 8).repartitionByRange(4, F.col("user_id")),
+        out,
+    )
+    v1 = snap_append(
+        e.where(F.col("user_id") >= 8).repartitionByRange(4, F.col("user_id")),
+        out,
+    )
     v2 = snap_delete(
         spark, out, e.where(F.col("user_id").isin(7, 11)).select("event_id"),
         "event_id",
@@ -55,7 +63,7 @@ def test_time_travel_reads_and_immutability(spark, tmp_path):
     stats_before = _file_stats(out, m0["files"])
 
     assert _rows(snap_read(spark, out, 0)) == _rows(
-        e.where(F.col("user_id") < 50)
+        e.where(F.col("user_id") < 8)
     )
     assert _rows(snap_read(spark, out, 1)) == _rows(e)
     assert _rows(snap_read(spark, out)) == _rows(
@@ -80,10 +88,10 @@ def test_cow_delete_shares_unaffected_files(spark, tmp_path):
 def test_reader_on_old_version_survives_later_commits(spark, tmp_path):
     out = str(tmp_path / "snap")
     e = load_table(spark, SF_DIR_SMALL, "events")
-    snap_write(e.where(F.col("user_id") < 50), out)
+    snap_write(e.where(F.col("user_id") < 8), out)
     reader = snap_read(spark, out, 0)  # lazy plan pinned to v0's files
-    want = _rows(e.where(F.col("user_id") < 50))
-    snap_append(e.where(F.col("user_id") >= 50), out)
+    want = _rows(e.where(F.col("user_id") < 8))
+    snap_append(e.where(F.col("user_id") >= 8), out)
     snap_delete(
         spark, out, e.where(F.col("user_id") < 5).select("event_id"),
         "event_id",
@@ -199,3 +207,51 @@ def test_incremental_agg_survivor_cancellation(spark, tmp_path):
         "event_type", F.col("dn").alias("n"), F.col("dt").alias("t")
     ))
     assert maintained == direct
+
+
+def test_commit_time_expectations(spark, tmp_path):
+    """Delta-style expectations: a violating batch ABORTS atomically
+    (table stays at the previous version), drop-mode filters violators,
+    and a clean batch commits normally."""
+    import pytest
+
+    from cargo_chat_spark.sources.snapshots import (
+        ExpectationViolation,
+        snap_append,
+    )
+
+    out = str(tmp_path / "snap")
+    e = load_table(spark, SF_DIR_SMALL, "events")
+    exps = [
+        ("value_nonneg", "value >= 0"),
+        ("known_type", "event_type IS NOT NULL"),
+    ]
+    snap_write(e.where(F.col("user_id") < 8), out, expectations=exps)
+    want = _rows(snap_read(spark, out))
+
+    bad = e.where(F.col("user_id") >= 8).withColumn(
+        "value", F.col("value") - F.lit(10_000.0)
+    )
+    with pytest.raises(ExpectationViolation, match="value_nonneg"):
+        snap_append(bad, out, expectations=exps)
+    # atomic: no new version, content unchanged
+    assert versions(out) == [0]
+    assert _rows(snap_read(spark, out)) == want
+
+    # drop mode: only the conforming rows of a mixed batch land
+    mixed = e.where(F.col("user_id") >= 8).withColumn(
+        "value",
+        F.when(F.col("user_id") % 2 == 0, F.col("value") - 10_000.0)
+        .otherwise(F.col("value")),
+    )
+    snap_append(mixed, out, expectations=exps, on_violation="drop")
+    assert versions(out) == [0, 1]
+    assert _rows(snap_read(spark, out)) == _rows(
+        e.where(F.col("user_id") < 8).unionByName(
+            e.where((F.col("user_id") >= 8) & (F.col("user_id") % 2 == 1))
+        )
+    )
+
+    # clean batch under the same expectations commits
+    snap_append(e.where(F.col("user_id") >= 8), out, expectations=exps)
+    assert versions(out) == [0, 1, 2]
