@@ -117,6 +117,31 @@ bands AS (
 )
 """
 
+# Shared recursive-closure CTE suite over the banded candidate pairs:
+# pairs -> symmetric edges -> reachability -> per-doc component id
+# (min reachable doc_id). Referenced by every component-consuming oracle
+# (_COMPONENTS_SQL, _KEEP_SQL, _LEAKAGE_SPLIT_SQL, _DEDUP_MOR_SQL) so the
+# component semantics can only ever change in ONE place.
+_COMP_CTES = """pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+    WHERE a.doc_id < b.doc_id
+),
+edges AS (
+    SELECT doc_a AS s, doc_b AS d FROM pairs
+    UNION ALL
+    SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach(src, dst) AS (
+    SELECT s, s FROM edges
+    UNION
+    SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s
+),
+comp AS (
+    SELECT src AS doc_id, MIN(dst) AS component_id
+    FROM reach GROUP BY src
+)"""
+
 _LSH_SQL = f"""
 WITH {_BANDS_CTE}
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -168,24 +193,8 @@ def minhash_lsh_pairs(spark, sf_dir):
 # point: the gate pins the SEMANTICS, not the iteration strategy.
 _COMPONENTS_SQL = f"""
 WITH RECURSIVE {_BANDS_CTE},
-pairs AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-    WHERE a.doc_id < b.doc_id
-),
-edges AS (
-    SELECT doc_a AS s, doc_b AS d FROM pairs
-    UNION ALL
-    SELECT doc_b AS s, doc_a AS d FROM pairs
-),
-reach(src, dst) AS (
-    SELECT s, s FROM edges
-    UNION
-    SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s
-)
-SELECT src AS doc_id,
-    CAST(MIN(dst) AS BIGINT) AS component_id
-FROM reach GROUP BY src
+{_COMP_CTES}
+SELECT doc_id, CAST(component_id AS BIGINT) AS component_id FROM comp
 """
 
 
@@ -206,25 +215,7 @@ def neardup_components(spark, sf_dir, max_iter: int = 20):
 # ----------------------------------------------------- dedup keep decision
 _KEEP_SQL = f"""
 WITH RECURSIVE {_BANDS_CTE},
-pairs AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-    WHERE a.doc_id < b.doc_id
-),
-edges AS (
-    SELECT doc_a AS s, doc_b AS d FROM pairs
-    UNION ALL
-    SELECT doc_b AS s, doc_a AS d FROM pairs
-),
-reach(src, dst) AS (
-    SELECT s, s FROM edges
-    UNION
-    SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s
-),
-comp AS (
-    SELECT src AS doc_id, MIN(dst) AS component_id
-    FROM reach GROUP BY src
-),
+{_COMP_CTES},
 sizes AS (
     SELECT component_id, COUNT(*) AS csize FROM comp GROUP BY component_id
 )
@@ -566,25 +557,7 @@ def paragraph_dedup_rebuild(spark, sf_dir):
 # and append-stability carry over unchanged.
 _LEAKAGE_SPLIT_SQL = f"""
 WITH RECURSIVE {_BANDS_CTE},
-pairs AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-    WHERE a.doc_id < b.doc_id
-),
-edges AS (
-    SELECT doc_a AS s, doc_b AS d FROM pairs
-    UNION ALL
-    SELECT doc_b AS s, doc_a AS d FROM pairs
-),
-reach(src, dst) AS (
-    SELECT s, s FROM edges
-    UNION
-    SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s
-),
-comp AS (
-    SELECT src AS doc_id, MIN(dst) AS component_id
-    FROM reach GROUP BY src
-)
+{_COMP_CTES}
 SELECT d.doc_id,
     CAST(COALESCE(c.component_id, d.doc_id) AS BIGINT) AS group_id,
     CASE WHEN {_dr.draw_sql("COALESCE(c.component_id, d.doc_id)")}
@@ -632,25 +605,7 @@ def leakage_safe_split(spark, sf_dir):
 # count/char-sum and mismatches.
 _DEDUP_MOR_SQL = f"""
 WITH RECURSIVE {_BANDS_CTE},
-pairs AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-    WHERE a.doc_id < b.doc_id
-),
-edges AS (
-    SELECT doc_a AS s, doc_b AS d FROM pairs
-    UNION ALL
-    SELECT doc_b AS s, doc_a AS d FROM pairs
-),
-reach(src, dst) AS (
-    SELECT s, s FROM edges
-    UNION
-    SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s
-),
-comp AS (
-    SELECT src AS doc_id, MIN(dst) AS component_id
-    FROM reach GROUP BY src
-),
+{_COMP_CTES},
 kept AS (
     SELECT d.* FROM documents d
     LEFT JOIN comp c USING (doc_id)

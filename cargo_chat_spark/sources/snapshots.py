@@ -38,12 +38,11 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from cargo_chat_spark.sources._paths import strip_scheme as _local
+from cargo_chat_spark.sources.deletes import affected_files as _affected_files
+
 _SNAP_DIR = "_snapshots"
 _STAGING = "_snap_staging"
-
-
-def _local(path: str) -> str:
-    return path[len("file:"):] if path.startswith("file:") else path
 
 
 def _snap_dir(path: str) -> str:
@@ -98,11 +97,20 @@ def _write_new_files(df: DataFrame, path: str, version: int) -> list[str]:
     return moved
 
 
-def _commit(path: str, version: int, files: list[str]) -> None:
+def _commit(
+    path: str, version: int, files: list[str], extra: dict | None = None
+) -> None:
+    """Write the version manifest by atomic rename — the single commit
+    point every writer (batch AND streaming) goes through. ``extra``
+    merges additional metadata (e.g. the streaming batch-id fence) into
+    the same atomic write, so metadata can never lag its version."""
     os.makedirs(_snap_dir(path), exist_ok=True)
     tmp = _manifest_path(path, version) + ".tmp"
     with open(tmp, "w") as fh:
-        json.dump({"version": version, "files": sorted(files)}, fh, indent=1)
+        json.dump(
+            {"version": version, "files": sorted(files), **(extra or {})},
+            fh, indent=1,
+        )
     os.rename(tmp, _manifest_path(path, version))  # atomic commit point
 
 
@@ -159,16 +167,7 @@ def snap_delete(
     root = _local(path)
     k = F.broadcast(keys.select(key_col).distinct())
     cur = spark.read.parquet(*(os.path.join(root, f) for f in prev["files"]))
-    affected = {
-        os.path.basename(_local(r["f"]))
-        for r in (
-            cur.select(key_col, F.input_file_name().alias("f"))
-            .join(k, on=key_col, how="left_semi")
-            .select("f")
-            .distinct()
-            .collect()  # bounded: one row per affected FILE
-        )
-    }
+    affected = _affected_files(cur, keys, key_col)
     kept = [f for f in prev["files"] if f not in affected]
     new: list[str] = []
     if affected:
@@ -222,16 +221,7 @@ def snap_merge(
     root = _local(path)
     k = F.broadcast(updates.select(key_col).distinct())
     cur = spark.read.parquet(*(os.path.join(root, f) for f in prev["files"]))
-    affected = {
-        os.path.basename(_local(r["f"]))
-        for r in (
-            cur.select(key_col, F.input_file_name().alias("f"))
-            .join(k, on=key_col, how="left_semi")
-            .select("f")
-            .distinct()
-            .collect()  # bounded: one row per affected FILE
-        )
-    }
+    affected = _affected_files(cur, updates, key_col)
     kept = [f for f in prev["files"] if f not in affected]
     new_rows = updates
     if affected:
@@ -282,9 +272,15 @@ def snap_changes(
         )
 
     a, b = side(ma - mb), side(mb - ma)
-    schema = f"change string, {key_col} bigint"
     if a is None and b is None:
-        return spark.createDataFrame([], schema)
+        # derive the key's REAL type from the table (hardcoding one
+        # would make the empty-diff frame schema-incompatible with the
+        # non-empty branches for non-bigint keys)
+        key_type = (
+            snap_read(spark, path, to_version)
+            .schema[key_col].dataType.simpleString()
+        )
+        return spark.createDataFrame([], f"change string, {key_col} {key_type}")
     if a is None:
         return b.select(F.lit("inserted").alias("change"), F.col("k").alias(key_col))
     if b is None:

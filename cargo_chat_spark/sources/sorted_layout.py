@@ -27,13 +27,11 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+
+from cargo_chat_spark.sources._paths import strip_scheme as _local
 from pyspark.sql import functions as F
 
 _MANIFEST = "_minmax_manifest.json"
-
-
-def _local(path: str) -> str:
-    return path[len("file:"):] if path.startswith("file:") else path
 
 
 def write_range_sorted(

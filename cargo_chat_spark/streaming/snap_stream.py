@@ -21,7 +21,11 @@ Scale posture: per micro-batch cost is O(batch rows) — the append writes
 only the batch's files and one manifest; nothing existing is read or
 rewritten. Version count grows with batch count; ``expire_snapshots``
 bounds history and a periodic ``snap_merge``-style compaction can fold
-small batch files (both existing primitives).
+small batch files (both existing primitives). Run vacuum only while the
+stream is stopped with its checkpoint committed (the same stopped-stream
+precondition as ``upsert_sink.compact_rollup``): expiring every
+``batch_id``-bearing manifest while a crash-replay of that batch is
+still possible would drop the fence with it.
 
 ``tests/test_snap_stream.py`` pins batch-build equivalence, replay
 fencing (a re-delivered micro-batch cannot double-append), and per-batch
@@ -30,13 +34,10 @@ time travel.
 
 from __future__ import annotations
 
-import json
-import os
-
 from pyspark.sql import SparkSession
 
 from cargo_chat_spark.sources.snapshots import (
-    _local,
+    _commit,
     _write_new_files,
     manifest,
     versions,
@@ -55,24 +56,27 @@ def append_batch(batch_df, table_path: str, batch_id: int) -> int | None:
     vs = versions(table_path)
     if vs:
         prev = manifest(table_path)
-        last_txn = prev.get("batch_id")
-        if last_txn is not None and batch_id <= last_txn:
+        # the fence is the max batch_id over ALL manifests, not just the
+        # latest: an interleaved non-stream commit (snap_delete /
+        # snap_merge / compaction) writes a manifest WITHOUT a batch_id,
+        # and reading only that one would erase the fence — a replayed
+        # micro-batch would then double-append. Scanning the log keeps
+        # the watermark alive across unrelated commits (Delta's per-app
+        # setTransaction semantics); cost is O(versions) tiny JSON reads,
+        # bounded by expire_snapshots.
+        txns = [
+            m.get("batch_id")
+            for m in (manifest(table_path, x) for x in vs)
+        ]
+        committed = [t for t in txns if t is not None]
+        if committed and batch_id <= max(committed):
             return None  # at-least-once replay; already committed
         v = prev["version"] + 1
         files = prev["files"]
     else:
         v, files = 0, []
     new = _write_new_files(batch_df, table_path, v)
-    snap_dir = os.path.join(_local(table_path), "_snapshots")
-    os.makedirs(snap_dir, exist_ok=True)
-    mp = os.path.join(snap_dir, f"v{v}.json")
-    tmp = mp + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(
-            {"version": v, "files": sorted(files + new), "batch_id": batch_id},
-            fh, indent=1,
-        )
-    os.rename(tmp, mp)  # atomic commit point: version + fence together
+    _commit(table_path, v, files + new, extra={"batch_id": batch_id})
     return v
 
 

@@ -121,3 +121,63 @@ def test_delete_all_rows_of_a_file_removes_it(spark, tmp_path):
     assert rewritten == [files[0]]
     assert files[0] not in _base_files(out)
     assert _rows(spark.read.parquet(out)) == survivors
+
+
+def test_crashed_compaction_recovers_without_duplicating_survivors(
+    spark, tmp_path
+):
+    """Reconstruct the worst crash state by hand — journal committed,
+    HALF the compact copies moved in, originals still present, log
+    uncleared — and prove the next read self-heals to exactly the
+    post-compaction content (the journal-less failure mode was
+    permanently doubled survivors)."""
+    import json
+    import shutil
+
+    from cargo_chat_spark.sources.deletes import recover_compaction
+
+    e = load_table(spark, SF_DIR_SMALL, "events")
+    out = str(tmp_path / "mor")
+    write_range_sorted(e, out, "user_id", n_files=8)
+    delete_keys(
+        e.where(F.col("user_id").isin(7, 11)).select("event_id"),
+        out, "event_id",
+    )
+    want = _rows(read_merge_on_read(spark, out, "event_id"))
+
+    # hand-build the mid-crash state (mirrors compact_deletes internals)
+    tomb = spark.read.parquet(f"{out}/_tombstones").select("event_id")
+    base = spark.read.parquet(out)
+    affected = [
+        r["f"].removeprefix("file:")
+        for r in base.select("event_id", F.input_file_name().alias("f"))
+        .join(tomb, "event_id", "left_semi").select("f").distinct().collect()
+    ]
+    assert len(affected) >= 2, "need >=2 affected files to crash between"
+    survivors = spark.read.parquet(*affected).join(
+        tomb, "event_id", "left_anti"
+    )
+    staging = os.path.join(out, "_compact_staging")
+    survivors.write.mode("overwrite").parquet(staging)
+    moves = [
+        (f, f"compact-{f}")
+        for f in sorted(os.listdir(staging)) if f.endswith(".parquet")
+    ]
+    with open(os.path.join(out, "_compact_journal.json"), "w") as fh:
+        json.dump(
+            {"moves": moves,
+             "remove": sorted(os.path.basename(f) for f in affected)}, fh
+        )
+    # "crash": only the first staged file made it in; originals remain
+    s0, d0 = moves[0]
+    os.rename(os.path.join(staging, s0), os.path.join(out, d0))
+
+    # the next read self-heals and sees NO duplicated survivors
+    got = _rows(read_merge_on_read(spark, out, "event_id"))
+    assert got == want
+    assert not os.path.exists(os.path.join(out, "_compact_journal.json"))
+    assert not os.path.isdir(os.path.join(out, "_tombstones"))
+    # idempotent: nothing left to recover, compaction is a no-op
+    assert recover_compaction(out) is False
+    assert compact_deletes(spark, out, "event_id") == []
+    assert _rows(spark.read.parquet(out)) == want

@@ -94,3 +94,37 @@ def test_run_snapshot_ingest_end_to_end(spark, tmp_path):
     )
     assert versions(table) == [0, 1]
     assert _rows(snap_read(spark, table)) == _rows(e)
+
+
+def test_fence_survives_interleaved_non_stream_commits(spark, tmp_path):
+    """The review scenario: a maintenance commit (CoW delete) lands
+    BETWEEN stream batches; its manifest has no batch_id, but a replay
+    of an earlier micro-batch must still be fenced."""
+    from cargo_chat_spark.sources.snapshots import snap_delete
+
+    e = load_table(spark, SF_DIR_SMALL, "events")
+    w0 = e.where(F.col("user_id") < 5)
+    w1 = e.where(F.col("user_id") >= 5)
+    table = str(tmp_path / "table")
+    assert append_batch(w0, table, 0) == 0
+    assert append_batch(w1, table, 1) == 1
+
+    # interleaved maintenance: delete users 7/11 (manifest without txn)
+    snap_delete(
+        spark, table, e.where(F.col("user_id").isin(7, 11)).select("event_id"),
+        "event_id",
+    )
+    assert manifest(table).get("batch_id") is None
+    want = _rows(snap_read(spark, table))
+
+    # at-least-once redelivery of both stream batches: fenced
+    assert append_batch(w0, table, 0) is None
+    assert append_batch(w1, table, 1) is None
+    assert _rows(snap_read(spark, table)) == want
+
+    # a genuinely NEW batch still commits
+    w2 = e.where(F.col("user_id").isin(7, 11))
+    assert append_batch(w2, table, 2) is not None
+    assert _rows(snap_read(spark, table)) == _rows(
+        e.where(~F.col("user_id").isin(7, 11)).unionByName(w2)
+    )
