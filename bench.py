@@ -87,6 +87,8 @@ DETAIL_EXTRA = [
     "events_snapshot_cdc",      # new r6: MERGE INTO + change feed (CDC)
     "incremental_rollup_cdc",   # new r6: O(changed files) rollup refresh
     "dedup_mor_apply",          # new r6: dedup drops landed as MOR deletes
+    "html_text_extract",        # new r6: WET-style HTML strip + ratio gate
+    "nfc_normalize_text",       # new r6: unicode NFC via Arrow pandas_udf
 ]
 
 
@@ -211,6 +213,12 @@ _R6_NEW_BARS = {
     # eager checkpointed iteration) + base write + tombstone wave + MOR
     # profile, all self-contained in one gate
     "dedup_mor_apply": 13.4,
+    # measured at calib 0.385 (/0.902; raw median 0.51): wrapper build +
+    # 11-step regex strip chain + ratio gate, one codegen'd scan
+    "html_text_extract": 0.57,
+    # measured at calib 0.400 (/0.937; raw median 0.39): NFC pandas_udf
+    # over Arrow batches, two invocations per row (length + md5)
+    "nfc_normalize_text": 0.42,
 }
 
 BASELINE_S = {**_LEGACY_BARS, **_R6_BARS, **_R6_NEW_BARS}

@@ -244,6 +244,14 @@ ROUND7_PROMOTION_PLAN = [
     # dedup keep-decision landed as a merge-on-read delete wave and the
     # surviving corpus profiled through the MOR view — dedup ∘ deletes)
     "dedup_mor_apply",
+    # new in round 6 (local oracle green; CommonCrawl-style HTML
+    # extraction — strip chain + entity decode + markup-ratio gate,
+    # value-hashed against DuckDB's RE2 on the shared patterns)
+    "html_text_extract",
+    # new in round 6 (local oracle green; unicode NFC canonicalization —
+    # Arrow pandas_udf unicodedata vs DuckDB's native nfc_normalize,
+    # two independent Unicode implementations value-hashed)
+    "nfc_normalize_text",
     # tier 2 — remaining distinct machinery
     "weighted_sample", "word_entropy", "unigram_logprob",
     "engaged_clean_users", "value_zscore_outliers",

@@ -634,3 +634,101 @@ def source_quality_report(spark, sf_dir):
             ).alias("dup_rate"),
         )
     )
+
+
+# ---------------------------------------------------- HTML text extraction
+# The first stage of every web-crawl pipeline (CommonCrawl WET-style):
+# strip comments/script/style/tags, decode the common entities, collapse
+# whitespace, and gate on the text-to-markup ratio. The corpus is plain
+# text, so (like the PII gate above) a deterministic HTML wrapper is
+# built from each document's own fields IN BOTH ENGINES first; the strip
+# chain must then recover the visible text exactly — the gate value-hashes
+# a prefix, the exact length, and the ratio, so ANY divergence between
+# the Java-regex and RE2 interpretations of the shared patterns (the real
+# cross-engine risk) is a mismatch. Entities are decoded AFTER tag
+# removal — decoding first would manufacture fake tags out of &lt;..&gt;
+# (the classic extractor bug). Single scan, codegen'd, no Python.
+_HTML_STRIP_STEPS = [
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?s)<script[^>]*>.*?</script>", " "),
+    (r"(?s)<style[^>]*>.*?</style>", " "),
+    (r"<[^>]+>", " "),
+    (r"&amp;", "&"),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    (r"&nbsp;", " "),
+    (r"\s+", " "),
+]
+_HTML_RATIO_KEEP = 0.72
+
+
+def _html_wrap_sql(dialect: str) -> str:
+    """The deterministic wrapper, identical text in both engines (only
+    the string-cast type name differs by dialect)."""
+    t = "STRING" if dialect == "spark" else "VARCHAR"
+    return (
+        "'<html><head><title>' || lang || '</title>"
+        f"<script type=\"x\">var v=' || CAST(doc_id AS {t}) || ';</script>"
+        "<style>p { color: red; }</style></head><body><h1>' || source || "
+        "'</h1><p>' || text || '</p>"
+        "<div>&amp;x &lt;y&gt; &quot;z&quot; &#39;w&#39;&nbsp;!</div>"
+        f"<!-- trailer ' || CAST(doc_id AS {t}) || ' --></body></html>'"
+    )
+
+
+_HTML_EXTRACT_SQL = (
+    "WITH raw AS (SELECT doc_id, "
+    + _html_wrap_sql("duckdb")
+    + " AS html FROM documents), stripped AS (SELECT doc_id, html, trim("
+    + "".join([])  # built below
+)
+# DuckDB needs the 'g' flag per step; build the nested call chain
+_acc = "html"
+for _pat, _rep in _HTML_STRIP_STEPS:
+    _rpat = _pat.replace("'", "''")
+    _rrep = _rep.replace("'", "''")
+    _acc = f"regexp_replace({_acc}, '{_rpat}', '{_rrep}', 'g')"
+_HTML_EXTRACT_SQL = f"""
+WITH raw AS (
+    SELECT doc_id, {_html_wrap_sql("duckdb")} AS html FROM documents
+),
+stripped AS (
+    SELECT doc_id, html, trim({_acc}) AS clean FROM raw
+)
+SELECT doc_id,
+    substring(clean, 1, 64) AS clean_prefix,
+    CAST(length(clean) AS BIGINT) AS clean_len,
+    CAST(length(clean) AS DOUBLE) / CAST(length(html) AS DOUBLE) AS text_ratio,
+    (CAST(length(clean) AS DOUBLE) / CAST(length(html) AS DOUBLE))
+        >= {_HTML_RATIO_KEEP} AS kept
+FROM stripped
+"""
+
+
+@register("html_text_extract", sql=_HTML_EXTRACT_SQL)
+def html_text_extract(spark, sf_dir):
+    """Strip a deterministic HTML wrapper back to visible text and gate
+    on the text-to-markup ratio (see the module note above)."""
+    docs = load_table(spark, sf_dir, "documents")
+    wrap = F.expr(_html_wrap_sql("spark"))
+    clean = wrap
+    for pat, rep in _HTML_STRIP_STEPS:
+        clean = F.regexp_replace(clean, pat, rep)
+    clean = F.trim(clean)
+    out = docs.select(
+        "doc_id", wrap.alias("html"), clean.alias("clean")
+    ).select(
+        "doc_id",
+        F.substring("clean", 1, 64).alias("clean_prefix"),
+        F.length("clean").cast("bigint").alias("clean_len"),
+        (
+            F.length("clean").cast("double") / F.length("html").cast("double")
+        ).alias("text_ratio"),
+        (
+            (F.length("clean").cast("double") / F.length("html").cast("double"))
+            >= F.lit(_HTML_RATIO_KEEP)
+        ).alias("kept"),
+    )
+    return out

@@ -760,3 +760,57 @@ def token_count_arrow(spark, sf_dir):
             )
 
     return d.mapInArrow(count_tokens, schema="doc_id bigint, n_tokens bigint")
+
+
+# ------------------------------------------------ unicode NFC normalization
+# The canonicalization stage multilingual pipelines run before hashing/
+# dedup (two byte-different spellings of "é" — precomposed U+00E9 vs
+# e + COMBINING ACUTE — must dedup as one document). Spark has no NFC
+# built-in, so this is a vectorized @pandas_udf over Arrow batches
+# (unicodedata.normalize, C-implemented); the oracle is DuckDB's native
+# nfc_normalize — two INDEPENDENT Unicode implementations value-hashed
+# against each other. The ASCII corpus normalizes to itself, so a
+# deterministic decomposed suffix (e+U+0301, a+U+030A — both engines
+# build it with chr()) is appended first, making every row a real
+# normalization with measurable length change.
+_NFC_SQL = """
+WITH aug AS (
+    SELECT doc_id,
+        text || ' ' || 'e' || chr(769) || 'a' || chr(778) AS raw
+    FROM documents
+),
+norm AS (
+    SELECT doc_id, raw, nfc_normalize(raw) AS nfc FROM aug
+)
+SELECT doc_id,
+    CAST(length(raw) AS BIGINT) AS n_chars_raw,
+    CAST(length(nfc) AS BIGINT) AS n_chars_nfc,
+    md5(nfc) AS nfc_md5
+FROM norm
+"""
+
+
+@register("nfc_normalize_text", sql=_NFC_SQL)
+def nfc_normalize_text(spark, sf_dir):
+    """NFC-normalize each document (with a decomposed suffix appended so
+    the pass provably composes); emit before/after char counts and the
+    md5 of the normalized text."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(s):
+        import unicodedata
+
+        return s.map(lambda x: unicodedata.normalize("NFC", x))
+
+    d = load_table(spark, sf_dir, "documents")
+    # NB: Spark's chr() is mod-256 ASCII (chr(769) -> chr(1)), so the
+    # decomposed suffix is a Python unicode literal here; the oracle
+    # builds the identical sequence with DuckDB's full-codepoint chr()
+    raw = F.concat(F.col("text"), F.lit(" e\u0301a\u030a"))
+    return d.select("doc_id", raw.alias("raw")).select(
+        "doc_id",
+        F.length("raw").cast("bigint").alias("n_chars_raw"),
+        F.length(nfc(F.col("raw"))).cast("bigint").alias("n_chars_nfc"),
+        F.md5(nfc(F.col("raw"))).alias("nfc_md5"),
+    )

@@ -104,3 +104,33 @@ def test_neardup_dedup_keep_oracle(spark):
     assert len(multi) > 0
     assert multi["kept"].sum() < len(multi)
     assert got[got["cluster_size"] == 1]["kept"].all()
+
+
+def test_html_extract_recovers_visible_text_exactly(spark):
+    """The strip chain must recover precisely the wrapper's visible
+    text: title + heading + body + the decoded entity sampler — nothing
+    of the markup, nothing lost."""
+    from cargo_chat_spark.queries.curation import html_text_extract
+
+    got = (
+        html_text_extract(spark, SF_DIR_SMALL)
+        .orderBy("doc_id")
+        .limit(5)
+        .collect()
+    )
+    docs = {
+        r["doc_id"]: r
+        for r in (
+            spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+            .orderBy("doc_id").limit(5)
+            .collect()
+        )
+    }
+    for r in got:
+        d = docs[r["doc_id"]]
+        visible = " ".join(
+            (d["lang"] + " " + d["source"] + " " + d["text"]).split()
+        ) + " &x <y> \"z\" 'w' !"
+        assert r["clean_prefix"] == visible[:64]
+        assert r["clean_len"] == len(visible)
+        assert 0.0 < r["text_ratio"] < 1.0
