@@ -89,6 +89,7 @@ DETAIL_EXTRA = [
     "dedup_mor_apply",          # new r6: dedup drops landed as MOR deletes
     "html_text_extract",        # new r6: WET-style HTML strip + ratio gate
     "nfc_normalize_text",       # new r6: unicode NFC via Arrow pandas_udf
+    "events_snapshot_optimize",  # new r6: OPTIMIZE ZORDER + manifest stats
 ]
 
 
@@ -219,6 +220,9 @@ _R6_NEW_BARS = {
     # measured at calib 0.400 (/0.937; raw median 0.39): NFC pandas_udf
     # over Arrow batches, two invocations per row (length + md5)
     "nfc_normalize_text": 0.42,
+    # measured at calib 0.289 (/0.677; raw median 1.63): two fragmented
+    # appends + z-order OPTIMIZE commit + stats-pruned band aggregate
+    "events_snapshot_optimize": 2.4,
 }
 
 BASELINE_S = {**_LEGACY_BARS, **_R6_BARS, **_R6_NEW_BARS}

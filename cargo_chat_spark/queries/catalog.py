@@ -252,6 +252,10 @@ ROUND7_PROMOTION_PLAN = [
     # Arrow pandas_udf unicodedata vs DuckDB's native nfc_normalize,
     # two independent Unicode implementations value-hashed)
     "nfc_normalize_text",
+    # new in round 6 (local oracle green at sf0.001 AND sf0.01; OPTIMIZE
+    # ZORDER as a layout-only snapshot commit with per-file column stats
+    # in the manifest + stats-pruned time-travel reads)
+    "events_snapshot_optimize",
     # tier 2 — remaining distinct machinery
     "weighted_sample", "word_entropy", "unigram_logprob",
     "engaged_clean_users", "value_zscore_outliers",

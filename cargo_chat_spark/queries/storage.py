@@ -655,3 +655,72 @@ def incremental_rollup_cdc(spark, sf_dir):
         )
         .where(F.col("n") > 0)
     )
+
+
+# --------------------------------------- snapshot OPTIMIZE ZORDER gate
+# Delta's OPTIMIZE ZORDER BY on the snapshot table: two fragmented,
+# unclustered appends, then a layout-only optimize commit that z-orders
+# (user_id, ts) and records per-file min/max stats IN THE MANIFEST
+# (Iceberg data-file stats), then the user [3,10) × week-2 band answered
+# through the stats-pruned time-travel read. The oracle is the plain
+# two-sided filter aggregate over the raw table — a row lost or
+# duplicated by the rewrite, a stats range recorded wrong (pruning a
+# file it shouldn't), or a boundary error in the overlap test is a
+# value mismatch. Empty-change-feed and strict-subset pruning are
+# pinned physically by tests/test_snapshots.py.
+_SNAP_OPT_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+WHERE user_id >= 3 AND user_id < 10
+  AND ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+GROUP BY event_type
+"""
+
+
+@register("events_snapshot_optimize", sql=_SNAP_OPT_SQL)
+def events_snapshot_optimize(spark, sf_dir):
+    """Fragmented snapshot appends → OPTIMIZE ZORDER commit with manifest
+    column stats → stats-pruned band aggregate (must equal the plain
+    filtered aggregate)."""
+    import datetime
+    import shutil
+
+    from cargo_chat_spark.sources.snapshots import (
+        snap_append,
+        snap_optimize,
+        snap_read_pruned,
+        snap_write,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"ccs_events_snapopt_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{os.getpid()}",
+    )
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    snap_write(e.where(F.col("event_id") % 2 == 0), out)
+    snap_append(e.where(F.col("event_id") % 2 == 1), out)
+    snap_optimize(spark, out, "user_id", "ts", n_files=16)
+    pruned = snap_read_pruned(
+        spark,
+        out,
+        {
+            "user_id": (3, 10),
+            "ts": (
+                datetime.datetime(2024, 1, 8),
+                datetime.datetime(2024, 1, 15),
+            ),
+        },
+    )
+    return pruned.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )

@@ -341,3 +341,118 @@ def check_expectations(
             f"expectations violated, commit aborted: {bad}"
         )
     return df
+
+
+def snap_optimize(
+    spark: SparkSession,
+    path: str,
+    col_a: str,
+    col_b: str | None = None,
+    n_files: int = 16,
+) -> int:
+    """Delta's ``OPTIMIZE [ZORDER BY]`` as a snapshot commit: rewrite the
+    LATEST version's content into ``n_files`` files ordered by ``col_a``
+    (1-D range sort) or z-ordered on ``(col_a, col_b)``, record per-file
+    min/max COLUMN STATS for the cluster columns inside the manifest
+    (Iceberg's per-data-file stats), and commit it as a new version.
+    Layout-only by construction: the row set is untouched, so
+    ``snap_changes(pre, post)`` is EMPTY (every row's hash cancels
+    between the diff sides — pinned), historical versions keep their
+    files, and readers holding the old version are undisturbed.
+    ``snap_read_pruned`` then skips files by these stats."""
+    from pyspark.sql import functions as F
+
+    from cargo_chat_spark.sources.sorted_layout import _serialize, _zvalue
+
+    prev = manifest(path)
+    v = prev["version"] + 1
+    root = _local(path)
+    cur = spark.read.parquet(*(os.path.join(root, f) for f in prev["files"]))
+    kinds = dict(cur.dtypes)
+    if col_b is None:
+        ordered = cur.repartitionByRange(n_files, F.col(col_a))
+        ordered = ordered.sortWithinPartitions(col_a)
+        stat_cols = [col_a]
+    else:
+        b_num = (
+            f"unix_seconds({col_b})"
+            if kinds.get(col_b) == "timestamp"
+            else col_b
+        )
+        lo_a, hi_a, lo_b, hi_b = cur.selectExpr(
+            f"min({col_a})", f"max({col_a})", f"min({b_num})", f"max({b_num})"
+        ).first()
+        z = _zvalue(col_a, b_num, (lo_a, hi_a, lo_b, hi_b))
+        ordered = (
+            cur.withColumn("_z", z)
+            .repartitionByRange(n_files, F.col("_z"))
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+        stat_cols = [col_a, col_b]
+    new = _write_new_files(ordered, path, v)
+    # stats from the files AS WRITTEN (what is recorded is what is on
+    # disk), one column-pruned aggregate scan over the new files only
+    aggs = []
+    for c in stat_cols:
+        aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
+    rows = (
+        spark.read.parquet(*(os.path.join(root, f) for f in new))
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(*aggs)
+        .collect()  # bounded: one row per file
+    )
+    stats = {
+        os.path.basename(_local(r["file"])): {
+            c: [_serialize(r[f"lo_{c}"]), _serialize(r[f"hi_{c}"])]
+            for c in stat_cols
+        }
+        for r in rows
+    }
+    _commit(path, v, new, extra={"stats": stats})
+    return v
+
+
+def snap_read_pruned(
+    spark: SparkSession,
+    path: str,
+    predicates: dict,
+    version: int | None = None,
+) -> DataFrame:
+    """Stats-pruned time-travel read: open only the files whose manifest
+    min/max overlap every ``{col: (lo, hi)}`` half-open band; files
+    WITHOUT recorded stats are always opened (pruning can only skip what
+    the stats prove disjoint — correctness never depends on them).
+    Predicates are re-applied row-level, so the result is identical to a
+    full scan + filter by construction."""
+    from pyspark.sql import functions as F
+
+    from cargo_chat_spark.sources.sorted_layout import _serialize
+
+    m = manifest(path, version)
+    stats = m.get("stats", {})
+    root = _local(path)
+
+    def overlaps(fname: str) -> bool:
+        st = stats.get(fname)
+        if st is None:
+            return True
+        for c, (lo, hi) in predicates.items():
+            if c not in st:
+                continue
+            flo, fhi = st[c]
+            r_lo, r_hi = _serialize(lo), _serialize(hi)
+            if fhi < r_lo or flo >= r_hi:
+                return False
+        return True
+
+    files = [f for f in m["files"] if overlaps(f)]
+    if not files:
+        out = spark.read.parquet(
+            *(os.path.join(root, f) for f in m["files"])
+        ).where(F.lit(False))
+    else:
+        out = spark.read.parquet(*(os.path.join(root, f) for f in files))
+    for c, (lo, hi) in predicates.items():
+        out = out.where((F.col(c) >= F.lit(lo)) & (F.col(c) < F.lit(hi)))
+    return out

@@ -255,3 +255,52 @@ def test_commit_time_expectations(spark, tmp_path):
     # clean batch under the same expectations commits
     snap_append(e.where(F.col("user_id") >= 8), out, expectations=exps)
     assert versions(out) == [0, 1, 2]
+
+
+def test_optimize_is_layout_only_and_prunes_reads(spark, tmp_path):
+    """OPTIMIZE ZORDER as a snapshot commit: the change feed between
+    pre- and post-optimize versions is EMPTY (layout-only — every moved
+    row's hash cancels), historical reads are intact, and the
+    stats-pruned read opens a strict subset of the optimized files while
+    matching the full-scan filter exactly."""
+    import datetime
+
+    from cargo_chat_spark.sources.snapshots import (
+        snap_changes,
+        snap_optimize,
+        snap_read_pruned,
+    )
+
+    out = str(tmp_path / "snap")
+    e = load_table(spark, SF_DIR_SMALL, "events")
+    # two unsorted appends -> fragmented, unclustered layout
+    snap_write(e.where(F.col("event_id") % 2 == 0), out)
+    snap_append(e.where(F.col("event_id") % 2 == 1), out)
+    v2 = snap_optimize(spark, out, "user_id", "ts", n_files=8)
+    assert v2 == 2
+
+    # layout-only: same rows, empty change feed across the optimize
+    assert _rows(snap_read(spark, out, 2)) == _rows(e)
+    assert snap_changes(spark, out, 1, 2, "event_id").count() == 0
+    assert _rows(snap_read(spark, out, 1)) == _rows(e)  # history intact
+
+    preds = {
+        "user_id": (3, 10),
+        "ts": (datetime.datetime(2024, 1, 8), datetime.datetime(2024, 1, 15)),
+    }
+    pruned = snap_read_pruned(spark, out, preds, version=2)
+    opened = {os.path.basename(f) for f in pruned.inputFiles()}
+    all_files = set(manifest(out, 2)["files"])
+    assert opened < all_files, f"no pruning: opened {len(opened)}"
+    want = _rows(
+        e.where(
+            (F.col("user_id") >= 3) & (F.col("user_id") < 10)
+            & (F.col("ts") >= F.lit(datetime.datetime(2024, 1, 8)))
+            & (F.col("ts") < F.lit(datetime.datetime(2024, 1, 15)))
+        )
+    )
+    assert _rows(pruned) == want
+
+    # un-statted versions are readable through the same API (no skipping)
+    legacy = snap_read_pruned(spark, out, preds, version=1)
+    assert _rows(legacy) == want
