@@ -256,6 +256,14 @@ ROUND7_PROMOTION_PLAN = [
     # ZORDER as a layout-only snapshot commit with per-file column stats
     # in the manifest + stats-pruned time-travel reads)
     "events_snapshot_optimize",
+    # new in round 6 (local oracle green at sf0.001 AND sf0.01; COUNT(*)
+    # of every snapshot version answered purely from manifest row stats
+    # — parquet footers at commit, carried forward for shared files)
+    "events_metadata_count",
+    # new in round 6 (local oracle green at sf0.001 AND sf0.01; RESTORE
+    # VERSION AS OF as a metadata-only commit — rollback costs one JSON
+    # rename regardless of table size, history stays readable)
+    "events_snapshot_restore",
     # tier 2 — remaining distinct machinery
     "weighted_sample", "word_entropy", "unigram_logprob",
     "engaged_clean_users", "value_zscore_outliers",

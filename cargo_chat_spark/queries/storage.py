@@ -724,3 +724,121 @@ def events_snapshot_optimize(spark, sf_dir):
         .alias("total_value"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+# ------------------------------------------------ metadata-only count
+# Delta/Iceberg answer SELECT COUNT(*) from the transaction log alone;
+# same here: every commit records per-file row counts (parquet FOOTERS
+# for new files — no data pages read — carried forward for shared
+# files), and the gate answers all three lifecycle versions' counts
+# without opening one data file. The oracle computes the same counts
+# from the raw table, so a footer misread, a stale carry-forward, or a
+# CoW survivor count drift is a value mismatch.
+_META_COUNT_SQL = """
+SELECT 0 AS version, COUNT(*) AS n_rows FROM events WHERE user_id < 50
+UNION ALL
+SELECT 1 AS version, COUNT(*) AS n_rows FROM events
+UNION ALL
+SELECT 2 AS version, COUNT(*) AS n_rows FROM events
+WHERE user_id NOT IN (7, 11)
+"""
+
+
+@register("events_metadata_count", sql=_META_COUNT_SQL)
+def events_metadata_count(spark, sf_dir):
+    """Write/append/CoW-delete lifecycle, then COUNT(*) of every version
+    answered purely from manifest metadata."""
+    import shutil
+
+    from cargo_chat_spark.sources.snapshots import (
+        snap_append,
+        snap_count,
+        snap_delete,
+        snap_write,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"ccs_events_metacnt_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{os.getpid()}",
+    )
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    snap_write(e.where(F.col("user_id") < 50), out)
+    snap_append(e.where(F.col("user_id") >= 50), out)
+    snap_delete(
+        spark, out, e.where(F.col("user_id").isin(7, 11)).select("event_id"),
+        "event_id",
+    )
+    counts = [(v, snap_count(out, v)) for v in (0, 1, 2)]
+    return spark.createDataFrame(
+        counts, "version int, n_rows bigint"
+    )
+
+
+# ------------------------------------------------------- RESTORE gate
+# Rollback lifecycle: v0 write / v1 append / v2 CoW-delete / v3 =
+# RESTORE to v1 — a metadata-only commit (one JSON rename, zero data
+# copied) whose file list IS v1's. The gate aggregates the post-delete
+# version AND the restored version through time-travel reads, plus each
+# version's METADATA-ONLY row count (snap_count over carried manifest
+# stats): a restore that lost rows, resurrected the wrong set, failed
+# to share files, or carried stale row stats is a value mismatch. The
+# oracle states both versions' content directly from the raw table.
+_RESTORE_SQL = """
+SELECT 2 AS version, COUNT(*) AS n, COUNT(*) AS n_meta,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events WHERE user_id NOT IN (7, 11)
+UNION ALL
+SELECT 3 AS version, COUNT(*) AS n, COUNT(*) AS n_meta,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+"""
+
+
+@register("events_snapshot_restore", sql=_RESTORE_SQL)
+def events_snapshot_restore(spark, sf_dir):
+    """Write/append/CoW-delete, then RESTORE to the pre-delete version;
+    value-check the rolled-back content and the preserved history."""
+    import shutil
+
+    from cargo_chat_spark.sources.snapshots import (
+        snap_append,
+        snap_count,
+        snap_delete,
+        snap_read,
+        snap_restore,
+        snap_write,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"ccs_events_restore_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{os.getpid()}",
+    )
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    snap_write(e.where(F.col("user_id") < 50), out)
+    snap_append(e.where(F.col("user_id") >= 50), out)
+    snap_delete(
+        spark, out, e.where(F.col("user_id").isin(7, 11)).select("event_id"),
+        "event_id",
+    )
+    snap_restore(out, 1)
+
+    def agg(version):
+        return snap_read(spark, out, version).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        ).select(
+            F.lit(version).cast("int").alias("version"),
+            "n",
+            F.lit(snap_count(out, version)).cast("bigint").alias("n_meta"),
+            "total_value",
+        )
+
+    return agg(2).unionByName(agg(3))

@@ -97,6 +97,47 @@ def _write_new_files(df: DataFrame, path: str, version: int) -> list[str]:
     return moved
 
 
+def _footer_rows(root: str, names: list[str]) -> dict[str, int]:
+    """Per-file row counts from the parquet FOOTERS (metadata pages only
+    — no data is read). The Delta/Iceberg trick that makes
+    ``SELECT COUNT(*)`` a metadata-only query."""
+    import pyarrow.parquet as pq
+
+    return {
+        n: pq.ParquetFile(os.path.join(root, n)).metadata.num_rows
+        for n in names
+    }
+
+
+def _rows_map(path: str, version_files: list[str], new: list[str]) -> dict:
+    """Row counts for a manifest: footer-read the NEW files, carry the
+    previous manifest's counts for every shared (immutable) file."""
+    carried: dict[str, int] = {}
+    vs = versions(path)
+    if vs:
+        carried = manifest(path).get("rows", {})
+    root = _local(path)
+    out = {f: carried[f] for f in version_files if f in carried}
+    missing = [f for f in version_files if f not in out]
+    out.update(_footer_rows(root, missing))
+    return out
+
+
+def snap_count(path: str, version: int | None = None) -> int:
+    """METADATA-ONLY row count of a snapshot: sum the manifest's
+    per-file counts — zero data files are opened, no Spark job runs.
+    At 100 TB this is the difference between an instant answer and a
+    full scan; every commit path records the counts (new files from
+    parquet footers, shared files carried forward)."""
+    m = manifest(path, version)
+    rows = m.get("rows")
+    if rows is None or set(rows) != set(m["files"]):
+        raise ValueError(
+            f"manifest v{m['version']} lacks complete row stats"
+        )
+    return sum(rows.values())
+
+
 def _commit(
     path: str, version: int, files: list[str], extra: dict | None = None
 ) -> None:
@@ -105,10 +146,16 @@ def _commit(
     merges additional metadata (e.g. the streaming batch-id fence) into
     the same atomic write, so metadata can never lag its version."""
     os.makedirs(_snap_dir(path), exist_ok=True)
+    rows = _rows_map(path, sorted(files), [])
     tmp = _manifest_path(path, version) + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(
-            {"version": version, "files": sorted(files), **(extra or {})},
+            {
+                "version": version,
+                "files": sorted(files),
+                "rows": rows,
+                **(extra or {}),
+            },
             fh, indent=1,
         )
     os.rename(tmp, _manifest_path(path, version))  # atomic commit point
@@ -199,8 +246,42 @@ def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
     root = _local(path)
     removed = sorted(dropped - reachable)
     for f in removed:
-        os.remove(os.path.join(root, f))
+        # a vacuum that crashed mid-delete and is re-run must not die on
+        # the files it already reclaimed — removal is replay-idempotent
+        try:
+            os.remove(os.path.join(root, f))
+        except FileNotFoundError:
+            pass
     return removed
+
+
+def snap_restore(path: str, version: int) -> int:
+    """Delta's ``RESTORE TABLE ... VERSION AS OF`` as a snapshot commit:
+    the new manifest's file list IS the target version's file list — a
+    pure METADATA operation (one JSON rename), zero data copied no
+    matter how large the table, because data files are immutable and
+    shared across manifests. History is preserved (the rolled-back
+    versions stay readable; restore is itself undoable by another
+    restore), and the carried ``rows``/``stats`` metadata keeps
+    metadata-only counts and stats-pruned reads working on the restored
+    version. Fails loudly if vacuum already reclaimed any of the target
+    version's files (the one way a restore target can die)."""
+    src = manifest(path, version)
+    root = _local(path)
+    missing = [
+        f for f in src["files"]
+        if not os.path.isfile(os.path.join(root, f))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore to v{version}: files vacuumed {missing}"
+        )
+    v = versions(path)[-1] + 1
+    extra: dict = {"restored_from": version}
+    if "stats" in src:
+        extra["stats"] = src["stats"]
+    _commit(path, v, list(src["files"]), extra=extra)
+    return v
 
 
 def snap_merge(

@@ -304,3 +304,63 @@ def test_optimize_is_layout_only_and_prunes_reads(spark, tmp_path):
     # un-statted versions are readable through the same API (no skipping)
     legacy = snap_read_pruned(spark, out, preds, version=1)
     assert _rows(legacy) == want
+
+
+def test_metadata_only_count(spark, tmp_path):
+    """snap_count answers from manifest row stats alone (footers at
+    commit time, carried forward for shared files) — verified against
+    real counts across the write/append/CoW-delete lifecycle."""
+    from cargo_chat_spark.sources.snapshots import snap_count
+
+    out = str(tmp_path / "snap")
+    e, _ = _build(spark, out)
+    assert snap_count(out, 0) == e.where(F.col("user_id") < 8).count()
+    assert snap_count(out, 1) == e.count()
+    assert snap_count(out) == e.where(~F.col("user_id").isin(7, 11)).count()
+
+
+def test_restore_is_metadata_only_and_preserves_history(spark, tmp_path):
+    """RESTORE commits the target's exact file list with zero data files
+    written or touched; history (incl. the rolled-back delete) stays
+    readable; restore is undoable by another restore; a vacuumed target
+    fails loudly instead of committing a manifest of dead files."""
+    import pytest
+
+    from cargo_chat_spark.sources.snapshots import snap_count, snap_restore
+
+    out = str(tmp_path / "snap")
+    e, (v0, v1, v2) = _build(spark, out)
+    before = set(os.listdir(out))
+    stats_before = _file_stats(out, manifest(out, v1)["files"])
+
+    v3 = snap_restore(out, v1)
+    assert v3 == 3
+    m3 = manifest(out, v3)
+    # metadata-only: file list IS v1's, no data file added or rewritten
+    assert m3["files"] == manifest(out, v1)["files"]
+    assert m3["restored_from"] == v1
+    assert {
+        f for f in os.listdir(out) if f.endswith(".parquet")
+    } == {f for f in before if f.endswith(".parquet")}
+    assert _file_stats(out, m3["files"]) == stats_before
+    # restored content == v1 content; carried row stats agree
+    assert _rows(snap_read(spark, out, v3)) == _rows(snap_read(spark, out, v1))
+    assert snap_count(out, v3) == snap_count(out, v1)
+    # the rolled-back delete version is still time-travel readable
+    want_v2 = _rows(e.where(~F.col("user_id").isin(7, 11)))
+    assert _rows(snap_read(spark, out, v2)) == want_v2
+    # restore is itself undoable
+    v4 = snap_restore(out, v2)
+    assert _rows(snap_read(spark, out, v4)) == want_v2
+
+    # a target whose data files are gone fails loudly BEFORE committing
+    victim = manifest(out, v0)["files"][0]
+    os.remove(os.path.join(out, victim))
+    tip = versions(out)[-1]
+    with pytest.raises(FileNotFoundError):
+        snap_restore(out, v0)
+    assert versions(out)[-1] == tip  # no manifest landed
+    # vacuum drops the rolled-back manifests too: restore target gone
+    expire_snapshots(out, keep_last=1)
+    with pytest.raises(ValueError):
+        snap_restore(out, v1)
