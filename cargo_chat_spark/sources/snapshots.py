@@ -138,16 +138,30 @@ def snap_count(path: str, version: int | None = None) -> int:
     return sum(rows.values())
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed this version first. The losing writer's
+    staged data files are orphans (invisible — no manifest references
+    them; vacuum-able) and the table is untouched by the loser; re-run
+    the operation against the new latest version to retry."""
+
+
 def _commit(
     path: str, version: int, files: list[str], extra: dict | None = None
 ) -> None:
-    """Write the version manifest by atomic rename — the single commit
-    point every writer (batch AND streaming) goes through. ``extra``
-    merges additional metadata (e.g. the streaming batch-id fence) into
-    the same atomic write, so metadata can never lag its version."""
+    """Write the version manifest by atomic PUT-IF-ABSENT — the single
+    commit point every writer (batch AND streaming) goes through.
+    ``os.link`` (not rename) makes the version file the lock: two
+    writers racing to commit the same version cannot both win — rename
+    would silently clobber the first manifest, corrupting the log; link
+    fails with EEXIST for the loser, exactly Delta's putIfAbsent /
+    Iceberg's atomic swap contract. ``extra`` merges additional metadata
+    (e.g. the streaming batch-id fence) into the same atomic write, so
+    metadata can never lag its version."""
     os.makedirs(_snap_dir(path), exist_ok=True)
     rows = _rows_map(path, sorted(files), [])
-    tmp = _manifest_path(path, version) + ".tmp"
+    # per-writer staging name: racing writers must not collide on the
+    # staging file either, only at the link (the commit point)
+    tmp = _manifest_path(path, version) + f".{os.getpid()}.tmp"
     with open(tmp, "w") as fh:
         json.dump(
             {
@@ -158,7 +172,15 @@ def _commit(
             },
             fh, indent=1,
         )
-    os.rename(tmp, _manifest_path(path, version))  # atomic commit point
+    try:
+        os.link(tmp, _manifest_path(path, version))  # atomic commit point
+    except FileExistsError:
+        raise ConcurrentCommitError(
+            f"version {version} at {path} was committed by another "
+            "writer; re-read the latest version and retry"
+        ) from None
+    finally:
+        os.remove(tmp)
 
 
 def snap_write(

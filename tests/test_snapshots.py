@@ -364,3 +364,42 @@ def test_restore_is_metadata_only_and_preserves_history(spark, tmp_path):
     expire_snapshots(out, keep_last=1)
     with pytest.raises(ValueError):
         snap_restore(out, v1)
+
+
+def test_concurrent_commit_put_if_absent(spark, tmp_path):
+    """Two writers racing to the same version: the commit point is
+    put-if-absent (os.link), so the loser raises ConcurrentCommitError,
+    the winner's manifest is byte-untouched (rename would have silently
+    clobbered it), no staging litter remains, and a retry against the
+    new latest version succeeds."""
+    import json
+
+    import pytest
+
+    from cargo_chat_spark.sources.snapshots import (
+        ConcurrentCommitError,
+        _commit,
+        _manifest_path,
+    )
+
+    out = str(tmp_path / "snap")
+    e, (v0, v1, v2) = _build(spark, out)
+    # both writers observed latest=v2 and race to commit v3: the winner
+    # lands first; the loser's link must fail, not overwrite
+    winner_files = manifest(out, v0)["files"]
+    _commit(out, 3, winner_files)
+    won = open(_manifest_path(out, 3)).read()
+    with pytest.raises(ConcurrentCommitError):
+        _commit(out, 3, manifest(out, v1)["files"])
+    assert open(_manifest_path(out, 3)).read() == won  # winner intact
+    assert not [
+        f for f in os.listdir(os.path.join(out, "_snapshots"))
+        if f.endswith(".tmp")
+    ]
+    # loser retries against the new latest: normal append lands as v4
+    extra = e.where(F.col("user_id").isin(3)).limit(5)
+    v4 = snap_append(extra, out)
+    assert v4 == 4
+    assert json.load(open(_manifest_path(out, 4)))["version"] == 4
+    want = _rows(snap_read(spark, out, v0).unionByName(extra))
+    assert _rows(snap_read(spark, out, v4)) == want
