@@ -264,6 +264,10 @@ ROUND7_PROMOTION_PLAN = [
     # VERSION AS OF as a metadata-only commit — rollback costs one JSON
     # rename regardless of table size, history stays readable)
     "events_snapshot_restore",
+    # new in round 6 (local oracle green at sf0.001 AND sf0.01; additive
+    # schema evolution recorded in the manifest — old files surface new
+    # columns as NULL, type changes refused, CoW across the evolution)
+    "events_snapshot_schema_evolution",
     # tier 2 — remaining distinct machinery
     "weighted_sample", "word_entropy", "unigram_logprob",
     "engaged_clean_users", "value_zscore_outliers",

@@ -842,3 +842,74 @@ def events_snapshot_restore(spark, sf_dir):
         )
 
     return agg(2).unionByName(agg(3))
+
+
+# -------------------------------------------- schema-evolution gate
+# Delta mergeSchema lifecycle: v0 = base-schema write; v1 = append that
+# ADDS value_eur (exact-decimal 0.90 FX column) — old files are never
+# rewritten, the evolved schema lives in the manifest and old rows
+# surface the new column as NULL through it; v2 = CoW delete of two
+# users, rewriting pre-evolution survivor files THROUGH the evolved
+# schema. The gate aggregates the latest version per event_type over
+# BOTH the old and the new column — a reader that dropped the new
+# column for old files (footer-sniff first-file schema), silently cast,
+# defaulted NULLs to zero, or lost rows in the cross-schema rewrite is
+# a value mismatch. The oracle rebuilds the same table logically (new
+# column only where it was appended) from raw events. Decimal
+# arithmetic keeps both engines bit-exact.
+_SCHEMA_EVO_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       COUNT(CASE WHEN user_id >= 8 THEN 1 END) AS n_eur,
+       CAST(SUM(CASE WHEN user_id >= 8 THEN
+            CAST(value AS DECIMAL(18,2)) * CAST(0.90 AS DECIMAL(3,2))
+       END) AS DOUBLE) AS total_eur
+FROM events WHERE user_id NOT IN (3, 5)
+GROUP BY event_type
+"""
+
+
+@register("events_snapshot_schema_evolution", sql=_SCHEMA_EVO_SQL)
+def events_snapshot_schema_evolution(spark, sf_dir):
+    """Additive schema evolution in the snapshot log: append a new
+    column, CoW-delete across the evolution, aggregate both columns."""
+    import shutil
+
+    from cargo_chat_spark.sources.snapshots import (
+        snap_append,
+        snap_delete,
+        snap_read,
+        snap_write,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"ccs_events_schevo_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{os.getpid()}",
+    )
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    snap_write(e.where(F.col("user_id") < 8), out)
+    snap_append(
+        e.where(F.col("user_id") >= 8).withColumn(
+            "value_eur",
+            F.expr(
+                "CAST(value AS DECIMAL(18,2)) * CAST(0.90 AS DECIMAL(3,2))"
+            ),
+        ),
+        out,
+    )
+    snap_delete(
+        spark, out, e.where(F.col("user_id").isin(3, 5)).select("event_id"),
+        "event_id",
+    )
+    return snap_read(spark, out).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+        F.count("value_eur").alias("n_eur"),
+        F.sum("value_eur").cast("double").alias("total_eur"),
+    )

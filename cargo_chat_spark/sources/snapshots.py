@@ -138,6 +138,49 @@ def snap_count(path: str, version: int | None = None) -> int:
     return sum(rows.values())
 
 
+class SchemaEvolutionError(ValueError):
+    """The batch's schema conflicts with the table's (a common column
+    changed type). Additive evolution (new columns) is allowed; silent
+    type changes are not — they would change values under the feet of
+    every reader holding the stored schema."""
+
+
+def _schema_of(m: dict):
+    """The manifest's recorded table schema as a StructType, or None for
+    legacy manifests (pre-evolution tables sniff footers as before)."""
+    s = m.get("schema")
+    if s is None:
+        return None
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson(s)
+
+
+def _merge_schema(prev: dict | None, batch_schema) -> dict:
+    """Additive schema merge, the Delta mergeSchema contract: columns new
+    in the batch append to the table schema; columns missing from the
+    batch stay (old files keep serving them, new files surface NULL);
+    a common column whose type changed raises — never a silent cast.
+    The merged schema is stored IN the manifest, so reads never sniff
+    parquet footers to discover the table schema (at 100 TB, footer
+    sniffing across files is itself a job; the log answer is O(1))."""
+    batch = batch_schema.jsonValue()
+    if prev is None:
+        return batch
+    by_name = {f["name"]: f for f in prev["fields"]}
+    for f in batch["fields"]:
+        old = by_name.get(f["name"])
+        if old is None:
+            prev = {**prev, "fields": prev["fields"] + [f]}
+            by_name[f["name"]] = f
+        elif old["type"] != f["type"]:
+            raise SchemaEvolutionError(
+                f"column {f['name']!r} changed type "
+                f"{old['type']!r} -> {f['type']!r}"
+            )
+    return prev
+
+
 class ConcurrentCommitError(RuntimeError):
     """Another writer committed this version first. The losing writer's
     staged data files are orphans (invisible — no manifest references
@@ -193,7 +236,10 @@ def snap_write(
     ``expectations``: commit-time invariants (see check_expectations)."""
     df = check_expectations(df, expectations or [], on_violation)
     v = (versions(path)[-1] + 1) if versions(path) else 0
-    _commit(path, v, _write_new_files(df, path, v))
+    _commit(
+        path, v, _write_new_files(df, path, v),
+        extra={"schema": df.schema.jsonValue()},
+    )
     return v
 
 
@@ -209,7 +255,11 @@ def snap_append(
     df = check_expectations(df, expectations or [], on_violation)
     prev = manifest(path)
     v = prev["version"] + 1
-    _commit(path, v, prev["files"] + _write_new_files(df, path, v))
+    merged = _merge_schema(prev.get("schema"), df.schema)
+    _commit(
+        path, v, prev["files"] + _write_new_files(df, path, v),
+        extra={"schema": merged},
+    )
     return v
 
 
@@ -217,10 +267,18 @@ def snap_read(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
     """Scan exactly the manifest's file list (time travel when
-    ``version`` is given, latest otherwise)."""
+    ``version`` is given, latest otherwise). The table schema comes from
+    the MANIFEST, not from sniffing parquet footers — files written
+    before an additive schema evolution surface the newer columns as
+    NULL (the parquet reader fills missing columns), and discovering the
+    schema is O(1) log metadata instead of a footer-listing job."""
     m = manifest(path, version)
     root = _local(path)
-    return spark.read.parquet(*(os.path.join(root, f) for f in m["files"]))
+    reader = spark.read
+    schema = _schema_of(m)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(*(os.path.join(root, f) for f in m["files"]))
 
 
 def snap_delete(
@@ -235,16 +293,23 @@ def snap_delete(
     v = prev["version"] + 1
     root = _local(path)
     k = F.broadcast(keys.select(key_col).distinct())
-    cur = spark.read.parquet(*(os.path.join(root, f) for f in prev["files"]))
+    cur = snap_read(spark, path)
     affected = _affected_files(cur, keys, key_col)
     kept = [f for f in prev["files"] if f not in affected]
     new: list[str] = []
     if affected:
-        survivors = spark.read.parquet(
+        # read the affected files THROUGH the table schema: survivors of
+        # a pre-evolution file rewrite with the full current schema
+        reader = spark.read
+        schema = _schema_of(prev)
+        if schema is not None:
+            reader = reader.schema(schema)
+        survivors = reader.parquet(
             *(os.path.join(root, f) for f in sorted(affected))
         ).join(k, on=key_col, how="left_anti")
         new = _write_new_files(survivors, path, v)
-    _commit(path, v, kept + new)
+    extra = {"schema": prev["schema"]} if "schema" in prev else None
+    _commit(path, v, kept + new, extra=extra)
     return v
 
 
@@ -300,8 +365,9 @@ def snap_restore(path: str, version: int) -> int:
         )
     v = versions(path)[-1] + 1
     extra: dict = {"restored_from": version}
-    if "stats" in src:
-        extra["stats"] = src["stats"]
+    for carried in ("stats", "schema"):
+        if carried in src:
+            extra[carried] = src[carried]
     _commit(path, v, list(src["files"]), extra=extra)
     return v
 
@@ -322,18 +388,35 @@ def snap_merge(
     prev = manifest(path)
     v = prev["version"] + 1
     root = _local(path)
+    merged = _merge_schema(prev.get("schema"), updates.schema)
+    # whole-row upsert: the updates must state every table column (an
+    # absent column would silently NULL the matched rows' values)
+    missing = [
+        f["name"] for f in merged["fields"]
+        if f["name"] not in updates.columns
+    ]
+    if missing:
+        raise SchemaEvolutionError(
+            f"MERGE updates lack table columns {missing}: whole-row "
+            "upserts must state every column"
+        )
     k = F.broadcast(updates.select(key_col).distinct())
-    cur = spark.read.parquet(*(os.path.join(root, f) for f in prev["files"]))
+    cur = snap_read(spark, path)
     affected = _affected_files(cur, updates, key_col)
     kept = [f for f in prev["files"] if f not in affected]
     new_rows = updates
     if affected:
-        survivors = spark.read.parquet(
+        # survivors read through the MERGED schema, so a merge that
+        # evolves the schema rewrites pre-evolution survivors with the
+        # new column as NULL and unionByName lines up exactly
+        from pyspark.sql.types import StructType
+
+        survivors = spark.read.schema(StructType.fromJson(merged)).parquet(
             *(os.path.join(root, f) for f in sorted(affected))
         ).join(k, on=key_col, how="left_anti")
         new_rows = survivors.unionByName(updates)
     new = _write_new_files(new_rows, path, v)
-    _commit(path, v, kept + new)
+    _commit(path, v, kept + new, extra={"schema": merged})
     return v
 
 
@@ -358,11 +441,19 @@ def snap_changes(
     ma = set(manifest(path, from_version)["files"])
     mb = set(manifest(path, to_version)["files"])
     root = _local(path)
+    # both sides read through the TO-version schema (the additive
+    # superset): pre-evolution survivor files then hash with the new
+    # columns as NULL on both sides, so a CoW move across a schema
+    # evolution can't masquerade as an update
+    to_schema = _schema_of(manifest(path, to_version))
 
     def side(files: set[str]) -> DataFrame | None:
         if not files:
             return None
-        df = spark.read.parquet(*(os.path.join(root, f) for f in sorted(files)))
+        reader = spark.read
+        if to_schema is not None:
+            reader = reader.schema(to_schema)
+        df = reader.parquet(*(os.path.join(root, f) for f in sorted(files)))
         # concat_ws silently DROPS null cells, so rows differing only in
         # which column is null would collide — encode null explicitly
         cols = [
@@ -470,7 +561,7 @@ def snap_optimize(
     prev = manifest(path)
     v = prev["version"] + 1
     root = _local(path)
-    cur = spark.read.parquet(*(os.path.join(root, f) for f in prev["files"]))
+    cur = snap_read(spark, path)
     kinds = dict(cur.dtypes)
     if col_b is None:
         ordered = cur.repartitionByRange(n_files, F.col(col_a))
@@ -512,7 +603,10 @@ def snap_optimize(
         }
         for r in rows
     }
-    _commit(path, v, new, extra={"stats": stats})
+    extra: dict = {"stats": stats}
+    if "schema" in prev:
+        extra["schema"] = prev["schema"]
+    _commit(path, v, new, extra=extra)
     return v
 
 
@@ -549,13 +643,17 @@ def snap_read_pruned(
                 return False
         return True
 
+    reader = spark.read
+    schema = _schema_of(m)
+    if schema is not None:
+        reader = reader.schema(schema)
     files = [f for f in m["files"] if overlaps(f)]
     if not files:
-        out = spark.read.parquet(
+        out = reader.parquet(
             *(os.path.join(root, f) for f in m["files"])
         ).where(F.lit(False))
     else:
-        out = spark.read.parquet(*(os.path.join(root, f) for f in files))
+        out = reader.parquet(*(os.path.join(root, f) for f in files))
     for c, (lo, hi) in predicates.items():
         out = out.where((F.col(c) >= F.lit(lo)) & (F.col(c) < F.lit(hi)))
     return out

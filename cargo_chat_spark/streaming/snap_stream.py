@@ -38,6 +38,7 @@ from pyspark.sql import SparkSession
 
 from cargo_chat_spark.sources.snapshots import (
     _commit,
+    _merge_schema,
     _write_new_files,
     manifest,
     versions,
@@ -73,10 +74,15 @@ def append_batch(batch_df, table_path: str, batch_id: int) -> int | None:
             return None  # at-least-once replay; already committed
         v = prev["version"] + 1
         files = prev["files"]
+        schema = _merge_schema(prev.get("schema"), batch_df.schema)
     else:
         v, files = 0, []
+        schema = batch_df.schema.jsonValue()
     new = _write_new_files(batch_df, table_path, v)
-    _commit(table_path, v, files + new, extra={"batch_id": batch_id})
+    _commit(
+        table_path, v, files + new,
+        extra={"batch_id": batch_id, "schema": schema},
+    )
     return v
 
 

@@ -403,3 +403,68 @@ def test_concurrent_commit_put_if_absent(spark, tmp_path):
     assert json.load(open(_manifest_path(out, 4)))["version"] == 4
     want = _rows(snap_read(spark, out, v0).unionByName(extra))
     assert _rows(snap_read(spark, out, v4)) == want
+
+
+def test_additive_schema_evolution(spark, tmp_path):
+    """The table schema lives in the LOG: an append may add columns
+    (old files surface them as NULL through the manifest schema, no
+    footer sniffing), time travel serves each version's own schema, a
+    type change raises instead of silently casting, and a CoW delete
+    across the evolution rewrites pre-evolution survivors through the
+    evolved schema without the change feed inventing phantom updates."""
+    import pytest
+
+    from cargo_chat_spark.sources.snapshots import (
+        SchemaEvolutionError,
+        snap_changes,
+    )
+
+    out = str(tmp_path / "snap")
+    e = load_table(spark, SF_DIR_SMALL, "events")
+    snap_write(
+        e.where(F.col("user_id") < 8).repartitionByRange(4, F.col("user_id")),
+        out,
+    )
+    evolved = e.where(F.col("user_id") >= 8).withColumn(
+        "value_eur",
+        F.expr("CAST(value AS DECIMAL(18,2)) * CAST(0.90 AS DECIMAL(3,2))"),
+    )
+    snap_append(evolved, out)
+
+    latest = snap_read(spark, out)
+    assert latest.columns[-1] == "value_eur"
+    old = latest.where(F.col("user_id") < 8)
+    assert old.where(F.col("value_eur").isNotNull()).count() == 0
+    assert old.count() == e.where(F.col("user_id") < 8).count()
+    assert (
+        latest.where(F.col("value_eur").isNotNull()).count()
+        == e.where(F.col("user_id") >= 8).count()
+    )
+    # time travel: v0 keeps its own (pre-evolution) schema
+    assert "value_eur" not in snap_read(spark, out, 0).columns
+
+    # a type change is refused, table untouched
+    with pytest.raises(SchemaEvolutionError):
+        snap_append(
+            e.limit(1).withColumn("value", F.col("value").cast("string")),
+            out,
+        )
+    assert versions(out) == [0, 1]
+
+    # CoW delete of pre-evolution rows: the rewritten survivors carry
+    # the evolved schema, and CDC sees ONLY the deletes
+    snap_delete(
+        spark, out, e.where(F.col("user_id").isin(3)).select("event_id"),
+        "event_id",
+    )
+    got = _rows(snap_changes(spark, out, 1, 2, "event_id"))
+    want = _rows(
+        e.where(F.col("user_id") == 3).select(
+            F.lit("deleted").alias("change"), "event_id"
+        )
+    )
+    assert got == want
+    assert (
+        snap_read(spark, out).count()
+        == e.where(F.col("user_id") != 3).count()
+    )
