@@ -90,6 +90,10 @@ DETAIL_EXTRA = [
     "html_text_extract",        # new r6: WET-style HTML strip + ratio gate
     "nfc_normalize_text",       # new r6: unicode NFC via Arrow pandas_udf
     "events_snapshot_optimize",  # new r6: OPTIMIZE ZORDER + manifest stats
+    "events_metadata_count",    # new r6: metadata-only COUNT(*) from log
+    "events_snapshot_restore",  # new r6: RESTORE as metadata-only commit
+    "events_snapshot_schema_evolution",  # new r6: schema in the manifest
+    "events_retention_delete",  # new r6: stats-resolved file-level delete
 ]
 
 
@@ -223,6 +227,13 @@ _R6_NEW_BARS = {
     # measured at calib 0.289 (/0.677; raw median 1.63): two fragmented
     # appends + z-order OPTIMIZE commit + stats-pruned band aggregate
     "events_snapshot_optimize": 2.4,
+    # measured at calib 0.331 (/0.775; raw medians 1.59 / 1.40 / 1.51,
+    # median of 3 cold after a warm pass): each runs the full
+    # write/append/third-commit lifecycle; the query step itself is
+    # metadata-only (count/restore) or one grouped aggregate (schevo)
+    "events_metadata_count": 2.06,
+    "events_snapshot_restore": 1.81,
+    "events_snapshot_schema_evolution": 1.95,
 }
 
 BASELINE_S = {**_LEGACY_BARS, **_R6_BARS, **_R6_NEW_BARS}

@@ -268,6 +268,10 @@ ROUND7_PROMOTION_PLAN = [
     # schema evolution recorded in the manifest — old files surface new
     # columns as NULL, type changes refused, CoW across the evolution)
     "events_snapshot_schema_evolution",
+    # new in round 6 (local oracle green at sf0.001 AND sf0.01;
+    # DELETE WHERE resolved at file granularity via manifest stats —
+    # expired files dropped metadata-only, boundary files rewritten)
+    "events_retention_delete",
     # tier 2 — remaining distinct machinery
     "weighted_sample", "word_entropy", "unigram_logprob",
     "engaged_clean_users", "value_zscore_outliers",

@@ -913,3 +913,57 @@ def events_snapshot_schema_evolution(spark, sf_dir):
         F.count("value_eur").alias("n_eur"),
         F.sum("value_eur").cast("double").alias("total_eur"),
     )
+
+
+# ------------------------------------------------ retention-delete gate
+# DELETE WHERE ts < cutoff resolved at FILE granularity: after a
+# ts-clustering OPTIMIZE, the manifest stats prove most files entirely
+# expired (dropped from the manifest without being opened — at 100 TB,
+# retiring a month from a time-clustered table is metadata work) or
+# entirely surviving (kept byte-identical); only the boundary files are
+# rewritten with the row filter. The oracle aggregates the surviving
+# rows straight off the raw table — a dropped file that should have
+# straddled, a boundary row leaking through, or a stats misread is a
+# value mismatch.
+_RETENTION_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events WHERE ts >= TIMESTAMP '2024-01-12 00:00:00'
+GROUP BY event_type
+"""
+
+
+@register("events_retention_delete", sql=_RETENTION_SQL)
+def events_retention_delete(spark, sf_dir):
+    """ts-clustering OPTIMIZE, then a stats-resolved retention delete;
+    aggregate the surviving snapshot."""
+    import datetime
+    import shutil
+
+    from cargo_chat_spark.sources.snapshots import (
+        snap_delete_where,
+        snap_optimize,
+        snap_read,
+        snap_write,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"ccs_events_retention_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{os.getpid()}",
+    )
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    snap_write(e, out)
+    snap_optimize(spark, out, "ts", n_files=8)
+    snap_delete_where(spark, out, "ts", datetime.datetime(2024, 1, 12))
+    return snap_read(spark, out).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )

@@ -202,6 +202,18 @@ def _commit(
     metadata can never lag its version."""
     os.makedirs(_snap_dir(path), exist_ok=True)
     rows = _rows_map(path, sorted(files), [])
+    # per-file column stats stay valid forever (files are immutable):
+    # carry them across every commit so an OPTIMIZE's skipping power
+    # survives later appends/deletes instead of dying with its version
+    carried_stats: dict = {}
+    vs = versions(path)
+    if vs:
+        prev_stats = manifest(path).get("stats", {})
+        carried_stats = {f: prev_stats[f] for f in files if f in prev_stats}
+    if extra and "stats" in extra:
+        extra = {**extra, "stats": {**carried_stats, **extra["stats"]}}
+    elif carried_stats:
+        extra = {**(extra or {}), "stats": carried_stats}
     # per-writer staging name: racing writers must not collide on the
     # staging file either, only at the link (the commit point)
     tmp = _manifest_path(path, version) + f".{os.getpid()}.tmp"
@@ -307,6 +319,77 @@ def snap_delete(
         survivors = reader.parquet(
             *(os.path.join(root, f) for f in sorted(affected))
         ).join(k, on=key_col, how="left_anti")
+        new = _write_new_files(survivors, path, v)
+    extra = {"schema": prev["schema"]} if "schema" in prev else None
+    _commit(path, v, kept + new, extra=extra)
+    return v
+
+
+def snap_delete_where(
+    spark: SparkSession, path: str, col: str, cutoff
+) -> int:
+    """Retention delete — ``DELETE WHERE col < cutoff`` resolved at FILE
+    granularity through per-file min/max stats: a file whose max is
+    below the cutoff is DROPPED from the manifest outright (metadata
+    only — never opened, never rewritten; this is how expiring a month
+    of data from a 100 TB time-clustered table costs seconds), a file
+    whose min is at or past the cutoff is KEPT untouched, and only the
+    straddling boundary files are rewritten with the row-level filter.
+    Files without recorded stats get a one-pass column-pruned min/max
+    probe (cheap: one column, footer-adjacent) and classify the same
+    way. The dropped files stay on disk for time travel until
+    ``expire_snapshots`` reclaims them."""
+    from pyspark.sql import functions as F
+
+    from cargo_chat_spark.sources.sorted_layout import _serialize
+
+    prev = manifest(path)
+    v = prev["version"] + 1
+    root = _local(path)
+    stats = prev.get("stats", {})
+    cut = _serialize(cutoff)
+
+    bounds: dict[str, tuple] = {}
+    unstatted = []
+    for f in prev["files"]:
+        st = stats.get(f, {})
+        if col in st:
+            bounds[f] = (st[col][0], st[col][1])
+        else:
+            unstatted.append(f)
+    if unstatted:
+        probed = (
+            spark.read.parquet(
+                *(os.path.join(root, f) for f in unstatted)
+            )
+            .groupBy(F.input_file_name().alias("file"))
+            .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+            .collect()  # bounded: one row per probed file
+        )
+        for r in probed:
+            bounds[os.path.basename(_local(r["file"]))] = (
+                _serialize(r["lo"]), _serialize(r["hi"]),
+            )
+
+    kept, straddling = [], []
+    for f in prev["files"]:
+        lo, hi = bounds[f]
+        if hi < cut:
+            continue  # dropped whole — metadata only
+        if lo >= cut:
+            kept.append(f)
+        else:
+            straddling.append(f)
+
+    new: list[str] = []
+    if straddling:
+        reader = spark.read
+        schema = _schema_of(prev)
+        if schema is not None:
+            reader = reader.schema(schema)
+        survivors = reader.parquet(
+            *(os.path.join(root, f) for f in sorted(straddling))
+        ).where(F.col(col) >= F.lit(cutoff))
         new = _write_new_files(survivors, path, v)
     extra = {"schema": prev["schema"]} if "schema" in prev else None
     _commit(path, v, kept + new, extra=extra)

@@ -468,3 +468,58 @@ def test_additive_schema_evolution(spark, tmp_path):
         snap_read(spark, out).count()
         == e.where(F.col("user_id") != 3).count()
     )
+
+
+def test_retention_delete_drops_whole_files_by_stats(spark, tmp_path):
+    """DELETE WHERE ts < cutoff at file granularity: files whose stats
+    prove every row qualifies are dropped from the manifest without
+    being opened or rewritten (metadata-only), fully-surviving files are
+    kept byte-identical with their stats carried forward, and only the
+    straddling boundary files are rewritten row-level. A table without
+    stats classifies via a one-pass column-pruned probe instead."""
+    import datetime
+
+    from cargo_chat_spark.sources.snapshots import (
+        snap_delete_where,
+        snap_optimize,
+    )
+
+    cutoff = datetime.datetime(2024, 1, 12)
+    e = load_table(spark, SF_DIR_SMALL, "events")
+    want = _rows(e.where(F.col("ts") >= F.lit(cutoff)))
+
+    out = str(tmp_path / "snap")
+    snap_write(e, out)
+    snap_optimize(spark, out, "ts", n_files=8)  # v1: ts-clustered + stats
+    m1 = manifest(out, 1)
+    cut = cutoff.isoformat(sep=" ")
+    dropped = [f for f in m1["files"] if m1["stats"][f]["ts"][1] < cut]
+    kept = [f for f in m1["files"] if m1["stats"][f]["ts"][0] >= cut]
+    straddling = [
+        f for f in m1["files"] if f not in dropped and f not in kept
+    ]
+    assert dropped and kept and straddling  # the fixture exercises all 3
+    kept_stats = _file_stats(out, kept + dropped)
+
+    v2 = snap_delete_where(spark, out, "ts", cutoff)
+    m2 = manifest(out, v2)
+    # dropped wholesale: out of the manifest, still on disk for history
+    for f in dropped:
+        assert f not in m2["files"]
+        assert os.path.exists(os.path.join(out, f))
+    # kept untouched byte-for-byte, stats carried forward
+    for f in kept:
+        assert f in m2["files"]
+        assert m2["stats"][f] == m1["stats"][f]
+    assert _file_stats(out, kept + dropped) == kept_stats
+    # only the straddling files were rewritten
+    new_files = [f for f in m2["files"] if f not in m1["files"]]
+    assert len(new_files) <= len(straddling) + 1
+    assert _rows(snap_read(spark, out)) == want
+    assert _rows(snap_read(spark, out, 1)) == _rows(e)  # history intact
+
+    # no-stats fallback: same answer via the on-the-fly min/max probe
+    out2 = str(tmp_path / "snap2")
+    snap_write(e.repartitionByRange(8, F.col("ts")), out2)
+    snap_delete_where(spark, out2, "ts", cutoff)
+    assert _rows(snap_read(spark, out2)) == want
