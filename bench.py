@@ -234,6 +234,11 @@ _R6_NEW_BARS = {
     "events_metadata_count": 2.06,
     "events_snapshot_restore": 1.81,
     "events_snapshot_schema_evolution": 1.95,
+    # measured at calib 0.325 (/0.761; raw median 1.461, 3 cold repeats;
+    # per-repeat calibs 0.495/0.325/0.275 — the documented intra-run
+    # calib swing): write + ts-clustering OPTIMIZE + file-granular
+    # retention delete + surviving aggregate
+    "events_retention_delete": 1.92,
 }
 
 BASELINE_S = {**_LEGACY_BARS, **_R6_BARS, **_R6_NEW_BARS}
