@@ -272,6 +272,10 @@ ROUND7_PROMOTION_PLAN = [
     # DELETE WHERE resolved at file granularity via manifest stats —
     # expired files dropped metadata-only, boundary files rewritten)
     "events_retention_delete",
+    # new in round 6 (local oracle green at sf0.001 AND sf0.01; Delta
+    # deletion vectors — row-level MOR deletes as (file, row_index)
+    # sidecars with zero rewrite, dirty-file-only compaction)
+    "events_deletion_vectors",
     # tier 2 — remaining distinct machinery
     "weighted_sample", "word_entropy", "unigram_logprob",
     "engaged_clean_users", "value_zscore_outliers",

@@ -967,3 +967,82 @@ def events_retention_delete(spark, sf_dir):
         .alias("total_value"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+# ------------------------------------------------ deletion-vector gate
+# Delta deletion vectors / Iceberg position deletes: two row-level MOR
+# delete waves land as (file, row_index) sidecars with ZERO data files
+# rewritten; reads anti-join the positions; compaction then rewrites
+# only the dirty files and drops the vector. The gate aggregates the
+# table in BOTH states ('mor' and 'compacted' must be identical) and
+# carries the metadata-only count per stage — a position leak, a
+# resurrection during compaction, or a dv_rows accounting drift is a
+# value mismatch. The oracle states the surviving rows directly.
+_DV_SQL = """
+SELECT 'mor' AS stage, event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       (SELECT COUNT(*) FROM events
+        WHERE user_id NOT IN (7, 11) AND event_id % 97 != 0) AS n_meta
+FROM events WHERE user_id NOT IN (7, 11) AND event_id % 97 != 0
+GROUP BY event_type
+UNION ALL
+SELECT 'compacted' AS stage, event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       (SELECT COUNT(*) FROM events
+        WHERE user_id NOT IN (7, 11) AND event_id % 97 != 0) AS n_meta
+FROM events WHERE user_id NOT IN (7, 11) AND event_id % 97 != 0
+GROUP BY event_type
+"""
+
+
+@register("events_deletion_vectors", sql=_DV_SQL)
+def events_deletion_vectors(spark, sf_dir):
+    """Two deletion-vector delete waves (zero rewrite), aggregate via
+    the MOR read, compact the vector, aggregate again."""
+    import shutil
+
+    from cargo_chat_spark.sources.snapshots import (
+        snap_compact_dv,
+        snap_count,
+        snap_delete_rows,
+        snap_read,
+        snap_write,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"ccs_events_dv_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{os.getpid()}",
+    )
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    snap_write(e.repartition(8, F.col("user_id")), out)
+    snap_delete_rows(
+        spark, out, e.where(F.col("user_id").isin(7, 11)).select("event_id"),
+        "event_id",
+    )
+    snap_delete_rows(
+        spark, out,
+        e.where(F.col("event_id") % 97 == 0).select("event_id"),
+        "event_id",
+    )
+
+    def agg(stage):
+        return snap_read(spark, out).groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        ).select(
+            F.lit(stage).alias("stage"),
+            "event_type",
+            "n",
+            "total_value",
+            F.lit(snap_count(out)).cast("bigint").alias("n_meta"),
+        )
+
+    mor = agg("mor")
+    mor.write.format("noop").mode("overwrite").save()  # materialize pre-compaction
+    snap_compact_dv(spark, out)
+    return mor.unionByName(agg("compacted"))

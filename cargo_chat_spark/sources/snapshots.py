@@ -39,7 +39,6 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from cargo_chat_spark.sources._paths import strip_scheme as _local
-from cargo_chat_spark.sources.deletes import affected_files as _affected_files
 
 _SNAP_DIR = "_snapshots"
 _STAGING = "_snap_staging"
@@ -135,7 +134,9 @@ def snap_count(path: str, version: int | None = None) -> int:
         raise ValueError(
             f"manifest v{m['version']} lacks complete row stats"
         )
-    return sum(rows.values())
+    # physical rows minus the deletion vector's positions (exact: the
+    # vector is deduplicated and restricted to referenced files)
+    return sum(rows.values()) - m.get("dv_rows", 0)
 
 
 class SchemaEvolutionError(ValueError):
@@ -285,12 +286,7 @@ def snap_read(
     NULL (the parquet reader fills missing columns), and discovering the
     schema is O(1) log metadata instead of a footer-listing job."""
     m = manifest(path, version)
-    root = _local(path)
-    reader = spark.read
-    schema = _schema_of(m)
-    if schema is not None:
-        reader = reader.schema(schema)
-    return reader.parquet(*(os.path.join(root, f) for f in m["files"]))
+    return _read_files_with_dv(spark, path, m, m["files"])
 
 
 def snap_delete(
@@ -303,25 +299,22 @@ def snap_delete(
 
     prev = manifest(path)
     v = prev["version"] + 1
-    root = _local(path)
     k = F.broadcast(keys.select(key_col).distinct())
-    cur = snap_read(spark, path)
-    affected = _affected_files(cur, keys, key_col)
+    affected = _affected_files_visible(spark, path, prev, keys, key_col)
     kept = [f for f in prev["files"] if f not in affected]
     new: list[str] = []
     if affected:
-        # read the affected files THROUGH the table schema: survivors of
-        # a pre-evolution file rewrite with the full current schema
-        reader = spark.read
-        schema = _schema_of(prev)
-        if schema is not None:
-            reader = reader.schema(schema)
-        survivors = reader.parquet(
-            *(os.path.join(root, f) for f in sorted(affected))
+        # affected files read THROUGH the table schema AND the deletion
+        # vector: the rewrite materializes prior row-level deletes
+        # instead of resurrecting them
+        survivors = _read_files_with_dv(
+            spark, path, prev, sorted(affected)
         ).join(k, on=key_col, how="left_anti")
         new = _write_new_files(survivors, path, v)
-    extra = {"schema": prev["schema"]} if "schema" in prev else None
-    _commit(path, v, kept + new, extra=extra)
+    extra = _dv_restrict(spark, path, prev, kept, v)
+    if "schema" in prev:
+        extra["schema"] = prev["schema"]
+    _commit(path, v, kept + new, extra=extra or None)
     return v
 
 
@@ -383,14 +376,213 @@ def snap_delete_where(
 
     new: list[str] = []
     if straddling:
-        reader = spark.read
-        schema = _schema_of(prev)
-        if schema is not None:
-            reader = reader.schema(schema)
-        survivors = reader.parquet(
-            *(os.path.join(root, f) for f in sorted(straddling))
+        # boundary files read through the deletion vector: the rewrite
+        # materializes prior row-level deletes instead of resurrecting
+        survivors = _read_files_with_dv(
+            spark, path, prev, sorted(straddling)
         ).where(F.col(col) >= F.lit(cutoff))
         new = _write_new_files(survivors, path, v)
+    extra = _dv_restrict(spark, path, prev, kept, v)
+    if "schema" in prev:
+        extra["schema"] = prev["schema"]
+    _commit(path, v, kept + new, extra=extra or None)
+    return v
+
+
+# --------------------------------------------------- deletion vectors
+# Delta deletion vectors / Iceberg position deletes: a row-level
+# merge-on-read delete records the exact (file, row_index) positions of
+# the deleted rows in a tiny sidecar and commits a manifest that still
+# references the UNTOUCHED data files — delete cost is O(deleted rows)
+# regardless of how many 1 GB files they live in, where copy-on-write
+# pays a rewrite of every file containing one matched row. Readers
+# anti-join the positions (parquet's _metadata.row_index is stable per
+# file); compaction later materializes the vector by rewriting only the
+# dirty files. Each commit stores the COMPLETE vector state (positions
+# are (string, long) pairs — O(deleted rows) bytes), so restriction
+# after a CoW rewrite and exact metadata counts stay trivial.
+
+_DV_DIR = "_dv"
+_DV_SCHEMA = "file string, row_index bigint"
+
+
+def _dv_positions(spark: SparkSession, path: str, m: dict):
+    """The manifest's deleted (file, row_index) positions, or None."""
+    if not m.get("dv"):
+        return None
+    root = _local(path)
+    return spark.read.schema(_DV_SCHEMA).parquet(
+        *(os.path.join(root, _DV_DIR, f) for f in m["dv"])
+    )
+
+
+def _dv_write(positions: DataFrame, path: str, version: int) -> dict:
+    """Persist the complete DV state for ``version``; returns the
+    manifest fields ({} when the vector is empty)."""
+    import shutil
+
+    root = _local(path)
+    dvdir = os.path.join(root, _DV_DIR)
+    os.makedirs(dvdir, exist_ok=True)
+    staging = os.path.join(dvdir, f"_staging_v{version}")
+    positions.select("file", "row_index").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(staging)
+    moved = []
+    for f in sorted(os.listdir(staging)):
+        if f.endswith(".parquet"):
+            name = f"v{version}-{f}"
+            os.rename(os.path.join(staging, f), os.path.join(dvdir, name))
+            moved.append(name)
+    shutil.rmtree(staging)
+    n = sum(_footer_rows(dvdir, moved).values())
+    if n == 0:
+        for f in moved:
+            os.remove(os.path.join(dvdir, f))
+        return {}
+    return {"dv": moved, "dv_rows": n}
+
+
+def _read_files_with_dv(
+    spark: SparkSession, path: str, m: dict, files: list[str]
+) -> DataFrame:
+    """Explicit-schema scan of ``files`` with the manifest's deletion
+    vector applied (left-anti join on (file, row_index))."""
+    from pyspark.sql import functions as F
+
+    root = _local(path)
+    reader = spark.read
+    schema = _schema_of(m)
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.parquet(*(os.path.join(root, f) for f in files))
+    pos = _dv_positions(spark, path, m)
+    if pos is None:
+        return df
+    cols = df.columns
+    df = df.withColumn(
+        "_dv_f",
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+    ).withColumn("_dv_r", F.col("_metadata.row_index"))
+    cond = (df["_dv_f"] == pos["file"]) & (df["_dv_r"] == pos["row_index"])
+    return df.join(pos, cond, "left_anti").select(*cols)
+
+
+def _affected_files_visible(
+    spark: SparkSession, path: str, m: dict, keys: DataFrame, key_col: str
+) -> set[str]:
+    """Basenames of the manifest's files containing a VISIBLE matched
+    key — the DV-aware twin of ``deletes.affected_files`` (whose
+    ``input_file_name`` cannot survive the DV anti-join's multi-source
+    plan): one column-pruned scan carrying ``_metadata.file_path``,
+    the version's deletion vector applied, broadcast semi-join, one
+    collected row per affected FILE."""
+    from pyspark.sql import functions as F
+
+    root = _local(path)
+    reader = spark.read
+    schema = _schema_of(m)
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.parquet(
+        *(os.path.join(root, f) for f in m["files"])
+    ).select(
+        F.col(key_col),
+        F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -1
+        ).alias("_dv_f"),
+        F.col("_metadata.row_index").alias("_dv_r"),
+    )
+    pos = _dv_positions(spark, path, m)
+    if pos is not None:
+        cond = (df["_dv_f"] == pos["file"]) & (
+            df["_dv_r"] == pos["row_index"]
+        )
+        df = df.join(pos, cond, "left_anti")
+    k = F.broadcast(keys.select(key_col).distinct())
+    return {
+        r["_dv_f"]
+        for r in df.join(k, on=key_col, how="semi")
+        .select("_dv_f")
+        .distinct()
+        .collect()  # bounded: one row per affected FILE
+    }
+
+
+def _dv_restrict(
+    spark: SparkSession, path: str, prev: dict, surviving: list[str],
+    version: int,
+) -> dict:
+    """Carry the previous DV across a commit that changed the file set:
+    positions of files no longer referenced are dropped (a rewritten
+    file materialized its deletes; a dropped file took them with it)."""
+    from pyspark.sql import functions as F
+
+    pos = _dv_positions(spark, path, prev)
+    if pos is None:
+        return {}
+    kept = pos.where(F.col("file").isin(list(surviving)))
+    return _dv_write(kept, path, version)
+
+
+def snap_delete_rows(
+    spark: SparkSession, path: str, keys: DataFrame, key_col: str
+) -> int:
+    """Row-level merge-on-read delete via a deletion vector: record the
+    matched rows' (file, row_index) positions, touch NO data file. The
+    commit carries the accumulated vector (old ∪ new, deduplicated), so
+    waves compose and re-deleting a key is a no-op."""
+    from pyspark.sql import functions as F
+
+    prev = manifest(path)
+    v = prev["version"] + 1
+    root = _local(path)
+    reader = spark.read
+    schema = _schema_of(prev)
+    if schema is not None:
+        reader = reader.schema(schema)
+    k = F.broadcast(keys.select(key_col).distinct())
+    new_pos = (
+        reader.parquet(*(os.path.join(root, f) for f in prev["files"]))
+        .select(
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("file"),
+            F.col("_metadata.row_index").alias("row_index"),
+            F.col(key_col),
+        )
+        .join(k, on=key_col, how="semi")
+        .select("file", "row_index")
+    )
+    old = _dv_positions(spark, path, prev)
+    all_pos = (
+        new_pos if old is None else old.unionByName(new_pos)
+    ).distinct()
+    extra = _dv_write(all_pos, path, v)
+    if "schema" in prev:
+        extra["schema"] = prev["schema"]
+    _commit(path, v, prev["files"], extra=extra or None)
+    return v
+
+
+def snap_compact_dv(spark: SparkSession, path: str) -> int:
+    """Materialize the deletion vector: rewrite ONLY the dirty files
+    (those holding deleted positions), reading them through the DV, and
+    commit a vector-free manifest. O(dirty files), layout-only for the
+    logical content — the change feed across it is empty."""
+    prev = manifest(path)
+    pos = _dv_positions(spark, path, prev)
+    if pos is None:
+        return prev["version"]
+    v = prev["version"] + 1
+    dirty_set = {
+        r["file"] for r in pos.select("file").distinct().collect()
+    }  # bounded: one row per dirty file
+    dirty = sorted(dirty_set & set(prev["files"]))
+    kept = [f for f in prev["files"] if f not in dirty_set]
+    new = _write_new_files(
+        _read_files_with_dv(spark, path, prev, dirty), path, v
+    )
     extra = {"schema": prev["schema"]} if "schema" in prev else None
     _commit(path, v, kept + new, extra=extra)
     return v
@@ -405,21 +597,33 @@ def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
     vs = versions(path)
     retained = set(vs[-keep_last:]) if keep_last > 0 else set(vs)
     reachable: set[str] = set()
+    reachable_dv: set[str] = set()
     for v in retained:
-        reachable.update(manifest(path, v)["files"])
+        m = manifest(path, v)
+        reachable.update(m["files"])
+        reachable_dv.update(m.get("dv", []))
     dropped: set[str] = set()
+    dropped_dv: set[str] = set()
     for v in vs:
         if v in retained:
             continue
-        dropped.update(manifest(path, v)["files"])
+        m = manifest(path, v)
+        dropped.update(m["files"])
+        dropped_dv.update(m.get("dv", []))
         os.remove(_manifest_path(path, v))
     root = _local(path)
     removed = sorted(dropped - reachable)
-    for f in removed:
+    # deletion-vector sidecars of expired manifests are reclaimed too
+    # (not reported: the return contract is removed DATA basenames)
+    doomed = [os.path.join(root, f) for f in removed] + [
+        os.path.join(root, _DV_DIR, f)
+        for f in sorted(dropped_dv - reachable_dv)
+    ]
+    for p in doomed:
         # a vacuum that crashed mid-delete and is re-run must not die on
         # the files it already reclaimed — removal is replay-idempotent
         try:
-            os.remove(os.path.join(root, f))
+            os.remove(p)
         except FileNotFoundError:
             pass
     return removed
@@ -438,9 +642,11 @@ def snap_restore(path: str, version: int) -> int:
     version's files (the one way a restore target can die)."""
     src = manifest(path, version)
     root = _local(path)
+    needed = list(src["files"]) + [
+        os.path.join(_DV_DIR, f) for f in src.get("dv", [])
+    ]
     missing = [
-        f for f in src["files"]
-        if not os.path.isfile(os.path.join(root, f))
+        f for f in needed if not os.path.isfile(os.path.join(root, f))
     ]
     if missing:
         raise FileNotFoundError(
@@ -448,7 +654,7 @@ def snap_restore(path: str, version: int) -> int:
         )
     v = versions(path)[-1] + 1
     extra: dict = {"restored_from": version}
-    for carried in ("stats", "schema"):
+    for carried in ("stats", "schema", "dv", "dv_rows"):
         if carried in src:
             extra[carried] = src[carried]
     _commit(path, v, list(src["files"]), extra=extra)
@@ -470,7 +676,6 @@ def snap_merge(
 
     prev = manifest(path)
     v = prev["version"] + 1
-    root = _local(path)
     merged = _merge_schema(prev.get("schema"), updates.schema)
     # whole-row upsert: the updates must state every table column (an
     # absent column would silently NULL the matched rows' values)
@@ -484,22 +689,23 @@ def snap_merge(
             "upserts must state every column"
         )
     k = F.broadcast(updates.select(key_col).distinct())
-    cur = snap_read(spark, path)
-    affected = _affected_files(cur, updates, key_col)
+    affected = _affected_files_visible(spark, path, prev, updates, key_col)
     kept = [f for f in prev["files"] if f not in affected]
     new_rows = updates
     if affected:
-        # survivors read through the MERGED schema, so a merge that
+        # survivors read through the MERGED schema (so a merge that
         # evolves the schema rewrites pre-evolution survivors with the
-        # new column as NULL and unionByName lines up exactly
-        from pyspark.sql.types import StructType
-
-        survivors = spark.read.schema(StructType.fromJson(merged)).parquet(
-            *(os.path.join(root, f) for f in sorted(affected))
+        # new column as NULL and unionByName lines up exactly) and
+        # through the deletion vector (prior row-level deletes are
+        # materialized by the rewrite, not resurrected)
+        survivors = _read_files_with_dv(
+            spark, path, {**prev, "schema": merged}, sorted(affected)
         ).join(k, on=key_col, how="left_anti")
         new_rows = survivors.unionByName(updates)
     new = _write_new_files(new_rows, path, v)
-    _commit(path, v, kept + new, extra={"schema": merged})
+    extra = _dv_restrict(spark, path, prev, kept, v)
+    extra["schema"] = merged
+    _commit(path, v, kept + new, extra=extra)
     return v
 
 
@@ -521,22 +727,29 @@ def snap_changes(
     moved files)."""
     from pyspark.sql import functions as F
 
-    ma = set(manifest(path, from_version)["files"])
-    mb = set(manifest(path, to_version)["files"])
+    m_a, m_b = manifest(path, from_version), manifest(path, to_version)
+    ma, mb = set(m_a["files"]), set(m_b["files"])
     root = _local(path)
     # both sides read through the TO-version schema (the additive
     # superset): pre-evolution survivor files then hash with the new
     # columns as NULL on both sides, so a CoW move across a schema
-    # evolution can't masquerade as an update
-    to_schema = _schema_of(manifest(path, to_version))
+    # evolution can't masquerade as an update. Each side applies its
+    # OWN version's deletion vector — a row a CoW rewrite materialized
+    # out was already logically absent on the DV side, so it cancels.
+    def with_to_schema(m: dict) -> dict:
+        out = dict(m)
+        if "schema" in m_b:
+            out["schema"] = m_b["schema"]
+        else:
+            out.pop("schema", None)
+        return out
 
-    def side(files: set[str]) -> DataFrame | None:
+    def side(files: set[str], m: dict) -> DataFrame | None:
         if not files:
             return None
-        reader = spark.read
-        if to_schema is not None:
-            reader = reader.schema(to_schema)
-        df = reader.parquet(*(os.path.join(root, f) for f in sorted(files)))
+        df = _read_files_with_dv(
+            spark, path, with_to_schema(m), sorted(files)
+        )
         # concat_ws silently DROPS null cells, so rows differing only in
         # which column is null would collide — encode null explicitly
         cols = [
@@ -548,8 +761,73 @@ def snap_changes(
             F.md5(F.concat_ws("\x1f", *cols)).alias("h"),
         )
 
-    a, b = side(ma - mb), side(mb - ma)
-    if a is None and b is None:
+    a, b = side(ma - mb, m_a), side(mb - ma, m_b)
+    base = None
+    if a is not None and b is not None:
+        j = a.alias("a").join(
+            b.alias("b"), F.col("a.k") == F.col("b.k"), "full_outer"
+        )
+        base = (
+            j.select(
+                F.when(F.col("a.k").isNull(), "inserted")
+                .when(F.col("b.k").isNull(), "deleted")
+                .when(F.col("a.h") != F.col("b.h"), "updated")
+                .alias("change"),
+                F.coalesce(F.col("a.k"), F.col("b.k")).alias(key_col),
+            )
+            .where(F.col("change").isNotNull())
+        )
+    elif a is not None:
+        base = a.select(
+            F.lit("deleted").alias("change"), F.col("k").alias(key_col)
+        )
+    elif b is not None:
+        base = b.select(
+            F.lit("inserted").alias("change"), F.col("k").alias(key_col)
+        )
+
+    # deletion-vector delta over SHARED files: a DV-only commit changes
+    # no file, so the row-level changes live purely in the position
+    # sets. Positions new in B are deletes; positions gone from B (a
+    # RESTORE across a DV delete) are re-inserts. Only the files the
+    # delta actually names are read — CDC stays O(changed positions).
+    frames = [] if base is None else [base]
+    shared = ma & mb
+    if shared:
+        empty = spark.createDataFrame([], _DV_SCHEMA)
+        pa = _dv_positions(spark, path, m_a) or empty
+        pb = _dv_positions(spark, path, m_b) or empty
+        sh = sorted(shared)
+        pa = pa.where(F.col("file").isin(sh))
+        pb = pb.where(F.col("file").isin(sh))
+        for pos, label in (
+            (pb.exceptAll(pa), "deleted"),
+            (pa.exceptAll(pb), "inserted"),
+        ):
+            need = sorted(
+                r["file"] for r in pos.select("file").distinct().collect()
+            )  # bounded: one row per touched file
+            if not need:
+                continue
+            df = _read_files_with_dv(
+                spark, path, {**with_to_schema(m_b), "dv": None}, need
+            )
+            df = df.withColumn(
+                "_dv_f",
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ),
+            ).withColumn("_dv_r", F.col("_metadata.row_index"))
+            cond = (df["_dv_f"] == pos["file"]) & (
+                df["_dv_r"] == pos["row_index"]
+            )
+            frames.append(
+                df.join(pos, cond, "semi").select(
+                    F.lit(label).alias("change"), F.col(key_col)
+                )
+            )
+
+    if not frames:
         # derive the key's REAL type from the table (hardcoding one
         # would make the empty-diff frame schema-incompatible with the
         # non-empty branches for non-bigint keys)
@@ -557,22 +835,13 @@ def snap_changes(
             snap_read(spark, path, to_version)
             .schema[key_col].dataType.simpleString()
         )
-        return spark.createDataFrame([], f"change string, {key_col} {key_type}")
-    if a is None:
-        return b.select(F.lit("inserted").alias("change"), F.col("k").alias(key_col))
-    if b is None:
-        return a.select(F.lit("deleted").alias("change"), F.col("k").alias(key_col))
-    j = a.alias("a").join(b.alias("b"), F.col("a.k") == F.col("b.k"), "full_outer")
-    return (
-        j.select(
-            F.when(F.col("a.k").isNull(), "inserted")
-            .when(F.col("b.k").isNull(), "deleted")
-            .when(F.col("a.h") != F.col("b.h"), "updated")
-            .alias("change"),
-            F.coalesce(F.col("a.k"), F.col("b.k")).alias(key_col),
+        return spark.createDataFrame(
+            [], f"change string, {key_col} {key_type}"
         )
-        .where(F.col("change").isNotNull())
-    )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
 
 
 class ExpectationViolation(ValueError):

@@ -375,3 +375,42 @@ def test_above_nation_avg_decorrelates_to_broadcast(spark):
         "correlated scalar subquery should decorrelate into an aggregate "
         "+ broadcast join, not a per-row subquery or shuffle join"
     )
+
+
+def test_dv_read_keeps_pushdown_and_broadcasts_vector(spark, tmp_path):
+    """The deletion-vector anti-join must not break scan efficiency:
+    filters above snap_read still push to the parquet scan, column
+    pruning holds, and the position vector (O(deleted rows)) broadcasts
+    — the corpus side never shuffles for a MOR read."""
+    from pyspark.sql import functions as F
+
+    from cargo_chat_spark.sources.snapshots import (
+        snap_delete_rows,
+        snap_read,
+        snap_write,
+    )
+    from cargo_chat_spark.sources.testdata import load_table
+
+    e = load_table(spark, SF_DIR_SMALL, "events")
+    out = str(tmp_path / "snap")
+    snap_write(e.repartition(4, F.col("user_id")), out)
+    snap_delete_rows(
+        spark, out, e.where(F.col("user_id") == 7).select("event_id"),
+        "event_id",
+    )
+    df = (
+        snap_read(spark, out)
+        .where(F.col("user_id") < 5)
+        .select("event_id", "value")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LessThan(user_id,5)" in plan, "filter must push to the scan"
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, (
+        "the position vector must broadcast; a shuffled anti-join drags "
+        "the whole corpus through an exchange"
+    )
+    scan = plan[plan.index("FileScan"):]
+    read_schema = scan.split("ReadSchema")[1][:400]
+    assert "event_type" not in read_schema and "props" not in read_schema, (
+        "column pruning must survive the DV anti-join"
+    )

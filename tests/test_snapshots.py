@@ -523,3 +523,117 @@ def test_retention_delete_drops_whole_files_by_stats(spark, tmp_path):
     snap_write(e.repartitionByRange(8, F.col("ts")), out2)
     snap_delete_where(spark, out2, "ts", cutoff)
     assert _rows(snap_read(spark, out2)) == want
+
+
+def test_deletion_vector_delete_touches_no_data_file(spark, tmp_path):
+    """Row-level MOR delete: the commit references the UNTOUCHED data
+    files plus a (file, row_index) sidecar — O(deleted rows) cost where
+    copy-on-write would rewrite every file containing a matched row.
+    Waves accumulate, re-deleting a key is a no-op, history stays
+    readable, and metadata counts subtract the vector exactly."""
+    from cargo_chat_spark.sources.snapshots import (
+        snap_count,
+        snap_delete_rows,
+    )
+
+    out = str(tmp_path / "snap")
+    e = load_table(spark, SF_DIR_SMALL, "events")
+    snap_write(e.repartitionByRange(8, F.col("user_id")), out)
+    m0 = manifest(out, 0)
+    stats0 = _file_stats(out, m0["files"])
+
+    v1 = snap_delete_rows(
+        spark, out, e.where(F.col("user_id").isin(7, 11)).select("event_id"),
+        "event_id",
+    )
+    m1 = manifest(out, v1)
+    assert m1["files"] == m0["files"]  # zero data files added/removed
+    assert _file_stats(out, m0["files"]) == stats0  # zero bytes touched
+    assert m1["dv"] and m1["dv_rows"] == e.where(
+        F.col("user_id").isin(7, 11)
+    ).count()
+    want1 = _rows(e.where(~F.col("user_id").isin(7, 11)))
+    assert _rows(snap_read(spark, out)) == want1
+    assert _rows(snap_read(spark, out, 0)) == _rows(e)  # history intact
+    assert snap_count(out) == len(want1)
+
+    # second wave accumulates; re-deleting user 7 changes nothing
+    v2 = snap_delete_rows(
+        spark, out,
+        e.where(F.col("user_id").isin(7, 3)).select("event_id"),
+        "event_id",
+    )
+    m2 = manifest(out, v2)
+    assert m2["files"] == m0["files"]
+    want2 = _rows(e.where(~F.col("user_id").isin(3, 7, 11)))
+    assert _rows(snap_read(spark, out)) == want2
+    assert m2["dv_rows"] == len(_rows(e)) - len(want2)
+    assert snap_count(out) == len(want2)
+
+
+def test_deletion_vector_compaction_and_cow_interplay(spark, tmp_path):
+    """Compacting the vector rewrites ONLY the dirty files and cannot
+    resurrect deleted rows; a copy-on-write key-delete over a table
+    with a DV materializes the vector for the files it rewrites and
+    carries the rest; the change feed across a compaction is EMPTY
+    (layout-only) while a DV-only commit feeds pure deletes."""
+    from cargo_chat_spark.sources.snapshots import (
+        snap_changes,
+        snap_compact_dv,
+        snap_delete_rows,
+    )
+
+    out = str(tmp_path / "snap")
+    e = load_table(spark, SF_DIR_SMALL, "events")
+    snap_write(e.repartitionByRange(8, F.col("user_id")), out)
+    m0 = manifest(out, 0)
+
+    v1 = snap_delete_rows(
+        spark, out, e.where(F.col("user_id").isin(7, 11)).select("event_id"),
+        "event_id",
+    )
+    # DV-only commit: no file diff, yet CDC reports exactly the deletes
+    got = _rows(snap_changes(spark, out, 0, v1, "event_id"))
+    want = _rows(
+        e.where(F.col("user_id").isin(7, 11)).select(
+            F.lit("deleted").alias("change"), "event_id"
+        )
+    )
+    assert got == want
+
+    m1 = manifest(out, v1)
+    dirty = {r["file"] for r in (
+        spark.read.schema("file string, row_index bigint").parquet(
+            *(os.path.join(out, "_dv", f) for f in m1["dv"])
+        ).select("file").distinct().collect()
+    )}
+    clean = [f for f in m1["files"] if f not in dirty]
+    assert dirty and clean  # fixture exercises both
+    clean_stats = _file_stats(out, clean)
+
+    v2 = snap_compact_dv(spark, out)
+    m2 = manifest(out, v2)
+    assert "dv" not in m2
+    assert set(clean) <= set(m2["files"])  # clean files shared verbatim
+    assert _file_stats(out, clean) == clean_stats
+    assert not (dirty & set(m2["files"]))  # dirty files all replaced
+    want_rows = _rows(e.where(~F.col("user_id").isin(7, 11)))
+    assert _rows(snap_read(spark, out)) == want_rows
+    # layout-only: the feed across the compaction is empty
+    assert _rows(snap_changes(spark, out, v1, v2, "event_id")) == []
+
+    # CoW key-delete over a fresh DV: rewritten files materialize the
+    # vector (deleted rows stay gone), untouched files keep their DV
+    v3 = snap_delete_rows(
+        spark, out, e.where(F.col("user_id") == 2).select("event_id"),
+        "event_id",
+    )
+    v4 = snap_delete(
+        spark, out, e.where(F.col("user_id") == 12).select("event_id"),
+        "event_id",
+    )
+    want_final = _rows(e.where(~F.col("user_id").isin(2, 7, 11, 12)))
+    assert _rows(snap_read(spark, out, v4)) == want_final
+    assert _rows(snap_read(spark, out, v3)) == _rows(
+        e.where(~F.col("user_id").isin(2, 7, 11))
+    )
