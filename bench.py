@@ -94,6 +94,7 @@ DETAIL_EXTRA = [
     "events_snapshot_restore",  # new r6: RESTORE as metadata-only commit
     "events_snapshot_schema_evolution",  # new r6: schema in the manifest
     "events_retention_delete",  # new r6: stats-resolved file-level delete
+    "events_deletion_vectors",  # new r6: row-level MOR via position sidecars
 ]
 
 
@@ -239,6 +240,10 @@ _R6_NEW_BARS = {
     # calib swing): write + ts-clustering OPTIMIZE + file-granular
     # retention delete + surviving aggregate
     "events_retention_delete": 1.92,
+    # measured warm-then-3-cold (raw median 2.156, ref-axis /0.721):
+    # write + two DV delete waves + MOR aggregate + dirty-file
+    # compaction + post-compaction aggregate, all in one gate
+    "events_deletion_vectors": 2.99,
 }
 
 BASELINE_S = {**_LEGACY_BARS, **_R6_BARS, **_R6_NEW_BARS}

@@ -1046,3 +1046,72 @@ def events_deletion_vectors(spark, sf_dir):
     mor.write.format("noop").mode("overwrite").save()  # materialize pre-compaction
     snap_compact_dv(spark, out)
     return mor.unionByName(agg("compacted"))
+
+
+# ----------------------------------------------- MERGE-clauses gate
+# Full conditional MERGE INTO (WHEN MATCHED AND cond THEN DELETE /
+# WHEN MATCHED THEN UPDATE SET / WHEN NOT MATCHED THEN INSERT) over the
+# snapshot log: users 3/5 are the matched set (their 'error' rows are
+# DELETED by the conditional clause, the rest get value+1.00 via a
+# decimal-exact t-expression), user 9's re-keyed rows insert. The
+# oracle restates the final table relationally — a clause applied in
+# the wrong order, an update leaking onto unmatched rows, or an insert
+# duplicated into a rewritten file is a value mismatch.
+_MERGE_CLAUSES_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM (
+    SELECT event_type, value, user_id FROM events
+    WHERE user_id NOT IN (3, 5)
+    UNION ALL
+    SELECT event_type,
+           CAST(CAST(value AS DECIMAL(18,2)) + 1.00 AS DOUBLE) AS value,
+           user_id
+    FROM events WHERE user_id IN (3, 5) AND event_type <> 'error'
+    UNION ALL
+    SELECT event_type, value, user_id FROM events WHERE user_id = 9
+)
+GROUP BY event_type
+"""
+
+
+@register("events_merge_clauses", sql=_MERGE_CLAUSES_SQL)
+def events_merge_clauses(spark, sf_dir):
+    """Conditional MERGE INTO lifecycle, aggregated per event_type."""
+    import shutil
+
+    from cargo_chat_spark.sources.snapshots import (
+        snap_merge_into,
+        snap_read,
+        snap_write,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"ccs_events_mergecl_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{os.getpid()}",
+    )
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    snap_write(e.repartitionByRange(8, F.col("user_id")), out)
+    src = e.where(F.col("user_id").isin(3, 5)).unionByName(
+        e.where(F.col("user_id") == 9).withColumn(
+            "event_id", F.col("event_id") + F.lit(10_000_000)
+        )
+    )
+    snap_merge_into(
+        spark, out, src, "event_id",
+        matched_update={
+            "value": "CAST(CAST(t.value AS DECIMAL(18,2)) + 1.00 AS DOUBLE)"
+        },
+        matched_delete="s.event_type = 'error'",
+    )
+    return snap_read(spark, out).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )

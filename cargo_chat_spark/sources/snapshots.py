@@ -709,6 +709,113 @@ def snap_merge(
     return v
 
 
+def snap_merge_into(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key_col: str,
+    *,
+    matched_update: dict[str, str] | None = None,
+    matched_delete: str | None = None,
+    insert_unmatched: bool = True,
+) -> int:
+    """Full conditional MERGE INTO (Delta/SQL:2003 semantics), CoW at
+    file granularity:
+
+    - WHEN MATCHED AND ``matched_delete`` THEN DELETE (evaluated first,
+      like Delta's clause ordering when the delete condition is given);
+    - WHEN MATCHED THEN UPDATE SET ``matched_update`` — a {column: SQL
+      expression} map evaluated over the aliased pair (``t`` = target
+      row, ``s`` = source row), unlisted columns keep ``t``'s value;
+    - WHEN NOT MATCHED THEN INSERT the source row (``insert_unmatched``).
+
+    Cost model identical to :func:`snap_merge`: only files containing a
+    VISIBLE matched key are rewritten (their unmatched rows survive
+    verbatim, pending deletion-vector rows are materialized out),
+    inserts land as new files, everything else is shared with the
+    previous manifest. The key-only anti-scan for unmatched detection is
+    column-pruned — at 100 TB it reads one column, not the table."""
+    from pyspark.sql import functions as F
+
+    prev = manifest(path)
+    v = prev["version"] + 1
+    merged = _merge_schema(prev.get("schema"), source.schema)
+    table_cols = [f["name"] for f in merged["fields"]]
+    missing = [c for c in table_cols if c not in source.columns]
+    if missing:
+        raise SchemaEvolutionError(
+            f"MERGE source lacks table columns {missing}"
+        )
+    bad = [c for c in (matched_update or {}) if c not in table_cols]
+    if bad:
+        raise ValueError(f"UPDATE SET targets unknown columns {bad}")
+
+    affected = _affected_files_visible(spark, path, prev, source, key_col)
+    kept = [f for f in prev["files"] if f not in affected]
+
+    frames = []
+    if affected:
+        t = _read_files_with_dv(
+            spark, path, {**prev, "schema": merged}, sorted(affected)
+        ).alias("t")
+        s = source.alias("s")
+        # no forced broadcast: the source carries full rows and can be
+        # large — AQE picks broadcast when it is in fact small
+        j = t.join(
+            s, F.col(f"t.{key_col}") == F.col(f"s.{key_col}"), "left"
+        )
+        matched = F.col(f"s.{key_col}").isNotNull()
+        if matched_delete is not None:
+            j = j.where(~(matched & F.expr(matched_delete)))
+        upd = matched_update or {}
+        out_cols = [
+            F.when(matched, F.expr(upd[c])).otherwise(F.col(f"t.{c}"))
+            .alias(c)
+            if c in upd
+            else F.col(f"t.{c}").alias(c)
+            for c in table_cols
+        ]
+        frames.append(j.select(*out_cols))
+    if insert_unmatched:
+        # column-pruned key scan of the WHOLE visible table: a source
+        # key absent here matched nothing anywhere
+        root = _local(path)
+        reader = spark.read
+        schema = _schema_of(prev)
+        if schema is not None:
+            reader = reader.schema(schema)
+        keys_df = reader.parquet(
+            *(os.path.join(root, f) for f in prev["files"])
+        ).select(
+            F.col(key_col),
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("_dv_f"),
+            F.col("_metadata.row_index").alias("_dv_r"),
+        )
+        pos = _dv_positions(spark, path, prev)
+        if pos is not None:
+            cond = (keys_df["_dv_f"] == pos["file"]) & (
+                keys_df["_dv_r"] == pos["row_index"]
+            )
+            keys_df = keys_df.join(pos, cond, "left_anti")
+        inserts = source.join(
+            keys_df.select(key_col), on=key_col, how="left_anti"
+        ).select(*table_cols)
+        frames.append(inserts)
+
+    new: list[str] = []
+    if frames:
+        rows = frames[0]
+        for fr in frames[1:]:
+            rows = rows.unionByName(fr)
+        new = _write_new_files(rows, path, v)
+    extra = _dv_restrict(spark, path, prev, kept, v)
+    extra["schema"] = merged
+    _commit(path, v, kept + new, extra=extra)
+    return v
+
+
 def snap_changes(
     spark: SparkSession,
     path: str,

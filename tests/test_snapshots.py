@@ -637,3 +637,69 @@ def test_deletion_vector_compaction_and_cow_interplay(spark, tmp_path):
     assert _rows(snap_read(spark, out, v3)) == _rows(
         e.where(~F.col("user_id").isin(2, 7, 11))
     )
+
+
+def test_merge_into_clauses(spark, tmp_path):
+    """Full conditional MERGE: WHEN MATCHED AND cond THEN DELETE beats
+    UPDATE; UPDATE SET rewrites only the listed columns via t./s.
+    expressions; NOT MATCHED inserts; only files holding a matched key
+    are rewritten; rows pending in the deletion vector are NOT matched
+    (logically absent) and a rewrite materializes them out."""
+    from cargo_chat_spark.sources.snapshots import (
+        snap_delete_rows,
+        snap_merge_into,
+    )
+
+    out = str(tmp_path / "snap")
+    e = load_table(spark, SF_DIR_SMALL, "events")
+    snap_write(e.repartitionByRange(8, F.col("user_id")), out)
+    # user 3's 'view' rows go into the deletion vector first: MERGE must
+    # treat them as absent (no update resurrects them)
+    snap_delete_rows(
+        spark, out,
+        e.where((F.col("user_id") == 3) & (F.col("event_type") == "view"))
+        .select("event_id"),
+        "event_id",
+    )
+    m1 = manifest(out, 1)
+
+    src = e.where(F.col("user_id").isin(3, 5)).unionByName(
+        e.where(F.col("user_id") == 9).withColumn(
+            "event_id", F.col("event_id") + F.lit(10_000_000)
+        )
+    )
+    v2 = snap_merge_into(
+        spark, out, src, "event_id",
+        matched_update={"value": "t.value + 1.0"},
+        matched_delete="s.event_type = 'error'",
+    )
+
+    matched = (F.col("user_id").isin(3, 5)) & ~(
+        (F.col("user_id") == 3) & (F.col("event_type") == "view")
+    )
+    want = _rows(
+        e.where(~F.col("user_id").isin(3, 5))  # untouched
+        .unionByName(
+            e.where(matched & (F.col("event_type") != "error"))
+            .withColumn("value", F.col("value") + F.lit(1.0))
+        )  # updated (non-error survivors; DV'd rows stay gone)
+        .unionByName(
+            e.where(F.col("user_id") == 9).withColumn(
+                "event_id", F.col("event_id") + F.lit(10_000_000)
+            )
+        )  # inserted
+    )
+    assert _rows(snap_read(spark, out, v2)) == want
+
+    # CoW: files without a visible matched key are shared verbatim
+    m2 = manifest(out, v2)
+    shared = set(m1["files"]) & set(m2["files"])
+    assert shared and set(m1["files"]) - set(m2["files"]), (
+        "merge must rewrite some files and share the rest"
+    )
+    # history intact
+    assert _rows(snap_read(spark, out, 1)) == _rows(
+        e.where(~(
+            (F.col("user_id") == 3) & (F.col("event_type") == "view")
+        ))
+    )
