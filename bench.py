@@ -278,6 +278,30 @@ def _latest_bench_path(here: str) -> str | None:
     return os.path.join(here, benches[-1]) if benches else None
 
 
+def _warmup(spark, sf_dir: str) -> None:
+    """Untimed warm-up before the timed loop (round-6 verdict item 3): a
+    fresh JVM pays 3-8 s once on the first Arrow stage (Python worker
+    pool + Arrow codepath init) and ~1 s on first whole-stage codegen /
+    parquet-reader classloading. The builder's bars are warm-median by
+    protocol; without this, the driver's --repeat 1 run charges that
+    one-time cost to whichever query happens to run first (r6: knn_exact
+    flagged 4.05x for being first). Warm both paths explicitly so
+    repeats=1 lands on the same axis as the bars."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+
+    # Arrow / Python-worker path: one tiny pandas-UDF stage
+    df = spark.range(0, 1000).select(F.col("id").cast("double").alias("x"))
+    df.mapInPandas(lambda it: it, schema="x double").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    # codegen + parquet reader + catalog path: one small scan-agg
+    try:
+        spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    except Exception:
+        pass
+
+
 def _run_suite(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     timings: dict[str, float] = {}
     for name in names:
@@ -302,6 +326,7 @@ def main() -> None:
 
     all_names = HEADLINE + DETAIL_EXTRA
     spark = get_spark(app_name="cargo_chat_spark_bench")
+    _warmup(spark, sf_dir)
     calibs = [_calibrate(spark)]
     runs = [_run_suite(spark, sf_dir, all_names)]
     for _ in range(max(0, opts.repeat - 1)):

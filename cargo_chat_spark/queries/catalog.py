@@ -164,128 +164,62 @@ GATE_WINDOW = [
     "primary_languages",
     "mock_embed_documents",
     "rerank_topk",
-    # --- round-6 promotions: tier 1 (15) ---
-    "curation_pipeline",
-    "hybrid_rrf_retrieval",
-    "bm25_topk",
-    "events_gap_fill_locf",
-    "rolling_7d_actives",
-    "cheapest_supplier_per_part",
-    "media_frame_sample",
-    "token_spans_udtf",
-    "cogroup_purchase_view_asof",
-    "pq_knn_rerank",
-    "value_stats_salted",
-    "dataset_split",
-    "event_funnel",
-    "shipping_priority",
-    "local_supplier_volume",
-    # --- round-6 promotions: tier 1b (11) ---
-    "table_profile",
-    "constraint_violations",
-    "part_name_entities",
-    "paragraph_dedup_rebuild",
-    "part_copurchase_pagerank",
-    "ivfpq_topk",
-    "semdedup_keep",
-    "events_partitioned_pruned",
-    "daily_active_bitmap",
-    "events_ohlc_hourly",
-    "source_quality_report",
-    # --- round-6 closures: streaming twins + new gates (4) ---
-    "events_dedup_collapse",
-    "abandoned_purchases",
-    "index_import_reference",
-    "frame_neardup",
-]
-
-# Round-7 rotation queue (priority order). Heads are the four tier-1b
-# deferrals above; then the remaining never-externally-gated machinery
-# by novelty; then relational/format variants whose cores are gated.
-ROUND7_PROMOTION_PLAN = [
-    # deferred tier-1b (slots reserved first)
-    "hard_negatives_topk", "user_value_scd2", "quantity_price_corr",
-    "events_jsonl_roundtrip",
-    # new in round 6 (local oracle green; incremental cell-partitioned
-    # index maintenance — write_index_partitioned + upsert_index_cells)
-    "index_upsert_cells",
-    # new in round 6 (local oracle green; min/max-manifest data skipping
-    # over a range-sorted layout — sources/sorted_layout.py)
-    "events_range_pruned_scan",
-    # new in round 6 (local oracle green; ANN answered from the PERSISTED
-    # cell-partitioned index via partition-pruned probes — the production
-    # disk-backed search path; hard-assign twin of ivf_topk_trained)
-    "ivf_topk_persisted",
-    # new in round 6 (local oracle green; 2-D z-order layout with
-    # two-column manifest skipping — the multi-dimension extension of
-    # events_range_pruned_scan)
-    "events_zorder_pruned_scan",
-    # new in round 6 (local oracle green; merge-on-read tombstone deletes
-    # + affected-file-only compaction — sources/deletes.py, the GDPR/
-    # retraction lifecycle over immutable parquet)
-    "events_merge_on_read",
-    # new in round 6 (local oracle green; group-aware 98/1/1 split keyed
-    # on the near-dup component so near-duplicates never straddle
-    # train/test — the eval-decontamination twin of dataset_split)
-    "leakage_safe_split",
-    # new in round 6 (local oracle green at sf0.001 AND sf0.01; snapshot
-    # versioning with time travel, CoW deletes sharing unaffected files,
-    # and vacuum — sources/snapshots.py, the reproducible-corpus story)
+    # --- ROUND-7 ROTATION (executed per round-6 VERDICT item 2): the 30
+    # round-6 rows rotate out on their green CORRECTNESS_r06 externals;
+    # the never-gated lakehouse/storage family goes first because it is
+    # the newest, least-proven machinery (and housed the one r6 defect,
+    # the snap_merge_into DV-insert regression, fixed this round).
+    # --- lakehouse / storage family (14) ---
     "events_time_travel",
-    # new in round 6 (local oracle green at sf0.001 AND sf0.01; MERGE
-    # INTO by key + row-level change feed between snapshots reading only
-    # the manifest-diff files — the incremental-recompute primitive)
     "events_snapshot_cdc",
-    # new in round 6 (local oracle green at sf0.001 AND sf0.01; rollup
-    # maintained across versions from manifest-diff files only —
-    # CoW-moved survivors cancel exactly in the signed delta)
-    "incremental_rollup_cdc",
-    # new in round 6 (local oracle green at sf0.001 AND sf0.01; the
-    # dedup keep-decision landed as a merge-on-read delete wave and the
-    # surviving corpus profiled through the MOR view — dedup ∘ deletes)
-    "dedup_mor_apply",
-    # new in round 6 (local oracle green; CommonCrawl-style HTML
-    # extraction — strip chain + entity decode + markup-ratio gate,
-    # value-hashed against DuckDB's RE2 on the shared patterns)
-    "html_text_extract",
-    # new in round 6 (local oracle green; unicode NFC canonicalization —
-    # Arrow pandas_udf unicodedata vs DuckDB's native nfc_normalize,
-    # two independent Unicode implementations value-hashed)
-    "nfc_normalize_text",
-    # new in round 6 (local oracle green at sf0.001 AND sf0.01; OPTIMIZE
-    # ZORDER as a layout-only snapshot commit with per-file column stats
-    # in the manifest + stats-pruned time-travel reads)
-    "events_snapshot_optimize",
-    # new in round 6 (local oracle green at sf0.001 AND sf0.01; COUNT(*)
-    # of every snapshot version answered purely from manifest row stats
-    # — parquet footers at commit, carried forward for shared files)
-    "events_metadata_count",
-    # new in round 6 (local oracle green at sf0.001 AND sf0.01; RESTORE
-    # VERSION AS OF as a metadata-only commit — rollback costs one JSON
-    # rename regardless of table size, history stays readable)
-    "events_snapshot_restore",
-    # new in round 6 (local oracle green at sf0.001 AND sf0.01; additive
-    # schema evolution recorded in the manifest — old files surface new
-    # columns as NULL, type changes refused, CoW across the evolution)
-    "events_snapshot_schema_evolution",
-    # new in round 6 (local oracle green at sf0.001 AND sf0.01;
-    # DELETE WHERE resolved at file granularity via manifest stats —
-    # expired files dropped metadata-only, boundary files rewritten)
-    "events_retention_delete",
-    # new in round 6 (local oracle green at sf0.001 AND sf0.01; Delta
-    # deletion vectors — row-level MOR deletes as (file, row_index)
-    # sidecars with zero rewrite, dirty-file-only compaction)
+    "events_merge_clauses",
     "events_deletion_vectors",
+    "events_merge_on_read",
+    "events_retention_delete",
+    "events_snapshot_optimize",
+    "events_snapshot_restore",
+    "events_snapshot_schema_evolution",
+    "events_metadata_count",
+    "events_range_pruned_scan",
+    "events_zorder_pruned_scan",
+    "incremental_rollup_cdc",
+    "dedup_mor_apply",
+    # --- persisted-index production path + curation closures (5) ---
+    "index_upsert_cells",
+    "ivf_topk_persisted",
+    "leakage_safe_split",
+    "html_text_extract",
+    "nfc_normalize_text",
+    # --- deferred tier-1b heads (4, slots reserved since round 6) ---
+    "hard_negatives_topk",
+    "user_value_scd2",
+    "quantity_price_corr",
+    "events_jsonl_roundtrip",
+    # --- tier-2 never-gated machinery (7): contamination_bloom gates the
+    # round-7 Spark-side bit_or Bloom rebuild (VERDICT item 6); the rest
+    # are the highest-novelty remaining text/temporal entries ---
+    "contamination_bloom",
+    "fuzzy_decontamination",
+    "tfidf_top_terms",
+    "boilerplate_grams",
+    "word_entropy",
+    "cohort_retention",
+    "event_transitions",
+]
+# Round-8 rotation queue (priority order), drafted at the round-7
+# rotation. Everything here has a local value-hash oracle
+# (tests/test_oracle_harness.py) but no external CORRECTNESS row yet.
+# Tier 2 first (distinct machinery), then tier-3 relational/format
+# variants whose core operators are already externally gated.
+ROUND7_PROMOTION_PLAN = [
     # tier 2 — remaining distinct machinery
-    "weighted_sample", "word_entropy", "unigram_logprob",
-    "engaged_clean_users", "value_zscore_outliers",
-    "event_type_cooccurrence", "tfidf_top_terms", "boilerplate_grams",
-    "contamination_bloom", "fuzzy_decontamination", "latest_event_per_user",
-    "per_source_sample", "label_centroids", "event_transitions",
-    "cohort_retention", "mad_outliers", "similar_part_names",
-    "events_trailing_1h_sum", "session_paths_top", "value_histogram",
-    "value_equidepth_histogram", "above_nation_avg_customers",
-    # tier 3 — relational/format variants (cores gated in r6)
+    "weighted_sample", "unigram_logprob", "engaged_clean_users",
+    "value_zscore_outliers", "event_type_cooccurrence",
+    "latest_event_per_user", "per_source_sample", "label_centroids",
+    "mad_outliers", "similar_part_names", "events_trailing_1h_sum",
+    "session_paths_top", "value_histogram", "value_equidepth_histogram",
+    "above_nation_avg_customers",
+    # tier 3 — relational/format variants (cores gated r5-r6)
     "order_price_deciles", "segment_status_pivot",
     "customer_balance_ranks", "flag_status_grouping_sets",
     "daily_signup_purchase", "forecast_revenue_q6", "flag_status_cube",

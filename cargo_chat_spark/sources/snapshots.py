@@ -777,8 +777,12 @@ def snap_merge_into(
         ]
         frames.append(j.select(*out_cols))
     if insert_unmatched:
-        # column-pruned key scan of the WHOLE visible table: a source
-        # key absent here matched nothing anywhere
+        # column-pruned key scan of the WHOLE stored table (RAW files, no
+        # deletion-vector anti-join): a key pending in the DV is logically
+        # absent for MATCH purposes but still OCCUPIES the table for
+        # insert detection — re-inserting it would resurrect a deleted
+        # row, which test_merge_into_clauses and the events_merge_clauses
+        # oracle both pin as forbidden
         root = _local(path)
         reader = spark.read
         schema = _schema_of(prev)
@@ -786,21 +790,9 @@ def snap_merge_into(
             reader = reader.schema(schema)
         keys_df = reader.parquet(
             *(os.path.join(root, f) for f in prev["files"])
-        ).select(
-            F.col(key_col),
-            F.element_at(
-                F.split(F.col("_metadata.file_path"), "/"), -1
-            ).alias("_dv_f"),
-            F.col("_metadata.row_index").alias("_dv_r"),
-        )
-        pos = _dv_positions(spark, path, prev)
-        if pos is not None:
-            cond = (keys_df["_dv_f"] == pos["file"]) & (
-                keys_df["_dv_r"] == pos["row_index"]
-            )
-            keys_df = keys_df.join(pos, cond, "left_anti")
+        ).select(key_col)
         inserts = source.join(
-            keys_df.select(key_col), on=key_col, how="left_anti"
+            keys_df, on=key_col, how="left_anti"
         ).select(*table_cols)
         frames.append(inserts)
 
