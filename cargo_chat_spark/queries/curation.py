@@ -280,6 +280,11 @@ def boilerplate_grams(spark, sf_dir):
 _BLOOM_K = 5
 _BLOOM_MIN_BITS = 1 << 16
 
+# Physical plan of the Spark-side Bloom build (consumed eagerly by the
+# bounded word collect, so invisible on the returned frame) — kept for
+# the plan test pinning the bit_or word-aggregate shape.
+_LAST_BLOOM_BUILD_PLAN: str | None = None
+
 
 def _gram_frame(docs):
     """(doc_id, gram) for every 13-token window — shared by the exact and
@@ -304,32 +309,63 @@ def _gram_frame(docs):
 def contamination_bloom(spark, sf_dir):
     """Exact 13-gram decontamination behind a broadcast Bloom prefilter.
 
-    Steps: (1) eval gram (h1, h2) pairs collect to the driver — bounded by
-    contract, benchmarks are MBs; (2) a power-of-two Bloom bit array
-    (k=5, ≥10 bits/gram) broadcasts to executors; (3) corpus grams stream
-    through the vectorized membership test map-side; (4) survivors only
-    are distinct-ed and exact-joined against the broadcast eval gram set,
-    so the final output is IDENTICAL to contamination_13gram."""
+    Steps: (1) the Bloom bit array is built SPARK-SIDE (round-6 verdict
+    item 6, the ``bit_or`` word-aggregate pattern from
+    ``index_io._refresh_cell_blooms``): each eval gram explodes to its k
+    bit positions, a map-side-combinable ``bit_or(shiftleft(1L, bit))``
+    per 64-bit word aggregates them, and only the aggregated (word, bits)
+    rows — ≤ m/64, never the grams — reach the driver; (2) the power-of-
+    two bit array (k=5, ~16 bits/gram) broadcasts to executors; (3)
+    corpus grams stream through the vectorized membership test map-side;
+    (4) survivors only are distinct-ed and exact-joined against the
+    broadcast eval gram set, so the final output is IDENTICAL to
+    contamination_13gram.
+
+    Hash note: the builder works on ``h & (m-1)`` low bits with plain
+    bigint arithmetic — since m is a power of two, ``(h1 + i*h2) mod m``
+    depends only on the inputs mod m, so the signed-bigint build and the
+    probe's full-width uint64 arithmetic set/test identical positions,
+    and no ANSI-mode overflow is possible (values stay under 5m)."""
     docs = load_table(spark, sf_dir, "documents")
     grams = _gram_frame(docs)
     h1c = F.xxhash64("gram")
     h2c = F.xxhash64("gram", F.lit(1))
 
     ev_grams = grams.where(F.col("doc_id") % _EVAL_MOD == 0)
-    ev_pairs = (
-        ev_grams.select(h1c.alias("h1"), h2c.alias("h2")).distinct().toPandas()
-    )
-    n = max(len(ev_pairs), 1)
+    ev_pairs = ev_grams.select(h1c.alias("h1"), h2c.alias("h2")).distinct()
+    n = max(ev_pairs.count(), 1)
     m = _BLOOM_MIN_BITS
     while m < 16 * n:  # ~16 bits/gram → FP well under 1%
         m <<= 1
     mask = np.uint64(m - 1)
+    lo1 = F.col("h1").bitwiseAND(F.lit(m - 1))
+    lo2 = F.col("h2").bitwiseAND(F.lit(m - 1))
+    pos = F.explode(
+        F.array(*[
+            (lo1 + F.lit(i) * lo2).bitwiseAND(F.lit(m - 1))
+            for i in range(_BLOOM_K)
+        ])
+    ).alias("pos")
+    word_frame = (
+        ev_pairs.select(pos)
+        .groupBy(F.shiftright("pos", 6).alias("word"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(1L, CAST(pos & 63 AS INT)))"
+            ).alias("bits")
+        )
+    )
+    global _LAST_BLOOM_BUILD_PLAN
+    _LAST_BLOOM_BUILD_PLAN = (
+        word_frame._jdf.queryExecution().executedPlan().toString()
+    )
+    # bounded: ≤ m/64 aggregated words reach the driver, not the grams
+    word_rows = word_frame.collect()
     bits = np.zeros(m >> 6, dtype=np.uint64)
-    eh1 = ev_pairs["h1"].to_numpy().astype(np.uint64)
-    eh2 = ev_pairs["h2"].to_numpy().astype(np.uint64)
-    for i in range(_BLOOM_K):
-        pos = (eh1 + np.uint64(i) * eh2) & mask
-        np.bitwise_or.at(bits, pos >> np.uint64(6), np.uint64(1) << (pos & np.uint64(63)))
+    for r in word_rows:
+        bits[int(r["word"])] = np.uint64(
+            int(r["bits"]) & 0xFFFFFFFFFFFFFFFF
+        )
     bc = spark.sparkContext.broadcast(bits)
 
     @F.pandas_udf("boolean")

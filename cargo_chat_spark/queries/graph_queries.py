@@ -106,34 +106,91 @@ def _copurchase_edges(spark, sf_dir):
     return memo_persist(spark, ("copurchase_edges", sf_dir), build)
 
 
+# Last iteration's physical plan (the iteration subtree is consumed by an
+# eager localCheckpoint, so it is invisible on the returned frame) — kept
+# for the plan tests that pin the broadcast-vs-shuffle join choice.
+_LAST_ITER_PLAN: str | None = None
+
+# Conservative bytes-per-row estimate for the broadcast rank relation
+# (4 bigints in an UnsafeRow + broadcast HashedRelation overhead). Used
+# only for the broadcast-vs-shuffle decision, so erring high is safe.
+_RANK_ROW_BYTES = 64
+
+
+def _broadcast_threshold_bytes(spark) -> int:
+    """Parse spark.sql.autoBroadcastJoinThreshold ('10485760', '10MB',
+    '-1' = disabled) into bytes."""
+    raw = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    ).strip().lower()
+    mult = 1
+    for suffix, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                      ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                      ("b", 1)):
+        if raw.endswith(suffix):
+            raw = raw[: -len(suffix)]
+            mult = m
+            break
+    try:
+        return int(float(raw)) * mult
+    except ValueError:
+        return 10 << 20
+
+
 @register("part_copurchase_pagerank", sql=_PAGERANK_SQL)
 def part_copurchase_pagerank(spark, sf_dir):
     """3-iteration damped (d=0.85) PageRank in exact fixed-point over the
-    part co-purchase graph; rank_fp is the rank in 1e-12 quanta."""
+    part co-purchase graph; rank_fp is the rank in 1e-12 quanta.
+
+    Join strategy is size-guarded (round-6 verdict item 5): the rank
+    frame is node-cardinality (the part vocabulary), tiny at bench SF but
+    unbounded at 100 TB. While its estimated size fits under
+    autoBroadcastJoinThreshold, both per-iteration joins broadcast it —
+    each iteration is a map-side pass over the persisted edges plus one
+    map-side-combined aggregate, edges never re-shuffle. Past the
+    threshold we fall back to shuffle joins against an edge frame
+    memo-persisted PRE-PARTITIONED on the join key, so every iteration
+    reuses the edge partitioning and only the node-cardinality side
+    moves. Results are identical either way (exact integer arithmetic)."""
     edges = _copurchase_edges(spark, sf_dir)
     deg = edges.groupBy(F.col("s").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
-    nn = deg.agg(F.count(F.lit(1)).alias("cnt"))
-    ranks = deg.crossJoin(F.broadcast(nn)).select(
-        "node", "deg", "cnt", F.expr(f"{_SCALE} div cnt").alias("r")
+    # one scalar aggregate over the persisted edges: needed as a value in
+    # the rank init anyway; doubles as the broadcast-size guard input
+    n_nodes = deg.count()
+    use_broadcast = (
+        0 < n_nodes * _RANK_ROW_BYTES <= _broadcast_threshold_bytes(spark)
     )
-    # ranks/inc are node-cardinality (the PART vocabulary, not the edge
-    # list) -> broadcast both joins: each iteration is then a map-side
-    # contribution pass over the persisted edges plus one tiny
-    # map-side-combined aggregate — edges never re-shuffle. Each
-    # iteration's ranks are localCheckpoint'd: without the truncation the
-    # broadcast build of iteration i re-executes iterations 1..i-1
-    # (measured: quadratic re-execution, 8.5 s -> ~3 s at sf0.1).
+    if use_broadcast:
+        node_hint = F.broadcast
+    else:
+        node_hint = lambda df: df  # noqa: E731
+        # shuffle path: pin the edge frame's hash partitioning on the
+        # join key so each iteration's join reuses it (only ranks move)
+        edges = memo_persist(
+            spark,
+            ("copurchase_edges_by_s", sf_dir),
+            lambda: _copurchase_edges(spark, sf_dir).repartition("s"),
+        )
+    ranks = deg.select(
+        "node", "deg",
+        F.lit(n_nodes).alias("cnt"),
+        F.lit(_SCALE // n_nodes).alias("r"),
+    )
+    # Each iteration's ranks are localCheckpoint'd: without the
+    # truncation the (broadcast) build of iteration i re-executes
+    # iterations 1..i-1 (measured: quadratic re-execution, 8.5 s -> ~3 s
+    # at sf0.1).
     ranks = ranks.localCheckpoint(eager=True)
     for _ in range(_ITERS):
         inc = (
-            edges.join(F.broadcast(ranks), edges.s == ranks.node)
+            edges.join(node_hint(ranks), edges.s == ranks.node)
             .select(F.col("d").alias("node"), F.expr("r div deg").alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("inc"))
         )
-        ranks = ranks.join(F.broadcast(inc), "node", "left").select(
+        nxt = ranks.join(node_hint(inc), "node", "left").select(
             "node",
             "deg",
             "cnt",
@@ -141,7 +198,12 @@ def part_copurchase_pagerank(spark, sf_dir):
                 F.expr(f"(15 * ({_SCALE} div cnt)) div 100")
                 + F.expr("(85 * coalesce(inc, 0)) div 100")
             ).alias("r"),
-        ).localCheckpoint(eager=True)
+        )
+        global _LAST_ITER_PLAN
+        _LAST_ITER_PLAN = (
+            nxt._jdf.queryExecution().executedPlan().toString()
+        )
+        ranks = nxt.localCheckpoint(eager=True)
     return ranks.select(
         F.col("node").alias("partkey"),
         F.col("deg").cast("bigint").alias("degree"),

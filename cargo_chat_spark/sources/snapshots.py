@@ -79,20 +79,35 @@ def manifest(path: str, version: int | None = None) -> dict:
 def _write_new_files(df: DataFrame, path: str, version: int) -> list[str]:
     """Stage-write ``df`` and move its part files into the table dir with
     a version-prefixed name (immutable; never collides with files of any
-    other version). Returns the new basenames."""
+    other version). Returns the new basenames.
+
+    The staging directory is PER-WRITER (pid + random suffix, mirroring
+    the per-writer ``.tmp`` manifest naming): with a shared staging dir,
+    a concurrent writer's ``overwrite`` could delete the first writer's
+    staged part files mid-rename, letting the winning commit land a
+    manifest silently missing rows. Per-writer staging means racing
+    writers can never touch each other's files — the loser's only
+    residue is its own orphaned staging dir, removed below."""
+    import shutil
+    import uuid
+
     root = _local(path)
     os.makedirs(root, exist_ok=True)
-    staging = os.path.join(root, _STAGING)
+    staging = os.path.join(
+        root, f"{_STAGING}.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    )
     df.write.mode("overwrite").parquet(staging)
     moved = []
-    for f in sorted(os.listdir(staging)):
-        if f.endswith(".parquet"):
-            name = f"v{version}-{f}"
-            os.rename(os.path.join(staging, f), os.path.join(root, name))
-            moved.append(name)
-    import shutil
-
-    shutil.rmtree(staging)
+    try:
+        for f in sorted(os.listdir(staging)):
+            if f.endswith(".parquet"):
+                name = f"v{version}-{f}"
+                os.rename(
+                    os.path.join(staging, f), os.path.join(root, name)
+                )
+                moved.append(name)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
     return moved
 
 
@@ -455,6 +470,16 @@ def _read_files_with_dv(
     schema = _schema_of(m)
     if schema is not None:
         reader = reader.schema(schema)
+    if not files:
+        # a delete that removed every row commits a manifest with an
+        # empty file list — that version must read as an EMPTY frame
+        # with the recorded table schema, not crash the reader
+        if schema is None:
+            raise ValueError(
+                f"version {m.get('version')} has no files and no "
+                "recorded schema — cannot construct the empty frame"
+            )
+        return spark.createDataFrame([], schema)
     df = reader.parquet(*(os.path.join(root, f) for f in files))
     pos = _dv_positions(spark, path, m)
     if pos is None:
@@ -479,6 +504,8 @@ def _affected_files_visible(
     collected row per affected FILE."""
     from pyspark.sql import functions as F
 
+    if not m["files"]:  # empty table: nothing can match
+        return set()
     root = _local(path)
     reader = spark.read
     schema = _schema_of(m)
@@ -626,6 +653,28 @@ def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
             os.remove(p)
         except FileNotFoundError:
             pass
+    # orphaned per-writer staging dirs (a writer that crashed mid-stage,
+    # or a loser of a concurrent-commit race) are invisible to every
+    # manifest by construction — vacuum is the documented reclaim point.
+    # Only COLD dirs go (no mtime within the last hour): a LIVE writer's
+    # staging must never be swept from under it.
+    import shutil
+    import time as _time
+
+    cutoff = _time.time() - 3600
+    for d in os.listdir(root):
+        if d.startswith(_STAGING + ".") or d == _STAGING:
+            full = os.path.join(root, d)
+            try:
+                newest = max(
+                    (os.path.getmtime(os.path.join(dp, f))
+                     for dp, _, fs in os.walk(full) for f in fs),
+                    default=os.path.getmtime(full),
+                )
+                if newest < cutoff:
+                    shutil.rmtree(full, ignore_errors=True)
+            except OSError:
+                pass
     return removed
 
 
@@ -661,6 +710,29 @@ def snap_restore(path: str, version: int) -> int:
     return v
 
 
+def _require_unique_keys(df: DataFrame, key_col: str, op: str) -> None:
+    """Delta MERGE raises when a target row matches MULTIPLE source rows;
+    without this guard the left join silently fans matched rows out and
+    whole-row upserts insert both duplicates (same contract as
+    ``index_io.upsert_index_cells``). One map-side-combined aggregate
+    over the BATCH (not the table), short-circuited by limit(1)."""
+    from pyspark.sql import functions as F
+
+    dup = (
+        df.groupBy(key_col)
+        .count()
+        .where(F.col("count") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            f"{op}: source carries duplicate {key_col!r} keys — MERGE "
+            "semantics forbid multiple source matches per target row; "
+            "collapse duplicates before merging"
+        )
+
+
 def snap_merge(
     spark: SparkSession, path: str, updates: DataFrame, key_col: str
 ) -> int:
@@ -688,6 +760,7 @@ def snap_merge(
             f"MERGE updates lack table columns {missing}: whole-row "
             "upserts must state every column"
         )
+    _require_unique_keys(updates, key_col, "snap_merge")
     k = F.broadcast(updates.select(key_col).distinct())
     affected = _affected_files_visible(spark, path, prev, updates, key_col)
     kept = [f for f in prev["files"] if f not in affected]
@@ -749,6 +822,7 @@ def snap_merge_into(
     bad = [c for c in (matched_update or {}) if c not in table_cols]
     if bad:
         raise ValueError(f"UPDATE SET targets unknown columns {bad}")
+    _require_unique_keys(source, key_col, "snap_merge_into")
 
     affected = _affected_files_visible(spark, path, prev, source, key_col)
     kept = [f for f in prev["files"] if f not in affected]
@@ -783,18 +857,21 @@ def snap_merge_into(
         # insert detection — re-inserting it would resurrect a deleted
         # row, which test_merge_into_clauses and the events_merge_clauses
         # oracle both pin as forbidden
-        root = _local(path)
-        reader = spark.read
-        schema = _schema_of(prev)
-        if schema is not None:
-            reader = reader.schema(schema)
-        keys_df = reader.parquet(
-            *(os.path.join(root, f) for f in prev["files"])
-        ).select(key_col)
-        inserts = source.join(
-            keys_df, on=key_col, how="left_anti"
-        ).select(*table_cols)
-        frames.append(inserts)
+        if not prev["files"]:  # empty table: every source row inserts
+            frames.append(source.select(*table_cols))
+        else:
+            root = _local(path)
+            reader = spark.read
+            schema = _schema_of(prev)
+            if schema is not None:
+                reader = reader.schema(schema)
+            keys_df = reader.parquet(
+                *(os.path.join(root, f) for f in prev["files"])
+            ).select(key_col)
+            inserts = source.join(
+                keys_df, on=key_col, how="left_anti"
+            ).select(*table_cols)
+            frames.append(inserts)
 
     new: list[str] = []
     if frames:
@@ -962,7 +1039,12 @@ def check_expectations(
     version that violates a declared invariant. ``'drop'`` instead
     filters violating rows out of the commit (DLT's expect_or_drop).
     Scale: the fail path costs one extra scan of the BATCH (not the
-    table); the drop path is a fused filter, zero extra passes."""
+    table); the drop path is a fused filter, zero extra passes.
+
+    NULL predicate results PASS in both modes (SQL CHECK-constraint
+    semantics, also Delta's): a row the predicate cannot decide is not a
+    violation. Both modes share the same ``coalesce(pred, true)`` form
+    so they can never disagree on which rows satisfy an expectation."""
     from pyspark.sql import functions as F
 
     if not expectations:
@@ -970,13 +1052,17 @@ def check_expectations(
     if on_violation == "drop":
         out = df
         for _, pred in expectations:
-            out = out.where(F.expr(pred))
+            out = out.where(F.coalesce(F.expr(pred), F.lit(True)))
         return out
     if on_violation != "fail":
         raise ValueError(f"unknown on_violation mode: {on_violation}")
     counts = df.agg(
         *[
-            F.sum(F.when(~F.expr(pred), 1).otherwise(0)).alias(name)
+            F.sum(
+                F.when(
+                    ~F.coalesce(F.expr(pred), F.lit(True)), 1
+                ).otherwise(0)
+            ).alias(name)
             for name, pred in expectations
         ]
     ).first()
@@ -1013,6 +1099,14 @@ def snap_optimize(
     v = prev["version"] + 1
     root = _local(path)
     cur = snap_read(spark, path)
+    if not prev["files"] or not cur.head(1):
+        # an all-rows delete can commit an empty version; OPTIMIZE on it
+        # is a no-op layout commit (the z-value bounds would be NULL)
+        extra: dict = {"stats": {}}
+        if "schema" in prev:
+            extra["schema"] = prev["schema"]
+        _commit(path, v, [], extra=extra)
+        return v
     kinds = dict(cur.dtypes)
     if col_b is None:
         ordered = cur.repartitionByRange(n_files, F.col(col_a))

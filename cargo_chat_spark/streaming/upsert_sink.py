@@ -24,29 +24,37 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-# Sidecar (underscore-prefixed so parquet readers ignore it) recording the
-# highest batch id folded into a ``src_batch = -1`` row by compact_rollup.
-# Replays of batches at or below this watermark must be rejected: their
-# contribution is inside the compacted row, so the != batch_id fence can no
-# longer peel it out and a replay would double-count.
-_WATERMARK_FILE = "_compaction_watermark.json"
+# Sidecar recording the highest batch id folded into a ``src_batch = -1``
+# row by compact_rollup. Replays of batches at or below this watermark
+# must be rejected: their contribution is inside the compacted row, so
+# the != batch_id fence can no longer peel it out and a replay would
+# double-count. The sidecar lives NEXT TO the table directory, not inside
+# it: compaction's static overwrite truncates the table dir, and a crash
+# after the truncate but before a rewrite of an in-table sidecar would
+# silently lose the fence (read would return -1) — the failure mode the
+# docstring's 'ENFORCED' claim forbids.
+_WATERMARK_SUFFIX = ".compaction_watermark.json"
 
 
 def _local_path(path: str) -> str:
     return path[len("file:"):] if path.startswith("file:") else path
 
 
+def _watermark_path(path: str) -> str:
+    return _local_path(path).rstrip("/") + _WATERMARK_SUFFIX
+
+
 def read_compaction_watermark(path: str) -> int:
     """Highest batch id absorbed by compaction (-1 if never compacted)."""
     try:
-        with open(os.path.join(_local_path(path), _WATERMARK_FILE)) as f:
+        with open(_watermark_path(path)) as f:
             return int(json.load(f)["max_compacted_batch"])
     except (OSError, ValueError, KeyError):
         return -1
 
 
 def _write_compaction_watermark(path: str, batch_id: int) -> None:
-    with open(os.path.join(_local_path(path), _WATERMARK_FILE), "w") as f:
+    with open(_watermark_path(path), "w") as f:
         json.dump({"max_compacted_batch": int(batch_id)}, f)
 
 
@@ -189,11 +197,14 @@ def compact_rollup(spark: SparkSession, path: str, partition_col: str = "day") -
         )
         .withColumn("src_batch", F.lit(-1).cast("bigint"))
     )
+    # Fence FIRST, then overwrite: the watermark is a monotonic max, so a
+    # crash between the two steps can only OVER-fence (a batch wrongly
+    # rejected converges via re-running compaction), never under-fence
+    # (a replayed already-compacted batch double-counting). The sidecar
+    # also lives outside the table dir, so the truncate cannot eat it.
+    _write_compaction_watermark(path, watermark)
     # static overwrite of the whole table: compaction touches every
     # partition by definition. localCheckpoint first — the plan reads the
     # same files the overwrite truncates.
     compacted = compacted.localCheckpoint(eager=True)
     compacted.write.mode("overwrite").partitionBy(partition_col).parquet(path)
-    # after the overwrite: static mode truncates the table dir, so the
-    # sidecar must be (re)written once the new layout exists
-    _write_compaction_watermark(path, watermark)

@@ -323,6 +323,21 @@ def test_contamination_bloom_prefilters_before_distinct(spark):
         "no exchange consumes the bloom survivors — filter not ahead of "
         "the distinct shuffle"
     )
+    # round-6 verdict item 6: the filter build is Spark-side — a
+    # map-side-combinable bit_or word aggregate, no toPandas over grams
+    from cargo_chat_spark.queries import curation as C
+
+    build = C._LAST_BLOOM_BUILD_PLAN
+    assert build and "bit_or" in build and "shiftleft" in build, (
+        "bloom build lost the bit_or word-aggregate shape"
+    )
+    assert "HashAggregate" in build and build.count("Exchange") >= 1, (
+        "word aggregate must partial-aggregate map-side before one "
+        "exchange"
+    )
+    assert "ArrowEvalPython" not in build and "EvalPython" not in build, (
+        "bloom build must stay JVM-side"
+    )
 
 
 def test_boilerplate_grams_no_global_sort(spark):
@@ -414,3 +429,38 @@ def test_dv_read_keeps_pushdown_and_broadcasts_vector(spark, tmp_path):
     assert "event_type" not in read_schema and "props" not in read_schema, (
         "column pruning must survive the DV anti-join"
     )
+
+
+def test_pagerank_join_strategy_is_size_guarded(spark):
+    """Round-6 verdict item 5: the rank frame is node-cardinality and
+    broadcasts only while its estimated size fits under
+    autoBroadcastJoinThreshold; past the cliff, iterations fall back to
+    shuffle joins against edges pre-partitioned on the join key. Exact
+    integer arithmetic makes the two paths value-identical."""
+    from cargo_chat_spark.queries import graph_queries as G
+
+    df_b = catalog.SPARK_QUERIES["part_copurchase_pagerank"](
+        spark, SF_DIR_SMALL
+    )
+    rows_b = {tuple(r) for r in df_b.collect()}
+    assert G._LAST_ITER_PLAN and "BroadcastHashJoin" in G._LAST_ITER_PLAN, (
+        "at sf0.001 the rank frame must broadcast"
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df_s = catalog.SPARK_QUERIES["part_copurchase_pagerank"](
+            spark, SF_DIR_SMALL
+        )
+        rows_s = {tuple(r) for r in df_s.collect()}
+        shuffle_plan = G._LAST_ITER_PLAN
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" not in shuffle_plan, (
+        "forced-low threshold must disable the rank broadcast"
+    )
+    assert (
+        "SortMergeJoin" in shuffle_plan or "ShuffledHashJoin" in shuffle_plan
+    ), "shuffle fallback must still be an equi-join"
+    assert rows_s == rows_b, "join strategy changed the PageRank values"

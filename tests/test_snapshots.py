@@ -703,3 +703,123 @@ def test_merge_into_clauses(spark, tmp_path):
             (F.col("user_id") == 3) & (F.col("event_type") == "view")
         ))
     )
+
+
+def test_merge_duplicate_source_keys_raise(spark, tmp_path):
+    """Round-6 advice: Delta MERGE raises on multiple source matches per
+    target row; the left join would otherwise silently fan matched rows
+    out. Both MERGE entry points enforce it before any file is written."""
+    import pytest
+
+    from cargo_chat_spark.sources.snapshots import (
+        snap_merge,
+        snap_merge_into,
+    )
+
+    out = str(tmp_path / "snap")
+    e = load_table(spark, SF_DIR_SMALL, "events")
+    snap_write(e, out)
+    dup = e.limit(1).unionByName(e.limit(1))
+    with pytest.raises(ValueError, match="duplicate"):
+        snap_merge(spark, out, dup, "event_id")
+    with pytest.raises(ValueError, match="duplicate"):
+        snap_merge_into(spark, out, dup, "event_id")
+    assert versions(out) == [0], "failed MERGE must not commit"
+
+
+def test_empty_version_reads_optimizes_and_reinserts(spark, tmp_path):
+    """Round-6 advice: a delete that removes every row commits a version
+    with an empty file list — that version must stay readable (empty
+    frame, recorded schema), OPTIMIZE on it must not crash, and a MERGE
+    into the empty table inserts everything."""
+    from cargo_chat_spark.sources.snapshots import (
+        snap_count,
+        snap_merge_into,
+        snap_optimize,
+    )
+
+    out = str(tmp_path / "snap")
+    e = load_table(spark, SF_DIR_SMALL, "events").limit(50)
+    snap_write(e, out)
+    v1 = snap_delete(spark, out, e.select("event_id"), "event_id")
+    empty = snap_read(spark, out, v1)
+    assert empty.count() == 0
+    assert empty.columns == e.columns
+    v2 = snap_optimize(spark, out, "value", "ts")
+    assert snap_read(spark, out, v2).count() == 0
+    assert snap_count(out, v2) == 0
+    src = e.limit(7)
+    v3 = snap_merge_into(spark, out, src, "event_id")
+    assert _rows(snap_read(spark, out, v3)) == _rows(src)
+
+
+def test_expectation_null_semantics_agree_across_modes(spark):
+    """Round-6 advice: a NULL predicate result passes in BOTH modes (SQL
+    CHECK-constraint semantics) — fail mode must not abort on it and drop
+    mode must not filter it."""
+    import pytest
+
+    from cargo_chat_spark.sources.snapshots import (
+        ExpectationViolation,
+        check_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -1.0)], "id bigint, v double"
+    )
+    exp = [("v_pos", "v > 0")]
+    # drop keeps the NULL row, drops only the definite violator
+    kept = {r["id"] for r in check_expectations(df, exp, "drop").collect()}
+    assert kept == {1, 2}
+    # fail counts only the definite violator; NULL alone passes
+    with pytest.raises(ExpectationViolation):
+        check_expectations(df, exp, "fail").count()
+    ok = df.where("id != 3")
+    assert check_expectations(ok, exp, "fail").count() == 2
+
+
+def test_staging_dirs_are_per_writer(spark, tmp_path):
+    """Round-6 advice (medium): data files stage through a PER-WRITER
+    directory, so a concurrent writer's overwrite can never delete a
+    peer's staged part files mid-commit. A stray peer staging dir must
+    survive a commit untouched, and the writer must clean up its own."""
+    out = str(tmp_path / "snap")
+    e = load_table(spark, SF_DIR_SMALL, "events").limit(20)
+    snap_write(e, out)
+    root = out
+    peer = os.path.join(root, "_snap_staging.99999.deadbeef")
+    os.makedirs(peer)
+    with open(os.path.join(peer, "part-0.parquet"), "w") as fh:
+        fh.write("peer writer's staged bytes")
+    snap_append(e, out)
+    assert os.path.isfile(os.path.join(peer, "part-0.parquet")), (
+        "a commit deleted a concurrent writer's staged files"
+    )
+    leftovers = [
+        d for d in os.listdir(root)
+        if d.startswith("_snap_staging") and d != os.path.basename(peer)
+    ]
+    assert not leftovers, f"writer left its own staging behind: {leftovers}"
+
+
+def test_vacuum_reclaims_cold_orphan_staging(spark, tmp_path):
+    """A writer that crashed mid-stage leaves an orphaned per-writer
+    staging dir no manifest references; vacuum reclaims it once cold
+    (mtime > 1h) but never sweeps a live writer's fresh staging."""
+    import time
+
+    out = str(tmp_path / "snap")
+    e = load_table(spark, SF_DIR_SMALL, "events").limit(20)
+    snap_write(e, out)
+    cold = os.path.join(out, "_snap_staging.11111.aaaaaaaa")
+    live = os.path.join(out, "_snap_staging.22222.bbbbbbbb")
+    for d in (cold, live):
+        os.makedirs(d)
+        with open(os.path.join(d, "part-0.parquet"), "w") as fh:
+            fh.write("staged")
+    old = time.time() - 7200
+    os.utime(os.path.join(cold, "part-0.parquet"), (old, old))
+    os.utime(cold, (old, old))
+    expire_snapshots(out, keep_last=1)
+    assert not os.path.exists(cold), "cold orphan staging not reclaimed"
+    assert os.path.exists(live), "live writer's staging was swept"

@@ -293,3 +293,59 @@ def test_compaction_watermark_rejects_replayed_compacted_batch(spark, tmp_path):
     final = read_rollup_agg(spark, path).collect()
     row = [r for r in final if r["event_type"] == "view"][0]
     assert (row["n"], float(row["value_sum"])) == (4, 17.0)
+
+
+def test_compaction_watermark_survives_crash_window(spark, tmp_path):
+    """Round-6 advice (medium): the fence must hold even if compaction
+    crashes between its two steps. The sidecar lives OUTSIDE the table
+    directory (the static overwrite truncates the table dir) and is
+    written BEFORE the overwrite, so a crash can only over-fence — a
+    replayed already-compacted batch can never double-count."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql.functions import lit
+
+    from cargo_chat_spark.streaming.upsert_sink import (
+        _watermark_path,
+        compact_rollup,
+        merge_rollup_writer,
+        read_compaction_watermark,
+        read_rollup_agg,
+    )
+
+    path = str(tmp_path / "rollup")
+    write = merge_rollup_writer(path)
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "ts timestamp, event_type string, value double"
+        )
+
+    write(batch([(t, "view", 1.0)]), 0)
+    write(batch([(t, "view", 2.0)]), 1)
+    compact_rollup(spark, path)
+
+    # sidecar is outside the table dir, so no table write can delete it
+    assert not _watermark_path(path).startswith(path + os.sep)
+    assert read_compaction_watermark(path) == 1
+
+    # simulate the crash window: table overwritten (sidecar would have
+    # been truncated under the old in-dir layout) — fence must survive
+    spark.read.parquet(path).withColumn("src_batch", lit(-1).cast("bigint")) \
+        .localCheckpoint(eager=True) \
+        .write.mode("overwrite").partitionBy("day").parquet(path)
+    assert read_compaction_watermark(path) == 1, (
+        "overwrite of the table dir lost the compaction fence"
+    )
+    before = {
+        (str(r["day"]), r["event_type"]): (r["n"], float(r["value_sum"]))
+        for r in read_rollup_agg(spark, path).collect()
+    }
+    write(batch([(t, "view", 2.0)]), 1)  # replay of compacted batch
+    after = {
+        (str(r["day"]), r["event_type"]): (r["n"], float(r["value_sum"]))
+        for r in read_rollup_agg(spark, path).collect()
+    }
+    assert after == before
