@@ -153,11 +153,14 @@ def part_copurchase_pagerank(spark, sf_dir):
     reuses the edge partitioning and only the node-cardinality side
     moves. Results are identical either way (exact integer arithmetic)."""
     edges = _copurchase_edges(spark, sf_dir)
-    deg = edges.groupBy(F.col("s").alias("node")).agg(
-        F.count(F.lit(1)).alias("deg")
+    # localCheckpoint deg so the size-guard count and the rank init share
+    # ONE aggregation pass over the persisted edges (separate actions
+    # re-plan, so without it the count would pay its own edge shuffle)
+    deg = (
+        edges.groupBy(F.col("s").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
     )
-    # one scalar aggregate over the persisted edges: needed as a value in
-    # the rank init anyway; doubles as the broadcast-size guard input
     n_nodes = deg.count()
     use_broadcast = (
         0 < n_nodes * _RANK_ROW_BYTES <= _broadcast_threshold_bytes(spark)

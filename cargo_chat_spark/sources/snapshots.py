@@ -284,9 +284,17 @@ def snap_append(
     prev = manifest(path)
     v = prev["version"] + 1
     merged = _merge_schema(prev.get("schema"), df.schema)
+    extra: dict = {"schema": merged}
+    # every previous file survives an append verbatim, so the previous
+    # deletion vector stays valid in full and MUST carry over — dropping
+    # it would resurrect every row-level-deleted row (caught by
+    # tests/test_snapshots_model.py: append after snap_delete_rows)
+    for dv_field in ("dv", "dv_rows"):
+        if dv_field in prev:
+            extra[dv_field] = prev[dv_field]
     _commit(
         path, v, prev["files"] + _write_new_files(df, path, v),
-        extra={"schema": merged},
+        extra=extra,
     )
     return v
 
@@ -563,6 +571,12 @@ def snap_delete_rows(
 
     prev = manifest(path)
     v = prev["version"] + 1
+    if not prev["files"]:
+        # empty version (an all-rows delete committed it): nothing can
+        # match — commit an unchanged empty version rather than crash
+        extra = {"schema": prev["schema"]} if "schema" in prev else None
+        _commit(path, v, [], extra=extra)
+        return v
     root = _local(path)
     reader = spark.read
     schema = _schema_of(prev)
