@@ -44,10 +44,12 @@ import pytest
 
 from cargo_chat_spark.sources.snapshots import (
     snap_append,
+    snap_changes,
     snap_compact_dv,
     snap_count,
     snap_delete,
     snap_delete_rows,
+    snap_delete_where,
     snap_merge_into,
     snap_optimize,
     snap_read,
@@ -114,7 +116,7 @@ def test_snapshot_store_matches_model(spark, tmp_path, seed):  # noqa: F811
     model = [State(rows, ())]
 
     ops = ["append", "delete_cow", "delete_rows", "compact_dv",
-           "merge_into", "optimize", "restore", "write"]
+           "merge_into", "optimize", "restore", "write", "delete_where"]
     for _ in range(16):
         op = rng.choice(ops)
         cur = model[-1]
@@ -193,6 +195,18 @@ def test_snapshot_store_matches_model(spark, tmp_path, seed):  # noqa: F811
             ]
             model.append(State(updated + inserts, cur.maybe_ghost))
 
+        elif op == "delete_where":
+            # retention delete: DELETE WHERE v < cutoff, resolved at
+            # file granularity through stats (drop whole / keep whole /
+            # rewrite straddling through the DV) — visible semantics
+            # are layout-independent; ghost disposal is not (dropped
+            # and rewritten files shed theirs) so maybe_ghost stays
+            # conservative
+            cutoff = rng.randrange(1000)
+            snap_delete_where(spark, path, "v", cutoff)
+            vis = [r for r in cur.visible if r[2] >= cutoff]
+            model.append(State(vis, cur.maybe_ghost))
+
         elif op == "optimize":
             two_d = rng.random() < 0.5
             snap_optimize(
@@ -219,3 +233,36 @@ def test_snapshot_store_matches_model(spark, tmp_path, seed):  # noqa: F811
         )
         assert got == want, f"final sweep v{v}: got {got} want {want}"
         assert snap_count(path, v) == len(want), f"final sweep v{v} count"
+
+    # CDC invariant: the change feed between two versions (keyed by the
+    # UNIQUE rowid) must equal the model's visible-set diff exactly —
+    # shared-file survivors, CoW moves, DV-only commits, restores and
+    # optimizes all cancel or surface per the documented semantics. One
+    # exception mirrors snap_write's REPLACE: every old file leaves the
+    # manifest, so an identical row rewritten by `write` hashes equal
+    # on both sides and is correctly reported as no-change (our model
+    # rows are unique by rowid, so this only affects untouched rows).
+    vs = versions(path)
+    pairs = {(a, a + 1) for a in vs[:-1]}
+    pairs |= {
+        tuple(sorted(rng.sample(vs, 2))) for _ in range(3) if len(vs) >= 2
+    }
+    for a, b in sorted(pairs):
+        va = {r[0]: r for r in model[a].visible}
+        vb = {r[0]: r for r in model[b].visible}
+        expect = (
+            {("inserted", rid) for rid in vb.keys() - va.keys()}
+            | {("deleted", rid) for rid in va.keys() - vb.keys()}
+            | {
+                ("updated", rid)
+                for rid in va.keys() & vb.keys()
+                if va[rid] != vb[rid]
+            }
+        )
+        got = {
+            (r["change"], r["rowid"])
+            for r in snap_changes(spark, path, a, b, "rowid").collect()
+        }
+        assert got == expect, (
+            f"CDC v{a}->v{b}: got {sorted(got)} want {sorted(expect)}"
+        )
