@@ -231,8 +231,19 @@ def _commit(
     elif carried_stats:
         extra = {**(extra or {}), "stats": carried_stats}
     # per-writer staging name: racing writers must not collide on the
-    # staging file either, only at the link (the commit point)
-    tmp = _manifest_path(path, version) + f".{os.getpid()}.tmp"
+    # staging file either, only at the link (the commit point). pid
+    # alone is NOT writer-unique — concurrent THREADS of one driver
+    # (e.g. two streaming queries committing to the same table) share
+    # it, and a tmp collision turns the loser's documented
+    # ConcurrentCommitError into a FileNotFoundError when the winner's
+    # cleanup removes the shared tmp (caught by
+    # test_concurrent_appenders_stress). uuid makes it per-attempt.
+    import uuid as _uuid
+
+    tmp = (
+        _manifest_path(path, version)
+        + f".{os.getpid()}.{_uuid.uuid4().hex[:8]}.tmp"
+    )
     with open(tmp, "w") as fh:
         json.dump(
             {
@@ -443,21 +454,32 @@ def _dv_write(positions: DataFrame, path: str, version: int) -> dict:
     """Persist the complete DV state for ``version``; returns the
     manifest fields ({} when the vector is empty)."""
     import shutil
+    import uuid as _uuid
 
     root = _local(path)
     dvdir = os.path.join(root, _DV_DIR)
     os.makedirs(dvdir, exist_ok=True)
-    staging = os.path.join(dvdir, f"_staging_v{version}")
+    # per-writer staging (pid alone is shared by threads of one driver;
+    # see _write_new_files / _commit): racing DV commits for the same
+    # version must never overwrite each other's staged positions
+    staging = os.path.join(
+        dvdir,
+        f"_staging_v{version}.{os.getpid()}.{_uuid.uuid4().hex[:8]}",
+    )
     positions.select("file", "row_index").coalesce(1).write.mode(
         "overwrite"
     ).parquet(staging)
     moved = []
-    for f in sorted(os.listdir(staging)):
-        if f.endswith(".parquet"):
-            name = f"v{version}-{f}"
-            os.rename(os.path.join(staging, f), os.path.join(dvdir, name))
-            moved.append(name)
-    shutil.rmtree(staging)
+    try:
+        for f in sorted(os.listdir(staging)):
+            if f.endswith(".parquet"):
+                name = f"v{version}-{f}"
+                os.rename(
+                    os.path.join(staging, f), os.path.join(dvdir, name)
+                )
+                moved.append(name)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
     n = sum(_footer_rows(dvdir, moved).values())
     if n == 0:
         for f in moved:
@@ -689,7 +711,34 @@ def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
                     shutil.rmtree(full, ignore_errors=True)
             except OSError:
                 pass
-    return removed
+    # data/DV files referenced by NO manifest at all: a commit-race
+    # loser moved its part files into the table dir before losing the
+    # version link, so they appear in neither `dropped` nor `reachable`
+    # above (Delta's uncommitted-file vacuum case). Same cold guard —
+    # a LIVE writer between its move and its commit must not be swept.
+    survivors_ref: set[str] = set()
+    survivors_dv: set[str] = set()
+    for v in versions(path):
+        m = manifest(path, v)
+        survivors_ref.update(m["files"])
+        survivors_dv.update(m.get("dv", []))
+    for base, ref in ((root, survivors_ref),
+                      (os.path.join(root, _DV_DIR), survivors_dv)):
+        if not os.path.isdir(base):
+            continue
+        for f in os.listdir(base):
+            p = os.path.join(base, f)
+            if (
+                f.endswith(".parquet") and f not in ref
+                and os.path.isfile(p)
+            ):
+                try:
+                    if os.path.getmtime(p) < cutoff:
+                        os.remove(p)
+                        removed.append(f)
+                except OSError:
+                    pass
+    return sorted(removed)
 
 
 def snap_restore(path: str, version: int) -> int:

@@ -823,3 +823,241 @@ def test_vacuum_reclaims_cold_orphan_staging(spark, tmp_path):
     expire_snapshots(out, keep_last=1)
     assert not os.path.exists(cold), "cold orphan staging not reclaimed"
     assert os.path.exists(live), "live writer's staging was swept"
+
+
+def test_concurrent_appenders_stress(spark, tmp_path):
+    """Many writers appending concurrently with the documented retry
+    protocol (ConcurrentCommitError -> re-read latest -> retry): every
+    batch must land exactly once, the version chain must be contiguous,
+    every historical version must stay readable, and vacuum must
+    reclaim the race losers' orphaned (manifest-invisible) data files
+    once cold while keeping every referenced file."""
+    import random as _random
+    import threading
+    import time
+
+    from cargo_chat_spark.sources.snapshots import (
+        ConcurrentCommitError,
+        expire_snapshots,
+        manifest,
+        snap_count,
+        snap_read,
+        versions,
+    )
+
+    out = str(tmp_path / "snap")
+    base = spark.createDataFrame(
+        [(0, -1, -1)], "rowid bigint, writer bigint, batch bigint"
+    )
+    snap_write(base, out)
+
+    n_writers, n_batches, rows_per = 4, 3, 5
+    failures: list[str] = []
+
+    def writer(wid: int) -> None:
+        # thread exceptions are silent by default — capture EVERYTHING
+        # so an unexpected error shows as a test failure, not a
+        # mysteriously short version chain
+        try:
+            rng = _random.Random(wid)
+            for b in range(n_batches):
+                rows = [
+                    (1 + wid * 1000 + b * 100 + i, wid, b)
+                    for i in range(rows_per)
+                ]
+                df = spark.createDataFrame(
+                    rows, "rowid bigint, writer bigint, batch bigint"
+                ).repartition(1)
+                for _ in range(60):
+                    try:
+                        snap_append(df, out)
+                        break
+                    except ConcurrentCommitError:
+                        time.sleep(rng.uniform(0.005, 0.05))
+                else:
+                    failures.append(f"writer {wid} batch {b} never landed")
+        except Exception as ex:  # noqa: BLE001
+            import traceback
+
+            failures.append(
+                f"writer {wid} died: {type(ex).__name__}: {ex}\n"
+                + traceback.format_exc()
+            )
+
+    threads = [
+        threading.Thread(target=writer, args=(w,))
+        for w in range(n_writers)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not failures, failures
+
+    vs = versions(out)
+    assert vs == list(range(n_writers * n_batches + 1)), (
+        "version chain must be contiguous with exactly one commit per "
+        f"landed batch: {vs}"
+    )
+    final = snap_read(spark, out).collect()
+    got = sorted((r["rowid"], r["writer"], r["batch"]) for r in final)
+    want = sorted(
+        [(0, -1, -1)]
+        + [
+            (1 + w * 1000 + b * 100 + i, w, b)
+            for w in range(n_writers)
+            for b in range(n_batches)
+            for i in range(rows_per)
+        ]
+    )
+    assert got == want, "every batch exactly once, no loser rows"
+    assert snap_count(out) == len(want)
+    # monotone history: every version's count grows by exactly one batch
+    for v in vs:
+        assert snap_count(out, v) == 1 + v * rows_per
+
+    # losers moved part files into the table dir before losing the
+    # version link — invisible to every manifest; backdate them and
+    # vacuum with FULL history retained: orphans go, referenced stay
+    referenced = set()
+    for v in vs:
+        referenced.update(manifest(out, v)["files"])
+    data_files = {
+        f for f in os.listdir(out)
+        if f.endswith(".parquet") and os.path.isfile(os.path.join(out, f))
+    }
+    orphans = data_files - referenced
+    old = time.time() - 7200
+    for f in data_files:
+        os.utime(os.path.join(out, f), (old, old))
+    removed = expire_snapshots(out, keep_last=len(vs))
+    assert set(removed) == orphans, (removed, orphans)
+    assert snap_read(spark, out).count() == len(want), (
+        "vacuum must never touch referenced files"
+    )
+
+
+def test_vacuum_reclaims_cold_orphan_data_files(spark, tmp_path):
+    """A commit-race loser's data files are referenced by NO manifest
+    (neither dropped nor reachable) — vacuum must reclaim them once
+    cold, but never a LIVE writer's just-moved (fresh-mtime) files and
+    never a referenced file."""
+    import time
+
+    from cargo_chat_spark.sources.snapshots import (
+        expire_snapshots,
+        snap_count,
+        snap_read,
+        versions,
+    )
+
+    out = str(tmp_path / "snap")
+    e = load_table(spark, SF_DIR_SMALL, "events").limit(20)
+    snap_write(e, out)
+    n = snap_count(out)
+
+    cold = os.path.join(out, "v1-part-orphan-cold.parquet")
+    live = os.path.join(out, "v1-part-orphan-live.parquet")
+    for p in (cold, live):
+        with open(p, "wb") as fh:
+            fh.write(b"loser writer's moved bytes")
+    old = time.time() - 7200
+    os.utime(cold, (old, old))
+
+    removed = expire_snapshots(out, keep_last=len(versions(out)))
+    assert "v1-part-orphan-cold.parquet" in removed
+    assert not os.path.exists(cold), "cold orphan data file not reclaimed"
+    assert os.path.exists(live), "live writer's fresh file was swept"
+    assert snap_read(spark, out).count() == n, "referenced files intact"
+
+
+def test_concurrent_append_and_dv_delete_race(spark, tmp_path):
+    """Appends racing row-level MoR deletes: the deleters target only
+    rows of the INITIAL version (always present), so the final state is
+    exact regardless of interleaving — all appended rows plus the
+    undeleted initial rows. Exercises the DV staging + commit path and
+    the append's DV carry under real thread races."""
+    import random as _random
+    import threading
+    import time
+
+    from cargo_chat_spark.sources.snapshots import (
+        ConcurrentCommitError,
+        snap_count,
+        snap_delete_rows,
+        snap_read,
+        versions,
+    )
+
+    out = str(tmp_path / "snap")
+    initial = [(i, -1, -1) for i in range(10)]
+    snap_write(
+        spark.createDataFrame(
+            initial, "rowid bigint, writer bigint, batch bigint"
+        ).repartition(2),
+        out,
+    )
+
+    failures: list[str] = []
+
+    def run_with_retry(wid: int, fn) -> None:
+        rng = _random.Random(wid)
+        for _ in range(60):
+            try:
+                fn()
+                return
+            except ConcurrentCommitError:
+                time.sleep(rng.uniform(0.005, 0.05))
+        failures.append(f"actor {wid} never landed")
+
+    def appender(wid: int) -> None:
+        try:
+            for b in range(2):
+                rows = [(100 + wid * 100 + b * 10 + i, wid, b)
+                        for i in range(4)]
+                df = spark.createDataFrame(
+                    rows, "rowid bigint, writer bigint, batch bigint"
+                ).repartition(1)
+                run_with_retry(wid, lambda d=df: snap_append(d, out))
+        except Exception as ex:  # noqa: BLE001
+            failures.append(f"appender {wid} died: {ex!r}")
+
+    def deleter(wid: int, rowids: list[int]) -> None:
+        try:
+            keys = spark.createDataFrame(
+                [(r,) for r in rowids], "rowid bigint"
+            )
+            run_with_retry(
+                wid, lambda: snap_delete_rows(spark, out, keys, "rowid")
+            )
+        except Exception as ex:  # noqa: BLE001
+            failures.append(f"deleter {wid} died: {ex!r}")
+
+    threads = [
+        threading.Thread(target=appender, args=(0,)),
+        threading.Thread(target=appender, args=(1,)),
+        threading.Thread(target=deleter, args=(2, [0, 1, 2])),
+        threading.Thread(target=deleter, args=(3, [7, 8])),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not failures, failures
+
+    vs = versions(out)
+    assert vs == list(range(7)), f"2+2 appends + 2 deletes + init: {vs}"
+    got = sorted(
+        (r["rowid"], r["writer"], r["batch"])
+        for r in snap_read(spark, out).collect()
+    )
+    want = sorted(
+        [(i, -1, -1) for i in range(10) if i not in {0, 1, 2, 7, 8}]
+        + [(100 + w * 100 + b * 10 + i, w, b)
+           for w in range(2) for b in range(2) for i in range(4)]
+    )
+    assert got == want, (got, want)
+    assert snap_count(out) == len(want)
+    # every intermediate version still readable and count-consistent
+    for v in vs:
+        assert snap_read(spark, out, v).count() == snap_count(out, v)
