@@ -95,6 +95,7 @@ DETAIL_EXTRA = [
     "events_snapshot_schema_evolution",  # new r6: schema in the manifest
     "events_retention_delete",  # new r6: stats-resolved file-level delete
     "events_deletion_vectors",  # new r6: row-level MOR via position sidecars
+    "incremental_neardup",      # new r7: persisted band-store probe
 ]
 
 
@@ -259,6 +260,11 @@ _R6_NEW_BARS = {
 # BENCH_DETAIL.json.
 _R7_BARS = {
     "contamination_bloom": 2.69,
+    # first bar (warm-then-3-cold, raw median 2.297 @ calib 0.400
+    # -> /0.937): store BUILD over the history split + probe join;
+    # the probe alone is sub-second — the gate is end-to-end by
+    # design like the other maintenance fixtures
+    "incremental_neardup": 2.45,
 }
 
 BASELINE_S = {**_LEGACY_BARS, **_R6_BARS, **_R6_NEW_BARS, **_R7_BARS}

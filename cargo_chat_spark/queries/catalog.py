@@ -212,6 +212,11 @@ GATE_WINDOW = [
 # Tier 2 first (distinct machinery), then tier-3 relational/format
 # variants whose core operators are already externally gated.
 ROUND7_PROMOTION_PLAN = [
+    # NEW in round 7 (registered after the r7 window froze): persisted
+    # band-signature store probe — incremental near-dup of a new batch
+    # against the full history without recomputing it. Gates the
+    # sources/band_store.py machinery; first in line for the r8 window.
+    "incremental_neardup",
     # tier 2 — remaining distinct machinery
     "weighted_sample", "unigram_logprob", "engaged_clean_users",
     "value_zscore_outliers", "event_type_cooccurrence",

@@ -182,6 +182,82 @@ def minhash_lsh_pairs(spark, sf_dir):
     )
 
 
+# ------------------------------------------- incremental near-dup (store)
+# A production pipeline ingests documents in WAVES and must answer "is
+# this batch a near-dup of anything seen before" without recomputing the
+# history — the persisted band-signature store (sources/band_store.py).
+# The oracle mirrors the incremental semantics exactly: history bands
+# hot-bucket-capped among history (the store was built from it), batch
+# bands capped within the batch (a wave cannot know future doc_ids),
+# pairs = bucket join where at least one side is the new batch. On this
+# corpus no bucket approaches the cap, so the result also equals the
+# full-corpus LSH pairs restricted to batch-touching pairs (pinned by
+# tests/test_band_store.py).
+_INC_NEARDUP_SQL = f"""
+WITH {_SIGS_CTE},
+bands_all AS (
+    SELECT doc_id, b.band,
+           array_to_string(list_transform(
+               list_slice(mh, b.band * {D.ROWS_PER_BAND} + 1,
+                          (b.band + 1) * {D.ROWS_PER_BAND}),
+               x -> CAST(x AS VARCHAR)), '_') AS key
+    FROM sigs, (
+        SELECT unnest(generate_series(0, {D.N_BANDS - 1})) AS band
+    ) b
+),
+hist AS (
+    SELECT doc_id, band, key FROM bands_all WHERE doc_id % 4 <> 0
+    QUALIFY row_number() OVER (
+        PARTITION BY band, key ORDER BY doc_id
+    ) <= {D.BUCKET_CAP}
+),
+batch AS (
+    SELECT doc_id, band, key FROM bands_all WHERE doc_id % 4 = 0
+    QUALIFY row_number() OVER (
+        PARTITION BY band, key ORDER BY doc_id
+    ) <= {D.BUCKET_CAP}
+),
+targets AS (
+    SELECT * FROM hist UNION ALL SELECT * FROM batch
+)
+SELECT DISTINCT
+    least(t.doc_id, n.doc_id) AS doc_a,
+    greatest(t.doc_id, n.doc_id) AS doc_b
+FROM targets t JOIN batch n ON t.band = n.band AND t.key = n.key
+WHERE t.doc_id <> n.doc_id
+"""
+
+
+@register("incremental_neardup", sql=_INC_NEARDUP_SQL)
+def incremental_neardup(spark, sf_dir):
+    """Incremental near-dup: build the persisted band store from the
+    history split (doc_id % 4 != 0), then probe it with the new batch
+    (doc_id % 4 == 0) — candidate pairs touching at least one new doc,
+    without recomputing history signatures. The store side of the probe
+    join never shuffles (the batch's band rows broadcast)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from cargo_chat_spark.sources.band_store import (
+        probe_band_store,
+        write_band_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = _os.path.join(
+        _tempfile.gettempdir(),
+        f"ccs_band_store_{_os.path.basename(_os.path.normpath(sf_dir))}"
+        f"_{_os.getpid()}",
+    )
+    if _os.path.isdir(out):
+        _shutil.rmtree(out)
+    write_band_store(docs.where(F.col("doc_id") % 4 != 0), out)
+    return probe_band_store(
+        spark, out, docs.where(F.col("doc_id") % 4 == 0)
+    )
+
+
 # --------------------------------------------- near-dup connected components
 # Pairs are not enough for a dedup pipeline — the keep/drop decision is per
 # CLUSTER (keep the min-id doc of each connected component of the near-dup
