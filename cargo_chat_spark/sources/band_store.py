@@ -120,9 +120,19 @@ def probe_band_store(
     matter how large the history grows (pinned by
     tests/test_band_store.py::test_probe_plan_store_never_shuffles)."""
     new_bands = bands_of(new_docs)
-    targets = read_band_store(spark, path)
-    if include_new_new:
-        targets = targets.unionByName(new_bands)
+    if os.path.isdir(_bands_path(path)):
+        targets = read_band_store(spark, path)
+        if include_new_new:
+            targets = targets.unionByName(new_bands)
+    elif include_new_new:
+        # empty store (first wave): within-batch pairs only
+        targets = new_bands
+    else:
+        return (
+            new_docs.sparkSession.createDataFrame(
+                [], "doc_a bigint, doc_b bigint"
+            )
+        )
     n = F.broadcast(new_bands).alias("n")
     return (
         targets.alias("t")
