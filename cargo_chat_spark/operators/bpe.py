@@ -1,0 +1,252 @@
+"""Distributed BPE tokenizer training + encoding (north-star extension).
+
+The reference counts tokens with a fixed heuristic only (the whitespace /
+BPE-ish regex family gated as ``token_count*``); a training-data pipeline
+at 100 TB also needs to LEARN the tokenizer from the corpus. This module
+implements classic word-frequency BPE (Sennrich et al. 2016, the public
+subword-nmt algorithm) Spark-first:
+
+- **Pre-tokenize + compress to the word-frequency dict** — one scan of
+  the corpus, ``explode(split(text))`` → ``groupBy(word).count()``. This
+  is the step that makes BPE tractable at scale: 100 TB of text collapses
+  to |unique words| rows (~10^8-10^9 at web scale — a small, hash-
+  partitioned frame), and every later iteration touches only this frame,
+  never the corpus again.
+- **Per-iteration pair counts stay distributed** — adjacent symbol pairs
+  come from a codegen'd higher-order ``transform`` over the symbol array
+  (no Python), weighted by word frequency, aggregated with a map-side-
+  combined hash agg. Only the single argmax row is collected per
+  iteration (count desc, then lexicographic pair — fully deterministic).
+- **Merge application is the one Arrow stage** — greedy left-to-right
+  adjacent-pair replacement is inherently sequential within a word, so it
+  runs as a vectorized pandas_udf over the symbol arrays; rows not
+  containing the pair are skipped JVM-side (an ``exists`` pre-filter
+  keeps the Arrow batch to the affected words only).
+- **Lineage is truncated** every ``checkpoint_every`` merges via
+  localCheckpoint (same discipline as operators/graph.py's Pregel loop);
+  on a cluster this would be a reliable checkpoint dir.
+
+Encoding applies the learned merge ranks with the standard lowest-rank-
+first loop per word, again batched through Arrow; the merge table reaches
+executors as a closure literal (vocab-sized — at a production 50k merges
+ship it as an explicit ``spark.sparkContext.broadcast``, same seam).
+
+No reference-file citation applies: cargo-chat has no tokenizer trainer;
+this family extends §2's token-counting surface (textstats.py) the way
+the dedup/ANN families extend its retrieval surface.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+# ------------------------------------------------------------------ stage 1
+
+
+def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus → (word, freq): the ONLY stage that scans the raw text."""
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), " +")).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+_CHARS_EXPR = "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+
+# Adjacent pairs of a symbol array as 'a b' strings. Guard n<2: Spark's
+# sequence(1, 0) yields a DESCENDING [1, 0], not an empty array.
+_PAIRS_EXPR = (
+    "CASE WHEN size(syms) >= 2 THEN "
+    "transform(sequence(1, size(syms) - 1), "
+    "          i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1))) "
+    "ELSE array() END"
+)
+
+
+def initial_pair_counts(wf: DataFrame) -> DataFrame:
+    """Iteration-0 pair counts (chars): the SQL-expressible anchor the
+    DuckDB oracle checks. pair = the 2-char substring at each position."""
+    pairs = wf.where(F.length("word") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return pairs.groupBy("pair").agg(F.sum("freq").cast("bigint").alias("pair_count"))
+
+
+# ------------------------------------------------------------------ trainer
+
+
+def _merge_syms_batch(syms: pd.Series, left: str, right: str) -> pd.Series:
+    """Greedy left-to-right replacement of the adjacent (left, right)
+    pair with left+right — the exact subword-nmt merge step."""
+    merged_sym = left + right
+
+    def one(arr):
+        out, i, n = [], 0, len(arr)
+        while i < n:
+            if i + 1 < n and arr[i] == left and arr[i + 1] == right:
+                out.append(merged_sym)
+                i += 2
+            else:
+                out.append(arr[i])
+                i += 1
+        return out
+
+    return syms.map(one)
+
+
+def train_bpe(
+    wf: DataFrame,
+    num_merges: int,
+    checkpoint_every: int = 1,
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Learn ``num_merges`` BPE merges from a (word, freq) frame.
+
+    Returns (merges, final_syms_frame); merges = [(left, right,
+    pair_count)] in learned order. Deterministic: argmax ties break on
+    the lexicographic pair. Per iteration: one distributed pair-count agg
+    (map-side combined) + a 1-row collect + one Arrow merge pass over
+    only the words containing the pair.
+
+    ``checkpoint_every`` MUST stay at 1 unless the span is tiny: each
+    merge projection references ``syms`` ~7× (exists-prefilter + both
+    CASE branches), so an uncheckpointed chain grows the expression tree
+    ~7× PER MERGE — at 8 deferred merges that is a multi-megabyte plan
+    and minutes of analysis time (measured). The eager localCheckpoint
+    materializes the (word, freq, syms) frame — the compressed dict,
+    never the corpus — which is exactly the state a cluster run would
+    reliably checkpoint per iteration anyway.
+    """
+    state = wf.select(
+        "word", "freq", F.expr(_CHARS_EXPR).alias("syms")
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[str, str, int]] = []
+    for it in range(num_merges):
+        top = (
+            state.select(F.explode(F.expr(_PAIRS_EXPR)).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)  # bounded collect: exactly one row per iteration
+            .collect()
+        )
+        if not top:
+            break
+        left, right = top[0]["pair"].split(" ", 1)
+        merges.append((left, right, int(top[0]["cnt"])))
+
+        @F.pandas_udf(ArrayType(StringType()))
+        def apply_merge(s: pd.Series) -> pd.Series:
+            return _merge_syms_batch(s, left, right)
+
+        has_pair = F.expr(
+            f"exists({_PAIRS_EXPR}, p -> p = {_sql_str(left + ' ' + right)})"
+        )
+        # JVM-side pre-filter: untouched rows never cross into Arrow
+        state = state.withColumn(
+            "syms", F.when(has_pair, apply_merge("syms")).otherwise(F.col("syms"))
+        )
+        if (it + 1) % checkpoint_every == 0:
+            state = state.localCheckpoint(eager=True)
+    return merges, state
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+# ------------------------------------------------------------------ encoder
+
+
+def encode_words(
+    words: DataFrame,
+    merges: Iterable[tuple[str, str]],
+    word_col: str = "word",
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Encode each word with the learned merges: repeatedly merge the
+    LOWEST-RANK adjacent pair present (the standard BPE encode loop),
+    vectorized over Arrow batches. Merge ranks ride the closure (tiny
+    here; production vocab → explicit broadcast, same seam)."""
+    ranks = {(l, r): i for i, (l, r, *_) in enumerate(merges)}
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def bpe_encode(s: pd.Series) -> pd.Series:
+        def one(word):
+            syms = list(word)
+            while len(syms) >= 2:
+                best, best_rank = None, None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best, best_rank = (syms[i], syms[i + 1]), r
+                if best is None:
+                    break
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == best[0]
+                        and syms[i + 1] == best[1]
+                    ):
+                        out.append(best[0] + best[1])
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return syms
+
+        return s.map(one)
+
+    return words.withColumn(out_col, bpe_encode(word_col))
+
+
+# ---------------------------------------------------- pure-Python reference
+
+
+def reference_bpe(
+    word_freq: dict[str, int], num_merges: int
+) -> list[tuple[str, str, int]]:
+    """Textbook in-memory BPE trainer (subword-nmt semantics, same
+    tie-break) — the pytest ground truth for the distributed trainer."""
+    state = {w: tuple(w) for w in word_freq}
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in state.items():
+            f = word_freq[w]
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = (
+                    counts.get((syms[i], syms[i + 1]), 0) + f
+                )
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1])
+        )
+        merges.append((left, right, cnt))
+        for w, syms in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = tuple(out)
+    return merges

@@ -1,0 +1,162 @@
+"""BPE tokenizer-training correctness queries (operators/bpe.py).
+
+Three gates over the ``documents`` table:
+
+- ``bpe_pair_counts`` — iteration-0 adjacent char-pair counts from the
+  word-frequency dict (the frame every trainer iteration re-aggregates).
+- ``bpe_learned_merges`` — the distributed trainer's first ``N_MERGES``
+  learned merges, value-hash checked against a DuckDB oracle that UNROLLS
+  the same iterations in SQL (the part_copurchase_pagerank precedent:
+  full value-hash oracle over an iterative algorithm). The oracle
+  represents each word's symbolization as a double-space-joined string
+  (`` a  b  c ``) so the greedy left-to-right merge step is exactly one
+  ``replace(' l  r ', ' lr ')`` — each symbol owns one space on each
+  side, so non-overlapping left-to-right replace semantics coincide with
+  the BPE merge pass (adjacent merges never share a delimiter).
+- ``bpe_encode_sample`` — the encoder applied to the highest-frequency
+  words with the learned merges. Sequential rank-order application (what
+  the oracle's replace chain does) equals the encoder's lowest-rank-
+  first loop for any TRAINED merge list: merge k's pair is built from
+  symbols that already exist at step k, so applying a later merge can
+  never create an occurrence of an earlier merge's pair.
+
+The trainer itself is iterative, but each iteration is one distributed
+map-side-combined aggregation plus a 1-row collect, so the whole gate is
+still a value-hash oracle — no rows-only weak mode needed.
+
+No reference citation applies: cargo-chat has no tokenizer trainer; this
+family extends the token-counting surface (textstats.py) the way the
+dedup/ANN families extend its retrieval surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cargo_chat_spark.operators.bpe import (
+    encode_words,
+    initial_pair_counts,
+    train_bpe,
+    word_freqs,
+)
+from cargo_chat_spark.queries.registry import register
+from cargo_chat_spark.sources.testdata import load_table
+
+N_MERGES = 6
+TOP_PAIRS = 100
+TOP_WORDS = 40
+
+# Shared word-frequency CTE: split on runs of spaces, drop empties —
+# identical to operators/bpe.py::word_freqs.
+_WF_CTE = """wf AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split_regex(text, ' +')) AS word
+        FROM documents)
+  WHERE length(word) > 0
+  GROUP BY word
+)"""
+
+_PAIR_COUNTS_SQL = f"""
+WITH {_WF_CTE},
+pairs AS (
+  SELECT substring(word, i, 2) AS pair, freq
+  FROM wf, unnest(generate_series(1, length(word) - 1)) AS t(i)
+  WHERE length(word) >= 2
+)
+SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+FROM pairs GROUP BY pair
+ORDER BY pair_count DESC, pair ASC
+LIMIT {TOP_PAIRS}
+"""
+
+
+def _unrolled_chain(n_merges: int) -> str:
+    """WITH-chain: wf -> s0 (spaced symbolization) -> n× (count, argmax,
+    merge). s{{k}} is the corpus symbolization after k merges; m{{k}} the
+    k-th learned (pair, cnt) with the trainer's exact tie-break (count
+    desc, space-joined pair asc)."""
+    sql = f"""WITH {_WF_CTE},
+s0 AS (
+  SELECT word,
+         ' ' || array_to_string(
+             list_transform(generate_series(1, length(word)),
+                            i -> substring(word, i, 1)), '  ') || ' ' AS s,
+         freq
+  FROM wf
+)"""
+    for k in range(1, n_merges + 1):
+        sql += f""",
+c{k} AS (
+  SELECT syms[i] || ' ' || syms[i + 1] AS pair,
+         CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT string_split(trim(s), '  ') AS syms, freq FROM s{k - 1}),
+       unnest(generate_series(1, len(syms) - 1)) AS t(i)
+  WHERE len(syms) >= 2
+  GROUP BY 1
+),
+m{k} AS (SELECT pair, cnt FROM c{k} ORDER BY cnt DESC, pair ASC LIMIT 1),
+s{k} AS (
+  SELECT word,
+         replace(s, ' ' || string_split(m{k}.pair, ' ')[1] || '  ' ||
+                       string_split(m{k}.pair, ' ')[2] || ' ',
+                    ' ' || replace(m{k}.pair, ' ', '') || ' ') AS s,
+         freq
+  FROM s{k - 1}, m{k}
+)"""
+    return sql
+
+
+_MERGES_SQL = _unrolled_chain(N_MERGES) + "\n" + "\nUNION ALL\n".join(
+    f"SELECT CAST({k - 1} AS INT) AS merge_rank,"
+    f" string_split(pair, ' ')[1] AS lhs,"
+    f" string_split(pair, ' ')[2] AS rhs,"
+    f" cnt AS pair_count FROM m{k}"
+    for k in range(1, N_MERGES + 1)
+)
+
+_ENCODE_SQL = _unrolled_chain(N_MERGES) + f"""
+SELECT word, freq,
+       replace(trim(s), '  ', ' ') AS tokens_str,
+       CAST(len(string_split(trim(s), '  ')) AS INT) AS n_tokens
+FROM s{N_MERGES}
+ORDER BY freq DESC, word ASC
+LIMIT {TOP_WORDS}
+"""
+
+
+@register("bpe_pair_counts", sql=_PAIR_COUNTS_SQL)
+def bpe_pair_counts(spark, sf_dir):
+    """Top adjacent char-pair counts of the word-frequency dict — the
+    SQL-expressible anchor of the trainer's per-iteration aggregate."""
+    wf = word_freqs(load_table(spark, sf_dir, "documents"))
+    return (
+        initial_pair_counts(wf)
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(TOP_PAIRS)
+    )
+
+
+@register("bpe_learned_merges", sql=_MERGES_SQL)
+def bpe_learned_merges(spark, sf_dir):
+    """First N_MERGES BPE merges learned distributedly from documents."""
+    wf = word_freqs(load_table(spark, sf_dir, "documents"))
+    merges, _ = train_bpe(wf, N_MERGES)
+    return spark.createDataFrame(
+        [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "merge_rank int, lhs string, rhs string, pair_count bigint",
+    )
+
+
+@register("bpe_encode_sample", sql=_ENCODE_SQL)
+def bpe_encode_sample(spark, sf_dir):
+    """Encode the TOP_WORDS highest-frequency words with the learned
+    merges (lowest-rank-first loop, Arrow-batched)."""
+    wf = word_freqs(load_table(spark, sf_dir, "documents"))
+    merges, _ = train_bpe(wf, N_MERGES)
+    top = wf.orderBy(F.desc("freq"), F.asc("word")).limit(TOP_WORDS)
+    return encode_words(top, merges).select(
+        "word",
+        "freq",
+        F.concat_ws(" ", "tokens").alias("tokens_str"),
+        F.size("tokens").cast("int").alias("n_tokens"),
+    )

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from cargo_chat_spark.queries import analytics  # noqa: F401
 from cargo_chat_spark.queries import ann_lsh  # noqa: F401
+from cargo_chat_spark.queries import bpe_queries  # noqa: F401
 from cargo_chat_spark.queries import curation  # noqa: F401
 from cargo_chat_spark.queries import dataprofile  # noqa: F401
 from cargo_chat_spark.queries import dedup  # noqa: F401
@@ -217,6 +218,13 @@ ROUND7_PROMOTION_PLAN = [
     # against the full history without recomputing it. Gates the
     # sources/band_store.py machinery; first in line for the r8 window.
     "incremental_neardup",
+    # NEW in round 7: distributed BPE tokenizer training (operators/
+    # bpe.py) — trainer value-hash-gated against an UNROLLED iterative
+    # DuckDB oracle (the pagerank precedent), plus the pair-count anchor
+    # and the encoder over the learned merges.
+    "bpe_learned_merges",
+    "bpe_pair_counts",
+    "bpe_encode_sample",
     # tier 2 — remaining distinct machinery
     "weighted_sample", "unigram_logprob", "engaged_clean_users",
     "value_zscore_outliers", "event_type_cooccurrence",
