@@ -96,6 +96,14 @@ DETAIL_EXTRA = [
     "events_retention_delete",  # new r6: stats-resolved file-level delete
     "events_deletion_vectors",  # new r6: row-level MOR via position sidecars
     "incremental_neardup",      # new r7: persisted band-store probe
+    "bpe_pair_counts",          # new r7: BPE iteration-0 pair counts
+    "bpe_learned_merges",       # new r7: distributed BPE trainer (6 merges)
+    "bpe_encode_sample",        # new r7: BPE encode over learned merges
+    "kmeans_centroids",         # new r7: fixed-point Lloyd's trainer
+    "kmeans_cluster_profile",   # new r7: cluster x label contingency
+    "cluster_representatives",  # new r7: per-cluster top-5 medoids
+    "inverted_postings_waves",  # new r7: 3-wave inverted-index build
+    "bm25_topk_persisted",      # new r7: BM25 from the persisted index
 ]
 
 
@@ -265,6 +273,24 @@ _R7_BARS = {
     # the probe alone is sub-second — the gate is end-to-end by
     # design like the other maintenance fixtures
     "incremental_neardup": 2.45,
+    # first bars for the round-7 BPE + KMeans families (warm-then-3-cold
+    # medians @ calib 0.308 -> /0.721 to the ref axis). The two trainer
+    # gates are iterative BY DESIGN: bpe_learned_merges runs 6×(pair agg
+    # + argmax collect + checkpointed Arrow merge pass); kmeans_centroids
+    # runs 4 assignment passes + 3 K×D-row update collects. The other
+    # family members share the trained model through the session memo.
+    "bpe_pair_counts": 0.67,
+    "bpe_learned_merges": 5.59,
+    "bpe_encode_sample": 0.71,
+    "kmeans_centroids": 2.55,
+    "kmeans_cluster_profile": 0.56,
+    "cluster_representatives": 0.30,
+    # persisted inverted index (warm-then-3-cold medians @ calib 0.373
+    # -> /0.873): the postings gate is the 3-wave incremental BUILD by
+    # design (like incremental_neardup); the persisted BM25 reuses the
+    # memoized store — its bar is the one pruned-scan query alone.
+    "inverted_postings_waves": 3.00,
+    "bm25_topk_persisted": 0.56,
 }
 
 BASELINE_S = {**_LEGACY_BARS, **_R6_BARS, **_R6_NEW_BARS, **_R7_BARS}

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from cargo_chat_spark.caching import register_memo as memo_register
 from cargo_chat_spark.operators.bpe import (
     encode_words,
     initial_pair_counts,
@@ -124,6 +125,25 @@ LIMIT {TOP_WORDS}
 """
 
 
+_TRAIN_MEMO: dict = {}
+memo_register(_TRAIN_MEMO)
+
+
+def _trained(spark, sf_dir):
+    """Train once per (session, sf_dir); the merges + word-freq frame are
+    shared by the merges and encode gates (queries/similarity.py's
+    _TRAINED_MEMO pattern)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _TRAIN_MEMO.get(key)
+    if cached is None:
+        wf = word_freqs(load_table(spark, sf_dir, "documents"))
+        wf = wf.persist()
+        merges, _ = train_bpe(wf, N_MERGES)
+        cached = (wf, merges)
+        _TRAIN_MEMO[key] = cached
+    return cached
+
+
 @register("bpe_pair_counts", sql=_PAIR_COUNTS_SQL)
 def bpe_pair_counts(spark, sf_dir):
     """Top adjacent char-pair counts of the word-frequency dict — the
@@ -139,8 +159,7 @@ def bpe_pair_counts(spark, sf_dir):
 @register("bpe_learned_merges", sql=_MERGES_SQL)
 def bpe_learned_merges(spark, sf_dir):
     """First N_MERGES BPE merges learned distributedly from documents."""
-    wf = word_freqs(load_table(spark, sf_dir, "documents"))
-    merges, _ = train_bpe(wf, N_MERGES)
+    _, merges = _trained(spark, sf_dir)
     return spark.createDataFrame(
         [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
         "merge_rank int, lhs string, rhs string, pair_count bigint",
@@ -151,8 +170,7 @@ def bpe_learned_merges(spark, sf_dir):
 def bpe_encode_sample(spark, sf_dir):
     """Encode the TOP_WORDS highest-frequency words with the learned
     merges (lowest-rank-first loop, Arrow-batched)."""
-    wf = word_freqs(load_table(spark, sf_dir, "documents"))
-    merges, _ = train_bpe(wf, N_MERGES)
+    wf, merges = _trained(spark, sf_dir)
     top = wf.orderBy(F.desc("freq"), F.asc("word")).limit(TOP_WORDS)
     return encode_words(top, merges).select(
         "word",

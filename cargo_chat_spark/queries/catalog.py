@@ -9,6 +9,7 @@ from __future__ import annotations
 from cargo_chat_spark.queries import analytics  # noqa: F401
 from cargo_chat_spark.queries import ann_lsh  # noqa: F401
 from cargo_chat_spark.queries import bpe_queries  # noqa: F401
+from cargo_chat_spark.queries import clustering  # noqa: F401
 from cargo_chat_spark.queries import curation  # noqa: F401
 from cargo_chat_spark.queries import dataprofile  # noqa: F401
 from cargo_chat_spark.queries import dedup  # noqa: F401
@@ -225,6 +226,17 @@ ROUND7_PROMOTION_PLAN = [
     "bpe_learned_merges",
     "bpe_pair_counts",
     "bpe_encode_sample",
+    # NEW in round 7: exact fixed-point distributed KMeans (operators/
+    # clustering.py) — Lloyd's value-hash-gated against an unrolled
+    # iterative oracle; upgrades the rows-only float live-IVF story.
+    "kmeans_centroids",
+    "kmeans_cluster_profile",
+    "cluster_representatives",
+    # NEW in round 7: persisted inverted index (sources/inverted_index.py)
+    # — 3-wave incremental build gated via the postings roundtrip; the
+    # persisted BM25 shares the batch gate's oracle bit-for-bit.
+    "inverted_postings_waves",
+    "bm25_topk_persisted",
     # tier 2 — remaining distinct machinery
     "weighted_sample", "unigram_logprob", "engaged_clean_users",
     "value_zscore_outliers", "event_type_cooccurrence",

@@ -1,0 +1,156 @@
+"""KMeans correctness queries over ``embeddings`` (operators/clustering.py).
+
+Three value-hash gates, all against a DuckDB oracle that UNROLLS Lloyd's
+iterations in SQL (long-format (id, dim) joins — the oracle optimizes
+for SQL clarity; the Spark side runs the production map-only
+literal-centroid kernel, and exact integer arithmetic makes the two
+meet bit-for-bit):
+
+- ``kmeans_centroids`` — the trained model itself after ITERS
+  iterations, long format (cluster, dim, val).
+- ``kmeans_cluster_profile`` — cluster × label contingency of the final
+  assignment (the topic-coherence readout a curation pipeline inspects).
+- ``cluster_representatives`` — per-cluster TOP_REPS nearest members to
+  the final centroid (canonical examples; WindowGroupLimit composition).
+
+Upgrades the live-trained-IVF story: ``ivf_topk_trained_live`` is
+rows-only because float means can't hash across engines — fixed-point
+quantization makes the full iterative trainer value-hash checkable (the
+pagerank/BPE iterative-oracle precedent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cargo_chat_spark.caching import register_memo as memo_register
+from cargo_chat_spark.operators.clustering import (
+    SCALE,
+    kmeans_fit,
+    quantize_embeddings,
+)
+from cargo_chat_spark.queries.registry import register
+from cargo_chat_spark.sources.testdata import load_table
+
+K = 8
+ITERS = 3
+TOP_REPS = 5
+
+
+def _chain(iters: int) -> str:
+    """wf-style WITH chain: e/el (quantized wide+long), c0 (smallest-id
+    init), then per iteration a{k} (argmin assignment, ties to lowest
+    cluster) and c{k}l (floor-mean update; empty clusters carry the
+    previous centroid). a{iters+1}-style final assignment is obtained by
+    asking for one more a CTE than update CTEs."""
+    sql = f"""WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * {SCALE}) AS BIGINT)) AS q
+  FROM embeddings
+),
+el AS (
+  SELECT vec_id, CAST(i - 1 AS INT) AS dim, q[i] AS qv
+  FROM e, unnest(generate_series(1, len(q))) t(i)
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, q
+  FROM (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT {K})
+),
+c0l AS (
+  SELECT cluster, CAST(i - 1 AS INT) AS dim, q[i] AS cv
+  FROM c0, unnest(generate_series(1, len(q))) t(i)
+)"""
+    for k in range(1, iters + 2):
+        sql += f""",
+a{k} AS (
+  SELECT vec_id, cluster, dist FROM (
+    SELECT el.vec_id, cl.cluster,
+           sum((el.qv - cl.cv) * (el.qv - cl.cv)) AS dist
+    FROM el JOIN c{k - 1}l cl ON el.dim = cl.dim
+    GROUP BY el.vec_id, cl.cluster)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) = 1
+)"""
+        if k <= iters:
+            sql += f""",
+c{k}l AS (
+  SELECT pc.cluster, pc.dim, coalesce(u.cv, pc.cv) AS cv
+  FROM c{k - 1}l pc LEFT JOIN (
+    SELECT a.cluster, el.dim,
+           CAST(floor(CAST(sum(el.qv) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+    FROM a{k} a JOIN el ON a.vec_id = el.vec_id
+    GROUP BY a.cluster, el.dim) u
+  ON pc.cluster = u.cluster AND pc.dim = u.dim
+)"""
+    return sql
+
+
+_CENTROIDS_SQL = _chain(ITERS) + f"""
+SELECT cluster, dim, cv AS val FROM c{ITERS}l
+"""
+
+_PROFILE_SQL = _chain(ITERS) + f"""
+SELECT a.cluster, emb.label, CAST(count(*) AS BIGINT) AS n_members
+FROM a{ITERS + 1} a JOIN embeddings emb ON a.vec_id = emb.vec_id
+GROUP BY a.cluster, emb.label
+"""
+
+_REPS_SQL = _chain(ITERS) + f"""
+SELECT cluster, vec_id, dist FROM (
+  SELECT cluster, vec_id, dist,
+         row_number() OVER (
+             PARTITION BY cluster ORDER BY dist, vec_id) AS rk
+  FROM a{ITERS + 1})
+WHERE rk <= {TOP_REPS}
+"""
+
+
+_FIT_MEMO: dict = {}
+memo_register(_FIT_MEMO)
+
+
+def _fit(spark, sf_dir):
+    """Train once per (session, sf_dir); the three gates share the model
+    (the _TRAINED_MEMO pattern from queries/similarity.py)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _FIT_MEMO.get(key)
+    if cached is None:
+        e = quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+        cents, assigned = kmeans_fit(e, k=K, iters=ITERS)
+        cached = (cents, assigned.persist())
+        _FIT_MEMO[key] = cached
+    return cached
+
+
+@register("kmeans_centroids", sql=_CENTROIDS_SQL)
+def kmeans_centroids(spark, sf_dir):
+    """The trained fixed-point KMeans model, long format."""
+    cents, _ = _fit(spark, sf_dir)
+    return spark.createDataFrame(
+        [(ci, d, int(v)) for ci, c in enumerate(cents) for d, v in enumerate(c)],
+        "cluster int, dim int, val bigint",
+    )
+
+
+@register("kmeans_cluster_profile", sql=_PROFILE_SQL)
+def kmeans_cluster_profile(spark, sf_dir):
+    """Cluster x label contingency of the final assignment."""
+    _, assigned = _fit(spark, sf_dir)
+    return assigned.groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+
+
+@register("cluster_representatives", sql=_REPS_SQL)
+def cluster_representatives(spark, sf_dir):
+    """Per-cluster nearest members to the final centroid (ties to the
+    lowest vec_id) — map-side-pruned rank via WindowGroupLimit."""
+    _, assigned = _fit(spark, sf_dir)
+    w = Window.partitionBy("cluster").orderBy(F.asc("dist"), F.asc("vec_id"))
+    return (
+        assigned.select("cluster", "vec_id", "dist")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_REPS)
+        .drop("rk")
+    )
