@@ -104,6 +104,8 @@ DETAIL_EXTRA = [
     "cluster_representatives",  # new r7: per-cluster top-5 medoids
     "inverted_postings_waves",  # new r7: 3-wave inverted-index build
     "bm25_topk_persisted",      # new r7: BM25 from the persisted index
+    "nb_train_logprobs",        # new r7: NB model (pure aggregation)
+    "nb_classify_docs",         # new r7: integer-exact NB argmax
 ]
 
 
@@ -291,6 +293,10 @@ _R7_BARS = {
     # memoized store — its bar is the one pruned-scan query alone.
     "inverted_postings_waves": 3.00,
     "bm25_topk_persisted": 0.56,
+    # learned NB classifier (warm-then-3-cold medians @ calib 0.391
+    # -> /0.916)
+    "nb_train_logprobs": 0.88,
+    "nb_classify_docs": 1.61,
 }
 
 BASELINE_S = {**_LEGACY_BARS, **_R6_BARS, **_R6_NEW_BARS, **_R7_BARS}

@@ -10,6 +10,7 @@ from cargo_chat_spark.queries import analytics  # noqa: F401
 from cargo_chat_spark.queries import ann_lsh  # noqa: F401
 from cargo_chat_spark.queries import bpe_queries  # noqa: F401
 from cargo_chat_spark.queries import clustering  # noqa: F401
+from cargo_chat_spark.queries import nb_classifier  # noqa: F401
 from cargo_chat_spark.queries import curation  # noqa: F401
 from cargo_chat_spark.queries import dataprofile  # noqa: F401
 from cargo_chat_spark.queries import dedup  # noqa: F401
@@ -237,6 +238,11 @@ ROUND7_PROMOTION_PLAN = [
     # persisted BM25 shares the batch gate's oracle bit-for-bit.
     "inverted_postings_waves",
     "bm25_topk_persisted",
+    # NEW in round 7: learned multinomial NB classifier (train = pure
+    # aggregation; scoring = integer micro-unit log-probs, immune to
+    # float summation order at any parallelism).
+    "nb_train_logprobs",
+    "nb_classify_docs",
     # tier 2 — remaining distinct machinery
     "weighted_sample", "unigram_logprob", "engaged_clean_users",
     "value_zscore_outliers", "event_type_cooccurrence",
