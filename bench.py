@@ -106,6 +106,8 @@ DETAIL_EXTRA = [
     "bm25_topk_persisted",      # new r7: BM25 from the persisted index
     "nb_train_logprobs",        # new r7: NB model (pure aggregation)
     "nb_classify_docs",         # new r7: integer-exact NB argmax
+    "bm25_cdc_synced_index",    # new r7: CDC-following index lifecycle
+    "bm25_cdc_compacted_index",  # new r7: tombstone compaction + query
 ]
 
 
@@ -297,6 +299,15 @@ _R7_BARS = {
     # -> /0.916)
     "nb_train_logprobs": 0.88,
     "nb_classify_docs": 1.61,
+    # CDC-synced index (warm-then-3-cold medians @ calib 0.344 ->
+    # /0.806). The synced gate is the FULL lifecycle by design (7
+    # snapshot commits incl. two CoW rewrites + 3 incremental CDC
+    # applications + the initial index build at 5000 docs) — the
+    # dedup_mor_apply class of end-to-end maintenance fixture; the
+    # compacted gate adds only the O(dirty files) compaction + one
+    # pruned query on the memoized store.
+    "bm25_cdc_synced_index": 16.0,
+    "bm25_cdc_compacted_index": 2.76,
 }
 
 BASELINE_S = {**_LEGACY_BARS, **_R6_BARS, **_R6_NEW_BARS, **_R7_BARS}

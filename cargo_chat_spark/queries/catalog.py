@@ -243,6 +243,12 @@ ROUND7_PROMOTION_PLAN = [
     # float summation order at any parallelism).
     "nb_train_logprobs",
     "nb_classify_docs",
+    # NEW in round 7: index follows a mutating snapshot table through
+    # its CDC feed (inserts append versioned postings; deletes/updates
+    # tombstone merge-on-read); BM25 must equal the from-scratch oracle
+    # over the final logical state.
+    "bm25_cdc_synced_index",
+    "bm25_cdc_compacted_index",
     # tier 2 — remaining distinct machinery
     "weighted_sample", "unigram_logprob", "engaged_clean_users",
     "value_zscore_outliers", "event_type_cooccurrence",

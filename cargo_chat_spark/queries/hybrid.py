@@ -297,3 +297,110 @@ def bm25_topk_persisted(spark, sf_dir):
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= _TOPK)
     )
+
+
+# --------------------------------------- CDC-synced index (lakehouse ∘ BM25)
+# The full composition: a snapshot table of documents is the source of
+# truth; the index follows its change feed incrementally (inserts append
+# versioned postings, deletes/updates tombstone old generations
+# merge-on-read, stats adjust additively) and must then serve BM25
+# scores identical to a from-scratch computation over the table's final
+# logical state. The oracle IS that from-scratch computation: the batch
+# BM25 CTEs over the final corpus expression.
+
+_CDC_CORPUS = """corpus AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 11 = 0 THEN text || ' spark' ELSE text END
+               AS text
+    FROM documents WHERE doc_id % 7 <> 0)"""
+
+_CDC_BM25_SQL = f"""
+WITH {_CDC_CORPUS},
+{_BM25_CTES.replace("FROM documents", "FROM corpus")}
+SELECT doc_id, bm25, CAST(rnk AS INT) AS rank
+FROM bm25_ranked WHERE rnk <= {_TOPK}
+"""
+
+
+def _cdc_index(spark, sf_dir) -> str:
+    """Snapshot table lifecycle (write → append → MERGE update → CoW
+    delete) with the index advanced through apply_index_cdc after each
+    commit; returns the index path. Memoized per (session, sf_dir)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from cargo_chat_spark.sources import snapshots as S
+    from cargo_chat_spark.sources.inverted_index import (
+        apply_index_cdc,
+        sync_index_from_snapshot,
+    )
+
+    key = ("cdc", spark.sparkContext.applicationId, sf_dir)
+    cached = _II_MEMO.get(key)
+    if cached is None:
+        base = _os.path.join(
+            _tempfile.gettempdir(),
+            f"ccs_cdc_idx_{_os.path.basename(_os.path.normpath(sf_dir))}"
+            f"_{_os.getpid()}",
+        )
+        if _os.path.isdir(base):
+            _shutil.rmtree(base)
+        table = _os.path.join(base, "table")
+        idx = _os.path.join(base, "index")
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+        S.snap_write(docs.where(F.col("doc_id") % 5 != 0), table)
+        sync_index_from_snapshot(spark, idx, table)
+
+        S.snap_append(docs.where(F.col("doc_id") % 5 == 0), table)
+        apply_index_cdc(spark, idx, table)
+
+        updates = docs.where(F.col("doc_id") % 11 == 0).select(
+            "doc_id", F.concat(F.col("text"), F.lit(" spark")).alias("text")
+        )
+        S.snap_merge(spark, table, updates, "doc_id")
+        apply_index_cdc(spark, idx, table)
+
+        S.snap_delete(
+            spark, table, docs.where(F.col("doc_id") % 7 == 0), "doc_id"
+        )
+        apply_index_cdc(spark, idx, table)
+
+        cached = idx
+        _II_MEMO[key] = cached
+    return cached
+
+
+@register("bm25_cdc_synced_index", sql=_CDC_BM25_SQL)
+def bm25_cdc_synced_index(spark, sf_dir):
+    """BM25 top-20 from the index kept in sync with a mutating snapshot
+    table purely through its change feed — scores must equal the
+    from-scratch oracle over the table's final logical state."""
+    scored = II.bm25_query(spark, _cdc_index(spark, sf_dir), list(_TERMS))
+    w = Window.orderBy(F.desc("bm25"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= _TOPK)
+    )
+
+
+@register("bm25_cdc_compacted_index", sql=_CDC_BM25_SQL)
+def bm25_cdc_compacted_index(spark, sf_dir):
+    """Same contract as bm25_cdc_synced_index AFTER
+    compact_index_tombstones materialized the merge-on-read state:
+    rewriting only the dirty postings files must not move a single
+    score. Shares the synced store (compaction mutates it in place —
+    idempotent, so gate order doesn't matter)."""
+    from cargo_chat_spark.sources.inverted_index import (
+        compact_index_tombstones,
+    )
+
+    idx = _cdc_index(spark, sf_dir)
+    compact_index_tombstones(spark, idx)
+    scored = II.bm25_query(spark, idx, list(_TERMS))
+    w = Window.orderBy(F.desc("bm25"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= _TOPK)
+    )

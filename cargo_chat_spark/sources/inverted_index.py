@@ -155,14 +155,38 @@ def append_inverted_index(
     _write_stats(path, n0 + n1, s0 + s1)
 
 
+def _tombstones_path(path: str) -> str:
+    return os.path.join(path, "tombstones")
+
+
 def read_postings(
     spark: SparkSession, path: str, terms: list[str] | None = None
 ) -> DataFrame:
     """Posting rows, pruned to ``terms`` when given: the shard IN (...)
     predicate prunes partitions at planning time and token IN (...)
     pushes into the parquet scan (both plan-pinned by
-    tests/test_inverted_index.py)."""
+    tests/test_inverted_index.py).
+
+    A CDC-maintained index (``sync_index_from_snapshot`` /
+    ``apply_index_cdc``) additionally carries merge-on-read tombstones:
+    (doc_id, cutoff) kills that doc's postings from every generation
+    BEFORE cutoff. The tombstone set is bounded between compactions and
+    broadcasts; postings files are never rewritten by a delete."""
     p = spark.read.parquet(_postings_path(path))
+    if os.path.isdir(_tombstones_path(path)):
+        t = (
+            spark.read.parquet(_tombstones_path(path))
+            .groupBy("doc_id")
+            .agg(F.max("cutoff").alias("cutoff"))
+        )
+        p = p.alias("p").join(
+            F.broadcast(t).alias("t"),
+            on=[
+                F.col("p.doc_id") == F.col("t.doc_id"),
+                F.col("p.ver") < F.col("t.cutoff"),
+            ],
+            how="left_anti",
+        )
     if terms is not None:
         shards = sorted({shard_of(t) for t in terms})
         p = p.where(F.col("shard").isin(shards)).where(
@@ -206,3 +230,211 @@ def bm25_query(
         .groupBy("doc_id")
         .agg(F.round(F.sum(contrib), 6).alias("bm25"))
     )
+
+
+# ------------------------------------------------- snapshot CDC maintenance
+# The lakehouse composition: a snapshot table of documents is the source
+# of truth; the index follows it INCREMENTALLY through the O(changed
+# files) change feed (snapshots.snap_changes) instead of rebuilding.
+# Inserts append postings stamped with the synced version; deletes and
+# the old generations of updates become merge-on-read tombstones
+# (doc_id, cutoff) — postings files are immutable, reads anti-join the
+# bounded tombstone set; corpus stats adjust additively from the LIVE
+# postings of the dying docs (sum(tf) of a doc's postings IS its dl, so
+# no pre-image text is needed). The same follow-the-log pattern as
+# index_io.upsert_index_cells, applied to lexical state.
+
+
+def sync_index_from_snapshot(
+    spark: SparkSession,
+    index_path: str,
+    table_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_token_files: int = 4,
+) -> int:
+    """Initial full build from the table's LATEST snapshot; postings are
+    stamped with the synced version (the tombstone generation axis).
+    Returns the synced version."""
+    from cargo_chat_spark.sources.snapshots import manifest, snap_read
+
+    v = int(manifest(table_path)["version"])
+    docs = snap_read(spark, table_path).select(id_col, text_col)
+    _write(
+        postings_of(docs, id_col, text_col).withColumn("ver", F.lit(v)),
+        index_path,
+        "overwrite",
+        n_token_files,
+    )
+    n, s = _doc_stats(docs, text_col)
+    _write_stats(index_path, n, s, synced_version=v)
+    return v
+
+
+def synced_version(index_path: str) -> int:
+    return int(_read_stats_raw(index_path).get("synced_version", -1))
+
+
+def apply_index_cdc(
+    spark: SparkSession,
+    index_path: str,
+    table_path: str,
+    to_version: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_token_files: int = 4,
+) -> int:
+    """Advance the index from its synced version to ``to_version``
+    (latest by default) using the row-level change feed. Cost is
+    O(changed files + changed docs' postings), never O(corpus)."""
+    from cargo_chat_spark.sources.snapshots import (
+        manifest,
+        snap_changes,
+        snap_read,
+    )
+
+    from_v = synced_version(index_path)
+    if from_v < 0:
+        raise ValueError(
+            f"index at {index_path} was not built by "
+            "sync_index_from_snapshot"
+        )
+    to_v = int(manifest(table_path)["version"]) if to_version is None else int(to_version)
+    if to_v == from_v:
+        return to_v
+    ch = snap_changes(spark, table_path, from_v, to_v, id_col)
+    dead = (
+        ch.where(F.col("change").isin("deleted", "updated"))
+        .select(F.col(id_col).alias("doc_id"))
+        .distinct()
+    )
+    fresh = (
+        ch.where(F.col("change").isin("inserted", "updated"))
+        .select(F.col(id_col))
+        .distinct()
+    )
+
+    # stats of the dying generations, from the index itself (1-row agg)
+    gone = (
+        read_postings(spark, index_path)
+        .join(F.broadcast(dead), "doc_id")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("nd"),
+            F.coalesce(F.sum("tf"), F.lit(0)).cast("bigint").alias("sd"),
+        )
+        .collect()[0]
+    )
+
+    # merge-on-read: tombstone every pre-to_v generation of dying docs
+    (
+        dead.withColumn("cutoff", F.lit(to_v).cast("int"))
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(_tombstones_path(index_path))
+    )
+
+    # new generations for inserts + updated posts, stamped ver = to_v
+    new_docs = snap_read(spark, table_path, to_v).join(
+        F.broadcast(fresh), id_col, "semi"
+    ).select(id_col, text_col)
+    _write(
+        postings_of(new_docs, id_col, text_col).withColumn(
+            "ver", F.lit(to_v)
+        ),
+        index_path,
+        "append",
+        n_token_files,
+    )
+    n1, s1 = _doc_stats(new_docs, text_col)
+    n0, s0 = read_index_stats(index_path)
+    _write_stats(
+        index_path,
+        n0 - int(gone["nd"]) + n1,
+        s0 - int(gone["sd"]) + s1,
+        synced_version=to_v,
+    )
+    return to_v
+
+
+def compact_index_tombstones(spark: SparkSession, path: str) -> int:
+    """Materialize the tombstones: rewrite ONLY the dirty postings files
+    (those holding a tombstoned generation), then clear the tombstone
+    set — the index analog of snapshots.snap_compact_dv. O(dirty files);
+    clean files are untouched byte-for-byte. Returns the number of files
+    rewritten.
+
+    Single-writer maintenance op (run it from the same scheduler slot as
+    the CDC applier): the swap (delete dirty, move staged) is not
+    crash-atomic on a plain directory layout — the production form
+    commits the same rewrite through a snapshot-log layout (the
+    index_io.upsert_index_cells pattern) where the manifest IS the
+    atomic commit point.
+    """
+    import shutil
+    import uuid
+
+    from cargo_chat_spark.sources._paths import strip_scheme
+
+    if not os.path.isdir(_tombstones_path(path)):
+        return 0
+    proot = _postings_path(path)
+    t = (
+        spark.read.parquet(_tombstones_path(path))
+        .groupBy("doc_id")
+        .agg(F.max("cutoff").alias("cutoff"))
+    )
+    scan = (
+        spark.read.option("basePath", proot)
+        .parquet(proot)
+        .withColumn("_f", F.col("_metadata.file_path"))
+    )
+    dead = scan.alias("p").join(
+        F.broadcast(t).alias("t"),
+        on=[
+            F.col("p.doc_id") == F.col("t.doc_id"),
+            F.col("p.ver") < F.col("t.cutoff"),
+        ],
+    )
+    dirty = sorted(
+        strip_scheme(r["_f"])
+        for r in dead.select("_f").distinct().collect()
+    )  # bounded: one row per dirty file
+    if dirty:
+        staging = os.path.join(
+            strip_scheme(path), f"_compact_staging.{os.getpid()}.{uuid.uuid4().hex}"
+        )
+        survivors = (
+            spark.read.option("basePath", proot)
+            .parquet(*dirty)
+            .alias("p")
+            .join(
+                F.broadcast(t).alias("t"),
+                on=[
+                    F.col("p.doc_id") == F.col("t.doc_id"),
+                    F.col("p.ver") < F.col("t.cutoff"),
+                ],
+                how="left_anti",
+            )
+        )
+        (
+            survivors.sortWithinPartitions("token")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(staging)
+        )
+        for f in dirty:
+            os.remove(f)
+        for shard_dir in os.listdir(staging):
+            src = os.path.join(staging, shard_dir)
+            if not (os.path.isdir(src) and shard_dir.startswith("shard=")):
+                continue
+            dst = os.path.join(strip_scheme(proot), shard_dir)
+            os.makedirs(dst, exist_ok=True)
+            for part in os.listdir(src):
+                if part.endswith(".parquet"):
+                    os.replace(
+                        os.path.join(src, part), os.path.join(dst, part)
+                    )
+        shutil.rmtree(staging)
+    shutil.rmtree(_tombstones_path(path))
+    return len(dirty)
