@@ -108,6 +108,7 @@ DETAIL_EXTRA = [
     "nb_classify_docs",         # new r7: integer-exact NB argmax
     "bm25_cdc_synced_index",    # new r7: CDC-following index lifecycle
     "bm25_cdc_compacted_index",  # new r7: tombstone compaction + query
+    "kmeans_online_centroids",  # new r7: mini-batch fold over 3 waves
 ]
 
 
@@ -308,6 +309,10 @@ _R7_BARS = {
     # pruned query on the memoized store.
     "bm25_cdc_synced_index": 16.0,
     "bm25_cdc_compacted_index": 2.76,
+    # online mini-batch KMeans: 3 sequential wave folds, each = one
+    # map-only assignment + one KxD-row collect (warm-then-3-cold
+    # median @ calib 0.353 -> /0.827)
+    "kmeans_online_centroids": 2.29,
 }
 
 BASELINE_S = {**_LEGACY_BARS, **_R6_BARS, **_R6_NEW_BARS, **_R7_BARS}

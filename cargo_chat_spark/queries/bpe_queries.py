@@ -178,3 +178,91 @@ def bpe_encode_sample(spark, sf_dir):
         F.concat_ws(" ", "tokens").alias("tokens_str"),
         F.size("tokens").cast("int").alias("n_tokens"),
     )
+
+
+# -------------------------------------------- tokenize → pack composition
+# The end-to-end training-data story: token counts come from the LEARNED
+# tokenizer (not the whitespace heuristic), then documents pack into
+# token-budget bins with the shared per-shard running-sum window
+# (queries/sampling.py::pack_by_budget). The corpus is encoded via its
+# VOCABULARY: the dict frame is encoded once (|unique words| Arrow rows,
+# never |corpus tokens|), and per-doc totals come from an equi-join of the
+# exploded doc words against the (word, n_tokens) map — broadcast here;
+# at a 10^9-word web vocabulary the same plan falls back to a shuffle-hash
+# join on `word` (both sides hash-partitioned, no plan change needed).
+_BPE_PACK_BUDGET = 1024
+
+_BPE_PACK_SQL = _unrolled_chain(N_MERGES) + f""",
+vocab AS (
+  SELECT word, CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS wt
+  FROM s{N_MERGES}
+),
+doc_words AS (
+  SELECT doc_id, unnest(string_split_regex(text, ' +')) AS word
+  FROM documents
+),
+doc_toks AS (
+  SELECT dw.doc_id, CAST(sum(v.wt) AS BIGINT) AS n_tokens
+  FROM doc_words dw JOIN vocab v USING (word)
+  WHERE length(dw.word) > 0
+  GROUP BY dw.doc_id
+),
+toks AS (
+  SELECT d.doc_id, d.doc_id % 32 AS shard,
+         COALESCE(t.n_tokens, 0) AS n_tokens
+  FROM documents d LEFT JOIN doc_toks t USING (doc_id)
+),
+packed AS (
+  SELECT shard, doc_id, n_tokens,
+    -- floor() explicitly: DuckDB CAST(DOUBLE AS BIGINT) rounds while
+    -- Spark's cast truncates (same note as sampling.py::_PACK_SQL)
+    CAST(floor((SUM(n_tokens) OVER (
+        PARTITION BY shard ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) - n_tokens) / {_BPE_PACK_BUDGET}) AS BIGINT) AS bin_idx
+  FROM toks
+)
+SELECT CAST(shard * 1099511627776 + bin_idx AS BIGINT) AS pack_id,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+  CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM packed
+GROUP BY 1
+"""
+
+
+@register("bpe_pack_tokens", sql=_BPE_PACK_SQL)
+def bpe_pack_tokens(spark, sf_dir):
+    """Tokenize the corpus with the learned BPE merges and pack documents
+    into token-budget training sequences — trainer ∘ encoder ∘ packer,
+    all value-hash gated in one composition."""
+    from cargo_chat_spark.queries.sampling import _N_SHARDS, pack_by_budget
+
+    wf, merges = _trained(spark, sf_dir)
+    vocab = encode_words(wf.select("word"), merges).select(
+        "word", F.size("tokens").cast("bigint").alias("wt")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    doc_words = docs.select(
+        "doc_id", F.explode(F.split("text", " +")).alias("word")
+    ).where(F.length("word") > 0)
+    doc_toks = (
+        # vocab = the corpus's own distinct words, so the inner join is
+        # total over doc_words; broadcast while the dict is small (the
+        # comment block above documents the shuffle-hash exit)
+        doc_words.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(F.sum("wt").alias("n_tokens"))
+    )
+    toks = (
+        # left join keeps all-space/empty documents as 0-token rows
+        docs.select("doc_id")
+        .join(doc_toks, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("doc_id") % _N_SHARDS).alias("shard"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        )
+    )
+    return pack_by_budget(toks, _BPE_PACK_BUDGET)

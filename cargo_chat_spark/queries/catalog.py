@@ -249,6 +249,10 @@ ROUND7_PROMOTION_PLAN = [
     # over the final logical state.
     "bm25_cdc_synced_index",
     "bm25_cdc_compacted_index",
+    # NEW in round 7: online mini-batch KMeans over ingest waves
+    # (streaming/kmeans_stream.py) — sequential fold gated against an
+    # unrolled oracle.
+    "kmeans_online_centroids",
     # tier 2 — remaining distinct machinery
     "weighted_sample", "unigram_logprob", "engaged_clean_users",
     "value_zscore_outliers", "event_type_cooccurrence",

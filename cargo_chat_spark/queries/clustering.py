@@ -154,3 +154,119 @@ def cluster_representatives(spark, sf_dir):
         .where(F.col("rk") <= TOP_REPS)
         .drop("rk")
     )
+
+
+# ------------------------------------------------ online (mini-batch) gate
+# streaming/kmeans_stream.py: three ingest waves (vec_id % 3) folded
+# sequentially into cumulative integer sums/counts; each wave assigned
+# to the centroids derived from the state BEFORE it. The oracle unrolls
+# the sequence: d{i}l derives centroids from cumulative state s{i}l
+# (floor(sum/count), init carry for empty clusters), a{i+1} assigns the
+# next wave, s{i+1}l accumulates.
+
+N_WAVES = 3
+
+
+def _online_chain() -> str:
+    sql = f"""WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * {SCALE}) AS BIGINT)) AS q
+  FROM embeddings
+),
+el AS (
+  SELECT vec_id, CAST(i - 1 AS INT) AS dim, q[i] AS qv
+  FROM e, unnest(generate_series(1, len(q))) t(i)
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, q
+  FROM (SELECT vec_id, q FROM e WHERE vec_id % {N_WAVES} = 0
+        ORDER BY vec_id LIMIT {K})
+),
+s0l AS (
+  SELECT cluster, CAST(i - 1 AS INT) AS dim,
+         CAST(0 AS BIGINT) AS s, CAST(0 AS BIGINT) AS n,
+         q[i] AS init_cv
+  FROM c0, unnest(generate_series(1, len(q))) t(i)
+)"""
+    for k in range(1, N_WAVES + 1):
+        m = k - 1
+        sql += f""",
+d{k - 1}l AS (
+  SELECT cluster, dim,
+         CASE WHEN n > 0
+              THEN CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT)
+              ELSE init_cv END AS cv
+  FROM s{k - 1}l
+),
+a{k} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT el.vec_id, cl.cluster,
+           sum((el.qv - cl.cv) * (el.qv - cl.cv)) AS dist
+    FROM el JOIN d{k - 1}l cl ON el.dim = cl.dim
+    WHERE el.vec_id % {N_WAVES} = {m}
+    GROUP BY el.vec_id, cl.cluster)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) = 1
+),
+s{k}l AS (
+  SELECT p.cluster, p.dim,
+         p.s + coalesce(u.ds, 0) AS s,
+         p.n + coalesce(u.dn, 0) AS n,
+         p.init_cv
+  FROM s{k - 1}l p LEFT JOIN (
+    SELECT a.cluster, el.dim,
+           CAST(sum(el.qv) AS BIGINT) AS ds,
+           CAST(count(*) AS BIGINT) AS dn
+    FROM a{k} a JOIN el USING (vec_id)
+    GROUP BY a.cluster, el.dim) u
+  ON p.cluster = u.cluster AND p.dim = u.dim
+)"""
+    return sql
+
+
+_ONLINE_SQL = _online_chain() + f""",
+dfinl AS (
+  SELECT cluster, dim,
+         CASE WHEN n > 0
+              THEN CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT)
+              ELSE init_cv END AS cv
+  FROM s{N_WAVES}l
+)
+SELECT cluster, dim, cv AS val FROM dfinl
+"""
+
+
+@register("kmeans_online_centroids", sql=_ONLINE_SQL)
+def kmeans_online_centroids(spark, sf_dir):
+    """The mini-batch model after three sequential ingest waves — each
+    wave assigned with the centroids the stream had at its arrival."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from cargo_chat_spark.streaming.kmeans_stream import (
+        centroids_of,
+        kmeans_stream_batch,
+        read_kmeans_state,
+    )
+
+    e = quantize_embeddings(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "q"
+    )
+    out = _os.path.join(
+        _tempfile.gettempdir(),
+        f"ccs_km_stream_{_os.path.basename(_os.path.normpath(sf_dir))}"
+        f"_{_os.getpid()}",
+    )
+    sp = out + ".kmeans_state.json"
+    if _os.path.exists(sp):
+        _os.remove(sp)
+    for m in range(N_WAVES):
+        kmeans_stream_batch(
+            spark, e.where(F.col("vec_id") % N_WAVES == m), m, out, k=K
+        )
+    cents = centroids_of(read_kmeans_state(out))
+    return spark.createDataFrame(
+        [(ci, d, int(v)) for ci, c in enumerate(cents) for d, v in enumerate(c)],
+        "cluster int, dim int, val bigint",
+    )

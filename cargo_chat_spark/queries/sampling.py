@@ -245,22 +245,13 @@ GROUP BY 1
 """
 
 
-@register("pack_sequences", sql=_PACK_SQL)
-def pack_sequences(spark, sf_dir):
-    """Token-budget sequence packing (the pre-tokenization batching pass).
+def pack_by_budget(toks, budget: int = _PACK_BUDGET):
+    """Pack a (doc_id, shard, n_tokens) frame into token-budget bins.
 
-    Whitespace token counts (same spec as textstats.token_count), running
-    sum per shard, bin = floor(preceding_total / budget). One shuffle on
-    shard, per-shard linear window — no global sort, scales with shards."""
-    docs = load_table(spark, sf_dir, "documents")
-    n_tokens = F.when(F.trim("text") == "", F.lit(0)).otherwise(
-        F.size(F.split(F.trim("text"), r"\s+"))
-    )
-    toks = docs.select(
-        "doc_id",
-        (F.col("doc_id") % _N_SHARDS).alias("shard"),
-        n_tokens.alias("n_tokens"),
-    )
+    Running sum per shard, bin = floor(preceding_total / budget). One
+    shuffle on shard, per-shard linear window — no global sort, scales
+    with shards. Shared by pack_sequences (whitespace counts) and
+    bpe_queries.bpe_pack_tokens (learned-tokenizer counts)."""
     w = (
         Window.partitionBy("shard")
         .orderBy("doc_id")
@@ -269,7 +260,7 @@ def pack_sequences(spark, sf_dir):
     packed = toks.withColumn(
         "bin_idx",
         F.floor(
-            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / _PACK_BUDGET
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / budget
         ).cast("bigint"),
     )
     return (
@@ -287,6 +278,24 @@ def pack_sequences(spark, sf_dir):
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+@register("pack_sequences", sql=_PACK_SQL)
+def pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing (the pre-tokenization batching pass).
+
+    Whitespace token counts (same spec as textstats.token_count), packed
+    by the shared per-shard running-sum window (pack_by_budget)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.when(F.trim("text") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+"))
+    )
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % _N_SHARDS).alias("shard"),
+        n_tokens.alias("n_tokens"),
+    )
+    return pack_by_budget(toks)
 
 
 # --------------------------------------------------- temperature-based mix
