@@ -253,6 +253,10 @@ ROUND7_PROMOTION_PLAN = [
     # (streaming/kmeans_stream.py) — sequential fold gated against an
     # unrolled oracle.
     "kmeans_online_centroids",
+    # NEW in round 7: trainer ∘ encoder ∘ packer composition — corpus
+    # tokenized with the LEARNED merges (vocabulary encoded once, per-doc
+    # totals via equi-join), packed into token-budget bins.
+    "bpe_pack_tokens",
     # tier 2 — remaining distinct machinery
     "weighted_sample", "unigram_logprob", "engaged_clean_users",
     "value_zscore_outliers", "event_type_cooccurrence",

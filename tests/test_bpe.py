@@ -101,3 +101,113 @@ def test_merge_stage_prefilters_untouched_rows(spark):
     rows = {r["word"]: r["syms"] for r in state.collect()}
     assert rows["aaaa"] == ["aa", "aa"]
     assert rows["low"] == list("low")
+
+
+# ------------------------------------------- tokenize → pack composition
+
+
+def _py_encode(word, ranks):
+    """Pure-Python lowest-rank-first BPE encode (test ground truth)."""
+    syms = list(word)
+    while len(syms) >= 2:
+        best, best_rank = None, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = (syms[i], syms[i + 1]), r
+        if best is None:
+            break
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                out.append(best[0] + best[1])
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_pack_tokens_matches_python_reference(spark):
+    """Full independent re-derivation of the trainer ∘ encoder ∘ packer
+    composition: python BPE + python first-fit packer over the sf0.001
+    corpus must equal the distributed bpe_pack_tokens gate exactly."""
+    from cargo_chat_spark.queries.bpe_queries import (
+        _BPE_PACK_BUDGET,
+        N_MERGES,
+        bpe_pack_tokens,
+    )
+    from cargo_chat_spark.queries.sampling import _N_SHARDS
+
+    docs = sorted(
+        (r["doc_id"], r["text"])
+        for r in load_table(spark, SF_DIR_SMALL, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    freqs: dict[str, int] = {}
+    for _, text in docs:
+        for w in text.split(" "):
+            if w:
+                freqs[w] = freqs.get(w, 0) + 1
+    merges = reference_bpe(freqs, N_MERGES)
+    ranks = {(l, r): i for i, (l, r, _) in enumerate(merges)}
+    wt = {w: len(_py_encode(w, ranks)) for w in freqs}
+
+    packs: dict[int, list[tuple[int, int]]] = {}
+    running = [0] * _N_SHARDS
+    for doc_id, text in docs:  # id order == the window's sort order
+        n = sum(wt[w] for w in text.split(" ") if w)
+        shard = doc_id % _N_SHARDS
+        bin_idx = running[shard] // _BPE_PACK_BUDGET
+        running[shard] += n
+        packs.setdefault((shard << 40) + bin_idx, []).append((doc_id, n))
+
+    want = {
+        pid: (
+            len(members),
+            sum(n for _, n in members),
+            min(d for d, _ in members),
+            max(d for d, _ in members),
+        )
+        for pid, members in packs.items()
+    }
+    got = {
+        r["pack_id"]: (
+            r["n_docs"], r["total_tokens"], r["first_doc"], r["last_doc"]
+        )
+        for r in bpe_pack_tokens(spark, SF_DIR_SMALL).collect()
+    }
+    assert got == want
+
+
+def test_pack_by_budget_bin_boundary(spark):
+    """A doc whose PRECEDING total has crossed the budget starts a new
+    bin; the doc that crosses it mid-way stays in the bin it started
+    (first-fit streaming semantics)."""
+    from cargo_chat_spark.queries.sampling import pack_by_budget
+
+    toks = spark.createDataFrame(
+        [(1, 0, 1000), (2, 0, 1000), (3, 0, 1000), (4, 1, 5000)],
+        "doc_id bigint, shard int, n_tokens bigint",
+    )
+    got = {
+        r["pack_id"]: (r["n_docs"], r["total_tokens"])
+        for r in pack_by_budget(toks, 1024).collect()
+    }
+    # shard 0: doc2 starts at 1000 (<1024, same bin); doc3 starts at
+    # 2000 -> floor(2000/1024)=1, new bin. shard 1: one oversized doc
+    # still lands alone in bin 0 (never dropped).
+    assert got == {0: (2, 2000), 1: (1, 1000), (1 << 40): (1, 5000)}
+
+
+def test_bpe_pack_tokens_keeps_empty_docs(spark):
+    """All-space/empty documents survive as 0-token pack members (the
+    left join; losing them would silently shrink n_docs)."""
+    from cargo_chat_spark.queries.bpe_queries import bpe_pack_tokens
+
+    out = bpe_pack_tokens(spark, SF_DIR_SMALL)
+    n_docs = out.agg(F.sum("n_docs")).collect()[0][0]
+    total = load_table(spark, SF_DIR_SMALL, "documents").count()
+    assert n_docs == total
