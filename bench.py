@@ -110,6 +110,7 @@ DETAIL_EXTRA = [
     "bm25_cdc_compacted_index",  # new r7: tombstone compaction + query
     "kmeans_online_centroids",  # new r7: mini-batch fold over 3 waves
     "bpe_pack_tokens",          # new r7: tokenize ∘ pack composition
+    "copurchase_bfs_hops",      # new r7: multi-source BFS hop counts
 ]
 
 
@@ -320,6 +321,10 @@ _R7_BARS = {
     # warm-then-3-cold median 1.583 @ calib 0.398 (/0.932) -> 1.70.
     # Standalone (training un-memoized) it is ~7.7 raw.
     "bpe_pack_tokens": 1.70,
+    # multi-source BFS, 3 frontier rounds (join + distinct + anti-join +
+    # eager checkpoint each) over the pagerank-shared edge memo; in-suite
+    # warm-then-3-cold median 3.275 @ calib 0.362 (/0.848) -> 3.86.
+    "copurchase_bfs_hops": 3.86,
 }
 
 BASELINE_S = {**_LEGACY_BARS, **_R6_BARS, **_R6_NEW_BARS, **_R7_BARS}

@@ -257,6 +257,10 @@ ROUND7_PROMOTION_PLAN = [
     # tokenized with the LEARNED merges (vocabulary encoded once, per-doc
     # totals via equi-join), packed into token-budget bins.
     "bpe_pack_tokens",
+    # NEW in round 7: multi-source BFS hop counts over the co-purchase
+    # graph (second iterative graph member; unrolled-frontier oracle,
+    # pagerank-style size-guarded join strategy).
+    "copurchase_bfs_hops",
     # tier 2 — remaining distinct machinery
     "weighted_sample", "unigram_logprob", "engaged_clean_users",
     "value_zscore_outliers", "event_type_cooccurrence",

@@ -212,3 +212,106 @@ def part_copurchase_pagerank(spark, sf_dir):
         F.col("deg").cast("bigint").alias("degree"),
         F.col("r").cast("bigint").alias("rank_fp"),
     )
+
+
+# --------------------------------------------------------- BFS hop counts
+# Multi-source shortest-path-in-hops (the "distance to the nearest seed"
+# primitive: influence radius, recall-set expansion, contamination blast
+# radius). Hop counts are small exact integers, so unlike float sssp
+# weights the ITERATIVE result value-hashes across engines; the oracle
+# unrolls the same frontier rounds as CTEs (pagerank precedent). Each
+# round is one equi-join of the persisted edges against the frontier +
+# one anti-join against the visited set — node-cardinality frames; the
+# corpus-scale edge list never re-shuffles on the broadcast path and
+# reuses its `s`-hash partitioning on the shuffle path.
+
+_BFS_HOPS = 3
+_N_SEEDS = 3
+
+
+def _bfs_oracle_sql() -> str:
+    sql = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+    SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (
+    SELECT pa AS s, pb AS d FROM pairs
+    UNION ALL
+    SELECT pb AS s, pa AS d FROM pairs
+),
+nodes AS (SELECT DISTINCT s AS node FROM edges),
+d0 AS (SELECT node, 0 AS hop FROM nodes ORDER BY node LIMIT {_N_SEEDS})"""
+    prev = "d0"
+    for k in range(1, _BFS_HOPS + 1):
+        sql += f""",
+d{k} AS (
+    SELECT * FROM {prev}
+    UNION ALL
+    SELECT f.node, {k} AS hop FROM (
+        SELECT DISTINCT e.d AS node
+        FROM edges e JOIN {prev} p ON p.node = e.s AND p.hop = {k - 1}
+    ) f
+    WHERE f.node NOT IN (SELECT node FROM {prev}))"""
+        prev = f"d{k}"
+    return sql + f"""
+SELECT node AS partkey, CAST(hop AS INT) AS hop FROM {prev}
+"""
+
+
+_BFS_SQL = _bfs_oracle_sql()
+
+# Last frontier round's physical plan (consumed by the eager
+# localCheckpoint, invisible on the returned frame) — for the plan test
+# pinning the broadcast-vs-shuffle choice, like _LAST_ITER_PLAN above.
+_LAST_BFS_PLAN: str | None = None
+
+
+@register("copurchase_bfs_hops", sql=_BFS_SQL)
+def copurchase_bfs_hops(spark, sf_dir):
+    """Hops from the nearest of the _N_SEEDS lowest-partkey seeds over
+    the co-purchase graph, _BFS_HOPS frontier rounds; unreached nodes
+    are absent. Same size-guarded join strategy as the pagerank gate:
+    frontier/visited frames broadcast while node-cardinality fits under
+    autoBroadcastJoinThreshold, else shuffle joins against edges
+    memo-persisted pre-partitioned on the join key."""
+    edges = _copurchase_edges(spark, sf_dir)
+    nodes = edges.select(F.col("s").alias("node")).distinct()
+    nodes = nodes.localCheckpoint(eager=True)  # count + seeds share one pass
+    n_nodes = nodes.count()
+    if 0 < n_nodes * _RANK_ROW_BYTES <= _broadcast_threshold_bytes(spark):
+        node_hint = F.broadcast
+    else:
+        node_hint = lambda df: df  # noqa: E731
+        edges = memo_persist(
+            spark,
+            ("copurchase_edges_by_s", sf_dir),
+            lambda: _copurchase_edges(spark, sf_dir).repartition("s"),
+        )
+    dist = (
+        nodes.orderBy("node")
+        .limit(_N_SEEDS)
+        .select("node", F.lit(0).alias("hop"))
+        .localCheckpoint(eager=True)
+    )
+    for k in range(1, _BFS_HOPS + 1):
+        frontier = dist.where(F.col("hop") == k - 1).select("node")
+        reached = (
+            edges.join(node_hint(frontier), edges.s == frontier.node)
+            .select(F.col("d").alias("node"))
+            .distinct()
+        )
+        fresh = reached.join(node_hint(dist), "node", "left_anti").select(
+            "node", F.lit(k).alias("hop")
+        )
+        global _LAST_BFS_PLAN
+        _LAST_BFS_PLAN = (
+            fresh._jdf.queryExecution().executedPlan().toString()
+        )
+        # checkpoint per round: the next round's anti-join consumes dist
+        # twice (frontier + visited) — without truncation round i replays
+        # rounds 1..i-1 (the pagerank lineage lesson)
+        dist = dist.unionAll(fresh).localCheckpoint(eager=True)
+    return dist.select(F.col("node").alias("partkey"), F.col("hop").cast("int"))

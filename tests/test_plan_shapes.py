@@ -464,3 +464,51 @@ def test_pagerank_join_strategy_is_size_guarded(spark):
         "SortMergeJoin" in shuffle_plan or "ShuffledHashJoin" in shuffle_plan
     ), "shuffle fallback must still be an equi-join"
     assert rows_s == rows_b, "join strategy changed the PageRank values"
+
+
+def test_bfs_join_strategy_is_size_guarded(spark):
+    """copurchase_bfs_hops follows the pagerank size-guard contract:
+    frontier/visited broadcast at sf0.001, shuffle equi-joins under a
+    forced-low threshold — and exact integer hops make the two paths
+    value-identical. Also pins the semantics: hop 0 rows are exactly the
+    _N_SEEDS lowest partkeys and every hop k>0 node has a hop k-1
+    neighbor (frontier invariant)."""
+    from cargo_chat_spark.queries import graph_queries as G
+
+    df_b = catalog.SPARK_QUERIES["copurchase_bfs_hops"](spark, SF_DIR_SMALL)
+    rows_b = {tuple(r) for r in df_b.collect()}
+    assert G._LAST_BFS_PLAN and "BroadcastHashJoin" in G._LAST_BFS_PLAN, (
+        "at sf0.001 the frontier must broadcast"
+    )
+
+    hops = dict(rows_b)
+    edges = {
+        (r["s"], r["d"])
+        for r in G._copurchase_edges(spark, SF_DIR_SMALL).collect()
+    }
+    seeds = sorted({s for s, _ in edges})[: G._N_SEEDS]
+    assert sorted(n for n, h in rows_b if h == 0) == seeds
+    nbrs: dict = {}
+    for s, d in edges:
+        nbrs.setdefault(d, set()).add(s)
+    for node, h in rows_b:
+        if h > 0:
+            assert any(hops.get(p) == h - 1 for p in nbrs[node]), (
+                f"node {node} at hop {h} has no hop-{h - 1} neighbor"
+            )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df_s = catalog.SPARK_QUERIES["copurchase_bfs_hops"](
+            spark, SF_DIR_SMALL
+        )
+        rows_s = {tuple(r) for r in df_s.collect()}
+        shuffle_plan = G._LAST_BFS_PLAN
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" not in shuffle_plan
+    assert (
+        "SortMergeJoin" in shuffle_plan or "ShuffledHashJoin" in shuffle_plan
+    )
+    assert rows_s == rows_b, "join strategy changed the BFS hops"
