@@ -111,6 +111,7 @@ DETAIL_EXTRA = [
     "kmeans_online_centroids",  # new r7: mini-batch fold over 3 waves
     "bpe_pack_tokens",          # new r7: tokenize ∘ pack composition
     "copurchase_bfs_hops",      # new r7: multi-source BFS hop counts
+    "copurchase_triangles",     # new r7: adjacency-intersect triangles
 ]
 
 
@@ -325,6 +326,11 @@ _R7_BARS = {
     # eager checkpoint each) over the pagerank-shared edge memo; in-suite
     # warm-then-3-cold median 3.275 @ calib 0.362 (/0.848) -> 3.86.
     "copurchase_bfs_hops": 3.86,
+    # per-node triangle counts via edge-iterator + sorted-adjacency
+    # intersection (the literal wedge self-join measured 23.2 s raw —
+    # 49M-row wedge shuffle; the adjacency plan is 8x cheaper); in-suite
+    # warm-then-3-cold median 2.859 @ calib 0.325 (/0.761) -> 3.76.
+    "copurchase_triangles": 3.76,
 }
 
 BASELINE_S = {**_LEGACY_BARS, **_R6_BARS, **_R6_NEW_BARS, **_R7_BARS}

@@ -261,6 +261,10 @@ ROUND7_PROMOTION_PLAN = [
     # graph (second iterative graph member; unrolled-frontier oracle,
     # pagerank-style size-guarded join strategy).
     "copurchase_bfs_hops",
+    # NEW in round 7: per-node triangle counts — degree-ordered
+    # orientation, edge-iterator + sorted-adjacency intersection plan
+    # (the wedge self-join the oracle spells measured 8x slower).
+    "copurchase_triangles",
     # tier 2 — remaining distinct machinery
     "weighted_sample", "unigram_logprob", "engaged_clean_users",
     "value_zscore_outliers", "event_type_cooccurrence",

@@ -315,3 +315,115 @@ def copurchase_bfs_hops(spark, sf_dir):
         # rounds 1..i-1 (the pagerank lineage lesson)
         dist = dist.unionAll(fresh).localCheckpoint(eager=True)
     return dist.select(F.col("node").alias("partkey"), F.col("hop").cast("int"))
+
+
+# --------------------------------------------------------- triangle counts
+# Per-node triangle participation over the co-purchase graph via the
+# standard degree-ordered (compact-forward) algorithm: orient each
+# undirected edge from its (degree, node)-smaller endpoint to the larger,
+# so every triangle a<b<c is enumerated EXACTLY once as the wedge
+# (a→b, b→c) closed by (a→c). Degree ordering is what makes this scale:
+# wedge counts are Σ out-deg², and orientation caps out-degree at
+# O(sqrt(|E|)) for any graph — the all-pairs blowup a naive neighbor
+# self-join hits on hubs cannot happen. Exact integers, one-shot (no
+# iterations): joins shuffle on the wedge key, per-node credit is one
+# map-side-combinable aggregate.
+
+_TRIANGLE_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+    SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (
+    SELECT pa AS s, pb AS d FROM pairs
+    UNION ALL
+    SELECT pb AS s, pa AS d FROM pairs
+),
+deg AS (SELECT s AS node, COUNT(*) AS deg FROM edges GROUP BY s),
+ordered AS (
+    SELECT e.s AS u, e.d AS v
+    FROM edges e
+    JOIN deg a ON a.node = e.s
+    JOIN deg b ON b.node = e.d
+    WHERE a.deg < b.deg OR (a.deg = b.deg AND a.node < b.node)
+),
+tri AS (
+    SELECT e1.u AS a, e1.v AS b, e2.v AS c
+    FROM ordered e1
+    JOIN ordered e2 ON e2.u = e1.v
+    JOIN ordered e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+corners AS (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+)
+SELECT node AS partkey, CAST(COUNT(*) AS BIGINT) AS triangles
+FROM corners GROUP BY node
+"""
+
+
+@register("copurchase_triangles", sql=_TRIANGLE_SQL)
+def copurchase_triangles(spark, sf_dir):
+    """Per-node triangle counts; nodes in no triangle are absent.
+
+    Physical strategy: edge-iterator with sorted-adjacency intersection
+    rather than the literal wedge self-join the oracle spells — for edge
+    u→v the closing vertices are exactly out(u) ∩ out(v), so the plan is
+    ONE adjacency aggregate plus two equi-joins of the E-row oriented
+    edge list against the node-cardinality adjacency frame, the
+    intersection and corner-credit explode all map-side. The 49M-row
+    wedge frame the self-join form materializes (measured at sf0.1)
+    never exists. Adjacency broadcasts while Σ|out| fits the threshold;
+    past it both joins degrade to shuffle equi-joins of E rows — still
+    strictly cheaper than shuffling the O(E^1.5) wedge set."""
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    # orient: (deg, node)-smaller endpoint → larger, capping out-degree
+    # at O(sqrt(E)); deg joins broadcast under the pagerank guard's
+    # node-cardinality argument.
+    a = deg.selectExpr("node AS s", "deg AS deg_s")
+    b = deg.selectExpr("node AS d", "deg AS deg_d")
+    ordered = (
+        edges.join(a, "s")
+        .join(b, "d")
+        .where(
+            (F.col("deg_s") < F.col("deg_d"))
+            | ((F.col("deg_s") == F.col("deg_d")) & (F.col("s") < F.col("d")))
+        )
+        .select(F.col("s").alias("u"), F.col("d").alias("v"))
+        .persist()  # consumed by the adjacency agg + the edge stream
+    )
+    adj = ordered.groupBy(F.col("u").alias("node")).agg(
+        F.sort_array(F.collect_list("v")).alias("nbrs")
+    )
+    # broadcast guard: adjacency holds one entry per oriented edge
+    n_edges = ordered.count()
+    if 0 < n_edges * 16 <= _broadcast_threshold_bytes(spark):
+        hint = F.broadcast
+    else:
+        hint = lambda df: df  # noqa: E731
+    au = adj.selectExpr("node AS u", "nbrs AS nbrs_u")
+    av = adj.selectExpr("node AS v", "nbrs AS nbrs_v")
+    tri = (
+        # inner joins are exact: a missing v-adjacency means out(v) is
+        # empty, so the intersection would be empty anyway
+        ordered.join(hint(au), "u")
+        .join(hint(av), "v")
+        .select(
+            "u", "v",
+            F.explode(F.array_intersect("nbrs_u", "nbrs_v")).alias("w"),
+        )
+    )
+    corners = tri.select(
+        F.explode(F.array(F.col("u"), F.col("v"), F.col("w"))).alias("node")
+    )
+    return (
+        corners.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+        .select(F.col("node").alias("partkey"), "triangles")
+    )

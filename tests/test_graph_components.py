@@ -142,3 +142,60 @@ def test_local_union_find_node_guard(spark):
     )
     with pytest.raises(ValueError, match="max_nodes|use the"):
         connected_components_local(edges, max_nodes=10)
+
+
+# ------------------------------------------------------ triangle counting
+
+
+def test_triangle_counts_match_bruteforce(spark):
+    """Degree-ordered compact-forward triangle counts == brute-force
+    neighbor-set intersection on the sf0.001 co-purchase graph; also
+    pins that orientation keeps exactly one direction per edge."""
+    from cargo_chat_spark.queries import graph_queries as G
+    from cargo_chat_spark.queries.catalog import SPARK_QUERIES
+    from tests.conftest import SF_DIR_SMALL
+
+    edges = {
+        (r["s"], r["d"])
+        for r in G._copurchase_edges(spark, SF_DIR_SMALL).collect()
+    }
+    nbrs: dict = {}
+    for s, d in edges:
+        nbrs.setdefault(s, set()).add(d)
+    want: dict = {}
+    for v, ns in nbrs.items():
+        t = sum(len(ns & nbrs[u]) for u in ns)  # each triangle seen twice
+        if t:
+            want[v] = t // 2
+    got = {
+        r["partkey"]: r["triangles"]
+        for r in SPARK_QUERIES["copurchase_triangles"](
+            spark, SF_DIR_SMALL
+        ).collect()
+    }
+    assert got == want
+    assert sum(got.values()) % 3 == 0  # every triangle credits 3 corners
+
+
+def test_triangle_orientation_is_a_tournament(spark):
+    """On a tie-heavy 4-clique every edge must be oriented exactly once
+    (the (deg, node) tuple order is a strict total order)."""
+    from pyspark.sql import functions as F
+
+    nodes = [0, 1, 2, 3]
+    und = [(a, b) for a in nodes for b in nodes if a != b]
+    edges = spark.createDataFrame(und, "s bigint, d bigint")
+    deg = edges.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    a = deg.selectExpr("node AS s", "deg AS deg_s")
+    b = deg.selectExpr("node AS d", "deg AS deg_d")
+    ordered = (
+        edges.join(a, "s").join(b, "d")
+        .where(
+            (F.col("deg_s") < F.col("deg_d"))
+            | ((F.col("deg_s") == F.col("deg_d")) & (F.col("s") < F.col("d")))
+        )
+    )
+    got = {(r["s"], r["d"]) for r in ordered.collect()}
+    assert got == {(x, y) for x, y in und if x < y}  # all degrees tie
