@@ -112,6 +112,7 @@ DETAIL_EXTRA = [
     "bpe_pack_tokens",          # new r7: tokenize ∘ pack composition
     "copurchase_bfs_hops",      # new r7: multi-source BFS hop counts
     "copurchase_triangles",     # new r7: adjacency-intersect triangles
+    "incremental_join_cdc",     # new r7: join-view IVM via dual CDC
 ]
 
 
@@ -331,6 +332,11 @@ _R7_BARS = {
     # 49M-row wedge shuffle; the adjacency plan is 8x cheaper); in-suite
     # warm-then-3-cold median 2.859 @ calib 0.325 (/0.761) -> 3.76.
     "copurchase_triangles": 3.76,
+    # end-to-end lifecycle fixture (two snapshot tables written + MERGE +
+    # delete each, then the IVM refresh) — the refresh itself is the two
+    # broadcast delta joins; warm-then-3-cold median 5.987 @ calib 0.381
+    # (/0.892) -> 6.71.
+    "incremental_join_cdc": 6.71,
 }
 
 BASELINE_S = {**_LEGACY_BARS, **_R6_BARS, **_R6_NEW_BARS, **_R7_BARS}

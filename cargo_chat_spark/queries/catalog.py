@@ -265,6 +265,10 @@ ROUND7_PROMOTION_PLAN = [
     # orientation, edge-iterator + sorted-adjacency intersection plan
     # (the wedge self-join the oracle spells measured 8x slower).
     "copurchase_triangles",
+    # NEW in round 7: incremental JOIN-view maintenance — a materialized
+    # orders ⋈ customer rollup follows BOTH snapshot logs via signed
+    # file-diff deltas (snap_file_deltas); never re-joins A2 ⋈ B2.
+    "incremental_join_cdc",
     # tier 2 — remaining distinct machinery
     "weighted_sample", "unigram_logprob", "engaged_clean_users",
     "value_zscore_outliers", "event_type_cooccurrence",

@@ -1115,3 +1115,139 @@ def events_merge_clauses(spark, sf_dir):
         .alias("total_value"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+# --------------------------------- incremental JOIN-view maintenance gate
+# IVM for a JOIN, the step past incremental_rollup_cdc's single-table
+# aggregate: a materialized orders ⋈ customer rollup follows BOTH base
+# tables through their snapshot logs without ever re-executing the full
+# join. Bag algebra with signed file-diff deltas (snap_file_deltas):
+#
+#   agg(A2 ⋈ B2) = agg(A0 ⋈ B0)              -- the view at v0
+#                + agg(ΔA ⋈ B2, sign=ΔA.sgn)  -- order changes
+#                + agg(A0 ⋈ ΔB, sign=ΔB.sgn)  -- customer changes
+#
+# (A2 = A0+ΔA and B2 = B0+ΔB make the identity exact; CoW survivors in a
+# delta appear with both signs and cancel, counts are ints and sums go
+# through decimal(18,2), so cancellation is EXACT). ΔA/ΔB come from
+# manifest-diff files only and broadcast against the base scans — the
+# maintained refresh never shuffles the big side and never re-joins
+# A2 ⋈ B2; the oracle aggregates that full final join directly.
+_INC_JOIN_SQL = """
+WITH o2 AS (
+    SELECT o_custkey,
+           CASE WHEN o_custkey % 10 = 3 THEN o_totalprice + 100.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_custkey % 10 <> 4
+    UNION ALL
+    SELECT o_custkey, o_totalprice FROM orders WHERE o_custkey % 10 = 7
+),
+c2 AS (
+    SELECT c_custkey, c_nationkey,
+           CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 50.0
+                ELSE c_acctbal END AS c_acctbal
+    FROM customer WHERE c_nationkey <> 5
+)
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+           AS balance_weight
+FROM o2 JOIN c2 ON o_custkey = c_custkey
+GROUP BY c_nationkey
+"""
+
+
+@register("incremental_join_cdc", sql=_INC_JOIN_SQL)
+def incremental_join_cdc(spark, sf_dir):
+    """Maintain the per-nation orders ⋈ customer rollup from v0 to v2 of
+    BOTH tables using only their manifest-diff deltas; must equal the
+    oracle's direct aggregate of the final joined state."""
+    import shutil
+
+    from cargo_chat_spark.sources.snapshots import (
+        snap_delete,
+        snap_file_deltas,
+        snap_merge,
+        snap_read,
+        snap_write,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    po = os.path.join(
+        tempfile.gettempdir(), f"ccs_orders_incjoin_{sf_tag}_{os.getpid()}"
+    )
+    pc = os.path.join(
+        tempfile.gettempdir(), f"ccs_customer_incjoin_{sf_tag}_{os.getpid()}"
+    )
+    for p in (po, pc):
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+
+    snap_write(o, po)
+    snap_write(c, pc)
+    # orders: MERGE (price bump for %10==3, new orders for %10==7), then
+    # delete %10==4. Inserted keys are original+1e8 — never deleted.
+    upd_o = o.where(F.col("o_custkey") % 10 == 3).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(100.0)
+    )
+    ins_o = o.where(F.col("o_custkey") % 10 == 7).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(100_000_000)
+    )
+    snap_merge(spark, po, upd_o.unionByName(ins_o), "o_orderkey")
+    snap_delete(
+        spark, po,
+        o.where(F.col("o_custkey") % 10 == 4).select("o_orderkey"),
+        "o_orderkey",
+    )
+    # customer: MERGE first (acctbal bump for BUILDING — includes some
+    # nation-5 rows), THEN delete nation 5, so the delete wins.
+    upd_c = c.where(F.col("c_mktsegment") == "BUILDING").withColumn(
+        "c_acctbal", F.col("c_acctbal") + F.lit(50.0)
+    )
+    snap_merge(spark, pc, upd_c, "c_custkey")
+    snap_delete(
+        spark, pc,
+        c.where(F.col("c_nationkey") == 5).select("c_custkey"),
+        "c_custkey",
+    )
+
+    a0 = snap_read(spark, po, 0)
+    b0 = snap_read(spark, pc, 0)
+    b2 = snap_read(spark, pc, 2)
+    d_a = snap_file_deltas(spark, po, 0, 2)
+    d_b = snap_file_deltas(spark, pc, 0, 2)
+
+    def signed_agg(joined, sgn):
+        return joined.groupBy("c_nationkey").agg(
+            F.sum(sgn).alias("dn"),
+            F.sum(sgn * F.col("o_totalprice").cast("decimal(18,2)"))
+            .alias("dr"),
+            F.sum(sgn * F.col("c_acctbal").cast("decimal(18,2)"))
+            .alias("db"),
+        )
+
+    view0 = signed_agg(
+        a0.join(b0, a0.o_custkey == b0.c_custkey), F.lit(1)
+    )
+    # delta terms: the file-diff sides broadcast; the base scans stream
+    t_a = signed_agg(
+        F.broadcast(d_a).join(b2, d_a.o_custkey == b2.c_custkey),
+        F.col("sgn"),
+    )
+    t_b = signed_agg(
+        a0.join(F.broadcast(d_b), a0.o_custkey == d_b.c_custkey),
+        F.col("sgn"),
+    )
+    return (
+        view0.unionByName(t_a).unionByName(t_b)
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum("dn").cast("bigint").alias("n_orders"),
+            F.sum("dr").cast("double").alias("revenue"),
+            F.sum("db").cast("double").alias("balance_weight"),
+        )
+        .where(F.col("n_orders") > 0)
+    )

@@ -948,6 +948,54 @@ def snap_merge_into(
     return v
 
 
+def snap_file_deltas(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int,
+) -> DataFrame:
+    """Signed row deltas between two snapshots, read from manifest-DIFF
+    files only: rows of to-only files carry ``sgn`` +1, rows of
+    from-only files -1, each side under its own version's deletion
+    vector. A copy-on-write survivor that merely moved files appears
+    identically with both signs and cancels EXACTLY in any additive
+    consumer — the bag-algebra change feed incremental view maintenance
+    needs (queries/storage.py::incremental_join_cdc). Cost is O(changed
+    files), never O(table). Both sides read through the to-version
+    schema (same evolution rule as snap_changes)."""
+    from pyspark.sql import functions as F
+
+    m_a, m_b = manifest(path, from_version), manifest(path, to_version)
+    ma, mb = set(m_a["files"]), set(m_b["files"])
+
+    def with_to_schema(m: dict) -> dict:
+        out = dict(m)
+        if "schema" in m_b:
+            out["schema"] = m_b["schema"]
+        else:
+            out.pop("schema", None)
+        return out
+
+    def side(files: set[str], m: dict, sign: int) -> DataFrame | None:
+        if not files:
+            return None
+        return _read_files_with_dv(
+            spark, path, with_to_schema(m), sorted(files)
+        ).withColumn("sgn", F.lit(sign))
+
+    neg = side(ma - mb, m_a, -1)
+    pos = side(mb - ma, m_b, 1)
+    if neg is None and pos is None:
+        # no file-level change: empty signed frame with the to-schema
+        empty = _read_files_with_dv(spark, path, with_to_schema(m_b), [])
+        return empty.withColumn("sgn", F.lit(1))
+    if neg is None:
+        return pos
+    if pos is None:
+        return neg
+    return pos.unionByName(neg)
+
+
 def snap_changes(
     spark: SparkSession,
     path: str,

@@ -1061,3 +1061,73 @@ def test_concurrent_append_and_dv_delete_race(spark, tmp_path):
     # every intermediate version still readable and count-consistent
     for v in vs:
         assert snap_read(spark, out, v).count() == snap_count(out, v)
+
+
+# ------------------------------------------------- signed file-diff deltas
+
+
+def test_file_deltas_sum_to_logical_difference(spark, tmp_path):
+    """Additive consumers of snap_file_deltas see EXACTLY the logical
+    v0→v2 difference: CoW survivors that merely moved files appear with
+    both signs and cancel; DV'd rows are absent on the side whose
+    version carries the vector."""
+    from cargo_chat_spark.sources.snapshots import snap_file_deltas
+
+    out = str(tmp_path / "t")
+    e, _ = _build(spark, out)  # write(<8) / append(>=8) / delete(7,11)
+    d = snap_file_deltas(spark, out, 0, 2)
+    got = {
+        r["user_id"]: (r["n"], r["ids"])
+        for r in d.groupBy("user_id")
+        .agg(
+            F.sum("sgn").alias("n"),
+            F.sum(F.col("sgn") * F.col("event_id")).alias("ids"),
+        )
+        .collect()
+        if r["n"] != 0 or r["ids"] != 0
+    }
+    final = e.where(~F.col("user_id").isin(7, 11))
+    want_df = final.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("ids")
+    )
+    base_df = e.where(F.col("user_id") < 8).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("ids")
+    )
+    want_rows = {r["user_id"]: (r["n"], r["ids"]) for r in want_df.collect()}
+    base = {r["user_id"]: (r["n"], r["ids"]) for r in base_df.collect()}
+    want = {}
+    for u in set(want_rows) | set(base):
+        wn, wi = want_rows.get(u, (0, 0))
+        bn, bi = base.get(u, (0, 0))
+        if (wn - bn, wi - bi) != (0, 0):
+            want[u] = (wn - bn, wi - bi)
+    assert got == want
+
+
+def test_file_deltas_read_only_diff_files(spark, tmp_path):
+    """The delta frame's input files are a subset of the manifest diff —
+    the O(changed files) cost contract."""
+    from cargo_chat_spark.sources.snapshots import manifest, snap_file_deltas
+
+    out = str(tmp_path / "t")
+    _build(spark, out)
+    m0 = set(manifest(out, 0)["files"])
+    m2 = set(manifest(out, 2)["files"])
+    diff = (m0 - m2) | (m2 - m0)
+    inputs = {os.path.basename(f) for f in
+              snap_file_deltas(spark, out, 0, 2).inputFiles()}
+    assert inputs and inputs <= diff
+    shared = m0 & m2
+    assert shared, "fixture must share some files across the versions"
+    assert not (inputs & shared)
+
+
+def test_file_deltas_no_change_is_empty(spark, tmp_path):
+    from cargo_chat_spark.sources.snapshots import snap_file_deltas, snap_write
+
+    out = str(tmp_path / "t")
+    e = load_table(spark, SF_DIR_SMALL, "events").limit(10)
+    snap_write(e, out)
+    d = snap_file_deltas(spark, out, 0, 0)
+    assert d.count() == 0
+    assert "sgn" in d.columns and set(e.columns) <= set(d.columns)
