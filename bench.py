@@ -113,6 +113,7 @@ DETAIL_EXTRA = [
     "copurchase_bfs_hops",      # new r7: multi-source BFS hop counts
     "copurchase_triangles",     # new r7: adjacency-intersect triangles
     "incremental_join_cdc",     # new r7: join-view IVM via dual CDC
+    "ivm_view_follow",          # new r7: sequential-refresh IVM twin
 ]
 
 
@@ -337,6 +338,11 @@ _R7_BARS = {
     # broadcast delta joins; warm-then-3-cold median 5.987 @ calib 0.381
     # (/0.892) -> 6.71.
     "incremental_join_cdc": 6.71,
+    # the follower fixture runs the SAME two-table lifecycle but through
+    # FOUR sequential version-fenced refreshes (each pays its own delta
+    # scans + sidecar publish); warm-then-3-cold median 8.944 @ calib
+    # 0.361 (/0.845) -> 10.58.
+    "ivm_view_follow": 10.58,
 }
 
 BASELINE_S = {**_LEGACY_BARS, **_R6_BARS, **_R6_NEW_BARS, **_R7_BARS}

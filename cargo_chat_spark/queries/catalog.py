@@ -269,6 +269,10 @@ ROUND7_PROMOTION_PLAN = [
     # orders ⋈ customer rollup follows BOTH snapshot logs via signed
     # file-diff deltas (snap_file_deltas); never re-joins A2 ⋈ B2.
     "incremental_join_cdc",
+    # NEW in round 7: the streaming-shaped twin — the same final state
+    # reached through SEQUENTIAL version-fenced ivm_refresh calls
+    # (streaming/ivm_stream.py), pinning refresh composition.
+    "ivm_view_follow",
     # tier 2 — remaining distinct machinery
     "weighted_sample", "unigram_logprob", "engaged_clean_users",
     "value_zscore_outliers", "event_type_cooccurrence",

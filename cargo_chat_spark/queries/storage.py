@@ -1251,3 +1251,75 @@ def incremental_join_cdc(spark, sf_dir):
         )
         .where(F.col("n_orders") > 0)
     )
+
+
+@register("ivm_view_follow", sql=_INC_JOIN_SQL)
+def ivm_view_follow(spark, sf_dir):
+    """The STREAMING-shaped twin of incremental_join_cdc: the same
+    final state reached through SEQUENTIAL ivm_refresh calls (init →
+    orders MERGE → orders delete + customer MERGE → customer delete),
+    exercising refresh COMPOSITION (v0→v1 then v1→v2 == v0→v2) and the
+    version-fenced sidecar state (streaming/ivm_stream.py) instead of
+    the one-shot delta algebra. Must equal the same direct-join oracle."""
+    import shutil
+
+    from cargo_chat_spark.sources.snapshots import (
+        snap_delete,
+        snap_merge,
+        snap_write,
+    )
+    from cargo_chat_spark.streaming.ivm_stream import (
+        _state_path,
+        ivm_refresh,
+        view_frame,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    po = os.path.join(
+        tempfile.gettempdir(), f"ccs_orders_ivmf_{sf_tag}_{os.getpid()}"
+    )
+    pc = os.path.join(
+        tempfile.gettempdir(), f"ccs_customer_ivmf_{sf_tag}_{os.getpid()}"
+    )
+    vp = os.path.join(
+        tempfile.gettempdir(), f"ccs_view_ivmf_{sf_tag}_{os.getpid()}"
+    )
+    for p in (po, pc):
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+    if os.path.exists(_state_path(vp)):
+        os.remove(_state_path(vp))
+
+    snap_write(o, po)
+    snap_write(c, pc)
+    ivm_refresh(spark, vp, po, pc)  # materialize the v0 ⋈ v0 base
+
+    upd_o = o.where(F.col("o_custkey") % 10 == 3).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(100.0)
+    )
+    ins_o = o.where(F.col("o_custkey") % 10 == 7).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(100_000_000)
+    )
+    snap_merge(spark, po, upd_o.unionByName(ins_o), "o_orderkey")
+    ivm_refresh(spark, vp, po, pc)  # follow orders v0→v1
+
+    snap_delete(
+        spark, po,
+        o.where(F.col("o_custkey") % 10 == 4).select("o_orderkey"),
+        "o_orderkey",
+    )
+    upd_c = c.where(F.col("c_mktsegment") == "BUILDING").withColumn(
+        "c_acctbal", F.col("c_acctbal") + F.lit(50.0)
+    )
+    snap_merge(spark, pc, upd_c, "c_custkey")
+    ivm_refresh(spark, vp, po, pc)  # both tables advanced in one refresh
+
+    snap_delete(
+        spark, pc,
+        c.where(F.col("c_nationkey") == 5).select("c_custkey"),
+        "c_custkey",
+    )
+    ivm_refresh(spark, vp, po, pc)  # customer-only advance
+    return view_frame(spark, vp)
