@@ -114,6 +114,7 @@ DETAIL_EXTRA = [
     "copurchase_triangles",     # new r7: adjacency-intersect triangles
     "incremental_join_cdc",     # new r7: join-view IVM via dual CDC
     "ivm_view_follow",          # new r7: sequential-refresh IVM twin
+    "curated_pack_tokens",      # new r7: funnel -> BPE -> pack flagship
 ]
 
 
@@ -343,6 +344,11 @@ _R7_BARS = {
     # scans + sidecar publish); warm-then-3-cold median 8.944 @ calib
     # 0.361 (/0.845) -> 10.58.
     "ivm_view_follow": 10.58,
+    # full pipeline fixture: curation funnel (quality + dedup + decontam)
+    # feeds the trainer, then tokenize + pack the survivors — BPE training
+    # per repeat is the dominant cost; warm-then-3-cold median 6.041 @
+    # calib 0.345 (/0.808) -> 7.48.
+    "curated_pack_tokens": 7.48,
 }
 
 BASELINE_S = {**_LEGACY_BARS, **_R6_BARS, **_R6_NEW_BARS, **_R7_BARS}

@@ -48,14 +48,19 @@ TOP_PAIRS = 100
 TOP_WORDS = 40
 
 # Shared word-frequency CTE: split on runs of spaces, drop empties —
-# identical to operators/bpe.py::word_freqs.
-_WF_CTE = """wf AS (
+# identical to operators/bpe.py::word_freqs. ``corpus`` is any CTE/table
+# with a ``text`` column (curated_pack_pipeline trains on survivors).
+def _wf_cte(corpus: str = "documents") -> str:
+    return f"""wf AS (
   SELECT word, CAST(count(*) AS BIGINT) AS freq
   FROM (SELECT unnest(string_split_regex(text, ' +')) AS word
-        FROM documents)
+        FROM {corpus})
   WHERE length(word) > 0
   GROUP BY word
 )"""
+
+
+_WF_CTE = _wf_cte()
 
 _PAIR_COUNTS_SQL = f"""
 WITH {_WF_CTE},
@@ -71,12 +76,15 @@ LIMIT {TOP_PAIRS}
 """
 
 
-def _unrolled_chain(n_merges: int) -> str:
+def _unrolled_chain(
+    n_merges: int, corpus: str = "documents", pre_ctes: str = ""
+) -> str:
     """WITH-chain: wf -> s0 (spaced symbolization) -> n× (count, argmax,
     merge). s{{k}} is the corpus symbolization after k merges; m{{k}} the
     k-th learned (pair, cnt) with the trainer's exact tie-break (count
-    desc, space-joined pair asc)."""
-    sql = f"""WITH {_WF_CTE},
+    desc, space-joined pair asc). ``pre_ctes`` (trailing comma included
+    by the caller) lets a composition define ``corpus`` itself."""
+    sql = f"""WITH {pre_ctes}{_wf_cte(corpus)},
 s0 AS (
   SELECT word,
          ' ' || array_to_string(
@@ -192,14 +200,18 @@ def bpe_encode_sample(spark, sf_dir):
 # join on `word` (both sides hash-partitioned, no plan change needed).
 _BPE_PACK_BUDGET = 1024
 
-_BPE_PACK_SQL = _unrolled_chain(N_MERGES) + f""",
+
+def _pack_tail_sql(corpus: str) -> str:
+    """Appends to an unrolled chain: vocab token weights from s{N},
+    per-doc totals over ``corpus``, then the token-budget pack."""
+    return f""",
 vocab AS (
   SELECT word, CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS wt
   FROM s{N_MERGES}
 ),
 doc_words AS (
   SELECT doc_id, unnest(string_split_regex(text, ' +')) AS word
-  FROM documents
+  FROM {corpus}
 ),
 doc_toks AS (
   SELECT dw.doc_id, CAST(sum(v.wt) AS BIGINT) AS n_tokens
@@ -210,7 +222,7 @@ doc_toks AS (
 toks AS (
   SELECT d.doc_id, d.doc_id % 32 AS shard,
          COALESCE(t.n_tokens, 0) AS n_tokens
-  FROM documents d LEFT JOIN doc_toks t USING (doc_id)
+  FROM {corpus} d LEFT JOIN doc_toks t USING (doc_id)
 ),
 packed AS (
   SELECT shard, doc_id, n_tokens,
@@ -232,18 +244,16 @@ GROUP BY 1
 """
 
 
-@register("bpe_pack_tokens", sql=_BPE_PACK_SQL)
-def bpe_pack_tokens(spark, sf_dir):
-    """Tokenize the corpus with the learned BPE merges and pack documents
-    into token-budget training sequences — trainer ∘ encoder ∘ packer,
-    all value-hash gated in one composition."""
+_BPE_PACK_SQL = _unrolled_chain(N_MERGES) + _pack_tail_sql("documents")
+
+
+def _pack_learned(docs, wf, merges):
+    """docs (doc_id, text) + a tokenizer learned from ``wf`` → packs."""
     from cargo_chat_spark.queries.sampling import _N_SHARDS, pack_by_budget
 
-    wf, merges = _trained(spark, sf_dir)
     vocab = encode_words(wf.select("word"), merges).select(
         "word", F.size("tokens").cast("bigint").alias("wt")
     )
-    docs = load_table(spark, sf_dir, "documents")
     doc_words = docs.select(
         "doc_id", F.explode(F.split("text", " +")).alias("word")
     ).where(F.length("word") > 0)
@@ -266,3 +276,82 @@ def bpe_pack_tokens(spark, sf_dir):
         )
     )
     return pack_by_budget(toks, _BPE_PACK_BUDGET)
+
+
+@register("bpe_pack_tokens", sql=_BPE_PACK_SQL)
+def bpe_pack_tokens(spark, sf_dir):
+    """Tokenize the corpus with the learned BPE merges and pack documents
+    into token-budget training sequences — trainer ∘ encoder ∘ packer,
+    all value-hash gated in one composition."""
+    wf, merges = _trained(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    return _pack_learned(docs, wf, merges)
+
+
+# ------------------------------------ the full training-data pipeline
+# Flagship composition: the curation funnel's SURVIVORS (quality filter →
+# exact dedup → eval-holdout + 13-gram decontamination, the exact stages
+# curation_pipeline gates) feed the tokenizer TRAINING, the learned
+# merges tokenize those same survivors, and the result packs into
+# token-budget training sequences. One gate re-proves that four families
+# (text quality, dedup, decontamination, BPE, packing) agree under
+# composition — the end-to-end path a real pretraining data pipeline
+# runs. The oracle nests the stage SQLs verbatim and unrolls the trainer
+# over the survivor corpus.
+
+
+def _curated_pack_sql() -> str:
+    from cargo_chat_spark.queries.curation import _CONTAM_SQL, _EVAL_MOD
+    from cargo_chat_spark.queries.dedup import _EXACT_SQL
+    from cargo_chat_spark.queries.textstats import _QFILTER_SQL
+
+    surv = f"""qf AS ({_QFILTER_SQL}),
+dd AS ({_EXACT_SQL}),
+ct AS ({_CONTAM_SQL}),
+surv AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN qf ON qf.doc_id = d.doc_id AND qf.keep
+  JOIN (SELECT DISTINCT kept_id FROM dd) k ON k.kept_id = d.doc_id
+  WHERE d.doc_id % {_EVAL_MOD} != 0
+    AND NOT EXISTS (SELECT 1 FROM ct WHERE ct.doc_id = d.doc_id)
+),
+"""
+    return _unrolled_chain(
+        N_MERGES, corpus="surv", pre_ctes=surv
+    ) + _pack_tail_sql("surv")
+
+
+@register("curated_pack_tokens", sql=_curated_pack_sql())
+def curated_pack_tokens(spark, sf_dir):
+    """Curation funnel → train BPE on the survivors → tokenize them with
+    the learned merges → pack token-budget training sequences."""
+    from cargo_chat_spark.queries.curation import (
+        _EVAL_MOD,
+        contamination_13gram,
+    )
+    from cargo_chat_spark.queries.dedup import dedup_exact
+    from cargo_chat_spark.queries.textstats import quality_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    s1 = docs.join(
+        quality_filter(spark, sf_dir).where("keep").select("doc_id"),
+        "doc_id",
+    )
+    kept = (
+        dedup_exact(spark, sf_dir)
+        .select(F.col("kept_id").alias("doc_id"))
+        .distinct()
+    )
+    s2 = s1.join(kept, "doc_id")
+    contaminated = contamination_13gram(spark, sf_dir).select("doc_id")
+    surv = (
+        s2.where(F.col("doc_id") % _EVAL_MOD != 0)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "text")
+        # consumed by the trainer's word-freq scan, the per-doc word
+        # explode, AND the pack's doc spine — materialize once
+        .persist()
+    )
+    wf = word_freqs(surv).persist()
+    merges, _ = train_bpe(wf, N_MERGES)
+    return _pack_learned(surv, wf, merges)

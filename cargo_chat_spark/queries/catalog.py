@@ -273,6 +273,10 @@ ROUND7_PROMOTION_PLAN = [
     # reached through SEQUENTIAL version-fenced ivm_refresh calls
     # (streaming/ivm_stream.py), pinning refresh composition.
     "ivm_view_follow",
+    # NEW in round 7: flagship end-to-end composition — curation funnel
+    # survivors train the BPE tokenizer, then tokenize + pack those
+    # survivors; four families re-proven under composition.
+    "curated_pack_tokens",
     # tier 2 — remaining distinct machinery
     "weighted_sample", "unigram_logprob", "engaged_clean_users",
     "value_zscore_outliers", "event_type_cooccurrence",

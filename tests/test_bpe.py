@@ -211,3 +211,62 @@ def test_bpe_pack_tokens_keeps_empty_docs(spark):
     n_docs = out.agg(F.sum("n_docs")).collect()[0][0]
     total = load_table(spark, SF_DIR_SMALL, "documents").count()
     assert n_docs == total
+
+
+def _survivors(spark):
+    from cargo_chat_spark.queries.curation import (
+        _EVAL_MOD,
+        contamination_13gram,
+    )
+    from cargo_chat_spark.queries.dedup import dedup_exact
+    from cargo_chat_spark.queries.textstats import quality_filter
+
+    docs = load_table(spark, SF_DIR_SMALL, "documents")
+    s1 = docs.join(
+        quality_filter(spark, SF_DIR_SMALL).where("keep").select("doc_id"),
+        "doc_id",
+    )
+    kept = (
+        dedup_exact(spark, SF_DIR_SMALL)
+        .select(F.col("kept_id").alias("doc_id"))
+        .distinct()
+    )
+    s2 = s1.join(kept, "doc_id")
+    cont = contamination_13gram(spark, SF_DIR_SMALL).select("doc_id")
+    return (
+        s2.where(F.col("doc_id") % _EVAL_MOD != 0)
+        .join(cont, "doc_id", "left_anti")
+        .select("doc_id", "text")
+    )
+
+
+def test_curated_pack_covers_exactly_the_survivors(spark):
+    """Every curation survivor lands in exactly one pack and nothing
+    else does — the composition must not leak filtered docs back in."""
+    from cargo_chat_spark.queries.bpe_queries import curated_pack_tokens
+
+    surv_ids = {r["doc_id"] for r in _survivors(spark).collect()}
+    packs = curated_pack_tokens(spark, SF_DIR_SMALL).collect()
+    assert sum(r["n_docs"] for r in packs) == len(surv_ids)
+    for r in packs:
+        assert r["first_doc"] in surv_ids and r["last_doc"] in surv_ids
+
+
+def test_curated_tokenizer_is_trained_on_survivors(spark):
+    """The survivor-trained merge list must be the reference BPE of the
+    SURVIVOR word counts — and (on this corpus) its rank order differs
+    from the full-corpus tokenizer, proving the composition trains on
+    the funnel output rather than reusing the corpus-wide merges."""
+    from cargo_chat_spark.queries.bpe_queries import N_MERGES, _trained
+
+    surv = _survivors(spark)
+    freqs: dict[str, int] = {}
+    for r in surv.collect():
+        for w in r["text"].split(" "):
+            if w:
+                freqs[w] = freqs.get(w, 0) + 1
+    want = [m[:2] for m in reference_bpe(freqs, N_MERGES)]
+    got, _ = train_bpe(word_freqs(surv), N_MERGES)
+    assert [m[:2] for m in got] == want
+    _, full = _trained(spark, SF_DIR_SMALL)
+    assert [m[:2] for m in full] != want  # distinct tokenizer at sf0.001
