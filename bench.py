@@ -115,6 +115,8 @@ DETAIL_EXTRA = [
     "incremental_join_cdc",     # new r7: join-view IVM via dual CDC
     "ivm_view_follow",          # new r7: sequential-refresh IVM twin
     "curated_pack_tokens",      # new r7: funnel -> BPE -> pack flagship
+    "copurchase_label_prop",    # new r7: deterministic LPA communities
+    "events_orc_roundtrip",     # new r7: columnar interchange roundtrip
 ]
 
 
@@ -349,6 +351,12 @@ _R7_BARS = {
     # per repeat is the dominant cost; warm-then-3-cold median 6.041 @
     # calib 0.345 (/0.808) -> 7.48.
     "curated_pack_tokens": 7.48,
+    # 2 LPA rounds (join + count agg + rank-1 window + checkpoint each)
+    # over the pagerank-shared edge memo; warm-then-3-cold median 2.861
+    # @ calib 0.326-0.426 -> 2.87 adj.
+    "copurchase_label_prop": 2.87,
+    # ORC write + read-back + aggregate; median 0.723 @ calib 0.349 -> 0.89.
+    "events_orc_roundtrip": 0.89,
 }
 
 BASELINE_S = {**_LEGACY_BARS, **_R6_BARS, **_R6_NEW_BARS, **_R7_BARS}

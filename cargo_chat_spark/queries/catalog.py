@@ -277,6 +277,13 @@ ROUND7_PROMOTION_PLAN = [
     # survivors train the BPE tokenizer, then tokenize + pack those
     # survivors; four families re-proven under composition.
     "curated_pack_tokens",
+    # NEW in round 7: deterministic synchronous label propagation
+    # (community detection, graph member #5) — neighbor-mode update
+    # with exact tie-breaks, unrolled 2-round oracle.
+    "copurchase_label_prop",
+    # NEW in round 7: ORC round-trip (fourth interchange format — the
+    # columnar sibling of the JSONL/CSV gates).
+    "events_orc_roundtrip",
     # tier 2 — remaining distinct machinery
     "weighted_sample", "unigram_logprob", "engaged_clean_users",
     "value_zscore_outliers", "event_type_cooccurrence",

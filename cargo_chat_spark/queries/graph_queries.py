@@ -317,6 +317,98 @@ def copurchase_bfs_hops(spark, sf_dir):
     return dist.select(F.col("node").alias("partkey"), F.col("hop").cast("int"))
 
 
+# ----------------------------------------------------- label propagation
+# Deterministic semi-synchronous LPA (community detection): every node
+# starts as its own label; each round it adopts the most frequent label
+# among its NEIGHBORS, ties broken (count desc, label asc) — fully
+# deterministic, so unlike classic randomized LPA the iterative result
+# value-hashes across engines. Per round: one equi-join of the persisted
+# edges against the node-cardinality label frame, one (node, label)
+# count aggregate, and a rank-1 window (WindowGroupLimit prunes
+# map-side). Same broadcast/shuffle size guard as the other members.
+
+_LPA_ITERS = 2
+
+
+def _lpa_oracle_sql() -> str:
+    sql = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+    SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (
+    SELECT pa AS s, pb AS d FROM pairs
+    UNION ALL
+    SELECT pb AS s, pa AS d FROM pairs
+),
+l0 AS (SELECT DISTINCT s AS node, s AS lab FROM edges)"""
+    for k in range(1, _LPA_ITERS + 1):
+        sql += f""",
+c{k} AS (
+    SELECT e.s AS node, p.lab, COUNT(*) AS cnt
+    FROM edges e JOIN l{k - 1} p ON p.node = e.d
+    GROUP BY 1, 2
+),
+l{k} AS (
+    SELECT node, lab FROM (
+        SELECT node, lab,
+               ROW_NUMBER() OVER (
+                   PARTITION BY node ORDER BY cnt DESC, lab ASC
+               ) AS rn
+        FROM c{k}) WHERE rn = 1)"""
+    return sql + f"""
+SELECT node AS partkey, CAST(lab AS BIGINT) AS community FROM l{_LPA_ITERS}
+"""
+
+
+_LPA_SQL = _lpa_oracle_sql()
+
+
+@register("copurchase_label_prop", sql=_LPA_SQL)
+def copurchase_label_prop(spark, sf_dir):
+    """_LPA_ITERS rounds of deterministic synchronous label propagation
+    over the co-purchase graph; community = the converged-so-far label."""
+    from pyspark.sql import Window
+
+    edges = _copurchase_edges(spark, sf_dir)
+    labels = (
+        edges.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("lab", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = labels.count()
+    if 0 < n_nodes * _RANK_ROW_BYTES <= _broadcast_threshold_bytes(spark):
+        node_hint = F.broadcast
+    else:
+        node_hint = lambda df: df  # noqa: E731
+        edges = memo_persist(
+            spark,
+            ("copurchase_edges_by_s", sf_dir),
+            lambda: _copurchase_edges(spark, sf_dir).repartition("s"),
+        )
+    w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("lab"))
+    for _ in range(_LPA_ITERS):
+        # neighbor labels arrive over the d-side join so e.s aggregates
+        counts = (
+            edges.join(node_hint(labels), edges.d == labels.node)
+            .select(F.col("s").alias("node"), "lab")
+            .groupBy("node", "lab")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "lab")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(
+        F.col("node").alias("partkey"), F.col("lab").cast("bigint").alias("community")
+    )
+
+
 # --------------------------------------------------------- triangle counts
 # Per-node triangle participation over the co-purchase graph via the
 # standard degree-ordered (compact-forward) algorithm: orient each

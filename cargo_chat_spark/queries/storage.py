@@ -1323,3 +1323,48 @@ def ivm_view_follow(spark, sf_dir):
     )
     ivm_refresh(spark, vp, po, pc)  # customer-only advance
     return view_frame(spark, vp)
+
+
+# ------------------------------------------------------- ORC round-trip
+# Fourth interchange format (the columnar sibling): unlike the text
+# formats ORC carries its own schema and microsecond timestamps, so the
+# gate pins binary-columnar fidelity (value doubles bit-exact, ts to the
+# microsecond, props nulls preserved) rather than parse decisions. Same
+# aggregate contract as the CSV/JSONL gates, same oracle.
+_ORC_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       CAST(MIN(ts) AS TIMESTAMP) AS first_ts,
+       CAST(MAX(ts) AS TIMESTAMP) AS last_ts,
+       CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_props
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("events_orc_roundtrip", sql=_ORC_SQL)
+def events_orc_roundtrip(spark, sf_dir):
+    """Write events as ORC, read back, aggregate — value parity proves
+    the columnar round-trip is lossless (including native-ORC timestamp
+    microseconds and props nulls)."""
+    e = load_table(spark, sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"ccs_events_orc_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{os.getpid()}",
+    )
+    e.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.sum(F.col("props").isNull().cast("int"))
+        .cast("bigint")
+        .alias("null_props"),
+    )

@@ -199,3 +199,38 @@ def test_triangle_orientation_is_a_tournament(spark):
     )
     got = {(r["s"], r["d"]) for r in ordered.collect()}
     assert got == {(x, y) for x, y in und if x < y}  # all degrees tie
+
+
+def test_label_propagation_matches_bruteforce(spark):
+    """Deterministic synchronous LPA == the python reference (same
+    neighbor-mode update, same (count desc, label asc) tie-break) on the
+    sf0.001 co-purchase graph."""
+    from cargo_chat_spark.queries import graph_queries as G
+    from cargo_chat_spark.queries.catalog import SPARK_QUERIES
+    from tests.conftest import SF_DIR_SMALL
+
+    edges = {
+        (r["s"], r["d"])
+        for r in G._copurchase_edges(spark, SF_DIR_SMALL).collect()
+    }
+    nbrs: dict = {}
+    for s, d in edges:
+        nbrs.setdefault(s, set()).add(d)
+    labels = {v: v for v in nbrs}
+    for _ in range(G._LPA_ITERS):
+        nxt = {}
+        for v, ns in nbrs.items():
+            counts: dict = {}
+            for u in ns:
+                counts[labels[u]] = counts.get(labels[u], 0) + 1
+            nxt[v] = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        labels = nxt
+    got = {
+        r["partkey"]: r["community"]
+        for r in SPARK_QUERIES["copurchase_label_prop"](
+            spark, SF_DIR_SMALL
+        ).collect()
+    }
+    assert got == labels
+    # LPA must actually coarsen: fewer distinct communities than nodes
+    assert len(set(got.values())) < len(got)
