@@ -1368,3 +1368,65 @@ def events_orc_roundtrip(spark, sf_dir):
         .cast("bigint")
         .alias("null_props"),
     )
+
+
+# --------------------------------------- small-file compaction (binpack)
+# The streaming-sink residue problem: per-batch commits accumulate many
+# small files; plain OPTIMIZE (bin-packing) rewrites ONLY those, leaving
+# large files byte-identical — O(small files), never O(table). The gate
+# builds the residue shape (one base write + 4 small appends), lands a
+# MoR delete so compaction must materialize the deletion vector for the
+# rewritten files, compacts, and aggregates the result — any lost/dup
+# row or resurrected delete is a value mismatch vs the logical oracle.
+_COMPACT_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+FROM events WHERE user_id NOT IN (7, 11)
+GROUP BY event_type
+"""
+
+
+@register("events_compact_small_files", sql=_COMPACT_SQL)
+def events_compact_small_files(spark, sf_dir):
+    """Streaming-residue table (base + 4 small appends + MoR delete) →
+    snap_compact_files → aggregate of the compacted table."""
+    import shutil
+
+    from cargo_chat_spark.sources.snapshots import (
+        manifest,
+        snap_append,
+        snap_compact_files,
+        snap_delete_rows,
+        snap_read,
+        snap_write,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"ccs_events_compact_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{os.getpid()}",
+    )
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    snap_write(e.where(F.col("user_id") % 5 == 0), out)
+    for m in range(1, 5):  # the small-file residue: one file per wave
+        snap_append(e.where(F.col("user_id") % 5 == m).coalesce(1), out)
+    snap_delete_rows(
+        spark, out,
+        e.where(F.col("user_id").isin(7, 11)).select("event_id"),
+        "event_id",
+    )
+    pre_files = len(manifest(out)["files"])
+    v = snap_compact_files(spark, out, small_bytes=1 << 30,
+                           target_bytes=1 << 21)
+    assert len(manifest(out, v)["files"]) < pre_files
+    return snap_read(spark, out, v).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+        F.countDistinct("user_id").cast("bigint").alias("users"),
+    )

@@ -651,6 +651,56 @@ def snap_compact_dv(spark: SparkSession, path: str) -> int:
     return v
 
 
+def snap_compact_files(
+    spark: SparkSession,
+    path: str,
+    small_bytes: int = 1 << 20,
+    target_bytes: int = 1 << 27,
+) -> int:
+    """Delta's plain ``OPTIMIZE`` (bin-packing) as a snapshot commit:
+    rewrite ONLY the files smaller than ``small_bytes`` — the residue a
+    streaming sink's per-batch commits accumulate — grouped first-fit in
+    name order into bins of ~``target_bytes``, one output file per bin.
+    Large files survive BYTE-IDENTICAL (never read, never rewritten), so
+    the cost is O(small files), not O(table). Rewritten files read
+    through the deletion vector (their pending deletes materialize);
+    untouched files keep their vector entries (``_dv_restrict``).
+    Layout-only: the logical row set is unchanged, so ``snap_changes``
+    across the commit is empty. Fewer than two small files is a no-op
+    (no version committed)."""
+    prev = manifest(path)
+    root = _local(path)
+    sizes = {
+        f: os.path.getsize(os.path.join(root, f)) for f in prev["files"]
+    }
+    small = [f for f in prev["files"] if sizes[f] < small_bytes]
+    if len(small) < 2:
+        return prev["version"]
+    v = prev["version"] + 1
+    small_set = set(small)
+    kept = [f for f in prev["files"] if f not in small_set]
+    bins: list[list[str]] = []
+    cur: list[str] = []
+    cur_sz = 0
+    for f in sorted(small):
+        if cur and cur_sz + sizes[f] > target_bytes:
+            bins.append(cur)
+            cur, cur_sz = [], 0
+        cur.append(f)
+        cur_sz += sizes[f]
+    if cur:
+        bins.append(cur)
+    new: list[str] = []
+    for bin_files in bins:
+        df = _read_files_with_dv(spark, path, prev, bin_files).coalesce(1)
+        new += _write_new_files(df, path, v)
+    extra = _dv_restrict(spark, path, prev, kept, v)
+    if "schema" in prev:
+        extra["schema"] = prev["schema"]
+    _commit(path, v, kept + new, extra=extra)
+    return v
+
+
 def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
     """Vacuum: drop all but the last ``keep_last`` manifests and delete
     the data files no retained manifest references. Returns the deleted

@@ -1131,3 +1131,69 @@ def test_file_deltas_no_change_is_empty(spark, tmp_path):
     d = snap_file_deltas(spark, out, 0, 0)
     assert d.count() == 0
     assert "sgn" in d.columns and set(e.columns) <= set(d.columns)
+
+
+# ------------------------------------------------ small-file compaction
+
+
+def test_compact_small_files_binpack(spark, tmp_path):
+    """snap_compact_files rewrites ONLY the small files (large files
+    survive byte-identical), packs them into target-size bins,
+    materializes the DV for rewritten files while carrying it for
+    untouched ones, yields an EMPTY change feed, and no-ops when there
+    is nothing to pack."""
+    from cargo_chat_spark.sources.snapshots import (
+        manifest,
+        snap_append,
+        snap_changes,
+        snap_compact_files,
+        snap_delete_rows,
+        snap_read,
+        snap_write,
+    )
+
+    out = str(tmp_path / "t")
+    e = load_table(spark, SF_DIR_SMALL, "events")
+    snap_write(e.where(F.col("user_id") % 5 == 0).coalesce(1), out)  # big
+    for m in range(1, 5):
+        snap_append(e.where(F.col("user_id") % 5 == m).coalesce(1), out)
+    big = manifest(out, 0)["files"]
+    assert len(big) == 1
+    # MoR delete rows living in BOTH the big file (user 10) and a small
+    # one (user 11): compaction must carry the former, materialize the
+    # latter
+    snap_delete_rows(
+        spark, out,
+        e.where(F.col("user_id").isin(10, 11)).select("event_id"),
+        "event_id",
+    )
+    pre = manifest(out)
+    pre_v = pre["version"]
+    want = _rows(snap_read(spark, out))
+
+    small_cut = os.path.getsize(os.path.join(out, big[0]))  # excludes big
+    stat_before = _file_stats(out, big)
+    v = snap_compact_files(
+        spark, out, small_bytes=small_cut, target_bytes=40_000
+    )
+    m2 = manifest(out, v)
+    assert big[0] in m2["files"], "the large file must survive"
+    assert _file_stats(out, big) == stat_before, "byte-identical"
+    new_files = [f for f in m2["files"] if f != big[0]]
+    assert 2 <= len(new_files) < 4, "target_bytes must force >1 bin"
+    # logical content unchanged; deletes not resurrected
+    assert _rows(snap_read(spark, out, v)) == want
+    assert snap_changes(spark, out, pre_v, v, "event_id").count() == 0
+    # DV: the untouched big file keeps its positions; rewritten files
+    # materialized theirs
+    dv_files = set()
+    from cargo_chat_spark.sources.snapshots import _dv_positions
+    pos = _dv_positions(spark, out, m2)
+    if pos is not None:
+        dv_files = {r["file"] for r in pos.select("file").distinct().collect()}
+    assert dv_files == {big[0]}
+    # idempotence: everything is now either big or already packed
+    v2 = snap_compact_files(
+        spark, out, small_bytes=small_cut, target_bytes=40_000
+    )
+    assert v2 == v or len(manifest(out, v2)["files"]) <= len(m2["files"])

@@ -46,6 +46,7 @@ from cargo_chat_spark.sources.snapshots import (
     snap_append,
     snap_changes,
     snap_compact_dv,
+    snap_compact_files,
     snap_count,
     snap_delete,
     snap_delete_rows,
@@ -116,7 +117,8 @@ def test_snapshot_store_matches_model(spark, tmp_path, seed):  # noqa: F811
     model = [State(rows, ())]
 
     ops = ["append", "delete_cow", "delete_rows", "compact_dv",
-           "merge_into", "optimize", "restore", "write", "delete_where"]
+           "merge_into", "optimize", "restore", "write", "delete_where",
+           "compact_files"]
     for _ in range(16):
         op = rng.choice(ops)
         cur = model[-1]
@@ -214,6 +216,18 @@ def test_snapshot_store_matches_model(spark, tmp_path, seed):  # noqa: F811
             )
             # full rewrite through the DV: ghost-free, content-identical
             model.append(State(cur.visible, ()))
+
+        elif op == "compact_files":
+            # binpack: rewritten small files shed their ghosts, untouched
+            # files keep theirs — carrying the full set stays on the
+            # model's conservative side. Fewer than 2 files commits
+            # nothing, so only append a state when a version landed.
+            prev_v = len(model) - 1
+            v_new = snap_compact_files(
+                spark, path, small_bytes=1 << 30, target_bytes=1 << 16
+            )
+            if v_new > prev_v:
+                model.append(State(cur.visible, cur.maybe_ghost))
 
         elif op == "restore":
             target = rng.choice(versions(path))

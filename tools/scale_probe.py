@@ -43,11 +43,24 @@ QUERIES = [
     "events_time_travel",
     "events_snapshot_cdc",
     "incremental_rollup_cdc",
+    # graph family (r7): l_partkey is offset per replica, so each copy is
+    # a DISJOINT subgraph — edges, wedges, and label frames scale
+    # linearly with no cross-replica pair blowup
+    "part_copurchase_pagerank",
+    "copurchase_bfs_hops",
+    "copurchase_triangles",
+    "copurchase_label_prop",
+    # IVM (r7): the MERGE/delete wave matches fixed custkey RESIDUES
+    # (offsets are multiples of 10), so change volume scales with the
+    # table — write + maintenance + refresh all probe the linear shape
+    "incremental_join_cdc",
 ]
 TABLES = {
-    "lineitem": ["l_orderkey"],
+    "lineitem": ["l_orderkey", "l_partkey"],
     "events": ["event_id", "user_id"],
     "documents": ["doc_id"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
 }
 
 
