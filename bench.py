@@ -117,6 +117,7 @@ DETAIL_EXTRA = [
     "curated_pack_tokens",      # new r7: funnel -> BPE -> pack flagship
     "copurchase_label_prop",    # new r7: deterministic LPA communities
     "events_orc_roundtrip",     # new r7: columnar interchange roundtrip
+    "events_compact_small_files",  # new r7: binpack OPTIMIZE lifecycle
 ]
 
 
@@ -357,6 +358,9 @@ _R7_BARS = {
     "copurchase_label_prop": 2.87,
     # ORC write + read-back + aggregate; median 0.723 @ calib 0.349 -> 0.89.
     "events_orc_roundtrip": 0.89,
+    # whole lifecycle fixture (base write + 4 appends + MoR delete +
+    # binpack + aggregate); median 3.412 @ calib 0.334 (/0.782) -> 4.36.
+    "events_compact_small_files": 4.36,
 }
 
 BASELINE_S = {**_LEGACY_BARS, **_R6_BARS, **_R6_NEW_BARS, **_R7_BARS}

@@ -284,6 +284,10 @@ ROUND7_PROMOTION_PLAN = [
     # NEW in round 7: ORC round-trip (fourth interchange format — the
     # columnar sibling of the JSONL/CSV gates).
     "events_orc_roundtrip",
+    # NEW in round 7: bin-packing small-file compaction (plain OPTIMIZE)
+    # over the streaming-residue table shape — rewrites only the small
+    # files, materializes their DV entries, empty change feed.
+    "events_compact_small_files",
     # tier 2 — remaining distinct machinery
     "weighted_sample", "unigram_logprob", "engaged_clean_users",
     "value_zscore_outliers", "event_type_cooccurrence",
