@@ -118,6 +118,7 @@ DETAIL_EXTRA = [
     "copurchase_label_prop",    # new r7: deterministic LPA communities
     "events_orc_roundtrip",     # new r7: columnar interchange roundtrip
     "events_compact_small_files",  # new r7: binpack OPTIMIZE lifecycle
+    "funnel_conversion",        # new r7: ordered funnel, 1-shuffle plan
 ]
 
 
@@ -361,6 +362,9 @@ _R7_BARS = {
     # whole lifecycle fixture (base write + 4 appends + MoR delete +
     # binpack + aggregate); median 3.412 @ calib 0.334 (/0.782) -> 4.36.
     "events_compact_small_files": 4.36,
+    # one user-partition shuffle + chained window minima + stack;
+    # median 1.126 @ calib 0.451 (/1.056) -> 1.07.
+    "funnel_conversion": 1.07,
 }
 
 BASELINE_S = {**_LEGACY_BARS, **_R6_BARS, **_R6_NEW_BARS, **_R7_BARS}

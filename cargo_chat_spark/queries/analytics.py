@@ -521,3 +521,85 @@ def weekly_hll_rollup(spark, sf_dir):
             "n_days",
         )
     )
+
+
+# --------------------------------------------------- ordered funnel depth
+# Classic conversion funnel with STRICT event ordering: a user converts a
+# stage only if its first qualifying event happens AFTER the previous
+# stage's first qualifying event (first-touch semantics — min timestamps
+# chain). Scale shape: ONE shuffle (partition by user); the three stage
+# timestamps are nested window minima over the SAME partitioning, so
+# Catalyst runs them in one Window stage chain without re-exchanging;
+# the per-user collapse is a map-side-combinable max; the final
+# stage-count explode is a stack() over one aggregate row. The oracle
+# spells the same semantics as a min-timestamp JOIN CHAIN — equality
+# re-proves the nested-window and join-chain forms agree.
+_FUNNEL_WINDOW = "24 HOURS"
+
+_FUNNEL_SQL = f"""
+WITH v AS (
+    SELECT user_id, MIN(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, MIN(e.ts) AS t2
+    FROM events e JOIN v ON v.user_id = e.user_id
+     AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL {_FUNNEL_WINDOW}
+    WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, MIN(e.ts) AS t3
+    FROM events e JOIN c ON c.user_id = e.user_id
+     AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL {_FUNNEL_WINDOW}
+    WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT 'view' AS stage, CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS users
+UNION ALL
+SELECT 'view_click', CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+UNION ALL
+SELECT 'view_click_purchase', CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+"""
+
+
+@register("funnel_conversion", sql=_FUNNEL_SQL)
+def funnel_conversion(spark, sf_dir):
+    """view → click → purchase funnel depth (first-touch, strictly
+    increasing timestamps, each stage within _FUNNEL_WINDOW of the
+    previous), one row per stage with converted-user counts."""
+    e = load_table(spark, sf_dir, "events")
+    win = F.expr(f"INTERVAL {_FUNNEL_WINDOW}")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    staged = e.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + win),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + win),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t3", t3)
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"),
+        F.max("t2").alias("t2"),
+        F.max("t3").alias("t3"),
+    )
+    totals = per_user.agg(
+        F.sum(F.col("t1").isNotNull().cast("long")).alias("v"),
+        F.sum(F.col("t2").isNotNull().cast("long")).alias("c"),
+        F.sum(F.col("t3").isNotNull().cast("long")).alias("p"),
+    )
+    return totals.selectExpr(
+        "stack(3, 'view', v, 'view_click', c, 'view_click_purchase', p)"
+        " AS (stage, users)"
+    )

@@ -288,6 +288,9 @@ ROUND7_PROMOTION_PLAN = [
     # over the streaming-residue table shape — rewrites only the small
     # files, materializes their DV entries, empty change feed.
     "events_compact_small_files",
+    # NEW in round 7: ordered conversion funnel (first-touch chaining,
+    # 24h per-stage window) — nested-window plan vs join-chain oracle.
+    "funnel_conversion",
     # tier 2 — remaining distinct machinery
     "weighted_sample", "unigram_logprob", "engaged_clean_users",
     "value_zscore_outliers", "event_type_cooccurrence",

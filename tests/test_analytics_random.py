@@ -104,3 +104,36 @@ def test_rolling_7d_matches_bruteforce(spark, tmp_path, seed):
         lo = d - timedelta(days=6)
         expected[d] = len({u for (u, ud) in user_days if lo <= ud <= d})
     assert got == expected
+
+
+def test_funnel_conversion_ordering_and_window(spark, tmp_path):
+    """Controlled fixture pinning the funnel semantics: strict event
+    ORDER (a click before the first view never counts) and the 24h
+    per-stage conversion window (first-touch chaining)."""
+    from cargo_chat_spark.queries.analytics import funnel_conversion
+
+    H = 3_600
+    rows = [
+        # user 1: clean full conversion
+        (1, 1, "view", 0), (2, 1, "click", H), (3, 1, "purchase", 2 * H),
+        # user 2: click BEFORE the first view — must not convert stage 2
+        (4, 2, "click", 0), (5, 2, "view", H), (6, 2, "purchase", 2 * H),
+        # user 3: click 25h after first view — outside the window
+        (7, 3, "view", 0), (8, 3, "click", 25 * H),
+        # user 4: purchase 25h after first qualifying click — stage 3 out
+        (9, 4, "view", 0), (10, 4, "click", H), (11, 4, "purchase", 26 * H),
+        # user 5: never views — appears in no stage
+        (12, 5, "click", 0), (13, 5, "purchase", H),
+    ]
+    df = spark.createDataFrame(
+        [(i, u, t, s) for i, u, t, s in rows],
+        "event_id bigint, user_id bigint, event_type string, ts_s bigint",
+    ).selectExpr("event_id", "user_id", "event_type",
+                 "timestamp_seconds(ts_s) AS ts")
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/events.parquet")
+    got = {
+        r["stage"]: r["users"]
+        for r in funnel_conversion(spark, sf).collect()
+    }
+    assert got == {"view": 4, "view_click": 2, "view_click_purchase": 1}
