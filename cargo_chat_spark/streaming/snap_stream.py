@@ -41,6 +41,7 @@ from cargo_chat_spark.sources.snapshots import (
     _merge_schema,
     _write_new_files,
     manifest,
+    snap_compact_files,
     versions,
 )
 
@@ -75,13 +76,22 @@ def append_batch(batch_df, table_path: str, batch_id: int) -> int | None:
         v = prev["version"] + 1
         files = prev["files"]
         schema = _merge_schema(prev.get("schema"), batch_df.schema)
+        # carry the deletion vector verbatim: every previous file
+        # survives an append, so the previous DV stays valid in full —
+        # dropping it here would resurrect MoR-deleted rows on the very
+        # next micro-batch (the same append ∘ DV interaction the model
+        # test caught in snap_append, round 7)
+        carry = {
+            k: prev[k] for k in ("dv", "dv_rows") if k in prev
+        }
     else:
         v, files = 0, []
         schema = batch_df.schema.jsonValue()
+        carry = {}
     new = _write_new_files(batch_df, table_path, v)
     _commit(
         table_path, v, files + new,
-        extra={"batch_id": batch_id, "schema": schema},
+        extra={"batch_id": batch_id, "schema": schema, **carry},
     )
     return v
 
@@ -93,15 +103,35 @@ def run_snapshot_ingest(
     table_path: str,
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
+    compact_every: int | None = None,
+    small_bytes: int = 1 << 20,
+    target_bytes: int = 1 << 27,
 ) -> None:
     """Drain ``source_dir`` (availableNow), committing each micro-batch
     as one snapshot version of the table at ``table_path``.
     ``max_files_per_trigger`` bounds batch size (and hence per-version
     file count) — availableNow still drains everything, in more,
-    smaller commits."""
+    smaller commits.
+
+    ``compact_every=N`` heals the sink's own small-file residue: after
+    every Nth COMMITTED batch, ``snap_compact_files`` bin-packs files
+    under ``small_bytes`` into ~``target_bytes`` outputs as a
+    layout-only version. Replay-safe by construction: a fenced
+    (re-delivered) batch never triggers compaction, compaction itself
+    is content-preserving and idempotent, and a crash between append
+    and compaction just defers the repack to a later trigger."""
 
     def _apply(batch_df, batch_id: int) -> None:
-        append_batch(batch_df, table_path, batch_id)
+        v = append_batch(batch_df, table_path, batch_id)
+        if (
+            v is not None
+            and compact_every
+            and (batch_id + 1) % compact_every == 0
+        ):
+            snap_compact_files(
+                spark, table_path,
+                small_bytes=small_bytes, target_bytes=target_bytes,
+            )
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

@@ -128,3 +128,71 @@ def test_fence_survives_interleaved_non_stream_commits(spark, tmp_path):
     assert _rows(snap_read(spark, table)) == _rows(
         e.where(~F.col("user_id").isin(7, 11)).unionByName(w2)
     )
+
+
+def test_streamed_append_carries_deletion_vector(spark, tmp_path):
+    """A MoR delete followed by one streamed micro-batch must NOT
+    resurrect the deleted rows: append_batch carries the previous
+    manifest's deletion vector verbatim (the append ∘ DV interaction
+    the snapshot model test caught in snap_append, here for the
+    STREAMING commit path)."""
+    from cargo_chat_spark.sources.snapshots import (
+        snap_delete_rows,
+        snap_read,
+        snap_write,
+    )
+    from cargo_chat_spark.streaming.snap_stream import append_batch
+
+    out = str(tmp_path / "t")
+    e = load_table(spark, SF_DIR_SMALL, "events")
+    snap_write(e.where(F.col("user_id") < 8), out)
+    snap_delete_rows(
+        spark, out,
+        e.where(F.col("user_id") == 3).select("event_id"),
+        "event_id",
+    )
+    assert snap_read(spark, out).where(F.col("user_id") == 3).count() == 0
+
+    batch = e.where(F.col("user_id") == 9)
+    v = append_batch(batch, out, batch_id=0)
+    assert v is not None
+    after = snap_read(spark, out, v)
+    assert after.where(F.col("user_id") == 3).count() == 0, (
+        "streamed append resurrected MoR-deleted rows"
+    )
+    assert after.where(F.col("user_id") == 9).count() == batch.count()
+
+
+def test_stream_auto_compaction_heals_small_files(spark, tmp_path):
+    """compact_every=3 bin-packs the sink's residue mid-stream: content
+    equals the full input, the final file count is below one-per-batch,
+    a full worst-case replay (fresh checkpoint) is content-stable, and
+    fenced replays never trigger extra data rewrites."""
+    e = load_table(spark, SF_DIR_SMALL, "events")
+    parts = [e.where(F.col("user_id") % 6 == m) for m in range(6)]
+    src = _feed(spark, tmp_path, parts)
+    tbl = str(tmp_path / "tbl")
+
+    run_snapshot_ingest(
+        spark, src, e.schema, tbl, str(tmp_path / "ck"),
+        max_files_per_trigger=1, compact_every=3,
+        small_bytes=1 << 30, target_bytes=1 << 30,
+    )
+    want = _rows(e)
+    assert _rows(snap_read(spark, tbl)) == want
+    n_files = len(manifest(tbl)["files"])
+    assert n_files < 6, f"compaction never ran ({n_files} files)"
+    n_versions = len(versions(tbl))
+    assert n_versions > 6, "layout commits must appear in the history"
+
+    # worst-case replay: every batch re-delivered; appends fence, so no
+    # new data versions land and content is unchanged
+    run_snapshot_ingest(
+        spark, src, e.schema, tbl, str(tmp_path / "ck2"),
+        max_files_per_trigger=1, compact_every=3,
+        small_bytes=1 << 30, target_bytes=1 << 30,
+    )
+    assert _rows(snap_read(spark, tbl)) == want
+    assert len(versions(tbl)) == n_versions, (
+        "fenced replays must not commit anything"
+    )
