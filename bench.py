@@ -119,6 +119,7 @@ DETAIL_EXTRA = [
     "events_orc_roundtrip",     # new r7: columnar interchange roundtrip
     "events_compact_small_files",  # new r7: binpack OPTIMIZE lifecycle
     "funnel_conversion",        # new r7: ordered funnel, 1-shuffle plan
+    "mmr_diversified_topk",     # new r7: greedy MMR, K map-only scans
 ]
 
 
@@ -365,6 +366,9 @@ _R7_BARS = {
     # one user-partition shuffle + chained window minima + stack;
     # median 1.126 @ calib 0.451 (/1.056) -> 1.07.
     "funnel_conversion": 1.07,
+    # K=5 map-only argmax scans over the quantized corpus;
+    # median 1.319 @ calib 0.327 (/0.766) -> 1.72.
+    "mmr_diversified_topk": 1.72,
 }
 
 BASELINE_S = {**_LEGACY_BARS, **_R6_BARS, **_R6_NEW_BARS, **_R7_BARS}

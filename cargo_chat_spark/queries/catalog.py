@@ -291,6 +291,10 @@ ROUND7_PROMOTION_PLAN = [
     # NEW in round 7: ordered conversion funnel (first-touch chaining,
     # 24h per-stage window) — nested-window plan vs join-chain oracle.
     "funnel_conversion",
+    # NEW in round 7: greedy MMR diversified top-k — the unrolled-oracle
+    # discipline applied to GREEDY SELECTION; each step one map-only
+    # corpus scan with literal selected vectors (kmeans kernel).
+    "mmr_diversified_topk",
     # tier 2 — remaining distinct machinery
     "weighted_sample", "unigram_logprob", "engaged_clean_users",
     "value_zscore_outliers", "event_type_cooccurrence",

@@ -1031,3 +1031,114 @@ def ivf_topk_persisted(spark, sf_dir):
         scored.withColumn("rank", F.row_number().over(w_rank))
         .where(F.col("rank") <= 10)
     )
+
+
+# ------------------------------------------------- MMR diversified top-k
+# Maximal-marginal-relevance selection (the diversified retrieval pass a
+# RAG pipeline runs after kNN): greedily pick K items maximizing
+#   score(d) = -2 * dist2(query, d) + min_{s in selected} dist2(d, s)
+# (distance form of MMR: relevance pulls toward the query, the min-
+# distance-to-selected term pushes picks apart; the empty-set diversity
+# term is 0, so pick 1 is the plain nearest neighbor). Floor-quantized
+# bigint vectors (operators/clustering.SCALE) make every score an exact
+# integer, so the full greedy ITERATION value-hashes across engines —
+# the kmeans/BPE/pagerank unrolled-oracle discipline applied to greedy
+# selection. Scale shape: each of the K steps is one MAP-ONLY corpus
+# scan (selected vectors ride as literals, codegen'd integer zip_with
+# distances — the kmeans assignment kernel) + a 1-row argmax collect;
+# no shuffle anywhere, K·O(corpus/executors) wall-clock.
+
+_MMR_K = 5
+
+
+def _mmr_oracle_sql() -> str:
+    from cargo_chat_spark.operators.clustering import SCALE
+
+    d2 = (
+        "CAST(list_sum(list_transform(generate_series(1, len({a}.q)),"
+        " i -> ({a}.q[i] - {b}.q[i]) * ({a}.q[i] - {b}.q[i]))) AS BIGINT)"
+    )
+    sql = f"""
+WITH eq AS (
+  SELECT vec_id, list_transform(embedding,
+         x -> CAST(floor(CAST(x AS DOUBLE) * {SCALE}) AS BIGINT)) AS q
+  FROM embeddings
+),
+qv AS (SELECT q FROM eq WHERE vec_id = 0),
+base AS (
+  SELECT e.vec_id, {d2.format(a='e', b='qv')} AS d2q, e.q
+  FROM eq e CROSS JOIN qv WHERE e.vec_id <> 0
+),
+s1 AS (
+  SELECT vec_id, d2q, q, CAST(-2 * d2q AS BIGINT) AS score
+  FROM base ORDER BY score DESC, vec_id ASC LIMIT 1
+)"""
+    for k in range(2, _MMR_K + 1):
+        prior = [f"s{j}" for j in range(1, k)]
+        least = ", ".join(d2.format(a="r", b=p) for p in prior)
+        least = least if len(prior) == 1 else f"LEAST({least})"
+        not_in = " AND ".join(f"r.vec_id <> {p}.vec_id" for p in prior)
+        sql += f""",
+s{k} AS (
+  SELECT r.vec_id, r.d2q, r.q,
+         CAST(-2 * r.d2q + {least} AS BIGINT) AS score
+  FROM base r CROSS JOIN {", ".join(prior)}
+  WHERE {not_in}
+  ORDER BY score DESC, r.vec_id ASC LIMIT 1
+)"""
+    sql += "\n" + "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS INT) AS sel_rank, vec_id, d2q, score FROM s{k}"
+        for k in range(1, _MMR_K + 1)
+    )
+    return sql
+
+
+@register("mmr_diversified_topk", sql=_mmr_oracle_sql())
+def mmr_diversified_topk(spark, sf_dir):
+    """Greedy MMR selection of _MMR_K diversified neighbors of vec 0's
+    embedding over the whole corpus, exact integer scores."""
+    from cargo_chat_spark.operators.clustering import (
+        _dist_sql,
+        quantize_embeddings,
+    )
+
+    eq = quantize_embeddings(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "q"
+    )
+    qvec = [int(v) for v in eq.where(F.col("vec_id") == 0).head()["q"]]
+    base = (
+        eq.where(F.col("vec_id") != 0)
+        .withColumn("d2q", F.expr(_dist_sql("q", qvec)))
+        # consumed once per greedy step: materialize the quantize + d2q
+        .persist()
+    )
+    selected: list = []
+    out_rows: list = []
+    for k in range(1, _MMR_K + 1):
+        if not selected:
+            div = F.lit(0).cast("long")
+            cand = base
+        else:
+            terms = [
+                F.expr(_dist_sql("q", [int(v) for v in s["q"]]))
+                for s in selected
+            ]
+            div = terms[0] if len(terms) == 1 else F.least(*terms)
+            cand = base.where(
+                ~F.col("vec_id").isin([int(s["vec_id"]) for s in selected])
+            )
+        top = (
+            cand.withColumn(
+                "score", (F.lit(-2) * F.col("d2q") + div).cast("long")
+            )
+            .orderBy(F.desc("score"), F.asc("vec_id"))
+            .limit(1)  # bounded collect: exactly one row per step
+            .collect()[0]
+        )
+        selected.append(top)
+        out_rows.append(
+            (k, int(top["vec_id"]), int(top["d2q"]), int(top["score"]))
+        )
+    return spark.createDataFrame(
+        out_rows, "sel_rank int, vec_id bigint, d2q bigint, score bigint"
+    )

@@ -234,3 +234,51 @@ def test_ivfpq_recall(spark):
     # PQ's 0.80, the standard IVFPQ trade. Gate guards composition bugs,
     # not the tuning.
     assert r >= 0.6, f"IVFPQ recall@10 too low: {r:.2f}"
+
+
+def test_mmr_matches_python_reference_and_diversifies(spark):
+    """Distributed greedy MMR == an independent python re-derivation
+    (same integer arithmetic, same tie-break), stays EvalPython-free,
+    and actually diversifies (differs from plain nearest-k) on the
+    sf0.001 corpus."""
+    from cargo_chat_spark.operators.clustering import quantize_embeddings
+    from cargo_chat_spark.queries.vector_search import (
+        _MMR_K,
+        mmr_diversified_topk,
+    )
+    from cargo_chat_spark.sources.testdata import load_table
+
+    eq = {
+        int(r["vec_id"]): [int(v) for v in r["q"]]
+        for r in quantize_embeddings(
+            load_table(spark, SF_DIR_SMALL, "embeddings")
+        ).select("vec_id", "q").collect()
+    }
+    qv = eq.pop(0)
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    d2q = {v: d2(q, qv) for v, q in eq.items()}
+    selected: list[int] = []
+    want = []
+    for k in range(1, _MMR_K + 1):
+        best = None
+        for v in eq:
+            if v in selected:
+                continue
+            div = min(d2(eq[v], eq[s]) for s in selected) if selected else 0
+            sc = -2 * d2q[v] + div
+            if best is None or (sc, -v) > (best[0], -best[1]):
+                best = (sc, v)
+        selected.append(best[1])
+        want.append((k, best[1], d2q[best[1]], best[0]))
+
+    df = mmr_diversified_topk(spark, SF_DIR_SMALL)
+    got = [
+        (r["sel_rank"], r["vec_id"], r["d2q"], r["score"])
+        for r in df.orderBy("sel_rank").collect()
+    ]
+    assert got == want
+    plain = [v for v, _ in sorted(d2q.items(), key=lambda kv: (kv[1], kv[0]))][:_MMR_K]
+    assert [v for _, v, _, _ in got] != plain, "MMR must diversify"
