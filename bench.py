@@ -120,6 +120,7 @@ DETAIL_EXTRA = [
     "events_compact_small_files",  # new r7: binpack OPTIMIZE lifecycle
     "funnel_conversion",        # new r7: ordered funnel, 1-shuffle plan
     "mmr_diversified_topk",     # new r7: greedy MMR, K map-only scans
+    "phrase_match_docs",        # new r7: positional phrase adjacency
 ]
 
 
@@ -369,6 +370,9 @@ _R7_BARS = {
     # K=5 map-only argmax scans over the quantized corpus;
     # median 1.319 @ calib 0.327 (/0.766) -> 1.72.
     "mmr_diversified_topk": 1.72,
+    # explode -> term filter -> (doc,pos) equi-join;
+    # median 0.751 @ calib 0.416 (/0.974) -> 0.77.
+    "phrase_match_docs": 0.77,
 }
 
 BASELINE_S = {**_LEGACY_BARS, **_R6_BARS, **_R6_NEW_BARS, **_R7_BARS}

@@ -295,6 +295,9 @@ ROUND7_PROMOTION_PLAN = [
     # discipline applied to GREEDY SELECTION; each step one map-only
     # corpus scan with literal selected vectors (kmeans kernel).
     "mmr_diversified_topk",
+    # NEW in round 7: exact phrase search by positional adjacency
+    # (quoted-query operator; persisted positional-postings exit noted).
+    "phrase_match_docs",
     # tier 2 — remaining distinct machinery
     "weighted_sample", "unigram_logprob", "engaged_clean_users",
     "value_zscore_outliers", "event_type_cooccurrence",

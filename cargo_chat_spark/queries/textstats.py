@@ -814,3 +814,51 @@ def nfc_normalize_text(spark, sf_dir):
         F.length(nfc(F.col("raw"))).cast("bigint").alias("n_chars_nfc"),
         F.md5(nfc(F.col("raw"))).alias("nfc_md5"),
     )
+
+
+# ------------------------------------------------------- phrase matching
+# Exact phrase search by POSITIONAL adjacency — the operator behind
+# quoted queries ("table hash" must match consecutively, not as a bag).
+# Plan: explode words WITH positions, filter immediately to the two
+# phrase terms (the corpus-sized explode collapses to term-frequency
+# rows before any shuffle), equi-join on (doc_id, pos+1). At production
+# scale the same join runs against the PERSISTED positional postings of
+# just the phrase terms (shard-pruned scans, the inverted_index.py
+# layout extended with a positions column) — the adjacency algebra here
+# is identical. Positions index the RAW ' +' split (leading/trailing
+# empties can only sit at the ends, so interior adjacency is unaffected
+# — same rule both engines).
+_PHRASE = ("table", "hash")
+
+_PHRASE_SQL = f"""
+WITH w AS (
+  SELECT doc_id, arr[i] AS word, i
+  FROM (SELECT doc_id, string_split_regex(text, ' +') AS arr
+        FROM documents),
+       unnest(generate_series(1, len(arr))) AS t(i)
+)
+SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+WHERE a.word = '{_PHRASE[0]}' AND b.word = '{_PHRASE[1]}'
+GROUP BY a.doc_id
+"""
+
+
+@register("phrase_match_docs", sql=_PHRASE_SQL)
+def phrase_match_docs(spark, sf_dir):
+    """Documents containing the exact phrase ``_PHRASE`` with adjacency
+    match counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " +")).alias("pos", "word"),
+    )
+    a = words.where(F.col("word") == _PHRASE[0]).select("doc_id", "pos")
+    b = words.where(F.col("word") == _PHRASE[1]).select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    return (
+        a.join(b, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )

@@ -137,3 +137,28 @@ def test_funnel_conversion_ordering_and_window(spark, tmp_path):
         for r in funnel_conversion(spark, sf).collect()
     }
     assert got == {"view": 4, "view_click": 2, "view_click_purchase": 1}
+
+
+def test_phrase_match_adjacency_semantics(spark, tmp_path):
+    """Phrase matching is positional: 'table x hash' must NOT match,
+    repeats count each adjacency, and extra interior spaces don't
+    break adjacency (the ' +' split rule)."""
+    from cargo_chat_spark.queries.textstats import phrase_match_docs
+
+    docs = [
+        (1, "table hash"),                      # 1 match
+        (2, "table x hash"),                    # bag-of-words trap: 0
+        (3, "table hash table hash"),           # 2 matches
+        (4, "hash table"),                      # reversed: 0
+        (5, "a table  hash b"),                 # double space: still 1
+        (6, " table hash"),                     # leading space: still 1
+        (7, "tablehash table"),                 # substring trap: 0
+    ]
+    spark.createDataFrame(docs, "doc_id bigint, text string").write.parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_match_docs(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: 1, 3: 2, 5: 1, 6: 1}
