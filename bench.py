@@ -121,6 +121,7 @@ DETAIL_EXTRA = [
     "funnel_conversion",        # new r7: ordered funnel, 1-shuffle plan
     "mmr_diversified_topk",     # new r7: greedy MMR, K map-only scans
     "phrase_match_docs",        # new r7: positional phrase adjacency
+    "phrase_match_persisted",   # new r7: phrase from positional postings
 ]
 
 
@@ -373,6 +374,10 @@ _R7_BARS = {
     # explode -> term filter -> (doc,pos) equi-join;
     # median 0.751 @ calib 0.416 (/0.974) -> 0.77.
     "phrase_match_docs": 0.77,
+    # shard-pruned 2-term scan + positions intersect (store build paid
+    # by inverted_postings_waves in suite order);
+    # median 0.442 @ calib 0.426 (/0.998) -> 0.44.
+    "phrase_match_persisted": 0.44,
 }
 
 BASELINE_S = {**_LEGACY_BARS, **_R6_BARS, **_R6_NEW_BARS, **_R7_BARS}

@@ -298,6 +298,10 @@ ROUND7_PROMOTION_PLAN = [
     # NEW in round 7: exact phrase search by positional adjacency
     # (quoted-query operator; persisted positional-postings exit noted).
     "phrase_match_docs",
+    # NEW in round 7: the production form — phrase served from the
+    # persisted POSITIONAL postings (shard-pruned 2-term scan +
+    # map-side positions intersect; tombstone-aware).
+    "phrase_match_persisted",
     # tier 2 — remaining distinct machinery
     "weighted_sample", "unigram_logprob", "engaged_clean_users",
     "value_zscore_outliers", "event_type_cooccurrence",

@@ -404,3 +404,36 @@ def bm25_cdc_compacted_index(spark, sf_dir):
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= _TOPK)
     )
+
+
+# ----------------------------------------------- phrase over the store
+# Positional-postings phrase search served from the PERSISTED index —
+# the production form of textstats.phrase_match_docs (which scans the
+# corpus): one shard-pruned scan of exactly the two phrase terms, then
+# a map-side positions intersection. The oracle recomputes the phrase
+# positions from the raw corpus with the index's tokenizer (trimmed
+# \s+ — note the batch gate's ' +' split differs on tabs/newlines, so
+# the two gates are distinct contracts on purpose).
+_PHRASE_STORE = ("table", "hash")
+
+_PHRASE_STORE_SQL = """
+WITH w AS (
+  SELECT doc_id, arr[i] AS token, i
+  FROM (SELECT doc_id,
+               regexp_split_to_array(trim(text), '\\s+') AS arr
+        FROM documents),
+       unnest(generate_series(1, len(arr))) AS t(i)
+  WHERE arr[i] <> ''
+)
+SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+WHERE a.token = 'table' AND b.token = 'hash'
+GROUP BY a.doc_id
+"""
+
+
+@register("phrase_match_persisted", sql=_PHRASE_STORE_SQL)
+def phrase_match_persisted(spark, sf_dir):
+    """Phrase matches served from the 3-wave persisted positional index
+    — must equal the from-raw-corpus positional recomputation."""
+    return II.phrase_query(spark, _ii_store(spark, sf_dir), _PHRASE_STORE)

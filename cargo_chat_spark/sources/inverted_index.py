@@ -65,14 +65,22 @@ def postings_of(
     text_col: str = "text",
     n_shards: int = N_SHARDS,
 ) -> DataFrame:
-    """(shard, token, doc_id, tf, dl) posting rows for ``docs`` — same
-    tokenizer as the batch BM25 gate (operators/dedup.py::tokens)."""
+    """(shard, token, doc_id, tf, dl, positions) posting rows for
+    ``docs`` — same tokenizer as the batch BM25 gate
+    (operators/dedup.py::tokens). ``positions`` are the token's 0-based
+    slots in the doc's token sequence (ascending) — the POSITIONAL
+    postings phrase queries need; ``tf == size(positions)`` by
+    construction (+~4 bytes/occurrence, the standard positional-index
+    overhead)."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(D.tokens(F.col(text_col))).alias("token"),
+        F.posexplode(D.tokens(F.col(text_col))).alias("pos", "token"),
     ).where(F.col("token") != "")
     tf = toks.groupBy("doc_id", "token").agg(
-        F.count(F.lit(1)).cast("bigint").alias("tf")
+        F.count(F.lit(1)).cast("bigint").alias("tf"),
+        F.sort_array(F.collect_list(F.col("pos").cast("int"))).alias(
+            "positions"
+        ),
     )
     dl = toks.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("dl")
@@ -83,6 +91,7 @@ def postings_of(
         "doc_id",
         "tf",
         "dl",
+        "positions",
     )
 
 
@@ -193,6 +202,38 @@ def read_postings(
             F.col("token").isin(list(terms))
         )
     return p
+
+
+def phrase_query(
+    spark: SparkSession, path: str, phrase: tuple[str, str]
+) -> DataFrame:
+    """Exact 2-word phrase matches from POSITIONAL postings: one
+    shard-pruned scan of just the two terms, adjacency = per-doc
+    intersection of (positions(w1)+1) with positions(w2) — map-side
+    after the (doc_id) equi-join of two term-frequency-sized frames.
+    Tombstone-aware via read_postings (a CDC-deleted doc's phrases
+    disappear with its postings). Returns (doc_id, n_matches)."""
+    w1, w2 = phrase
+    p = read_postings(spark, path, [w1, w2])
+    a = p.where(F.col("token") == w1).select(
+        "doc_id", F.col("positions").alias("pa")
+    )
+    b = p.where(F.col("token") == w2).select(
+        "doc_id", F.col("positions").alias("pb")
+    )
+    return (
+        a.join(b, "doc_id")
+        .select(
+            "doc_id",
+            F.size(
+                F.array_intersect(
+                    F.transform(F.col("pa"), lambda x: x + F.lit(1)),
+                    F.col("pb"),
+                )
+            ).cast("bigint").alias("n_matches"),
+        )
+        .where(F.col("n_matches") > 0)
+    )
 
 
 def bm25_query(

@@ -15,6 +15,7 @@ from cargo_chat_spark.sources.inverted_index import (
     shard_of,
     write_inverted_index,
 )
+from cargo_chat_spark.sources import inverted_index as II
 from cargo_chat_spark.sources.testdata import load_table
 from tests.conftest import SF_DIR_SMALL, spark  # noqa: F401
 
@@ -95,3 +96,55 @@ def test_empty_index_raises(spark, tmp_path):
         assert "empty" in str(exc)
     else:
         raise AssertionError("expected ValueError")
+
+
+def test_positions_invariant_and_phrase_cdc_interplay(spark, tmp_path):
+    """tf == size(positions) for every posting; phrase matches served
+    from a CDC-maintained index drop with a deleted doc and follow an
+    updated doc's NEW text (tombstone-aware phrase path)."""
+    from cargo_chat_spark.sources.snapshots import (
+        snap_delete,
+        snap_merge,
+        snap_write,
+    )
+
+    docs = [
+        (1, "alpha beta alpha beta"),
+        (2, "alpha x beta"),
+        (3, "alpha beta gamma"),
+    ]
+    tbl = str(tmp_path / "tbl")
+    idx = str(tmp_path / "idx")
+    snap_write(
+        spark.createDataFrame(docs, "doc_id bigint, text string"), tbl
+    )
+    II.sync_index_from_snapshot(spark, idx, tbl)
+
+    p = II.read_postings(spark, idx)
+    assert p.where(F.col("tf") != F.size("positions")).count() == 0
+
+    def matches():
+        return {
+            r["doc_id"]: r["n_matches"]
+            for r in II.phrase_query(spark, idx, ("alpha", "beta")).collect()
+        }
+
+    assert matches() == {1: 2, 3: 1}
+
+    # update doc 3 to break the phrase; delete doc 1
+    snap_merge(
+        spark, tbl,
+        spark.createDataFrame(
+            [(3, "alpha gamma beta")], "doc_id bigint, text string"
+        ),
+        "doc_id",
+    )
+    snap_delete(
+        spark, tbl,
+        spark.createDataFrame([(1,)], "doc_id bigint"), "doc_id",
+    )
+    II.apply_index_cdc(spark, idx, tbl)
+    assert matches() == {}
+    # and compaction preserves the (empty) phrase answer
+    II.compact_index_tombstones(spark, idx)
+    assert matches() == {}
