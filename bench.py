@@ -122,6 +122,7 @@ DETAIL_EXTRA = [
     "mmr_diversified_topk",     # new r7: greedy MMR, K map-only scans
     "phrase_match_docs",        # new r7: positional phrase adjacency
     "phrase_match_persisted",   # new r7: phrase from positional postings
+    "incremental_neardup_cdc",  # new r7: band store follows CDC feed
 ]
 
 
@@ -378,6 +379,9 @@ _R7_BARS = {
     # by inverted_postings_waves in suite order);
     # median 0.442 @ calib 0.426 (/0.998) -> 0.44.
     "phrase_match_persisted": 0.44,
+    # whole lifecycle fixture (snapshot write + sync + MERGE + delete +
+    # CDC apply + probe); median 6.819 @ calib 0.342 (/0.801) -> 8.51.
+    "incremental_neardup_cdc": 8.51,
 }
 
 BASELINE_S = {**_LEGACY_BARS, **_R6_BARS, **_R6_NEW_BARS, **_R7_BARS}

@@ -302,6 +302,10 @@ ROUND7_PROMOTION_PLAN = [
     # persisted POSITIONAL postings (shard-pruned 2-term scan +
     # map-side positions intersect; tombstone-aware).
     "phrase_match_persisted",
+    # NEW in round 7: the band store follows a MUTATING snapshot corpus
+    # through its CDC feed (re-signed updates, merge-on-read tombstones,
+    # ver-axis reinserts) — the dedup ∘ lakehouse composition.
+    "incremental_neardup_cdc",
     # tier 2 — remaining distinct machinery
     "weighted_sample", "unigram_logprob", "engaged_clean_users",
     "value_zscore_outliers", "event_type_cooccurrence",

@@ -729,3 +729,109 @@ def dedup_mor_apply(spark, sf_dir):
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
     )
+
+
+# ----------------------------------------- CDC-synced band store (probe)
+# The dedup ∘ lakehouse composition (the index-CDC story applied to
+# near-dup state): the persisted band store follows a MUTATING snapshot
+# corpus through its change feed — updated docs re-sign under their NEW
+# text, deleted docs tombstone out merge-on-read — and a probe of a new
+# batch must answer against the final logical corpus. Oracle semantics
+# mirror the store's incremental contract exactly: the v0 build caps
+# within the v0 corpus (so a doc that later dies still displaced others
+# at cap time — era 0), the CDC wave re-caps only within itself (era 1),
+# the probe batch within itself (era 2), and every dead doc's era-0 rows
+# vanish.
+_INC_NEARDUP_CDC_SQL = f"""
+WITH corpus AS (
+    SELECT doc_id, text, 0 AS era FROM documents WHERE doc_id % 4 <> 0
+    UNION ALL
+    SELECT doc_id, upper(text), 1 FROM documents
+    WHERE doc_id % 4 <> 0 AND doc_id % 8 = 1
+    UNION ALL
+    SELECT doc_id, text, 2 FROM documents WHERE doc_id % 4 = 0
+),
+hashes AS (
+    SELECT doc_id, era, {D.shingle_hashes_sql('text')} AS h FROM corpus
+),
+sigs AS (
+    SELECT doc_id, era, {D.minhash_signature_sql('h')} AS mh FROM hashes
+),
+bands_all AS (
+    SELECT doc_id, era, b.band,
+           array_to_string(list_transform(
+               list_slice(mh, b.band * {D.ROWS_PER_BAND} + 1,
+                          (b.band + 1) * {D.ROWS_PER_BAND}),
+               x -> CAST(x AS VARCHAR)), '_') AS key
+    FROM sigs, (
+        SELECT unnest(generate_series(0, {D.N_BANDS - 1})) AS band
+    ) b
+),
+capped AS (
+    SELECT doc_id, era, band, key FROM bands_all
+    QUALIFY row_number() OVER (
+        PARTITION BY era, band, key ORDER BY doc_id
+    ) <= {D.BUCKET_CAP}
+),
+dead AS (
+    SELECT doc_id FROM documents
+    WHERE doc_id % 4 <> 0 AND (doc_id % 8 = 1 OR doc_id % 8 = 7)
+),
+targets AS (
+    SELECT doc_id, band, key FROM capped
+    WHERE era = 0 AND doc_id NOT IN (SELECT doc_id FROM dead)
+    UNION ALL SELECT doc_id, band, key FROM capped WHERE era = 1
+    UNION ALL SELECT doc_id, band, key FROM capped WHERE era = 2
+),
+batch AS (SELECT doc_id, band, key FROM capped WHERE era = 2)
+SELECT DISTINCT
+    least(t.doc_id, n.doc_id) AS doc_a,
+    greatest(t.doc_id, n.doc_id) AS doc_b
+FROM targets t JOIN batch n ON t.band = n.band AND t.key = n.key
+WHERE t.doc_id <> n.doc_id
+"""
+
+
+@register("incremental_neardup_cdc", sql=_INC_NEARDUP_CDC_SQL)
+def incremental_neardup_cdc(spark, sf_dir):
+    """Band store synced from a snapshot corpus, advanced through a
+    MERGE-update (re-signed text) + CoW delete via CDC, then probed with
+    a new batch — pairs must reflect the final logical corpus."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from cargo_chat_spark.sources.band_store import (
+        apply_band_cdc,
+        probe_band_store,
+        sync_band_store_from_snapshot,
+    )
+    from cargo_chat_spark.sources.snapshots import (
+        snap_delete,
+        snap_merge,
+        snap_write,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.where(F.col("doc_id") % 4 != 0).select("doc_id", "text")
+    tag = f"{_os.path.basename(_os.path.normpath(sf_dir))}_{_os.getpid()}"
+    tbl = _os.path.join(_tempfile.gettempdir(), f"ccs_bandcdc_tbl_{tag}")
+    store = _os.path.join(_tempfile.gettempdir(), f"ccs_bandcdc_store_{tag}")
+    for p in (tbl, store):
+        if _os.path.isdir(p):
+            _shutil.rmtree(p)
+    snap_write(hist, tbl)
+    sync_band_store_from_snapshot(spark, store, tbl)
+    upd = hist.where(F.col("doc_id") % 8 == 1).withColumn(
+        "text", F.upper("text")
+    )
+    snap_merge(spark, tbl, upd, "doc_id")
+    snap_delete(
+        spark, tbl,
+        hist.where(F.col("doc_id") % 8 == 7).select("doc_id"),
+        "doc_id",
+    )
+    apply_band_cdc(spark, store, tbl)
+    return probe_band_store(
+        spark, store, docs.where(F.col("doc_id") % 4 == 0)
+    )

@@ -121,7 +121,11 @@ def probe_band_store(
     tests/test_band_store.py::test_probe_plan_store_never_shuffles)."""
     new_bands = bands_of(new_docs)
     if os.path.isdir(_bands_path(path)):
-        targets = read_band_store(spark, path)
+        # tombstone-aware when the store is CDC-maintained; identical to
+        # the raw read otherwise
+        targets = read_band_store_live(spark, path).select(
+            "doc_id", "band", "key"
+        )
         if include_new_new:
             targets = targets.unionByName(new_bands)
     elif include_new_new:
@@ -144,3 +148,150 @@ def probe_band_store(
         )
         .distinct()
     )
+
+
+# ------------------------------------------------ snapshot-CDC maintenance
+# The dedup analog of inverted_index.sync/apply: the band store FOLLOWS a
+# mutating snapshot corpus through its O(changed files) change feed —
+# inserts/updated docs append re-signed band rows stamped with the synced
+# version; deleted docs and updated docs' OLD generations become
+# merge-on-read tombstones (band files are immutable; reads anti-join the
+# bounded broadcast tombstone set; a reinserted doc's new generation
+# outlives old tombstones via ver >= cutoff). Capping stays PER INGESTED
+# WAVE (the store's incremental contract — a wave cannot know future
+# doc_ids), so the CDC wave re-caps only within itself.
+
+_SYNC_SUFFIX = ".sync.json"
+
+
+def _sync_path(path: str) -> str:
+    return path.rstrip("/") + _SYNC_SUFFIX
+
+
+def _tombstones_path(path: str) -> str:
+    return os.path.join(path, "tombstones")
+
+
+def synced_band_version(path: str) -> int:
+    import json
+
+    try:
+        with open(_sync_path(path)) as fh:
+            return int(json.load(fh)["synced_version"])
+    except (OSError, ValueError, KeyError):
+        return -1
+
+
+def _write_sync(path: str, version: int) -> None:
+    import json
+
+    tmp = _sync_path(path) + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump({"synced_version": version}, fh)
+    os.replace(tmp, _sync_path(path))
+
+
+def sync_band_store_from_snapshot(
+    spark: SparkSession,
+    store_path: str,
+    table_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_key_files: int = 4,
+) -> int:
+    """Initial full build from the table's LATEST snapshot; band rows
+    are stamped with the synced version (the tombstone generation
+    axis). Returns the synced version."""
+    from cargo_chat_spark.sources.snapshots import manifest, snap_read
+
+    v = int(manifest(table_path)["version"])
+    docs = snap_read(spark, table_path).select(id_col, text_col)
+    _write(
+        bands_of(docs, id_col, text_col).withColumn("ver", F.lit(v)),
+        store_path,
+        "overwrite",
+        n_key_files,
+    )
+    _write_sync(store_path, v)
+    return v
+
+
+def apply_band_cdc(
+    spark: SparkSession,
+    store_path: str,
+    table_path: str,
+    to_version: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_key_files: int = 4,
+) -> int:
+    """Advance the store from its synced version via the row-level
+    change feed: O(changed files + changed docs' signatures), never
+    O(corpus)."""
+    from cargo_chat_spark.sources.snapshots import manifest, snap_changes, snap_read
+
+    from_v = synced_band_version(store_path)
+    if from_v < 0:
+        raise ValueError(
+            f"band store at {store_path} was not built by "
+            "sync_band_store_from_snapshot"
+        )
+    to_v = (
+        int(manifest(table_path)["version"])
+        if to_version is None
+        else int(to_version)
+    )
+    if to_v == from_v:
+        return to_v
+    ch = snap_changes(spark, table_path, from_v, to_v, id_col)
+    dead = (
+        ch.where(F.col("change").isin("deleted", "updated"))
+        .select(F.col(id_col).alias("doc_id"))
+        .distinct()
+    )
+    fresh = (
+        ch.where(F.col("change").isin("inserted", "updated"))
+        .select(F.col(id_col))
+        .distinct()
+    )
+    (
+        dead.withColumn("cutoff", F.lit(to_v).cast("int"))
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(_tombstones_path(store_path))
+    )
+    new_docs = snap_read(spark, table_path, to_v).join(
+        F.broadcast(fresh), id_col, "semi"
+    ).select(id_col, text_col)
+    _write(
+        bands_of(new_docs, id_col, text_col).withColumn(
+            "ver", F.lit(to_v)
+        ),
+        store_path,
+        "append",
+        n_key_files,
+    )
+    _write_sync(store_path, to_v)
+    return to_v
+
+
+def read_band_store_live(spark: SparkSession, path: str) -> DataFrame:
+    """Band rows with merge-on-read tombstones applied (a CDC-deleted
+    doc's rows vanish; a reinserted doc's newer generation survives via
+    ver >= cutoff). Non-CDC stores (no tombstones dir) read as-is."""
+    b = read_band_store(spark, path)
+    if os.path.isdir(_tombstones_path(path)):
+        t = (
+            spark.read.parquet(_tombstones_path(path))
+            .groupBy("doc_id")
+            .agg(F.max("cutoff").alias("cutoff"))
+        )
+        b = b.alias("b").join(
+            F.broadcast(t).alias("t"),
+            on=[
+                F.col("b.doc_id") == F.col("t.doc_id"),
+                F.col("b.ver") < F.col("t.cutoff"),
+            ],
+            how="left_anti",
+        )
+    return b

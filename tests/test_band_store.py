@@ -131,3 +131,76 @@ def test_probe_plan_store_never_shuffles(spark, tmp_path):
         "band partition pruning by the broadcast keys missing:\n"
         + store_scan_line
     )
+
+
+def test_band_cdc_follows_updates_and_deletes(spark, tmp_path):
+    """CDC-synced store: an updated doc is matched by its NEW text only;
+    a deleted doc stops matching; a later reinsert outlives its own
+    tombstone (ver >= cutoff); idle apply is a no-op."""
+    from cargo_chat_spark.sources.band_store import (
+        apply_band_cdc,
+        probe_band_store,
+        read_band_store_live,
+        sync_band_store_from_snapshot,
+        synced_band_version,
+    )
+    from cargo_chat_spark.sources.snapshots import (
+        snap_append,
+        snap_delete,
+        snap_merge,
+        snap_write,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    other = "one two three four five six seven eight"
+    docs = [(1, base), (2, other), (3, "iota kappa " + other)]
+    tbl, store = str(tmp_path / "tbl"), str(tmp_path / "store")
+    snap_write(
+        spark.createDataFrame(docs, "doc_id bigint, text string"), tbl
+    )
+    sync_band_store_from_snapshot(spark, store, tbl)
+
+    probe = spark.createDataFrame(
+        [(100, base)], "doc_id bigint, text string"
+    )
+
+    def pairs():
+        return {
+            (r["doc_a"], r["doc_b"])
+            for r in probe_band_store(
+                spark, tbl and store, probe, include_new_new=False
+            ).collect()
+        }
+
+    assert pairs() == {(1, 100)}  # doc 1 is the near-dup of the probe
+
+    # update doc 1 away from the probe text; doc 2 TO the probe text;
+    # delete doc 3
+    snap_merge(
+        spark, tbl,
+        spark.createDataFrame(
+            [(1, other + " nine"), (2, base)], "doc_id bigint, text string"
+        ),
+        "doc_id",
+    )
+    snap_delete(
+        spark, tbl,
+        spark.createDataFrame([(3,)], "doc_id bigint"), "doc_id",
+    )
+    v = apply_band_cdc(spark, store, tbl)
+    assert synced_band_version(store) == v
+    assert pairs() == {(2, 100)}  # follows the NEW texts
+    # tombstoned generations are gone from the live read
+    live = read_band_store_live(spark, store)
+    assert live.where(F.col("doc_id") == 3).count() == 0
+
+    # idle apply no-ops; reinsert doc 3 as a near-dup of the probe —
+    # its NEW generation must outlive the old tombstone
+    assert apply_band_cdc(spark, store, tbl) == v
+    snap_append(
+        spark.createDataFrame([(3, base + " extra")],
+                              "doc_id bigint, text string"),
+        tbl,
+    )
+    apply_band_cdc(spark, store, tbl)
+    assert (3, 100) in pairs()
