@@ -123,6 +123,7 @@ DETAIL_EXTRA = [
     "phrase_match_docs",        # new r7: positional phrase adjacency
     "phrase_match_persisted",   # new r7: phrase from positional postings
     "incremental_neardup_cdc",  # new r7: band store follows CDC feed
+    "ivf_topk_cdc_synced",      # new r7: ANN index follows CDC feed
 ]
 
 
@@ -382,6 +383,11 @@ _R7_BARS = {
     # whole lifecycle fixture (snapshot write + sync + MERGE + delete +
     # CDC apply + probe); median 6.819 @ calib 0.342 (/0.801) -> 8.51.
     "incremental_neardup_cdc": 8.51,
+    # the heaviest CDC lifecycle fixture (vector snapshot write + full
+    # index build + MERGE-negate + delete + CDC upsert/delete + probe
+    # query); median 14.316 @ calib 0.379 (/0.888) -> 16.13 — the
+    # bm25_cdc_synced_index / dedup_mor_apply weight class.
+    "ivf_topk_cdc_synced": 16.13,
 }
 
 BASELINE_S = {**_LEGACY_BARS, **_R6_BARS, **_R6_NEW_BARS, **_R7_BARS}

@@ -306,6 +306,10 @@ ROUND7_PROMOTION_PLAN = [
     # through its CDC feed (re-signed updates, merge-on-read tombstones,
     # ver-axis reinserts) — the dedup ∘ lakehouse composition.
     "incremental_neardup_cdc",
+    # NEW in round 7: the persisted ANN cell index follows the vector
+    # snapshot's CDC feed (upsert with cell moves, O(touched cells)
+    # row-level delete) — completes the CDC trio.
+    "ivf_topk_cdc_synced",
     # tier 2 — remaining distinct machinery
     "weighted_sample", "unigram_logprob", "engaged_clean_users",
     "value_zscore_outliers", "event_type_cooccurrence",

@@ -1000,6 +1000,18 @@ def ivf_topk_persisted(spark, sf_dir):
         dim,
         centroids,
     )
+    return _persisted_topk(spark, emb, out_dir, centroids)
+
+
+def _persisted_topk(spark, emb, out_dir, centroids):
+    """Shared query tail over a cell-partitioned on-disk index: probe
+    _PERSIST_PROBE cells per standard query, partition-pruned scan of
+    the probed union, exact (distance, neighbor_id) rank ≤ 10."""
+    from pyspark.sql import Window
+
+    from cargo_chat_spark.functions import vectors
+    from cargo_chat_spark.sources.index_io import read_index_cells
+
     queries = emb.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
@@ -1031,6 +1043,127 @@ def ivf_topk_persisted(spark, sf_dir):
         scored.withColumn("rank", F.row_number().over(w_rank))
         .where(F.col("rank") <= 10)
     )
+
+
+# --------------------------------- CDC-synced persisted ANN index
+# The ANN member of the CDC trio (inverted index, band store, now the
+# cell-partitioned vector index): the index follows a MUTATING snapshot
+# table of (chunk_id, embedding) rows — updated vectors upsert (cell
+# moves included: the negation flips every assignment), deleted vectors
+# rewrite out of their cells; each step O(changed files + touched
+# cells). The oracle states hard-assigned IVF over the FINAL logical
+# vector set, so a stale row, a resurrected delete, or an update left in
+# its old cell is a value mismatch.
+
+
+def _cdc_persisted_sql() -> str:
+    from cargo_chat_spark.queries.similarity import _cent_values_sql
+
+    sq = _SQ
+    return f"""
+WITH centroids AS (
+    SELECT * FROM (VALUES {_cent_values_sql()}) AS t(cell_id, cvec)
+),
+vecs AS (
+    SELECT vec_id,
+           CASE WHEN vec_id % 10 = 3
+                THEN list_transform(embedding, x -> -CAST(x AS DOUBLE))
+                ELSE list_transform(embedding, x -> CAST(x AS DOUBLE))
+           END AS embedding
+    FROM embeddings WHERE vec_id % 10 <> 7
+),
+assigned AS (
+    SELECT b.vec_id, b.embedding, a.cell_id,
+        row_number() OVER (
+            PARTITION BY b.vec_id
+            ORDER BY sqrt({sq.format(a="a.cvec", b="b.embedding")}), a.cell_id
+        ) AS cr
+    FROM vecs b CROSS JOIN centroids a
+),
+cells AS (
+    SELECT vec_id, embedding, cell_id FROM assigned WHERE cr = 1
+),
+queries AS (
+    SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 100 = 0
+),
+probes AS (
+    SELECT b.query_id, a.cell_id,
+        row_number() OVER (
+            PARTITION BY b.query_id
+            ORDER BY sqrt({sq.format(a="a.cvec", b="b.embedding")}), a.cell_id
+        ) AS pr
+    FROM queries b CROSS JOIN centroids a
+    QUALIFY pr <= {_PERSIST_PROBE}
+),
+scored AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+        sqrt({sq.format(a="q.embedding", b="c.embedding")}) AS distance
+    FROM queries q
+    JOIN probes p ON p.query_id = q.query_id
+    JOIN cells c ON c.cell_id = p.cell_id
+)
+SELECT query_id, neighbor_id, distance,
+    CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY distance, neighbor_id
+    ) AS INT) AS "rank"
+FROM scored
+QUALIFY "rank" <= 10
+"""
+
+
+@register("ivf_topk_cdc_synced", sql=_cdc_persisted_sql())
+def ivf_topk_cdc_synced(spark, sf_dir):
+    """Persisted IVF index advanced ONLY via the snapshot CDC feed
+    (sync → MERGE-negate %10==3 → delete %10==7 → apply), then queried —
+    must equal hard-assigned IVF over the final logical vectors."""
+    import os
+    import shutil
+    import tempfile
+
+    from cargo_chat_spark.functions import vectors
+    from cargo_chat_spark.queries._ivf_centroids import TRAINED_CENTROIDS
+    from cargo_chat_spark.sources.index_io import (
+        apply_ann_cdc,
+        sync_ann_index_from_snapshot,
+    )
+    from cargo_chat_spark.sources.snapshots import (
+        snap_delete,
+        snap_merge,
+        snap_write,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = vectors.infer_dim(emb, "embedding")
+    centroids = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(TRAINED_CENTROIDS)],
+        "cell_id int, cvec array<double>",
+    )
+    vecs = emb.select(
+        F.col("vec_id").alias("chunk_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}"
+    tbl = os.path.join(tempfile.gettempdir(), f"ccs_anncdc_tbl_{tag}")
+    idx = os.path.join(tempfile.gettempdir(), f"ccs_anncdc_idx_{tag}")
+    for p in (tbl, idx):
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+    sync_marker = idx.rstrip("/") + ".ann_sync.json"
+    if os.path.exists(sync_marker):
+        os.remove(sync_marker)
+    snap_write(vecs, tbl)
+    sync_ann_index_from_snapshot(spark, idx, tbl, dim, centroids)
+    upd = vecs.where(F.col("chunk_id") % 10 == 3).withColumn(
+        "embedding", F.transform("embedding", lambda x: -x)
+    )
+    snap_merge(spark, tbl, upd, "chunk_id")
+    snap_delete(
+        spark, tbl,
+        vecs.where(F.col("chunk_id") % 10 == 7).select("chunk_id"),
+        "chunk_id",
+    )
+    apply_ann_cdc(spark, idx, tbl)
+    return _persisted_topk(spark, emb, idx, centroids)
 
 
 # ------------------------------------------------- MMR diversified top-k

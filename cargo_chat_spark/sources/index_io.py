@@ -429,6 +429,151 @@ def read_index_cells(spark: SparkSession, index_dir: str, cell_ids: list[int]) -
     return df.where(F.col("cell_id").isin(cell_ids))
 
 
+def delete_index_ids(
+    spark: SparkSession, index_dir: str, ids: DataFrame
+) -> None:
+    """Row-level delete from the cell-partitioned index: rewrite ONLY
+    the cells holding the ids (Bloom-sidecar location, the upsert's
+    old-cells fast path), O(touched cells) like every maintenance op
+    here. ``ids`` carries one ``chunk_id`` column."""
+    import shutil
+
+    data_dir = os.path.join(index_dir, "index")
+    idx = spark.read.parquet(data_dir)
+    del_ids = ids.select("chunk_id").distinct()
+    blooms = _read_cell_blooms(index_dir)
+    live_cells = {
+        int(d.split("=", 1)[1])
+        for d in os.listdir(data_dir)
+        if d.startswith("cell_id=")
+    }
+    if blooms is not None and live_cells <= set(blooms):
+        cells = _bloom_candidate_cells(spark, blooms, del_ids)
+    else:
+        cells = (
+            idx.join(F.broadcast(del_ids), "chunk_id")
+            .select("cell_id")
+            .distinct()
+        )
+    touched = [r["cell_id"] for r in cells.distinct().collect()]
+    if not touched:
+        return
+    merged = (
+        idx.where(F.col("cell_id").isin(touched))
+        .join(F.broadcast(del_ids), "chunk_id", "left_anti")
+        .localCheckpoint(eager=True)  # the plan reads files we replace
+    )
+    old_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("cell_id").parquet(data_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    present = {
+        r["cell_id"] for r in merged.select("cell_id").distinct().collect()
+    }
+    for c in touched:  # dynamic overwrite can't express "now empty"
+        if c not in present:
+            p = os.path.join(data_dir, f"cell_id={c}")
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+    if blooms is not None:
+        _refresh_cell_blooms(spark, index_dir, sorted(present & set(touched)))
+
+
+# ------------------------------------------------ snapshot-CDC maintenance
+# The ANN member of the CDC trio (inverted_index.apply_index_cdc, band_
+# store.apply_band_cdc): the cell-partitioned index follows a mutating
+# snapshot table of (chunk_id, embedding) rows. Unlike the merge-on-read
+# stores this one maintains in place — upserts and deletes each rewrite
+# O(touched cells) — so the fence simply records the synced version.
+
+_ANN_SYNC = ".ann_sync.json"
+
+
+def ann_synced_version(index_dir: str) -> int:
+    try:
+        with open(index_dir.rstrip("/") + _ANN_SYNC) as fh:
+            return int(json.load(fh)["synced_version"])
+    except (OSError, ValueError, KeyError):
+        return -1
+
+
+def _write_ann_sync(index_dir: str, version: int) -> None:
+    tmp = index_dir.rstrip("/") + _ANN_SYNC + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump({"synced_version": version}, fh)
+    os.replace(tmp, index_dir.rstrip("/") + _ANN_SYNC)
+
+
+def sync_ann_index_from_snapshot(
+    spark: SparkSession,
+    index_dir: str,
+    table_path: str,
+    dim: int,
+    centroids: DataFrame,
+) -> int:
+    """Initial full build of the cell-partitioned index from the
+    table's LATEST snapshot. Returns the synced version."""
+    from cargo_chat_spark.sources.snapshots import manifest, snap_read
+
+    v = int(manifest(table_path)["version"])
+    write_index_partitioned(
+        snap_read(spark, table_path).select("chunk_id", "embedding"),
+        index_dir,
+        dim,
+        centroids,
+    )
+    _write_ann_sync(index_dir, v)
+    return v
+
+
+def apply_ann_cdc(
+    spark: SparkSession, index_dir: str, table_path: str,
+    to_version: int | None = None,
+) -> int:
+    """Advance the index through the table's row-level change feed:
+    inserted/updated rows upsert (cell moves handled), deleted rows
+    rewrite out of their cells — O(changed files + touched cells)."""
+    from cargo_chat_spark.sources.snapshots import manifest, snap_changes, snap_read
+
+    from_v = ann_synced_version(index_dir)
+    if from_v < 0:
+        raise ValueError(
+            f"index at {index_dir} was not built by "
+            "sync_ann_index_from_snapshot"
+        )
+    to_v = (
+        int(manifest(table_path)["version"])
+        if to_version is None
+        else int(to_version)
+    )
+    if to_v == from_v:
+        return to_v
+    ch = snap_changes(spark, table_path, from_v, to_v, "chunk_id")
+    fresh = (
+        ch.where(F.col("change").isin("inserted", "updated"))
+        .select("chunk_id")
+        .distinct()
+    )
+    updates = snap_read(spark, table_path, to_v).join(
+        F.broadcast(fresh), "chunk_id", "semi"
+    ).select("chunk_id", "embedding")
+    if updates.head(1):
+        upsert_index_cells(spark, index_dir, updates)
+    deleted = (
+        ch.where(F.col("change") == "deleted")
+        .select("chunk_id")
+        .distinct()
+    )
+    if deleted.head(1):
+        delete_index_ids(spark, index_dir, deleted)
+    _write_ann_sync(index_dir, to_v)
+    return to_v
+
+
 def import_reference_index(
     spark: SparkSession, index_bin_path: str, out_dir: str
 ) -> tuple[DataFrame, dict]:

@@ -327,3 +327,102 @@ def test_upsert_rejects_duplicate_chunk_ids(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="one row per chunk_id"):
         upsert_index_cells(spark, out, dup)
+
+
+def test_delete_index_ids_and_ann_cdc_lifecycle(spark, tmp_path):
+    """delete_index_ids rewrites only the cells holding the ids; the CDC
+    wrapper keeps the index equal to a from-scratch build of the table's
+    CURRENT content after every step (update-with-cell-move, delete,
+    reinsert), and idle applies are fenced no-ops."""
+    from cargo_chat_spark.sources.index_io import (
+        ann_synced_version,
+        apply_ann_cdc,
+        delete_index_ids,
+        sync_ann_index_from_snapshot,
+        write_index_partitioned,
+    )
+    from cargo_chat_spark.sources.snapshots import (
+        snap_append,
+        snap_delete,
+        snap_merge,
+        snap_write,
+    )
+
+    emb = load_table(spark, SF_DIR_SMALL, "embeddings")
+    vecs = emb.select(
+        F.col("vec_id").alias("chunk_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    ).where(F.col("chunk_id") < 60)
+    centroids = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("int").alias("cell_id"),
+        F.col("embedding").cast("array<double>").alias("cvec"),
+    )
+
+    # --- plain delete: only holding cells rewritten, rows gone
+    out0 = str(tmp_path / "del_idx")
+    write_index_partitioned(vecs, out0, 64, centroids)
+    before = _partition_sig(out0)
+    victims = vecs.where(F.col("chunk_id").isin(5, 6)).select("chunk_id")
+    delete_index_ids(spark, out0, victims)
+    after = _partition_sig(out0)
+    back = spark.read.parquet(out0 + "/index")
+    assert back.where(F.col("chunk_id").isin(5, 6)).count() == 0
+    assert back.count() == vecs.count() - 2
+    assert any(after.get(d) != before[d] for d in before)
+    untouched = [d for d in before if after.get(d) == before[d]]
+    assert untouched, "delete must not rewrite every cell"
+
+    # --- CDC lifecycle vs from-scratch builds
+    tbl = str(tmp_path / "tbl")
+    idx = str(tmp_path / "cdc_idx")
+    snap_write(vecs, tbl)
+    v0 = sync_ann_index_from_snapshot(spark, idx, tbl, 64, centroids)
+    assert ann_synced_version(idx) == v0
+
+    def index_rows(path):
+        return {
+            (r["chunk_id"], r["cell_id"])
+            for r in spark.read.parquet(path + "/index")
+            .select("chunk_id", "cell_id")
+            .collect()
+        }
+
+    def fresh_rows():
+        from cargo_chat_spark.sources.snapshots import snap_read
+
+        ref = str(tmp_path / "ref")
+        import shutil as _sh
+
+        if os.path.isdir(ref):
+            _sh.rmtree(ref)
+        write_index_partitioned(
+            snap_read(spark, tbl).select("chunk_id", "embedding"),
+            ref, 64, centroids,
+        )
+        return index_rows(ref)
+
+    # update (negate -> cell moves) + delete, one CDC apply
+    upd = vecs.where(F.col("chunk_id") % 10 == 3).withColumn(
+        "embedding", F.transform("embedding", lambda x: -x)
+    )
+    snap_merge(spark, tbl, upd, "chunk_id")
+    snap_delete(
+        spark, tbl,
+        vecs.where(F.col("chunk_id") % 10 == 7).select("chunk_id"),
+        "chunk_id",
+    )
+    apply_ann_cdc(spark, idx, tbl)
+    assert index_rows(idx) == fresh_rows()
+
+    # idle apply is a fenced no-op (no version advance -> no rewrite)
+    sig = _partition_sig(idx)
+    apply_ann_cdc(spark, idx, tbl)
+    assert _partition_sig(idx) == sig
+
+    # reinsert a previously deleted id with new content
+    re_add = vecs.where(F.col("chunk_id") == 7).withColumn(
+        "embedding", F.transform("embedding", lambda x: x * F.lit(2.0))
+    )
+    snap_append(re_add, tbl)
+    apply_ann_cdc(spark, idx, tbl)
+    assert index_rows(idx) == fresh_rows()
