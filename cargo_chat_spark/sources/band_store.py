@@ -295,3 +295,82 @@ def read_band_store_live(spark: SparkSession, path: str) -> DataFrame:
             how="left_anti",
         )
     return b
+
+
+def compact_band_tombstones(spark: SparkSession, path: str) -> int:
+    """Materialize the tombstones: rewrite ONLY the dirty band files
+    (those holding a tombstoned generation), then clear the tombstone
+    set — the band-store analog of inverted_index.
+    compact_index_tombstones / snapshots.snap_compact_dv. O(dirty
+    files); clean files untouched byte-for-byte. Returns the number of
+    files rewritten. Single-writer maintenance op (same caveat as the
+    lexical compaction: run it from the CDC applier's scheduler slot)."""
+    import shutil
+    import uuid
+
+    from cargo_chat_spark.sources._paths import strip_scheme
+
+    if not os.path.isdir(_tombstones_path(path)):
+        return 0
+    broot = _bands_path(path)
+    t = (
+        spark.read.parquet(_tombstones_path(path))
+        .groupBy("doc_id")
+        .agg(F.max("cutoff").alias("cutoff"))
+    )
+    scan = (
+        spark.read.option("basePath", broot)
+        .parquet(broot)
+        .withColumn("_f", F.col("_metadata.file_path"))
+    )
+    dead = scan.alias("b").join(
+        F.broadcast(t).alias("t"),
+        on=[
+            F.col("b.doc_id") == F.col("t.doc_id"),
+            F.col("b.ver") < F.col("t.cutoff"),
+        ],
+    )
+    dirty = sorted(
+        strip_scheme(r["_f"])
+        for r in dead.select("_f").distinct().collect()
+    )  # bounded: one row per dirty file
+    if dirty:
+        staging = os.path.join(
+            strip_scheme(path),
+            f"_compact_staging.{os.getpid()}.{uuid.uuid4().hex}",
+        )
+        survivors = (
+            spark.read.option("basePath", broot)
+            .parquet(*dirty)
+            .alias("b")
+            .join(
+                F.broadcast(t).alias("t"),
+                on=[
+                    F.col("b.doc_id") == F.col("t.doc_id"),
+                    F.col("b.ver") < F.col("t.cutoff"),
+                ],
+                how="left_anti",
+            )
+        )
+        (
+            survivors.sortWithinPartitions("key")
+            .write.mode("overwrite")
+            .partitionBy("band")
+            .parquet(staging)
+        )
+        for f in dirty:
+            os.remove(f)
+        for band_dir in os.listdir(staging):
+            src = os.path.join(staging, band_dir)
+            if not (os.path.isdir(src) and band_dir.startswith("band=")):
+                continue
+            dst = os.path.join(strip_scheme(broot), band_dir)
+            os.makedirs(dst, exist_ok=True)
+            for part in os.listdir(src):
+                if part.endswith(".parquet"):
+                    os.replace(
+                        os.path.join(src, part), os.path.join(dst, part)
+                    )
+        shutil.rmtree(staging)
+    shutil.rmtree(_tombstones_path(path))
+    return len(dirty)

@@ -204,3 +204,55 @@ def test_band_cdc_follows_updates_and_deletes(spark, tmp_path):
     )
     apply_band_cdc(spark, store, tbl)
     assert (3, 100) in pairs()
+
+
+def test_band_tombstone_compaction_preserves_answers(spark, tmp_path):
+    """compact_band_tombstones rewrites only dirty files (clean files
+    byte-identical), probe answers are unchanged, and the op is
+    idempotent (second call rewrites nothing)."""
+    from cargo_chat_spark.sources.band_store import (
+        _bands_path,
+        apply_band_cdc,
+        compact_band_tombstones,
+        probe_band_store,
+        sync_band_store_from_snapshot,
+    )
+    from cargo_chat_spark.sources.snapshots import snap_delete, snap_write
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [(1, base), (2, "one two three four five six seven"),
+            (3, base + " iota")]
+    tbl, store = str(tmp_path / "tbl"), str(tmp_path / "store")
+    snap_write(
+        spark.createDataFrame(docs, "doc_id bigint, text string"), tbl
+    )
+    sync_band_store_from_snapshot(spark, store, tbl)
+    snap_delete(
+        spark, tbl,
+        spark.createDataFrame([(3,)], "doc_id bigint"), "doc_id",
+    )
+    apply_band_cdc(spark, store, tbl)
+
+    probe = spark.createDataFrame(
+        [(100, base)], "doc_id bigint, text string"
+    )
+
+    def pairs():
+        return {
+            (r["doc_a"], r["doc_b"])
+            for r in probe_band_store(
+                spark, store, probe, include_new_new=False
+            ).collect()
+        }
+
+    want = pairs()
+    assert (1, 100) in want and not any(a == 3 or b == 3 for a, b in want)
+
+    n = compact_band_tombstones(spark, store)
+    assert n > 0
+    assert not os.path.isdir(os.path.join(store, "tombstones"))
+    assert pairs() == want
+    # raw read (no tombstones left) must also be clean of doc 3
+    raw = spark.read.parquet(_bands_path(store))
+    assert raw.where(F.col("doc_id") == 3).count() == 0
+    assert compact_band_tombstones(spark, store) == 0  # idempotent
