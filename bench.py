@@ -124,6 +124,8 @@ DETAIL_EXTRA = [
     "phrase_match_persisted",   # new r7: phrase from positional postings
     "incremental_neardup_cdc",  # new r7: band store follows CDC feed
     "ivf_topk_cdc_synced",      # new r7: ANN index follows CDC feed
+    "late_shipment_priorities",  # new r7: Q4 EXISTS/semi-join shape
+    "small_lot_revenue_q17",    # new r7: Q17 correlated-avg shape
 ]
 
 
@@ -388,6 +390,10 @@ _R7_BARS = {
     # query); median 14.316 @ calib 0.379 (/0.888) -> 16.13 — the
     # bm25_cdc_synced_index / dedup_mor_apply weight class.
     "ivf_topk_cdc_synced": 16.13,
+    # Q4 semi-join (median 0.888 @ calib ~0.37) and Q17 decorrelated
+    # correlated-avg (median 0.899), both warm-then-3-cold.
+    "late_shipment_priorities": 1.03,
+    "small_lot_revenue_q17": 1.07,
 }
 
 BASELINE_S = {**_LEGACY_BARS, **_R6_BARS, **_R6_NEW_BARS, **_R7_BARS}

@@ -310,6 +310,11 @@ ROUND7_PROMOTION_PLAN = [
     # snapshot's CDC feed (upsert with cell moves, O(touched cells)
     # row-level delete) — completes the CDC trio.
     "ivf_topk_cdc_synced",
+    # NEW in round 7: two classic relational shapes — Q4's EXISTS
+    # (semi-join with a lateness predicate in the join condition) and
+    # Q17's correlated average (decorrelated, integer-exact threshold).
+    "late_shipment_priorities",
+    "small_lot_revenue_q17",
     # tier 2 — remaining distinct machinery
     "weighted_sample", "unigram_logprob", "engaged_clean_users",
     "value_zscore_outliers", "event_type_cooccurrence",

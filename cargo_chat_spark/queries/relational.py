@@ -1147,3 +1147,93 @@ def promo_revenue_disjunctive(spark, sf_dir):
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+# --------------------------------------------------- Q4 shape (EXISTS)
+# TPC-H Q4's decorrelated-EXISTS pattern on this schema: count orders per
+# priority having at least one LATE lineitem (shipped >20 days after the
+# order date). Plan: the EXISTS lowers to a LEFT SEMI join on orderkey
+# with the lateness predicate in the join condition — the lineitem side
+# never aggregates or deduplicates, and the count is map-side-combined.
+_LATE_PRIORITY_SQL = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 20 DAY
+)
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("late_shipment_priorities", sql=_LATE_PRIORITY_SQL)
+def late_shipment_priorities(spark, sf_dir):
+    """Orders with >=1 lineitem shipped >20 days after the order date,
+    counted per priority (Q4's EXISTS/semi-join shape)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (li["l_orderkey"] == o["o_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 20 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+
+
+# ------------------------------------------- Q17 shape (correlated avg)
+# TPC-H Q17: revenue of SMALL-LOT lineitems — quantity below 20% of the
+# part's average quantity — for one brand. The correlated scalar subquery
+# decorrelates to a per-part aggregate joined back; the threshold
+# comparison is INTEGER-EXACT (quantities are integral, so
+# 5 * qty * n_part < sum_qty in BIGINT avoids the 0.2*AVG float boundary
+# a shuffle-order-dependent double average could flip cross-engine).
+_SMALL_LOT_SQL = """
+WITH pa AS (
+    SELECT l_partkey,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) / 7.0, 6)
+            AS DOUBLE) AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN pa ON pa.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#13'
+  AND 5 * CAST(l.l_quantity AS BIGINT) * pa.n < pa.sum_qty
+"""
+
+
+@register("small_lot_revenue_q17", sql=_SMALL_LOT_SQL)
+def small_lot_revenue_q17(spark, sf_dir):
+    """Small-lot revenue for Brand#13 (Q17's correlated-average shape,
+    decorrelated and integer-exact at the threshold)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    pa = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    brand = p.where(F.col("p_brand") == "Brand#13").select("p_partkey")
+    return (
+        li.join(F.broadcast(brand), li["l_partkey"] == brand["p_partkey"])
+        .join(pa, "l_partkey")
+        .where(
+            F.lit(5) * F.col("l_quantity").cast("bigint") * F.col("n")
+            < F.col("sum_qty")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) / 7.0, 6
+            )
+            .cast("double")
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
