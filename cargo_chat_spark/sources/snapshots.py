@@ -701,14 +701,70 @@ def snap_compact_files(
     return v
 
 
+# --------------------------------------------------- named refs (tags)
+# Iceberg-style TAGS: a name pinned to a version. The semantic content
+# is retention — expire_snapshots RETAINS every tagged version (and its
+# files), so a tag is a durable anchor ("the v3 we trained run-42 on")
+# that survives vacuum until explicitly dropped.
+
+_TAGS_FILE = "_tags.json"
+
+
+def _tags_path(path: str) -> str:
+    return os.path.join(_snap_dir(path), _TAGS_FILE)
+
+
+def list_tags(path: str) -> dict[str, int]:
+    try:
+        with open(_tags_path(path)) as fh:
+            return {k: int(v) for k, v in json.load(fh).items()}
+    except (OSError, ValueError):
+        return {}
+
+
+def _write_tags(path: str, tags: dict[str, int]) -> None:
+    tmp = _tags_path(path) + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(tags, fh)
+    os.replace(tmp, _tags_path(path))
+
+
+def snap_tag(path: str, name: str, version: int | None = None) -> int:
+    """Pin ``name`` to ``version`` (latest by default). Re-tagging an
+    existing name moves it. The version must exist."""
+    v = int(manifest(path)["version"]) if version is None else int(version)
+    if v not in versions(path):
+        raise ValueError(f"cannot tag non-existent version {v}")
+    tags = list_tags(path)
+    tags[name] = v
+    _write_tags(path, tags)
+    return v
+
+
+def snap_drop_tag(path: str, name: str) -> None:
+    tags = list_tags(path)
+    if name in tags:
+        del tags[name]
+        _write_tags(path, tags)
+
+
+def snap_read_tag(spark: SparkSession, path: str, name: str) -> DataFrame:
+    tags = list_tags(path)
+    if name not in tags:
+        raise ValueError(f"unknown tag {name!r} (have {sorted(tags)})")
+    return snap_read(spark, path, tags[name])
+
+
 def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
     """Vacuum: drop all but the last ``keep_last`` manifests and delete
-    the data files no retained manifest references. Returns the deleted
-    basenames. ``keep_last < 1`` is a defensive no-op (expiring every
-    manifest would leave an unreadable table, never what a vacuum
-    means)."""
+    the data files no retained manifest references — EXCEPT tagged
+    versions, which are retained with their files until the tag is
+    dropped (Iceberg ref semantics). Returns the deleted basenames.
+    ``keep_last < 1`` is a defensive no-op (expiring every manifest
+    would leave an unreadable table, never what a vacuum means)."""
     vs = versions(path)
     retained = set(vs[-keep_last:]) if keep_last > 0 else set(vs)
+    retained |= {v for v in list_tags(path).values() if v in set(vs)}
     reachable: set[str] = set()
     reachable_dv: set[str] = set()
     for v in retained:

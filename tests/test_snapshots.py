@@ -1197,3 +1197,39 @@ def test_compact_small_files_binpack(spark, tmp_path):
         spark, out, small_bytes=small_cut, target_bytes=40_000
     )
     assert v2 == v or len(manifest(out, v2)["files"]) <= len(m2["files"])
+
+
+# --------------------------------------------------------- tags (refs)
+
+
+def test_tags_pin_versions_against_vacuum(spark, tmp_path):
+    """A tagged version and its files survive expire_snapshots; dropping
+    the tag releases them on the next vacuum; reads-by-tag are exact;
+    tagging a missing version raises."""
+    import pytest as _pytest
+
+    from cargo_chat_spark.sources.snapshots import (
+        expire_snapshots,
+        list_tags,
+        snap_drop_tag,
+        snap_read_tag,
+        snap_tag,
+        versions,
+    )
+
+    out = str(tmp_path / "t")
+    e, (v0, v1, v2) = _build(spark, out)
+    want_v1 = _rows(snap_read(spark, out, v1))
+    snap_tag(out, "train-run", v1)
+    assert list_tags(out) == {"train-run": v1}
+    with _pytest.raises(ValueError):
+        snap_tag(out, "oops", 99)
+
+    expire_snapshots(out, keep_last=1)
+    assert set(versions(out)) == {v1, v2}  # tagged v1 retained, v0 gone
+    assert _rows(snap_read_tag(spark, out, "train-run")) == want_v1
+
+    snap_drop_tag(out, "train-run")
+    expire_snapshots(out, keep_last=1)
+    assert set(versions(out)) == {v2}
+    assert _rows(snap_read(spark, out, v2)) == _rows(snap_read(spark, out))
