@@ -126,6 +126,7 @@ DETAIL_EXTRA = [
     "ivf_topk_cdc_synced",      # new r7: ANN index follows CDC feed
     "late_shipment_priorities",  # new r7: Q4 EXISTS/semi-join shape
     "small_lot_revenue_q17",    # new r7: Q17 correlated-avg shape
+    "waiting_customers_q22",    # new r7: Q22 scalar-sub + anti-join
 ]
 
 
@@ -394,6 +395,9 @@ _R7_BARS = {
     # correlated-avg (median 0.899), both warm-then-3-cold.
     "late_shipment_priorities": 1.03,
     "small_lot_revenue_q17": 1.07,
+    # Q22 shape (integer-cents global-avg threshold + big-order anti
+    # join); median 0.927 -> 1.02.
+    "waiting_customers_q22": 1.02,
 }
 
 BASELINE_S = {**_LEGACY_BARS, **_R6_BARS, **_R6_NEW_BARS, **_R7_BARS}

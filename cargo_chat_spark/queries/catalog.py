@@ -315,6 +315,9 @@ ROUND7_PROMOTION_PLAN = [
     # Q17's correlated average (decorrelated, integer-exact threshold).
     "late_shipment_priorities",
     "small_lot_revenue_q17",
+    # NEW in round 7: Q22's scalar-subquery + anti-join shape with an
+    # integer-cents global-average threshold.
+    "waiting_customers_q22",
     # tier 2 — remaining distinct machinery
     "weighted_sample", "unigram_logprob", "engaged_clean_users",
     "value_zscore_outliers", "event_type_cooccurrence",

@@ -1237,3 +1237,69 @@ def small_lot_revenue_q17(spark, sf_dir):
             F.count(F.lit(1)).cast("bigint").alias("n_lines"),
         )
     )
+
+
+# ---------------------------------------------------- Q22 shape (anti)
+# TPC-H Q22 on this schema: customers with an ABOVE-AVERAGE positive
+# balance and no BIG order (>$350k — every fixture customer has SOME
+# order, so plain never-ordered is empty), rolled up per nation. The
+# above-average threshold compares in INTEGER CENTS (balance routed
+# through DECIMAL(18,2)·100 → BIGINT, then cents·n > sum_cents), so the
+# global average never materializes as a float that could straddle an
+# ulp cross-engine; the "never ordered" predicate is a left anti join.
+_WAITING_SQL = """
+WITH pos AS (
+    SELECT c_custkey, c_nationkey,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM customer WHERE c_acctbal > 0.0
+),
+stats AS (
+    SELECT CAST(SUM(cents) AS BIGINT) AS total,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pos
+)
+SELECT p.c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(p.cents) AS DOUBLE) / 100.0 AS total_bal
+FROM pos p CROSS JOIN stats s
+WHERE p.cents * s.n > s.total
+  AND NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = p.c_custkey AND o.o_totalprice > 350000.0
+  )
+GROUP BY p.c_nationkey
+"""
+
+
+@register("waiting_customers_q22", sql=_WAITING_SQL)
+def waiting_customers_q22(spark, sf_dir):
+    """Above-average-balance customers with no big (>$350k) order,
+    per nation (Q22's scalar-subquery + anti-join shape, integer-cents
+    threshold)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    pos = c.where(F.col("c_acctbal") > 0.0).select(
+        "c_custkey",
+        "c_nationkey",
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    stats = pos.agg(
+        F.sum("cents").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return (
+        pos.crossJoin(F.broadcast(stats))
+        .where(F.col("cents") * F.col("n") > F.col("total"))
+        .join(
+            o.where(F.col("o_totalprice") > 350000.0).select("o_custkey"),
+            pos["c_custkey"] == o["o_custkey"],
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+            (F.sum("cents").cast("double") / 100.0).alias("total_bal"),
+        )
+    )
