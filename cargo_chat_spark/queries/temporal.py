@@ -73,16 +73,24 @@ def events_ohlc_hourly(spark, sf_dir):
 
 # ----------------------------------------------------------- user_value_scd2
 # Changelog -> slowly-changing-dimension type 2: each purchase opens a
-# validity interval closed by the user's next purchase (open-ended rows get
-# the conventional 9999-12-31 sentinel so downstream BETWEEN joins need no
-# NULL branch).
+# validity interval closed by the user's next purchase. The open-interval
+# sentinel is the conventional 9999-12-31 — but pandas nanosecond timestamps
+# cap at 2262-04-11, and the driver's canonicalizer routes results through
+# pandas, so a TIMESTAMP sentinel overflows it (CORRECTNESS_r07:
+# OutOfBoundsDatetime). valid_to is therefore serialized as a FIXED-FORMAT
+# microsecond STRING in BOTH engines; the out-of-range timestamp is never
+# constructed. Downstream BETWEEN joins still need no NULL branch (the
+# string sort order of this format equals the timestamp order).
 
-_SCD2_SQL = """
+_SCD2_SENTINEL = "9999-12-31 00:00:00.000000"
+
+_SCD2_SQL = f"""
 SELECT user_id, event_id, value,
        ts AS valid_from,
        COALESCE(
-           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
-           TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+           strftime(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    '%Y-%m-%d %H:%M:%S.%f'),
+           '{_SCD2_SENTINEL}') AS valid_to
 FROM events
 WHERE event_type = 'purchase'
 """
@@ -94,13 +102,15 @@ def user_value_scd2(spark, sf_dir):
     on user_id serving both the per-user sort and the LEAD lookahead."""
     e = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    sentinel = F.lit("9999-12-31 00:00:00").cast("timestamp_ntz")
     return e.select(
         "user_id",
         "event_id",
         "value",
         F.col("ts").alias("valid_from"),
-        F.coalesce(F.lead("ts").over(w), sentinel).alias("valid_to"),
+        F.coalesce(
+            F.date_format(F.lead("ts").over(w), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+            F.lit(_SCD2_SENTINEL),
+        ).alias("valid_to"),
     )
 
 

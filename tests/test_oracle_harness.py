@@ -36,6 +36,19 @@ def _cell(v):
         # (round 1: uncast SUM() oracles). round() preserves float type.
         return ("f", round(v, 6))
     if isinstance(v, datetime):
+        # the driver's canonicalizer routes results through pandas, whose
+        # ns-resolution timestamps cap at 2262-04-11 — an out-of-bounds
+        # datetime (e.g. a 9999-12-31 SCD2 sentinel) errors THERE even
+        # though both engines agree on the values (CORRECTNESS_r07:
+        # user_value_scd2 OutOfBoundsDatetime). Surface it locally, same
+        # as the list-cell tripwire below.
+        if v.year > 2261:
+            raise TypeError(
+                f"timestamp {v.isoformat()} exceeds pandas' ns-timestamp "
+                "range (max 2262-04-11): the driver canonicalizer will "
+                "raise OutOfBoundsDatetime — serialize the column to a "
+                "string (same fixed format) in BOTH engines"
+            )
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, (list, tuple, dict, set)):
         # the driver's canonicalizer (pandas sort_values) dies on list
@@ -55,6 +68,19 @@ def canonicalize(columns, rows):
         (tuple(_cell(r[i]) for i in order) for r in rows), key=repr
     )
     return cols, canon
+
+
+def test_out_of_bounds_timestamp_tripwire():
+    """A driver-only failure class made local: pandas ns timestamps cap at
+    2262-04-11, so a 9999-12-31 sentinel passes both engines yet errors in
+    the driver's canonicalizer (CORRECTNESS_r07 user_value_scd2)."""
+    with pytest.raises(TypeError, match="OutOfBoundsDatetime"):
+        _cell(datetime(9999, 12, 31))
+    with pytest.raises(TypeError, match="2262-04-11"):
+        _cell(datetime(2263, 1, 1))
+    # in-range timestamps still canonicalize (the guard is conservative:
+    # it cuts at year 2261 because 2262 is only partially representable)
+    assert _cell(datetime(2261, 12, 31)) == "2261-12-31T00:00:00"
 
 
 @pytest.mark.parametrize("name", sorted(catalog.SPARK_QUERIES))
