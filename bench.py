@@ -433,27 +433,69 @@ def _latest_bench_path(here: str) -> str | None:
 
 
 def _warmup(spark, sf_dir: str) -> None:
-    """Untimed warm-up before the timed loop (round-6 verdict item 3): a
-    fresh JVM pays 3-8 s once on the first Arrow stage (Python worker
-    pool + Arrow codepath init) and ~1 s on first whole-stage codegen /
-    parquet-reader classloading. The builder's bars are warm-median by
-    protocol; without this, the driver's --repeat 1 run charges that
-    one-time cost to whichever query happens to run first (r6: knn_exact
-    flagged 4.05x for being first). Warm both paths explicitly so
-    repeats=1 lands on the same axis as the bars."""
+    """Untimed warm-up before the timed loop (round-6 verdict item 3,
+    widened round 8 per the r7 verdict): a fresh JVM pays 3-8 s once on
+    the first Arrow stage (Python worker pool + Arrow codepath init),
+    ~1 s on first whole-stage codegen / parquet-reader classloading, and
+    a further few hundred ms PER EXECUTION FAMILY the first time its
+    operators JIT (window exec, broadcast exchange, shuffle hash join,
+    array higher-order functions, explode, object hash aggregate). The
+    builder's bars are warm-median by protocol; without this, the
+    driver's --repeat 1 run charges those one-time costs to whichever
+    query first touches each family (r7: knn_exact 3.38x, bm25_topk
+    2.39x, dedup_exact 2.17x on the driver axis while measuring at bar
+    warm). Every stage below runs on range() data in milliseconds warm —
+    the point is touching the generated-code paths, not the data."""
     import pandas as pd  # noqa: F401
     from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    def _noop(df):
+        df.write.format("noop").mode("overwrite").save()
 
     # Arrow / Python-worker path: one tiny pandas-UDF stage
     df = spark.range(0, 1000).select(F.col("id").cast("double").alias("x"))
-    df.mapInPandas(lambda it: it, schema="x double").write.format(
-        "noop"
-    ).mode("overwrite").save()
+    _noop(df.mapInPandas(lambda it: it, schema="x double"))
     # codegen + parquet reader + catalog path: one small scan-agg
     try:
         spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
     except Exception:
         pass
+    # array HOF kernel + window top-k (the kNN/ANN distance + rank shape):
+    # aggregate/zip_with over an array column, then a partitioned
+    # row_number — first window execution JITs WindowExec/GroupLimit
+    r = spark.range(0, 2000).select(
+        (F.col("id") % 7).alias("g"),
+        F.array_repeat(F.col("id").cast("float"), 8).alias("v"),
+    )
+    dist = F.aggregate(
+        F.zip_with("v", "v", lambda a, b: a * b),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    ).alias("d")
+    ranked = r.select("g", dist).withColumn(
+        "rk", F.row_number().over(W.partitionBy("g").orderBy(F.col("d")))
+    )
+    _noop(ranked.where(F.col("rk") <= 3))
+    # join family: one broadcast hash join + one shuffled join
+    a = spark.range(0, 5000).select((F.col("id") % 97).alias("k"), "id")
+    b = spark.range(0, 97).select(F.col("id").alias("k"))
+    _noop(a.join(F.broadcast(b), "k"))
+    _noop(
+        a.join(b.hint("shuffle_hash"), "k")
+        .groupBy("k").agg(F.sum("id").alias("s"))
+    )
+    # explode + gram-style agg + bit_or word aggregate (Bloom build path)
+    g = spark.range(0, 2000).select(
+        F.explode(F.array(F.col("id"), F.col("id") + 1)).alias("h")
+    )
+    _noop(
+        g.select((F.col("h") % 64).alias("w"),
+                 F.expr("shiftleft(1L, cast(h % 64 AS int))").alias("bit"))
+        .groupBy("w").agg(F.expr("bit_or(bit)").alias("word"))
+    )
+    # sort / TakeOrderedAndProject + distinct (dedup path)
+    _noop(a.select("id").distinct().orderBy(F.desc("id")).limit(10))
 
 
 def _run_suite(spark, sf_dir: str, names: list[str]) -> dict[str, float]:

@@ -148,9 +148,15 @@ def train_bpe(
         left, right = top[0]["pair"].split(" ", 1)
         merges.append((left, right, int(top[0]["cnt"])))
 
-        @F.pandas_udf(ArrayType(StringType()))
-        def apply_merge(s: pd.Series) -> pd.Series:
-            return _merge_syms_batch(s, left, right)
+        # the pair is bound at DEFINITION time (factory parameters own
+        # their closure cells): a loop-variable closure would late-bind,
+        # and with checkpoint_every > 1 the deferred plan re-executes
+        # earlier iterations' UDFs with the CURRENT pair — silently
+        # wrong merges (round-7 ADVICE; pinned by
+        # tests/test_bpe.py::test_deferred_checkpoints_value_identical)
+        apply_merge = F.pandas_udf(
+            _bind_merge(left, right), ArrayType(StringType())
+        )
 
         has_pair = F.expr(
             f"exists({_PAIRS_EXPR}, p -> p = {_sql_str(left + ' ' + right)})"
@@ -162,6 +168,18 @@ def train_bpe(
         if (it + 1) % checkpoint_every == 0:
             state = state.localCheckpoint(eager=True)
     return merges, state
+
+
+def _bind_merge(left: str, right: str):
+    """Early-bound merge function for one iteration's pandas_udf: the
+    factory's parameters are fresh closure cells, so a later pickle of
+    the function (deferred plan execution under checkpoint_every > 1)
+    still carries THIS iteration's pair."""
+
+    def fn(s: pd.Series) -> pd.Series:
+        return _merge_syms_batch(s, left, right)
+
+    return fn
 
 
 def _sql_str(s: str) -> str:

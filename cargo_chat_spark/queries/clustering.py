@@ -97,13 +97,19 @@ GROUP BY a.cluster, emb.label
 """
 
 _REPS_SQL = _chain(ITERS) + f"""
-SELECT cluster, vec_id, dist FROM (
+SELECT cluster, vec_id, CAST(dist AS BIGINT) AS dist FROM (
   SELECT cluster, vec_id, dist,
          row_number() OVER (
              PARTITION BY cluster ORDER BY dist, vec_id) AS rk
   FROM a{ITERS + 1})
 WHERE rk <= {TOP_REPS}
 """
+# ^ dist is a SUM over BIGINTs — DuckDB widens to HUGEINT, which the
+# DRIVER's pandas canonicalization downcasts to float64 while Spark
+# returns int64 (a value-hash mismatch the fetchall-based pytest harness
+# cannot see: fetchall yields exact Python ints). Caught by
+# tools/driver_sim.py in round 8; same class as the round-1 uncast-SUM
+# lesson in tests/test_oracle_harness.py::_cell.
 
 
 _FIT_MEMO: dict = {}

@@ -94,10 +94,16 @@ scored AS (
     LEFT JOIN model m ON m.token = s.token AND m.source = u.source
     JOIN priors p ON p.source = u.source
     GROUP BY s.doc_id, u.source, p.prior_micro)
-SELECT doc_id, source AS pred_source, score_micro FROM scored
+SELECT doc_id, source AS pred_source,
+       CAST(score_micro AS BIGINT) AS score_micro
+FROM scored
 QUALIFY row_number() OVER (
     PARTITION BY doc_id ORDER BY score_micro DESC, source ASC) = 1
 """
+# ^ score_micro is prior + SUM over BIGINTs — DuckDB widens to HUGEINT,
+# which the DRIVER's pandas canonicalization downcasts to float64 while
+# Spark returns int64 (hash mismatch invisible to the fetchall-based
+# pytest harness). Caught by tools/driver_sim.py in round 8.
 
 
 def _model_frames(spark, sf_dir):

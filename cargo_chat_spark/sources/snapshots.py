@@ -755,13 +755,25 @@ def snap_read_tag(spark: SparkSession, path: str, name: str) -> DataFrame:
     return snap_read(spark, path, tags[name])
 
 
-def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
+def expire_snapshots(
+    path: str, keep_last: int = 1, orphan_cold_seconds: float = 3600.0
+) -> list[str]:
     """Vacuum: drop all but the last ``keep_last`` manifests and delete
     the data files no retained manifest references — EXCEPT tagged
     versions, which are retained with their files until the tag is
     dropped (Iceberg ref semantics). Returns the deleted basenames.
     ``keep_last < 1`` is a defensive no-op (expiring every manifest
-    would leave an unreadable table, never what a vacuum means)."""
+    would leave an unreadable table, never what a vacuum means).
+
+    ``orphan_cold_seconds`` guards the orphan sweep (staging dirs and
+    manifest-unreferenced part files): only files whose mtime is older
+    than this are treated as dead. Set it ABOVE the longest expected
+    stage-write→commit span on your cluster — a live writer mid-commit
+    for longer than the threshold would otherwise have its files
+    vacuumed from under it (round-7 ADVICE; Delta's equivalent contract
+    is that VACUUM's retention must exceed the longest-running
+    transaction). Committed, manifest-referenced files are never subject
+    to this clock."""
     vs = versions(path)
     retained = set(vs[-keep_last:]) if keep_last > 0 else set(vs)
     retained |= {v for v in list_tags(path).values() if v in set(vs)}
@@ -798,12 +810,12 @@ def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
     # orphaned per-writer staging dirs (a writer that crashed mid-stage,
     # or a loser of a concurrent-commit race) are invisible to every
     # manifest by construction — vacuum is the documented reclaim point.
-    # Only COLD dirs go (no mtime within the last hour): a LIVE writer's
-    # staging must never be swept from under it.
+    # Only COLD dirs go (no mtime within orphan_cold_seconds): a LIVE
+    # writer's staging must never be swept from under it.
     import shutil
     import time as _time
 
-    cutoff = _time.time() - 3600
+    cutoff = _time.time() - orphan_cold_seconds
     for d in os.listdir(root):
         if d.startswith(_STAGING + ".") or d == _STAGING:
             full = os.path.join(root, d)
@@ -879,26 +891,38 @@ def snap_restore(path: str, version: int) -> int:
     return v
 
 
-def _require_unique_keys(df: DataFrame, key_col: str, op: str) -> None:
+def _require_unique_keys(
+    df: DataFrame, key_col: str, op: str, visible_keys=None
+) -> None:
     """Delta MERGE raises when a target row matches MULTIPLE source rows;
     without this guard the left join silently fans matched rows out and
     whole-row upserts insert both duplicates (same contract as
-    ``index_io.upsert_index_cells``). One map-side-combined aggregate
-    over the BATCH (not the table), short-circuited by limit(1)."""
+    ``index_io.upsert_index_cells``).
+
+    Exact Delta semantics (round-7 ADVICE): duplicate source keys that
+    match NO target row are legal — each row inserts (both entry points'
+    insert paths naturally do this). Only duplicates that match a
+    visible target row raise. ``visible_keys`` is a lazy thunk returning
+    the visible target key frame; it is invoked ONLY when the source
+    actually carries duplicates (one map-side-combined aggregate over
+    the BATCH, short-circuited by limit(1), decides that), so the
+    duplicate-free common case never scans the table here."""
     from pyspark.sql import functions as F
 
-    dup = (
+    dups = (
         df.groupBy(key_col)
         .count()
         .where(F.col("count") > 1)
-        .limit(1)
-        .count()
+        .select(key_col)
     )
-    if dup:
+    if not dups.limit(1).count():
+        return
+    vk = visible_keys() if visible_keys is not None else None
+    if vk is None or dups.join(vk, on=key_col, how="semi").limit(1).count():
         raise ValueError(
-            f"{op}: source carries duplicate {key_col!r} keys — MERGE "
-            "semantics forbid multiple source matches per target row; "
-            "collapse duplicates before merging"
+            f"{op}: source carries duplicate {key_col!r} keys matching a "
+            "target row — MERGE semantics forbid multiple source matches "
+            "per target row; collapse duplicates before merging"
         )
 
 
@@ -929,7 +953,12 @@ def snap_merge(
             f"MERGE updates lack table columns {missing}: whole-row "
             "upserts must state every column"
         )
-    _require_unique_keys(updates, key_col, "snap_merge")
+    _require_unique_keys(
+        updates, key_col, "snap_merge",
+        visible_keys=lambda: _read_files_with_dv(
+            spark, path, prev, prev["files"]
+        ).select(key_col),
+    )
     k = F.broadcast(updates.select(key_col).distinct())
     affected = _affected_files_visible(spark, path, prev, updates, key_col)
     kept = [f for f in prev["files"] if f not in affected]
@@ -991,7 +1020,12 @@ def snap_merge_into(
     bad = [c for c in (matched_update or {}) if c not in table_cols]
     if bad:
         raise ValueError(f"UPDATE SET targets unknown columns {bad}")
-    _require_unique_keys(source, key_col, "snap_merge_into")
+    _require_unique_keys(
+        source, key_col, "snap_merge_into",
+        visible_keys=lambda: _read_files_with_dv(
+            spark, path, prev, prev["files"]
+        ).select(key_col),
+    )
 
     affected = _affected_files_visible(spark, path, prev, source, key_col)
     kept = [f for f in prev["files"] if f not in affected]
@@ -1020,22 +1054,21 @@ def snap_merge_into(
         ]
         frames.append(j.select(*out_cols))
     if insert_unmatched:
-        # column-pruned key scan of the WHOLE stored table (RAW files, no
-        # deletion-vector anti-join): a key pending in the DV is logically
-        # absent for MATCH purposes but still OCCUPIES the table for
-        # insert detection — re-inserting it would resurrect a deleted
-        # row, which test_merge_into_clauses and the events_merge_clauses
-        # oracle both pin as forbidden
+        # column-pruned key scan of the VISIBLE stored table (deletion
+        # vector applied): Delta MERGE semantics — a key whose only
+        # stored rows are DV-deleted is logically absent, so the SOURCE
+        # row inserts (upsert-after-delete). This is not resurrection:
+        # the inserted values are the source's, and the matched-file
+        # rewrite reads through the DV (above), so the deleted TARGET
+        # row's old values can never come back. Matches snap_merge,
+        # which always lands every source row (round-7 ADVICE: the two
+        # entry points previously diverged and upsert-after-delete
+        # silently dropped the source row here).
         if not prev["files"]:  # empty table: every source row inserts
             frames.append(source.select(*table_cols))
         else:
-            root = _local(path)
-            reader = spark.read
-            schema = _schema_of(prev)
-            if schema is not None:
-                reader = reader.schema(schema)
-            keys_df = reader.parquet(
-                *(os.path.join(root, f) for f in prev["files"])
+            keys_df = _read_files_with_dv(
+                spark, path, prev, prev["files"]
             ).select(key_col)
             inserts = source.join(
                 keys_df, on=key_col, how="left_anti"
@@ -1060,15 +1093,24 @@ def snap_file_deltas(
     from_version: int,
     to_version: int,
 ) -> DataFrame:
-    """Signed row deltas between two snapshots, read from manifest-DIFF
-    files only: rows of to-only files carry ``sgn`` +1, rows of
-    from-only files -1, each side under its own version's deletion
-    vector. A copy-on-write survivor that merely moved files appears
-    identically with both signs and cancels EXACTLY in any additive
-    consumer — the bag-algebra change feed incremental view maintenance
-    needs (queries/storage.py::incremental_join_cdc). Cost is O(changed
-    files), never O(table). Both sides read through the to-version
-    schema (same evolution rule as snap_changes)."""
+    """Signed row deltas between two snapshots: rows of to-only files
+    carry ``sgn`` +1, rows of from-only files -1, each side under its
+    own version's deletion vector. A copy-on-write survivor that merely
+    moved files appears identically with both signs and cancels EXACTLY
+    in any additive consumer — the bag-algebra change feed incremental
+    view maintenance needs (queries/storage.py::incremental_join_cdc).
+
+    Files SHARED by both manifests can still differ logically when a
+    merge-on-read commit grew the deletion vector (snap_delete_rows) or
+    a restore shrank it: those rows never move files, so the manifest
+    diff alone misses them. The shared-file pass diffs the two DV
+    position sets and emits sgn -1 for newly deleted positions and +1
+    for restored ones, scanning ONLY the shared files actually named in
+    the position diff.
+
+    Cost is O(changed files + DV-touched files), never O(table). Both
+    sides read through the to-version schema (same evolution rule as
+    snap_changes)."""
     from pyspark.sql import functions as F
 
     m_a, m_b = manifest(path, from_version), manifest(path, to_version)
@@ -1089,17 +1131,76 @@ def snap_file_deltas(
             spark, path, with_to_schema(m), sorted(files)
         ).withColumn("sgn", F.lit(sign))
 
-    neg = side(ma - mb, m_a, -1)
-    pos = side(mb - ma, m_b, 1)
-    if neg is None and pos is None:
-        # no file-level change: empty signed frame with the to-schema
+    parts = [
+        p
+        for p in (
+            side(mb - ma, m_b, 1),
+            side(ma - mb, m_a, -1),
+        )
+        if p is not None
+    ]
+
+    # shared-file DV diff (merge-on-read deletes / restores)
+    shared = ma & mb
+    if shared:
+        dv_a = _dv_positions(spark, path, m_a)
+        dv_b = _dv_positions(spark, path, m_b)
+
+        def dv_only(in_dv, not_in_dv) -> DataFrame | None:
+            """Positions of ``in_dv`` absent from ``not_in_dv``,
+            restricted to the shared files."""
+            if in_dv is None:
+                return None
+            d = in_dv.where(F.col("file").isin(sorted(shared)))
+            if not_in_dv is not None:
+                d = d.join(
+                    not_in_dv, on=["file", "row_index"], how="left_anti"
+                )
+            return d
+
+        root = _local(path)
+        reader = spark.read
+        schema = _schema_of(with_to_schema(m_b))
+        if schema is not None:
+            reader = reader.schema(schema)
+        for diff, sign in ((dv_only(dv_b, dv_a), -1),
+                           (dv_only(dv_a, dv_b), 1)):
+            if diff is None:
+                continue
+            # bounded collect: one row per DV-touched shared FILE
+            touched = sorted(
+                r["file"] for r in diff.select("file").distinct().collect()
+            )
+            if not touched:
+                continue
+            raw = reader.parquet(
+                *(os.path.join(root, f) for f in touched)
+            )
+            cols = raw.columns
+            raw = raw.withColumn(
+                "_dv_f",
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ),
+            ).withColumn("_dv_r", F.col("_metadata.row_index"))
+            cond = (raw["_dv_f"] == diff["file"]) & (
+                raw["_dv_r"] == diff["row_index"]
+            )
+            parts.append(
+                raw.join(F.broadcast(diff), cond, "left_semi")
+                .select(*cols)
+                .withColumn("sgn", F.lit(sign))
+            )
+
+    if not parts:
+        # no file-level or DV-level change: empty signed frame with the
+        # to-schema
         empty = _read_files_with_dv(spark, path, with_to_schema(m_b), [])
         return empty.withColumn("sgn", F.lit(1))
-    if neg is None:
-        return pos
-    if pos is None:
-        return neg
-    return pos.unionByName(neg)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def snap_changes(

@@ -48,6 +48,21 @@ def test_trainer_matches_reference_with_ties(spark):
     ]
 
 
+def test_deferred_checkpoints_value_identical(spark):
+    """checkpoint_every > 1 defers plan materialization across merges, so
+    earlier iterations' merge UDFs re-execute inside later plans. The pair
+    must be bound at UDF definition time (operators/bpe.py::_bind_merge) —
+    a late-binding loop closure would re-apply the CURRENT pair in those
+    re-executions (round-7 ADVICE). Merges AND the final symbolization
+    must match the eager-checkpoint run exactly."""
+    m1, s1 = train_bpe(_wf(spark), 8, checkpoint_every=1)
+    m4, s4 = train_bpe(_wf(spark), 8, checkpoint_every=4)
+    assert m4 == m1
+    f1 = {r["word"]: r["syms"] for r in s1.collect()}
+    f4 = {r["word"]: r["syms"] for r in s4.collect()}
+    assert f4 == f1
+
+
 def test_trainer_on_corpus_prefix_matches_reference(spark):
     docs = load_table(spark, SF_DIR_SMALL, "documents").limit(40)
     wf = word_freqs(docs)

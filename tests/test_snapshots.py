@@ -644,7 +644,11 @@ def test_merge_into_clauses(spark, tmp_path):
     UPDATE; UPDATE SET rewrites only the listed columns via t./s.
     expressions; NOT MATCHED inserts; only files holding a matched key
     are rewritten; rows pending in the deletion vector are NOT matched
-    (logically absent) and a rewrite materializes them out."""
+    (logically absent) and a rewrite materializes them out. Per Delta
+    semantics a source key whose only stored rows are DV-deleted is NOT
+    MATCHED and therefore INSERTS the source row (upsert-after-delete;
+    round-7 ADVICE) — the target's old values stay gone, the source's
+    values land."""
     from cargo_chat_spark.sources.snapshots import (
         snap_delete_rows,
         snap_merge_into,
@@ -682,12 +686,17 @@ def test_merge_into_clauses(spark, tmp_path):
         .unionByName(
             e.where(matched & (F.col("event_type") != "error"))
             .withColumn("value", F.col("value") + F.lit(1.0))
-        )  # updated (non-error survivors; DV'd rows stay gone)
+        )  # updated (non-error survivors; DV'd targets stay gone)
         .unionByName(
             e.where(F.col("user_id") == 9).withColumn(
                 "event_id", F.col("event_id") + F.lit(10_000_000)
             )
-        )  # inserted
+        )  # inserted (unseen keys)
+        .unionByName(
+            e.where(
+                (F.col("user_id") == 3) & (F.col("event_type") == "view")
+            )
+        )  # inserted (upsert-after-delete: source rows, verbatim)
     )
     assert _rows(snap_read(spark, out, v2)) == want
 
@@ -706,14 +715,17 @@ def test_merge_into_clauses(spark, tmp_path):
 
 
 def test_merge_duplicate_source_keys_raise(spark, tmp_path):
-    """Round-6 advice: Delta MERGE raises on multiple source matches per
-    target row; the left join would otherwise silently fan matched rows
-    out. Both MERGE entry points enforce it before any file is written."""
+    """Delta MERGE raises on multiple source matches per target row; the
+    left join would otherwise silently fan matched rows out. Both MERGE
+    entry points enforce it before any file is written. Duplicate source
+    keys matching NOTHING are legal and insert every row (exact Delta
+    semantics, round-7 ADVICE — the guard was previously stricter)."""
     import pytest
 
     from cargo_chat_spark.sources.snapshots import (
         snap_merge,
         snap_merge_into,
+        snap_read,
     )
 
     out = str(tmp_path / "snap")
@@ -725,6 +737,23 @@ def test_merge_duplicate_source_keys_raise(spark, tmp_path):
     with pytest.raises(ValueError, match="duplicate"):
         snap_merge_into(spark, out, dup, "event_id")
     assert versions(out) == [0], "failed MERGE must not commit"
+
+    # duplicates on an UNSEEN key match no target row: both rows insert
+    n0 = snap_read(spark, out).count()
+    fresh = e.limit(1).withColumn(
+        "event_id", F.col("event_id") + F.lit(77_000_000)
+    )
+    dup_unmatched = fresh.unionByName(fresh)
+    v = snap_merge_into(spark, out, dup_unmatched, "event_id")
+    assert snap_read(spark, out, v).count() == n0 + 2
+    v2 = snap_merge(
+        spark, out,
+        dup_unmatched.withColumn(
+            "event_id", F.col("event_id") + F.lit(1_000)
+        ),
+        "event_id",
+    )
+    assert snap_read(spark, out, v2).count() == n0 + 4
 
 
 def test_empty_version_reads_optimizes_and_reinserts(spark, tmp_path):
@@ -1120,6 +1149,53 @@ def test_file_deltas_read_only_diff_files(spark, tmp_path):
     shared = m0 & m2
     assert shared, "fixture must share some files across the versions"
     assert not (inputs & shared)
+
+
+def test_file_deltas_see_merge_on_read_commits(spark, tmp_path):
+    """A merge-on-read delete keeps the file list and only grows the
+    deletion vector — the manifest diff is empty while logical rows
+    changed. The shared-file DV-diff pass must emit sgn=-1 for newly
+    deleted positions (and +1 when a restore shrinks the vector back),
+    or ivm_refresh / incremental_join_cdc consumers silently hold wrong
+    view state (round-7 ADVICE, high)."""
+    from cargo_chat_spark.sources.snapshots import (
+        manifest,
+        snap_delete_rows,
+        snap_file_deltas,
+        snap_restore,
+        snap_write,
+    )
+
+    out = str(tmp_path / "t")
+    e = load_table(spark, SF_DIR_SMALL, "events").limit(40)
+    snap_write(e, out)
+    dead = [r["event_id"] for r in
+            e.where(F.col("user_id") % 5 == 0).select("event_id").collect()]
+    assert dead, "fixture needs at least one matching key"
+    snap_delete_rows(
+        spark, out, spark.createDataFrame([(i,) for i in dead], "event_id long"),
+        "event_id",
+    )  # v1: same files, bigger DV
+    assert set(manifest(out, 0)["files"]) == set(manifest(out, 1)["files"])
+
+    d = snap_file_deltas(spark, out, 0, 1)
+    got = {(r["event_id"], r["sgn"]) for r in d.select("event_id", "sgn").collect()}
+    assert got == {(i, -1) for i in dead}
+
+    # restore back to v0 (v2): the vector shrinks, same files → +1 rows
+    snap_restore(out, 0)
+    d2 = snap_file_deltas(spark, out, 1, 2)
+    got2 = {(r["event_id"], r["sgn"]) for r in d2.select("event_id", "sgn").collect()}
+    assert got2 == {(i, 1) for i in dead}
+
+    # whole round trip v0→v2 is a logical no-op: empty delta
+    assert snap_file_deltas(spark, out, 0, 2).count() == 0
+
+    # cost contract: the MoR delta reads only the DV-touched shared data
+    # files (plus the O(deleted rows) DV sidecars themselves)
+    inputs = {os.path.basename(f) for f in d.inputFiles()
+              if "/_dv/" not in f}
+    assert inputs <= set(manifest(out, 0)["files"])
 
 
 def test_file_deltas_no_change_is_empty(spark, tmp_path):

@@ -14,10 +14,12 @@ version plus a conservative ``maybe_ghost`` key set (keys that may still
 occupy raw files as deletion-vectored "ghost" rows). Visible content is
 exactly predictable for every operation; ghost materialization depends
 on which physical files a rewrite touches, so the model only *consumes*
-ghost state where it is unambiguous — MERGE sources avoid maybe-ghost
-keys, because for such keys the no-insert semantics is layout-dependent
-(that exact pin lives in test_merge_into_clauses with a controlled
-layout). Two commit outcomes that legitimately depend on physical state
+ghost state where it is unambiguous. MERGE insert detection runs against
+VISIBLE keys (Delta semantics, round-7 ADVICE fix), which makes every
+MERGE outcome layout-independent — sources hit maybe-ghost keys freely
+and a not-visible key always inserts the source row (upsert-after-delete
+is pinned with a controlled layout in test_merge_into_clauses too).
+Two commit outcomes that legitimately depend on physical state
 (whether compaction found a vector to clear, i.e. version no-op) are
 read back from the store and only validated for self-consistency.
 
@@ -29,8 +31,8 @@ Reference semantics modeled, with file:line anchors into snapshots.py:
   deleted keys become ghosts (:555)
 - snap_compact_dv: content-preserving; clears every ghost; version no-op
   iff the manifest carries no vector (:595)
-- snap_merge_into: UPDATE acts on visible matched rows; INSERT only for
-  keys absent from the raw scan — ghosts still occupy (:785)
+- snap_merge_into: UPDATE acts on visible matched rows; INSERT for keys
+  absent from the VISIBLE table (DV applied — Delta upsert-after-delete)
 - snap_optimize: full content rewrite through the DV — ghost-free,
   content-identical (:1077)
 - snap_restore: deep copy of the target version's files + DV (:681)
@@ -165,16 +167,12 @@ def test_snapshot_store_matches_model(spark, tmp_path, seed):  # noqa: F811
             model.append(State(cur.visible, ()))
 
         elif op == "merge_into":
-            # sources avoid maybe-ghost keys: for those, insert-or-not
-            # depends on physical layout (pinned separately with a
-            # controlled layout in test_merge_into_clauses)
-            legal = [
-                k for k in KEYS
-                if k in cur.visible_keys() or k not in cur.maybe_ghost
-            ]
-            if not legal:
-                continue
-            src_keys = rng.sample(legal, rng.randint(1, min(5, len(legal))))
+            # insert detection is against VISIBLE keys (Delta semantics,
+            # round-7 ADVICE fix): a source key whose only stored rows
+            # are DV-deleted ghosts INSERTS the source row — fully
+            # layout-independent, so the model predicts every outcome
+            # and sources may hit maybe-ghost keys freely
+            src_keys = rng.sample(KEYS, rng.randint(1, min(5, len(KEYS))))
             src = [
                 (next_id + i, k, rng.randrange(1000))
                 for i, k in enumerate(src_keys)
@@ -191,10 +189,7 @@ def test_snapshot_store_matches_model(spark, tmp_path, seed):  # noqa: F811
                 if r[1] in by_key else r
                 for r in cur.visible
             ]
-            inserts = [
-                s for s in src
-                if s[1] not in vis_keys and s[1] not in cur.maybe_ghost
-            ]
+            inserts = [s for s in src if s[1] not in vis_keys]
             model.append(State(updated + inserts, cur.maybe_ghost))
 
         elif op == "delete_where":
