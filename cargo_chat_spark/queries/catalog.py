@@ -244,6 +244,11 @@ GATE_WINDOW = [
 # entries through phrase_match_persisted — was promoted wholesale into
 # the r8 window above.)
 ROUND8_PROMOTION_PLAN = [
+    # NEW in round 8 (r7 verdict item 6): the REAL filesystem walk gate —
+    # S1 gitignore walk + S3 profile walk + S2 content read over a
+    # deterministic fixture tree vs a DuckDB VALUES literal; converts the
+    # three pytest-only §2 source rows to value-hash rows.
+    "repo_walk",
     # deferred from the r8 window by arithmetic (50 = 20 permanents +
     # user_value_scd2 re-gate + 29 promotions): the three classic
     # relational shapes registered late in round 7

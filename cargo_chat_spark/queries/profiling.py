@@ -499,3 +499,100 @@ def repo_profile(spark, sf_dir):
             "project_type",
         )
     )
+
+
+# ------------------------------------------------ S1-S3: repo walk gate
+# The REAL filesystem walk (sources/repo.py::scan_repo), value-hash gated
+# (r7 verdict item 6 — converts the S1-S3 pytest-only rows to oracle rows):
+# a deterministic fixture tree is materialized on disk, walked BOTH ways
+# (S1 gitignore walk / S3 profile walk), and the resulting
+# (walk, path, n_chars, extension) rows must equal a DuckDB VALUES literal
+# derived from the same module constants. n_chars gates the S2 content
+# read+UTF-8 decode; extension rides the walk output to gate P1 over real
+# paths. The tree exercises anchored patterns, dir-only patterns, nested
+# .gitignore negation, **-globs, and excluded-parent pruning — the same
+# gitignore(5) surface tests/test_pipelines.py pins against the reference
+# semantics (chunker.rs:36-40, ignore crate standard filters).
+
+_WALK_RULES = {
+    ".gitignore": "*.log\n/main.rs\nlogs/\nvendor/\n**/gen_out\n",
+    "src/.gitignore": "!keep.log\ngen/*.rs\n!gen/precious.rs\n",
+}
+_WALK_FILES = {
+    "main.rs": "fn other() {}\n",                # anchored /main.rs -> ignored
+    "README.md": "# Demo repo\n",
+    "Cargo.toml": '[package]\nname = "x"\n',
+    "src/main.rs": "fn main() {}\n",
+    "src/debug.log": "dbg\n",                    # parent *.log -> ignored
+    "src/keep.log": "keep\n",                    # nested negation -> kept
+    "src/gen/out.rs": "x\n",                     # nested gen/*.rs -> ignored
+    "src/gen/precious.rs": "y\n",                # nested negation -> kept
+    "vendor/lib.rs": "v\n",                      # pruned subtree
+    "logs/a.txt": "l\n",                         # dir-only pattern
+    "a/b/gen_out/deep.txt": "d\n",               # **-glob pruned dir
+}
+_WALK_KEPT = [
+    "README.md",
+    "Cargo.toml",
+    "src/main.rs",
+    "src/keep.log",
+    "src/gen/precious.rs",
+]
+
+
+def _walk_fixture_root() -> str:
+    import os
+    import shutil
+    import tempfile
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"ccs_repo_walk_{os.getpid()}"
+    )
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    for rel, content in {**_WALK_RULES, **_WALK_FILES}.items():
+        p = os.path.join(root, rel.replace("/", os.sep))
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w", encoding="utf-8") as f:
+            f.write(content)
+    return root
+
+
+def _walk_oracle_sql() -> str:
+    def _sq(s: str) -> str:
+        return "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+
+    rows = [("all", p) for p in sorted(_WALK_FILES)] + [
+        ("gitignore", p) for p in sorted(_WALK_KEPT)
+    ]
+    values = ",\n  ".join(
+        f"({_sq(w)}, {_sq(p)}, {_sq(_WALK_FILES[p])})" for w, p in rows
+    )
+    return f"""
+WITH expected(walk, path, content) AS (VALUES
+  {values})
+SELECT walk, path,
+       CAST(length(content) AS BIGINT) AS n_chars,
+       {extension_from_path_sql('path')} AS extension
+FROM expected
+"""
+
+
+@register("repo_walk", sql=_walk_oracle_sql())
+def repo_walk(spark, sf_dir):
+    """S1 gitignore walk + S3 profile walk + S2 content read over a
+    committed fixture tree (sf-independent by design; the gate pins the
+    WALK, the corpus gates pin the data plane)."""
+    from cargo_chat_spark.sources.repo import scan_repo
+
+    root = _walk_fixture_root()
+
+    def one(flag: bool, label: str):
+        return scan_repo(spark, root, respects_gitignore=flag).select(
+            F.lit(label).alias("walk"),
+            "path",
+            F.length("content").cast("bigint").alias("n_chars"),
+            "extension",
+        )
+
+    return one(True, "gitignore").unionByName(one(False, "all"))

@@ -157,11 +157,16 @@ def scan_repo(
             dirnames[:] = [
                 d
                 for d in dirnames
-                if not d.startswith(".")
-                and not _ignored(f"{base}/{d}" if base else d, rules, is_dir=True)
+                if not _ignored(f"{base}/{d}" if base else d, rules, is_dir=True)
             ]
+        # hidden files/dirs are skipped on BOTH walks, explicitly: Spark's
+        # file-source listing hides leading-dot (and leading-underscore)
+        # paths anyway, so a dotfile in the keep list would silently drop
+        # at the binaryFile join below — make the walk contract match what
+        # the reader can actually serve (pinned by the repo_walk gate)
+        dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
         for fn in filenames:
-            if respects_gitignore and fn.startswith("."):
+            if fn.startswith((".", "_")):
                 continue
             rel = f"{base}/{fn}" if base else fn
             if respects_gitignore and _ignored(rel, rules, is_dir=False):
