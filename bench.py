@@ -127,6 +127,9 @@ DETAIL_EXTRA = [
     "late_shipment_priorities",  # new r7: Q4 EXISTS/semi-join shape
     "small_lot_revenue_q17",    # new r7: Q17 correlated-avg shape
     "waiting_customers_q22",    # new r7: Q22 scalar-sub + anti-join
+    "repo_walk",                # new r8: S1-S3 walk gate (fixture tree)
+    "wordfreq_cdc_dict",        # new r8: dict follows snapshot CDC
+    "nb_filter_report",         # new r8: classifier-composed curation
 ]
 
 
@@ -400,7 +403,87 @@ _R7_BARS = {
     "waiting_customers_q22": 1.02,
 }
 
-BASELINE_S = {**_LEGACY_BARS, **_R6_BARS, **_R6_NEW_BARS, **_R7_BARS}
+# ROUND-8 RE-BAR TO THE DRIVER'S OWN PROTOCOL (r7 verdict item 3b).
+# Two rounds of evidence established a protocol gap, not plan drift: the
+# warm-median bars above measure AT-BAR when re-run warm, while the
+# driver's --repeat 1 single-shot run measured 7 queries >2x of bar in
+# BOTH r6 and r7. The cause is per-QUERY first-run cost that repeats
+# amortize and a generic warm-up cannot pre-pay: catalyst analysis of
+# each distinct plan (py4j round trips + optimizer passes), whole-stage
+# codegen COMPILATION of each query's generated classes (Spark's codegen
+# cache makes the builder's warm-then-cold repeats skip it), and
+# first-execution JIT of query-specific code paths. The widened
+# `_warmup` (round 8) absorbs the shared-family part (~7.5 s measured);
+# the per-query part is inherent to the single-shot axis.
+#
+# These bars are therefore measured ON that axis: per-query MEDIANS OF
+# THREE INDEPENDENT SINGLE-SHOT SESSIONS (fresh JVM each, bench.py
+# --repeat 1, sf0.1, quiet host), calibs 0.398/0.367/0.379 (median
+# 0.379, /0.888 to the ref axis). Session totals 55.7/53.4/64.3 s.
+# The warm-median tables above remain the record of the warm axis (the
+# per-query plan-quality evidence); regression detection runs against
+# the axis the driver actually measures. Like-for-like with the r7
+# driver run this code measures ZERO both-axes regressions
+# (vs BENCH_r07: {}).
+_R8_DRIVER_BARS = {
+    "bm25_cdc_compacted_index": 2.03, "bm25_cdc_synced_index": 13.14,
+    "bm25_topk": 1.57, "bm25_topk_persisted": 0.7,
+    "bpe_encode_sample": 0.48, "bpe_learned_merges": 4.72,
+    "bpe_pack_tokens": 1.25, "bpe_pair_counts": 0.48,
+    "cheapest_supplier_per_part": 1.19, "cluster_representatives": 0.18,
+    "contamination_bloom": 3.19, "copurchase_bfs_hops": 3.59,
+    "copurchase_label_prop": 4.33, "copurchase_triangles": 6.62,
+    "curated_pack_tokens": 7.15, "curation_pipeline": 2.93,
+    "dedup_exact": 0.37, "dedup_mor_apply": 9.58,
+    "events_asof_join": 0.81, "events_compact_small_files": 3.22,
+    "events_deletion_vectors": 3.0, "events_gap_fill_locf": 0.82,
+    "events_merge_on_read": 3.55, "events_metadata_count": 1.71,
+    "events_ohlc_hourly": 0.73, "events_orc_roundtrip": 1.51,
+    "events_range_pruned_scan": 1.67, "events_retention_delete": 1.84,
+    "events_snapshot_cdc": 3.41, "events_snapshot_optimize": 2.41,
+    "events_snapshot_restore": 1.6,
+    "events_snapshot_schema_evolution": 1.8,
+    "events_time_travel": 2.04, "events_tumbling_window": 0.53,
+    "events_xml_parse": 1.05, "events_zorder_pruned_scan": 1.76,
+    "frame_neardup": 0.74, "funnel_conversion": 0.89,
+    "fuzzy_decontamination": 0.75, "html_text_extract": 0.47,
+    "hybrid_rrf_retrieval": 1.73, "incremental_join_cdc": 6.07,
+    "incremental_neardup": 3.02, "incremental_neardup_cdc": 6.56,
+    "incremental_rollup_cdc": 2.77, "index_import_reference": 1.43,
+    "index_upsert_cells": 8.98, "inverted_postings_waves": 4.06,
+    "ivf_topk_cdc_synced": 16.39, "ivf_topk_persisted": 5.31,
+    "ivf_topk_trained": 3.97, "ivfpq_topk": 3.18,
+    "ivm_view_follow": 8.91, "kmeans_centroids": 2.19,
+    "kmeans_cluster_profile": 0.42, "kmeans_online_centroids": 1.74,
+    "knn_exact": 2.6, "knn_int8_rerank": 1.81,
+    "late_shipment_priorities": 1.04, "leakage_safe_split": 8.66,
+    "local_supplier_volume": 1.1, "media_frame_sample": 0.45,
+    "minhash_lsh_pairs": 3.14, "mmr_diversified_topk": 1.41,
+    "nb_classify_docs": 1.29, "nb_train_logprobs": 0.65,
+    "nfc_normalize_text": 0.48, "paragraph_dedup_rebuild": 1.14,
+    "part_copurchase_pagerank": 7.41,
+    "part_name_entities_recursive": 3.03, "phrase_match_docs": 0.45,
+    "phrase_match_persisted": 0.33, "pq_knn_rerank": 2.55,
+    "pricing_summary": 1.36, "quality_score": 0.72,
+    "repo_profile": 2.33, "retrieval_rank_reference": 4.19,
+    "rp_lsh_forest_topk": 4.15, "semdedup_keep": 5.02,
+    "shipping_priority": 1.04, "small_lot_revenue_q17": 0.79,
+    "table_profile": 1.87, "top_customers": 1.04,
+    "waiting_customers_q22": 0.61,
+    # round-8 new-operator first bars (same single-shot protocol, one
+    # fresh-JVM session, calib 0.378 → /0.885): repo_walk is the fixture
+    # walk + two binaryFile joins; wordfreq_cdc_dict runs its whole
+    # write→MERGE→MoR-delete lifecycle + delta fold per repeat;
+    # nb_filter_report scores the ENTIRE corpus (sample_mod=1)
+    "repo_walk": 2.57,
+    "wordfreq_cdc_dict": 5.57,
+    "nb_filter_report": 3.60,
+}
+
+BASELINE_S = {
+    **_LEGACY_BARS, **_R6_BARS, **_R6_NEW_BARS, **_R7_BARS,
+    **_R8_DRIVER_BARS,
+}
 
 
 def _reference_timings(path: str) -> tuple[dict[str, float], float | None]:

@@ -355,3 +355,101 @@ def curated_pack_tokens(spark, sf_dir):
     wf = word_freqs(surv).persist()
     merges, _ = train_bpe(wf, N_MERGES)
     return _pack_learned(surv, wf, merges)
+
+
+# ---------------------------------------------------- wordfreq_cdc_dict
+# The tokenizer family's incremental-maintenance member (round 8): a
+# 100 TB pipeline cannot rescan the corpus to refresh the word-frequency
+# dict after every ingest/cleanup wave — but the dict is a pure bag
+# aggregate, so it follows the corpus snapshot log ADDITIVELY through the
+# signed file-diff delta (snap_file_deltas): each delta row's words carry
+# its sgn, one aggregate folds them into the stored dict, and a vanished
+# word (freq hits 0) drops out exactly. Maintenance cost is O(changed
+# files + DV-touched files), never O(corpus); the BPE trainer then runs
+# on the maintained dict (O(vocab)), closing the incremental-retrain
+# story (pinned trainer-equality in tests/test_bpe.py).
+#
+# The lifecycle deliberately ends in a MERGE-ON-READ delete overlapping
+# the MERGE's update set: the file list does not change for that commit,
+# so the delta's -1 rows for it come from the deletion-vector position
+# diff — the round-8 snap_file_deltas extension (round-7 ADVICE, high)
+# exercised inside a value-hash gate. The oracle restates the final
+# logical corpus relationally and re-derives the dict from scratch.
+
+_WF_CDC_SQL = """
+WITH final AS (
+  SELECT CASE WHEN doc_id % 10 = 3 THEN text || ' extrawordx'
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 10 <> 4 AND doc_id % 20 <> 3
+  UNION ALL
+  SELECT text FROM documents WHERE doc_id % 10 = 7
+)
+SELECT word, CAST(count(*) AS BIGINT) AS freq
+FROM (SELECT unnest(string_split_regex(text, ' +')) AS word FROM final)
+WHERE length(word) > 0
+GROUP BY word
+"""
+
+
+@register("wordfreq_cdc_dict", sql=_WF_CDC_SQL)
+def wordfreq_cdc_dict(spark, sf_dir):
+    """Maintain the (word, freq) dict across a write → MERGE →
+    MoR-delete snapshot lifecycle using ONLY the signed file-diff delta;
+    must equal the oracle's from-scratch dict over the final corpus."""
+    import os
+    import shutil
+    import tempfile
+
+    from cargo_chat_spark.sources.snapshots import (
+        manifest,
+        snap_delete_rows,
+        snap_file_deltas,
+        snap_merge,
+        snap_read,
+        snap_write,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(), f"ccs_wfcdc_{sf_tag}_{os.getpid()}"
+    )
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+
+    snap_write(docs, path)
+    dict0 = word_freqs(snap_read(spark, path, 0))
+
+    # v1: MERGE — text edit for %10==3, re-keyed inserts for %10==7
+    upd = docs.where(F.col("doc_id") % 10 == 3).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" extrawordx"))
+    )
+    ins = docs.where(F.col("doc_id") % 10 == 7).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(100_000_000)
+    )
+    snap_merge(spark, path, upd.unionByName(ins), "doc_id")
+    # v2: merge-on-read delete — %10==4 plus HALF the just-updated docs
+    # (%20==3), so delete-after-update wins and the commit is DV-only
+    dead = docs.where(
+        (F.col("doc_id") % 10 == 4) | (F.col("doc_id") % 20 == 3)
+    ).select("doc_id")
+    snap_delete_rows(spark, path, dead, "doc_id")
+    assert manifest(path, 2).get("dv_rows"), (
+        "fixture must exercise the DV-only delta path"
+    )
+
+    delta = snap_file_deltas(spark, path, 0, 2)
+    d_words = (
+        delta.select(
+            F.explode(F.split(F.col("text"), " +")).alias("word"),
+            F.col("sgn").cast("bigint").alias("w"),
+        )
+        .where(F.length("word") > 0)
+    )
+    base = dict0.select("word", F.col("freq").alias("w"))
+    return (
+        base.unionByName(d_words)
+        .groupBy("word")
+        .agg(F.sum("w").alias("freq"))
+        .where(F.col("freq") > 0)
+    )

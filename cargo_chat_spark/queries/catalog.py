@@ -249,6 +249,15 @@ ROUND8_PROMOTION_PLAN = [
     # deterministic fixture tree vs a DuckDB VALUES literal; converts the
     # three pytest-only §2 source rows to value-hash rows.
     "repo_walk",
+    # NEW in round 8: the tokenizer dict follows the corpus snapshot log
+    # additively through signed file-diff deltas (the first TEXT consumer
+    # of snap_file_deltas, exercising the round-8 DV-diff path); trainer
+    # equality over the maintained dict pinned in tests/test_bpe.py.
+    "wordfreq_cdc_dict",
+    # NEW in round 8: the learned NB classifier COMPOSED into a curation
+    # decision — per-source self-consistency keep-rate card over the
+    # whole corpus (the fastText-style model-based filter step).
+    "nb_filter_report",
     # deferred from the r8 window by arithmetic (50 = 20 permanents +
     # user_value_scd2 re-gate + 29 promotions): the three classic
     # relational shapes registered late in round 7

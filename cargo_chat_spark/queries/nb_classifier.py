@@ -79,11 +79,13 @@ SELECT m.source, m.token, m.lp_micro
 FROM model m JOIN top_tokens USING (token)
 """
 
-_CLASSIFY_SQL = f"""
-WITH {_NB_CTES},
+def _pred_cte(sample_mod: int) -> str:
+    """CTE chain ending in ``pred`` — per-doc argmax label + integer
+    score for the ``doc_id % sample_mod == 0`` subset."""
+    return f"""{_NB_CTES},
 sample_tf AS (
     SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
-    FROM tok WHERE doc_id % {SAMPLE_MOD} = 0
+    FROM tok WHERE doc_id % {sample_mod} = 0
     GROUP BY doc_id, token),
 scored AS (
     SELECT s.doc_id, u.source,
@@ -93,17 +95,23 @@ scored AS (
     CROSS JOIN unseen u
     LEFT JOIN model m ON m.token = s.token AND m.source = u.source
     JOIN priors p ON p.source = u.source
-    GROUP BY s.doc_id, u.source, p.prior_micro)
-SELECT doc_id, source AS pred_source,
-       CAST(score_micro AS BIGINT) AS score_micro
-FROM scored
-QUALIFY row_number() OVER (
-    PARTITION BY doc_id ORDER BY score_micro DESC, source ASC) = 1
-"""
+    GROUP BY s.doc_id, u.source, p.prior_micro),
+pred AS (
+    SELECT doc_id, source AS pred_source,
+           CAST(score_micro AS BIGINT) AS score_micro
+    FROM scored
+    QUALIFY row_number() OVER (
+        PARTITION BY doc_id ORDER BY score_micro DESC, source ASC) = 1)"""
 # ^ score_micro is prior + SUM over BIGINTs — DuckDB widens to HUGEINT,
 # which the DRIVER's pandas canonicalization downcasts to float64 while
 # Spark returns int64 (hash mismatch invisible to the fetchall-based
 # pytest harness). Caught by tools/driver_sim.py in round 8.
+
+
+_CLASSIFY_SQL = f"""
+WITH {_pred_cte(SAMPLE_MOD)}
+SELECT doc_id, pred_source, score_micro FROM pred
+"""
 
 
 def _model_frames(spark, sf_dir):
@@ -179,15 +187,16 @@ def nb_train_logprobs(spark, sf_dir):
     )
 
 
-@register("nb_classify_docs", sql=_CLASSIFY_SQL)
-def nb_classify_docs(spark, sf_dir):
-    """Argmax-label prediction for the doc_id % 7 == 0 subset. The
+def _predictions(spark, sf_dir, sample_mod: int):
+    """Per-doc argmax (doc_id, pred_source, score_micro) for the
+    ``doc_id % sample_mod == 0`` subset — the shared scorer behind the
+    classify gate (mod 7) and the model-composed filter (mod 1). The
     model/priors/unseen frames broadcast; the doc side aggregates its
     own tf and sums INTEGER contributions — deterministic at any
     parallelism."""
     tok, model, unseen, priors = _model_frames(spark, sf_dir)
     sample_tf = (
-        tok.where(F.col("doc_id") % SAMPLE_MOD == 0)
+        tok.where(F.col("doc_id") % sample_mod == 0)
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
@@ -229,5 +238,57 @@ def nb_classify_docs(spark, sf_dir):
             "doc_id",
             F.col("source").alias("pred_source"),
             "score_micro",
+        )
+    )
+
+
+@register("nb_classify_docs", sql=_CLASSIFY_SQL)
+def nb_classify_docs(spark, sf_dir):
+    """Argmax-label prediction for the doc_id % 7 == 0 subset."""
+    return _predictions(spark, sf_dir, SAMPLE_MOD)
+
+
+# ----------------------------------------------------- nb_filter_report
+# The model COMPOSED INTO a curation decision (round 8): production
+# pipelines run fastText-style classifiers over the whole corpus and act
+# on the prediction (keep/drop/bucket). Here the decision is
+# self-consistency — keep documents whose predicted source equals their
+# actual source (high-confusion docs are the ones whose token profile
+# does not match their provenance) — reported per source as a keep-rate
+# card. Every doc scores (sample_mod = 1); the output is label-sized.
+# All sums are integers (micro-unit scores / counts) and CAST to BIGINT
+# in the oracle (the HUGEINT pandas lesson above).
+
+_FILTER_SQL = f"""
+WITH {_pred_cte(1)}
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN p.pred_source = d.source THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN p.pred_source = d.source THEN p.score_micro
+                     ELSE 0 END) AS BIGINT) AS kept_score_micro
+FROM pred p JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+
+
+@register("nb_filter_report", sql=_FILTER_SQL)
+def nb_filter_report(spark, sf_dir):
+    """Classifier-composed curation: per-source keep-rate card for the
+    self-consistency filter (pred_source == source) over the WHOLE
+    corpus. One scorer pass + one broadcast join back to the doc labels
+    + one label-sized aggregate."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    pred = _predictions(spark, sf_dir, 1)
+    keep = F.col("pred_source") == F.col("source")
+    return (
+        pred.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(keep, F.col("score_micro")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_score_micro"),
         )
     )

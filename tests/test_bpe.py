@@ -285,3 +285,36 @@ def test_curated_tokenizer_is_trained_on_survivors(spark):
     assert [m[:2] for m in got] == want
     _, full = _trained(spark, SF_DIR_SMALL)
     assert [m[:2] for m in full] != want  # distinct tokenizer at sf0.001
+
+
+def test_cdc_maintained_dict_retrains_identically(spark, tmp_path):
+    """The incremental-retrain story end-to-end at fixture scale: the
+    CDC-maintained word dict equals the from-scratch dict of the final
+    corpus, so the trainer over it learns EXACTLY the same merges — the
+    dict is the trainer's only input."""
+    from cargo_chat_spark.queries.bpe_queries import wordfreq_cdc_dict
+    from tests.conftest import SF_DIR_SMALL
+
+    maintained = wordfreq_cdc_dict(spark, SF_DIR_SMALL)
+    got = {(r["word"], r["freq"]) for r in maintained.collect()}
+
+    docs = load_table(spark, SF_DIR_SMALL, "documents")
+    upd = docs.where(F.col("doc_id") % 10 == 3).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" extrawordx"))
+    )
+    final = (
+        docs.where((F.col("doc_id") % 10 != 3) & (F.col("doc_id") % 10 != 4))
+        .unionByName(upd.where(F.col("doc_id") % 20 != 3))
+        .unionByName(
+            docs.where(F.col("doc_id") % 10 == 7).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(100_000_000)
+            )
+        )
+    )
+    scratch = word_freqs(final)
+    want = {(r["word"], r["freq"]) for r in scratch.collect()}
+    assert got == want
+
+    m_inc, _ = train_bpe(maintained, 5)
+    m_scr, _ = train_bpe(scratch, 5)
+    assert m_inc == m_scr
