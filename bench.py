@@ -130,6 +130,7 @@ DETAIL_EXTRA = [
     "repo_walk",                # new r8: S1-S3 walk gate (fixture tree)
     "wordfreq_cdc_dict",        # new r8: dict follows snapshot CDC
     "nb_filter_report",         # new r8: classifier-composed curation
+    "rp_forest_persisted",      # new r8: persisted forest posting store
 ]
 
 
@@ -478,6 +479,12 @@ _R8_DRIVER_BARS = {
     "repo_walk": 2.57,
     "wordfreq_cdc_dict": 5.57,
     "nb_filter_report": 3.60,
+    # store BUILD (one 12-key NumPy pass over the corpus + partitioned
+    # write) + first probe, end-to-end per repeat (calib 0.425 →
+    # /0.995); a probe against an existing store measures 1.4 s warm —
+    # vs the batch forest's 4.15 s driver bar, the materialization's
+    # payoff
+    "rp_forest_persisted": 5.79,
 }
 
 BASELINE_S = {

@@ -400,3 +400,63 @@ def rp_lsh_forest_topk(spark, sf_dir):
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 10)
     )
+
+
+# ------------------------------------------------- rp_forest_persisted
+# The forest's SCALE PATH made concrete (round 8): the decade probe
+# measured the batch forest as the most data-proportional headline
+# kernel (exponent 0.78) because it recomputes all 12 corpus key sets
+# per run. sources/forest_store.py materializes the postings ONCE
+# (partitioned by table, bkey-clustered; vectors NOT duplicated — ids
+# only); a probe is then broadcast-batch-keys → unshuffled store join →
+# candidate-id vector fetch → exact re-rank. Results are bit-identical
+# to the batch gate, so the ORACLE IS SHARED verbatim (the
+# bm25_topk_persisted precedent). Store built once per (session, sf)
+# via the session memo.
+
+from cargo_chat_spark.caching import register_memo as _register_memo
+
+_FOREST_STORE_MEMO: dict = {}
+_register_memo(_FOREST_STORE_MEMO)
+
+
+def _forest_store(spark, sf_dir):
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from cargo_chat_spark.sources.forest_store import write_forest_store
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _FOREST_STORE_MEMO.get(key)
+    if path is None:
+        sf_tag = _os.path.basename(_os.path.normpath(sf_dir))
+        path = _os.path.join(
+            _tempfile.gettempdir(),
+            f"ccs_foreststore_{sf_tag}_{_os.getpid()}",
+        )
+        if _os.path.isdir(path):
+            _shutil.rmtree(path)
+        write_forest_store(
+            load_table(spark, sf_dir, "embeddings").select(
+                "vec_id", "embedding"
+            ),
+            path,
+        )
+        _FOREST_STORE_MEMO[key] = path
+    return path
+
+
+@register("rp_forest_persisted", sql=_RP_FOREST_SQL)
+def rp_forest_persisted(spark, sf_dir):
+    """Forest top-10 served from the PERSISTED posting store; must equal
+    the recompute-everything batch gate bit for bit."""
+    from cargo_chat_spark.sources.forest_store import probe_forest_store
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return probe_forest_store(
+        spark, _forest_store(spark, sf_dir), queries, emb, k=10
+    )

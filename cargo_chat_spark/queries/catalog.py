@@ -258,6 +258,11 @@ ROUND8_PROMOTION_PLAN = [
     # decision — per-source self-consistency keep-rate card over the
     # whole corpus (the fastText-style model-based filter step).
     "nb_filter_report",
+    # NEW in round 8: the forest ANN's scale path made concrete — the
+    # decade probe's worst exponent (0.78, key recompute per run) closed
+    # by a persisted posting store (sources/forest_store.py); shares the
+    # batch gate's oracle bit-for-bit.
+    "rp_forest_persisted",
     # deferred from the r8 window by arithmetic (50 = 20 permanents +
     # user_value_scd2 re-gate + 29 promotions): the three classic
     # relational shapes registered late in round 7
