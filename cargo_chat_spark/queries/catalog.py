@@ -263,6 +263,15 @@ ROUND8_PROMOTION_PLAN = [
     # by a persisted posting store (sources/forest_store.py); shares the
     # batch gate's oracle bit-for-bit.
     "rp_forest_persisted",
+    # NEW in round 8: token-budgeted source mixing (the "N tokens per
+    # domain" dataset-assembly step) — append-stable first-fit greedy,
+    # one shuffle on source; stability pinned in tests/test_sampling.py.
+    "token_budget_mix",
+    # NEW in round 8: TPC-H Q7 (both-directions nation-pair shipping
+    # volume by year) and the Q9 SHAPE (nation × year computed-profit
+    # rollup; supply cost stood in — no partsupp table in the fixture).
+    "volume_shipping_q7",
+    "product_profit_q9",
     # deferred from the r8 window by arithmetic (50 = 20 permanents +
     # user_value_scd2 re-gate + 29 promotions): the three classic
     # relational shapes registered late in round 7

@@ -1303,3 +1303,141 @@ def waiting_customers_q22(spark, sf_dir):
             (F.sum("cents").cast("double") / 100.0).alias("total_bal"),
         )
     )
+
+
+# ------------------------------------------------------ Q7 volume shipping
+# TPC-H Q7 shape: revenue shipped between two named nations, BOTH
+# directions, grouped by (supplier nation, customer nation, ship year).
+# Scale shape: supplier/customer/nation are dimensions — both nation-
+# filtered dim sides broadcast, so the fact-side work stays the ONE
+# lineitem⋈orders shuffle on orderkey; the direction predicate
+# ((A,B) or (B,A)) rides the broadcast joins as a post-join filter on
+# two already-broadcast columns, never a fact self-join. Year extraction
+# is a scan-stage projection (no second pass). Money through
+# DECIMAL(18,2) per FIXTURES.md.
+_VOLUME_SHIPPING_SQL = """
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS l_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+WHERE (sn.n_name = 'FRANCE' AND cn.n_name = 'GERMANY')
+   OR (sn.n_name = 'GERMANY' AND cn.n_name = 'FRANCE')
+GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+"""
+
+
+@register("volume_shipping_q7", sql=_VOLUME_SHIPPING_SQL)
+def volume_shipping_q7(spark, sf_dir):
+    """Q7 shape: FRANCE↔GERMANY shipped revenue by (direction, year)."""
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    dec = lambda col: F.col(col).cast("decimal(18,2)")  # noqa: E731
+    pair = F.col("n_name").isin("FRANCE", "GERMANY")
+    sup = s.join(
+        F.broadcast(n.where(pair).select(
+            F.col("n_nationkey").alias("sn_key"),
+            F.col("n_name").alias("supp_nation"),
+        )),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    cust = c.join(
+        F.broadcast(n.where(pair).select(
+            F.col("n_nationkey").alias("cn_key"),
+            F.col("n_name").alias("cust_nation"),
+        )),
+        F.col("c_nationkey") == F.col("cn_key"),
+    ).select("c_custkey", "cust_nation")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+            ).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ------------------------------------------------------ Q9 product profit
+# TPC-H Q9 SHAPE (nation × year profit for a part-name family). The
+# fixture has no partsupp table, so supply cost is stood in by
+# 0.5 × p_retailprice — the SHAPE under test is the 5-way join with a
+# computed measure (revenue − cost·quantity), a substring part filter,
+# and the (nation, year) rollup, not TPC-H's constants. All arithmetic
+# in DECIMAL(18,2): the subtraction must be exact or the hash diverges.
+# Scale shape: part (name-filtered) and supplier/nation broadcast; the
+# only exchange is lineitem⋈orders on orderkey reused by nothing else —
+# the groupBy keys are dimension columns, so AQE coalesces the tiny
+# post-agg side.
+_PRODUCT_PROFIT_SQL = """
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))
+              - CAST(0.5 AS DECIMAL(18,2)) * CAST(p.p_retailprice AS DECIMAL(18,2))
+                * CAST(l.l_quantity AS DECIMAL(18,2)))
+            AS DOUBLE) AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%green%'
+GROUP BY n.n_name, year(o.o_orderdate)
+"""
+
+
+@register("product_profit_q9", sql=_PRODUCT_PROFIT_SQL)
+def product_profit_q9(spark, sf_dir):
+    """Q9 shape: per-(nation, year) profit for the '%green%' part family
+    (supply cost stood in by 0.5·p_retailprice — no partsupp table in
+    the fixture; see the SQL comment)."""
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    dec = lambda col: F.col(col).cast("decimal(18,2)")  # noqa: E731
+    half = F.lit(0.5).cast("decimal(18,2)")
+    profit_term = dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - dec("l_discount")
+    ) - half * dec("p_retailprice") * dec("l_quantity")
+    sup_nation = s.join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    return (
+        l.join(
+            F.broadcast(
+                p.where(F.col("p_name").like("%green%"))
+                .select("p_partkey", "p_retailprice")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(sup_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "nation", F.year("o_orderdate").cast("int").alias("o_year")
+        )
+        .agg(F.sum(profit_term).cast("double").alias("profit"))
+    )

@@ -457,3 +457,66 @@ def weighted_sample(spark, sf_dir):
         .limit(_WEIGHTED_N)
         .drop("_p")
     )
+
+
+# --------------------------------------------------- token-budgeted mixing
+# The dataset-assembly step after curation and before packing: each
+# source contributes documents IN ID ORDER until its TOKEN budget is
+# exhausted (the "N billion tokens per domain" recipe every pretraining
+# mixture spec states). Deterministic greedy: a doc is kept iff the
+# running token total BEFORE it is under the budget — the crossing doc
+# is kept (it started inside the budget), the same first-fit boundary
+# rule pack_by_budget pins. Scale shape: ONE shuffle on source; the
+# per-source running sum is a linear window over the source partition;
+# the output is source-sized. Append-stability matters here exactly as
+# for dataset_split: adding NEW (higher-id) docs can never evict an
+# already-kept doc, because the running prefix below any kept id is
+# unchanged — the mixture is reproducible across corpus versions.
+
+_MIX_BUDGET = 800
+
+_TOKEN_MIX_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, source, {_TOKENS} AS n_tokens
+    FROM documents
+),
+running AS (
+    SELECT source, doc_id, n_tokens,
+        SUM(n_tokens) OVER (
+            PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) - n_tokens AS before_total
+    FROM toks
+)
+SELECT source,
+    CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+    CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept,
+    CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM running
+WHERE before_total < {_MIX_BUDGET}
+GROUP BY source
+"""
+
+
+@register("token_budget_mix", sql=_TOKEN_MIX_SQL)
+def token_budget_mix(spark, sf_dir):
+    """Per-source token-budget mixture report: docs kept in id order
+    until each source's budget fills (first-fit crossing rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.when(F.trim("text") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+"))
+    )
+    toks = docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept = toks.withColumn(
+        "before_total", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    ).where(F.col("before_total") < _MIX_BUDGET)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_kept"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
+        F.max("doc_id").cast("bigint").alias("last_doc"),
+    )

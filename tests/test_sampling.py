@@ -9,9 +9,13 @@ import duckdb
 import pandas as pd
 import pytest
 
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
 from cargo_chat_spark.queries.registry import ORACLE_SQL, SPARK_QUERIES
 from cargo_chat_spark.queries import dedup  # noqa: F401 (leakage_safe_split)
 from cargo_chat_spark.queries import sampling
+from cargo_chat_spark.sources.testdata import load_table
 from tests.conftest import SF_DIR_SMALL
 
 
@@ -158,3 +162,63 @@ def test_leakage_safe_split_groups_never_straddle(spark):
     frac = ls["split"].value_counts(normalize=True)
     assert 0.93 <= frac.get("train", 0) <= 1.0
     assert frac.get("val", 0) <= 0.05 and frac.get("test", 0) <= 0.05
+
+
+def test_token_budget_mix_is_append_stable_and_cuts(spark):
+    """The mixture must be reproducible across corpus versions: adding
+    new (higher-id) docs can never evict an already-kept doc, because
+    the running prefix below any kept id is unchanged. And the budget
+    must actually CUT (a budget above every source's total would make
+    the gate vacuous)."""
+    from cargo_chat_spark.queries.sampling import _MIX_BUDGET, token_budget_mix
+
+    docs = load_table(spark, SF_DIR_SMALL, "documents")
+    n_tokens = F.when(F.trim("text") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+"))
+    )
+    totals = {
+        r["source"]: r["t"]
+        for r in docs.select("source", n_tokens.alias("n"))
+        .groupBy("source").agg(F.sum("n").alias("t")).collect()
+    }
+    assert all(t > _MIX_BUDGET for t in totals.values()), (
+        "budget must cut every source for the gate to discriminate"
+    )
+
+    full = {
+        r["source"]: (r["n_docs_kept"], r["tokens_kept"], r["last_doc"])
+        for r in token_budget_mix(spark, SF_DIR_SMALL).collect()
+    }
+    # tokens_kept crosses the budget by at most the crossing doc
+    for src, (n, tok, last) in full.items():
+        assert tok >= _MIX_BUDGET or totals[src] < _MIX_BUDGET
+    # append-stability: re-run over a PREFIX corpus (drop the top third
+    # of doc_ids) — every source's kept set below the cut is unchanged,
+    # so sources whose budget filled inside the prefix report identical
+    # rows
+    cut = docs.approxQuantile("doc_id", [0.66], 0.0)[0]
+    prefix_rows = (
+        docs.where(F.col("doc_id") <= cut)
+        .select("doc_id", "source", n_tokens.alias("n_tokens"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pref = (
+        prefix_rows.withColumn(
+            "before_total", F.sum("n_tokens").over(w) - F.col("n_tokens")
+        )
+        .where(F.col("before_total") < _MIX_BUDGET)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("n_tokens").cast("bigint").alias("tok"),
+            F.max("doc_id").cast("bigint").alias("last"),
+        )
+    )
+    for r in pref.collect():
+        src = r["source"]
+        if r["tok"] >= _MIX_BUDGET:  # budget filled inside the prefix
+            assert full[src] == (r["n"], r["tok"], r["last"])
