@@ -155,3 +155,44 @@ def test_follower_converges_under_full_replay(spark, tmp_path):
     )
     assert _groups(vp) == want
     assert _groups(vp) == _direct(spark, po, pc)
+
+
+def test_refresh_sees_merge_on_read_deletes(spark, tmp_path):
+    """Round-7 ADVICE (high): a MoR delete keeps the file list and only
+    grows the deletion vector — before the round-8 snap_file_deltas
+    DV-diff pass, this refresh silently held stale view state. The view
+    must track a DV-only commit, a restore across it, and a mixed
+    MoR + CoW step, equaling the direct join after each refresh."""
+    from cargo_chat_spark.sources.snapshots import snap_delete_rows, snap_restore
+
+    o, c, po, pc = _tables(spark, tmp_path)
+    vp = str(tmp_path / "view")
+    ivm_refresh(spark, vp, po, pc)
+
+    # DV-only commit on orders (no file change)
+    snap_delete_rows(
+        spark, po,
+        o.where(F.col("o_custkey") % 10 == 6).select("o_orderkey"),
+        "o_orderkey",
+    )
+    ivm_refresh(spark, vp, po, pc)
+    assert _groups(vp) == _direct(spark, po, pc)
+
+    # restore across the MoR delete (vector shrinks, same files)
+    snap_restore(po, 0)
+    ivm_refresh(spark, vp, po, pc)
+    assert _groups(vp) == _direct(spark, po, pc)
+
+    # mixed step: MoR on orders + CoW delete on customer, one refresh
+    snap_delete_rows(
+        spark, po,
+        o.where(F.col("o_custkey") % 10 == 2).select("o_orderkey"),
+        "o_orderkey",
+    )
+    snap_delete(
+        spark, pc,
+        c.where(F.col("c_nationkey") == 3).select("c_custkey"),
+        "c_custkey",
+    )
+    ivm_refresh(spark, vp, po, pc)
+    assert _groups(vp) == _direct(spark, po, pc)
