@@ -134,6 +134,8 @@ DETAIL_EXTRA = [
     "token_budget_mix",         # new r8: per-source token-budget mixing
     "volume_shipping_q7",       # new r8: Q7 nation-pair shipping volume
     "product_profit_q9",        # new r8: Q9-shaped computed-profit rollup
+    "returned_items_q10",       # new r8: Q10 returned-item revenue top-20
+    "returnflag_status_mix_q12",  # new r8: Q12 conditional status split
 ]
 
 
@@ -493,6 +495,9 @@ _R8_DRIVER_BARS = {
     "token_budget_mix": 0.88,
     "volume_shipping_q7": 1.20,
     "product_profit_q9": 0.92,
+    # measured @ calib 0.387 (/0.906)
+    "returned_items_q10": 3.18,
+    "returnflag_status_mix_q12": 1.95,
 }
 
 BASELINE_S = {

@@ -272,6 +272,11 @@ ROUND8_PROMOTION_PLAN = [
     # rollup; supply cost stood in — no partsupp table in the fixture).
     "volume_shipping_q7",
     "product_profit_q9",
+    # NEW in round 8: Q10 (top-20 returned-item revenue; broadcast dims,
+    # TakeOrderedAndProject tail) and the Q12 conditional-aggregate
+    # status split.
+    "returned_items_q10",
+    "returnflag_status_mix_q12",
     # deferred from the r8 window by arithmetic (50 = 20 permanents +
     # user_value_scd2 re-gate + 29 promotions): the three classic
     # relational shapes registered late in round 7

@@ -1441,3 +1441,92 @@ def product_profit_q9(spark, sf_dir):
         )
         .agg(F.sum(profit_term).cast("double").alias("profit"))
     )
+
+
+# ---------------------------------------------------- Q10 returned items
+# TPC-H Q10 shape: revenue lost to returned items per customer, top 20.
+# Scale shape: the returnflag predicate pushes into the lineitem scan
+# (R rows are ~25% of the table); customer and nation broadcast; the
+# single exchange is lineitem⋈orders on orderkey reused by the groupBy
+# only through the customer key — the top-20 compiles to
+# TakeOrderedAndProject (no global sort).
+_RETURNED_ITEMS_SQL = """
+SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("returned_items_q10", sql=_RETURNED_ITEMS_SQL)
+def returned_items_q10(spark, sf_dir):
+    """Q10 shape: top-20 customers by returned-item revenue."""
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    dec = lambda col: F.col(col).cast("decimal(18,2)")  # noqa: E731
+    return (
+        l.where(F.col("l_returnflag") == "R")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+            ).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------- Q12 shipmode stats
+# TPC-H Q12 shape: per-returnflag priority counts split by order status
+# — the conditional-aggregate (CASE inside SUM) form whose whole cost is
+# one fact shuffle on orderkey and whose output is enum-sized. The
+# classic lineitem⋈orders probe where the AGGREGATE, not the join,
+# carries the business rule.
+_SHIPMODE_SQL = """
+SELECT l.l_returnflag,
+       CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END)
+            AS BIGINT) AS finished_count,
+       CAST(SUM(CASE WHEN o.o_orderstatus <> 'F' THEN 1 ELSE 0 END)
+            AS BIGINT) AS open_count,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_qty
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY l.l_returnflag
+"""
+
+
+@register("returnflag_status_mix_q12", sql=_SHIPMODE_SQL)
+def returnflag_status_mix_q12(spark, sf_dir):
+    """Q12 shape: conditional-aggregate status split per returnflag."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    fin = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(fin).cast("bigint").alias("finished_count"),
+            F.sum(F.lit(1) - fin).cast("bigint").alias("open_count"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty"),
+        )
+    )
