@@ -136,6 +136,7 @@ DETAIL_EXTRA = [
     "product_profit_q9",        # new r8: Q9-shaped computed-profit rollup
     "returned_items_q10",       # new r8: Q10 returned-item revenue top-20
     "returnflag_status_mix_q12",  # new r8: Q12 conditional status split
+    "rp_forest_cdc_synced",     # new r8: forest follows the CDC feed
 ]
 
 
@@ -498,6 +499,10 @@ _R8_DRIVER_BARS = {
     # measured @ calib 0.387 (/0.906)
     "returned_items_q10": 3.18,
     "returnflag_status_mix_q12": 1.95,
+    # whole lifecycle fixture (vector snapshot write + full posting
+    # build + MERGE-negate + CoW delete + CDC apply + probe) @ calib
+    # 0.381 (/0.892) — the ivf_topk_cdc_synced weight class
+    "rp_forest_cdc_synced": 12.83,
 }
 
 BASELINE_S = {

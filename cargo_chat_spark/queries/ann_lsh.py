@@ -460,3 +460,87 @@ def rp_forest_persisted(spark, sf_dir):
     return probe_forest_store(
         spark, _forest_store(spark, sf_dir), queries, emb, k=10
     )
+
+
+# ------------------------------------------------- rp_forest_cdc_synced
+# The forest joins the persisted-state CDC family (round 8 — making it a
+# QUARTET with lexical postings, near-dup bands, and ANN cells): the
+# posting store follows a MUTATING vector snapshot through its change
+# feed (sources/forest_store.py::apply_forest_cdc — re-keyed appends for
+# inserts/updates, merge-on-read tombstones for deletes/old
+# generations). The gate's MERGE negates the updated embeddings, so
+# every projection sign flips and every updated vector MOVES buckets in
+# all 12 tables — the hardest maintenance case. The probe after the CDC
+# apply must equal the from-scratch forest over the FINAL logical
+# vectors (the oracle rebinds the corpus CTE; same construction as
+# ivf_topk_cdc_synced).
+
+_FOREST_CDC_SQL = _RP_FOREST_SQL.replace(
+    "WITH tables AS (",
+    """WITH embeddings2 AS (
+    SELECT vec_id,
+           CASE WHEN vec_id % 10 = 3
+                THEN list_transform(embedding, x -> -x)
+                ELSE embedding END AS embedding
+    FROM embeddings WHERE vec_id % 10 <> 4
+),
+tables AS (""",
+    1,
+).replace("FROM embeddings e", "FROM embeddings2 e")
+
+
+@register("rp_forest_cdc_synced", sql=_FOREST_CDC_SQL)
+def rp_forest_cdc_synced(spark, sf_dir):
+    """Forest probe after a write → sync → MERGE-negate → CoW-delete →
+    CDC-apply lifecycle; must equal the from-scratch forest over the
+    final logical vectors."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from cargo_chat_spark.sources.forest_store import (
+        apply_forest_cdc,
+        probe_forest_store,
+        sync_forest_from_snapshot,
+    )
+    from cargo_chat_spark.sources.snapshots import (
+        snap_delete,
+        snap_merge,
+        snap_read,
+        snap_write,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    sf_tag = _os.path.basename(_os.path.normpath(sf_dir))
+    table = _os.path.join(
+        _tempfile.gettempdir(), f"ccs_forestcdc_t_{sf_tag}_{_os.getpid()}"
+    )
+    store = _os.path.join(
+        _tempfile.gettempdir(), f"ccs_forestcdc_s_{sf_tag}_{_os.getpid()}"
+    )
+    for p in (table, store):
+        if _os.path.isdir(p):
+            _shutil.rmtree(p)
+
+    snap_write(emb, table)
+    sync_forest_from_snapshot(spark, store, table)
+    # v1: MERGE-negate — every updated vector changes buckets
+    upd = emb.where(F.col("vec_id") % 10 == 3).withColumn(
+        "embedding", F.transform("embedding", lambda x: -x)
+    )
+    snap_merge(spark, table, upd, "vec_id")
+    # v2: CoW delete
+    snap_delete(
+        spark, table,
+        emb.where(F.col("vec_id") % 10 == 4).select("vec_id"),
+        "vec_id",
+    )
+    apply_forest_cdc(spark, store, table)
+
+    final = snap_read(spark, table)
+    queries = final.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return probe_forest_store(spark, store, queries, final, k=10)

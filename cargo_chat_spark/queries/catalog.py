@@ -263,6 +263,12 @@ ROUND8_PROMOTION_PLAN = [
     # by a persisted posting store (sources/forest_store.py); shares the
     # batch gate's oracle bit-for-bit.
     "rp_forest_persisted",
+    # NEW in round 8: the forest joins the persisted-state CDC family
+    # (quartet complete): re-keyed appends for updates (bucket moves in
+    # all 12 tables), merge-on-read tombstones for deletes; probe after
+    # the CDC apply equals the from-scratch forest over the final
+    # logical vectors.
+    "rp_forest_cdc_synced",
     # NEW in round 8: token-budgeted source mixing (the "N tokens per
     # domain" dataset-assembly step) — append-stable first-fit greedy,
     # one shuffle on source; stability pinned in tests/test_sampling.py.

@@ -89,7 +89,11 @@ def probe_forest_store(
         ),
         "embedding", "vec_id", "query_id", "qvec",
     )
-    store = read_forest_store(spark, path)
+    # tombstone-aware when the store is CDC-maintained; identical to the
+    # raw read otherwise
+    store = read_forest_store_live(spark, path).select(
+        "vec_id", "t", "bkey"
+    )
     cand = (
         store.join(F.broadcast(qkeys), ["t", "bkey"])
         .select("query_id", "qvec", "vec_id")
@@ -107,3 +111,226 @@ def probe_forest_store(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+# ------------------------------------------------ snapshot-CDC maintenance
+# The forest member of the persisted-state CDC family (the band store's
+# discipline, sources/band_store.py:164-376, applied to posting rows):
+# the store FOLLOWS a mutating vector snapshot through its O(changed
+# files) change feed — inserted/updated vectors append re-keyed postings
+# stamped with the synced version (a moved vector lands in its NEW
+# buckets); deleted vectors and updated vectors' old generations become
+# merge-on-read tombstones ((vec_id, cutoff) — posting files are
+# immutable, reads anti-join the bounded broadcast tombstone set, and a
+# reinserted id's newer generation outlives old tombstones via
+# ver >= cutoff). Compaction rewrites only the dirty files.
+
+import json as _json
+import shutil as _shutil
+import uuid as _uuid
+
+from pyspark.sql import functions as _F
+
+_SYNC_SUFFIX = ".sync.json"
+
+
+def _sync_path(path: str) -> str:
+    return path.rstrip("/") + _SYNC_SUFFIX
+
+
+def _tombstones_path(path: str) -> str:
+    return os.path.join(path, "tombstones")
+
+
+def synced_forest_version(path: str) -> int:
+    try:
+        with open(_sync_path(path)) as fh:
+            return int(_json.load(fh)["synced_version"])
+    except (OSError, ValueError, KeyError):
+        return -1
+
+
+def _write_sync(path: str, version: int) -> None:
+    tmp = _sync_path(path) + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        _json.dump({"synced_version": version}, fh)
+    os.replace(tmp, _sync_path(path))
+
+
+def _write_versioned(emb: DataFrame, path: str, version: int,
+                     mode: str, n_key_files: int) -> None:
+    keys = _forest_keys_numpy(
+        emb.select("vec_id", "embedding"),
+        "embedding", "vec_id", "vec_id", "embedding",
+    ).select("vec_id", "t", "bkey").withColumn(
+        "ver", _F.lit(int(version))
+    )
+    (
+        keys.repartitionByRange(n_key_files, "bkey")
+        .sortWithinPartitions("bkey")
+        .write.mode(mode)
+        .partitionBy("t")
+        .parquet(_forest_path(path))
+    )
+
+
+def sync_forest_from_snapshot(
+    spark: SparkSession, store_path: str, table_path: str,
+    n_key_files: int = 4,
+) -> int:
+    """Initial full build from the vector table's LATEST snapshot;
+    postings are stamped with the synced version (the tombstone
+    generation axis). Returns the synced version."""
+    from cargo_chat_spark.sources.snapshots import manifest, snap_read
+
+    v = int(manifest(table_path)["version"])
+    _write_versioned(
+        snap_read(spark, table_path), store_path, v, "overwrite",
+        n_key_files,
+    )
+    _write_sync(store_path, v)
+    return v
+
+
+def apply_forest_cdc(
+    spark: SparkSession, store_path: str, table_path: str,
+    to_version: int | None = None, n_key_files: int = 4,
+) -> int:
+    """Advance the store from its synced version via the row-level
+    change feed: O(changed files + changed vectors' keys), never
+    O(corpus)."""
+    from cargo_chat_spark.sources.snapshots import (
+        manifest,
+        snap_changes,
+        snap_read,
+    )
+
+    from_v = synced_forest_version(store_path)
+    if from_v < 0:
+        raise ValueError(
+            f"forest store at {store_path} was not built by "
+            "sync_forest_from_snapshot"
+        )
+    to_v = (
+        int(manifest(table_path)["version"])
+        if to_version is None
+        else int(to_version)
+    )
+    if to_v == from_v:
+        return to_v
+    ch = snap_changes(spark, table_path, from_v, to_v, "vec_id")
+    dead = (
+        ch.where(_F.col("change").isin("deleted", "updated"))
+        .select("vec_id").distinct()
+    )
+    fresh = (
+        ch.where(_F.col("change").isin("inserted", "updated"))
+        .select("vec_id").distinct()
+    )
+    (
+        dead.withColumn("cutoff", _F.lit(to_v).cast("int"))
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(_tombstones_path(store_path))
+    )
+    new_vecs = snap_read(spark, table_path, to_v).join(
+        _F.broadcast(fresh), "vec_id", "semi"
+    )
+    _write_versioned(new_vecs, store_path, to_v, "append", n_key_files)
+    _write_sync(store_path, to_v)
+    return to_v
+
+
+def read_forest_store_live(spark: SparkSession, path: str) -> DataFrame:
+    """Posting rows with merge-on-read tombstones applied (a CDC-deleted
+    vector's rows vanish; a reinserted id's newer generation survives
+    via ver >= cutoff). Non-CDC stores (no tombstones dir) read as-is."""
+    p = read_forest_store(spark, path)
+    if os.path.isdir(_tombstones_path(path)):
+        t = (
+            spark.read.parquet(_tombstones_path(path))
+            .groupBy("vec_id")
+            .agg(_F.max("cutoff").alias("cutoff"))
+        )
+        p = p.alias("p").join(
+            _F.broadcast(t).alias("t"),
+            on=[
+                _F.col("p.vec_id") == _F.col("t.vec_id"),
+                _F.col("p.ver") < _F.col("t.cutoff"),
+            ],
+            how="left_anti",
+        )
+    return p
+
+
+def compact_forest_tombstones(spark: SparkSession, path: str) -> int:
+    """Materialize the tombstones: rewrite ONLY the dirty posting files,
+    then clear the tombstone set — O(dirty files), clean files untouched
+    byte-for-byte. Returns the number of files rewritten. Single-writer
+    maintenance op (run from the CDC applier's scheduler slot)."""
+    from cargo_chat_spark.sources._paths import strip_scheme
+
+    if not os.path.isdir(_tombstones_path(path)):
+        return 0
+    froot = _forest_path(path)
+    t = (
+        spark.read.parquet(_tombstones_path(path))
+        .groupBy("vec_id")
+        .agg(_F.max("cutoff").alias("cutoff"))
+    )
+    scan = (
+        spark.read.option("basePath", froot)
+        .parquet(froot)
+        .withColumn("_f", _F.col("_metadata.file_path"))
+    )
+    dead = scan.alias("p").join(
+        _F.broadcast(t).alias("t"),
+        on=[
+            _F.col("p.vec_id") == _F.col("t.vec_id"),
+            _F.col("p.ver") < _F.col("t.cutoff"),
+        ],
+    )
+    dirty = sorted(
+        strip_scheme(r["_f"])
+        for r in dead.select("_f").distinct().collect()
+    )  # bounded: one row per dirty file
+    if dirty:
+        staging = os.path.join(
+            strip_scheme(path),
+            f"_compact_staging.{os.getpid()}.{_uuid.uuid4().hex}",
+        )
+        survivors = (
+            spark.read.option("basePath", froot)
+            .parquet(*dirty)
+            .alias("p")
+            .join(
+                _F.broadcast(t).alias("t"),
+                on=[
+                    _F.col("p.vec_id") == _F.col("t.vec_id"),
+                    _F.col("p.ver") < _F.col("t.cutoff"),
+                ],
+                how="left_anti",
+            )
+        )
+        (
+            survivors.sortWithinPartitions("bkey")
+            .write.mode("overwrite")
+            .partitionBy("t")
+            .parquet(staging)
+        )
+        for f in dirty:
+            os.remove(f)
+        for t_dir in os.listdir(staging):
+            src = os.path.join(staging, t_dir)
+            if not (os.path.isdir(src) and t_dir.startswith("t=")):
+                continue
+            dst = os.path.join(strip_scheme(froot), t_dir)
+            os.makedirs(dst, exist_ok=True)
+            for part in os.listdir(src):
+                if part.endswith(".parquet"):
+                    os.replace(
+                        os.path.join(src, part), os.path.join(dst, part)
+                    )
+        _shutil.rmtree(staging)
+    _shutil.rmtree(_tombstones_path(path))
+    return len(dirty)

@@ -76,3 +76,98 @@ def test_probe_plan_store_side_unshuffled(spark, tmp_path):
         r"Exchange hashpartitioning\((t|bkey)", cand_plan
     )
     assert scan_to_exchange is None, "store postings must not shuffle on key"
+
+
+# ------------------------------------------------ snapshot-CDC lifecycle
+
+
+def _fs_rows(spark, store):
+    from cargo_chat_spark.sources.forest_store import read_forest_store_live
+
+    return sorted(
+        map(
+            tuple,
+            read_forest_store_live(spark, store)
+            .select("vec_id", "t", "bkey")
+            .collect(),
+        )
+    )
+
+
+def _fs_fresh(spark, table, tmp_path, tag):
+    from cargo_chat_spark.sources.forest_store import (
+        read_forest_store,
+        write_forest_store,
+    )
+    from cargo_chat_spark.sources.snapshots import snap_read
+
+    ref = str(tmp_path / f"fsref_{tag}")
+    write_forest_store(snap_read(spark, table), ref)
+    return sorted(
+        map(
+            tuple,
+            read_forest_store(spark, ref)
+            .select("vec_id", "t", "bkey")
+            .collect(),
+        )
+    )
+
+
+def test_forest_cdc_lifecycle_tracks_snapshot(spark, tmp_path):
+    """update-moves-buckets, delete, reinsert-over-tombstone, compaction
+    as pure layout change, idle no-op — the store equals a from-scratch
+    key build after EVERY lifecycle step."""
+    from cargo_chat_spark.sources.forest_store import (
+        apply_forest_cdc,
+        compact_forest_tombstones,
+        sync_forest_from_snapshot,
+        synced_forest_version,
+    )
+    from cargo_chat_spark.sources.snapshots import (
+        snap_delete,
+        snap_merge,
+        snap_write,
+    )
+
+    emb = load_table(spark, SF_DIR_SMALL, "embeddings").select(
+        "vec_id", "embedding"
+    ).limit(60)
+    table = str(tmp_path / "t")
+    store = str(tmp_path / "s")
+    snap_write(emb, table)
+    sync_forest_from_snapshot(spark, store, table)
+    assert _fs_rows(spark, store) == _fs_fresh(spark, table, tmp_path, 0)
+
+    # update: negate -> every projection sign flips -> bucket moves
+    upd = emb.where(F.col("vec_id") % 5 == 2).withColumn(
+        "embedding", F.transform("embedding", lambda x: -x)
+    )
+    snap_merge(spark, table, upd, "vec_id")
+    apply_forest_cdc(spark, store, table)
+    assert _fs_rows(spark, store) == _fs_fresh(spark, table, tmp_path, 1)
+
+    # delete
+    snap_delete(
+        spark, table,
+        emb.where(F.col("vec_id") % 5 == 0).select("vec_id"), "vec_id",
+    )
+    apply_forest_cdc(spark, store, table)
+    assert _fs_rows(spark, store) == _fs_fresh(spark, table, tmp_path, 2)
+
+    # reinsert a deleted id (new generation must outlive old tombstones)
+    back = emb.where(F.col("vec_id") % 5 == 0).limit(3)
+    snap_merge(spark, table, back, "vec_id")
+    apply_forest_cdc(spark, store, table)
+    assert _fs_rows(spark, store) == _fs_fresh(spark, table, tmp_path, 3)
+
+    # compaction: pure layout change, tombstones cleared, idempotent
+    before = _fs_rows(spark, store)
+    n = compact_forest_tombstones(spark, store)
+    assert n > 0
+    assert _fs_rows(spark, store) == before
+    assert compact_forest_tombstones(spark, store) == 0
+    assert _fs_rows(spark, store) == before
+
+    # idle apply: fenced no-op
+    v = synced_forest_version(store)
+    assert apply_forest_cdc(spark, store, table) == v
