@@ -853,6 +853,18 @@ def test_vacuum_reclaims_cold_orphan_staging(spark, tmp_path):
     assert not os.path.exists(cold), "cold orphan staging not reclaimed"
     assert os.path.exists(live), "live writer's staging was swept"
 
+    # round-8 ADVICE (low): the cold threshold is a parameter tied to the
+    # longest expected commit. A long-running writer's 2h-old staging
+    # survives when the operator raises the threshold accordingly...
+    old2 = time.time() - 7200
+    os.utime(os.path.join(live, "part-0.parquet"), (old2, old2))
+    os.utime(live, (old2, old2))
+    expire_snapshots(out, keep_last=1, orphan_cold_seconds=3 * 3600)
+    assert os.path.exists(live), "threshold ignored: long writer swept"
+    # ...and is reclaimed once the threshold says it is genuinely dead
+    expire_snapshots(out, keep_last=1, orphan_cold_seconds=3600)
+    assert not os.path.exists(live)
+
 
 def test_concurrent_appenders_stress(spark, tmp_path):
     """Many writers appending concurrently with the documented retry
