@@ -263,18 +263,104 @@ def read_forest_store_live(spark: SparkSession, path: str) -> DataFrame:
     return p
 
 
-def compact_forest_tombstones(spark: SparkSession, path: str) -> int:
-    """Materialize the tombstones: rewrite ONLY the dirty posting files,
-    then clear the tombstone set — O(dirty files), clean files untouched
-    byte-for-byte. Returns the number of files rewritten. Single-writer
-    maintenance op (run from the CDC applier's scheduler slot)."""
+def _journal_path(path: str) -> str:
+    return os.path.join(path, "_compact_journal.json")
+
+
+def _complete_compaction_swap(path: str, journal: dict) -> None:
+    """Execute (or resume) a JOURNALED swap. Every step is idempotent —
+    a crash at any point re-runs safely: already-removed dirty files are
+    skipped, already-moved staging parts are absent from staging, the
+    journal is removed only after the swap is fully applied."""
     from cargo_chat_spark.sources._paths import strip_scheme
 
-    if not os.path.isdir(_tombstones_path(path)):
+    froot = _forest_path(path)
+    for f in journal["dirty"]:
+        if os.path.exists(f):
+            os.remove(f)
+    staging = journal["staging"]
+    if os.path.isdir(staging):
+        for t_dir in os.listdir(staging):
+            src = os.path.join(staging, t_dir)
+            if not (os.path.isdir(src) and t_dir.startswith("t=")):
+                continue
+            dst = os.path.join(strip_scheme(froot), t_dir)
+            os.makedirs(dst, exist_ok=True)
+            for part in os.listdir(src):
+                if part.endswith(".parquet"):
+                    os.replace(
+                        os.path.join(src, part), os.path.join(dst, part)
+                    )
+        _shutil.rmtree(staging)
+    # drop ONLY the tombstone files this swap folded in: tombstones
+    # appended after the journal was cut stay pending for the next run
+    for tf in journal["tombstone_files"]:
+        if os.path.exists(tf):
+            os.remove(tf)
+    tdir = _tombstones_path(path)
+    if os.path.isdir(tdir) and not any(
+        n.endswith(".parquet") for n in os.listdir(tdir)
+    ):
+        _shutil.rmtree(tdir)
+    os.remove(_journal_path(path))
+
+
+def _recover_compaction(path: str) -> None:
+    """Crash recovery, run on entry: a journal on disk means a prior
+    swap committed but may not have finished — complete it (the journal
+    is the commit point; survivors are fully staged before it exists).
+    A staging dir WITHOUT a journal is a pre-commit crash — the store
+    is untouched, so roll the orphan back by deleting it."""
+    from cargo_chat_spark.sources._paths import strip_scheme
+
+    jp = _journal_path(path)
+    journaled = None
+    if os.path.isfile(jp):
+        with open(jp) as fh:
+            journaled = _json.load(fh)
+        _complete_compaction_swap(path, journaled)
+    root = strip_scheme(path)
+    if os.path.isdir(root):
+        for name in os.listdir(root):
+            if name.startswith("_compact_staging."):
+                orphan = os.path.join(root, name)
+                if journaled is None or orphan != journaled["staging"]:
+                    _shutil.rmtree(orphan)
+
+
+def compact_forest_tombstones(spark: SparkSession, path: str) -> int:
+    """Materialize the tombstones: rewrite ONLY the dirty posting files,
+    then clear the folded tombstone files — O(dirty files), clean files
+    untouched byte-for-byte. Returns the number of files rewritten.
+    Single-writer maintenance op (run from the CDC applier's scheduler
+    slot).
+
+    Crash-windowed via a journaled swap: survivors are fully written to
+    a staging dir FIRST, then a journal (staging dir + dirty-file list +
+    folded tombstone files) is published atomically — only after that
+    commit point are dirty files removed and staging parts moved in. A
+    crash before the journal leaves the store untouched (the orphaned
+    staging rolls back on the next run); a crash after it resumes to
+    completion on the next run (every post-journal step is idempotent).
+    At no point can a reader observe removed postings whose survivors
+    have not landed-or-will-land."""
+    from cargo_chat_spark.sources._paths import strip_scheme
+
+    _recover_compaction(path)
+    tdir = _tombstones_path(path)
+    if not os.path.isdir(tdir):
+        return 0
+    tomb_files = sorted(
+        os.path.join(tdir, n)
+        for n in os.listdir(tdir)
+        if n.endswith(".parquet")
+    )
+    if not tomb_files:
+        _shutil.rmtree(tdir)
         return 0
     froot = _forest_path(path)
     t = (
-        spark.read.parquet(_tombstones_path(path))
+        spark.read.parquet(*tomb_files)
         .groupBy("vec_id")
         .agg(_F.max("cutoff").alias("cutoff"))
     )
@@ -294,43 +380,43 @@ def compact_forest_tombstones(spark: SparkSession, path: str) -> int:
         strip_scheme(r["_f"])
         for r in dead.select("_f").distinct().collect()
     )  # bounded: one row per dirty file
-    if dirty:
-        staging = os.path.join(
-            strip_scheme(path),
-            f"_compact_staging.{os.getpid()}.{_uuid.uuid4().hex}",
+    if not dirty:
+        for tf in tomb_files:
+            os.remove(tf)
+        if not any(n.endswith(".parquet") for n in os.listdir(tdir)):
+            _shutil.rmtree(tdir)
+        return 0
+    staging = os.path.join(
+        strip_scheme(path),
+        f"_compact_staging.{os.getpid()}.{_uuid.uuid4().hex}",
+    )
+    survivors = (
+        spark.read.option("basePath", froot)
+        .parquet(*dirty)
+        .alias("p")
+        .join(
+            _F.broadcast(t).alias("t"),
+            on=[
+                _F.col("p.vec_id") == _F.col("t.vec_id"),
+                _F.col("p.ver") < _F.col("t.cutoff"),
+            ],
+            how="left_anti",
         )
-        survivors = (
-            spark.read.option("basePath", froot)
-            .parquet(*dirty)
-            .alias("p")
-            .join(
-                _F.broadcast(t).alias("t"),
-                on=[
-                    _F.col("p.vec_id") == _F.col("t.vec_id"),
-                    _F.col("p.ver") < _F.col("t.cutoff"),
-                ],
-                how="left_anti",
-            )
-        )
-        (
-            survivors.sortWithinPartitions("bkey")
-            .write.mode("overwrite")
-            .partitionBy("t")
-            .parquet(staging)
-        )
-        for f in dirty:
-            os.remove(f)
-        for t_dir in os.listdir(staging):
-            src = os.path.join(staging, t_dir)
-            if not (os.path.isdir(src) and t_dir.startswith("t=")):
-                continue
-            dst = os.path.join(strip_scheme(froot), t_dir)
-            os.makedirs(dst, exist_ok=True)
-            for part in os.listdir(src):
-                if part.endswith(".parquet"):
-                    os.replace(
-                        os.path.join(src, part), os.path.join(dst, part)
-                    )
-        _shutil.rmtree(staging)
-    _shutil.rmtree(_tombstones_path(path))
+    )
+    (
+        survivors.sortWithinPartitions("bkey")
+        .write.mode("overwrite")
+        .partitionBy("t")
+        .parquet(staging)
+    )
+    journal = {
+        "staging": staging,
+        "dirty": dirty,
+        "tombstone_files": tomb_files,
+    }
+    tmp = _journal_path(path) + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        _json.dump(journal, fh)
+    os.replace(tmp, _journal_path(path))  # COMMIT POINT
+    _complete_compaction_swap(path, journal)
     return len(dirty)

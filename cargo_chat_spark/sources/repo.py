@@ -139,10 +139,20 @@ def scan_repo(
 ) -> DataFrame:
     """File DataFrame: path (repo-relative), content (string), extension.
 
-    Hidden files/dirs are skipped when respects_gitignore (standard
-    filters); unreadable/non-UTF8 content decodes with replacement (the
-    reference skips with a warning — S2, chunker.rs:80-87; we keep the row
-    and let downstream filters drop it, flagged by is_valid_utf8)."""
+    CONTRACT — hidden-path exclusion on BOTH walks: files and directories
+    whose name starts with ``.`` or ``_`` (e.g. ``__init__.py``,
+    ``_config.py``, ``.github/``) are skipped even when
+    ``respects_gitignore=False``. Spark's file-source listing hides
+    leading-dot and leading-underscore paths from the distributed
+    binaryFile read below, so a walk that kept them would silently drop
+    those rows at the join anyway — the walk states what the reader can
+    actually serve (pinned by the ``repo_walk`` gate). Callers profiling
+    Python-style repos should know dunder/underscore modules never
+    surface here.
+
+    Unreadable/non-UTF8 content decodes with replacement (the reference
+    skips with a warning — S2, chunker.rs:80-87; we keep the row and let
+    downstream filters drop it, flagged by is_valid_utf8)."""
     keep: list[str] = []
     rules: list[_Rule] = []
     for dirpath, dirnames, filenames in os.walk(root):

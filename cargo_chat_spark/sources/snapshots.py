@@ -1146,12 +1146,22 @@ def snap_file_deltas(
         dv_a = _dv_positions(spark, path, m_a)
         dv_b = _dv_positions(spark, path, m_b)
 
+        # shared-file restriction as a broadcast semi-join (DATA, not an
+        # In-expression with one literal per file — the plan stays O(1)
+        # however many files the manifests share; only the DV rows that
+        # actually touch a shared file survive)
+        shared_df = F.broadcast(
+            spark.createDataFrame(
+                [(f,) for f in sorted(shared)], "file string"
+            )
+        )
+
         def dv_only(in_dv, not_in_dv) -> DataFrame | None:
             """Positions of ``in_dv`` absent from ``not_in_dv``,
             restricted to the shared files."""
             if in_dv is None:
                 return None
-            d = in_dv.where(F.col("file").isin(sorted(shared)))
+            d = in_dv.join(shared_df, "file", "semi")
             if not_in_dv is not None:
                 d = d.join(
                     not_in_dv, on=["file", "row_index"], how="left_anti"

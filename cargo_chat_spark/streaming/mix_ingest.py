@@ -136,8 +136,21 @@ def run_mix_ingest_stream(
 
 def read_mix_report(spark: SparkSession, out_dir: str) -> DataFrame:
     """Per-source keep card over everything ingested — the batch gate's
-    output shape (source, n_docs_kept, tokens_kept, last_doc)."""
-    kept = spark.read.option("basePath", out_dir).parquet(out_dir)
+    output shape (source, n_docs_kept, tokens_kept, last_doc).
+
+    Reads ONLY fenced batches (``batch <= max_ingested_batch``): a
+    ``batch=N`` dir written in the crash window — kept rows landed but
+    the sidecar fence not yet published — is invisible to readers until
+    the replay re-lands it and the fence advances, so the report never
+    transiently over-counts docs/tokens. The filter is on the partition
+    column, so unfenced dirs are partition-pruned, not scanned."""
+    state = read_mix_state(out_dir)
+    max_fenced = int(state["max_ingested_batch"])
+    kept = (
+        spark.read.option("basePath", out_dir)
+        .parquet(out_dir)
+        .where(F.col("batch") <= F.lit(max_fenced))
+    )
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs_kept"),
         F.sum("n_tokens").cast("bigint").alias("tokens_kept"),

@@ -171,3 +171,88 @@ def test_forest_cdc_lifecycle_tracks_snapshot(spark, tmp_path):
     # idle apply: fenced no-op
     v = synced_forest_version(store)
     assert apply_forest_cdc(spark, store, table) == v
+
+
+# ------------------------------------------------ compaction crash windows
+
+
+def _dirty_store(spark, tmp_path, tag):
+    """A CDC-maintained store with live tombstones and dirty files."""
+    from cargo_chat_spark.sources.forest_store import (
+        apply_forest_cdc,
+        sync_forest_from_snapshot,
+    )
+    from cargo_chat_spark.sources.snapshots import snap_merge, snap_write
+
+    emb = load_table(spark, SF_DIR_SMALL, "embeddings").select(
+        "vec_id", "embedding"
+    ).limit(60)
+    table = str(tmp_path / f"ct_{tag}")
+    store = str(tmp_path / f"cs_{tag}")
+    snap_write(emb, table)
+    sync_forest_from_snapshot(spark, store, table)
+    upd = emb.where(F.col("vec_id") % 4 == 1).withColumn(
+        "embedding", F.transform("embedding", lambda x: -x)
+    )
+    snap_merge(spark, table, upd, "vec_id")
+    apply_forest_cdc(spark, store, table)
+    return table, store
+
+
+def test_compaction_crash_after_commit_recovers(spark, tmp_path, monkeypatch):
+    """The ADVICE-r8 window: crash AFTER dirty posting files are removed
+    but BEFORE staged survivors move in. The journal (published before
+    any destructive step) must let the next run complete the swap — no
+    surviving posting is ever lost."""
+    import cargo_chat_spark.sources.forest_store as fs
+
+    table, store = _dirty_store(spark, tmp_path, "crash")
+    want = _fs_rows(spark, store)
+
+    real_complete = fs._complete_compaction_swap
+
+    def crash_mid_swap(path, journal):
+        # the worst window: every dirty file removed, nothing moved in
+        import os as _os
+
+        for f in journal["dirty"]:
+            if _os.path.exists(f):
+                _os.remove(f)
+        raise RuntimeError("simulated crash mid-swap")
+
+    monkeypatch.setattr(fs, "_complete_compaction_swap", crash_mid_swap)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        fs.compact_forest_tombstones(spark, store)
+    monkeypatch.setattr(fs, "_complete_compaction_swap", real_complete)
+
+    # next maintenance run resumes the journaled swap before anything else
+    assert fs.compact_forest_tombstones(spark, store) == 0
+    assert _fs_rows(spark, store) == want
+    import os
+
+    assert not os.path.exists(fs._journal_path(store))
+    assert not os.path.isdir(fs._tombstones_path(store))
+    # and the store stays healthy for further maintenance
+    assert fs.compact_forest_tombstones(spark, store) == 0
+
+
+def test_compaction_precommit_orphan_rolls_back(spark, tmp_path):
+    """A staging dir with NO journal is a pre-commit crash: the store is
+    untouched; the orphan must be deleted, then compaction proceeds."""
+    import os
+
+    import cargo_chat_spark.sources.forest_store as fs
+
+    table, store = _dirty_store(spark, tmp_path, "orphan")
+    want = _fs_rows(spark, store)
+    orphan = os.path.join(store, "_compact_staging.999.deadbeef")
+    os.makedirs(os.path.join(orphan, "t=0"))
+    with open(os.path.join(orphan, "t=0", "junk.parquet"), "w") as fh:
+        fh.write("not parquet")
+    n = fs.compact_forest_tombstones(spark, store)
+    assert n > 0
+    assert not os.path.isdir(orphan)
+    assert _fs_rows(spark, store) == want
+    assert fs.compact_forest_tombstones(spark, store) == 0

@@ -85,6 +85,7 @@ def test_crash_window_replay_is_byte_identical(spark, tmp_path):
     w0 = spark.read.parquet(os.path.join(src, "wave0"))
     w1 = spark.read.parquet(os.path.join(src, "wave1"))
     mix_ingest_batch(spark, w0, 0, out, _MIX_BUDGET)
+    fenced_report = _got(spark, out)
     # crash window for batch 1: kept rows land, sidecar does NOT
     st_before = read_mix_state(out)
     mix_ingest_batch(spark, w1, 1, out, _MIX_BUDGET)
@@ -92,13 +93,18 @@ def test_crash_window_replay_is_byte_identical(spark, tmp_path):
 
     with open(out.rstrip("/") + ".mix_state.json", "w") as fh:
         json.dump(st_before, fh)  # roll the sidecar back = the crash
-    files_before = sorted(
-        os.path.basename(p)
-        for p in spark.read.option("basePath", out).parquet(out).inputFiles()
+    # ADVICE-r8 pin: the UNFENCED batch=1 dir is invisible to readers —
+    # the report during the crash window equals the last fenced state,
+    # never a transient over-count
+    assert _got(spark, out) == fenced_report
+    rows_in_window = sorted(
+        map(tuple, spark.read.parquet(os.path.join(out, "batch=1")).collect())
     )
-    rows_before = _got(spark, out)
     mix_ingest_batch(spark, w1, 1, out, _MIX_BUDGET)  # the replay
-    assert _got(spark, out) == rows_before
+    # the replay's decisions are byte-identical (same prior totals)
+    assert sorted(
+        map(tuple, spark.read.parquet(os.path.join(out, "batch=1")).collect())
+    ) == rows_in_window
     assert _got(spark, out) == _batch_want(spark)
 
 
