@@ -596,3 +596,52 @@ def repo_walk(spark, sf_dir):
         )
 
     return one(True, "gitignore").unionByName(one(False, "all"))
+
+
+# ----------------------------------------- S5/S7: profile sidecar roundtrip
+@register("profile_roundtrip", sql=_PROFILE_SQL)
+def profile_roundtrip(spark, sf_dir):
+    """S7->S5 parity gate (sources/index_io.py::write_profile/
+    read_profile; save main.rs:373-376, cache-or-recompute load
+    main.rs:183-237): every repo's assembled profile is served through
+    the JSON sidecar — read_profile first (the cache branch), computing
+    and write_profile-ing on a miss (the recompute branch), exactly the
+    reference's load order — and the served rows must equal
+    repo_profile's oracle verbatim. A field lost, reordered, or mangled
+    by the JSON round-trip hash-mismatches.
+
+    The per-repo loop is driver-side and bounded (one sidecar per repo,
+    ~20 at any SF: sidecars are per-INDEX artifacts, not data-plane
+    rows — the reference keeps exactly one profile.json per index)."""
+    import os
+    import tempfile
+
+    from cargo_chat_spark.sources.index_io import read_profile, write_profile
+
+    cols = [
+        "name", "primary_languages", "build_files", "frameworks",
+        "readme_summary", "description", "project_type",
+    ]
+    # bounded collect: one row per repo (the profile aggregate's output)
+    prof_rows = repo_profile(spark, sf_dir).collect()
+    # PID-keyed root: stable within one process, never racing another run
+    out_root = os.path.join(
+        tempfile.gettempdir(),
+        f"ccs_profile_roundtrip_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{os.getpid()}",
+    )
+    served = []
+    for r in prof_rows:
+        idx_dir = os.path.join(out_root, r["name"])
+        os.makedirs(idx_dir, exist_ok=True)
+        got = read_profile(idx_dir)          # S5: cache hit?
+        if got is None:                      # miss -> recompute + save (S7)
+            write_profile({c: r[c] for c in cols}, idx_dir)
+            got = read_profile(idx_dir)
+        served.append(tuple(got[c] for c in cols))
+    return spark.createDataFrame(
+        served,
+        "name string, primary_languages string, build_files string, "
+        "frameworks string, readme_summary string, description string, "
+        "project_type string",
+    )

@@ -4,7 +4,7 @@
 displacement to list drift — these pins catch:
 
 - GATE_WINDOW not actually occupying positions 0-49 of queries();
-- a typo'd name in GATE_WINDOW / _OVERFLOW_TAIL / ROUND8_PROMOTION_PLAN
+- a typo'd name in GATE_WINDOW / _OVERFLOW_TAIL / ROUND9_PROMOTION_PLAN
   matching nothing;
 - a window entry losing its value-hash oracle (every gated row must be a
   STRONG check — rows-only entries stay outside the window);
@@ -72,27 +72,27 @@ def test_out_of_window_entries_keep_local_oracle_coverage():
     assert not missing, f"out-of-window entries without oracle SQL: {missing}"
 
 
-def test_round8_promotion_plan_names_resolve():
+def test_round9_promotion_plan_names_resolve():
     """The drafted rotation plan must stay executable: every planned
     promotion names a registered query, and none of them is already
     inside the gated window (promoting an in-window name is a no-op that
     wastes a slot)."""
     window = set(catalog.GATE_WINDOW)
     unknown = [
-        n for n in catalog.ROUND8_PROMOTION_PLAN if n not in catalog.SPARK_QUERIES
+        n for n in catalog.ROUND9_PROMOTION_PLAN if n not in catalog.SPARK_QUERIES
     ]
     assert not unknown, f"rotation plan names unknown queries: {unknown}"
-    already = [n for n in catalog.ROUND8_PROMOTION_PLAN if n in window]
+    already = [n for n in catalog.ROUND9_PROMOTION_PLAN if n in window]
     assert not already, f"rotation plan promotes in-window names: {already}"
-    assert len(set(catalog.ROUND8_PROMOTION_PLAN)) == len(
-        catalog.ROUND8_PROMOTION_PLAN
+    assert len(set(catalog.ROUND9_PROMOTION_PLAN)) == len(
+        catalog.ROUND9_PROMOTION_PLAN
     ), "duplicate names in rotation plan"
 
 
 def test_every_never_gated_entry_is_window_or_planned():
     """No registry entry may fall through the rotation: anything outside
     the window must either already carry an external row (r1-r5), sit in
-    the round-8 queue, or be a documented tail duplicate."""
+    the round-9 queue, or be a documented tail duplicate."""
     import json
     import os
 
@@ -107,7 +107,7 @@ def test_every_never_gated_entry_is_window_or_planned():
                 continue
     accounted = (
         set(catalog.GATE_WINDOW)
-        | set(catalog.ROUND8_PROMOTION_PLAN)
+        | set(catalog.ROUND9_PROMOTION_PLAN)
         | set(catalog._OVERFLOW_TAIL)
         | gated
     )
