@@ -31,7 +31,12 @@ from cargo_chat_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     # --- vector search / ANN compression ladder (6) ---
     "knn_exact",             # flagship J1: broadcast-kNN, map-side top-k prune
-    "rp_lsh_forest_topk",    # LSH forest (12 tables), recall-pinned ANN
+    # r9 swap (r8 verdict item 3): the forest headline is the PERSISTED
+    # store probe — the production steady state (the batch form's decade
+    # exponent 0.78 was the key recompute, its own documented exit). The
+    # batch rp_lsh_forest_topk stays measured in DETAIL_EXTRA as the
+    # build gate.
+    "rp_forest_persisted",   # LSH-forest probe from the persisted store
     "ivf_topk_trained",      # trained IVF cell probe (partition-prune path)
     "knn_int8_rerank",       # int8 quantized scan + exact re-rank (4x bandwidth)
     "pq_knn_rerank",         # PQ ADC shortlist + re-rank (32x compression)
@@ -130,7 +135,7 @@ DETAIL_EXTRA = [
     "repo_walk",                # new r8: S1-S3 walk gate (fixture tree)
     "wordfreq_cdc_dict",        # new r8: dict follows snapshot CDC
     "nb_filter_report",         # new r8: classifier-composed curation
-    "rp_forest_persisted",      # new r8: persisted forest posting store
+    "rp_lsh_forest_topk",       # batch forest (build gate; headline = probe)
     "token_budget_mix",         # new r8: per-source token-budget mixing
     "volume_shipping_q7",       # new r8: Q7 nation-pair shipping volume
     "product_profit_q9",        # new r8: Q9-shaped computed-profit rollup
@@ -606,14 +611,38 @@ def _warmup(spark, sf_dir: str) -> None:
     _noop(a.select("id").distinct().orderBy(F.desc("id")).limit(10))
 
 
-def _run_suite(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
+def _run_suite(
+    spark, sf_dir: str, names: list[str]
+) -> tuple[dict[str, float], dict[str, dict[str, float]]]:
+    """Per-query wall seconds, plus a phase split for lifecycle gates
+    (r8 verdict item 7): a gate registered in PHASE_BUILDERS first runs
+    its fixture/store BUILD (timed as phase "build"), then the query
+    itself (phase "probe") — `timings[name]` records the PROBE, the
+    steady-state cost a production deployment pays per query; the
+    one-time build is reported separately so a single-shot axis cannot
+    misread fixture lifecycles as query regressions. Builders are
+    memoized per session, so gates SHARING a fixture (_ii_store,
+    _cdc_index) attribute the build to whichever phased entry runs
+    first and show ~0 build after — the sum over phases stays the true
+    session cost."""
+    from cargo_chat_spark.queries.registry import PHASE_BUILDERS
+
     timings: dict[str, float] = {}
+    phases: dict[str, dict[str, float]] = {}
     for name in names:
         fn = catalog.SPARK_QUERIES[name]
+        build_fn = PHASE_BUILDERS.get(name)
+        build_s = None
+        if build_fn is not None:
+            t0 = time.perf_counter()
+            build_fn(spark, sf_dir)
+            build_s = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
-    return timings
+        if build_s is not None:
+            phases[name] = {"build": build_s, "probe": timings[name]}
+    return timings, phases
 
 
 def main() -> None:
@@ -632,13 +661,17 @@ def main() -> None:
     spark = get_spark(app_name="cargo_chat_spark_bench")
     _warmup(spark, sf_dir)
     calibs = [_calibrate(spark)]
-    runs = [_run_suite(spark, sf_dir, all_names)]
+    first_timings, first_phases = _run_suite(spark, sf_dir, all_names)
+    runs = [first_timings]
+    phase_runs = [first_phases]
     for _ in range(max(0, opts.repeat - 1)):
         # cold repeats: drop memo-persisted subtrees so every repeat pays
         # the same build cost as the driver's single-shot run
         caching.invalidate_all()
         calibs.append(_calibrate(spark))
-        runs.append(_run_suite(spark, sf_dir, all_names))
+        t, p = _run_suite(spark, sf_dir, all_names)
+        runs.append(t)
+        phase_runs.append(p)
     calib = round(statistics.median(calibs), 3)
     env_factor = calib / CALIB_REF_S if calib > 0 else 1.0
     timings_all = {
@@ -716,6 +749,23 @@ def main() -> None:
         "calib_ref_sec": CALIB_REF_S,
         "per_repeat_runs": runs,
         "medians": timings_all,
+        # r8 verdict item 7: per-phase split for lifecycle gates — the
+        # query rows above are PROBE-only for these; "build" is the
+        # one-time fixture/store lifecycle (median across repeats)
+        "phases": {
+            name: {
+                ph: round(
+                    statistics.median(
+                        [pr[name][ph] for pr in phase_runs if name in pr]
+                    ),
+                    3,
+                )
+                for ph in ("build", "probe")
+            }
+            for name in sorted(
+                {n for pr in phase_runs for n in pr}
+            )
+        },
         "detail_extra": {n: timings_all[n] for n in DETAIL_EXTRA},
         "headline_total_sec": total,
         "vs_references": reports,

@@ -86,6 +86,30 @@ _BOUNDARY_PATTERNS = {
 }
 
 
+def merge_pieces(pieces: list[str], max_chars: int) -> list[str]:
+    """Shared chunk assembly for every boundary provider (regex tier
+    here, the optional tree-sitter tier in operators/chunking_ts.py):
+    merge boundary-delimited pieces forward while they fit, hard-wrap
+    any oversized piece. Providers differ ONLY in where the boundaries
+    fall; this keeps the ≤max_chars cap and the merge-forward rule one
+    implementation."""
+    out: list[str] = []
+    buf = ""
+    for p in pieces:
+        if len(buf) + len(p) <= max_chars:
+            buf += p
+        else:
+            if buf:
+                out.append(buf)
+            while len(p) > max_chars:  # oversized declaration: hard wrap
+                out.append(p[:max_chars])
+                p = p[max_chars:]
+            buf = p
+    if buf:
+        out.append(buf)
+    return [c for c in out if c]
+
+
 def split_structured(text: str, language: str | None, max_chars: int) -> list[str]:
     """Pure function: split at declaration boundaries, merge small pieces
     forward, hard-wrap anything over max_chars. Deterministic spec — the
@@ -107,21 +131,7 @@ def split_structured(text: str, language: str | None, max_chars: int) -> list[st
             cur += ln
     if cur:
         pieces.append(cur)
-    out: list[str] = []
-    buf = ""
-    for p in pieces:
-        if len(buf) + len(p) <= max_chars:
-            buf += p
-        else:
-            if buf:
-                out.append(buf)
-            while len(p) > max_chars:  # oversized declaration: hard wrap
-                out.append(p[:max_chars])
-                p = p[max_chars:]
-            buf = p
-    if buf:
-        out.append(buf)
-    return [c for c in out if c]
+    return merge_pieces(pieces, max_chars)
 
 
 def chunk_structured(

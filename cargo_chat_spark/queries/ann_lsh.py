@@ -489,27 +489,34 @@ tables AS (""",
 ).replace("FROM embeddings e", "FROM embeddings2 e")
 
 
-@register("rp_forest_cdc_synced", sql=_FOREST_CDC_SQL)
-def rp_forest_cdc_synced(spark, sf_dir):
-    """Forest probe after a write → sync → MERGE-negate → CoW-delete →
-    CDC-apply lifecycle; must equal the from-scratch forest over the
-    final logical vectors."""
+_FOREST_CDC_MEMO: dict = {}
+_register_memo(_FOREST_CDC_MEMO)
+
+
+def _forest_cdc_fixture(spark, sf_dir):
+    """The rp_forest_cdc_synced lifecycle FIXTURE (write → sync →
+    MERGE-negate → CoW-delete → CDC-apply), memoized per (session,
+    sf_dir); returns (table, store). Factored out so bench.py can time
+    the one-time maintenance lifecycle separately from the steady-state
+    probe (registered via register_phase_builder)."""
     import os as _os
     import shutil as _shutil
     import tempfile as _tempfile
 
     from cargo_chat_spark.sources.forest_store import (
         apply_forest_cdc,
-        probe_forest_store,
         sync_forest_from_snapshot,
     )
     from cargo_chat_spark.sources.snapshots import (
         snap_delete,
         snap_merge,
-        snap_read,
         snap_write,
     )
 
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _FOREST_CDC_MEMO.get(key)
+    if cached is not None:
+        return cached
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
@@ -523,6 +530,9 @@ def rp_forest_cdc_synced(spark, sf_dir):
     for p in (table, store):
         if _os.path.isdir(p):
             _shutil.rmtree(p)
+    sync_marker = store.rstrip("/") + ".sync.json"
+    if _os.path.exists(sync_marker):
+        _os.remove(sync_marker)
 
     snap_write(emb, table)
     sync_forest_from_snapshot(spark, store, table)
@@ -538,9 +548,30 @@ def rp_forest_cdc_synced(spark, sf_dir):
         "vec_id",
     )
     apply_forest_cdc(spark, store, table)
+    _FOREST_CDC_MEMO[key] = (table, store)
+    return table, store
 
+
+@register("rp_forest_cdc_synced", sql=_FOREST_CDC_SQL)
+def rp_forest_cdc_synced(spark, sf_dir):
+    """Forest probe after a write → sync → MERGE-negate → CoW-delete →
+    CDC-apply lifecycle; must equal the from-scratch forest over the
+    final logical vectors."""
+    from cargo_chat_spark.sources.forest_store import probe_forest_store
+    from cargo_chat_spark.sources.snapshots import snap_read
+
+    table, store = _forest_cdc_fixture(spark, sf_dir)
     final = snap_read(spark, table)
     queries = final.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
     return probe_forest_store(spark, store, queries, final, k=10)
+
+
+# bench.py phase split (r8 verdict item 7): the store build / CDC
+# lifecycle is the one-time phase; the registered queries above are the
+# steady-state probes.
+from cargo_chat_spark.queries.registry import register_phase_builder as _rpb
+
+_rpb("rp_forest_persisted", _forest_store)
+_rpb("rp_forest_cdc_synced", _forest_cdc_fixture)

@@ -391,11 +391,15 @@ GROUP BY word
 """
 
 
-@register("wordfreq_cdc_dict", sql=_WF_CDC_SQL)
-def wordfreq_cdc_dict(spark, sf_dir):
-    """Maintain the (word, freq) dict across a write → MERGE →
-    MoR-delete snapshot lifecycle using ONLY the signed file-diff delta;
-    must equal the oracle's from-scratch dict over the final corpus."""
+_WF_CDC_MEMO: dict = {}
+memo_register(_WF_CDC_MEMO)
+
+
+def _wf_snapshot_fixture(spark, sf_dir) -> str:
+    """The wordfreq_cdc_dict snapshot LIFECYCLE (write → MERGE →
+    MoR-delete), memoized per (session, sf_dir); returns the table path.
+    Factored out so bench.py can time the commit fixture separately
+    from the maintenance fold it exists to exercise."""
     import os
     import shutil
     import tempfile
@@ -403,12 +407,14 @@ def wordfreq_cdc_dict(spark, sf_dir):
     from cargo_chat_spark.sources.snapshots import (
         manifest,
         snap_delete_rows,
-        snap_file_deltas,
         snap_merge,
-        snap_read,
         snap_write,
     )
 
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _WF_CDC_MEMO.get(key)
+    if cached is not None:
+        return cached
     docs = load_table(spark, sf_dir, "documents")
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     path = os.path.join(
@@ -418,8 +424,6 @@ def wordfreq_cdc_dict(spark, sf_dir):
         shutil.rmtree(path)
 
     snap_write(docs, path)
-    dict0 = word_freqs(snap_read(spark, path, 0))
-
     # v1: MERGE — text edit for %10==3, re-keyed inserts for %10==7
     upd = docs.where(F.col("doc_id") % 10 == 3).withColumn(
         "text", F.concat(F.col("text"), F.lit(" extrawordx"))
@@ -437,7 +441,19 @@ def wordfreq_cdc_dict(spark, sf_dir):
     assert manifest(path, 2).get("dv_rows"), (
         "fixture must exercise the DV-only delta path"
     )
+    _WF_CDC_MEMO[key] = path
+    return path
 
+
+@register("wordfreq_cdc_dict", sql=_WF_CDC_SQL)
+def wordfreq_cdc_dict(spark, sf_dir):
+    """Maintain the (word, freq) dict across a write → MERGE →
+    MoR-delete snapshot lifecycle using ONLY the signed file-diff delta;
+    must equal the oracle's from-scratch dict over the final corpus."""
+    from cargo_chat_spark.sources.snapshots import snap_file_deltas, snap_read
+
+    path = _wf_snapshot_fixture(spark, sf_dir)
+    dict0 = word_freqs(snap_read(spark, path, 0))
     delta = snap_file_deltas(spark, path, 0, 2)
     d_words = (
         delta.select(
@@ -453,3 +469,10 @@ def wordfreq_cdc_dict(spark, sf_dir):
         .agg(F.sum("w").alias("freq"))
         .where(F.col("freq") > 0)
     )
+
+
+# bench.py phase split (r8 verdict item 7): snapshot commits are fixture
+# cost; the delta fold + trainer is the maintenance op being measured.
+from cargo_chat_spark.queries.registry import register_phase_builder as _rpb
+
+_rpb("wordfreq_cdc_dict", _wf_snapshot_fixture)

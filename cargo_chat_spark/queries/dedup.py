@@ -228,6 +228,40 @@ WHERE t.doc_id <> n.doc_id
 """
 
 
+from cargo_chat_spark.caching import register_memo as _register_memo
+
+_BAND_STORE_MEMO: dict = {}
+_register_memo(_BAND_STORE_MEMO)
+
+
+def _band_history_fixture(spark, sf_dir) -> str:
+    """The incremental_neardup HISTORY store build (band signatures of
+    the doc_id % 4 != 0 split), memoized per (session, sf_dir); returns
+    the store path. Factored out for bench.py's phase split — at scale
+    the history store persists across ingest waves; the probe is the
+    per-wave steady state."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from cargo_chat_spark.sources.band_store import write_band_store
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    out = _BAND_STORE_MEMO.get(key)
+    if out is None:
+        docs = load_table(spark, sf_dir, "documents")
+        out = _os.path.join(
+            _tempfile.gettempdir(),
+            f"ccs_band_store_{_os.path.basename(_os.path.normpath(sf_dir))}"
+            f"_{_os.getpid()}",
+        )
+        if _os.path.isdir(out):
+            _shutil.rmtree(out)
+        write_band_store(docs.where(F.col("doc_id") % 4 != 0), out)
+        _BAND_STORE_MEMO[key] = out
+    return out
+
+
 @register("incremental_neardup", sql=_INC_NEARDUP_SQL)
 def incremental_neardup(spark, sf_dir):
     """Incremental near-dup: build the persisted band store from the
@@ -235,24 +269,10 @@ def incremental_neardup(spark, sf_dir):
     (doc_id % 4 == 0) — candidate pairs touching at least one new doc,
     without recomputing history signatures. The store side of the probe
     join never shuffles (the batch's band rows broadcast)."""
-    import os as _os
-    import shutil as _shutil
-    import tempfile as _tempfile
-
-    from cargo_chat_spark.sources.band_store import (
-        probe_band_store,
-        write_band_store,
-    )
+    from cargo_chat_spark.sources.band_store import probe_band_store
 
     docs = load_table(spark, sf_dir, "documents")
-    out = _os.path.join(
-        _tempfile.gettempdir(),
-        f"ccs_band_store_{_os.path.basename(_os.path.normpath(sf_dir))}"
-        f"_{_os.getpid()}",
-    )
-    if _os.path.isdir(out):
-        _shutil.rmtree(out)
-    write_band_store(docs.where(F.col("doc_id") % 4 != 0), out)
+    out = _band_history_fixture(spark, sf_dir)
     return probe_band_store(
         spark, out, docs.where(F.col("doc_id") % 4 == 0)
     )
@@ -835,3 +855,10 @@ def incremental_neardup_cdc(spark, sf_dir):
     return probe_band_store(
         spark, store, docs.where(F.col("doc_id") % 4 == 0)
     )
+
+
+# bench.py phase split (r8 verdict item 7): the history band-store build
+# is the one-time phase; the per-wave probe is the steady state.
+from cargo_chat_spark.queries.registry import register_phase_builder as _rpb
+
+_rpb("incremental_neardup", _band_history_fixture)

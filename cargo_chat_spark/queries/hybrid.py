@@ -437,3 +437,15 @@ def phrase_match_persisted(spark, sf_dir):
     """Phrase matches served from the 3-wave persisted positional index
     — must equal the from-raw-corpus positional recomputation."""
     return II.phrase_query(spark, _ii_store(spark, sf_dir), _PHRASE_STORE)
+
+
+# bench.py phase split (r8 verdict item 7): the 3-wave index build and
+# the CDC snapshot lifecycle are one-time phases; the BM25/phrase
+# queries served from them are the steady state. inverted_postings_waves
+# is deliberately NOT phased — it IS the build gate.
+from cargo_chat_spark.queries.registry import register_phase_builder as _rpb
+
+_rpb("bm25_topk_persisted", _ii_store)
+_rpb("phrase_match_persisted", _ii_store)
+_rpb("bm25_cdc_synced_index", _cdc_index)
+_rpb("bm25_cdc_compacted_index", _cdc_index)

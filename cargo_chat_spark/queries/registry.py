@@ -42,3 +42,20 @@ def register(name: str, sql: str | None = None):
         return fn
 
     return deco
+
+
+# Lifecycle-gate phase builders (r8 verdict item 7): a gate whose callable
+# first materializes a persisted fixture (store build, snapshot-commit
+# lifecycle) and then probes it registers the BUILD step here so bench.py
+# can time the two phases separately — the fixture cost is one-time at
+# production scale (the store persists; probes are the steady state), so
+# reporting it fused with the probe reads as a query regression on any
+# single-shot axis. Builders are memoized per (session, sf_dir) by their
+# owning module; calling one twice in a session is a cheap no-op, which is
+# what lets bench time "build" (first call) and "probe" (the registered
+# query, memo warm) without changing gate semantics anywhere else.
+PHASE_BUILDERS: dict[str, Callable[[SparkSession, str], object]] = {}
+
+
+def register_phase_builder(name: str, fn) -> None:
+    PHASE_BUILDERS[name] = fn

@@ -963,44 +963,63 @@ QUALIFY "rank" <= 10
 """
 
 
+from cargo_chat_spark.caching import register_memo as _register_memo
+
+_IVF_STORE_MEMO: dict = {}
+_register_memo(_IVF_STORE_MEMO)
+
+
+def _centroids_df(spark):
+    from cargo_chat_spark.queries._ivf_centroids import TRAINED_CENTROIDS
+
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(TRAINED_CENTROIDS)],
+        "cell_id int, cvec array<double>",
+    )
+
+
+def _ivf_persisted_fixture(spark, sf_dir) -> str:
+    """The persisted cell-partitioned index BUILD (hard-assign + write),
+    memoized per (session, sf_dir); returns the index dir. Factored out
+    so bench.py can time the one-time build separately from the probe
+    (register_phase_builder below)."""
+    import os
+    import tempfile
+
+    from cargo_chat_spark.functions import vectors
+    from cargo_chat_spark.sources.index_io import write_index_partitioned
+
+    key = ("persisted", spark.sparkContext.applicationId, sf_dir)
+    out_dir = _IVF_STORE_MEMO.get(key)
+    if out_dir is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        dim = vectors.infer_dim(emb, "embedding")
+        out_dir = os.path.join(
+            tempfile.gettempdir(),
+            f"ccs_ivf_persisted_{os.path.basename(os.path.normpath(sf_dir))}"
+            f"_{os.getpid()}",
+        )
+        write_index_partitioned(
+            emb.select(
+                F.col("vec_id").alias("chunk_id"),
+                F.col("embedding").cast("array<double>").alias("embedding"),
+            ),
+            out_dir,
+            dim,
+            _centroids_df(spark),
+        )
+        _IVF_STORE_MEMO[key] = out_dir
+    return out_dir
+
+
 @register("ivf_topk_persisted", sql=_persisted_sql())
 def ivf_topk_persisted(spark, sf_dir):
     """IVF top-10 answered from the persisted cell-partitioned index:
     hard-assign + write, probe 8/32 cells per query, partition-pruned
     scan of the probed cells' union, exact rank within candidates."""
-    import os
-    import tempfile
-
-    from pyspark.sql import Window
-
-    from cargo_chat_spark.functions import vectors
-    from cargo_chat_spark.queries._ivf_centroids import TRAINED_CENTROIDS
-    from cargo_chat_spark.sources.index_io import (
-        read_index_cells,
-        write_index_partitioned,
-    )
-
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = vectors.infer_dim(emb, "embedding")
-    centroids = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(TRAINED_CENTROIDS)],
-        "cell_id int, cvec array<double>",
-    )
-    out_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"ccs_ivf_persisted_{os.path.basename(os.path.normpath(sf_dir))}"
-        f"_{os.getpid()}",
-    )
-    write_index_partitioned(
-        emb.select(
-            F.col("vec_id").alias("chunk_id"),
-            F.col("embedding").cast("array<double>").alias("embedding"),
-        ),
-        out_dir,
-        dim,
-        centroids,
-    )
-    return _persisted_topk(spark, emb, out_dir, centroids)
+    out_dir = _ivf_persisted_fixture(spark, sf_dir)
+    return _persisted_topk(spark, emb, out_dir, _centroids_df(spark))
 
 
 def _persisted_topk(spark, emb, out_dir, centroids):
@@ -1111,17 +1130,15 @@ QUALIFY "rank" <= 10
 """
 
 
-@register("ivf_topk_cdc_synced", sql=_cdc_persisted_sql())
-def ivf_topk_cdc_synced(spark, sf_dir):
-    """Persisted IVF index advanced ONLY via the snapshot CDC feed
-    (sync → MERGE-negate %10==3 → delete %10==7 → apply), then queried —
-    must equal hard-assigned IVF over the final logical vectors."""
+def _ann_cdc_fixture(spark, sf_dir) -> str:
+    """The ivf_topk_cdc_synced lifecycle FIXTURE (sync → MERGE-negate
+    %10==3 → delete %10==7 → apply), memoized per (session, sf_dir);
+    returns the index dir. Factored out for bench.py's phase split."""
     import os
     import shutil
     import tempfile
 
     from cargo_chat_spark.functions import vectors
-    from cargo_chat_spark.queries._ivf_centroids import TRAINED_CENTROIDS
     from cargo_chat_spark.sources.index_io import (
         apply_ann_cdc,
         sync_ann_index_from_snapshot,
@@ -1132,12 +1149,13 @@ def ivf_topk_cdc_synced(spark, sf_dir):
         snap_write,
     )
 
+    key = ("cdc", spark.sparkContext.applicationId, sf_dir)
+    cached = _IVF_STORE_MEMO.get(key)
+    if cached is not None:
+        return cached
     emb = load_table(spark, sf_dir, "embeddings")
     dim = vectors.infer_dim(emb, "embedding")
-    centroids = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(TRAINED_CENTROIDS)],
-        "cell_id int, cvec array<double>",
-    )
+    centroids = _centroids_df(spark)
     vecs = emb.select(
         F.col("vec_id").alias("chunk_id"),
         F.col("embedding").cast("array<double>").alias("embedding"),
@@ -1163,7 +1181,18 @@ def ivf_topk_cdc_synced(spark, sf_dir):
         "chunk_id",
     )
     apply_ann_cdc(spark, idx, tbl)
-    return _persisted_topk(spark, emb, idx, centroids)
+    _IVF_STORE_MEMO[key] = idx
+    return idx
+
+
+@register("ivf_topk_cdc_synced", sql=_cdc_persisted_sql())
+def ivf_topk_cdc_synced(spark, sf_dir):
+    """Persisted IVF index advanced ONLY via the snapshot CDC feed
+    (sync → MERGE-negate %10==3 → delete %10==7 → apply), then queried —
+    must equal hard-assigned IVF over the final logical vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _ann_cdc_fixture(spark, sf_dir)
+    return _persisted_topk(spark, emb, idx, _centroids_df(spark))
 
 
 # ------------------------------------------------- MMR diversified top-k
@@ -1275,3 +1304,11 @@ def mmr_diversified_topk(spark, sf_dir):
     return spark.createDataFrame(
         out_rows, "sel_rank int, vec_id bigint, d2q bigint, score bigint"
     )
+
+
+# bench.py phase split (r8 verdict item 7): index build / CDC lifecycle
+# is the one-time phase; the registered queries are steady-state probes.
+from cargo_chat_spark.queries.registry import register_phase_builder as _rpb
+
+_rpb("ivf_topk_persisted", _ivf_persisted_fixture)
+_rpb("ivf_topk_cdc_synced", _ann_cdc_fixture)

@@ -1,0 +1,96 @@
+"""Differential suite for the optional tree-sitter P3 tier
+(operators/chunking_ts.py vs the regex tier, r8 verdict item 5).
+
+py-tree-sitter is not installable in this sandbox, so the differential
+tests skip per-language unless the grammar wheel is importable; the
+contract tests (table completeness, the explicit no-lib failure mode)
+always run. In a grammar-equipped environment the suite verifies, per
+reference language: the provider satisfies the exact split_structured
+contract (lossless partition, cap, declaration-at-boundary), EQUALS the
+regex tier on flat fixtures, and beats it on nested declarations (the
+fidelity gap the verdict names)."""
+
+from __future__ import annotations
+
+import pytest
+
+from cargo_chat_spark.operators import chunking_ts as TS
+from cargo_chat_spark.operators.chunking import split_structured
+from tests.test_chunking import _LANG_FIXTURES
+
+
+def test_provider_tables_language_complete():
+    """The grammar/decl tables stay in sync with the reference language
+    table (language.rs:57-72) — same completeness pin as the regex
+    tier's _BOUNDARY_PATTERNS."""
+    from cargo_chat_spark.functions.language import LANGUAGE_EXTENSIONS
+
+    assert set(TS._GRAMMAR_MODULES) == set(LANGUAGE_EXTENSIONS)
+    assert set(TS._DECL_TYPES) == set(LANGUAGE_EXTENSIONS)
+
+
+@pytest.mark.skipif(
+    TS.HAVE_TREE_SITTER, reason="tree-sitter present; failure mode N/A"
+)
+def test_explicit_failure_without_tree_sitter():
+    """Opting into the AST tier without the libs must raise, never
+    silently fall back (the caller asked for syntax fidelity)."""
+    with pytest.raises(RuntimeError, match="tree-sitter"):
+        TS.split_structured_ts("def f():\n    pass\n", "Python", 100)
+    assert TS.get_parser("Python") is None
+
+
+def _parser_or_skip(lang: str):
+    if not TS.HAVE_TREE_SITTER:
+        pytest.skip("tree-sitter not installed in this environment")
+    p = TS.get_parser(lang)
+    if p is None:
+        pytest.skip(f"no grammar wheel for {lang}")
+    return p
+
+
+@pytest.mark.parametrize("lang", sorted(_LANG_FIXTURES))
+def test_ts_tier_meets_contract_and_matches_regex_on_flat_files(lang):
+    """Contract: lossless, capped, second declaration at a chunk start.
+    Differential: on FLAT fixtures (all declarations at top level) the
+    AST boundaries coincide with the regex tier's."""
+    _parser_or_skip(lang)
+    first, second, marker = _LANG_FIXTURES[lang]
+    text = first + second
+    cap = max(len(first), len(second)) + 4
+    chunks = TS.split_structured_ts(text, lang, max_chars=cap)
+    assert "".join(chunks) == text, f"{lang}: lossy split"
+    assert all(len(c) <= cap for c in chunks), f"{lang}: cap violated"
+    assert any(c.lstrip().startswith(marker) for c in chunks), (
+        f"{lang}: declaration '{marker}' not at a chunk boundary"
+    )
+    assert chunks == split_structured(text, lang, max_chars=cap), (
+        f"{lang}: tiers diverge on a flat fixture"
+    )
+
+
+def test_ts_tier_splits_nested_methods():
+    """The fidelity gap the AST closes: an oversized class whose methods
+    are INDENTED splits between methods (reference recursion,
+    chunker.rs:64-116), where the column-anchored Python regex cannot
+    place a boundary."""
+    _parser_or_skip("Python")
+    m1 = "class Big:\n    def a(self):\n        return 1\n"
+    m2 = "    def b(self):\n        return 2\n"
+    text = m1 + m2
+    cap = max(len(m1), len(m2)) + 4
+    chunks = TS.split_structured_ts(text, "Python", max_chars=cap)
+    assert "".join(chunks) == text
+    assert any(c.lstrip().startswith("def b") for c in chunks), (
+        "nested method not at a chunk boundary"
+    )
+
+
+def test_ts_tier_ignores_decl_keywords_inside_strings():
+    """A string literal containing 'def ' must not open a boundary —
+    the second class of regex false positives an AST removes."""
+    _parser_or_skip("Python")
+    text = 'X = "def fake():"\n' + "def real():\n    return 1\n"
+    chunks = TS.split_structured_ts(text, "Python", max_chars=19)
+    assert "".join(chunks) == text
+    assert any(c.startswith("def real") for c in chunks)
