@@ -263,7 +263,15 @@ def bucket_key_forest(embedding: Column, t: Column) -> Column:
     return F.concat(*bits)
 
 
-def _forest_keys_numpy(df, vec_col: str, id_col: str, out_id: str, out_vec: str):
+def _forest_keys_numpy(
+    df,
+    vec_col: str,
+    id_col: str,
+    out_id: str,
+    out_vec: str,
+    n_tables: int = N_TABLES_FOREST,
+    n_planes: int = N_PLANES_FOREST,
+):
     """(id, vec) -> one row per hash table: (out_id, out_vec, t, bkey) via
     an Arrow-batched NumPy kernel. The HOF form (bucket_key_forest) runs
     12 tables × 5 planes interpreted folds per row — measured ~4 s for
@@ -273,8 +281,17 @@ def _forest_keys_numpy(df, vec_col: str, id_col: str, out_id: str, out_vec: str)
     (bit-identical to the SQL arithmetic — the bucket_key_fixed
     precedent), so keys match both the HOF form and the DuckDB oracle
     exactly. One narrow map, no shuffle; the explode-by-table happens in
-    the kernel output."""
+    the kernel output.
+
+    ``n_planes`` is the 100 TB occupancy lever (SCALE.md round-9 probe:
+    per-bucket occupancy = corpus / 2^planes, so planes scale with
+    log2(corpus) to hold probe cost flat). The DEFAULT (12, 5) is the
+    oracle-pinned configuration; at the defaults the plane-id stride is
+    16 (t*16+p, the historical scheme), and a non-default plane count
+    widens the stride to keep every table's hyperplane ids disjoint."""
     import numpy as np
+
+    stride = 16 if n_planes <= 15 else n_planes + 1
 
     def keys(batches):
         w = None  # (tables, planes, dim) literal weights, built per dim
@@ -287,28 +304,28 @@ def _forest_keys_numpy(df, vec_col: str, id_col: str, out_id: str, out_vec: str)
                 w = np.array(
                     [
                         [
-                            [_weight_py(t * 16 + p, i) for i in range(1, dim + 1)]
-                            for p in range(1, N_PLANES_FOREST + 1)
+                            [_weight_py(t * stride + p, i) for i in range(1, dim + 1)]
+                            for p in range(1, n_planes + 1)
                         ]
-                        for t in range(1, N_TABLES_FOREST + 1)
+                        for t in range(1, n_tables + 1)
                     ],
                     dtype=np.float64,
                 )
             n = len(pdf)
-            proj = np.zeros((n, N_TABLES_FOREST, N_PLANES_FOREST))
+            proj = np.zeros((n, n_tables, n_planes))
             for i in range(dim):
                 proj += m[:, i, None, None] * w[None, :, :, i]
             bits = np.where(proj > 0, "1", "0")
             out_rows = {
-                out_id: np.repeat(pdf[id_col].to_numpy(), N_TABLES_FOREST),
-                out_vec: [v for v in pdf[vec_col] for _ in range(N_TABLES_FOREST)],
+                out_id: np.repeat(pdf[id_col].to_numpy(), n_tables),
+                out_vec: [v for v in pdf[vec_col] for _ in range(n_tables)],
                 "t": np.tile(
-                    np.arange(1, N_TABLES_FOREST + 1), n
+                    np.arange(1, n_tables + 1), n
                 ).astype("int32"),
                 "bkey": [
                     "".join(bits[r, t])
                     for r in range(n)
-                    for t in range(N_TABLES_FOREST)
+                    for t in range(n_tables)
                 ],
             }
             import pandas as pd

@@ -37,19 +37,72 @@ from cargo_chat_spark.functions import vectors
 from cargo_chat_spark.queries.ann_lsh import _forest_keys_numpy
 
 _FOREST_SUBDIR = "forest"
+_META_NAME = "_forest_meta.json"
 
 
 def _forest_path(path: str) -> str:
     return os.path.join(path, _FOREST_SUBDIR)
 
 
+def read_forest_meta(path: str) -> dict:
+    """(n_tables, n_planes) the store was keyed with. The plane count is
+    the occupancy lever (SCALE.md round-9: per-bucket occupancy =
+    corpus / 2^planes — size planes with log2(corpus)); recording it in
+    the store makes probes self-describing, so a probe can never key a
+    store with the wrong hyperplanes. Stores written before the sidecar
+    existed read as the oracle-pinned defaults they were built with."""
+    import json as _json
+
+    try:
+        with open(os.path.join(path, _META_NAME)) as fh:
+            m = _json.load(fh)
+        return {"n_tables": int(m["n_tables"]), "n_planes": int(m["n_planes"])}
+    except (OSError, ValueError, KeyError):
+        from cargo_chat_spark.queries.ann_lsh import (
+            N_PLANES_FOREST,
+            N_TABLES_FOREST,
+        )
+
+        return {"n_tables": N_TABLES_FOREST, "n_planes": N_PLANES_FOREST}
+
+
+def _write_meta(path: str, n_tables: int, n_planes: int) -> None:
+    import json as _json
+
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, _META_NAME + f".tmp.{os.getpid()}")
+    with open(tmp, "w") as fh:
+        _json.dump({"n_tables": int(n_tables), "n_planes": int(n_planes)}, fh)
+    os.replace(tmp, os.path.join(path, _META_NAME))
+
+
 def write_forest_store(
-    emb: DataFrame, path: str, n_key_files: int = 4, mode: str = "overwrite"
+    emb: DataFrame,
+    path: str,
+    n_key_files: int = 4,
+    mode: str = "overwrite",
+    n_tables: int | None = None,
+    n_planes: int | None = None,
 ) -> None:
-    """Materialize the forest postings for ``emb`` (vec_id, embedding)."""
+    """Materialize the forest postings for ``emb`` (vec_id, embedding).
+    ``n_planes``/``n_tables`` default to the oracle-pinned configuration
+    on overwrite and to the store's own meta on append."""
+    if mode == "append":
+        meta = read_forest_meta(path)
+        n_tables = meta["n_tables"] if n_tables is None else n_tables
+        n_planes = meta["n_planes"] if n_planes is None else n_planes
+    else:
+        from cargo_chat_spark.queries.ann_lsh import (
+            N_PLANES_FOREST,
+            N_TABLES_FOREST,
+        )
+
+        n_tables = N_TABLES_FOREST if n_tables is None else n_tables
+        n_planes = N_PLANES_FOREST if n_planes is None else n_planes
     keys = _forest_keys_numpy(
         emb.select("vec_id", "embedding"),
         "embedding", "vec_id", "vec_id", "embedding",
+        n_tables=n_tables, n_planes=n_planes,
     ).select("vec_id", "t", "bkey")
     (
         keys.repartitionByRange(n_key_files, "bkey")
@@ -58,12 +111,15 @@ def write_forest_store(
         .partitionBy("t")
         .parquet(_forest_path(path))
     )
+    if mode != "append":
+        _write_meta(path, n_tables, n_planes)
 
 
 def append_forest_store(
     emb: DataFrame, path: str, n_key_files: int = 4
 ) -> None:
-    """Ingest a vector wave: append its posting rows (O(wave))."""
+    """Ingest a vector wave: append its posting rows (O(wave)), keyed
+    with the store's own recorded configuration."""
     write_forest_store(emb, path, n_key_files, mode="append")
 
 
@@ -82,12 +138,14 @@ def probe_forest_store(
     persisted forest, exact re-rank over the union of the queries'
     bucket candidates. ``emb`` is the base vector table the candidate
     ids fetch from (the store holds postings, not vectors)."""
+    meta = read_forest_meta(path)
     qkeys = _forest_keys_numpy(
         queries.select(
             F.col("query_id").alias("vec_id"),
             F.col("qvec").alias("embedding"),
         ),
         "embedding", "vec_id", "query_id", "qvec",
+        n_tables=meta["n_tables"], n_planes=meta["n_planes"],
     )
     # tombstone-aware when the store is CDC-maintained; identical to the
     # raw read otherwise
@@ -159,9 +217,11 @@ def _write_sync(path: str, version: int) -> None:
 
 def _write_versioned(emb: DataFrame, path: str, version: int,
                      mode: str, n_key_files: int) -> None:
+    meta = read_forest_meta(path)
     keys = _forest_keys_numpy(
         emb.select("vec_id", "embedding"),
         "embedding", "vec_id", "vec_id", "embedding",
+        n_tables=meta["n_tables"], n_planes=meta["n_planes"],
     ).select("vec_id", "t", "bkey").withColumn(
         "ver", _F.lit(int(version))
     )
@@ -188,6 +248,8 @@ def sync_forest_from_snapshot(
         snap_read(spark, table_path), store_path, v, "overwrite",
         n_key_files,
     )
+    meta = read_forest_meta(store_path)
+    _write_meta(store_path, meta["n_tables"], meta["n_planes"])
     _write_sync(store_path, v)
     return v
 

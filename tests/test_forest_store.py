@@ -256,3 +256,90 @@ def test_compaction_precommit_orphan_rolls_back(spark, tmp_path):
     assert not os.path.isdir(orphan)
     assert _fs_rows(spark, store) == want
     assert fs.compact_forest_tombstones(spark, store) == 0
+
+
+# ------------------------------------------------ plane-count lever (r9)
+
+
+def test_plane_count_lever_scales_bucket_space(spark, tmp_path):
+    """SCALE.md round-9: per-bucket occupancy = corpus / 2^planes, so
+    the plane count is how a bigger corpus keeps probe cost flat. Pins:
+    the store records its configuration (meta sidecar), appends key
+    with the STORE's planes (not the caller's defaults), occupancy
+    strictly shrinks with more planes, and the probe against a
+    non-default store equals a from-first-principles recomputation with
+    the same kernel parameters."""
+    import numpy as np
+
+    from cargo_chat_spark.queries.ann_lsh import _forest_keys_numpy
+    from cargo_chat_spark.sources.forest_store import read_forest_meta
+
+    emb = load_table(spark, SF_DIR_SMALL, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    s8 = str(tmp_path / "p8")
+    write_forest_store(emb.where(F.col("vec_id") % 3 != 2), s8, n_planes=8)
+    assert read_forest_meta(s8) == {"n_tables": 12, "n_planes": 8}
+    assert all(
+        len(r["bkey"]) == 8
+        for r in read_forest_store(spark, s8).limit(20).collect()
+    )
+    # append keys with the store's meta, not the module default
+    append_forest_store(emb.where(F.col("vec_id") % 3 == 2), s8)
+    lens = {
+        len(r["bkey"]) for r in read_forest_store(spark, s8).collect()
+    }
+    assert lens == {8}, f"append used wrong plane count: {lens}"
+
+    s5 = str(tmp_path / "p5")
+    write_forest_store(emb, s5)
+
+    def occ(p):
+        return (
+            read_forest_store(spark, p)
+            .groupBy("t", "bkey")
+            .count()
+            .agg(F.avg("count"))
+            .first()[0]
+        )
+
+    assert occ(s8) < occ(s5), "more planes must shrink bucket occupancy"
+
+    # probe equality vs a from-first-principles recomputation at planes=8
+    q = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], round(r["distance"], 9), r["rank"])
+        for r in probe_forest_store(spark, s8, q, emb, k=5).collect()
+    )
+    ck = _forest_keys_numpy(
+        emb, "embedding", "vec_id", "vec_id", "embedding", n_planes=8
+    ).select("vec_id", "t", "bkey").toPandas()
+    qk = _forest_keys_numpy(
+        q.select(
+            F.col("query_id").alias("vec_id"), F.col("qvec").alias("embedding")
+        ),
+        "embedding", "vec_id", "query_id", "qvec", n_planes=8,
+    ).select("query_id", "t", "bkey").toPandas()
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    qvecs = {
+        r["query_id"]: np.array(r["qvec"], dtype=np.float64)
+        for r in q.collect()
+    }
+    cand = qk.merge(ck, on=["t", "bkey"])[["query_id", "vec_id"]].drop_duplicates()
+    want = []
+    for qid, grp in cand.groupby("query_id"):
+        scored = sorted(
+            (
+                float(np.sqrt(((qvecs[qid] - vecs[nid]) ** 2).sum())),
+                int(nid),
+            )
+            for nid in grp["vec_id"]
+        )
+        for rank, (d, nid) in enumerate(scored[:5], start=1):
+            want.append((int(qid), nid, round(d, 9), rank))
+    assert got == sorted(want)
