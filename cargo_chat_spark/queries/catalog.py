@@ -311,6 +311,12 @@ _ROUND8_WINDOW_ROTATED_OUT = [
 # tier-3 relational/format variants whose core operators are already
 # externally gated (r5-r6 rows).
 ROUND9_PROMOTION_PLAN = [
+    # NEW in round 9 (registered after the r9 window froze): the M6 mock
+    # gate — context_assembly's SQL nested verbatim, the provider's
+    # deterministic answer re-derived from the context length; closes
+    # the last §2 test-only row's MOCK semantics (the SSE stream parse
+    # stays pytest-pinned out of the data plane by SURVEY design).
+    "answer_synthesize_mock",
     # tier 2 — last remaining distinct-machinery row (correlated scalar
     # subquery / Catalyst decorrelation)
     "above_nation_avg_customers",

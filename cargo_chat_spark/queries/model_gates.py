@@ -163,3 +163,48 @@ def hyde_expand_mock(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "query_id bigint, hyde_doc string, n_chars int"
     )
+
+
+# ---------------------------------------------------------------- M6 mock
+# The answer-synthesis MOCK semantics (models/mock.py:86; the real
+# provider is the SSE stream of main.rs:497-520, pytest-pinned in
+# tests/test_models.py — the stream PARSE stays out of the data plane by
+# SURVEY design). The deterministic mock's contract — one answer chunk,
+# "[mock-answer:<len(prompt)> chars of context]" — composes with the
+# SQL-expressible context assembly (P6), so the classify→retrieve→
+# assemble→synthesize tail is value-hash-oracled end to end: the oracle
+# nests context_assembly's SQL verbatim and re-derives the answer from
+# the context length.
+
+
+def _answer_sql() -> str:
+    from cargo_chat_spark.queries.retrieval import _CONTEXT_SQL
+
+    return f"""
+WITH ctx AS ({_CONTEXT_SQL})
+SELECT query_id,
+    '[mock-answer:' || CAST(length(context) AS VARCHAR)
+        || ' chars of context]' AS answer
+FROM ctx
+"""
+
+
+@register("answer_synthesize_mock", sql=_answer_sql())
+def answer_synthesize_mock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 mock (hyde.rs answer tail; mock contract models/mock.py:86):
+    assemble each query's retrieval context (P6, the gated
+    context_assembly plan), feed it to the REAL provider's
+    synthesize_answer driver-side (bounded: one call per request — 4
+    fixture queries), drain the chunk iterator, and emit (query_id,
+    answer). A drift in either the mock's answer format or the context
+    assembly it consumes fails the hash."""
+    from cargo_chat_spark.models.mock import MockProvider
+    from cargo_chat_spark.queries.retrieval import context_assembly
+
+    p = MockProvider()
+    rows = []
+    # bounded collect: one context row per fixture query (4)
+    for r in context_assembly(spark, sf_dir).collect():
+        answer = "".join(p.synthesize_answer(r["context"]))
+        rows.append((r["query_id"], answer))
+    return spark.createDataFrame(rows, "query_id bigint, answer string")

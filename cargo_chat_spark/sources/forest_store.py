@@ -133,11 +133,26 @@ def probe_forest_store(
     queries: DataFrame,
     emb: DataFrame,
     k: int = 10,
+    prune_scan_max_buckets: int = 2048,
 ) -> DataFrame:
     """Top-``k`` neighbors for ``queries`` (query_id, qvec) against the
     persisted forest, exact re-rank over the union of the queries'
     bucket candidates. ``emb`` is the base vector table the candidate
-    ids fetch from (the store holds postings, not vectors)."""
+    ids fetch from (the store holds postings, not vectors).
+
+    Scan pruning (SCALE.md round-9 lever follow-up): the store scan is
+    the probe's residual linear term once the plane count controls
+    bucket occupancy — at production |Q| (tens-hundreds of queries) the
+    probed (t, bkey) set is tiny relative to the bucket space, so it is
+    collected (bounded: ≤ |Q|·n_tables rows, capped) and pushed into
+    the scan as per-table ``bkey IN`` predicates. Files are bkey-sorted
+    within each t partition, so the pushed filter skips whole row
+    groups; t is the partition column, so untouched tables prune at
+    directory level. When the probed set exceeds the cap (dense
+    coverage — e.g. the sf-fixture's 600-query gate set over a 2^5
+    space) the filter is skipped: it could not prune and would only
+    bloat the plan. Results are identical either way (the (t, bkey)
+    equi-join re-applies the exact condition)."""
     meta = read_forest_meta(path)
     qkeys = _forest_keys_numpy(
         queries.select(
@@ -152,6 +167,26 @@ def probe_forest_store(
     store = read_forest_store_live(spark, path).select(
         "vec_id", "t", "bkey"
     )
+    if prune_scan_max_buckets and prune_scan_max_buckets > 0:
+        # bounded collect: the probed bucket set, capped
+        probed = (
+            qkeys.select("t", "bkey").distinct()
+            .limit(prune_scan_max_buckets + 1).collect()
+        )
+        if len(probed) <= prune_scan_max_buckets:
+            from collections import defaultdict
+
+            per_t: dict[int, list[str]] = defaultdict(list)
+            for r in probed:
+                per_t[r["t"]].append(r["bkey"])
+            cond = None
+            for t in sorted(per_t):
+                c = (F.col("t") == t) & F.col("bkey").isin(
+                    sorted(per_t[t])
+                )
+                cond = c if cond is None else (cond | c)
+            if cond is not None:
+                store = store.where(cond)
     cand = (
         store.join(F.broadcast(qkeys), ["t", "bkey"])
         .select("query_id", "qvec", "vec_id")

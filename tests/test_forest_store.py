@@ -343,3 +343,33 @@ def test_plane_count_lever_scales_bucket_space(spark, tmp_path):
         for rank, (d, nid) in enumerate(scored[:5], start=1):
             want.append((int(qid), nid, round(d, 9), rank))
     assert got == sorted(want)
+
+
+def test_probe_scan_pruning_identical_and_pushed(spark, tmp_path):
+    """Small-|Q| probes (the production shape) push per-table bkey IN
+    predicates into the posting scan — results identical to the
+    unpruned probe, and the filter reaches the parquet scan
+    (PushedFilters), where bkey-sorted files turn it into row-group
+    skips. Over-cap probes skip the filter entirely (same results)."""
+    emb = load_table(spark, SF_DIR_SMALL, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "store")
+    write_forest_store(emb, path)
+    q = emb.where(F.col("vec_id") % 250 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    pruned = probe_forest_store(spark, path, q, emb, k=5)
+    unpruned = probe_forest_store(
+        spark, path, q, emb, k=5, prune_scan_max_buckets=0
+    )
+    assert _rows(pruned) == _rows(unpruned) and _rows(pruned)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "In(bkey" in plan, (
+        "bucket predicate did not reach the posting scan"
+    )
+    # forcing a tiny cap must fall back to the unpruned plan, same rows
+    capped = probe_forest_store(
+        spark, path, q, emb, k=5, prune_scan_max_buckets=3
+    )
+    assert _rows(capped) == _rows(unpruned)

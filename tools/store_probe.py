@@ -111,6 +111,64 @@ def main() -> None:
             flush=True,
         )
 
+    # ---- the plane-count lever, demonstrated (SCALE.md round-9): the
+    # forest probe's linear term is bucket occupancy = corpus/2^planes,
+    # so probing the 10x corpus from a store keyed with log2(10)≈3 more
+    # planes should cost ≈ the 1x probe at the default 5 planes.
+    from cargo_chat_spark.sources.forest_store import (
+        probe_forest_store,
+        write_forest_store,
+    )
+
+    lever: dict[str, float] = {}
+    emb10 = load_table(spark, big, "embeddings").select("vec_id", "embedding")
+    q10 = emb10.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    s8 = os.path.join(work, "forest_p8")
+    t0 = time.perf_counter()
+    write_forest_store(emb10, s8, n_planes=8)
+    lever["build_10x_p8"] = round(time.perf_counter() - t0, 3)
+    reps = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _noop(probe_forest_store(spark, s8, q10, emb10, k=10))
+        reps.append(time.perf_counter() - t0)
+    lever["probe_10x_p8"] = round(statistics.median(reps), 3)
+    print(
+        f"  [lever] 10x corpus, 8-plane store: build "
+        f"{lever['build_10x_p8']}s, probe {[round(r, 2) for r in reps]}",
+        flush=True,
+    )
+
+    # ---- production-|Q| leg: a FIXED ~24-query set (the steady-state
+    # shape: |Q| is an application constant and tiny next to the bucket
+    # space, so the per-table bkey IN pushdown prunes the posting scan).
+    # Flatness of [1x,p5] -> [10x,p8] is the composed claim: plane count
+    # controls occupancy, pruning controls the scan.
+    emb1 = load_table(spark, base, "embeddings").select("vec_id", "embedding")
+    qsmall = emb1.where(F.col("vec_id") % 2500 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    smallq: dict[str, float] = {}
+    s5_1x = PHASE_BUILDERS["rp_forest_persisted"](spark, base)
+    s5_10x = PHASE_BUILDERS["rp_forest_persisted"](spark, big)
+    for tag, store, e in (
+        ("1x_p5", s5_1x, emb1),
+        ("10x_p5", s5_10x, emb10),
+        ("10x_p8", s8, emb10),
+    ):
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _noop(probe_forest_store(spark, store, qsmall, e, k=10))
+            reps.append(time.perf_counter() - t0)
+        smallq[tag] = round(statistics.median(reps), 3)
+        print(
+            f"  [smallQ {tag}] probe {[round(r, 2) for r in reps]}",
+            flush=True,
+        )
+
     def _row(name, d):
         r1, rf = d[1], d[factor]
         ratio = rf / r1 if r1 else float("nan")
@@ -124,6 +182,19 @@ def main() -> None:
     for q in STORE_QUERIES:
         _row(f"{q} probe", probes[q])
     _row("incremental_neardup probe (fixed 1x wave)", fixed_wave)
+    print(
+        f"| rp_forest probe, 10x corpus, planes 5→8 | "
+        f"{probes['rp_forest_persisted'][1]} (1x,p5) | "
+        f"{lever['probe_10x_p8']} (10x,p8) | "
+        f"{round(lever['probe_10x_p8'] / probes['rp_forest_persisted'][1], 2)}"
+        f" | — |"
+    )
+    print(
+        f"| rp_forest probe, |Q|=24 (pruned scan) | "
+        f"{smallq['1x_p5']} (1x,p5) | "
+        f"{smallq['10x_p5']} (10x,p5) / {smallq['10x_p8']} (10x,p8) | "
+        f"{round(smallq['10x_p8'] / smallq['1x_p5'], 2)} (p8) | — |"
+    )
     shutil.rmtree(work, ignore_errors=True)
     spark.stop()
 
