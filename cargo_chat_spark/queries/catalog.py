@@ -15,6 +15,7 @@ from cargo_chat_spark.queries import curation  # noqa: F401
 from cargo_chat_spark.queries import dataprofile  # noqa: F401
 from cargo_chat_spark.queries import dedup  # noqa: F401
 from cargo_chat_spark.queries import entity  # noqa: F401
+from cargo_chat_spark.queries import eval_report  # noqa: F401
 from cargo_chat_spark.queries import graph_queries  # noqa: F401
 from cargo_chat_spark.queries import hybrid  # noqa: F401
 from cargo_chat_spark.queries import model_gates  # noqa: F401
@@ -317,6 +318,10 @@ ROUND9_PROMOTION_PLAN = [
     # the last §2 test-only row's MOCK semantics (the SSE stream parse
     # stays pytest-pinned out of the data plane by SURVEY design).
     "answer_synthesize_mock",
+    # NEW in round 9: evaluation-as-data — recall@10 of three ANN
+    # ladder members vs the exact kNN as one integer-micro-unit report,
+    # the oracle nesting the members' own oracles verbatim.
+    "ann_recall_report",
     # tier 2 — last remaining distinct-machinery row (correlated scalar
     # subquery / Catalyst decorrelation)
     "above_nation_avg_customers",

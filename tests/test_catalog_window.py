@@ -116,3 +116,17 @@ def test_every_never_gated_entry_is_window_or_planned():
         f"registry entries with no external row, no window slot, no "
         f"rotation-plan slot, and no tail rationale: {orphans}"
     )
+
+
+def test_phase_builders_name_registered_queries():
+    """Every bench phase builder must back a registered gate (a typo'd
+    name would silently lose its phase split), and phased entries keep
+    their value-hash oracles — the probe-only timing semantics only
+    make sense for gated queries."""
+    from cargo_chat_spark.queries.registry import PHASE_BUILDERS
+
+    unknown = [n for n in PHASE_BUILDERS if n not in catalog.SPARK_QUERIES]
+    assert not unknown, f"phase builders for unregistered queries: {unknown}"
+    no_oracle = [n for n in PHASE_BUILDERS if n not in catalog.ORACLE_SQL]
+    assert not no_oracle, f"phased entries without oracles: {no_oracle}"
+    assert all(callable(f) for f in PHASE_BUILDERS.values())
