@@ -322,6 +322,13 @@ ROUND9_PROMOTION_PLAN = [
     # ladder members vs the exact kNN as one integer-micro-unit report,
     # the oracle nesting the members' own oracles verbatim.
     "ann_recall_report",
+    # NEW in round 9: the dedup and tokenizer members of the same
+    # evaluation-as-data family — exact-Jaccard decile histogram of the
+    # LSH candidates (integer-domain deciles), and the corpus
+    # chars-per-token curve at 0/half/all learned merges (totals read
+    # from the trainer oracle's own unrolled states).
+    "lsh_precision_report",
+    "bpe_compression_report",
     # tier 2 — last remaining distinct-machinery row (correlated scalar
     # subquery / Catalyst decorrelation)
     "above_nation_avg_customers",

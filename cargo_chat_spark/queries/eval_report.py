@@ -102,3 +102,157 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_micro"
         ),
     )
+
+
+# ------------------------------------------------- LSH precision report
+# The dedup family's evaluation-as-data member: how good are the banded
+# MinHash candidates, as a DATA product — exact shingle-set Jaccard
+# (the ngram_jaccard_pairs machinery) computed for every LSH candidate
+# pair, bucketed into exact integer deciles ((10·|A∩B|) // |A∪B| — the
+# division never leaves the integer domain, so the histogram
+# value-hashes), one row per occupied decile. A pipeline alerts when
+# the low-decile mass grows (bands too permissive for the corpus) the
+# same way it alerts on ann_recall_report.
+
+
+def _lsh_precision_sql() -> str:
+    from cargo_chat_spark.queries.dedup import _BANDS_CTE
+
+    return f"""
+WITH {_BANDS_CTE},
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+    WHERE a.doc_id < b.doc_id
+),
+hs AS (
+    SELECT doc_id, list_sort(h) AS s FROM hashes
+),
+scored AS (
+    SELECT
+        len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS inter,
+        len(sa.s) + len(sb.s)
+            - len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS uni
+    FROM pairs p
+    JOIN hs sa ON sa.doc_id = p.doc_a
+    JOIN hs sb ON sb.doc_id = p.doc_b
+)
+SELECT CAST((10 * inter) // uni AS INT) AS jaccard_decile,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM scored
+GROUP BY 1
+"""
+
+
+@register("lsh_precision_report", sql=_lsh_precision_sql())
+def lsh_precision_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-Jaccard decile histogram of the MinHash-LSH candidate
+    pairs — candidate quality as a value-hashed report. Cost: the gated
+    LSH pair join + two hash-array lookups per candidate pair (never
+    all-pairs) + a decile-sized aggregate."""
+    from cargo_chat_spark.queries.dedup import (
+        _hashes_df,
+        _memo_persist,
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    hs = _memo_persist(
+        spark,
+        ("sorted_hashes", sf_dir),
+        lambda: _hashes_df(spark, sf_dir).select(
+            "doc_id", F.array_sort(F.col("h")).alias("s")
+        ),
+    )
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union = F.size(F.col("sa")) + F.size(F.col("sb")) - inter
+    return (
+        pairs.join(
+            hs.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            hs.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb")),
+            "doc_b",
+        )
+        .select(inter.alias("inter"), union.alias("uni"))
+        .select(
+            F.expr("CAST((10 * inter) DIV uni AS INT)").alias(
+                "jaccard_decile"
+            )
+        )
+        .groupBy("jaccard_decile")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+
+
+# ---------------------------------------------- BPE compression report
+# The tokenizer family's evaluation-as-data member: corpus compression
+# (chars per token) at 0, 3, and all learned merges — the curve a
+# tokenizer team watches per corpus version. Totals are exact integers
+# (Σ freq·n_tokens over the dict frame), the ratio is integer
+# micro-units, and the oracle reads the token counts straight out of
+# the trainer oracle's unrolled s0/s3/s6 symbolization states — so the
+# report is pinned to the same iteration contract as the trainer gate.
+
+
+def _bpe_compression_sql() -> str:
+    from cargo_chat_spark.queries.bpe_queries import N_MERGES, _unrolled_chain
+
+    ks = [0, N_MERGES // 2, N_MERGES]
+    parts = [
+        f"""
+SELECT {k} AS n_merges,
+    (SELECT CAST(SUM(freq * len(string_split(trim(s), '  '))) AS BIGINT)
+     FROM s{k}) AS total_tokens"""
+        for k in ks
+    ]
+    body = "\nUNION ALL\n".join(parts)
+    return f"""{_unrolled_chain(N_MERGES)},
+chars AS (SELECT CAST(SUM(freq * length(word)) AS BIGINT) AS total_chars
+          FROM wf)
+SELECT n_merges, total_tokens,
+    (SELECT total_chars FROM chars) AS total_chars,
+    (1000000 * (SELECT total_chars FROM chars)) // total_tokens
+        AS chars_per_token_micro
+FROM ({body})
+"""
+
+
+@register("bpe_compression_report", sql=_bpe_compression_sql())
+def bpe_compression_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus chars-per-token at 0 / half / all learned merges — the
+    tokenizer compression curve as a value-hashed report. Encoding runs
+    over the VOCABULARY frame (|unique words| Arrow rows, never corpus
+    tokens), weighted by dict frequency."""
+    from cargo_chat_spark.operators.bpe import encode_words
+    from cargo_chat_spark.queries.bpe_queries import N_MERGES, _trained
+
+    wf, merges = _trained(spark, sf_dir)
+    ks = [0, N_MERGES // 2, N_MERGES]
+    parts = []
+    for k in ks:
+        enc = encode_words(wf, merges[:k])
+        parts.append(
+            enc.agg(
+                F.sum(F.col("freq") * F.size("tokens"))
+                .cast("bigint")
+                .alias("total_tokens")
+            ).select(F.lit(k).alias("n_merges"), "total_tokens")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    chars = wf.agg(
+        F.sum(F.col("freq") * F.length("word")).cast("bigint").alias(
+            "total_chars"
+        )
+    )
+    return out.crossJoin(F.broadcast(chars)).select(
+        "n_merges",
+        "total_tokens",
+        "total_chars",
+        F.expr("(1000000 * total_chars) DIV total_tokens").alias(
+            "chars_per_token_micro"
+        ),
+    )
