@@ -329,6 +329,11 @@ ROUND9_PROMOTION_PLAN = [
     # from the trainer oracle's own unrolled states).
     "lsh_precision_report",
     "bpe_compression_report",
+    # NEW in round 9: version-over-version per-source corpus drift
+    # folded from the signed CDC delta alone (O(changed files), never a
+    # rescan) — the per-commit drift card, on the wordfreq lifecycle
+    # fixture including its DV-only commit.
+    "corpus_drift_cdc_report",
     # tier 2 — last remaining distinct-machinery row (correlated scalar
     # subquery / Catalyst decorrelation)
     "above_nation_avg_customers",

@@ -256,3 +256,78 @@ def bpe_compression_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_token_micro"
         ),
     )
+
+
+# ---------------------------------------------- corpus drift via CDC
+# Version-over-version corpus drift as data — per-source document and
+# token deltas between two snapshot versions, computed ONLY from the
+# signed file-diff delta (snap_file_deltas): O(changed files +
+# DV-touched files), never a rescan of either version. Reuses the
+# wordfreq gate's snapshot lifecycle fixture (write → MERGE with text
+# edits + re-keyed inserts → MoR delete overlapping the update set), so
+# the delta path exercised includes the DV-only commit. The oracle
+# restates v2 − v0 relationally per source, anchored on the v0 source
+# list so both engines emit every source (zero deltas included).
+
+_DRIFT_NTOK = (
+    "len(list_filter(string_split_regex(text, ' +'), w -> length(w) > 0))"
+)
+
+_DRIFT_SQL = f"""
+WITH final AS (
+  SELECT source,
+         CASE WHEN doc_id % 10 = 3 THEN text || ' extrawordx'
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 10 <> 4 AND doc_id % 20 <> 3
+  UNION ALL
+  SELECT source, text FROM documents WHERE doc_id % 10 = 7
+),
+fc AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS d,
+         CAST(SUM({_DRIFT_NTOK}) AS BIGINT) AS t
+  FROM final GROUP BY source
+),
+ic AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS d,
+         CAST(SUM({_DRIFT_NTOK}) AS BIGINT) AS t
+  FROM documents GROUP BY source
+)
+SELECT s.source,
+       COALESCE(fc.d, 0) - COALESCE(ic.d, 0) AS docs_delta,
+       COALESCE(fc.t, 0) - COALESCE(ic.t, 0) AS tokens_delta
+FROM (SELECT DISTINCT source FROM documents) s
+LEFT JOIN fc ON fc.source = s.source
+LEFT JOIN ic ON ic.source = s.source
+"""
+
+
+@register("corpus_drift_cdc_report", sql=_DRIFT_SQL)
+def corpus_drift_cdc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source (docs_delta, tokens_delta) across the snapshot
+    lifecycle, folded from the signed delta alone. At 100 TB this is
+    the between-versions drift card a pipeline publishes per commit —
+    its cost is the change feed, not the corpus."""
+    from cargo_chat_spark.queries.bpe_queries import _wf_snapshot_fixture
+    from cargo_chat_spark.sources.snapshots import snap_file_deltas, snap_read
+
+    path = _wf_snapshot_fixture(spark, sf_dir)
+    ntok = F.size(
+        F.filter(F.split(F.col("text"), " +"), lambda w: F.length(w) > 0)
+    )
+    delta = snap_file_deltas(spark, path, 0, 2).select(
+        "source",
+        F.col("sgn").cast("bigint").alias("sgn"),
+        ntok.cast("bigint").alias("ntok"),
+    )
+    agg = delta.groupBy("source").agg(
+        F.sum("sgn").alias("docs_delta"),
+        F.sum(F.col("sgn") * F.col("ntok")).alias("tokens_delta"),
+    )
+    sources = snap_read(spark, path, 0).select("source").distinct()
+    return sources.join(agg, "source", "left").select(
+        "source",
+        F.coalesce("docs_delta", F.lit(0)).cast("bigint").alias("docs_delta"),
+        F.coalesce("tokens_delta", F.lit(0)).cast("bigint").alias(
+            "tokens_delta"
+        ),
+    )
