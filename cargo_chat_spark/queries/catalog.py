@@ -334,6 +334,10 @@ ROUND9_PROMOTION_PLAN = [
     # rescan) — the per-commit drift card, on the wordfreq lifecycle
     # fixture including its DV-only commit.
     "corpus_drift_cdc_report",
+    # NEW in round 9: the vector-modality drift member — per-IVF-cell
+    # count deltas folded from the embedding snapshot's CDC delta, on
+    # the MERGE-negate lifecycle (real cross-cell movement).
+    "embedding_drift_cdc_report",
     # tier 2 — last remaining distinct-machinery row (correlated scalar
     # subquery / Catalyst decorrelation)
     "above_nation_avg_customers",

@@ -331,3 +331,86 @@ def corpus_drift_cdc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tokens_delta"
         ),
     )
+
+
+# ------------------------------------------- embedding drift via CDC
+# The vector-modality member of the drift family: per-IVF-cell vector
+# count deltas between two snapshot versions of the embedding table,
+# folded from the signed CDC delta alone (O(changed files)). Runs on
+# the ivf_topk_cdc_synced lifecycle fixture (MERGE-negate — the
+# hardest case, every updated vector changes cells — then a CoW
+# delete), so the report shows real cross-cell movement. An
+# embedding-space shift between corpus versions surfaces here before
+# it degrades retrieval: cells filling/emptying is the cheap,
+# value-hashable proxy for distribution drift.
+
+
+def _emb_drift_sql() -> str:
+    from cargo_chat_spark.queries.similarity import _cent_values_sql
+    from cargo_chat_spark.queries.vector_search import _SQ
+
+    def assign(src: str) -> str:
+        return f"""
+    SELECT cell_id, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT b.vec_id, a.cell_id,
+            row_number() OVER (
+                PARTITION BY b.vec_id
+                ORDER BY sqrt({_SQ.format(a="a.cvec", b="b.embedding")}),
+                         a.cell_id
+            ) AS cr
+        FROM ({src}) b CROSS JOIN centroids a
+    ) WHERE cr = 1 GROUP BY cell_id"""
+
+    final_src = """SELECT vec_id,
+        CASE WHEN vec_id % 10 = 3
+             THEN list_transform(embedding, x -> -x)
+             ELSE embedding END AS embedding
+    FROM embeddings WHERE vec_id % 10 <> 7"""
+    init_src = "SELECT vec_id, embedding FROM embeddings"
+    return f"""
+WITH centroids AS (
+    SELECT * FROM (VALUES {_cent_values_sql()}) AS t(cell_id, cvec)
+),
+fa AS ({assign(final_src)}),
+ia AS ({assign(init_src)})
+SELECT c.cell_id,
+    COALESCE(fa.n, 0) - COALESCE(ia.n, 0) AS vecs_delta
+FROM (SELECT cell_id FROM centroids) c
+LEFT JOIN fa ON fa.cell_id = c.cell_id
+LEFT JOIN ia ON ia.cell_id = c.cell_id
+"""
+
+
+@register("embedding_drift_cdc_report", sql=_emb_drift_sql())
+def embedding_drift_cdc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell (vecs_delta) across the vector snapshot lifecycle,
+    folded from the signed delta: delta rows hard-assign with the
+    frozen trained centroids (the same kernel the IVF gates pin), then
+    one cell-sized signed aggregate, anchored on the full cell list so
+    both engines emit every cell."""
+    from cargo_chat_spark.functions import vectors
+    from cargo_chat_spark.operators import kmeans
+    from cargo_chat_spark.queries._ivf_centroids import TRAINED_CENTROIDS
+    from cargo_chat_spark.queries.vector_search import _ann_cdc_table
+    from cargo_chat_spark.sources.snapshots import snap_file_deltas
+
+    tbl = _ann_cdc_table(spark, sf_dir)
+    delta = snap_file_deltas(spark, tbl, 0, 2)
+    dim = vectors.infer_dim(delta, "embedding")
+    assigned = kmeans.assign_cells(
+        delta.select("embedding", F.col("sgn").cast("bigint").alias("sgn")),
+        TRAINED_CENTROIDS,
+        dim=dim,
+    )
+    agg = assigned.groupBy("cell_id").agg(
+        F.sum("sgn").alias("vecs_delta")
+    )
+    cells = spark.createDataFrame(
+        [(i,) for i in range(len(TRAINED_CENTROIDS))], "cell_id int"
+    )
+    return cells.join(agg, "cell_id", "left").select(
+        "cell_id",
+        F.coalesce("vecs_delta", F.lit(0)).cast("bigint").alias(
+            "vecs_delta"
+        ),
+    )

@@ -1152,7 +1152,7 @@ def _ann_cdc_fixture(spark, sf_dir) -> str:
     key = ("cdc", spark.sparkContext.applicationId, sf_dir)
     cached = _IVF_STORE_MEMO.get(key)
     if cached is not None:
-        return cached
+        return cached[1]
     emb = load_table(spark, sf_dir, "embeddings")
     dim = vectors.infer_dim(emb, "embedding")
     centroids = _centroids_df(spark)
@@ -1181,8 +1181,16 @@ def _ann_cdc_fixture(spark, sf_dir) -> str:
         "chunk_id",
     )
     apply_ann_cdc(spark, idx, tbl)
-    _IVF_STORE_MEMO[key] = idx
+    _IVF_STORE_MEMO[key] = (tbl, idx)
     return idx
+
+
+def _ann_cdc_table(spark, sf_dir) -> str:
+    """The lifecycle fixture's SNAPSHOT TABLE path (the index's source
+    of truth) — built on demand; used by CDC-consuming reports."""
+    _ann_cdc_fixture(spark, sf_dir)
+    key = ("cdc", spark.sparkContext.applicationId, sf_dir)
+    return _IVF_STORE_MEMO[key][0]
 
 
 @register("ivf_topk_cdc_synced", sql=_cdc_persisted_sql())
