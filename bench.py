@@ -147,6 +147,7 @@ DETAIL_EXTRA = [
     "lsh_precision_report",     # new r9: exact-Jaccard decile histogram
     "bpe_compression_report",   # new r9: chars-per-token curve (0/3/6)
     "corpus_drift_cdc_report",  # new r9: per-commit drift from the delta
+    "embedding_drift_cdc_report",  # new r9: per-cell vector drift via CDC
 ]
 
 

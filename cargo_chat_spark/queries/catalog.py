@@ -308,9 +308,12 @@ _ROUND8_WINDOW_ROTATED_OUT = [
 # (tests/test_oracle_harness.py) but no external CORRECTNESS row yet.
 # The round-8 plan's head — repo_walk through value_equidepth_histogram,
 # 27 entries — plus the three round-9 registrations was promoted into
-# the r9 window above; what remains is the last tier-2 member and the
-# tier-3 relational/format variants whose core operators are already
-# externally gated (r5-r6 rows).
+# the r9 window above; what remains is the six late-round-9 gates (the
+# M6 mock tail + the five evaluation/drift reports), the last tier-2
+# member, and the tier-3 relational/format variants whose core
+# operators are already externally gated (r5-r6 rows). The queue holds
+# EXACTLY 30 entries = the window's max first-time slots, so the r10
+# rotation can gate the entire remainder: never-gated reaches ZERO.
 ROUND9_PROMOTION_PLAN = [
     # NEW in round 9 (registered after the r9 window froze): the M6 mock
     # gate — context_assembly's SQL nested verbatim, the provider's
