@@ -300,12 +300,24 @@ def neardup_components(spark, sf_dir, max_iter: int = 20):
     component_id = min doc_id reachable). A pipeline drops every doc where
     doc_id != component_id to keep exactly one representative per cluster.
     Propagation + pointer-jumping + lineage checkpointing live in
-    :func:`cargo_chat_spark.operators.graph.connected_components`."""
-    pairs = minhash_lsh_pairs(spark, sf_dir)
-    edges = pairs.selectExpr("doc_a AS s", "doc_b AS d").unionByName(
-        pairs.selectExpr("doc_b AS s", "doc_a AS d")
-    )
-    return connected_components(edges, max_iter=max_iter)
+    :func:`cargo_chat_spark.operators.graph.connected_components`.
+
+    The component frame is session-memoized (the ``bands`` precedent):
+    four registered consumers (the keep rule, leakage_safe_split,
+    dedup_mor_apply's decision, this gate) would otherwise each re-run
+    the full iterative propagation in the same session. Non-default
+    ``max_iter`` bypasses the memo."""
+
+    def build():
+        pairs = minhash_lsh_pairs(spark, sf_dir)
+        edges = pairs.selectExpr("doc_a AS s", "doc_b AS d").unionByName(
+            pairs.selectExpr("doc_b AS s", "doc_a AS d")
+        )
+        return connected_components(edges, max_iter=max_iter)
+
+    if max_iter != 20:
+        return build()
+    return _memo_persist(spark, ("neardup_components", sf_dir), build)
 
 
 # ----------------------------------------------------- dedup keep decision
