@@ -373,3 +373,86 @@ def test_probe_scan_pruning_identical_and_pushed(spark, tmp_path):
         spark, path, q, emb, k=5, prune_scan_max_buckets=3
     )
     assert _rows(capped) == _rows(unpruned)
+
+
+def test_compaction_crash_at_every_step_recovers(spark, tmp_path, monkeypatch):
+    """Sweep the crash point through the journaled swap: the completion
+    is allowed N filesystem mutations (remove/replace/rmtree) before a
+    simulated crash, for increasing N until it completes. After EVERY
+    crash point, the next maintenance run must recover to exactly the
+    pre-compaction logical rows — including crashes mid-rmtree that
+    leave partially deleted staging/tombstone dirs."""
+    import os
+    import shutil
+
+    import cargo_chat_spark.sources.forest_store as fs
+
+    table, store = _dirty_store(spark, tmp_path, "sweep")
+    want = _fs_rows(spark, store)
+    backup = str(tmp_path / "sweep_backup")
+    shutil.copytree(store, backup)
+    shutil.copyfile(store + ".sync.json", backup + ".sync.json")
+
+    real_complete = fs._complete_compaction_swap
+
+    def instrumented(budget):
+        """Completion wrapper allowing ``budget`` FS mutations before a
+        simulated crash; returns the op counter dict."""
+        used = {"n": 0}
+
+        def wrapper(path, journal):
+            orig_remove, orig_replace = os.remove, os.replace
+            orig_rmtree = shutil.rmtree
+
+            def gate():
+                if used["n"] >= budget:
+                    raise RuntimeError("simulated crash")
+                used["n"] += 1
+
+            with monkeypatch.context() as m:
+                m.setattr(os, "remove",
+                          lambda p: (gate(), orig_remove(p))[1])
+                m.setattr(os, "replace",
+                          lambda a, b: (gate(), orig_replace(a, b))[1])
+                m.setattr(shutil, "rmtree",
+                          lambda p, **kw: (gate(), orig_rmtree(p, **kw))[1])
+                real_complete(path, journal)
+
+        return wrapper, used
+
+    def restore():
+        shutil.rmtree(store)
+        shutil.copytree(backup, store)
+        shutil.copyfile(backup + ".sync.json", store + ".sync.json")
+
+    # dry pass: measure the swap's total FS-mutation count
+    wrapper, used = instrumented(10**9)
+    monkeypatch.setattr(fs, "_complete_compaction_swap", wrapper)
+    assert fs.compact_forest_tombstones(spark, store) > 0
+    total_ops = used["n"]
+    assert total_ops > 0
+
+    # crash at a spread of points across the real op count, including
+    # total_ops - 1 (crash ON the final journal remove) — recovery must
+    # converge every time
+    points = sorted({0, 1, 2, total_ops // 3, total_ops // 2,
+                     2 * total_ops // 3, total_ops - 1})
+    for budget in points:
+        restore()
+        wrapper, used = instrumented(budget)
+        monkeypatch.setattr(fs, "_complete_compaction_swap", wrapper)
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="simulated crash"):
+            fs.compact_forest_tombstones(spark, store)
+        monkeypatch.setattr(fs, "_complete_compaction_swap", real_complete)
+        fs.compact_forest_tombstones(spark, store)  # recover
+        assert _fs_rows(spark, store) == want, f"crash after {budget} ops"
+        assert not os.path.exists(fs._journal_path(store))
+
+    # and one run past the total must complete crash-free
+    restore()
+    wrapper, used = instrumented(total_ops + 1)
+    monkeypatch.setattr(fs, "_complete_compaction_swap", wrapper)
+    assert fs.compact_forest_tombstones(spark, store) > 0
+    assert _fs_rows(spark, store) == want
