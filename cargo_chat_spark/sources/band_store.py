@@ -297,80 +297,36 @@ def read_band_store_live(spark: SparkSession, path: str) -> DataFrame:
     return b
 
 
+def _complete_compaction_swap(path: str, journal: dict) -> None:
+    """Post-commit phase of the journaled swap (sources/_compaction.py);
+    module-level so crash tests can intercept it."""
+    from cargo_chat_spark.sources import _compaction as _C
+
+    _C.complete_swap(path, journal)
+
+
 def compact_band_tombstones(spark: SparkSession, path: str) -> int:
     """Materialize the tombstones: rewrite ONLY the dirty band files
-    (those holding a tombstoned generation), then clear the tombstone
-    set — the band-store analog of inverted_index.
+    (those holding a tombstoned generation), then clear the folded
+    tombstone files — the band-store analog of inverted_index.
     compact_index_tombstones / snapshots.snap_compact_dv. O(dirty
     files); clean files untouched byte-for-byte. Returns the number of
     files rewritten. Single-writer maintenance op (same caveat as the
-    lexical compaction: run it from the CDC applier's scheduler slot)."""
-    import shutil
-    import uuid
+    lexical compaction: run it from the CDC applier's scheduler slot).
 
-    from cargo_chat_spark.sources._paths import strip_scheme
+    Crash-windowed via the shared journaled swap
+    (sources/_compaction.py, closing the round-9 ADVICE window here
+    too): survivors fully staged, journal as the atomic commit point,
+    idempotent completion, orphan rollback."""
+    from cargo_chat_spark.sources import _compaction as _C
 
-    if not os.path.isdir(_tombstones_path(path)):
-        return 0
-    broot = _bands_path(path)
-    t = (
-        spark.read.parquet(_tombstones_path(path))
-        .groupBy("doc_id")
-        .agg(F.max("cutoff").alias("cutoff"))
+    return _C.compact_tombstoned_store(
+        spark,
+        path,
+        data_root=_bands_path(path),
+        tombstones_dir=_tombstones_path(path),
+        id_col="doc_id",
+        sort_col="key",
+        part_col="band",
+        complete_fn=lambda p, j: _complete_compaction_swap(p, j),
     )
-    scan = (
-        spark.read.option("basePath", broot)
-        .parquet(broot)
-        .withColumn("_f", F.col("_metadata.file_path"))
-    )
-    dead = scan.alias("b").join(
-        F.broadcast(t).alias("t"),
-        on=[
-            F.col("b.doc_id") == F.col("t.doc_id"),
-            F.col("b.ver") < F.col("t.cutoff"),
-        ],
-    )
-    dirty = sorted(
-        strip_scheme(r["_f"])
-        for r in dead.select("_f").distinct().collect()
-    )  # bounded: one row per dirty file
-    if dirty:
-        staging = os.path.join(
-            strip_scheme(path),
-            f"_compact_staging.{os.getpid()}.{uuid.uuid4().hex}",
-        )
-        survivors = (
-            spark.read.option("basePath", broot)
-            .parquet(*dirty)
-            .alias("b")
-            .join(
-                F.broadcast(t).alias("t"),
-                on=[
-                    F.col("b.doc_id") == F.col("t.doc_id"),
-                    F.col("b.ver") < F.col("t.cutoff"),
-                ],
-                how="left_anti",
-            )
-        )
-        (
-            survivors.sortWithinPartitions("key")
-            .write.mode("overwrite")
-            .partitionBy("band")
-            .parquet(staging)
-        )
-        for f in dirty:
-            os.remove(f)
-        for band_dir in os.listdir(staging):
-            src = os.path.join(staging, band_dir)
-            if not (os.path.isdir(src) and band_dir.startswith("band=")):
-                continue
-            dst = os.path.join(strip_scheme(broot), band_dir)
-            os.makedirs(dst, exist_ok=True)
-            for part in os.listdir(src):
-                if part.endswith(".parquet"):
-                    os.replace(
-                        os.path.join(src, part), os.path.join(dst, part)
-                    )
-        shutil.rmtree(staging)
-    shutil.rmtree(_tombstones_path(path))
-    return len(dirty)

@@ -219,8 +219,6 @@ def probe_forest_store(
 # ver >= cutoff). Compaction rewrites only the dirty files.
 
 import json as _json
-import shutil as _shutil
-import uuid as _uuid
 
 from pyspark.sql import functions as _F
 
@@ -360,69 +358,15 @@ def read_forest_store_live(spark: SparkSession, path: str) -> DataFrame:
     return p
 
 
-def _journal_path(path: str) -> str:
-    return os.path.join(path, "_compact_journal.json")
+from cargo_chat_spark.sources import _compaction as _C
+
+_journal_path = _C.journal_path
 
 
 def _complete_compaction_swap(path: str, journal: dict) -> None:
-    """Execute (or resume) a JOURNALED swap. Every step is idempotent —
-    a crash at any point re-runs safely: already-removed dirty files are
-    skipped, already-moved staging parts are absent from staging, the
-    journal is removed only after the swap is fully applied."""
-    from cargo_chat_spark.sources._paths import strip_scheme
-
-    froot = _forest_path(path)
-    for f in journal["dirty"]:
-        if os.path.exists(f):
-            os.remove(f)
-    staging = journal["staging"]
-    if os.path.isdir(staging):
-        for t_dir in os.listdir(staging):
-            src = os.path.join(staging, t_dir)
-            if not (os.path.isdir(src) and t_dir.startswith("t=")):
-                continue
-            dst = os.path.join(strip_scheme(froot), t_dir)
-            os.makedirs(dst, exist_ok=True)
-            for part in os.listdir(src):
-                if part.endswith(".parquet"):
-                    os.replace(
-                        os.path.join(src, part), os.path.join(dst, part)
-                    )
-        _shutil.rmtree(staging)
-    # drop ONLY the tombstone files this swap folded in: tombstones
-    # appended after the journal was cut stay pending for the next run
-    for tf in journal["tombstone_files"]:
-        if os.path.exists(tf):
-            os.remove(tf)
-    tdir = _tombstones_path(path)
-    if os.path.isdir(tdir) and not any(
-        n.endswith(".parquet") for n in os.listdir(tdir)
-    ):
-        _shutil.rmtree(tdir)
-    os.remove(_journal_path(path))
-
-
-def _recover_compaction(path: str) -> None:
-    """Crash recovery, run on entry: a journal on disk means a prior
-    swap committed but may not have finished — complete it (the journal
-    is the commit point; survivors are fully staged before it exists).
-    A staging dir WITHOUT a journal is a pre-commit crash — the store
-    is untouched, so roll the orphan back by deleting it."""
-    from cargo_chat_spark.sources._paths import strip_scheme
-
-    jp = _journal_path(path)
-    journaled = None
-    if os.path.isfile(jp):
-        with open(jp) as fh:
-            journaled = _json.load(fh)
-        _complete_compaction_swap(path, journaled)
-    root = strip_scheme(path)
-    if os.path.isdir(root):
-        for name in os.listdir(root):
-            if name.startswith("_compact_staging."):
-                orphan = os.path.join(root, name)
-                if journaled is None or orphan != journaled["staging"]:
-                    _shutil.rmtree(orphan)
+    """Post-commit phase of the journaled swap (sources/_compaction.py);
+    module-level so crash tests can intercept it."""
+    _C.complete_swap(path, journal)
 
 
 def compact_forest_tombstones(spark: SparkSession, path: str) -> int:
@@ -432,88 +376,18 @@ def compact_forest_tombstones(spark: SparkSession, path: str) -> int:
     Single-writer maintenance op (run from the CDC applier's scheduler
     slot).
 
-    Crash-windowed via a journaled swap: survivors are fully written to
-    a staging dir FIRST, then a journal (staging dir + dirty-file list +
-    folded tombstone files) is published atomically — only after that
-    commit point are dirty files removed and staging parts moved in. A
-    crash before the journal leaves the store untouched (the orphaned
-    staging rolls back on the next run); a crash after it resumes to
-    completion on the next run (every post-journal step is idempotent).
-    At no point can a reader observe removed postings whose survivors
-    have not landed-or-will-land."""
-    from cargo_chat_spark.sources._paths import strip_scheme
-
-    _recover_compaction(path)
-    tdir = _tombstones_path(path)
-    if not os.path.isdir(tdir):
-        return 0
-    tomb_files = sorted(
-        os.path.join(tdir, n)
-        for n in os.listdir(tdir)
-        if n.endswith(".parquet")
+    Crash-windowed via the shared journaled swap
+    (sources/_compaction.py): survivors fully staged, journal as the
+    atomic commit point, idempotent completion, orphan rollback — a
+    crash at any point either leaves the store untouched or resumes to
+    completion on the next run."""
+    return _C.compact_tombstoned_store(
+        spark,
+        path,
+        data_root=_forest_path(path),
+        tombstones_dir=_tombstones_path(path),
+        id_col="vec_id",
+        sort_col="bkey",
+        part_col="t",
+        complete_fn=lambda p, j: _complete_compaction_swap(p, j),
     )
-    if not tomb_files:
-        _shutil.rmtree(tdir)
-        return 0
-    froot = _forest_path(path)
-    t = (
-        spark.read.parquet(*tomb_files)
-        .groupBy("vec_id")
-        .agg(_F.max("cutoff").alias("cutoff"))
-    )
-    scan = (
-        spark.read.option("basePath", froot)
-        .parquet(froot)
-        .withColumn("_f", _F.col("_metadata.file_path"))
-    )
-    dead = scan.alias("p").join(
-        _F.broadcast(t).alias("t"),
-        on=[
-            _F.col("p.vec_id") == _F.col("t.vec_id"),
-            _F.col("p.ver") < _F.col("t.cutoff"),
-        ],
-    )
-    dirty = sorted(
-        strip_scheme(r["_f"])
-        for r in dead.select("_f").distinct().collect()
-    )  # bounded: one row per dirty file
-    if not dirty:
-        for tf in tomb_files:
-            os.remove(tf)
-        if not any(n.endswith(".parquet") for n in os.listdir(tdir)):
-            _shutil.rmtree(tdir)
-        return 0
-    staging = os.path.join(
-        strip_scheme(path),
-        f"_compact_staging.{os.getpid()}.{_uuid.uuid4().hex}",
-    )
-    survivors = (
-        spark.read.option("basePath", froot)
-        .parquet(*dirty)
-        .alias("p")
-        .join(
-            _F.broadcast(t).alias("t"),
-            on=[
-                _F.col("p.vec_id") == _F.col("t.vec_id"),
-                _F.col("p.ver") < _F.col("t.cutoff"),
-            ],
-            how="left_anti",
-        )
-    )
-    (
-        survivors.sortWithinPartitions("bkey")
-        .write.mode("overwrite")
-        .partitionBy("t")
-        .parquet(staging)
-    )
-    journal = {
-        "staging": staging,
-        "dirty": dirty,
-        "tombstone_files": tomb_files,
-    }
-    tmp = _journal_path(path) + f".tmp.{os.getpid()}"
-    with open(tmp, "w") as fh:
-        _json.dump(journal, fh)
-    os.replace(tmp, _journal_path(path))  # COMMIT POINT
-    _complete_compaction_swap(path, journal)
-    return len(dirty)

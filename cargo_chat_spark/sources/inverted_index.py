@@ -397,85 +397,36 @@ def apply_index_cdc(
     return to_v
 
 
+def _complete_compaction_swap(path: str, journal: dict) -> None:
+    """Post-commit phase of the journaled swap (sources/_compaction.py);
+    module-level so crash tests can intercept it."""
+    from cargo_chat_spark.sources import _compaction as _C
+
+    _C.complete_swap(path, journal)
+
+
 def compact_index_tombstones(spark: SparkSession, path: str) -> int:
     """Materialize the tombstones: rewrite ONLY the dirty postings files
-    (those holding a tombstoned generation), then clear the tombstone
-    set — the index analog of snapshots.snap_compact_dv. O(dirty files);
-    clean files are untouched byte-for-byte. Returns the number of files
-    rewritten.
+    (those holding a tombstoned generation), then clear the folded
+    tombstone files — the index analog of snapshots.snap_compact_dv.
+    O(dirty files); clean files are untouched byte-for-byte. Returns the
+    number of files rewritten.
 
     Single-writer maintenance op (run it from the same scheduler slot as
-    the CDC applier): the swap (delete dirty, move staged) is not
-    crash-atomic on a plain directory layout — the production form
-    commits the same rewrite through a snapshot-log layout (the
-    index_io.upsert_index_cells pattern) where the manifest IS the
-    atomic commit point.
+    the CDC applier). Crash-windowed via the shared journaled swap
+    (sources/_compaction.py, closing the round-9 ADVICE window here
+    too): survivors fully staged, journal as the atomic commit point,
+    idempotent completion, orphan rollback.
     """
-    import shutil
-    import uuid
+    from cargo_chat_spark.sources import _compaction as _C
 
-    from cargo_chat_spark.sources._paths import strip_scheme
-
-    if not os.path.isdir(_tombstones_path(path)):
-        return 0
-    proot = _postings_path(path)
-    t = (
-        spark.read.parquet(_tombstones_path(path))
-        .groupBy("doc_id")
-        .agg(F.max("cutoff").alias("cutoff"))
+    return _C.compact_tombstoned_store(
+        spark,
+        path,
+        data_root=_postings_path(path),
+        tombstones_dir=_tombstones_path(path),
+        id_col="doc_id",
+        sort_col="token",
+        part_col="shard",
+        complete_fn=lambda p, j: _complete_compaction_swap(p, j),
     )
-    scan = (
-        spark.read.option("basePath", proot)
-        .parquet(proot)
-        .withColumn("_f", F.col("_metadata.file_path"))
-    )
-    dead = scan.alias("p").join(
-        F.broadcast(t).alias("t"),
-        on=[
-            F.col("p.doc_id") == F.col("t.doc_id"),
-            F.col("p.ver") < F.col("t.cutoff"),
-        ],
-    )
-    dirty = sorted(
-        strip_scheme(r["_f"])
-        for r in dead.select("_f").distinct().collect()
-    )  # bounded: one row per dirty file
-    if dirty:
-        staging = os.path.join(
-            strip_scheme(path), f"_compact_staging.{os.getpid()}.{uuid.uuid4().hex}"
-        )
-        survivors = (
-            spark.read.option("basePath", proot)
-            .parquet(*dirty)
-            .alias("p")
-            .join(
-                F.broadcast(t).alias("t"),
-                on=[
-                    F.col("p.doc_id") == F.col("t.doc_id"),
-                    F.col("p.ver") < F.col("t.cutoff"),
-                ],
-                how="left_anti",
-            )
-        )
-        (
-            survivors.sortWithinPartitions("token")
-            .write.mode("overwrite")
-            .partitionBy("shard")
-            .parquet(staging)
-        )
-        for f in dirty:
-            os.remove(f)
-        for shard_dir in os.listdir(staging):
-            src = os.path.join(staging, shard_dir)
-            if not (os.path.isdir(src) and shard_dir.startswith("shard=")):
-                continue
-            dst = os.path.join(strip_scheme(proot), shard_dir)
-            os.makedirs(dst, exist_ok=True)
-            for part in os.listdir(src):
-                if part.endswith(".parquet"):
-                    os.replace(
-                        os.path.join(src, part), os.path.join(dst, part)
-                    )
-        shutil.rmtree(staging)
-    shutil.rmtree(_tombstones_path(path))
-    return len(dirty)
