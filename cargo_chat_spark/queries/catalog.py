@@ -822,3 +822,18 @@ def _reorder() -> None:
 _reorder()
 
 __all__ = ["SPARK_QUERIES", "ORACLE_SQL", "GATE_WINDOW", "ROUND9_PROMOTION_PLAN"]
+
+# ROUND-10 WINDOW DRAFT (execute after CORRECTNESS_r09 lands green):
+# 20 permanents (unchanged, the reference-parity claim) + the ENTIRE
+# 30-entry ROUND9_PROMOTION_PLAN above = exactly 50. The 30 r9 window
+# rows rotate out on their green CORRECTNESS_r09 externals; machinery
+# re-proof for the rotation: repo_walk/profile_roundtrip/mock gates are
+# permanent-family siblings (S/A/P/M parity stays in-window via the 20
+# permanents); the store/mixer/relational/tier-2 rows keep their r9
+# rows with their cores exercised by the promoted evaluation reports
+# (ann_recall_report nests the forest/int8/IVF oracles,
+# lsh_precision_report the bands CTE, bpe_compression_report the
+# trainer chain, the drift pair the snapshot-delta path). Executing
+# this draft takes the never-gated set to ZERO.
+_ROUND10_WINDOW_DRAFT = GATE_WINDOW[:20] + list(ROUND9_PROMOTION_PLAN)
+assert len(_ROUND10_WINDOW_DRAFT) == 50
