@@ -157,7 +157,15 @@ def split_structured_ts(
     src = text.encode("utf-8")
     tree = parser.parse(src)
     bounds = _boundary_lines(tree, _DECL_TYPES.get(language or "", set()))
-    lines = text.splitlines(keepends=True)
+    # \n-only split: tree-sitter rows count only \n line breaks, but
+    # splitlines(keepends=True) also splits on \x0b \x0c \x85
+    #   — that would misalign boundary indices in files containing
+    # those characters. Reconstruct lines exactly as the parser counts
+    # them (every element but the last carries its trailing \n).
+    raw = text.split("\n")
+    lines = [ln + "\n" for ln in raw[:-1]]
+    if raw[-1]:
+        lines.append(raw[-1])
     pieces: list[str] = []
     cur = ""
     for i, ln in enumerate(lines):

@@ -387,7 +387,10 @@ pairs AS (
     WHERE a.doc_id < b.doc_id
 ),
 hs AS (
-    SELECT doc_id, list_sort(h) AS s FROM hashes
+    -- list_distinct: h holds distinct shingles but h32 collisions can
+    -- duplicate hash VALUES; set semantics must hold on both engines
+    -- (Spark's array_intersect dedups, list_filter would not).
+    SELECT doc_id, list_sort(list_distinct(h)) AS s FROM hashes
 )
 SELECT p.doc_a, p.doc_b,
     CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE) /
@@ -408,7 +411,9 @@ def ngram_jaccard_pairs(spark, sf_dir):
         spark,
         ("sorted_hashes", sf_dir),
         lambda: _hashes_df(spark, sf_dir).select(
-            "doc_id", F.array_sort(F.col("h")).alias("s")
+            # array_distinct matches the oracle's list_distinct: set
+            # semantics even when h32 collisions duplicate hash values.
+            "doc_id", F.array_sort(F.array_distinct(F.col("h"))).alias("s")
         ),
     )
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))

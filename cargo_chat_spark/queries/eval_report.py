@@ -126,7 +126,9 @@ pairs AS (
     WHERE a.doc_id < b.doc_id
 ),
 hs AS (
-    SELECT doc_id, list_sort(h) AS s FROM hashes
+    -- list_distinct: h holds distinct shingles but h32 collisions can
+    -- duplicate hash VALUES; pure set semantics on both engines.
+    SELECT doc_id, list_sort(list_distinct(h)) AS s FROM hashes
 ),
 scored AS (
     SELECT
@@ -161,7 +163,10 @@ def lsh_precision_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         ("sorted_hashes", sf_dir),
         lambda: _hashes_df(spark, sf_dir).select(
-            "doc_id", F.array_sort(F.col("h")).alias("s")
+            # array_distinct: h32 collisions can duplicate hash values
+            # inside an array; set semantics must match the oracle's
+            # list_distinct exactly or size() counts diverge.
+            "doc_id", F.array_sort(F.array_distinct(F.col("h"))).alias("s")
         ),
     )
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))

@@ -50,20 +50,30 @@ def read_forest_meta(path: str) -> dict:
     corpus / 2^planes — size planes with log2(corpus)); recording it in
     the store makes probes self-describing, so a probe can never key a
     store with the wrong hyperplanes. Stores written before the sidecar
-    existed read as the oracle-pinned defaults they were built with."""
+    existed (no file) read as the oracle-pinned defaults they were built
+    with; a sidecar that EXISTS but cannot be parsed raises — silently
+    defaulting would let a store keyed with non-default planes be probed
+    with wrong-length bkeys and return zero candidates without error."""
     import json as _json
 
-    try:
-        with open(os.path.join(path, _META_NAME)) as fh:
-            m = _json.load(fh)
-        return {"n_tables": int(m["n_tables"]), "n_planes": int(m["n_planes"])}
-    except (OSError, ValueError, KeyError):
+    meta_file = os.path.join(path, _META_NAME)
+    if not os.path.exists(meta_file):
         from cargo_chat_spark.queries.ann_lsh import (
             N_PLANES_FOREST,
             N_TABLES_FOREST,
         )
 
         return {"n_tables": N_TABLES_FOREST, "n_planes": N_PLANES_FOREST}
+    try:
+        with open(meta_file) as fh:
+            m = _json.load(fh)
+        return {"n_tables": int(m["n_tables"]), "n_planes": int(m["n_planes"])}
+    except (OSError, ValueError, KeyError, TypeError) as e:
+        raise ValueError(
+            f"forest meta sidecar {meta_file} exists but is unreadable "
+            f"({e!r}); refusing to default the keying configuration — "
+            "repair or remove the sidecar explicitly"
+        ) from e
 
 
 def _write_meta(path: str, n_tables: int, n_planes: int) -> None:
@@ -99,6 +109,11 @@ def write_forest_store(
 
         n_tables = N_TABLES_FOREST if n_tables is None else n_tables
         n_planes = N_PLANES_FOREST if n_planes is None else n_planes
+        # Meta BEFORE the data swap: a crash between the two leaves
+        # meta/new-config + data/old-config, which the probe-side bkey
+        # length validation catches loudly; the old order (data first)
+        # left the store silently probe-able with wrong-length keys.
+        _write_meta(path, n_tables, n_planes)
     keys = _forest_keys_numpy(
         emb.select("vec_id", "embedding"),
         "embedding", "vec_id", "vec_id", "embedding",
@@ -111,8 +126,6 @@ def write_forest_store(
         .partitionBy("t")
         .parquet(_forest_path(path))
     )
-    if mode != "append":
-        _write_meta(path, n_tables, n_planes)
 
 
 def append_forest_store(
@@ -167,6 +180,19 @@ def probe_forest_store(
     store = read_forest_store_live(spark, path).select(
         "vec_id", "t", "bkey"
     )
+    # Meta↔data validation (one-row probe): a crash between the meta and
+    # data writes, or a hand-copied store, can leave postings keyed with
+    # a different plane count than the sidecar records — the (t, bkey)
+    # equi-join would then silently return zero candidates. bkey is a
+    # bit-string of exactly n_planes characters; fail loudly on mismatch.
+    first = store.select(F.length("bkey").alias("n")).limit(1).collect()
+    if first and first[0]["n"] != meta["n_planes"]:
+        raise ValueError(
+            f"forest store at {path}: stored bkey length {first[0]['n']} "
+            f"does not match meta n_planes={meta['n_planes']} — the data "
+            "and the meta sidecar disagree (partial overwrite?); rebuild "
+            "the store"
+        )
     if prune_scan_max_buckets and prune_scan_max_buckets > 0:
         # bounded collect: the probed bucket set, capped
         probed = (
@@ -277,12 +303,16 @@ def sync_forest_from_snapshot(
     from cargo_chat_spark.sources.snapshots import manifest, snap_read
 
     v = int(manifest(table_path)["version"])
+    # Materialize the (possibly defaulted) keying config in the sidecar
+    # BEFORE the data swap — same ordering discipline as
+    # write_forest_store; the probe's bkey-length check backstops the
+    # crash window between the two writes.
+    meta = read_forest_meta(store_path)
+    _write_meta(store_path, meta["n_tables"], meta["n_planes"])
     _write_versioned(
         snap_read(spark, table_path), store_path, v, "overwrite",
         n_key_files,
     )
-    meta = read_forest_meta(store_path)
-    _write_meta(store_path, meta["n_tables"], meta["n_planes"])
     _write_sync(store_path, v)
     return v
 

@@ -37,11 +37,23 @@ def _state_path(out_dir: str) -> str:
 
 
 def read_mix_state(out_dir: str) -> dict:
-    try:
-        with open(_state_path(out_dir)) as fh:
-            return json.load(fh)
-    except (OSError, ValueError):
+    """The sidecar state, or the genuine empty-store default when the
+    sidecar does not exist. A sidecar that EXISTS but cannot be parsed
+    raises: defaulting would silently restart the totals from zero
+    (double-filling budgets on the next batch) and fence out intact
+    data (an empty report with no error)."""
+    p = _state_path(out_dir)
+    if not os.path.exists(p):
         return {"totals": {}, "max_ingested_batch": -1}
+    try:
+        with open(p) as fh:
+            return json.load(fh)
+    except (OSError, ValueError) as e:
+        raise ValueError(
+            f"mix state sidecar {p} exists but is unreadable ({e!r}); "
+            "refusing to default the fence/totals — repair or remove "
+            "the sidecar explicitly"
+        ) from e
 
 
 def _publish(out_dir: str, state: dict) -> None:
@@ -146,6 +158,24 @@ def read_mix_report(spark: SparkSession, out_dir: str) -> DataFrame:
     column, so unfenced dirs are partition-pruned, not scanned."""
     state = read_mix_state(out_dir)
     max_fenced = int(state["max_ingested_batch"])
+    if max_fenced < 0:
+        # Fence says "nothing ever ingested" — if batch dirs exist the
+        # sidecar was lost (not a fresh store): an empty report here
+        # would silently hide intact fenced data.
+        try:
+            has_data = any(
+                e.name.startswith("batch=")
+                for e in os.scandir(out_dir)
+            )
+        except OSError:
+            has_data = False
+        if has_data:
+            raise ValueError(
+                f"mix store at {out_dir} has batch data but no state "
+                "sidecar — the fence was lost; re-run the ingest stream "
+                "(replay republishes it) instead of reading an empty "
+                "report"
+            )
     kept = (
         spark.read.option("basePath", out_dir)
         .parquet(out_dir)

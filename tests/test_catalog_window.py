@@ -4,7 +4,7 @@
 displacement to list drift — these pins catch:
 
 - GATE_WINDOW not actually occupying positions 0-49 of queries();
-- a typo'd name in GATE_WINDOW / _OVERFLOW_TAIL / ROUND9_PROMOTION_PLAN
+- a typo'd name in GATE_WINDOW / _OVERFLOW_TAIL / PROMOTION_PLAN
   matching nothing;
 - a window entry losing its value-hash oracle (every gated row must be a
   STRONG check — rows-only entries stay outside the window);
@@ -72,20 +72,21 @@ def test_out_of_window_entries_keep_local_oracle_coverage():
     assert not missing, f"out-of-window entries without oracle SQL: {missing}"
 
 
-def test_round9_promotion_plan_names_resolve():
-    """The drafted rotation plan must stay executable: every planned
-    promotion names a registered query, and none of them is already
-    inside the gated window (promoting an in-window name is a no-op that
-    wastes a slot)."""
+def test_promotion_plan_names_resolve():
+    """The rotation queue must stay executable: every planned promotion
+    names a registered query, and none of them is already inside the
+    gated window (promoting an in-window name is a no-op that wastes a
+    slot). The queue is legitimately empty after the r10 rotation burned
+    the full r9 queue — the checks then hold vacuously."""
     window = set(catalog.GATE_WINDOW)
     unknown = [
-        n for n in catalog.ROUND9_PROMOTION_PLAN if n not in catalog.SPARK_QUERIES
+        n for n in catalog.PROMOTION_PLAN if n not in catalog.SPARK_QUERIES
     ]
     assert not unknown, f"rotation plan names unknown queries: {unknown}"
-    already = [n for n in catalog.ROUND9_PROMOTION_PLAN if n in window]
+    already = [n for n in catalog.PROMOTION_PLAN if n in window]
     assert not already, f"rotation plan promotes in-window names: {already}"
-    assert len(set(catalog.ROUND9_PROMOTION_PLAN)) == len(
-        catalog.ROUND9_PROMOTION_PLAN
+    assert len(set(catalog.PROMOTION_PLAN)) == len(
+        catalog.PROMOTION_PLAN
     ), "duplicate names in rotation plan"
 
 
@@ -107,7 +108,7 @@ def test_every_never_gated_entry_is_window_or_planned():
                 continue
     accounted = (
         set(catalog.GATE_WINDOW)
-        | set(catalog.ROUND9_PROMOTION_PLAN)
+        | set(catalog.PROMOTION_PLAN)
         | set(catalog._OVERFLOW_TAIL)
         | gated
     )
