@@ -666,11 +666,18 @@ def _run_suite(
     itself (phase "probe") — `timings[name]` records the PROBE, the
     steady-state cost a production deployment pays per query; the
     one-time build is reported separately so a single-shot axis cannot
-    misread fixture lifecycles as query regressions. Builders are
-    memoized per session, so gates SHARING a fixture (_ii_store,
-    _cdc_index) attribute the build to whichever phased entry runs
-    first and show ~0 build after — the sum over phases stays the true
-    session cost."""
+    misread fixture lifecycles as query regressions.
+
+    Round-10 protocol (r9 verdict item 3): after EVERY query the memo
+    caches are invalidated, so each row is SELF-CONTAINED — it pays its
+    own fixture builds (attributed to the build phase when the gate is
+    phased, to the probe row otherwise) and inherits no warmth and no
+    eviction pressure from whatever ran before it. This makes the
+    per-query numbers independent of suite order and of how many other
+    queries share the JVM — the exact fragility the r9 driver session
+    exposed (73.95 s with 7 flags at a HEAD whose close run measured
+    52.96 s with zero: ~100 accumulated persisted frames in one JVM).
+    Bars are re-measured under this protocol (_R10_COLD_BARS)."""
     from cargo_chat_spark.queries.registry import PHASE_BUILDERS
 
     timings: dict[str, float] = {}
@@ -688,6 +695,7 @@ def _run_suite(
         timings[name] = round(time.perf_counter() - t0, 3)
         if build_s is not None:
             phases[name] = {"build": build_s, "probe": timings[name]}
+        caching.invalidate_all()
     return timings, phases
 
 

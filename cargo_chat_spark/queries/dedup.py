@@ -879,3 +879,17 @@ def incremental_neardup_cdc(spark, sf_dir):
 from cargo_chat_spark.queries.registry import register_phase_builder as _rpb
 
 _rpb("incremental_neardup", _band_history_fixture)
+
+
+def _components_builder(spark, sf_dir):
+    """Materialize the memoized near-dup component frame (r9 verdict
+    item 2): the minhash→LSH-pairs→iterative-components chain is the
+    one-time per-corpus-version artifact a production pipeline persists
+    (the store-build analogue); the split / MOR-apply consumers pay only
+    the broadcast join against it. Without this split the full component
+    build was charged to whichever consumer ran first in the session."""
+    neardup_components(spark, sf_dir).count()
+
+
+_rpb("leakage_safe_split", _components_builder)
+_rpb("dedup_mor_apply", _components_builder)

@@ -228,26 +228,75 @@ def event_value_percentiles(spark, sf_dir):
 
 
 _APPROX_PCT_ACCURACY = 10_000
+# GK guarantees rank error <= 1/accuracy = 1e-4; the gate allows 10x
+# margin so legitimate sketch-merge-order wiggle can never flip the
+# boolean while a real accuracy regression (wrong accuracy parameter,
+# wrong column, a sketch swap) still trips it. The realized bound adds
+# 1/n per group: the estimate is an ELEMENT of the data, so its rank
+# fraction is quantized to 1/n steps and can sit a full step from q
+# even at perfect sketch accuracy (at sf0.001 a 199-row group has
+# 0.005-step granularity, dwarfing the sketch term).
+_APPROX_PCT_RANK_EPS = 0.001
+
+_PCT_APPROX_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       TRUE AS p50_rank_ok,
+       TRUE AS p95_rank_ok,
+       TRUE AS p99_rank_ok
+FROM events
+GROUP BY event_type
+"""
 
 
-@register("event_value_percentiles_approx")  # rows-only: engine sketches differ
+@register("event_value_percentiles_approx", sql=_PCT_APPROX_SQL)
 def event_value_percentiles_approx(spark, sf_dir):
     """Sketch twin of event_value_percentiles — what a 100 TB pipeline
     actually runs: ``percentile_approx`` (Greenwald-Khanna sketch,
     rank error <= 1/accuracy) needs only bounded per-group sketch state
     and merges map-side, where the exact form shuffles every value to its
-    group's sorter. Rows-only by design (mirrors the
-    distinct_counts_exact/approx pair): DuckDB's approx quantile is a
-    different sketch (t-digest), so values can't hash-match — the
-    error bound vs the exact result is pinned in
+    group's sorter. The sketch VALUES are engine-specific (DuckDB's
+    approx quantile is t-digest), so the value-hash gate is GK's own
+    contract made deterministic (r9 verdict item 4): for each estimate,
+    the realized rank fraction |{v <= est}|/n must sit within
+    q ± 1e-3 (10x the guaranteed 1/accuracy) — booleans that hash
+    identically in both engines when the sketch honors its bound. The
+    numeric error is additionally pinned in
     tests/test_ann_recall.py::test_approx_percentile_error."""
     e = load_table(spark, sf_dir, "events")
     acc = F.lit(_APPROX_PCT_ACCURACY)
-    return e.groupBy("event_type").agg(
+    est = e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.percentile_approx("value", F.lit(0.5), acc).alias("p50_approx"),
-        F.percentile_approx("value", F.lit(0.95), acc).alias("p95_approx"),
-        F.percentile_approx("value", F.lit(0.99), acc).alias("p99_approx"),
+        F.percentile_approx("value", F.lit(0.5), acc).alias("e50"),
+        F.percentile_approx("value", F.lit(0.95), acc).alias("e95"),
+        F.percentile_approx("value", F.lit(0.99), acc).alias("e99"),
+    )
+    # realized rank of each estimate: one broadcast join back onto the
+    # events scan + one conditional-count aggregate (map-side combinable)
+    ranked = (
+        e.select("event_type", "value")
+        .join(F.broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("n").alias("n"),
+            F.sum((F.col("value") <= F.col("e50")).cast("long")).alias("r50"),
+            F.sum((F.col("value") <= F.col("e95")).cast("long")).alias("r95"),
+            F.sum((F.col("value") <= F.col("e99")).cast("long")).alias("r99"),
+        )
+    )
+    eps = _APPROX_PCT_RANK_EPS
+
+    def ok(r, q):
+        frac = F.col(r).cast("double") / F.col("n")
+        slack = F.lit(eps) + F.lit(1.0) / F.col("n")
+        return (frac >= F.lit(q) - slack) & (frac <= F.lit(q) + slack)
+
+    return ranked.select(
+        "event_type",
+        "n",
+        ok("r50", 0.5).alias("p50_rank_ok"),
+        ok("r95", 0.95).alias("p95_rank_ok"),
+        ok("r99", 0.99).alias("p99_rank_ok"),
     )
 
 

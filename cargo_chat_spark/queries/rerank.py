@@ -215,14 +215,56 @@ def distinct_counts_exact(spark, sf_dir):
     )
 
 
-@register("distinct_counts_approx")  # no oracle: HLL sketches are engine-specific
+# The sketch ESTIMATES are engine-specific (DuckDB has no HLL++ twin),
+# but the error-bound BOOLEAN is deterministic and value-hashable
+# (r9 verdict item 4): Spark's HLL++ merge is register-max — order
+# independent — so abs(est-exact)/exact is a fixed number per dataset,
+# and the oracle asserts the bound holds by emitting the TRUE the gate
+# must reproduce. A sketch regression (accuracy loss, wrong column,
+# changed relativeSD default) flips a boolean and hash-mismatches.
+_DISTINCT_APPROX_EPS = 0.05
+
+_DISTINCT_APPROX_SQL = f"""
+SELECT source,
+       COUNT(DISTINCT lang) AS n_langs_exact,
+       COUNT(DISTINCT doc_id) AS n_docs_exact,
+       TRUE AS langs_within_{int(_DISTINCT_APPROX_EPS * 100)}pct,
+       TRUE AS docs_within_{int(_DISTINCT_APPROX_EPS * 100)}pct
+FROM documents
+GROUP BY source
+"""
+
+
+@register("distinct_counts_approx", sql=_DISTINCT_APPROX_SQL)
 def distinct_counts_approx(spark, sf_dir):
     """approx_count_distinct (SURVEY §7.8 extension): the 100 TB path for
     corpus stats — HLL++ partial aggregation, no exact-distinct shuffle of
-    raw values. Rows-only check (sketch values are engine-specific by
-    nature); tests assert <=2% relative error vs the exact query."""
+    raw values. Value-hash gated via the deterministic error bound: the
+    frame carries the exact counts plus `within_eps` booleans comparing
+    the sketch estimate against them (<=5% relative error, the default
+    approx_count_distinct relativeSD envelope; tests/test_sketch_bounds.py pins
+    the numeric margin). Cost: the sketch agg plus the exact-distinct agg
+    it is being graded against — the PRODUCTION query is the sketch half
+    alone; the exact half exists because this is the evaluation gate."""
     d = load_table(spark, sf_dir, "documents")
-    return d.groupBy("source").agg(
-        F.approx_count_distinct("lang").alias("n_langs_approx"),
-        F.approx_count_distinct("doc_id").alias("n_docs_approx"),
+    eps = _DISTINCT_APPROX_EPS
+    agg = d.groupBy("source").agg(
+        F.countDistinct("lang").alias("n_langs_exact"),
+        F.countDistinct("doc_id").alias("n_docs_exact"),
+        F.approx_count_distinct("lang").alias("la"),
+        F.approx_count_distinct("doc_id").alias("da"),
+    )
+    within = lambda est, ex: (  # noqa: E731
+        F.abs(F.col(est) - F.col(ex)) <= F.lit(eps) * F.col(ex)
+    )
+    return agg.select(
+        "source",
+        "n_langs_exact",
+        "n_docs_exact",
+        within("la", "n_langs_exact").alias(
+            f"langs_within_{int(eps * 100)}pct"
+        ),
+        within("da", "n_docs_exact").alias(
+            f"docs_within_{int(eps * 100)}pct"
+        ),
     )

@@ -468,18 +468,28 @@ def _ivf_search(spark, emb, cells, cents):
     )
 
 
-@register("ivf_topk_trained_live")  # rows-only: Lloyd's iterations aren't SQL
-def ivf_topk_trained_live(spark, sf_dir):
-    """Same IVF search but with centroids trained LIVE in-session
-    (operators/kmeans.py): deterministic k-means|| seeding (Bahmani et
-    al. — the init MLlib uses; md5 draws, no RNG) then Lloyd's iterations
-    with a convergence stop, driver-held k×dim centroids, one codegen'd
-    assign + one mean-aggregate pass per iteration; memo-persisted per
-    (session, sf_dir) so repeated catalog runs train once. Rows-only by
-    design: distributed mean reduction order makes the trained floats
-    reproducible only up to association, so the value-hash contract lives
-    on ivf_topk_trained (frozen centroids) while recall of THIS path is
-    pinned in tests/test_ann_recall.py."""
+# The trained floats are reproducible only up to distributed-reduction
+# association, so the top-k FRAME can't value-hash; what IS deterministic
+# (r9 verdict item 4) is the quality contract: |Q| and the result count
+# are integers fixed by the query-set predicate and k, and recall@10 vs
+# the exact kNN sits at 0.96 with the gate at >=0.85 — centroid wiggle
+# of a few ULPs cannot flip an 11-point boolean margin. The oracle
+# derives n_queries/n_results from the predicate and asserts the bound.
+_LIVE_RECALL_MIN_MICRO = 850_000
+
+_LIVE_RECALL_SQL = """
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+        WHERE vec_id % 100 = 0) AS n_queries,
+       (SELECT CAST(10 * count(*) AS BIGINT) FROM embeddings
+        WHERE vec_id % 100 = 0) AS n_results,
+       TRUE AS recall_ge_85
+"""
+
+
+def _live_trained_topk(spark, sf_dir):
+    """The live-trained IVF top-10 frame (train → assign → search);
+    memo-persisted per (session, sf_dir) so repeated catalog runs train
+    once. Library surface for tests and the gate below."""
     from cargo_chat_spark.operators import kmeans
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -504,6 +514,49 @@ def ivf_topk_trained_live(spark, sf_dir):
         _TRAINED_MEMO[(spark.sparkContext.applicationId, key)] = cached
     cells, cents = cached
     return _ivf_search(spark, emb, cells, cents)
+
+
+@register("ivf_topk_trained_live", sql=_LIVE_RECALL_SQL)
+def ivf_topk_trained_live(spark, sf_dir):
+    """IVF search with centroids trained LIVE in-session
+    (operators/kmeans.py): deterministic k-means|| seeding (Bahmani et
+    al. — the init MLlib uses; md5 draws, no RNG) then Lloyd's iterations
+    with a convergence stop, driver-held k×dim centroids, one codegen'd
+    assign + one mean-aggregate pass per iteration; memo-persisted per
+    (session, sf_dir) so repeated catalog runs train once. Distributed
+    float-reduction order makes the trained floats reproducible only up
+    to association, so the top-k value-hash contract lives on
+    ivf_topk_trained (frozen centroids); THIS gate value-hashes the live
+    path's deterministic quality contract instead — query/result counts
+    plus recall@10 >= 0.85 vs the exact kNN (measured 0.96; also pinned
+    numerically in tests/test_ann_recall.py)."""
+    live = _live_trained_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    from cargo_chat_spark.queries.vector_search import knn_exact
+
+    exact = knn_exact(spark, sf_dir).select("query_id", "neighbor_id")
+    nq = exact.agg(
+        F.count_distinct("query_id").cast("bigint").alias("n_queries")
+    )
+    counts = live.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_results")
+    )
+    hits = live.join(exact, ["query_id", "neighbor_id"], "semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+    return (
+        nq.crossJoin(F.broadcast(counts))
+        .crossJoin(F.broadcast(hits))
+        .select(
+            "n_queries",
+            "n_results",
+            (
+                F.expr("(1000000 * n_hits) DIV (10 * n_queries)")
+                >= F.lit(_LIVE_RECALL_MIN_MICRO)
+            ).alias("recall_ge_85"),
+        )
+    )
 
 
 _TRAINED_MEMO: dict = {}

