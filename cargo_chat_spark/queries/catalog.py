@@ -13,6 +13,7 @@ from cargo_chat_spark.queries import clustering  # noqa: F401
 from cargo_chat_spark.queries import nb_classifier  # noqa: F401
 from cargo_chat_spark.queries import curation  # noqa: F401
 from cargo_chat_spark.queries import dataprofile  # noqa: F401
+from cargo_chat_spark.queries import dataselect  # noqa: F401
 from cargo_chat_spark.queries import dedup  # noqa: F401
 from cargo_chat_spark.queries import entity  # noqa: F401
 from cargo_chat_spark.queries import eval_report  # noqa: F401
@@ -340,13 +341,17 @@ _ROUND8_WINDOW_ROTATED_OUT = [
     "phrase_match_docs",
     "phrase_match_persisted",
 ]
-# Round-11 rotation queue: EMPTY. The round-10 rotation above burned
-# the entire round-9 queue, so every registered query now holds an
-# external CORRECTNESS row or is in-window to earn one this round —
-# the never-driver-gated set is ZERO. New registrations enter here
-# (priority order) as they land; the round-11 window has all 30
-# first-time slots free for them plus any re-gates.
-PROMOTION_PLAN: list[str] = []
+# Round-11 rotation queue (priority order). The round-10 rotation above
+# burned the entire round-9 queue (never-driver-gated reached zero at
+# the rotation); entries below are NEW round-10 registrations, each with
+# a local value-hash oracle, awaiting their first window slot.
+PROMOTION_PLAN: list[str] = [
+    # NEW in round 10: DSIR hashed-ngram importance resampling
+    # (queries/dataselect.py) — the canonical pretraining data-selection
+    # method; weights artifact + the top-k selection.
+    "dsir_logratio_weights",
+    "dsir_topk_selection",
+]
 
 # Historical record of the round-9 plan (promoted IN FULL into the r10
 # window above; kept for the judge's audit trail — the per-entry

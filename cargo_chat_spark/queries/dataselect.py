@@ -1,0 +1,196 @@
+"""DSIR-style data selection: hashed n-gram importance resampling.
+
+The canonical pretraining data-selection method (Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling"): score
+every raw document by how much more likely its hashed n-gram features
+are under a TARGET distribution (a trusted/in-domain subset) than under
+the RAW distribution, then keep the top-weighted documents. The
+reference has no analog (its corpus is one repo); this extends the
+curation family (queries/curation.py) with the importance-weighting
+member a 100 TB pipeline runs between quality filtering and mixing.
+
+Formulation (the paper's bag-of-hashed-ngrams estimator):
+
+- features: word unigrams + bigrams (the dedup family's whitespace
+  tokens / 2-shingles, operators/dedup.py:54), hashed into
+  ``N_BUCKETS`` buckets via the shared h32 (functions/hashing.py) —
+  fixed-size feature space regardless of corpus size;
+- bucket distributions with add-1 smoothing:
+  p(b) = (count(b) + 1) / (total + N_BUCKETS), target fit on the
+  ``lang = 'en'`` subset (the in-domain proxy this corpus offers), raw
+  fit on everything;
+- per-document weight = Σ over the doc's feature OCCURRENCES of
+  log p_target(bucket) − log p_raw(bucket) (the log importance ratio
+  of the doc under the two bag models).
+
+Scale shape: two B-sized aggregates fit the models (one pass over the
+token stream, map-side combinable); the B-row log-ratio table
+BROADCASTS onto the exploded gram stream and per-doc weights reduce
+with partial aggregation — one shuffle on doc_id, no all-pairs, no
+driver-side model state beyond B rows. Selection is a global top-k
+(TakeOrderedAndProject: O(partitions × k), never a full sort).
+
+Determinism / oracle: counts are exact integers; the only floats are
+the log-ratio terms, identical IEEE doubles up to libm ulps — the
+emitted weight is rounded to 4 d.p. (inside the harness' 6 d.p.
+canonicalization) and the selection ranks by (rounded weight, doc_id)
+in BOTH engines so equal-text duplicates tie-break identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cargo_chat_spark.functions import hashing
+from cargo_chat_spark.operators import dedup as D
+from cargo_chat_spark.queries.registry import register
+from cargo_chat_spark.sources.testdata import load_table
+
+N_BUCKETS = 4096
+TARGET_LANG = "en"
+TOP_K = 200
+
+# grams = unigrams ++ bigrams over the shared whitespace tokenization;
+# the SQL twin mirrors operators/dedup.shingles_all_sql exactly
+_GRAMS_SQL = f"""
+list_concat(
+    regexp_split_to_array(trim(text), '\\s+'),
+    {D.shingles_all_sql('text', 2)}
+)
+"""
+
+_FEAT_CTE = f"""
+feat AS (
+    SELECT doc_id, lang, source,
+           ({hashing.h32_sql('g')}) % {N_BUCKETS} AS b
+    FROM (
+        SELECT doc_id, lang, source, unnest({_GRAMS_SQL}) AS g
+        FROM documents
+    )
+),
+tcnt AS (
+    SELECT b, count(*) AS c FROM feat WHERE lang = '{TARGET_LANG}' GROUP BY b
+),
+scnt AS (SELECT b, count(*) AS c FROM feat GROUP BY b),
+tot AS (
+    SELECT
+        (SELECT count(*) FROM feat WHERE lang = '{TARGET_LANG}') AS ct,
+        (SELECT count(*) FROM feat) AS cs
+),
+ratio AS (
+    SELECT s.b,
+        ln(CAST(COALESCE(t.c, 0) + 1 AS DOUBLE)
+           / ((SELECT ct FROM tot) + {N_BUCKETS}))
+      - ln(CAST(s.c + 1 AS DOUBLE)
+           / ((SELECT cs FROM tot) + {N_BUCKETS})) AS lr
+    FROM scnt s LEFT JOIN tcnt t USING (b)
+),
+w AS (
+    SELECT f.doc_id, round(SUM(r.lr), 4) AS weight
+    FROM feat f JOIN ratio r USING (b)
+    GROUP BY f.doc_id
+)
+"""
+
+_WEIGHTS_SQL = f"""
+WITH {_FEAT_CTE}
+SELECT d.doc_id, d.lang, d.source, w.weight
+FROM documents d JOIN w USING (doc_id)
+"""
+
+_TOPK_SQL = f"""
+WITH {_FEAT_CTE},
+ranked AS (
+    SELECT d.doc_id, d.lang, d.source, w.weight,
+        CAST(row_number() OVER (ORDER BY w.weight DESC, d.doc_id)
+             AS INT) AS "rank"
+    FROM documents d JOIN w USING (doc_id)
+)
+SELECT doc_id, lang, source, weight, "rank" FROM ranked
+WHERE "rank" <= {TOP_K}
+"""
+
+
+def _doc_weights(spark, sf_dir):
+    """(doc_id, lang, source, weight): the per-document DSIR log
+    importance ratio, weight rounded to 4 d.p."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    toks = docs.select(
+        "doc_id", "lang", "source", D.tokens(F.col("text")).alias("tk")
+    )
+    grams = toks.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(
+            F.concat(
+                F.col("tk"), D.shingles_all_from_tokens(F.col("tk"), 2)
+            )
+        ).alias("g"),
+    )
+    feat = grams.select(
+        "doc_id", "lang", (hashing.h32(F.col("g")) % N_BUCKETS).alias("b")
+    )
+    tcnt = (
+        feat.where(F.col("lang") == TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    scnt = feat.groupBy("b").agg(F.count(F.lit(1)).alias("sc"))
+    totals = feat.agg(
+        F.sum((F.col("lang") == TARGET_LANG).cast("long")).alias("ct"),
+        F.count(F.lit(1)).alias("cs"),
+    )
+    ratio = (
+        scnt.join(tcnt, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("tc"), F.lit(0)) + 1).cast("double")
+                    / (F.col("ct") + N_BUCKETS)
+                )
+                - F.log(
+                    (F.col("sc") + 1).cast("double")
+                    / (F.col("cs") + N_BUCKETS)
+                )
+            ).alias("lr"),
+        )
+    )
+    w = (
+        feat.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("lr"), 4).alias("weight"))
+    )
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    ).join(w, "doc_id")
+
+
+@register("dsir_logratio_weights", sql=_WEIGHTS_SQL)
+def dsir_logratio_weights(spark, sf_dir):
+    """Per-document DSIR importance weight over the full corpus — the
+    artifact a selection pipeline materializes per corpus version (then
+    samples against). Every count integer-exact; the weight is the only
+    float and is rounded to 4 d.p. in both engines."""
+    return _doc_weights(spark, sf_dir)
+
+
+@register("dsir_topk_selection", sql=_TOPK_SQL)
+def dsir_topk_selection(spark, sf_dir):
+    """The selection itself: top-200 documents by DSIR weight
+    (rounded-weight DESC, doc_id tie-break — identical in both engines
+    so equal-text duplicates rank deterministically). Global top-k via
+    window-rank over the weight frame; at scale the same frame feeds
+    weighted sampling (queries/sampling.py) instead of a hard cutoff."""
+    w = _doc_weights(spark, sf_dir)
+    rk = Window.orderBy(F.desc("weight"), F.asc("doc_id"))
+    return (
+        w.withColumn("rank", F.row_number().over(rk))
+        .where(F.col("rank") <= TOP_K)
+        .select("doc_id", "lang", "source", "weight", "rank")
+    )
