@@ -893,3 +893,13 @@ def _components_builder(spark, sf_dir):
 
 _rpb("leakage_safe_split", _components_builder)
 _rpb("dedup_mor_apply", _components_builder)
+
+
+def _bands_builder(spark, sf_dir):
+    """Materialize the memoized corpus band frame — the once-per-corpus
+    MinHash artifact (minhash_lsh_pairs is its build gate and keeps
+    paying it in full); band-frame CONSUMERS report it as build phase."""
+    _bands_df(spark, sf_dir).count()
+
+
+_rpb("fuzzy_decontamination", _bands_builder)
