@@ -456,3 +456,57 @@ def test_compaction_crash_at_every_step_recovers(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(fs, "_complete_compaction_swap", wrapper)
     assert fs.compact_forest_tombstones(spark, store) > 0
     assert _fs_rows(spark, store) == want
+
+
+def test_meta_corrupt_sidecar_raises_and_mismatch_probe_fails_loud(
+    spark, tmp_path
+):
+    """ADVICE r9: a store keyed with non-default planes must never be
+    probed with wrong-length bkeys silently. Three pins: (a) a sidecar
+    that EXISTS but is unreadable raises on read (no silent default);
+    (b) the meta sidecar is written BEFORE the data swap on overwrite;
+    (c) a meta/data plane-count mismatch fails the probe loudly instead
+    of returning zero candidates."""
+    import os
+
+    import pytest
+
+    from cargo_chat_spark.sources.forest_store import (
+        _META_NAME,
+        read_forest_meta,
+    )
+
+    emb = load_table(spark, SF_DIR_SMALL, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    store = str(tmp_path / "s")
+    write_forest_store(emb, store, n_planes=8)
+    assert read_forest_meta(store)["n_planes"] == 8
+
+    # (a) corrupt sidecar raises
+    with open(os.path.join(store, _META_NAME), "w") as fh:
+        fh.write("{not json")
+    with pytest.raises(ValueError, match="unreadable"):
+        read_forest_meta(store)
+
+    # (b) meta lands before data: crash the data write, meta must
+    # already describe the new config
+    store2 = str(tmp_path / "s2")
+    bad = emb.withColumn("embedding", F.expr("slice(embedding, 1, 0)"))
+    try:
+        write_forest_store(bad, store2, n_planes=7)
+    except Exception:
+        pass
+    assert read_forest_meta(store2)["n_planes"] == 7
+
+    # (c) mismatch: data keyed at 8 planes, sidecar claiming 5 — the
+    # probe must raise, not return empty
+    import json
+
+    with open(os.path.join(store, _META_NAME), "w") as fh:
+        json.dump({"n_tables": 12, "n_planes": 5}, fh)
+    q = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    with pytest.raises(ValueError, match="does not match meta"):
+        probe_forest_store(spark, store, q, emb).collect()

@@ -128,3 +128,37 @@ def test_available_now_drain_matches_batch(spark, tmp_path):
     # the drain may group waves into fewer micro-batches; the kept set
     # must still equal the batch gate because delivery stayed id-ordered
     assert _got(spark, out) == _batch_want(spark)
+
+
+def test_lost_or_corrupt_sidecar_fails_loud(spark, tmp_path):
+    """ADVICE r9: a store with intact fenced data must never yield an
+    empty report silently. Pins: (a) corrupt sidecar raises on read
+    (defaulting would restart totals AND fence out intact data);
+    (b) sidecar deleted while batch dirs exist → read_mix_report raises
+    instead of returning an empty frame; (c) a genuinely empty store
+    (no sidecar, no data) still reads as the -1 default state."""
+    import pytest
+
+    from cargo_chat_spark.streaming.mix_ingest import _state_path
+
+    out = str(tmp_path / "mix")
+    os.makedirs(out, exist_ok=True)
+    docs = _docs(spark).where(F.col("doc_id") < 200)
+    mix_ingest_batch(spark, docs, 0, out, _MIX_BUDGET)
+    assert _got(spark, out)  # healthy store reads
+
+    # (a) corrupt sidecar
+    with open(_state_path(out), "w") as fh:
+        fh.write("{broken")
+    with pytest.raises(ValueError, match="unreadable"):
+        read_mix_state(out)
+
+    # (b) sidecar lost, data present
+    os.remove(_state_path(out))
+    with pytest.raises(ValueError, match="no state sidecar"):
+        read_mix_report(spark, out)
+
+    # (c) genuinely empty store
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty, exist_ok=True)
+    assert read_mix_state(empty)["max_ingested_batch"] == -1
