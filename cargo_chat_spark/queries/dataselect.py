@@ -134,32 +134,26 @@ def _doc_weights(spark, sf_dir):
     feat = grams.select(
         "doc_id", "lang", (hashing.h32(F.col("g")) % N_BUCKETS).alias("b")
     )
-    tcnt = (
-        feat.where(F.col("lang") == TARGET_LANG)
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("tc"))
+    # one shuffle fits BOTH bag models: per-bucket raw count and the
+    # target count as a conditional sum in the same aggregate
+    cnt = feat.groupBy("b").agg(
+        F.count(F.lit(1)).alias("sc"),
+        F.sum((F.col("lang") == TARGET_LANG).cast("long")).alias("tc"),
     )
-    scnt = feat.groupBy("b").agg(F.count(F.lit(1)).alias("sc"))
     totals = feat.agg(
         F.sum((F.col("lang") == TARGET_LANG).cast("long")).alias("ct"),
         F.count(F.lit(1)).alias("cs"),
     )
-    ratio = (
-        scnt.join(tcnt, "b", "left")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "b",
-            (
-                F.log(
-                    (F.coalesce(F.col("tc"), F.lit(0)) + 1).cast("double")
-                    / (F.col("ct") + N_BUCKETS)
-                )
-                - F.log(
-                    (F.col("sc") + 1).cast("double")
-                    / (F.col("cs") + N_BUCKETS)
-                )
-            ).alias("lr"),
-        )
+    ratio = cnt.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log(
+                (F.col("tc") + 1).cast("double") / (F.col("ct") + N_BUCKETS)
+            )
+            - F.log(
+                (F.col("sc") + 1).cast("double") / (F.col("cs") + N_BUCKETS)
+            )
+        ).alias("lr"),
     )
     w = (
         feat.join(F.broadcast(ratio), "b")
