@@ -87,20 +87,37 @@ def main() -> None:
     _replicate(spark, base, big, factor)
     print(f"[replicate x{factor}] {round(time.time() - t0, 1)}s", flush=True)
 
+    # production |Q|: a FIXED query set drawn from the BASE corpus ids
+    # (present unchanged in every replica set) — the query load is an
+    # application constant across scales, never a corpus fraction
+    base_emb = load_table(spark, base, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    qset = base_emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    ).persist()
     legs = []
-    for tag, d, scale in (("1x", base, 1), (f"{factor}x", big, factor)):
+    for tag, d, planes, n_tables in (
+        ("1x", base, None, None),
+        (f"{factor}x", big, None, None),
+        # co-sizing leg: more planes cut per-table collision probability
+        # for true neighbors too, so the OTHER lever (table count) buys
+        # the recall back — the standard LSH-forest (planes, L) trade
+        (f"{factor}x+L", big, None, 24),
+    ):
         emb = load_table(spark, d, "embeddings").select("vec_id", "embedding")
         n = emb.count()
-        planes = _sized_planes(n)
-        # production |Q|: a fixed ~24-query subset of the BASE ids so the
-        # query load is an application constant across scales
-        q = emb.where(F.col("vec_id") % 2500 == 0).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
-        )
+        planes = _sized_planes(n) if planes is None else planes
+        q = qset
         nq = q.count()
-        store = os.path.join(work, f"forest_{tag}_p{planes}")
+        store = os.path.join(
+            work, f"forest_{tag}_p{planes}_t{n_tables or 12}"
+        )
         t0 = time.perf_counter()
-        write_forest_store(emb, store, n_planes=planes)
+        write_forest_store(
+            emb, store, n_planes=planes,
+            **({"n_tables": n_tables} if n_tables else {}),
+        )
         build_s = round(time.perf_counter() - t0, 3)
         reps = []
         for _ in range(3):
@@ -138,8 +155,9 @@ def main() -> None:
     expo = math.log(ratio, factor) if r1 and ratio > 0 else float("nan")
     print(
         f"\nsized-decade probe ratio {round(ratio, 2)} "
-        f"(exponent {round(expo, 2)}); recall floor "
-        f"{min(legs[0][6], legs[1][6])}"
+        f"(exponent {round(expo, 2)}); recall "
+        f"{legs[0][6]} (1x) -> {legs[1][6]} ({factor}x sized) -> "
+        f"{legs[2][6]} ({factor}x sized + L=24)"
     )
     shutil.rmtree(work, ignore_errors=True)
     spark.stop()
