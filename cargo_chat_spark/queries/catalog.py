@@ -348,9 +348,16 @@ _ROUND8_WINDOW_ROTATED_OUT = [
 PROMOTION_PLAN: list[str] = [
     # NEW in round 10: DSIR hashed-ngram importance resampling
     # (queries/dataselect.py) — the canonical pretraining data-selection
-    # method; weights artifact + the top-k selection.
+    # method; weights artifact, the hard top-k selection, and the
+    # paper's Gumbel-top-k softmax resampling (md5-derived deterministic
+    # noise).
     "dsir_logratio_weights",
     "dsir_topk_selection",
+    "dsir_gumbel_resample",
+    # NEW in round 10: classifier reliability card (margin-binned
+    # accuracy, integer micro-units) — evaluation-as-data for the NB
+    # filter the curation pipeline composes.
+    "nb_calibration_report",
 ]
 
 # Historical record of the round-9 plan (promoted IN FULL into the r10

@@ -188,3 +188,60 @@ def dsir_topk_selection(spark, sf_dir):
         .where(F.col("rank") <= TOP_K)
         .select("doc_id", "lang", "source", "weight", "rank")
     )
+
+
+# ---------------------------------------------- Gumbel top-k resampling
+# The DSIR paper's actual sampling step: instead of a hard top-k on the
+# weights (dsir_topk_selection), draw WITHOUT replacement from the
+# softmax of weight/T via the Gumbel-top-k trick — perturb each key
+# with independent Gumbel noise and take the k largest. Deterministic
+# here: the uniform comes from the shared md5 h32 of the doc id (no
+# RNG), so both engines derive the identical perturbation; keys are
+# rounded to 4 d.p. with a doc_id tie-break, the dsir_topk precedent.
+# Temperature smooths the cutoff: T -> 0 recovers the hard top-k,
+# larger T admits more of the weight distribution's tail (diversity).
+RESAMPLE_T = 2.0
+
+_GUMBEL_SQL_EXPR = (
+    "-ln(-ln((({h}) + 1) / (4294967298.0)))".format(
+        h=hashing.h32_sql("'gmb|' || CAST(doc_id AS VARCHAR)")
+    )
+)
+
+_RESAMPLE_SQL = f"""
+WITH {_FEAT_CTE},
+keyed AS (
+    SELECT d.doc_id, d.lang, d.source,
+           round(w.weight / {RESAMPLE_T} + {_GUMBEL_SQL_EXPR}, 4) AS skey
+    FROM documents d JOIN w USING (doc_id)
+),
+ranked AS (
+    SELECT doc_id, lang, source, skey,
+        CAST(row_number() OVER (ORDER BY skey DESC, doc_id) AS INT) AS "rank"
+    FROM keyed
+)
+SELECT doc_id, lang, source, skey, "rank" FROM ranked
+WHERE "rank" <= {TOP_K}
+"""
+
+
+@register("dsir_gumbel_resample", sql=_RESAMPLE_SQL)
+def dsir_gumbel_resample(spark, sf_dir):
+    """Gumbel-top-k resampling over the DSIR weights: 200 documents
+    drawn without replacement from softmax(weight / T), T=2.0, with
+    md5-derived deterministic Gumbel noise — the stochastic selection a
+    training pipeline actually materializes (hard top-k overfits the
+    head of the weight distribution; Xie et al. sample). Plan: the
+    weight frame plus one hash projection and a global top-k."""
+    w = _doc_weights(spark, sf_dir)
+    u = (hashing.h32(F.concat(F.lit("gmb|"), F.col("doc_id").cast("string")))
+         + 1) / F.lit(4294967298.0)
+    skey = F.round(
+        F.col("weight") / RESAMPLE_T + (-F.log(-F.log(u))), 4
+    ).alias("skey")
+    rk = Window.orderBy(F.desc("skey"), F.asc("doc_id"))
+    return (
+        w.select("doc_id", "lang", "source", skey)
+        .withColumn("rank", F.row_number().over(rk))
+        .where(F.col("rank") <= TOP_K)
+    )

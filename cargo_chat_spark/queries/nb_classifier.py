@@ -292,3 +292,121 @@ def nb_filter_report(spark, sf_dir):
             .alias("kept_score_micro"),
         )
     )
+
+# ------------------------------------------------- nb_calibration_report
+# Evaluation-as-data for the classifier itself (round 10): the
+# reliability card every production filter needs before its predictions
+# gate a corpus — does a larger decision margin actually mean a more
+# reliable prediction? Confidence = the INTEGER micro-unit margin
+# between the top-1 and top-2 label scores (every doc scores all
+# labels, so rank 2 always exists); bins are fixed-width margin buckets
+# (200k micro-units, capped at bin 9), so the whole report is
+# integer-exact and value-hashes. A miscalibrated model shows flat or
+# inverted accuracy across bins — the signal to retrain before
+# trusting nb_filter_report's keep decisions.
+
+_CALIBRATION_SQL = f"""
+WITH {_NB_CTES},
+sample_tf AS (
+    SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM tok GROUP BY doc_id, token),
+scored AS (
+    SELECT s.doc_id, u.source,
+           p.prior_micro
+           + SUM(s.tf * COALESCE(m.lp_micro, u.unseen_micro)) AS score_micro
+    FROM sample_tf s
+    CROSS JOIN unseen u
+    LEFT JOIN model m ON m.token = s.token AND m.source = u.source
+    JOIN priors p ON p.source = u.source
+    GROUP BY s.doc_id, u.source, p.prior_micro),
+r2 AS (
+    SELECT doc_id, source, score_micro,
+           row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY score_micro DESC, source ASC) AS rk
+    FROM scored),
+top2 AS (
+    SELECT a.doc_id, a.source AS pred_source,
+           CAST(a.score_micro - b.score_micro AS BIGINT) AS margin_micro
+    FROM r2 a JOIN r2 b ON a.doc_id = b.doc_id AND b.rk = 2
+    WHERE a.rk = 1)
+SELECT CAST(LEAST(t.margin_micro // 200000, 9) AS INT) AS margin_bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN t.pred_source = d.source THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct
+FROM top2 t JOIN documents d USING (doc_id)
+GROUP BY 1
+"""
+
+
+@register("nb_calibration_report", sql=_CALIBRATION_SQL)
+def nb_calibration_report(spark, sf_dir):
+    """Reliability card: per margin-bin document count and correct count
+    over the whole corpus (margin = top1 − top2 score, integer
+    micro-units; fixed 200k-unit bins capped at 9). Cost: the scorer
+    pass nb_filter_report already pays, a rank-2 window instead of
+    rank-1, and a 10-row aggregate."""
+    tok, model, unseen, priors = _model_frames(spark, sf_dir)
+    sample_tf = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    scored = (
+        sample_tf.alias("st")
+        .crossJoin(F.broadcast(unseen).alias("un"))
+        .join(
+            F.broadcast(model).alias("md"),
+            on=[
+                F.col("md.token") == F.col("st.token"),
+                F.col("md.source") == F.col("un.source"),
+            ],
+            how="left",
+        )
+        .select(
+            F.col("st.doc_id").alias("doc_id"),
+            F.col("un.source").alias("source"),
+            (
+                F.col("st.tf")
+                * F.coalesce(F.col("md.lp_micro"), F.col("un.unseen_micro"))
+            ).alias("contrib"),
+        )
+        .groupBy("doc_id", "source")
+        .agg(F.sum("contrib").alias("tok_score"))
+        .join(F.broadcast(priors), "source")
+        .select(
+            "doc_id",
+            "source",
+            (F.col("prior_micro") + F.col("tok_score")).alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_micro"), F.asc("source")
+    )
+    top2 = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 2)
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("source"))).alias(
+                "pred_source"
+            ),
+            (
+                F.max(F.when(F.col("rk") == 1, F.col("score_micro")))
+                - F.max(F.when(F.col("rk") == 2, F.col("score_micro")))
+            ).cast("bigint").alias("margin_micro"),
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        top2.join(docs, "doc_id")
+        .groupBy(
+            F.least(
+                F.expr("margin_micro DIV 200000"), F.lit(9)
+            ).cast("int").alias("margin_bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(F.col("pred_source") == F.col("source"), 1).otherwise(0)
+            ).cast("bigint").alias("n_correct"),
+        )
+    )
