@@ -354,6 +354,9 @@ PROMOTION_PLAN: list[str] = [
     "dsir_logratio_weights",
     "dsir_topk_selection",
     "dsir_gumbel_resample",
+    # ... and the model's O(changed files) CDC maintenance over the
+    # shared snapshot lifecycle fixture (wordfreq_cdc_dict discipline).
+    "dsir_cdc_model",
     # NEW in round 10: classifier reliability card (margin-binned
     # accuracy, integer micro-units) — evaluation-as-data for the NB
     # filter the curation pipeline composes.

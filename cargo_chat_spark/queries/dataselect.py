@@ -245,3 +245,102 @@ def dsir_gumbel_resample(spark, sf_dir):
         .withColumn("rank", F.row_number().over(rk))
         .where(F.col("rank") <= TOP_K)
     )
+
+
+# ------------------------------------------- CDC-maintained DSIR model
+# The selection model's incremental-maintenance member (the
+# wordfreq_cdc_dict discipline, queries/bpe_queries.py:360): both DSIR
+# bag models are pure count aggregates over the hashed feature stream,
+# so they follow a mutating corpus snapshot ADDITIVELY through the
+# signed file-diff delta (snap_file_deltas, DV-diff included) — each
+# delta row's grams carry its sgn, one fold refreshes the 4096-row
+# model, O(changed files + DV-touched files) per corpus version, never
+# a rescan. Weights are then a per-doc READ against the refreshed model
+# (the broadcast join in _doc_weights), so the whole selection pipeline
+# is CDC-current. The gate rides the shared write → MERGE → MoR-delete
+# lifecycle fixture and must equal the oracle's from-scratch model over
+# the final logical corpus.
+
+_DSIR_CDC_SQL = f"""
+WITH final AS (
+  SELECT lang,
+         CASE WHEN doc_id % 10 = 3 THEN text || ' extrawordx'
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 10 <> 4 AND doc_id % 20 <> 3
+  UNION ALL
+  SELECT lang, text FROM documents WHERE doc_id % 10 = 7
+),
+feat AS (
+    SELECT lang, ({hashing.h32_sql('g')}) % {N_BUCKETS} AS b
+    FROM (SELECT lang, unnest({_GRAMS_SQL}) AS g FROM final)
+)
+SELECT b,
+       CAST(count(*) AS BIGINT) AS sc,
+       CAST(SUM(CASE WHEN lang = '{TARGET_LANG}' THEN 1 ELSE 0 END)
+            AS BIGINT) AS tc
+FROM feat GROUP BY b
+"""
+
+
+def _bucket_counts(df):
+    """(b, sc, tc) bucket model over a (lang, text[, sgn]) frame; rows
+    weighted by sgn when present (the signed-delta fold)."""
+    sgn = F.col("sgn").cast("long") if "sgn" in df.columns else F.lit(1)
+    toks = df.select("lang", sgn.alias("w"), D.tokens(F.col("text")).alias("tk"))
+    grams = toks.select(
+        "lang",
+        "w",
+        F.explode(
+            F.concat(F.col("tk"), D.shingles_all_from_tokens(F.col("tk"), 2))
+        ).alias("g"),
+    )
+    return (
+        grams.select(
+            (hashing.h32(F.col("g")) % N_BUCKETS).alias("b"),
+            "w",
+            (F.col("lang") == TARGET_LANG).cast("long").alias("is_t"),
+        )
+        .groupBy("b")
+        .agg(
+            F.sum("w").cast("bigint").alias("sc"),
+            F.sum(F.col("w") * F.col("is_t")).cast("bigint").alias("tc"),
+        )
+    )
+
+
+@register("dsir_cdc_model", sql=_DSIR_CDC_SQL)
+def dsir_cdc_model(spark, sf_dir):
+    """Maintain the DSIR bucket model across a write → MERGE →
+    MoR-delete snapshot lifecycle using ONLY the signed file-diff
+    delta; must equal the oracle's from-scratch model over the final
+    corpus."""
+    from cargo_chat_spark.queries.bpe_queries import _wf_snapshot_fixture
+    from cargo_chat_spark.sources.snapshots import snap_file_deltas, snap_read
+
+    path = _wf_snapshot_fixture(spark, sf_dir)
+    model0 = _bucket_counts(snap_read(spark, path, 0).select("lang", "text"))
+    delta = snap_file_deltas(spark, path, 0, 2).select("lang", "text", "sgn")
+    fold = _bucket_counts(delta)
+    return (
+        model0.unionByName(fold)
+        .groupBy("b")
+        .agg(
+            F.sum("sc").cast("bigint").alias("sc"),
+            F.sum("tc").cast("bigint").alias("tc"),
+        )
+        .where(F.col("sc") > 0)
+    )
+
+
+# bench.py phase split: the snapshot lifecycle is fixture cost; the
+# signed-delta fold is the maintenance op this gate measures.
+from cargo_chat_spark.queries.registry import register_phase_builder as _rpb
+
+
+def _dsir_fixture(spark, sf_dir):
+    from cargo_chat_spark.queries.bpe_queries import _wf_snapshot_fixture
+
+    return _wf_snapshot_fixture(spark, sf_dir)
+
+
+_rpb("dsir_cdc_model", _dsir_fixture)
