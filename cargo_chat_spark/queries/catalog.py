@@ -361,6 +361,11 @@ PROMOTION_PLAN: list[str] = [
     # accuracy, integer micro-units) — evaluation-as-data for the NB
     # filter the curation pipeline composes.
     "nb_calibration_report",
+    # NEW in round 10: the CCNet head/middle/tail perplexity split
+    # (integer-exact rank thirds under the corpus unigram LM) and the
+    # distinct-n corpus diversity card.
+    "ccnet_perplexity_buckets",
+    "ngram_diversity_report",
 ]
 
 # Historical record of the round-9 plan (promoted IN FULL into the r10

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from cargo_chat_spark.caching import memo_persist
@@ -530,6 +531,123 @@ def unigram_logprob(spark, sf_dir):
                 6,
             ).alias("bits_per_token"),
         )
+    )
+
+
+# ------------------------------------------- CCNet perplexity buckets
+# The CCNet policy (Wenzek et al. 2020): score every document by LM
+# perplexity, split each LANGUAGE into head/middle/tail tertiles, keep
+# head+middle for pretraining. Here the LM is the corpus's own unigram
+# model (the unigram_logprob gate's formulation made integer-exact via
+# the NB gates' micro-unit precedent: per-token floor(log2(c/n)*1e6)
+# BIGINT, per-doc integer division by token count), tertile cutoffs are
+# exact integer rank-thirds of the scores PER LANGUAGE (row_number
+# order by (score, doc_id)), and the
+# report is per-(lang, bucket) doc/token counts. Scale shape: the
+# unigram model is a token-keyed aggregate (map-side combinable), the
+# per-doc score one shuffle on doc_id, the cutoffs a lang-sized (tiny)
+# exact percentile, the bucket label a broadcast join back.
+
+_CCNET_SQL = """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+    FROM documents),
+clean AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+uni AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM clean GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uni),
+lp AS (
+    SELECT token, CAST(floor(ln(u.c / t.n) * 1000000) AS BIGINT)
+           AS lp_micro
+    FROM uni u CROSS JOIN tot t),
+doc_tok AS (
+    SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM clean GROUP BY 1, 2),
+score AS (
+    SELECT d.doc_id,
+           CAST(SUM(d.tf) AS BIGINT) AS n_tokens,
+           CAST((-SUM(d.tf * l.lp_micro)) // SUM(d.tf) AS BIGINT)
+               AS bpt_micro
+    FROM doc_tok d JOIN lp l USING (token)
+    GROUP BY d.doc_id),
+scored AS (
+    SELECT s.doc_id, doc.lang, s.n_tokens, s.bpt_micro
+    FROM score s JOIN documents doc USING (doc_id)),
+ranked AS (
+    SELECT lang, n_tokens,
+        row_number() OVER (PARTITION BY lang
+                           ORDER BY bpt_micro, doc_id) AS rk,
+        count(*) OVER (PARTITION BY lang) AS n
+    FROM scored)
+SELECT lang,
+       CASE WHEN rk * 3 <= n THEN 'head'
+            WHEN rk * 3 <= 2 * n THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM ranked
+GROUP BY 1, 2
+"""
+
+
+@register("ccnet_perplexity_buckets", sql=_CCNET_SQL)
+def ccnet_perplexity_buckets(spark, sf_dir):
+    """Per-(lang, bucket) doc/token counts for the CCNet head/middle/
+    tail split under the corpus unigram LM — integer micro-unit scores
+    so the whole card value-hashes; a pipeline trains on head+middle
+    and drops tail (or keeps tail for diversity ablations)."""
+    from cargo_chat_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    clean = docs.select(
+        "doc_id", F.explode(D.tokens(F.col("text"))).alias("token")
+    ).where(F.col("token") != "")
+    uni = clean.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = uni.agg(F.sum("c").cast("double").alias("n"))
+    lp = uni.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.floor(F.log(F.col("c") / F.col("n")) * 1000000)
+        .cast("bigint").alias("lp_micro"),
+    )
+    doc_tok = clean.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    score = (
+        doc_tok.join(lp, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.expr("(-SUM(tf * lp_micro)) DIV SUM(tf)")
+            .cast("bigint").alias("bpt_micro"),
+        )
+    )
+    scored = score.join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    # exact integer rank thirds, NOT interpolated percentiles: when
+    # (n-1) is divisible by 3 the engines disagree on whether the
+    # 1/3-quantile lands exactly on the order statistic (the double
+    # 1.0/3.0 sits below the true fraction; Spark interpolates just
+    # under the data point while DuckDB returns it), flipping every
+    # tie-block doc at the cut. row_number thirds are integer-exact in
+    # both engines and ARE CCNet's split-in-thirds semantics.
+    w = Window.partitionBy("lang").orderBy("bpt_micro", "doc_id")
+    ranked = scored.select(
+        "lang",
+        "n_tokens",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    bucket = (
+        F.when(F.col("rk") * 3 <= F.col("n"), "head")
+        .when(F.col("rk") * 3 <= 2 * F.col("n"), "middle")
+        .otherwise("tail")
+    )
+    return ranked.groupBy("lang", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
     )
 
 

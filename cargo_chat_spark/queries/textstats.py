@@ -862,3 +862,84 @@ def phrase_match_docs(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_matches"))
     )
+
+
+# -------------------------------------------- n-gram diversity report
+# Corpus repetitiveness as data (the distinct-n metric of Li et al.
+# 2016, applied per source): the share of token occurrences that are
+# unique unigrams/bigrams. A source whose distinct-2 ratio collapses is
+# template/boilerplate soup — the per-source signal a curation pipeline
+# watches next to quality_score. Pure integer counts and integer-
+# division micro ratios; the bigram stream reuses the dedup family's
+# 2-shingles so both engines tokenize identically. Scale: two
+# (source, gram)-keyed aggregates, map-side combinable, source-sized
+# output.
+
+_DIVERSITY_SQL = f"""
+WITH toks AS (
+    SELECT source,
+           regexp_split_to_array(trim(text), '\\s+') AS tk,
+           {D.shingles_all_sql('text', 2)} AS bg
+    FROM documents
+),
+uni AS (
+    SELECT source, unnest(tk) AS g FROM toks
+),
+big AS (
+    SELECT source, unnest(bg) AS g FROM toks
+),
+u AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS total_1,
+           CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_1
+    FROM uni WHERE g <> '' GROUP BY source
+),
+b AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS total_2,
+           CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_2
+    FROM big WHERE g <> '' GROUP BY source
+)
+SELECT u.source, u.total_1, u.distinct_1, b.total_2, b.distinct_2,
+       CAST((1000000 * u.distinct_1) // u.total_1 AS BIGINT)
+           AS distinct1_micro,
+       CAST((1000000 * b.distinct_2) // b.total_2 AS BIGINT)
+           AS distinct2_micro
+FROM u JOIN b USING (source)
+"""
+
+
+@register("ngram_diversity_report", sql=_DIVERSITY_SQL)
+def ngram_diversity_report(spark, sf_dir):
+    """Per-source distinct-1/distinct-2 diversity card: gram totals,
+    distinct counts, and micro-unit unique ratios."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", D.tokens(F.col("text")).alias("tk")
+    )
+    uni = toks.select("source", F.explode("tk").alias("g")).where(
+        F.col("g") != ""
+    )
+    big = toks.select(
+        "source",
+        F.explode(D.shingles_all_from_tokens(F.col("tk"), 2)).alias("g"),
+    ).where(F.col("g") != "")
+    u = uni.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_1"),
+        F.countDistinct("g").cast("bigint").alias("distinct_1"),
+    )
+    b = big.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_2"),
+        F.countDistinct("g").cast("bigint").alias("distinct_2"),
+    )
+    return u.join(b, "source").select(
+        "source",
+        "total_1",
+        "distinct_1",
+        "total_2",
+        "distinct_2",
+        F.expr("(1000000 * distinct_1) DIV total_1")
+        .cast("bigint").alias("distinct1_micro"),
+        F.expr("(1000000 * distinct_2) DIV total_2")
+        .cast("bigint").alias("distinct2_micro"),
+    )
