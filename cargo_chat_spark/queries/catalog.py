@@ -366,6 +366,11 @@ PROMOTION_PLAN: list[str] = [
     # distinct-n corpus diversity card.
     "ccnet_perplexity_buckets",
     "ngram_diversity_report",
+    # NEW in round 10 (late wave): position-quality companion to
+    # ann_recall_report — MRR + NDCG@10 vs the exact kNN in pure
+    # integer micro-units (hardcoded discount table shared with the
+    # oracle; zero-hit queries stay in the denominator).
+    "ann_rank_metrics_report",
 ]
 
 # Historical record of the round-9 plan (promoted IN FULL into the r10

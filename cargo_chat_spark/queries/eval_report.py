@@ -419,3 +419,149 @@ def embedding_drift_cdc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vecs_delta"
         ),
     )
+
+
+# --------------------------------------------- ANN rank-quality metrics
+# ann_recall_report grades set membership; a retrieval stack also wants
+# POSITION quality — did the approximate member put the true neighbors
+# first? MRR and NDCG@10 (binary relevance = membership in the exact
+# top-10) computed entirely in the integer domain so the report
+# value-hashes: per-query reciprocal rank is 1_000_000 // first_hit_rank
+# (integer division), the NDCG position discounts floor(1e6 / log2(r+1))
+# are materialized ONCE in Python below and rendered as identical
+# integer literals into BOTH engines (log2 at query time would ride each
+# engine's libm and risk a boundary flip), and every mean is an integer
+# sum followed by one integer division. Zero-hit queries count in the
+# denominators (LEFT join from the exact query list).
+#
+# Scale shape: identical to ann_recall_report — each member costs its
+# own gated plan; the metrics add one |Q|·10-row join and a per-query
+# aggregate. Nothing here grows faster than the members being measured.
+
+import math as _math
+
+_NDCG_DISCOUNT_MICRO: dict[int, int] = {
+    r: _math.floor(1_000_000 / _math.log2(r + 1)) for r in range(1, 11)
+}
+_IDCG_MICRO = sum(_NDCG_DISCOUNT_MICRO.values())
+
+
+def _rank_metrics_sql() -> str:
+    from cargo_chat_spark.queries.ann_lsh import _RP_FOREST_SQL
+    from cargo_chat_spark.queries.similarity import _trained_sql
+    from cargo_chat_spark.queries.vector_search import _KNN_INT8_SQL, _KNN_SQL
+
+    disc_case = " ".join(
+        f'WHEN {r} THEN {m}' for r, m in sorted(_NDCG_DISCOUNT_MICRO.items())
+    )
+    members = {
+        "forest": _RP_FOREST_SQL,
+        "int8": _KNN_INT8_SQL,
+        "ivf_trained": _trained_sql(),
+    }
+    parts = []
+    for name, sql in sorted(members.items()):
+        parts.append(f"""
+SELECT '{name}' AS member, qm.query_id,
+    COALESCE(h.n_hits, 0) AS n_hits,
+    COALESCE(h.rr_micro, 0) AS rr_micro,
+    (1000000 * COALESCE(h.dcg_micro, 0)) // {_IDCG_MICRO} AS ndcg_micro,
+    CASE WHEN COALESCE(h.first_rank, 0) = 1 THEN 1 ELSE 0 END AS hit1
+FROM (SELECT DISTINCT query_id FROM exact) qm
+LEFT JOIN (
+    SELECT a.query_id,
+        count(*) AS n_hits,
+        min(a."rank") AS first_rank,
+        1000000 // min(a."rank") AS rr_micro,
+        SUM(CASE a."rank" {disc_case} ELSE 0 END) AS dcg_micro
+    FROM ({sql}) a
+    JOIN exact e ON a.query_id = e.query_id
+                AND a.neighbor_id = e.neighbor_id
+    GROUP BY a.query_id
+) h ON h.query_id = qm.query_id""")
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH exact AS (
+    SELECT query_id, neighbor_id FROM ({_KNN_SQL}) x
+)
+SELECT member,
+    CAST(count(*) AS BIGINT) AS n_queries,
+    CAST(SUM(n_hits) AS BIGINT) AS n_hits,
+    CAST(SUM(hit1) AS BIGINT) AS hits_at_1,
+    CAST(SUM(rr_micro) // count(*) AS BIGINT) AS mrr_micro,
+    CAST(SUM(ndcg_micro) // count(*) AS BIGINT) AS ndcg10_micro
+FROM ({body})
+GROUP BY member
+"""
+
+
+@register("ann_rank_metrics_report", sql=_rank_metrics_sql())
+def ann_rank_metrics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR and NDCG@10 (binary relevance vs the exact kNN top-10) for
+    three ANN ladder members, one value-hashed row per member — the
+    position-quality companion to ann_recall_report. All metric math is
+    integer (micro-units, hardcoded discount table shared with the
+    oracle); zero-hit queries stay in the denominator."""
+    from cargo_chat_spark.queries.ann_lsh import rp_lsh_forest_topk
+    from cargo_chat_spark.queries.similarity import ivf_topk_trained
+    from cargo_chat_spark.queries.vector_search import (
+        knn_exact,
+        knn_int8_rerank,
+    )
+
+    exact = knn_exact(spark, sf_dir).select("query_id", "neighbor_id")
+    qids = exact.select("query_id").distinct()
+    disc = F.create_map(
+        *[
+            F.lit(x)
+            for rm in sorted(_NDCG_DISCOUNT_MICRO.items())
+            for x in rm
+        ]
+    )
+    members = {
+        "forest": rp_lsh_forest_topk,
+        "int8": knn_int8_rerank,
+        "ivf_trained": ivf_topk_trained,
+    }
+    parts = []
+    for name in sorted(members):
+        approx = members[name](spark, sf_dir).select(
+            "query_id", "neighbor_id", "rank"
+        )
+        hits = (
+            approx.join(exact, ["query_id", "neighbor_id"], "inner")
+            .groupBy("query_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_hits"),
+                F.min("rank").alias("first_rank"),
+                F.sum(
+                    F.coalesce(disc[F.col("rank")], F.lit(0))
+                ).alias("dcg_micro"),
+            )
+        )
+        perq = qids.join(hits, "query_id", "left").select(
+            F.lit(name).alias("member"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.coalesce(
+                F.expr("1000000 DIV first_rank"), F.lit(0)
+            ).alias("rr_micro"),
+            F.expr(
+                f"(1000000 * COALESCE(dcg_micro, 0)) DIV {_IDCG_MICRO}"
+            ).alias("ndcg_micro"),
+            F.when(F.col("first_rank") == 1, 1).otherwise(0).alias("hit1"),
+        )
+        parts.append(perq)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("member").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.sum("n_hits").cast("bigint").alias("n_hits"),
+        F.sum("hit1").cast("bigint").alias("hits_at_1"),
+        F.expr("CAST(SUM(rr_micro) DIV count(1) AS BIGINT)").alias(
+            "mrr_micro"
+        ),
+        F.expr("CAST(SUM(ndcg_micro) DIV count(1) AS BIGINT)").alias(
+            "ndcg10_micro"
+        ),
+    )

@@ -313,3 +313,35 @@ def test_mmr_matches_python_reference_and_diversifies(spark):
     assert got == want
     plain = [v for v, _ in sorted(d2q.items(), key=lambda kv: (kv[1], kv[0]))][:_MMR_K]
     assert [v for _, v, _, _ in got] != plain, "MMR must diversify"
+
+
+def test_rank_metrics_report_pins(spark):
+    """ann_rank_metrics_report semantic pins at sf0.001: the int8
+    member re-ranks its shortlist at full precision, so its positional
+    quality must dominate; all metrics live in [0, 1e6] micro-units;
+    n_hits must agree with ann_recall_report (same members, same exact
+    ground truth)."""
+    rows = {
+        r["member"]: r
+        for r in catalog.SPARK_QUERIES["ann_rank_metrics_report"](
+            spark, SF_DIR_SMALL
+        ).collect()
+    }
+    assert set(rows) == {"forest", "int8", "ivf_trained"}
+    for m, r in rows.items():
+        assert 0 <= r["mrr_micro"] <= 1_000_000, m
+        assert 0 <= r["ndcg10_micro"] <= 1_000_000, m
+        assert r["hits_at_1"] <= r["n_queries"], m
+    # measured at sf0.001: int8 1.0 NDCG (exact re-rank over a
+    # high-recall shortlist); forest 0.93; ivf_trained 0.90
+    assert rows["int8"]["ndcg10_micro"] >= rows["forest"]["ndcg10_micro"]
+    assert rows["int8"]["ndcg10_micro"] >= rows["ivf_trained"]["ndcg10_micro"]
+    assert rows["int8"]["ndcg10_micro"] >= 950_000
+    recall = {
+        r["member"]: r["n_hits"]
+        for r in catalog.SPARK_QUERIES["ann_recall_report"](
+            spark, SF_DIR_SMALL
+        ).collect()
+    }
+    for m in rows:
+        assert rows[m]["n_hits"] == recall[m], m
