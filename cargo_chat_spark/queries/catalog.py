@@ -27,6 +27,7 @@ from cargo_chat_spark.queries import relational  # noqa: F401
 from cargo_chat_spark.queries import retrieval  # noqa: F401
 from cargo_chat_spark.queries import sampling  # noqa: F401
 from cargo_chat_spark.queries import similarity  # noqa: F401
+from cargo_chat_spark.queries import sketch_queries  # noqa: F401
 from cargo_chat_spark.queries import storage  # noqa: F401
 from cargo_chat_spark.queries import streaming_queries  # noqa: F401
 from cargo_chat_spark.queries import temporal  # noqa: F401
@@ -371,6 +372,12 @@ PROMOTION_PLAN: list[str] = [
     # integer micro-units (hardcoded discount table shared with the
     # oracle; zero-hit queries stay in the denominator).
     "ann_rank_metrics_report",
+    # NEW in round 10 (late wave): Misra-Gries heavy hitters — the
+    # deterministic-guarantee frequent-items sketch (mergeable
+    # summaries; map-only Arrow-batched state, candidate-set-only
+    # exact verification). The guarantees are theorems, emitted as
+    # booleans the oracle pins as TRUE.
+    "heavy_hitters_mg",
 ]
 
 # Historical record of the round-9 plan (promoted IN FULL into the r10

@@ -1,0 +1,73 @@
+"""Misra-Gries mergeable-summary guarantees on randomized skewed
+streams (operators/sketches.py): for ANY stream and ANY partitioning,
+(a) every item with true count > n/(k+1) appears in the merged
+candidate set, (b) estimates never exceed true counts, (c) the
+underestimate is at most n/(k+1). These are the theorems the
+heavy_hitters_mg gate surfaces as booleans; here they're checked on
+adversarial inputs the corpus doesn't produce (heavy skew, singleton
+tails, tiny k, repartitioned streams)."""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from cargo_chat_spark.operators import sketches
+
+
+def _zipf_stream(seed: int, n: int, vocab: int, s: float) -> list[str]:
+    rng = random.Random(seed)
+    weights = [1.0 / (i + 1) ** s for i in range(vocab)]
+    return rng.choices([f"w{i}" for i in range(vocab)], weights, k=n)
+
+
+@pytest.mark.parametrize(
+    "seed,n,vocab,s,k,parts",
+    [
+        (1, 5000, 50, 1.2, 8, 4),
+        (2, 8000, 200, 1.5, 16, 7),
+        (3, 3000, 10, 0.5, 4, 3),   # near-uniform, tiny k
+        (4, 6000, 500, 2.0, 8, 11),  # hard skew, long singleton tail
+    ],
+)
+def test_mg_guarantees(spark, seed, n, vocab, s, k, parts):
+    stream = _zipf_stream(seed, n, vocab, s)
+    truth = Counter(stream)
+    df = spark.createDataFrame(
+        [(w,) for w in stream], "item string"
+    ).repartition(parts)
+
+    cand = {
+        r["item"]: r["est"]
+        for r in sketches.merged_candidates(df, "item", k).collect()
+    }
+    bound = n / (k + 1)
+    for item, est in cand.items():
+        assert est <= truth[item], (item, est, truth[item])
+        assert truth[item] - est <= bound, (item, est, truth[item], bound)
+    for item, cnt in truth.items():
+        if cnt * (k + 1) > n:
+            assert item in cand, f"heavy hitter {item} (cnt={cnt}) dropped"
+
+    verified = sketches.heavy_hitters_verified(df, "item", k).collect()
+    expect = {w for w, c in truth.items() if c * (k + 1) > n}
+    assert {r["item"] for r in verified} == expect
+    assert all(r["found_by_sketch"] and r["within_bound"] for r in verified)
+    assert all(r["exact_cnt"] == truth[r["item"]] for r in verified)
+
+
+def test_mg_summary_size_bounded(spark):
+    """Each partition contributes at most k counter rows."""
+    stream = _zipf_stream(9, 4000, 300, 1.0)
+    df = spark.createDataFrame([(w,) for w in stream], "item string").repartition(5)
+    summ = sketches.misra_gries_summaries(df, "item", 12)
+    per_part = (
+        summ.withColumn("p", F.spark_partition_id())
+        .groupBy("p")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] <= 12 for r in per_part)
