@@ -19,6 +19,7 @@ from cargo_chat_spark.queries import entity  # noqa: F401
 from cargo_chat_spark.queries import eval_report  # noqa: F401
 from cargo_chat_spark.queries import graph_queries  # noqa: F401
 from cargo_chat_spark.queries import hybrid  # noqa: F401
+from cargo_chat_spark.queries import jl_queries  # noqa: F401
 from cargo_chat_spark.queries import model_gates  # noqa: F401
 from cargo_chat_spark.queries import rerank  # noqa: F401
 from cargo_chat_spark.queries import multimodal_queries  # noqa: F401
@@ -378,6 +379,11 @@ PROMOTION_PLAN: list[str] = [
     # exact verification). The guarantees are theorems, emitted as
     # booleans the oracle pins as TRUE.
     "heavy_hitters_mg",
+    # NEW in round 10 (late wave): JL ±1 random projection with a
+    # seed-derived (never stored) matrix — the 4×-bandwidth shortcut
+    # scan and its JL-lemma distortion histogram as data.
+    "jl_project_topk",
+    "jl_distortion_report",
 ]
 
 # Historical record of the round-9 plan (promoted IN FULL into the r10
