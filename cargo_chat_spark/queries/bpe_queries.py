@@ -476,3 +476,73 @@ def wordfreq_cdc_dict(spark, sf_dir):
 from cargo_chat_spark.queries.registry import register_phase_builder as _rpb
 
 _rpb("wordfreq_cdc_dict", _wf_snapshot_fixture)
+
+
+# ---------------------------------------------- fertility by language
+# The tokenizer-evaluation card multilingual pipelines run per corpus
+# version: chars-per-token (fertility's inverse) by document language
+# under the LEARNED merges. A language whose fertility degrades after
+# retraining is being under-served by the merge budget — the signal
+# that drives per-language merge allocation. Same vocabulary-encode
+# shape as bpe_pack_tokens: the dict frame is encoded once (|vocab|
+# Arrow rows), doc words join the (word, n_tokens) map — broadcast
+# here, shuffle-hash at web-vocabulary scale, no plan change. All
+# counts integer; the ratio is integer micro-units.
+
+_FERTILITY_SQL = _unrolled_chain(N_MERGES) + f"""
+, vocab AS (
+  SELECT word,
+         CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_tokens,
+         CAST(length(word) AS BIGINT) AS n_chars
+  FROM s{N_MERGES}
+),
+dw AS (
+  SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(SUM(v.n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(v.n_tokens) AS BIGINT) AS sum_tokens,
+       (1000000 * CAST(SUM(v.n_chars) AS BIGINT))
+           // CAST(SUM(v.n_tokens) AS BIGINT) AS chars_per_token_micro
+FROM dw JOIN vocab v USING (word)
+GROUP BY lang
+"""
+
+
+@register("bpe_fertility_by_lang", sql=_FERTILITY_SQL)
+def bpe_fertility_by_lang(spark, sf_dir):
+    """Per-language chars-per-token under the learned merges (integer
+    micro-units): the fertility card a multilingual pipeline regresses
+    across tokenizer retrains. Vocab encoded once, doc words join the
+    token-count map (broadcast; word_freqs' exact tokenization so every
+    doc word hits the vocab)."""
+    wf, merges = _trained(spark, sf_dir)
+    vocab = encode_words(wf, merges).select(
+        "word",
+        F.length("word").cast("bigint").alias("wc"),
+        F.size("tokens").cast("bigint").alias("wt"),
+    )
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    dw = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " +")).alias("word")
+    ).where(F.length("word") > 0)
+    agg = (
+        dw.join(F.broadcast(vocab), "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("wc").cast("bigint").alias("sum_chars"),
+            F.sum("wt").cast("bigint").alias("sum_tokens"),
+        )
+    )
+    return agg.select(
+        "lang",
+        "n_words",
+        "sum_chars",
+        "sum_tokens",
+        F.expr(
+            "CAST((1000000 * sum_chars) DIV sum_tokens AS BIGINT)"
+        ).alias("chars_per_token_micro"),
+    )

@@ -384,6 +384,12 @@ PROMOTION_PLAN: list[str] = [
     # scan and its JL-lemma distortion histogram as data.
     "jl_project_topk",
     "jl_distortion_report",
+    # NEW in round 10 (late wave): the tokenizer-evaluation fertility
+    # card (chars-per-token by language under the learned merges) and
+    # the data-constrained-scaling repetition schedule (≤4 epochs per
+    # source + fractional first-fit pass + budget residual).
+    "bpe_fertility_by_lang",
+    "epoch_schedule_mix",
 ]
 
 # Historical record of the round-9 plan (promoted IN FULL into the r10

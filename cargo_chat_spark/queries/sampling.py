@@ -520,3 +520,144 @@ def token_budget_mix(spark, sf_dir):
         F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
         F.max("doc_id").cast("bigint").alias("last_doc"),
     )
+
+
+# ----------------------------------------------- epoch-schedule mixing
+# Data-constrained scaling (Muennighoff et al. 2023): when the token
+# budget exceeds a source's corpus, REPEAT the source up to a cap
+# (~4 epochs, beyond which repeated data stops helping) and fill the
+# remainder with a fractional pass. The schedule is pure arithmetic
+# over per-source token totals plus the shared first-fit crossing rule
+# (token_budget_mix) for the fractional epoch — integer-exact, one
+# aggregate + one window over the source partition, no shuffle beyond
+# the per-source groupBy. The report is what a training launcher
+# consumes: epochs per source, which docs the fractional pass keeps,
+# and the budget residual: positive where the 4-epoch cap leaves
+# budget unspent, negative where the first-fit crossing rule overshoots
+# by (at most) the final document.
+_EPOCH_BUDGET = 5000  # per-source token budget (spans 2-4 epochs here)
+_MAX_EPOCHS = 4
+
+_EPOCH_MIX_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, source,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+           END AS n_tokens
+    FROM documents
+),
+srcs AS (
+    SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM toks GROUP BY source
+),
+sched AS (
+    SELECT source, total_tokens,
+           LEAST({_MAX_EPOCHS}, {_EPOCH_BUDGET} // total_tokens)
+               AS full_epochs,
+           CASE WHEN {_EPOCH_BUDGET} // total_tokens >= {_MAX_EPOCHS}
+                THEN 0
+                ELSE {_EPOCH_BUDGET} % total_tokens
+           END AS frac_budget
+    FROM srcs
+),
+cum AS (
+    SELECT t.doc_id, t.source, t.n_tokens,
+           SUM(t.n_tokens) OVER (
+               PARTITION BY t.source ORDER BY t.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - t.n_tokens AS before_total
+    FROM toks t
+),
+frac AS (
+    SELECT c.source,
+           CAST(count(*) AS BIGINT) AS frac_docs,
+           CAST(COALESCE(SUM(c.n_tokens), 0) AS BIGINT) AS frac_tokens
+    FROM cum c JOIN sched s USING (source)
+    WHERE c.before_total < s.frac_budget
+    GROUP BY c.source
+)
+SELECT s.source,
+       s.total_tokens,
+       CAST(s.full_epochs AS BIGINT) AS full_epochs,
+       CAST(COALESCE(f.frac_docs, 0) AS BIGINT) AS frac_docs,
+       CAST(COALESCE(f.frac_tokens, 0) AS BIGINT) AS frac_tokens,
+       CAST(s.full_epochs * s.total_tokens
+            + COALESCE(f.frac_tokens, 0) AS BIGINT) AS scheduled_tokens,
+       CAST({_EPOCH_BUDGET} - s.full_epochs * s.total_tokens
+            - COALESCE(f.frac_tokens, 0) AS BIGINT) AS residual_tokens
+FROM sched s LEFT JOIN frac f USING (source)
+"""
+
+
+@register("epoch_schedule_mix", sql=_EPOCH_MIX_SQL)
+def epoch_schedule_mix(spark, sf_dir):
+    """Per-source repetition schedule against a fixed token budget:
+    full epochs capped at 4, fractional pass filled doc-id-first (the
+    token_budget_mix crossing rule), and the budget residual (positive =
+    cap-bound shortfall, negative = the crossing rule overshooting by
+    at most one document). Integer-exact throughout."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.when(F.trim("text") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+"))
+    )
+    toks = docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    srcs = toks.groupBy("source").agg(
+        F.sum("n_tokens").cast("bigint").alias("total_tokens")
+    )
+    sched = srcs.select(
+        "source",
+        "total_tokens",
+        F.least(
+            F.lit(_MAX_EPOCHS),
+            F.expr(f"{_EPOCH_BUDGET} DIV total_tokens"),
+        ).alias("full_epochs"),
+        F.when(
+            F.expr(f"{_EPOCH_BUDGET} DIV total_tokens") >= _MAX_EPOCHS,
+            F.lit(0),
+        )
+        .otherwise(F.expr(f"{_EPOCH_BUDGET} % total_tokens"))
+        .alias("frac_budget"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.withColumn(
+        "before_total", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    frac = (
+        cum.join(F.broadcast(sched.select("source", "frac_budget")), "source")
+        .where(F.col("before_total") < F.col("frac_budget"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("frac_docs"),
+            F.sum("n_tokens").cast("bigint").alias("frac_tokens"),
+        )
+    )
+    out = sched.join(frac, "source", "left").select(
+        "source",
+        "total_tokens",
+        F.col("full_epochs").cast("bigint").alias("full_epochs"),
+        F.coalesce("frac_docs", F.lit(0)).cast("bigint").alias("frac_docs"),
+        F.coalesce("frac_tokens", F.lit(0))
+        .cast("bigint")
+        .alias("frac_tokens"),
+    )
+    return out.select(
+        "source",
+        "total_tokens",
+        "full_epochs",
+        "frac_docs",
+        "frac_tokens",
+        (F.col("full_epochs") * F.col("total_tokens") + F.col("frac_tokens"))
+        .cast("bigint")
+        .alias("scheduled_tokens"),
+        (
+            F.lit(_EPOCH_BUDGET)
+            - F.col("full_epochs") * F.col("total_tokens")
+            - F.col("frac_tokens")
+        )
+        .cast("bigint")
+        .alias("residual_tokens"),
+    )
