@@ -32,6 +32,7 @@ from cargo_chat_spark.queries import sketch_queries  # noqa: F401
 from cargo_chat_spark.queries import storage  # noqa: F401
 from cargo_chat_spark.queries import streaming_queries  # noqa: F401
 from cargo_chat_spark.queries import temporal  # noqa: F401
+from cargo_chat_spark.queries import unigram_queries  # noqa: F401
 from cargo_chat_spark.queries import textstats  # noqa: F401
 from cargo_chat_spark.queries import vector_search  # noqa: F401
 from cargo_chat_spark.queries.registry import ORACLE_SQL, SPARK_QUERIES
@@ -390,6 +391,13 @@ PROMOTION_PLAN: list[str] = [
     # source + fractional first-fit pass + budget residual).
     "bpe_fertility_by_lang",
     "epoch_schedule_mix",
+    # NEW in round 10 (late wave): the second standard subword family —
+    # unigram-LM (SentencePiece-style) with pure-integer quantized
+    # costs; the encode gate is a differential-algorithm oracle
+    # (Spark Viterbi DP vs DuckDB exhaustive recursive-CTE enumeration,
+    # the neardup_components precedent).
+    "unigram_piece_vocab",
+    "unigram_viterbi_encode",
 ]
 
 # Historical record of the round-9 plan (promoted IN FULL into the r10
