@@ -148,6 +148,21 @@ DETAIL_EXTRA = [
     "bpe_compression_report",   # new r9: chars-per-token curve (0/3/6)
     "corpus_drift_cdc_report",  # new r9: per-commit drift from the delta
     "embedding_drift_cdc_report",  # new r9: per-cell vector drift via CDC
+    "dsir_logratio_weights",    # new r10: DSIR importance weights
+    "dsir_topk_selection",      # new r10: hard top-k selection
+    "dsir_gumbel_resample",     # new r10: Gumbel-top-k softmax resample
+    "dsir_cdc_model",           # new r10: CDC-folded DSIR bag models
+    "nb_calibration_report",    # new r10: margin-binned NB reliability
+    "ccnet_perplexity_buckets",  # new r10: head/middle/tail LM split
+    "ngram_diversity_report",   # new r10: distinct-n corpus card
+    "ann_rank_metrics_report",  # new r10: MRR/NDCG@10 vs exact kNN
+    "heavy_hitters_mg",         # new r10: Misra-Gries verified HH
+    "jl_project_topk",          # new r10: JL-projected 16-dim top-k
+    "jl_distortion_report",     # new r10: JL lemma histogram card
+    "bpe_fertility_by_lang",    # new r10: chars/token by language
+    "epoch_schedule_mix",       # new r10: ≤4-epoch repetition schedule
+    "unigram_piece_vocab",      # new r10: unigram piece table + costs
+    "unigram_viterbi_encode",   # new r10: integer-cost Viterbi encode
 ]
 
 

@@ -1,0 +1,90 @@
+"""Streaming Misra-Gries state must carry the batch sketch's exact
+guarantees after draining overlapping arrival waves, and the fence must
+make replayed folds no-ops (exactly-once under foreachBatch replay)."""
+
+from __future__ import annotations
+
+import json
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from cargo_chat_spark.operators import dedup as D
+from cargo_chat_spark.sources.testdata import load_table
+from cargo_chat_spark.streaming import heavy_hitters_stream as HH
+from tests.conftest import SF_DIR_SMALL
+
+K = 24
+
+
+def _word_rows(docs):
+    return docs.select(D.tokens(F.col("text")).alias("tk")).select(
+        F.explode("tk").alias("item")
+    )
+
+
+@pytest.mark.slow
+def test_stream_hh_guarantees_and_fence(spark, tmp_path):
+    docs = load_table(spark, SF_DIR_SMALL, "documents")
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    first = _word_rows(docs.where("doc_id % 2 = 0"))
+    second = _word_rows(docs.where("doc_id % 2 = 1"))
+    first.coalesce(1).write.mode("append").parquet(src)
+    schema = first.schema
+    HH.run_hh_stream(spark, src, schema, state, ckpt, K)
+    second.coalesce(1).write.mode("append").parquet(src)
+    HH.run_hh_stream(spark, src, schema, state, ckpt, K)
+
+    truth = Counter(
+        r["item"] for r in _word_rows(docs).collect()
+    )
+    n = sum(truth.values())
+    fence = HH.read_hh_state(state)
+    assert fence["n_total"] == n
+
+    cand = {
+        r["item"]: r["est"]
+        for r in HH.read_heavy_hitters(spark, state).collect()
+    }
+    assert len(cand) <= K
+    bound = n / (K + 1)
+    for item, est in cand.items():
+        assert est <= truth[item]
+        assert truth[item] - est <= bound
+    for item, cnt in truth.items():
+        if cnt * (K + 1) > n:
+            assert item in cand, f"stream dropped heavy hitter {item}"
+
+    # replaying the same drained source must not re-fold (fence no-op)
+    before = sorted(cand.items())
+    HH.run_hh_stream(
+        spark, src, schema, state, str(tmp_path / "ckpt2"), K
+    )
+    # a fresh checkpoint re-delivers batch 0.. with the SAME batch ids;
+    # the fence (max_batch) must swallow them
+    after = sorted(
+        (r["item"], r["est"])
+        for r in HH.read_heavy_hitters(spark, state).collect()
+    )
+    assert after == before
+    assert HH.read_hh_state(state)["n_total"] == n
+
+
+def test_corrupt_fence_raises(tmp_path):
+    state = str(tmp_path / "state")
+    with open(HH._fence_path(state), "w") as fh:
+        fh.write("{not json")
+    with pytest.raises(RuntimeError, match="unreadable"):
+        HH.read_hh_state(state)
+
+
+def test_truncate_reduce():
+    c = {"a": 10, "b": 7, "c": 5, "d": 3}
+    out = HH._truncate(dict(c), 2)
+    # (k+1)-th largest of [10,7,5,3] with k=2 is 5 → subtract 5, keep >0
+    assert out == {"a": 5, "b": 2}
+    assert HH._truncate({"a": 1}, 4) == {"a": 1}
