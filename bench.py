@@ -634,10 +634,33 @@ _R10_COLD_BARS = {
     "top_customers": 1.24, "volume_shipping_q7": 0.61, "waiting_customers_q22": 0.69,
     "wordfreq_cdc_dict": 0.86,}
 
+# Late-round-10 registrations joining the tracked set: cold bars under
+# the same self-contained protocol — upper envelope of 3 fresh-JVM
+# sessions over ONLY these entries (valid because the protocol makes
+# per-query rows order/suite-independent), each session scaled to
+# CALIB_REF_S (measuring calibs 0.330/0.359/0.326). Sessions showed
+# first-session JIT/IO transients on several rows (heavy_hitters_mg
+# 3.40 vs 0.87/1.54 typical; jl_distortion 5.68 vs 2.10/2.47) — kept
+# in the envelope per the r10 bar semantics ("beyond anything a clean
+# session produced"); typical costs stay visible in BENCH_DETAIL.
+# ann_rank_metrics_report's bar is large because the gate RUNS four
+# member plans (exact + 3 ANN ladder members) — an evaluation card,
+# not a steady-state query.
+_R10_LATE_BARS = {
+    "ann_rank_metrics_report": 17.29, "bpe_fertility_by_lang": 9.73,
+    "ccnet_perplexity_buckets": 1.44, "dsir_cdc_model": 2.69,
+    "dsir_gumbel_resample": 4.22, "dsir_logratio_weights": 6.78,
+    "dsir_topk_selection": 8.58, "epoch_schedule_mix": 0.78,
+    "heavy_hitters_mg": 4.4, "jl_distortion_report": 7.35,
+    "jl_project_topk": 3.23, "nb_calibration_report": 3.32,
+    "ngram_diversity_report": 2.66, "unigram_piece_vocab": 0.77,
+    "unigram_viterbi_encode": 1.13,
+}
+
 BASELINE_S = {
     **_LEGACY_BARS, **_R6_BARS, **_R6_NEW_BARS, **_R7_BARS,
     **_R8_DRIVER_BARS, **_R9_PROBE_BARS, **_R9_NEW_BARS,
-    **_R10_COLD_BARS,
+    **_R10_COLD_BARS, **_R10_LATE_BARS,
 }
 
 

@@ -21,6 +21,7 @@ duplicate/neighbor density instead of manufactured 10-way clusters:
   convention).
 
 Usage: python tools/sf1_probe.py [base_sf_dir] [factor]
+(SPARK_GRAFT_PROBE_QUERIES=a,b,c overrides the measured query list.)
 """
 
 from __future__ import annotations
@@ -52,6 +53,12 @@ QUERIES = [
     # runs the whole minhash -> LSH -> components pipeline per repeat
     "leakage_safe_split",
 ]
+if os.environ.get("SPARK_GRAFT_PROBE_QUERIES"):
+    QUERIES = [
+        q.strip()
+        for q in os.environ["SPARK_GRAFT_PROBE_QUERIES"].split(",")
+        if q.strip()
+    ]
 
 _ID_TABLES = {
     "lineitem": ["l_orderkey", "l_partkey"],
