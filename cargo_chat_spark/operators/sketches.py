@@ -116,3 +116,80 @@ def heavy_hitters_verified(
             )
         ).alias("within_bound"),
     )
+
+
+# ------------------------------------------------------ Count-Min sketch
+# The overestimating dual of Misra-Gries: a fixed D×W counter grid;
+# est(x) = min over rows d of cell[d][h_d(x)] ≥ true(x) always, with
+# excess bounded by colliding mass. Because the hash rows are the
+# shared md5-derived h32 (functions/hashing.py) and cells are plain
+# SUMs, the WHOLE sketch — and therefore every estimate — is exactly
+# reproducible in any engine: the gate value-hashes the estimates
+# themselves, not just bound booleans. Mergeability is trivial
+# (cell-wise addition), which is what makes it the streaming/mapside
+# companion: partial sketches combine under any partitioning.
+
+CM_DEPTH = 3
+
+
+def _cm_cell(item: Column, seed: int, width: int) -> Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"cm{seed}|"), item)), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % width
+    )
+
+
+def cm_cell_sql(item_sql: str, seed: int, width: int) -> str:
+    return (
+        f"((('0x' || substring(md5('cm{seed}|' || {item_sql}), 1, 8))"
+        f"::BIGINT) % {width})"
+    )
+
+
+def count_min_sketch(df: DataFrame, col: str, width: int) -> DataFrame:
+    """(seed, cell, c): the D×W grid as rows — one map-side-combinable
+    aggregate over the stream replicated across the CM_DEPTH hash rows;
+    at most CM_DEPTH·width output rows regardless of stream size."""
+    seeds = F.explode(
+        F.array(*[F.lit(d) for d in range(CM_DEPTH)])
+    ).alias("seed")
+    keyed = df.select(F.col(col).alias("item")).select("item", seeds)
+    # per-seed cell via one chained conditional (CM_DEPTH is tiny)
+    expr = F.lit(None).cast("bigint")
+    for d in range(CM_DEPTH):
+        expr = F.when(F.col("seed") == d, _cm_cell(F.col("item"), d, width)).otherwise(expr)
+    return (
+        keyed.select("seed", expr.alias("cell"))
+        .groupBy("seed", "cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+
+
+def cm_estimates(
+    items: DataFrame, sketch: DataFrame, col: str, width: int
+) -> DataFrame:
+    """Append ``cm_est`` = min over rows of the item's cell counts. The
+    sketch is bounded (D×W) — broadcast onto the item frame."""
+    probes = items.select(
+        F.col(col).alias("item"),
+        *[
+            _cm_cell(F.col(col), d, width).alias(f"cell{d}")
+            for d in range(CM_DEPTH)
+        ],
+    )
+    out = probes
+    for d in range(CM_DEPTH):
+        sd = sketch.where(F.col("seed") == d).select(
+            F.col("cell").alias(f"cell{d}"), F.col("c").alias(f"c{d}")
+        )
+        out = out.join(F.broadcast(sd), f"cell{d}", "left")
+    est = F.least(
+        *[F.coalesce(F.col(f"c{d}"), F.lit(0)) for d in range(CM_DEPTH)]
+    )
+    return out.select("item", est.alias("cm_est"))

@@ -398,6 +398,11 @@ PROMOTION_PLAN: list[str] = [
     # the neardup_components precedent).
     "unigram_piece_vocab",
     "unigram_viterbi_encode",
+    # NEW in round 10 (late wave): the overestimating sketch dual —
+    # Count-Min over the shared md5 grid; both engines rebuild the
+    # identical D×W sketch, so the gate value-hashes the ESTIMATES
+    # themselves (W deliberately small to force collisions).
+    "countmin_word_counts",
 ]
 
 # Historical record of the round-9 plan (promoted IN FULL into the r10

@@ -71,3 +71,45 @@ def test_mg_summary_size_bounded(spark):
         .collect()
     )
     assert all(r["count"] <= 12 for r in per_part)
+
+
+# ------------------------------------------------------ Count-Min dual
+def _cm_reference(stream, width):
+    """Pure-Python CM grid + estimates (same md5 derivation)."""
+    from cargo_chat_spark.functions.hashing import h32_py
+    from cargo_chat_spark.operators.sketches import CM_DEPTH
+
+    grid = [[0] * width for _ in range(CM_DEPTH)]
+    for w in stream:
+        for d in range(CM_DEPTH):
+            grid[d][h32_py(f"cm{d}|{w}") % width] += 1
+    return lambda w: min(
+        grid[d][h32_py(f"cm{d}|{w}") % width] for d in range(CM_DEPTH)
+    )
+
+
+@pytest.mark.parametrize("seed,n,vocab,width,parts", [
+    (11, 4000, 60, 16, 4),
+    (12, 2500, 300, 32, 7),
+])
+def test_count_min_matches_reference(spark, seed, n, vocab, width, parts):
+    stream = _zipf_stream(seed, n, vocab, 1.3)
+    truth = Counter(stream)
+    df = spark.createDataFrame(
+        [(w,) for w in stream], "item string"
+    ).repartition(parts)
+    grid = sketches.count_min_sketch(df, "item", width)
+    items = spark.createDataFrame(
+        [(w,) for w in sorted(truth)], "item string"
+    )
+    est = {
+        r["item"]: r["cm_est"]
+        for r in sketches.cm_estimates(items, grid, "item", width).collect()
+    }
+    ref = _cm_reference(stream, width)
+    for w, cnt in truth.items():
+        assert est[w] == ref(w), w
+        assert est[w] >= cnt, w  # CM never underestimates
+    # grid row mass conservation: every row sums to the stream length
+    rows = grid.groupBy("seed").agg(F.sum("c").alias("s")).collect()
+    assert all(r["s"] == n for r in rows)
