@@ -403,6 +403,10 @@ PROMOTION_PLAN: list[str] = [
     # identical D×W sketch, so the gate value-hashes the ESTIMATES
     # themselves (W deliberately small to force collisions).
     "countmin_word_counts",
+    # NEW in round 10 (late wave): deterministic topic-balanced
+    # selection — equal md5-drawn members per trained k-means cluster
+    # (the SemDeDup-family diversity sampler).
+    "cluster_balanced_sample",
 ]
 
 # Historical record of the round-9 plan (promoted IN FULL into the r10

@@ -276,3 +276,47 @@ def kmeans_online_centroids(spark, sf_dir):
         [(ci, d, int(v)) for ci, c in enumerate(cents) for d, v in enumerate(c)],
         "cluster int, dim int, val bigint",
     )
+
+
+# ------------------------------------------- cluster-balanced sampling
+# Semantic-diversity selection (the SemDeDup/SSL-prototypes companion):
+# instead of keeping the corpus' natural cluster mix, draw an EQUAL
+# number of members per k-means cluster with the shared md5-threshold
+# discipline (queries/sampling.py) — the deterministic form of
+# "balance the topic distribution before training". Plan: the final
+# assignment frame + one hash projection + a per-cluster
+# WindowGroupLimit top-M; no extra shuffle beyond the window's
+# cluster partitioning. All integer/hash — value-hashes directly.
+PER_CLUSTER = 10
+
+
+def _balanced_sql() -> str:
+    from cargo_chat_spark.functions.hashing import h32_sql
+
+    draw = h32_sql("'cbs|' || CAST(vec_id AS VARCHAR)")
+    return _chain(ITERS) + f"""
+SELECT cluster, vec_id, CAST(draw_rank AS INT) AS draw_rank FROM (
+  SELECT cluster, vec_id,
+         row_number() OVER (
+             PARTITION BY cluster ORDER BY {draw}, vec_id) AS draw_rank
+  FROM a{ITERS + 1})
+WHERE draw_rank <= {PER_CLUSTER}
+"""
+
+
+@register("cluster_balanced_sample", sql=_balanced_sql())
+def cluster_balanced_sample(spark, sf_dir):
+    """Up to PER_CLUSTER members per trained cluster, drawn by the
+    md5 order (h32('cbs|' || vec_id), vec_id) — the deterministic
+    topic-balanced sample a diversity-aware pipeline feeds to training
+    instead of the raw cluster mix."""
+    from cargo_chat_spark.functions.hashing import h32
+
+    _, assigned = _fit(spark, sf_dir)
+    draw = h32(F.concat(F.lit("cbs|"), F.col("vec_id").cast("string")))
+    w = Window.partitionBy("cluster").orderBy(draw, F.asc("vec_id"))
+    return (
+        assigned.select("cluster", "vec_id")
+        .withColumn("draw_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("draw_rank") <= PER_CLUSTER)
+    )
