@@ -116,6 +116,7 @@ pairs AS (
 SELECT CAST(floor(10.0 * psq / ({JL_OUT} * osq)) AS BIGINT) AS bucket,
        CAST(count(*) AS BIGINT) AS n_pairs
 FROM pairs
+WHERE osq > 0
 GROUP BY 1
 """
 
@@ -136,6 +137,8 @@ def jl_distortion_report(spark, sf_dir):
         F.col("embedding").alias("qe"),
         F.col("p").alias("qp"),
     )
+    # id-distinct pairs only, and exact-duplicate vectors (osq = 0)
+    # excluded in BOTH engines — a 0-distance pair would floor(±Inf)
     pairs = (
         full.crossJoin(F.broadcast(q))
         .where(F.col("vec_id") != F.col("qid"))
@@ -147,7 +150,8 @@ def jl_distortion_report(spark, sf_dir):
         )
     )
     return (
-        pairs.select(
+        pairs.where(F.col("osq") > 0)
+        .select(
             F.floor(10.0 * F.col("psq") / (JL_OUT * F.col("osq")))
             .cast("bigint")
             .alias("bucket")

@@ -547,8 +547,11 @@ WITH toks AS (
     FROM documents
 ),
 srcs AS (
+    -- all-empty sources carry no schedulable mass (and would divide by
+    -- zero differently per engine) — excluded in BOTH engines
     SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
     FROM toks GROUP BY source
+    HAVING SUM(n_tokens) > 0
 ),
 sched AS (
     SELECT source, total_tokens,
@@ -601,8 +604,10 @@ def epoch_schedule_mix(spark, sf_dir):
         F.size(F.split(F.trim("text"), r"\s+"))
     )
     toks = docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
-    srcs = toks.groupBy("source").agg(
-        F.sum("n_tokens").cast("bigint").alias("total_tokens")
+    srcs = (
+        toks.groupBy("source")
+        .agg(F.sum("n_tokens").cast("bigint").alias("total_tokens"))
+        .where(F.col("total_tokens") > 0)
     )
     sched = srcs.select(
         "source",
