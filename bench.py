@@ -163,6 +163,8 @@ DETAIL_EXTRA = [
     "epoch_schedule_mix",       # new r10: ≤4-epoch repetition schedule
     "unigram_piece_vocab",      # new r10: unigram piece table + costs
     "unigram_viterbi_encode",   # new r10: integer-cost Viterbi encode
+    "countmin_word_counts",     # new r10: Count-Min exactly-hashed grid
+    "cluster_balanced_sample",  # new r10: equal md5 draw per k-means cell
 ]
 
 
@@ -655,6 +657,8 @@ _R10_LATE_BARS = {
     "jl_project_topk": 3.23, "nb_calibration_report": 3.32,
     "ngram_diversity_report": 2.66, "unigram_piece_vocab": 0.77,
     "unigram_viterbi_encode": 1.13,
+    # second late batch, same protocol (calibs 0.343/0.354/0.340)
+    "countmin_word_counts": 3.25, "cluster_balanced_sample": 3.7,
 }
 
 BASELINE_S = {
