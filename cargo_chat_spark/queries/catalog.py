@@ -407,6 +407,9 @@ PROMOTION_PLAN: list[str] = [
     # selection — equal md5-drawn members per trained k-means cluster
     # (the SemDeDup-family diversity sampler).
     "cluster_balanced_sample",
+    # NEW in round 10 (late wave): per-label purity@10 of the exact
+    # kNN — the embedding-space semantic-coherence card.
+    "knn_label_purity_report",
 ]
 
 # Historical record of the round-9 plan (promoted IN FULL into the r10

@@ -565,3 +565,81 @@ def ann_rank_metrics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ndcg10_micro"
         ),
     )
+
+
+# ----------------------------------------------- label purity @ 10
+# The semantic-quality card the embedding table's labels afford: for
+# each label, how often do a query's exact top-10 neighbors share its
+# label? (kNN-classifier accuracy = retrieval semantic coherence —
+# the readout a pipeline tracks across embedding-model versions, next
+# to ann_recall_report's ladder-fidelity and ann_rank_metrics_report's
+# position quality.) Pure integers: per-query purity is hits*1e5 over
+# 10 (exact), per-label mean is an integer sum // count.
+
+def _label_purity_sql() -> str:
+    from cargo_chat_spark.queries.vector_search import _KNN_SQL
+
+    return f"""
+WITH knn AS (SELECT query_id, neighbor_id FROM ({_KNN_SQL}) x),
+lab AS (SELECT vec_id, label FROM embeddings),
+perq AS (
+    SELECT k.query_id, ql.label,
+        CAST(SUM(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_same
+    FROM knn k
+    JOIN lab ql ON ql.vec_id = k.query_id
+    JOIN lab nl ON nl.vec_id = k.neighbor_id
+    GROUP BY k.query_id, ql.label
+)
+SELECT label,
+    CAST(count(*) AS BIGINT) AS n_queries,
+    CAST(SUM(n_same) AS BIGINT) AS n_same_label,
+    CAST((100000 * SUM(n_same)) // (10 * count(*)) AS BIGINT)
+        AS purity_micro
+FROM perq
+GROUP BY label
+"""
+
+
+@register("knn_label_purity_report", sql=_label_purity_sql())
+def knn_label_purity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label purity@10 of the exact kNN (share of top-10 neighbors
+    carrying the query's label), integer micro-units — the
+    embedding-space coherence card. Cost: the gated kNN plan + two
+    broadcast label joins + a label-sized aggregate."""
+    from cargo_chat_spark.queries.vector_search import knn_exact
+    from cargo_chat_spark.sources.testdata import load_table
+
+    knn = knn_exact(spark, sf_dir).select("query_id", "neighbor_id")
+    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    perq = (
+        knn.join(
+            F.broadcast(
+                lab.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("label").alias("qlabel"),
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            lab.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nlabel"),
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "qlabel")
+        .agg(
+            F.sum(
+                (F.col("nlabel") == F.col("qlabel")).cast("long")
+            ).cast("bigint").alias("n_same")
+        )
+    )
+    return perq.groupBy(F.col("qlabel").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.sum("n_same").cast("bigint").alias("n_same_label"),
+        F.expr("(100000 * SUM(n_same)) DIV (10 * count(1))").alias(
+            "purity_micro"
+        ),
+    )
