@@ -410,6 +410,10 @@ PROMOTION_PLAN: list[str] = [
     # NEW in round 10 (late wave): per-label purity@10 of the exact
     # kNN — the embedding-space semantic-coherence card.
     "knn_label_purity_report",
+    # NEW in round 10 (late wave): rendezvous-hash data placement —
+    # the consistent-hashing minimal-movement guarantee (8→9 shards:
+    # ~1/9 moved vs mod-hash's ~8/9) as a value-hashed card.
+    "hrw_reshard_report",
 ]
 
 # Round-11 rotation draft (the r9→r10 discipline: committed at round

@@ -1430,3 +1430,106 @@ def events_compact_small_files(spark, sf_dir):
         .alias("total_value"),
         F.countDistinct("user_id").cast("bigint").alias("users"),
     )
+
+
+# ------------------------------------------ HRW (rendezvous) sharding
+# The data-placement member of the storage family: highest-random-
+# weight hashing assigns each doc to the shard whose md5 weight
+# h32('hrw|shard|doc') is largest. The property that matters at
+# 100 TB: growing S shards to S+1 moves only ~1/(S+1) of the data —
+# every unmoved doc's winning weight is unchanged — where mod-hash
+# placement moves ~S/(S+1) (a full reshuffle). This gate measures BOTH
+# on the same corpus so the card shows the gap directly, and because
+# the weights are the shared engine-portable md5, the whole report
+# value-hashes. Plan: one explode(S) + per-doc WindowGroupLimit argmax
+# per shard count — map-side work, one small aggregate; no stored
+# placement table (the assignment is re-derivable anywhere, the
+# jl_projection discipline).
+HRW_SHARDS = 8
+
+
+def _hrw_assign_sql(n: int) -> str:
+    from cargo_chat_spark.functions.hashing import h32_sql
+
+    w = h32_sql(
+        "'hrw|' || CAST(s.shard AS VARCHAR) || '|' || CAST(d.doc_id AS VARCHAR)"
+    )
+    return f"""
+    SELECT doc_id, shard FROM (
+        SELECT d.doc_id, s.shard,
+               row_number() OVER (
+                   PARTITION BY d.doc_id ORDER BY {w} DESC, s.shard
+               ) AS rk
+        FROM (SELECT doc_id FROM documents) d,
+             unnest(generate_series(0, {n - 1})) AS s(shard)
+    ) WHERE rk = 1"""
+
+
+_HRW_SQL = f"""
+WITH a8 AS ({_hrw_assign_sql(HRW_SHARDS)}),
+a9 AS ({_hrw_assign_sql(HRW_SHARDS + 1)})
+SELECT a8.shard,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(SUM(CASE WHEN a9.shard <> a8.shard THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_moved_hrw,
+    CAST(SUM(CASE WHEN (a8.doc_id % {HRW_SHARDS})
+                    <> (a8.doc_id % {HRW_SHARDS + 1}) THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_moved_mod
+FROM a8 JOIN a9 USING (doc_id)
+GROUP BY a8.shard
+"""
+
+
+def _hrw_assign(spark, sf_dir, n: int):
+    from pyspark.sql import Window
+
+    from cargo_chat_spark.functions.hashing import h32
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    shards = F.explode(
+        F.array(*[F.lit(s) for s in range(n)])
+    ).alias("shard")
+    w = h32(
+        F.concat(
+            F.lit("hrw|"),
+            F.col("shard").cast("string"),
+            F.lit("|"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        w.desc(), F.asc("shard")
+    )
+    return (
+        d.select("doc_id", shards)
+        .withColumn("rk", F.row_number().over(win))
+        .where(F.col("rk") == 1)
+        .select("doc_id", "shard")
+    )
+
+
+@register("hrw_reshard_report", sql=_HRW_SQL)
+def hrw_reshard_report(spark, sf_dir):
+    """Per-shard movement when HRW placement grows 8 → 9 shards,
+    against mod-hash movement on the same docs: the consistent-hashing
+    guarantee (≈1/9 moved vs ≈8/9) as a value-hashed card."""
+    a8 = _hrw_assign(spark, sf_dir, HRW_SHARDS)
+    a9 = _hrw_assign(spark, sf_dir, HRW_SHARDS + 1).select(
+        "doc_id", F.col("shard").alias("shard9")
+    )
+    return (
+        a8.join(a9, "doc_id")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                (F.col("shard9") != F.col("shard")).cast("long")
+            ).cast("bigint").alias("n_moved_hrw"),
+            F.sum(
+                (
+                    (F.col("doc_id") % HRW_SHARDS)
+                    != (F.col("doc_id") % (HRW_SHARDS + 1))
+                ).cast("long")
+            ).cast("bigint").alias("n_moved_mod"),
+        )
+    )

@@ -113,3 +113,23 @@ def test_count_min_matches_reference(spark, seed, n, vocab, width, parts):
     # grid row mass conservation: every row sums to the stream length
     rows = grid.groupBy("seed").agg(F.sum("c").alias("s")).collect()
     assert all(r["s"] == n for r in rows)
+
+
+# ----------------------------------------- HRW placement (storage card)
+def test_hrw_minimal_movement(spark):
+    """Rendezvous hashing's defining property, measured: growing 8→9
+    shards moves ≈1/9 of docs (11.2% at sf0.001) where mod-hash moves
+    ≈8/9 (88.8%) — and an unmoved doc's winning weight is untouched, so
+    HRW movement can never exceed the new shard's win share."""
+    from cargo_chat_spark.queries import catalog
+    from tests.conftest import SF_DIR_SMALL
+
+    rows = catalog.SPARK_QUERIES["hrw_reshard_report"](
+        spark, SF_DIR_SMALL
+    ).collect()
+    tot = sum(r["n_docs"] for r in rows)
+    hrw = sum(r["n_moved_hrw"] for r in rows)
+    mod = sum(r["n_moved_mod"] for r in rows)
+    assert 0.05 <= hrw / tot <= 0.20, hrw / tot
+    assert mod / tot >= 0.8
+    assert len(rows) == 8 and tot == 500
