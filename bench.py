@@ -166,6 +166,7 @@ DETAIL_EXTRA = [
     "countmin_word_counts",     # new r10: Count-Min exactly-hashed grid
     "cluster_balanced_sample",  # new r10: equal md5 draw per k-means cell
     "knn_label_purity_report",  # new r10: label purity@10 coherence card
+    "hrw_reshard_report",       # new r10: rendezvous-hash placement card
 ]
 
 
@@ -660,7 +661,7 @@ _R10_LATE_BARS = {
     "unigram_viterbi_encode": 1.13,
     # second late batch, same protocol (calibs 0.343/0.354/0.340)
     "countmin_word_counts": 3.25, "cluster_balanced_sample": 3.7,
-    "knn_label_purity_report": 3.15,
+    "knn_label_purity_report": 3.15, "hrw_reshard_report": 2.06,
 }
 
 BASELINE_S = {
