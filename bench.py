@@ -662,6 +662,13 @@ _R10_LATE_BARS = {
     # second late batch, same protocol (calibs 0.343/0.354/0.340)
     "countmin_word_counts": 3.25, "cluster_balanced_sample": 3.7,
     "knn_label_purity_report": 3.15, "hrw_reshard_report": 2.06,
+    # Probe-axis re-bars after the IVM gates' phase split (late r10):
+    # the snapshot-lifecycle fixture moved to the build phase (the
+    # leakage_safe_split pattern) after a host-IO swing doubled the
+    # fused rows at unchanged code; probe = the manifest-diff fold.
+    # Envelope of 3 fresh-JVM sessions (calibs 0.31-0.35), builds
+    # reported ~4.1-4.3 s in BENCH_DETAIL "phases".
+    "incremental_rollup_cdc": 1.3, "incremental_join_cdc": 2.2,
 }
 
 BASELINE_S = {
