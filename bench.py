@@ -167,6 +167,8 @@ DETAIL_EXTRA = [
     "cluster_balanced_sample",  # new r10: equal md5 draw per k-means cell
     "knn_label_purity_report",  # new r10: label purity@10 coherence card
     "hrw_reshard_report",       # new r10: rendezvous-hash placement card
+    "nation_market_share_q8",   # new r10: Q8 market-share shape
+    "functional_dependency_report",  # new r10: candidate-FD audit card
 ]
 
 
@@ -677,6 +679,7 @@ _R10_LATE_BARS = {
     # 3.49/3.32/3.92 vs 3.32) — the memory/GC axis the CPU calib can't
     # see. Bar = max observed across clean sessions, per the r10 rule.
     "copurchase_triangles": 13.7, "nb_filter_report": 3.95,
+    "nation_market_share_q8": 2.58, "functional_dependency_report": 4.02,
 }
 
 BASELINE_S = {

@@ -414,6 +414,12 @@ PROMOTION_PLAN: list[str] = [
     # the consistent-hashing minimal-movement guarantee (8→9 shards:
     # ~1/9 moved vs mod-hash's ~8/9) as a value-hashed card.
     "hrw_reshard_report",
+    # NEW in round 10 (late wave): the Q8 national-market-share shape
+    # (exact decimal cents, integer micro-unit share — with the
+    # explicit floor() both engines need before the cents cast) and
+    # candidate-FD discovery (one aggregate per candidate pair).
+    "nation_market_share_q8",
+    "functional_dependency_report",
 ]
 
 # Round-11 rotation draft (the r9→r10 discipline: committed at round

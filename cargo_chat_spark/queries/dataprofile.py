@@ -444,3 +444,69 @@ def events_weekly_drift(spark, sf_dir):
             ).alias("users_w4"),
         )
     )
+
+
+# ----------------------------------- functional-dependency discovery
+# The schema-inference member of the data-quality family: for a fixed
+# candidate list of (table, determinant → dependent) pairs, does the
+# FD hold? (holds ⟺ every determinant value maps to exactly one
+# dependent value). Candidates mix true keys, true FDs, and violated
+# pairs so the gate discriminates. Each check is ONE map-side-
+# combinable aggregate (groupBy determinant, count_distinct
+# dependent) — the same pass a 100 TB profiler would run per
+# candidate; results union into one card. All counts integer.
+_FD_CANDIDATES = [
+    ("orders", "o_orderkey", "o_custkey"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("lineitem", "l_orderkey", "l_partkey"),
+    ("customer", "c_custkey", "c_mktsegment"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("part", "p_partkey", "p_type"),
+    ("part", "p_brand", "p_type"),
+    ("supplier", "s_nationkey", "s_name"),
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("nation", "n_regionkey", "n_name"),
+]
+
+_FD_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{t}' AS tbl, '{det}' AS determinant, '{dep}' AS dependent,
+    CAST(count(*) AS BIGINT) AS n_groups,
+    CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_violating_groups,
+    SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+FROM (SELECT {det}, count(DISTINCT {dep}) AS nd FROM {t} GROUP BY {det})"""
+    for t, det, dep in _FD_CANDIDATES
+)
+
+
+@register("functional_dependency_report", sql=_FD_SQL)
+def functional_dependency_report(spark, sf_dir):
+    """Candidate-FD audit card: per (table, determinant → dependent),
+    group count, violating-group count, and the holds verdict — one
+    aggregate per candidate, unioned."""
+    parts = []
+    for t, det, dep in _FD_CANDIDATES:
+        g = (
+            load_table(spark, sf_dir, t)
+            .groupBy(det)
+            .agg(F.countDistinct(dep).alias("nd"))
+        )
+        parts.append(
+            g.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+                F.sum((F.col("nd") > 1).cast("long"))
+                .cast("bigint")
+                .alias("n_violating_groups"),
+            ).select(
+                F.lit(t).alias("tbl"),
+                F.lit(det).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                "n_groups",
+                "n_violating_groups",
+                (F.col("n_violating_groups") == 0).alias("holds"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1579,3 +1579,120 @@ def returnflag_status_mix_q12(spark, sf_dir):
             .alias("total_qty"),
         )
     )
+
+
+# -------------------------------------------------- Q8: market share
+# The national-market-share shape (TPC-H Q8): among PROMO-type parts
+# sold to customers of region ASIA, what fraction of yearly revenue is
+# supplied by NATION_2? Exactness discipline: revenue terms are
+# DECIMAL(18,2) products (the Q7/Q9 rule); the share is computed in
+# integer micro-units from exact cent values ((1e6 · nat_cents) //
+# tot_cents), so the whole report value-hashes with no float division
+# anywhere. Plan: lineitem joins the three small sides broadcast
+# (part filter pushed before its join; customer-region and
+# supplier-nation maps are dims), one groupBy year — the canonical
+# star-join + conditional-aggregate shape.
+_Q8_SQL = """
+WITH asia_cust AS (
+    SELECT c_custkey FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+),
+sup_nat AS (
+    SELECT s_suppkey, n_name AS supp_nation FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+),
+rev AS (
+    SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+           sn.supp_nation,
+           CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+           (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))
+               AS volume
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN asia_cust ac ON o.o_custkey = ac.c_custkey
+    JOIN sup_nat sn ON l.l_suppkey = sn.s_suppkey
+)
+SELECT o_year,
+    -- floor() before the BIGINT cast: Spark's decimal->int cast
+    -- TRUNCATES while DuckDB's ROUNDS (the sampling.py::_PACK_SQL
+    -- lesson); volume has scale 4, so sub-cent mass must floor away
+    -- identically in both engines
+    CAST(floor(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) * 100)
+        AS BIGINT) AS nat_cents,
+    CAST(floor(SUM(volume) * 100) AS BIGINT) AS tot_cents,
+    CAST((1000000 * CAST(floor(SUM(CASE WHEN supp_nation = 'NATION_2'
+                                        THEN volume
+                                        ELSE CAST(0 AS DECIMAL(18,2)) END)
+                         * 100) AS BIGINT))
+         // CAST(floor(SUM(volume) * 100) AS BIGINT) AS BIGINT)
+        AS share_micro
+FROM rev GROUP BY o_year
+"""
+
+
+@register("nation_market_share_q8", sql=_Q8_SQL)
+def nation_market_share_q8(spark, sf_dir):
+    """Yearly revenue share of NATION_2 suppliers among PROMO parts
+    bought by ASIA-region customers — integer micro-unit share from
+    exact decimal cents."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    dec = lambda col: F.col(col).cast("decimal(18,2)")  # noqa: E731
+    asia = (
+        c.join(
+            F.broadcast(
+                n.join(
+                    F.broadcast(r.where(F.col("r_name") == "ASIA")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        ).select("c_custkey")
+    )
+    sup = s.join(
+        F.broadcast(n.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    vol = (
+        dec("l_extendedprice")
+        * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    ).alias("volume")
+    rev = (
+        l.join(
+            F.broadcast(p.where(F.col("p_type") == "PROMO").select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(asia), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            "supp_nation",
+            vol,
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    nat = F.sum(
+        F.when(F.col("supp_nation") == "NATION_2", F.col("volume")).otherwise(zero)
+    )
+    tot = F.sum("volume")
+    return rev.groupBy("o_year").agg(
+        (nat * 100).cast("bigint").alias("nat_cents"),
+        (tot * 100).cast("bigint").alias("tot_cents"),
+    ).select(
+        "o_year",
+        "nat_cents",
+        "tot_cents",
+        F.expr("(1000000 * nat_cents) DIV tot_cents").cast("bigint").alias(
+            "share_micro"
+        ),
+    )
