@@ -169,6 +169,8 @@ DETAIL_EXTRA = [
     "hrw_reshard_report",       # new r10: rendezvous-hash placement card
     "nation_market_share_q8",   # new r10: Q8 market-share shape
     "functional_dependency_report",  # new r10: candidate-FD audit card
+    "cm_join_size_report",      # new r10: CM join-cardinality bounds
+    "kmv_distinct_report",      # new r10: KMV engine-portable distincts
 ]
 
 
@@ -680,6 +682,7 @@ _R10_LATE_BARS = {
     # see. Bar = max observed across clean sessions, per the r10 rule.
     "copurchase_triangles": 13.7, "nb_filter_report": 3.95,
     "nation_market_share_q8": 2.58, "functional_dependency_report": 4.02,
+    "cm_join_size_report": 10.1, "kmv_distinct_report": 2.92,
 }
 
 BASELINE_S = {

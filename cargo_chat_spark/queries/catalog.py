@@ -420,6 +420,12 @@ PROMOTION_PLAN: list[str] = [
     # candidate-FD discovery (one aggregate per candidate pair).
     "nation_market_share_q8",
     "functional_dependency_report",
+    # NEW in round 10 (late wave): the CBO-facing sketch pair — CM
+    # inner-product join-cardinality bounds and KMV distinct counts
+    # (both exactly engine-reproducible over the shared md5, so the
+    # ESTIMATES value-hash, not just error envelopes).
+    "cm_join_size_report",
+    "kmv_distinct_report",
 ]
 
 # Round-11 rotation draft (the r9→r10 discipline: committed at round

@@ -155,3 +155,216 @@ def countmin_word_counts(spark, sf_dir):
         "cm_est",
         (F.col("cm_est") >= F.col("exact_cnt")).alias("overestimates"),
     )
+
+
+# ------------------------------------- CM join-cardinality estimation
+# The optimizer-facing use of the grid: |A ⋈ B| on a key equals the
+# inner product of the two keys' frequency vectors, and the Count-Min
+# row inner product Σ_c a_d[c]·b_d[c] OVERestimates it (collision
+# terms only add), so est = min over rows d is a one-sided
+# cardinality bound — the classic sketch a CBO consults before
+# picking a join strategy, at O(D·W) state per table regardless of
+# table size. Everything md5-deterministic, so the gate value-hashes
+# the ESTIMATES (and the exact sizes, and the ≥ theorem).
+CM_JOIN_WIDTH = 64
+
+_JOIN_PAIRS = [
+    ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+]
+
+
+def _cm_cells_sql(tbl: str, key: str) -> str:
+    cases = " ".join(
+        f"WHEN {d} THEN "
+        + sketches.cm_cell_sql(f"CAST({key} AS VARCHAR)", d, CM_JOIN_WIDTH)
+        for d in range(sketches.CM_DEPTH)
+    )
+    return f"""
+    SELECT seed, CASE seed {cases} END AS cell,
+           CAST(count(*) AS BIGINT) AS c
+    FROM {tbl}, unnest([0, 1, 2]) AS s(seed)
+    GROUP BY 1, 2"""
+
+
+def _join_size_sql(name, ta, ka, tb, kb) -> str:
+    return f"""
+SELECT '{name}' AS pair,
+    (SELECT CAST(count(*) AS BIGINT)
+     FROM {ta} a JOIN {tb} b ON a.{ka} = b.{kb}) AS exact_size,
+    (SELECT CAST(MIN(p) AS BIGINT) FROM (
+        SELECT ga.seed, SUM(ga.c * gb.c) AS p
+        FROM ({_cm_cells_sql(ta, ka)}) ga
+        JOIN ({_cm_cells_sql(tb, kb)}) gb
+          ON ga.seed = gb.seed AND ga.cell = gb.cell
+        GROUP BY ga.seed)) AS cm_est,
+    (SELECT CAST(MIN(p) AS BIGINT) FROM (
+        SELECT ga.seed, SUM(ga.c * gb.c) AS p
+        FROM ({_cm_cells_sql(ta, ka)}) ga
+        JOIN ({_cm_cells_sql(tb, kb)}) gb
+          ON ga.seed = gb.seed AND ga.cell = gb.cell
+        GROUP BY ga.seed))
+      >= (SELECT count(*)
+          FROM {ta} a JOIN {tb} b ON a.{ka} = b.{kb}) AS overestimates
+"""
+
+
+_CM_JOIN_SQL = "\nUNION ALL\n".join(
+    _join_size_sql(*p) for p in _JOIN_PAIRS
+)
+
+
+@register("cm_join_size_report", sql=_CM_JOIN_SQL)
+def cm_join_size_report(spark, sf_dir):
+    """Join-cardinality estimates from Count-Min row inner products for
+    three star-schema joins, next to the exact sizes and the one-sided
+    ≥ bound. Sketches cost one D×W aggregate per table side; the
+    estimate is a D-row join of the two grids — the O(1)-state
+    cardinality oracle a CBO consults, exactly reproducible here."""
+    parts = []
+    for name, ta, ka, tb, kb in _JOIN_PAIRS:
+        da = load_table(spark, sf_dir, ta).select(
+            F.col(ka).cast("string").alias("item")
+        )
+        db = load_table(spark, sf_dir, tb).select(
+            F.col(kb).cast("string").alias("item")
+        )
+        ga = sketches.count_min_sketch(da, "item", CM_JOIN_WIDTH)
+        gb = sketches.count_min_sketch(db, "item", CM_JOIN_WIDTH).select(
+            "seed", "cell", F.col("c").alias("cb")
+        )
+        est = (
+            ga.join(gb, ["seed", "cell"])
+            .groupBy("seed")
+            .agg(F.sum(F.col("c") * F.col("cb")).alias("p"))
+            .agg(F.min("p").cast("bigint").alias("cm_est"))
+        )
+        exact = (
+            load_table(spark, sf_dir, ta)
+            .join(
+                load_table(spark, sf_dir, tb),
+                F.col(ka) == F.col(kb),
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("exact_size"))
+        )
+        parts.append(
+            exact.crossJoin(F.broadcast(est)).select(
+                F.lit(name).alias("pair"),
+                "exact_size",
+                "cm_est",
+                (F.col("cm_est") >= F.col("exact_size")).alias(
+                    "overestimates"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ----------------------------------------- KMV distinct-count sketch
+# k-minimum-values (Bar-Yossef et al.): keep the k smallest md5 hash
+# values of a column; with h uniform on [0, 2^32), the k-th smallest
+# h_(k) estimates the distinct count as (k-1)·2^32 / h_(k). Unlike
+# HLL++ (whose register state is engine-private, gated via bounds in
+# distinct_counts_approx), the KMV state IS just k integers from the
+# shared md5 — both engines derive the identical sketch and the
+# identical integer estimate, so the gate value-hashes estimates and
+# their realized errors exactly. When a column has ≤ k distinct
+# values the sketch holds them all and the estimate is exact by
+# definition — the c_mktsegment row pins that branch. Scale shape:
+# one TakeOrdered(k) over distinct hashes per column (O(parts·k)
+# driver traffic), mergeable by keeping the k smallest of a union.
+KMV_K = 64
+
+_KMV_COLS = [
+    ("documents", "text"),
+    ("orders", "o_custkey"),
+    ("lineitem", "l_partkey"),
+    ("events", "user_id"),
+    ("customer", "c_mktsegment"),
+]
+
+
+def _kmv_sql(t: str, c: str) -> str:
+    from cargo_chat_spark.functions.hashing import h32_sql
+
+    h = h32_sql(f"CAST({c} AS VARCHAR)")
+    return f"""
+SELECT '{t}.{c}' AS col,
+    CAST(count(DISTINCT {c}) AS BIGINT) AS exact_distinct,
+    CAST(CASE WHEN count(DISTINCT {c}) <= {KMV_K}
+              THEN count(DISTINCT {c})
+              ELSE ({KMV_K - 1} * 4294967296)
+                   // (SELECT h FROM (
+                          SELECT DISTINCT ({h}) AS h FROM {t})
+                       ORDER BY h LIMIT 1 OFFSET {KMV_K - 1})
+         END AS BIGINT) AS kmv_est
+FROM {t}"""
+
+
+_KMV_SQL = (
+    "SELECT col, exact_distinct, kmv_est,\n"
+    "    CAST(abs(kmv_est - exact_distinct) * 1000000 // exact_distinct\n"
+    "         AS BIGINT) AS rel_err_micro\nFROM (\n"
+    + "\nUNION ALL\n".join(_kmv_sql(t, c) for t, c in _KMV_COLS)
+    + "\n)"
+)
+
+
+@register("kmv_distinct_report", sql=_KMV_SQL)
+def kmv_distinct_report(spark, sf_dir):
+    """KMV distinct-count estimates for five columns next to the exact
+    counts and realized integer relative errors — the engine-portable
+    distinct sketch (the HLL++ twin whose STATE, not just its error
+    envelope, cross-checks)."""
+    from cargo_chat_spark.functions.hashing import h32
+
+    parts = []
+    for t, c in _KMV_COLS:
+        df = load_table(spark, sf_dir, t)
+        hashes = df.select(
+            h32(F.col(c).cast("string")).alias("h"), F.col(c).alias("v")
+        )
+        exact = hashes.agg(
+            F.countDistinct("v").cast("bigint").alias("exact_distinct")
+        )
+        kth = (
+            hashes.select("h")
+            .distinct()
+            .orderBy("h")
+            .limit(KMV_K)
+            .agg(
+                F.max("h").alias("kth"),
+                F.count(F.lit(1)).alias("n_in_sketch"),
+            )
+        )
+        parts.append(
+            exact.crossJoin(F.broadcast(kth)).select(
+                F.lit(f"{t}.{c}").alias("col"),
+                "exact_distinct",
+                F.when(
+                    F.col("exact_distinct") <= KMV_K,
+                    F.col("exact_distinct"),
+                )
+                .otherwise(
+                    F.expr(f"({KMV_K - 1} * 4294967296) DIV kth")
+                )
+                .cast("bigint")
+                .alias("kmv_est"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "col",
+        "exact_distinct",
+        "kmv_est",
+        F.expr(
+            "CAST(abs(kmv_est - exact_distinct) * 1000000"
+            " DIV exact_distinct AS BIGINT)"
+        ).alias("rel_err_micro"),
+    )

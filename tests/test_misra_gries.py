@@ -133,3 +133,40 @@ def test_hrw_minimal_movement(spark):
     assert 0.05 <= hrw / tot <= 0.20, hrw / tot
     assert mod / tot >= 0.8
     assert len(rows) == 8 and tot == 500
+
+
+# --------------------------------------- CM join-size / KMV properties
+def test_cm_join_size_one_sided(spark):
+    """The inner-product estimate can never undercount a join (every
+    collision only adds), and exact sizes match a direct join."""
+    from cargo_chat_spark.queries import catalog
+    from tests.conftest import SF_DIR_SMALL
+
+    rows = catalog.SPARK_QUERIES["cm_join_size_report"](
+        spark, SF_DIR_SMALL
+    ).collect()
+    assert {r["pair"] for r in rows} == {
+        "orders_customer", "lineitem_part", "lineitem_orders"
+    }
+    assert all(r["overestimates"] for r in rows)
+    assert all(r["cm_est"] >= r["exact_size"] > 0 for r in rows)
+
+
+def test_kmv_exact_branch_and_envelope(spark):
+    """Columns with ≤ k distinct values estimate exactly; high-
+    cardinality columns land within a loose 3/sqrt(k) envelope (~38%
+    for k=64 — KMV's σ is ~1/sqrt(k), measured 4-30% here)."""
+    from cargo_chat_spark.queries import catalog
+    from tests.conftest import SF_DIR_SMALL
+
+    rows = {
+        r["col"]: r
+        for r in catalog.SPARK_QUERIES["kmv_distinct_report"](
+            spark, SF_DIR_SMALL
+        ).collect()
+    }
+    seg = rows["customer.c_mktsegment"]
+    assert seg["kmv_est"] == seg["exact_distinct"]
+    assert seg["rel_err_micro"] == 0
+    for col, r in rows.items():
+        assert r["rel_err_micro"] <= 380_000, (col, r)
