@@ -430,31 +430,26 @@ PROMOTION_PLAN: list[str] = [
 
 # Round-11 rotation draft (the r9→r10 discipline: committed at round
 # close, executed — after a 50/50 window re-sim — at the next round's
-# start). 20 permanents + the FULL 18-entry PROMOTION_PLAN above + a
-# 12-entry "oldest green re-proof" wave: with never-driver-gated at
+# start). 20 permanents + the FULL 24-entry PROMOTION_PLAN above + a
+# 6-entry "oldest green re-proof" wave: with never-driver-gated at
 # zero since r10, the next-weakest external evidence is rows whose
-# only driver green dates to rounds 1-3 (candidates_fixture and the
-# multiprobe form r1; the signature/session/window tier-1 rows r2;
-# the r3 dedup/ANN variants, including the headline minhash_lsh_pairs
-# whose last CORRECTNESS row — as opposed to bench rows — is r3).
+# only driver green dates to rounds 1-2 (candidates_fixture and the
+# multiprobe form r1; the signature/session/window tier-1 rows r2).
 # Re-gating the oldest greens turns the window rotation into a cycle
-# that eventually re-proves every row instead of a one-way ratchet.
+# that eventually re-proves every row instead of a one-way ratchet;
+# the r2/r3 remainder (knn_exact_numpy, knn_overfetch_2k, cosine_topk,
+# dim_validation, minhash_lsh_pairs, simhash_neardup_pairs, ...) heads
+# the round-12 re-proof queue.
 _ROUND11_WINDOW_DRAFT = [
     # --- §1: the 20 permanents, unchanged (see GATE_WINDOW head) ---
-    # --- §2: round-10 promotion queue, in PROMOTION_PLAN order (18) ---
-    # --- §3: oldest-green re-proof wave (12) ---
+    # --- §2: round-10 promotion queue, in PROMOTION_PLAN order (24) ---
+    # --- §3: oldest-green re-proof wave (6) ---
     "candidates_fixture",        # r1
     "rp_lsh_multiprobe_topk",    # r1
     "event_sessions",            # r2
     "events_sliding_window",     # r2
-    "knn_exact_numpy",           # r2
-    "knn_overfetch_2k",          # r2
     "minhash_signatures",        # r2
     "simhash_fingerprints",      # r2
-    "cosine_topk",               # r3
-    "dim_validation",            # r3
-    "minhash_lsh_pairs",         # r3 (headline; bench-green since, row r3)
-    "simhash_neardup_pairs",     # r3
 ]
 
 # Historical record of the round-9 plan (promoted IN FULL into the r10
