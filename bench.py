@@ -683,6 +683,12 @@ _R10_LATE_BARS = {
     "copurchase_triangles": 13.7, "nb_filter_report": 3.95,
     "nation_market_share_q8": 2.58, "functional_dependency_report": 4.02,
     "cm_join_size_report": 10.1, "kmv_distinct_report": 2.92,
+    # Same drift class as the triangles/nb_filter widening (see above):
+    # the final close session flagged ivf_topk_trained vs baseline
+    # (r9-axis empty) and 3 solo cold sessions measured scaled
+    # 4.59/4.71/6.77 vs the 4.08 envelope at unchanged code — widened
+    # to the observed max per the r10 bar semantics.
+    "ivf_topk_trained": 6.8,
 }
 
 BASELINE_S = {
