@@ -171,6 +171,7 @@ DETAIL_EXTRA = [
     "functional_dependency_report",  # new r10: candidate-FD audit card
     "cm_join_size_report",      # new r10: CM join-cardinality bounds
     "kmv_distinct_report",      # new r10: KMV engine-portable distincts
+    "kmv_set_ops_report",       # new r10: merged-KMV union/intersection
 ]
 
 
@@ -683,6 +684,7 @@ _R10_LATE_BARS = {
     "copurchase_triangles": 13.7, "nb_filter_report": 3.95,
     "nation_market_share_q8": 2.58, "functional_dependency_report": 4.02,
     "cm_join_size_report": 10.1, "kmv_distinct_report": 2.92,
+    "kmv_set_ops_report": 2.89,
     # Same drift class as the triangles/nb_filter widening (see above):
     # the final close session flagged ivf_topk_trained vs baseline
     # (r9-axis empty) and 3 solo cold sessions measured scaled

@@ -426,6 +426,9 @@ PROMOTION_PLAN: list[str] = [
     # ESTIMATES value-hash, not just error envelopes).
     "cm_join_size_report",
     "kmv_distinct_report",
+    # ... and the mergeable-KMV payoff: union/intersection cardinality
+    # from two merged sketches at O(k) state.
+    "kmv_set_ops_report",
 ]
 
 # Round-11 rotation draft (the r9→r10 discipline: committed at round

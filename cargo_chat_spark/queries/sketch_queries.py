@@ -368,3 +368,109 @@ def kmv_distinct_report(spark, sf_dir):
             " DIV exact_distinct AS BIGINT)"
         ).alias("rel_err_micro"),
     )
+
+
+# --------------------------------------------- KMV set-operation card
+# The mergeable payoff of KMV: two sketches combine by keeping the k
+# smallest of their union (the same "k smallest of a union" rule that
+# merges partitions), and from the MERGED sketch both |A ∪ B| and —
+# via the fraction of its k values present in both sets — |A ∩ B|
+# estimate at O(k) state. Set pair here: distinct customer keys of
+# URGENT vs HIGH orders (each ~1300 distinct at sf0.01, heavy
+# overlap). Estimators are pure integers over the shared md5 scale:
+#   union_est = (k−1)·2³² // h₍ₖ₎ of the merged sketch
+#   inter_est = (shared_in_sketch · union_est) // k
+# so estimates AND realized errors value-hash exactly in both engines.
+KMV_SET_K = 64
+
+_SET_A = "SELECT DISTINCT o_custkey AS v FROM orders WHERE o_orderpriority = '1-URGENT'"
+_SET_B = "SELECT DISTINCT o_custkey AS v FROM orders WHERE o_orderpriority = '2-HIGH'"
+
+
+def _kmv_set_sql() -> str:
+    from cargo_chat_spark.functions.hashing import h32_sql
+
+    h = h32_sql("CAST(v AS VARCHAR)")
+    return f"""
+WITH a AS ({_SET_A}), b AS ({_SET_B}),
+ha AS (SELECT DISTINCT ({h}) AS h FROM a),
+hb AS (SELECT DISTINCT ({h}) AS h FROM b),
+merged AS (
+    SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb)
+    ORDER BY h LIMIT {KMV_SET_K}
+),
+kth AS (SELECT max(h) AS kh, count(*) AS nk FROM merged),
+flags AS (
+    SELECT m.h,
+           CASE WHEN EXISTS (SELECT 1 FROM ha WHERE ha.h = m.h)
+                 AND EXISTS (SELECT 1 FROM hb WHERE hb.h = m.h)
+                THEN 1 ELSE 0 END AS in_both
+    FROM merged m
+),
+est AS (
+    SELECT CAST(({KMV_SET_K - 1} * 4294967296) // (SELECT kh FROM kth)
+                AS BIGINT) AS union_est,
+           CAST((SELECT SUM(in_both) FROM flags) AS BIGINT) AS shared_k
+)
+SELECT
+    CAST((SELECT count(*) FROM (SELECT v FROM a UNION SELECT v FROM b))
+         AS BIGINT) AS exact_union,
+    CAST((SELECT count(*) FROM (SELECT v FROM a INTERSECT SELECT v FROM b))
+         AS BIGINT) AS exact_inter,
+    union_est,
+    CAST((shared_k * union_est) // {KMV_SET_K} AS BIGINT) AS inter_est,
+    shared_k
+FROM est
+"""
+
+
+@register("kmv_set_ops_report", sql=_kmv_set_sql())
+def kmv_set_ops_report(spark, sf_dir):
+    """Union/intersection cardinality estimates from MERGED KMV
+    sketches of two order-priority customer sets, next to the exact
+    answers — the O(k)-state set-operation card, exactly reproducible
+    in both engines."""
+    from pyspark.sql import Window
+
+    from cargo_chat_spark.functions.hashing import h32
+
+    o = load_table(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("v")
+    ).distinct()
+    b = o.where(F.col("o_orderpriority") == "2-HIGH").select(
+        F.col("o_custkey").alias("v")
+    ).distinct()
+    ha = a.select(h32(F.col("v").cast("string")).alias("h")).distinct()
+    hb = b.select(h32(F.col("v").cast("string")).alias("h")).distinct()
+    merged = (
+        ha.unionByName(hb).distinct().orderBy("h").limit(KMV_SET_K)
+    )
+    flags = (
+        merged.join(ha.withColumnRenamed("h", "h").select(F.col("h")), "h", "semi")
+        .join(hb, "h", "semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_k"))
+    )
+    kth = merged.agg(F.max("h").alias("kh"))
+    exact_union = a.unionByName(b).distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_union")
+    )
+    exact_inter = a.join(b, "v", "semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_inter")
+    )
+    return (
+        exact_union.crossJoin(F.broadcast(exact_inter))
+        .crossJoin(F.broadcast(kth))
+        .crossJoin(F.broadcast(flags))
+        .select(
+            "exact_union",
+            "exact_inter",
+            F.expr(f"CAST(({KMV_SET_K - 1} * 4294967296) DIV kh AS BIGINT)")
+            .alias("union_est"),
+            F.expr(
+                f"CAST((shared_k * (({KMV_SET_K - 1} * 4294967296) DIV kh))"
+                f" DIV {KMV_SET_K} AS BIGINT)"
+            ).alias("inter_est"),
+            "shared_k",
+        )
+    )

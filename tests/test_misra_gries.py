@@ -170,3 +170,22 @@ def test_kmv_exact_branch_and_envelope(spark):
     assert seg["rel_err_micro"] == 0
     for col, r in rows.items():
         assert r["rel_err_micro"] <= 380_000, (col, r)
+
+
+def test_kmv_set_ops_sanity(spark):
+    """Merged-sketch set estimates track the exact answers within the
+    KMV envelope, and the sketch intersection share is consistent:
+    inter_est = shared_k·union_est // k by construction, and exact
+    containment inter ≤ union holds for the estimates' inputs."""
+    from cargo_chat_spark.queries import catalog
+    from cargo_chat_spark.queries.sketch_queries import KMV_SET_K
+    from tests.conftest import SF_DIR_SMALL
+
+    r = catalog.SPARK_QUERIES["kmv_set_ops_report"](
+        spark, SF_DIR_SMALL
+    ).collect()[0]
+    assert r["exact_inter"] <= r["exact_union"]
+    assert r["inter_est"] == r["shared_k"] * r["union_est"] // KMV_SET_K
+    assert 0 <= r["shared_k"] <= KMV_SET_K
+    # loose 3/sqrt(k) envelope on the union estimate (measured 5-32%)
+    assert abs(r["union_est"] - r["exact_union"]) <= 0.38 * r["exact_union"]
