@@ -88,3 +88,48 @@ def test_truncate_reduce():
     # (k+1)-th largest of [10,7,5,3] with k=2 is 5 → subtract 5, keep >0
     assert out == {"a": 5, "b": 2}
     assert HH._truncate({"a": 1}, 4) == {"a": 1}
+
+
+@pytest.mark.slow
+def test_stream_hh_random_waves_model(spark, tmp_path):
+    """Model-based randomized guard (the snapshots/index CDC test
+    discipline): random Zipf token waves of random sizes drain through
+    the stream one wave at a time; after EVERY drain the fenced state
+    must satisfy the mergeable-summaries contract against a pure-Python
+    Counter model of everything folded so far — underestimates only,
+    bounded by N/(k+1), no heavy hitter missing."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(120)]
+    weights = [1.0 / (i + 1) ** 1.4 for i in range(120)]
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    k = 16
+    model = Counter()
+    schema = None
+    for wave in range(4):
+        n = rng.randrange(500, 2500)
+        words = rng.choices(vocab, weights, k=n)
+        model.update(words)
+        df = spark.createDataFrame([(w,) for w in words], "item string")
+        schema = schema or df.schema
+        df.coalesce(2).write.mode("append").parquet(src)
+        HH.run_hh_stream(spark, src, schema, state, ckpt, k)
+
+        total = sum(model.values())
+        fence = HH.read_hh_state(state)
+        assert fence["n_total"] == total, wave
+        cand = {
+            r["item"]: r["est"]
+            for r in HH.read_heavy_hitters(spark, state).collect()
+        }
+        assert len(cand) <= k
+        bound = total / (k + 1)
+        for item, est in cand.items():
+            assert est <= model[item], (wave, item)
+            assert model[item] - est <= bound, (wave, item)
+        for item, cnt in model.items():
+            if cnt * (k + 1) > total:
+                assert item in cand, (wave, item, cnt)
