@@ -175,7 +175,14 @@ def cm_estimates(
     items: DataFrame, sketch: DataFrame, col: str, width: int
 ) -> DataFrame:
     """Append ``cm_est`` = min over rows of the item's cell counts. The
-    sketch is bounded (D×W) — broadcast onto the item frame."""
+    sketch is bounded (D×W) — broadcast onto the item frame.
+
+    Probe items are expected to come from the sketched stream: an item
+    the stream never touched can land in grid cells no row populated,
+    and both engines' LEAST then skips the NULLs (min over the populated
+    cells only, NULL if none) rather than reporting 0 — matching the
+    DuckDB twin's scalar-subquery convention exactly (ADVICE r10; the
+    old coalesce-to-0 diverged from it for never-seen items)."""
     probes = items.select(
         F.col(col).alias("item"),
         *[
@@ -189,7 +196,5 @@ def cm_estimates(
             F.col("cell").alias(f"cell{d}"), F.col("c").alias(f"c{d}")
         )
         out = out.join(F.broadcast(sd), f"cell{d}", "left")
-    est = F.least(
-        *[F.coalesce(F.col(f"c{d}"), F.lit(0)) for d in range(CM_DEPTH)]
-    )
+    est = F.least(*[F.col(f"c{d}") for d in range(CM_DEPTH)])
     return out.select("item", est.alias("cm_est"))

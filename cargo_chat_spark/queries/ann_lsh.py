@@ -163,6 +163,48 @@ def rp_lsh_topk(spark, sf_dir):
 
 
 # ------------------------------------------------------- multiprobe variant
+def _flip_sql(key: str, i: int) -> str:
+    """SQL: flip bit-char i (0-based) of the 8-char key string."""
+    return (
+        f"substring({key}, 1, {i}) || "
+        f"(CASE substring({key}, {i + 1}, 1) WHEN '0' THEN '1' ELSE '0' END) || "
+        f"substring({key}, {i + 2}, {N_PLANES - i - 1})"
+    )
+
+
+_PROBE_KEYS_SQL = "[bkey, " + ", ".join(
+    _flip_sql("bkey", i) for i in range(N_PLANES)
+) + "]"
+
+_RP_MULTI_SQL = f"""
+WITH corpus AS (
+    SELECT vec_id, embedding, {bucket_key_sql('embedding')} AS bkey
+    FROM embeddings
+),
+q AS (
+    SELECT vec_id AS query_id, embedding AS qvec, {bucket_key_sql('embedding')} AS bkey
+    FROM embeddings WHERE vec_id % 100 = 0
+),
+probes AS (
+    SELECT query_id, qvec, unnest({_PROBE_KEYS_SQL}) AS pkey FROM q
+),
+scored AS (
+    SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id,
+        sqrt(list_sum(list_transform(generate_series(1, len(p.qvec)),
+            i -> (CAST(p.qvec[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+               * (CAST(p.qvec[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)))))
+            AS distance
+    FROM probes p JOIN corpus c ON p.pkey = c.bkey
+)
+SELECT query_id, neighbor_id, distance,
+    CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY distance, neighbor_id
+    ) AS INT) AS "rank"
+FROM scored
+QUALIFY "rank" <= 10
+"""
+
+
 def _flip_col(key, i: int):
     flipped = F.when(F.substring(key, i + 1, 1) == "0", "1").otherwise("0")
     parts = []
@@ -174,6 +216,7 @@ def _flip_col(key, i: int):
     return F.concat(*parts)
 
 
+@register("rp_lsh_multiprobe_topk", sql=_RP_MULTI_SQL)
 def rp_lsh_multiprobe_topk(spark, sf_dir):
     """Multiprobe RP-LSH: each query probes its own bucket plus the
     {N_PLANES} hamming-1-adjacent buckets (flip one sign bit) — the
@@ -181,15 +224,18 @@ def rp_lsh_multiprobe_topk(spark, sf_dir):
     recall jump, still an equi-join (no cross join). Candidates reached
     via multiple probes dedup before re-scoring.
 
-    RETIRED from the correctness catalog (round 5): measured recall@10 at
-    sf0.001 is 0.54 for hamming-1 probing and only 0.66 for a hamming-2
-    retune (37 probes) — structurally dominated by the 12-table LSH
-    forest (rp_lsh_forest_topk, recall 0.90) at comparable exact-re-rank
-    cost, because widening probes around ONE 8-plane partition explores a
-    single Voronoi neighborhood while independent tables re-draw the
-    partition itself. Kept as a library operator with its recall property
-    pinned in tests/test_ann_recall.py; use the forest for production
-    probing."""
+    Retired from the catalog in round 5 (recall-dominated: 0.54 at
+    hamming-1 / 0.66 at a hamming-2 retune vs the 12-table forest's
+    0.90, because widening probes around ONE 8-plane partition explores
+    a single Voronoi neighborhood while independent tables re-draw the
+    partition itself — use rp_lsh_forest_topk for production probing).
+    RE-REGISTERED in round 11 as part of the oldest-green re-proof wave
+    (its only external CORRECTNESS row dated to round 1): the
+    correctness claim — bucket+probe candidate generation and exact
+    re-rank are value-hash-identical to the DuckDB twin — is
+    independent of the recall verdict, and the re-proof cycle needs the
+    row gated at current HEAD. Recall property stays pinned in
+    tests/test_ann_recall.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     big = parquet_rows(f"{sf_dir}/embeddings.parquet") >= _FIXED_KEY_MIN_ROWS
     if big:

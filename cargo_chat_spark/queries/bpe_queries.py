@@ -497,8 +497,14 @@ _FERTILITY_SQL = _unrolled_chain(N_MERGES) + f"""
   FROM s{N_MERGES}
 ),
 dw AS (
-  SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
-  FROM documents
+  -- same separator class as the Spark side's F.split(text, ' +') and as
+  -- _wf_cte: runs of SPACES, drop empties. Using '\\s+' here would only
+  -- agree by the corpus accident of never containing tabs/newlines
+  -- inside text (ADVICE r10).
+  SELECT lang, word
+  FROM (SELECT lang, unnest(string_split_regex(text, ' +')) AS word
+        FROM documents)
+  WHERE length(word) > 0
 )
 SELECT lang,
        CAST(count(*) AS BIGINT) AS n_words,

@@ -39,18 +39,22 @@ def read_hh_state(state_dir: str) -> dict | None:
     try:
         with open(_fence_path(state_dir)) as fh:
             return json.load(fh)
-    except OSError:
-        return None
-    except ValueError:
-        # an existing-but-unreadable fence must not silently restart the
-        # fold from zero (the mix_ingest advisory fix discipline)
+    except FileNotFoundError:
+        return None  # genuinely no state yet: first fold starts from zero
+    except (OSError, ValueError) as exc:
+        # an existing-but-unreadable fence (EACCES/EIO just as much as
+        # corrupt JSON) must not silently restart the fold from zero —
+        # merge_batch_into_state would overwrite it with a reset n_total
+        # (the mix_ingest advisory fix discipline)
         raise RuntimeError(
             f"heavy-hitters fence {_fence_path(state_dir)} exists but is "
-            "unreadable — replay the stream from a clean state dir"
+            f"unreadable ({exc!r}) — replay the stream from a clean state dir"
         )
 
 
-def _publish(state_dir: str, batch_id: int, n_total: int) -> None:
+def _publish(
+    state_dir: str, batch_id: int, n_total: int, checkpoint: str | None
+) -> None:
     tmp = _fence_path(state_dir) + f".tmp.{os.getpid()}"
     with open(tmp, "w") as fh:
         json.dump(
@@ -58,6 +62,10 @@ def _publish(state_dir: str, batch_id: int, n_total: int) -> None:
                 "max_batch": batch_id,
                 "n_total": n_total,
                 "dir": f"counters_v{batch_id}",
+                # stream run identity: batch ids are only monotone WITHIN
+                # one checkpoint lineage, so the replay fence must key on
+                # (checkpoint, batch_id), not batch_id alone
+                "checkpoint": checkpoint,
             },
             fh,
         )
@@ -80,9 +88,26 @@ def merge_batch_into_state(
     state_dir: str,
     k: int,
     item_col: str = "item",
+    checkpoint: str | None = None,
 ) -> None:
     state = read_hh_state(state_dir)
     if state is not None and batch_id <= state["max_batch"]:
+        stored_ckpt = state.get("checkpoint")
+        if stored_ckpt is not None and checkpoint is not None and (
+            stored_ckpt != checkpoint
+        ):
+            # a DIFFERENT checkpoint lineage re-numbers batches from 0:
+            # batch_id <= max_batch here is genuinely NEW data, not a
+            # foreachBatch replay — silently no-oping would drop it, and
+            # folding it would break exactly-once for true replays.
+            raise RuntimeError(
+                f"heavy-hitters state {state_dir} was folded under "
+                f"checkpoint {stored_ckpt!r} up to batch "
+                f"{state['max_batch']}, but checkpoint {checkpoint!r} is "
+                f"replaying batch {batch_id} — resume with the original "
+                "checkpoint, or replay the full source from a clean "
+                "state dir"
+            )
         return  # replayed batch: already folded (fence is the commit)
     # distributed per-partition summaries; only the bounded candidate
     # rows (≤ partitions·k) and the batch count reach the driver
@@ -107,7 +132,7 @@ def merge_batch_into_state(
     ).where("item <> '' OR est <> 0").coalesce(1).write.mode(
         "overwrite"
     ).parquet(out_dir)
-    _publish(state_dir, batch_id, n_total)
+    _publish(state_dir, batch_id, n_total, checkpoint)
 
 
 def run_hh_stream(
@@ -126,7 +151,8 @@ def run_hh_stream(
         .parquet(source_dir)
         .writeStream.foreachBatch(
             lambda b, bid: merge_batch_into_state(
-                spark, b, bid, state_dir, k, item_col
+                spark, b, bid, state_dir, k, item_col,
+                checkpoint=checkpoint_dir,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

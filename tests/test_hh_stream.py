@@ -59,18 +59,32 @@ def test_stream_hh_guarantees_and_fence(spark, tmp_path):
         if cnt * (K + 1) > n:
             assert item in cand, f"stream dropped heavy hitter {item}"
 
-    # replaying the same drained source must not re-fold (fence no-op)
+    # a genuine foreachBatch replay (same checkpoint lineage, batch id
+    # at-or-below the fence) must not re-fold: exactly-once on crash
     before = sorted(cand.items())
-    HH.run_hh_stream(
-        spark, src, schema, state, str(tmp_path / "ckpt2"), K
+    HH.merge_batch_into_state(
+        spark, first, 0, state, K, checkpoint=ckpt
     )
-    # a fresh checkpoint re-delivers batch 0.. with the SAME batch ids;
-    # the fence (max_batch) must swallow them
     after = sorted(
         (r["item"], r["est"])
         for r in HH.read_heavy_hitters(spark, state).collect()
     )
     assert after == before
+    assert HH.read_hh_state(state)["n_total"] == n
+
+    # a DIFFERENT checkpoint re-numbering batches from 0 is NOT a
+    # replay — batch ids alias genuinely-new data, and the fence must
+    # refuse rather than silently drop it (ADVICE r10)
+    with pytest.raises(Exception, match="checkpoint"):
+        HH.run_hh_stream(
+            spark, src, schema, state, str(tmp_path / "ckpt2"), K
+        )
+    # ... and the refused run must leave the state untouched
+    untouched = sorted(
+        (r["item"], r["est"])
+        for r in HH.read_heavy_hitters(spark, state).collect()
+    )
+    assert untouched == before
     assert HH.read_hh_state(state)["n_total"] == n
 
 
@@ -80,6 +94,17 @@ def test_corrupt_fence_raises(tmp_path):
         fh.write("{not json")
     with pytest.raises(RuntimeError, match="unreadable"):
         HH.read_hh_state(state)
+
+
+def test_unreadable_fence_oserror_raises(tmp_path):
+    # a fence that EXISTS but cannot be opened (EISDIR standing in for
+    # EACCES/EIO) must raise, not silently restart the fold from zero
+    state = str(tmp_path / "state")
+    (tmp_path / "state.hh_state.json").mkdir()
+    with pytest.raises(RuntimeError, match="unreadable"):
+        HH.read_hh_state(state)
+    # only a genuinely-missing fence means "no state yet"
+    assert HH.read_hh_state(str(tmp_path / "other")) is None
 
 
 def test_truncate_reduce():
