@@ -385,7 +385,13 @@ _ROUND8_WINDOW_ROTATED_OUT = [
 # The round-12 re-proof head (committed at r10 close) follows the queue:
 # knn_exact_numpy, knn_overfetch_2k, cosine_topk, dim_validation,
 # minhash_lsh_pairs, simhash_neardup_pairs — the r2/r3 remainder.
-PROMOTION_PLAN: list[str] = []
+PROMOTION_PLAN: list[str] = [
+    # NEW in round 11: the documented 100 TB exit for the exact NTILE
+    # gate — deterministic key-sampled cut points broadcast onto a
+    # map-side bucket assign, zero WindowExec (plan-pinned); executes
+    # SCALE.md's order_price_deciles scale note as a gated twin.
+    "order_price_deciles_scale",
+]
 
 _ROUND12_REPROOF_HEAD = [
     "knn_exact_numpy",

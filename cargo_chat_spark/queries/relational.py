@@ -470,6 +470,125 @@ def order_price_deciles(spark, sf_dir):
     )
 
 
+# ------------------------------------------- decile statistics, scale form
+# The 100 TB exit ramp SCALE.md documents for order_price_deciles: the
+# exact gate's global NTILE needs a range-partition global sort (the
+# single-partition WindowExec the bench tail warns about); this twin
+# computes DETERMINISTIC cut points from a deterministic key-sampled
+# subset (o_orderkey % 97 — the RangePartitioner trick with a
+# value-hashable sample instead of a random one), broadcasts the 9 cut
+# structs, and bucket-assigns map-side. No WindowExec anywhere: the only
+# global structure is ONE bounded collect_list over the sample (~1% here;
+# at 100 TB the modulus is tuned so the sample stays executor-sized) and
+# the per-bucket aggregate's ordinary keyed shuffle.
+#
+# Boundary discipline (what makes this oracle-able where approxQuantile
+# is not): cut i = the sample's (price, orderkey) at 1-based position
+# max(1, (i·m) DIV 10) under the TOTAL order (price, orderkey) — integer
+# arithmetic only — and a row lands in bucket 1 + |{i : (p,k) > cut_i}|.
+# Equal-price ties break on orderkey exactly as the exact gate's NTILE
+# order does. Bucket populations are approximately-equal (sample-driven),
+# not exactly N/10 — the honest trade the approx form makes; both engines
+# reproduce them bit-identically.
+_N_CUTS = 9
+_SAMPLE_MOD = 97
+
+
+def _cut_pos_sql(i: int) -> str:
+    return f"greatest(1, CAST(({i} * m) // 10 AS INT))"
+
+
+_DECILE_SCALE_SQL = f"""
+WITH s AS (
+    SELECT o_totalprice AS p, o_orderkey AS k
+    FROM orders WHERE o_orderkey % {_SAMPLE_MOD} = 0
+),
+arr AS (
+    SELECT list(p ORDER BY p, k) AS ps, list(k ORDER BY p, k) AS ks,
+           count(*) AS m
+    FROM s
+),
+assigned AS (
+    SELECT o.o_totalprice, o.o_orderkey,
+        CAST(1 + {" + ".join(
+            f"(CASE WHEN o.o_totalprice > ps[{_cut_pos_sql(i)}]"
+            f" OR (o.o_totalprice = ps[{_cut_pos_sql(i)}]"
+            f"     AND o.o_orderkey > ks[{_cut_pos_sql(i)}])"
+            " THEN 1 ELSE 0 END)"
+            for i in range(1, _N_CUTS + 1)
+        )} AS INT) AS decile
+    FROM orders o, arr
+)
+SELECT decile,
+    CAST(COUNT(*) AS BIGINT) AS n_orders,
+    CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+    CAST(MAX(o_totalprice) AS DOUBLE) AS hi,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM assigned
+GROUP BY decile
+"""
+
+
+@register("order_price_deciles_scale", sql=_DECILE_SCALE_SQL)
+def order_price_deciles_scale(spark, sf_dir):
+    """Decile statistics without a global sort: deterministic sampled cut
+    points (key-modulus sample, integer-position picks under the
+    (price, orderkey) total order) broadcast onto a map-side bucket
+    assign. The scale twin of order_price_deciles — same output schema,
+    approximately-equal buckets, zero WindowExec (plan pinned in
+    tests/test_plan_shapes.py)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderkey"
+    )
+    s = o.where((F.col("o_orderkey") % _SAMPLE_MOD) == 0)
+    arr = s.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("o_totalprice").alias("p"),
+                    F.col("o_orderkey").alias("k"),
+                )
+            )
+        ).alias("a"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    cuts = arr.select(
+        *[
+            F.element_at(
+                "a",
+                F.greatest(
+                    F.lit(1), F.expr(f"CAST(({i} * m) DIV 10 AS INT)")
+                ),
+            ).alias(f"c{i}")
+            for i in range(1, _N_CUTS + 1)
+        ]
+    )
+
+    def _above(i: int):
+        p, k = F.col(f"c{i}.p"), F.col(f"c{i}.k")
+        hit = (F.col("o_totalprice") > p) | (
+            (F.col("o_totalprice") == p) & (F.col("o_orderkey") > k)
+        )
+        return F.when(hit, 1).otherwise(0)
+
+    decile = F.lit(1)
+    for i in range(1, _N_CUTS + 1):
+        decile = decile + _above(i)
+    return (
+        o.crossJoin(F.broadcast(cuts))
+        .select("o_totalprice", decile.cast("int").alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- pivot
 # Wide-format conditional aggregation: per customer segment, one column
 # per order status. Spark's pivot with an EXPLICIT value list compiles to

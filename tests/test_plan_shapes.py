@@ -116,6 +116,67 @@ def test_knn_batched_never_collects(spark, monkeypatch):
     assert got == want
 
 
+def test_knn_numpy_large_q_never_collects_full_side(spark, monkeypatch):
+    """VERDICT r10 item 2: knn_join_numpy's driver-collect is LIMIT-capped —
+    a query set above max_collect_queries must route to the no-collect
+    batched form, and no collect during plan construction may ever return
+    more than the cap+1 probe rows."""
+    from cargo_chat_spark.operators.knn import knn_join_numpy
+    from cargo_chat_spark.queries.vector_search import _query_vectors
+    from cargo_chat_spark.sources.testdata import load_table
+
+    cap = 3
+    seen: list[int] = []
+    emb = load_table(spark, SF_DIR_SMALL, "embeddings")
+    q = _query_vectors(spark, SF_DIR_SMALL)  # 5 queries at sf0.001 > cap
+    # patch the CONCRETE DataFrame class (Spark 4's classic session
+    # subclasses pyspark.sql.DataFrame and overrides collect)
+    cls = type(q)
+    orig = cls.collect
+
+    def _counting(self):
+        rows = orig(self)
+        seen.append(len(rows))
+        assert len(rows) <= cap + 1, (
+            f"knn_join_numpy collected {len(rows)} rows — the full query "
+            "side reached the driver despite exceeding the cap"
+        )
+        return rows
+
+    monkeypatch.setattr(cls, "collect", _counting)
+    df = knn_join_numpy(q, emb, k=10, max_collect_queries=cap)
+    monkeypatch.undo()
+    assert seen, "the bounded probe collect should have run"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the fallback is the batched broadcast plan, not the Arrow kernel
+    assert "MapInPandas" not in plan, "large |Q| stayed on the collect path"
+    assert "WindowGroupLimit" in plan
+    # and the fallback result matches the unbatched exact contract
+    base = catalog.SPARK_QUERIES["knn_exact"](spark, SF_DIR_SMALL)
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in df.select("query_id", "neighbor_id", "rank").collect()
+    )
+    want = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in base.select("query_id", "neighbor_id", "rank").collect()
+    )
+    assert got == want
+
+
+def test_deciles_scale_has_no_window_exec(spark):
+    """VERDICT r10 item 5: the scale twin of order_price_deciles must not
+    contain ANY WindowExec (the exact gate's global NTILE single-partitions
+    by construction); cut points broadcast, assignment stays map-side."""
+    plan = _plan(spark, "order_price_deciles_scale")
+    assert "Window" not in plan, (
+        "order_price_deciles_scale reintroduced a window sort:\n" + plan
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
+        "cut points are not broadcast"
+    )
+
+
 def test_lsh_join_is_equijoin(spark):
     plan = _plan(spark, "rp_lsh_topk")
     # bucket join must be a hash equi-join on bkey, not a nested-loop scan
