@@ -173,6 +173,9 @@ DETAIL_EXTRA = [
     "kmv_distinct_report",      # new r10: KMV engine-portable distincts
     "kmv_set_ops_report",       # new r10: merged-KMV union/intersection
     "order_price_deciles_scale",  # new r11: no-window sampled-cut deciles
+    "kfold_group_assign",       # new r11: group-aware k-fold assignment
+    "pmi_bigrams_top",          # new r11: integer micro-nat PMI card
+    "corpus_kl_drift_report",   # new r11: unigram KL drift across versions
 ]
 
 
@@ -703,6 +706,12 @@ _R10_LATE_BARS = {
 # global range-partition sort is the thing that stops scaling.
 _R11_BARS = {
     "order_price_deciles_scale": 2.45,
+    # 3-session envelope, calibs 0.376/0.348/0.347; kfold and the KL
+    # drift card are phase-split (component / snapshot-lifecycle builds
+    # ~13 s / ~2.4 s reported in "phases"), bars are the probe axis.
+    "kfold_group_assign": 3.75,
+    "pmi_bigrams_top": 2.36,
+    "corpus_kl_drift_report": 1.2,
 }
 
 BASELINE_S = {

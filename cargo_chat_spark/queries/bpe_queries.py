@@ -552,3 +552,125 @@ def bpe_fertility_by_lang(spark, sf_dir):
             "CAST((1000000 * sum_chars) DIV sum_tokens AS BIGINT)"
         ).alias("chars_per_token_micro"),
     )
+
+
+# ----------------------------------------- corpus distribution drift (KL)
+# corpus_drift_cdc_report tracks per-source VOLUME drift; this card
+# tracks DISTRIBUTION drift — the unigram-LM divergence between two
+# corpus versions, the signal that tells a pipeline "retrain the
+# tokenizer / re-fit the quality LM" after an ingest or cleanup wave.
+# On the shared write→MERGE→MoR-delete lifecycle fixture
+# (_wf_snapshot_fixture, phase-built): P = version 0's unigram
+# distribution, Q = version 2's (the final logical corpus). Emitted as
+# ONE integer-exact row (the ccnet micro-nat precedent —
+# floor(ln(c/n)·1e6) over identical IEEE doubles):
+#
+# - kl_num_micro = Σ_{shared w} cnt_Q(w)·(L_Q(w) − L_P(w)) — the
+#   numerator of KL(Q‖P) over the shared support in micro-nats (the
+#   caller divides by n_tokens_v2; emitting the raw BIGINT avoids the
+#   truncate-vs-floor integer-division divergence on signed values);
+# - new/dead vocabulary sizes and their token masses — the OOV churn
+#   KL over shared support cannot see.
+#
+# Scale shape: two word_freqs aggregates (map-side combinable), ONE
+# full-outer join on word, two scalar totals broadcast, one global
+# single-row aggregate. Maintenance note: both distributions are pure
+# bag aggregates, so at 100 TB each side folds from the snapshot CDC
+# delta (the wordfreq_cdc_dict discipline) instead of rescanning.
+_KL_DRIFT_SQL = """
+WITH v0 AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS f0
+  FROM (SELECT unnest(string_split_regex(text, ' +')) AS word
+        FROM documents)
+  WHERE length(word) > 0 GROUP BY word
+),
+final AS (
+  SELECT CASE WHEN doc_id % 10 = 3 THEN text || ' extrawordx'
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 10 <> 4 AND doc_id % 20 <> 3
+  UNION ALL
+  SELECT text FROM documents WHERE doc_id % 10 = 7
+),
+v2 AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS f2
+  FROM (SELECT unnest(string_split_regex(text, ' +')) AS word
+        FROM final)
+  WHERE length(word) > 0 GROUP BY word
+),
+n0 AS (SELECT CAST(SUM(f0) AS DOUBLE) AS n FROM v0),
+n2 AS (SELECT CAST(SUM(f2) AS DOUBLE) AS n FROM v2),
+j AS (
+  SELECT v0.word AS w0, v2.word AS w2, f0, f2
+  FROM v0 FULL JOIN v2 ON v0.word = v2.word
+)
+SELECT
+  CAST(SUM(f0) AS BIGINT) AS n_tokens_v0,
+  CAST(SUM(f2) AS BIGINT) AS n_tokens_v2,
+  CAST(SUM(CASE WHEN w0 IS NOT NULL AND w2 IS NOT NULL THEN 1 ELSE 0 END)
+       AS BIGINT) AS shared_vocab,
+  CAST(SUM(CASE WHEN w0 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS new_vocab,
+  CAST(SUM(CASE WHEN w2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS dead_vocab,
+  CAST(COALESCE(SUM(CASE WHEN w0 IS NULL THEN f2 END), 0) AS BIGINT)
+      AS new_token_mass,
+  CAST(COALESCE(SUM(CASE WHEN w2 IS NULL THEN f0 END), 0) AS BIGINT)
+      AS dead_token_mass,
+  CAST(SUM(CASE WHEN w0 IS NOT NULL AND w2 IS NOT NULL THEN
+      f2 * (CAST(floor(ln(f2 / (SELECT n FROM n2)) * 1000000) AS BIGINT)
+          - CAST(floor(ln(f0 / (SELECT n FROM n0)) * 1000000) AS BIGINT))
+      END) AS BIGINT) AS kl_num_micro
+FROM j
+"""
+
+
+@register("corpus_kl_drift_report", sql=_KL_DRIFT_SQL)
+def corpus_kl_drift_report(spark, sf_dir):
+    """Unigram-distribution drift card between snapshot versions 0 and 2
+    of the lifecycle fixture: shared-support KL numerator in micro-nats
+    plus vocabulary churn (new/dead types and their token masses)."""
+    from cargo_chat_spark.sources.snapshots import snap_read
+
+    path = _wf_snapshot_fixture(spark, sf_dir)
+    v0 = word_freqs(snap_read(spark, path, 0)).select(
+        "word", F.col("freq").alias("f0")
+    )
+    v2 = word_freqs(snap_read(spark, path, 2)).select(
+        "word", F.col("freq").alias("f2")
+    )
+    n0 = v0.agg(F.sum("f0").cast("double").alias("n0"))
+    n2 = v2.agg(F.sum("f2").cast("double").alias("n2"))
+    j = (
+        v0.withColumn("w0", F.col("word"))
+        .join(v2.withColumn("w2", F.col("word")), "word", "full")
+        .crossJoin(F.broadcast(n0))
+        .crossJoin(F.broadcast(n2))
+    )
+    micro = lambda num, den: F.floor(  # noqa: E731
+        F.log(num / den) * F.lit(1000000)
+    ).cast("bigint")
+    both = F.col("w0").isNotNull() & F.col("w2").isNotNull()
+    return j.agg(
+        F.sum("f0").cast("bigint").alias("n_tokens_v0"),
+        F.sum("f2").cast("bigint").alias("n_tokens_v2"),
+        F.sum(F.when(both, 1).otherwise(0)).cast("bigint").alias("shared_vocab"),
+        F.sum(F.when(F.col("w0").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("new_vocab"),
+        F.sum(F.when(F.col("w2").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("dead_vocab"),
+        F.coalesce(F.sum(F.when(F.col("w0").isNull(), F.col("f2"))), F.lit(0))
+        .cast("bigint").alias("new_token_mass"),
+        F.coalesce(F.sum(F.when(F.col("w2").isNull(), F.col("f0"))), F.lit(0))
+        .cast("bigint").alias("dead_token_mass"),
+        F.sum(
+            F.when(
+                both,
+                F.col("f2")
+                * (
+                    micro(F.col("f2"), F.col("n2"))
+                    - micro(F.col("f0"), F.col("n0"))
+                ),
+            )
+        ).cast("bigint").alias("kl_num_micro"),
+    )
+
+
+_rpb("corpus_kl_drift_report", _wf_snapshot_fixture)

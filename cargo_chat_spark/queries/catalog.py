@@ -391,6 +391,22 @@ PROMOTION_PLAN: list[str] = [
     # map-side bucket assign, zero WindowExec (plan-pinned); executes
     # SCALE.md's order_price_deciles scale note as a gated twin.
     "order_price_deciles_scale",
+    # NEW in round 11: group-aware k-fold assignment — the
+    # cross-validation sibling of leakage_safe_split (fold drawn from
+    # the near-dup component key, uniform because DRAW_MOD % K == 0);
+    # rides the phase-built component frame.
+    "kfold_group_assign",
+    # NEW in round 11: top-50 adjacent-pair collocations by integer
+    # micro-nat PMI (the ccnet floor(ln·1e6) precedent) — phrase-vocab
+    # candidates / boilerplate saturation signal; two gram aggregates +
+    # token-keyed joins + TakeOrderedAndProject, no windows.
+    "pmi_bigrams_top",
+    # NEW in round 11: unigram-distribution drift between snapshot
+    # versions 0 and 2 of the lifecycle fixture — shared-support KL
+    # numerator in micro-nats + vocabulary churn masses; the
+    # "retrain the tokenizer?" signal. Phase-built on the shared
+    # wordfreq snapshot lifecycle.
+    "corpus_kl_drift_report",
 ]
 
 _ROUND12_REPROOF_HEAD = [

@@ -705,6 +705,48 @@ def leakage_safe_split(spark, sf_dir):
     )
 
 
+# ------------------------------------------------ leakage-safe k-fold
+# The cross-validation sibling of leakage_safe_split: k-fold evaluation
+# with a per-document fold draw leaks exactly the way a per-document
+# split does — a near-duplicate of a held-out-fold doc trains in the
+# other k−1 folds on every rotation. Fold assignment therefore draws
+# from the GROUP key (near-dup component id, own id for singletons):
+# an entire component lands in one fold, so no rotation ever trains on
+# a held-out doc's twin. fold = draw(group) % K is exactly uniform
+# because DRAW_MOD (10000) is a multiple of K. Same machinery and
+# phase-built component frame as leakage_safe_split; emits the full
+# assignment so the oracle value-hashes it row by row.
+_KFOLD_K = 5
+
+_KFOLD_SQL = f"""
+WITH RECURSIVE {_BANDS_CTE},
+{_COMP_CTES}
+SELECT d.doc_id,
+    CAST(COALESCE(c.component_id, d.doc_id) AS BIGINT) AS group_id,
+    CAST({_dr.draw_sql("COALESCE(c.component_id, d.doc_id)")} % {_KFOLD_K}
+         AS INT) AS fold
+FROM documents d
+LEFT JOIN comp c USING (doc_id)
+"""
+
+
+@register("kfold_group_assign", sql=_KFOLD_SQL)
+def kfold_group_assign(spark, sf_dir):
+    """Group-aware k-fold assignment (K=5): every document labeled with
+    its near-dup group and the fold drawn from the GROUP key, so
+    near-duplicates can never straddle a train/held-out boundary on any
+    cross-validation rotation."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    comp = neardup_components(spark, sf_dir)
+    group = F.coalesce(F.col("component_id"), F.col("doc_id"))
+    fold = F.pmod(_dr.draw(group), F.lit(_KFOLD_K)).cast("int")
+    return docs.join(F.broadcast(comp), "doc_id", "left").select(
+        "doc_id",
+        group.cast("bigint").alias("group_id"),
+        fold.alias("fold"),
+    )
+
+
 # ------------------------------------------- dedup drops as a delete wave
 # How a curation pipeline actually LANDS the keep/drop decision at 100 TB:
 # not by rewriting the corpus, but by issuing the dropped doc_ids as a
@@ -893,6 +935,7 @@ def _components_builder(spark, sf_dir):
 
 _rpb("leakage_safe_split", _components_builder)
 _rpb("dedup_mor_apply", _components_builder)
+_rpb("kfold_group_assign", _components_builder)
 
 
 def _bands_builder(spark, sf_dir):

@@ -943,3 +943,100 @@ def ngram_diversity_report(spark, sf_dir):
         F.expr("(1000000 * distinct_2) DIV total_2")
         .cast("bigint").alias("distinct2_micro"),
     )
+
+
+# ----------------------------------------------- PMI collocation card
+# Pointwise mutual information over adjacent token pairs — the standard
+# collocation signal (phrase-vocabulary candidates for tokenizers,
+# template/boilerplate detection when PMI saturates). Integer-exact
+# cross-engine via the ccnet precedent: per-term micro-nat logs are
+# floor(ln(count/total)·1e6) over identical IEEE doubles, so
+# PMI = L(xy|Nb) − L(x|Nu) − L(y|Nu) is a BIGINT in both engines.
+# Scale shape: two map-side-combinable gram aggregates, token-keyed
+# joins of the support-filtered candidates against the unigram dict,
+# scalar totals broadcast, top-50 under a total order compiles to
+# TakeOrderedAndProject — no windows, nothing global but two scalars.
+_PMI_MIN_COUNT = 5
+
+_PMI_SQL = f"""
+WITH toks AS (
+    SELECT regexp_split_to_array(trim(text), '\\s+') AS tk,
+           {D.shingles_all_sql('text', 2)} AS bg
+    FROM documents
+),
+uni AS (SELECT unnest(tk) AS w FROM toks),
+u AS (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+    FROM uni WHERE w <> '' GROUP BY w
+),
+nu AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM u),
+big AS (SELECT unnest(bg) AS g FROM toks),
+b AS (
+    SELECT g, CAST(COUNT(*) AS BIGINT) AS c_xy
+    FROM big WHERE g LIKE '% %' GROUP BY g
+),
+nb AS (SELECT CAST(SUM(c_xy) AS DOUBLE) AS n FROM b),
+scored AS (
+    SELECT b.g AS bigram, b.c_xy, ux.c AS c_x, uy.c AS c_y,
+        CAST(floor(ln(b.c_xy / nb.n) * 1000000) AS BIGINT)
+        - CAST(floor(ln(ux.c / nu.n) * 1000000) AS BIGINT)
+        - CAST(floor(ln(uy.c / nu.n) * 1000000) AS BIGINT) AS pmi_micro
+    FROM b
+    CROSS JOIN nb
+    CROSS JOIN nu
+    JOIN u ux ON ux.w = string_split(b.g, ' ')[1]
+    JOIN u uy ON uy.w = string_split(b.g, ' ')[2]
+    WHERE b.c_xy >= {_PMI_MIN_COUNT}
+)
+SELECT bigram, c_xy, c_x, c_y, pmi_micro
+FROM scored
+ORDER BY pmi_micro DESC, bigram ASC
+LIMIT 50
+"""
+
+
+@register("pmi_bigrams_top", sql=_PMI_SQL)
+def pmi_bigrams_top(spark, sf_dir):
+    """Top-50 adjacent-pair collocations by integer micro-nat PMI
+    (support ≥ {_PMI_MIN_COUNT}), with the gram counts that produced
+    them. Ties broken by bigram text so the LIMIT is a total order."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(D.tokens(F.col("text")).alias("tk"))
+    uni = toks.select(F.explode("tk").alias("w")).where(F.col("w") != "")
+    u = uni.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    nu = u.agg(F.sum("c").cast("double").alias("nu"))
+    big = toks.select(
+        F.explode(D.shingles_all_from_tokens(F.col("tk"), 2)).alias("g")
+    ).where(F.col("g").contains(" "))
+    b_all = big.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_xy")
+    )
+    nb = b_all.agg(F.sum("c_xy").cast("double").alias("nb"))
+    cand = b_all.where(F.col("c_xy") >= _PMI_MIN_COUNT)
+    parts = F.split(F.col("g"), " ")
+    scored = (
+        cand.select(
+            "g", "c_xy",
+            parts.getItem(0).alias("w1"), parts.getItem(1).alias("w2"),
+        )
+        .join(u.select(F.col("w").alias("w1"), F.col("c").alias("c_x")), "w1")
+        .join(u.select(F.col("w").alias("w2"), F.col("c").alias("c_y")), "w2")
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nu))
+    )
+    micro = lambda num, den: F.floor(  # noqa: E731
+        F.log(num / den) * F.lit(1000000)
+    ).cast("bigint")
+    pmi = (
+        micro(F.col("c_xy"), F.col("nb"))
+        - micro(F.col("c_x"), F.col("nu"))
+        - micro(F.col("c_y"), F.col("nu"))
+    )
+    return (
+        scored.select(
+            F.col("g").alias("bigram"), "c_xy", "c_x", "c_y",
+            pmi.alias("pmi_micro"),
+        )
+        .orderBy(F.desc("pmi_micro"), F.asc("bigram"))
+        .limit(50)
+    )

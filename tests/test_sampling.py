@@ -164,6 +164,41 @@ def test_leakage_safe_split_groups_never_straddle(spark):
     assert frac.get("val", 0) <= 0.05 and frac.get("test", 0) <= 0.05
 
 
+def test_kfold_groups_never_straddle_and_uniform(spark):
+    """k-fold sibling of the straddle property: every near-dup component
+    sits entirely in ONE fold, folds cover 0..K-1, and the fold equals
+    the draw of the group key mod K (so assignment is reproducible from
+    the key alone — no stored placement)."""
+    from cargo_chat_spark.queries import _draws as dr
+    from cargo_chat_spark.queries.dedup import _KFOLD_K
+
+    kf = SPARK_QUERIES["kfold_group_assign"](spark, SF_DIR_SMALL).toPandas()
+    assert len(kf) == kf["doc_id"].nunique()
+
+    per_group = kf.groupby("group_id")["fold"].nunique()
+    assert (per_group == 1).all()
+
+    clusters = kf[kf["group_id"] != kf["doc_id"]]
+    assert len(clusters) > 0, "fixture must contain near-dup clusters"
+
+    assert set(kf["fold"].unique()) <= set(range(_KFOLD_K))
+    assert kf["fold"].nunique() == _KFOLD_K, "a fold came out empty"
+    # uniformity is exact in distribution (DRAW_MOD % K == 0): no fold
+    # should be wildly off 1/K on ~500 groups
+    frac = kf["fold"].value_counts(normalize=True)
+    assert frac.max() < 2.5 / _KFOLD_K and frac.min() > 0.25 / _KFOLD_K
+
+    # reproducible-from-key: fold == md5-draw(group_id) % K
+    import hashlib
+
+    def draw(g: int) -> int:
+        return int(hashlib.md5(str(g).encode()).hexdigest()[:8], 16) % dr.DRAW_MOD
+
+    sample = kf.sample(n=min(100, len(kf)), random_state=0)
+    for _, row in sample.iterrows():
+        assert row["fold"] == draw(int(row["group_id"])) % _KFOLD_K
+
+
 def test_token_budget_mix_is_append_stable_and_cuts(spark):
     """The mixture must be reproducible across corpus versions: adding
     new (higher-id) docs can never evict an already-kept doc, because
