@@ -176,6 +176,7 @@ DETAIL_EXTRA = [
     "kfold_group_assign",       # new r11: group-aware k-fold assignment
     "pmi_bigrams_top",          # new r11: integer micro-nat PMI card
     "corpus_kl_drift_report",   # new r11: unigram KL drift across versions
+    "packing_efficiency_report",  # new r11: bin fill/overflow/underfill card
 ]
 
 

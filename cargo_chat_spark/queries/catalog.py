@@ -407,6 +407,10 @@ PROMOTION_PLAN: list[str] = [
     # "retrain the tokenizer?" signal. Phase-built on the shared
     # wordfreq snapshot lifecycle.
     "corpus_kl_drift_report",
+    # NEW in round 11: per-shard packing-efficiency card over the gated
+    # pack frame — overflow/underfill vs the token budget + micro-unit
+    # fill ratio; the budget-retuning signal for the packing pass.
+    "packing_efficiency_report",
 ]
 
 _ROUND12_REPROOF_HEAD = [

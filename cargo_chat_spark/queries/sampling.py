@@ -298,6 +298,83 @@ def pack_sequences(spark, sf_dir):
     return pack_by_budget(toks)
 
 
+# ------------------------------------------------ packing efficiency card
+# The evaluation card for the packing pass: how well do the bins use the
+# token budget? Per shard — packs, docs, token mass, overflow beyond the
+# budget (the crossing rule lets the straddling doc overshoot), underfill
+# of CLOSED packs (the open last bin of each shard is excluded: it is
+# still filling), and the integer micro-unit fill ratio. All integers
+# derived from the gated pack frame; one extra groupBy on shard plus a
+# broadcast join of the per-shard max bin. A fill ratio drifting down
+# across corpus versions means doc-length mix changed and the budget or
+# shard count needs retuning — the signal this card exists to track.
+_PACK_EFF_SQL = f"""
+WITH packs AS ({_PACK_SQL}),
+parts AS (
+    SELECT CAST(pack_id // 1099511627776 AS BIGINT) AS shard,
+           CAST(pack_id % 1099511627776 AS BIGINT) AS bin_idx,
+           n_docs, total_tokens
+    FROM packs
+),
+last_bin AS (
+    SELECT shard, MAX(bin_idx) AS max_bin FROM parts GROUP BY shard
+)
+SELECT p.shard,
+    CAST(COUNT(*) AS BIGINT) AS n_packs,
+    CAST(SUM(p.n_docs) AS BIGINT) AS n_docs,
+    CAST(SUM(p.total_tokens) AS BIGINT) AS total_tokens,
+    CAST(SUM(CASE WHEN p.total_tokens > {_PACK_BUDGET}
+             THEN p.total_tokens - {_PACK_BUDGET} ELSE 0 END) AS BIGINT)
+        AS overflow_tokens,
+    CAST(SUM(CASE WHEN p.bin_idx < l.max_bin
+                   AND p.total_tokens < {_PACK_BUDGET}
+             THEN {_PACK_BUDGET} - p.total_tokens ELSE 0 END) AS BIGINT)
+        AS underfill_closed_tokens,
+    CAST((1000000 * SUM(p.total_tokens))
+         // (COUNT(*) * {_PACK_BUDGET}) AS BIGINT) AS fill_micro
+FROM parts p JOIN last_bin l USING (shard)
+GROUP BY p.shard
+"""
+
+
+@register("packing_efficiency_report", sql=_PACK_EFF_SQL)
+def packing_efficiency_report(spark, sf_dir):
+    """Per-shard packing-efficiency card over the gated pack frame:
+    pack/doc/token counts, overflow vs the budget, closed-pack
+    underfill, and the micro-unit fill ratio."""
+    packs = pack_sequences(spark, sf_dir)
+    parts = packs.select(
+        F.expr(f"CAST(pack_id DIV {1 << 40} AS BIGINT)").alias("shard"),
+        F.expr(f"CAST(pack_id % {1 << 40} AS BIGINT)").alias("bin_idx"),
+        "n_docs",
+        "total_tokens",
+    )
+    last = parts.groupBy("shard").agg(F.max("bin_idx").alias("max_bin"))
+    b = F.lit(_PACK_BUDGET)
+    j = parts.join(F.broadcast(last), "shard")
+    return j.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_packs"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("total_tokens").cast("bigint").alias("total_tokens"),
+        F.sum(
+            F.when(
+                F.col("total_tokens") > b, F.col("total_tokens") - b
+            ).otherwise(0)
+        ).cast("bigint").alias("overflow_tokens"),
+        F.sum(
+            F.when(
+                (F.col("bin_idx") < F.col("max_bin"))
+                & (F.col("total_tokens") < b),
+                b - F.col("total_tokens"),
+            ).otherwise(0)
+        ).cast("bigint").alias("underfill_closed_tokens"),
+        F.expr(
+            f"CAST((1000000 * sum(total_tokens))"
+            f" DIV (count(*) * {_PACK_BUDGET}) AS BIGINT)"
+        ).alias("fill_micro"),
+    )
+
+
 # --------------------------------------------------- temperature-based mix
 # Multilingual/LLM-corpus mixing with sampling temperature: target weight
 # w_s ∝ n_s^ALPHA (ALPHA < 1 upweights small sources relative to their
