@@ -178,8 +178,17 @@ def synced_band_version(path: str) -> int:
     try:
         with open(_sync_path(path)) as fh:
             return int(json.load(fh)["synced_version"])
-    except (OSError, ValueError, KeyError):
-        return -1
+    except FileNotFoundError:
+        return -1  # store never built
+    except (OSError, ValueError, KeyError) as exc:
+        # distinguish "never built" (callers rebuild) from "built but
+        # the sidecar is unreadable" — the -1 path's error message would
+        # misdiagnose the latter (ADVICE r10 discipline)
+        raise RuntimeError(
+            f"band-store sync sidecar {_sync_path(path)} exists but is "
+            f"unreadable ({exc!r}) — re-run the full sync (overwrite) "
+            "or repair the sidecar"
+        )
 
 
 def _write_sync(path: str, version: int) -> None:

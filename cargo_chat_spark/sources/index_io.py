@@ -497,8 +497,16 @@ def ann_synced_version(index_dir: str) -> int:
     try:
         with open(index_dir.rstrip("/") + _ANN_SYNC) as fh:
             return int(json.load(fh)["synced_version"])
-    except (OSError, ValueError, KeyError):
-        return -1
+    except FileNotFoundError:
+        return -1  # index never built
+    except (OSError, ValueError, KeyError) as exc:
+        # distinguish "never built" (callers rebuild) from "built but
+        # the sidecar is unreadable" (ADVICE r10 discipline)
+        raise RuntimeError(
+            f"ANN sync sidecar {index_dir.rstrip('/') + _ANN_SYNC} "
+            f"exists but is unreadable ({exc!r}) — re-run the full sync "
+            "(overwrite) or repair the sidecar"
+        )
 
 
 def _write_ann_sync(index_dir: str, version: int) -> None:

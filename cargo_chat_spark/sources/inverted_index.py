@@ -114,8 +114,18 @@ def _read_stats_raw(path: str) -> dict:
     try:
         with open(_stats_path(path)) as fh:
             return json.load(fh)
-    except (OSError, ValueError):
-        return {}
+    except FileNotFoundError:
+        return {}  # genuinely no index yet
+    except (OSError, ValueError) as exc:
+        # the stats file is the streaming ingest's COMMIT POINT
+        # (stats_batch fence + cumulative n_docs/sum_dl): defaulting to
+        # {} on an exists-but-unreadable file silently resets the fence
+        # and double-folds doc stats on the next batch (ADVICE r10
+        # discipline: raise instead)
+        raise RuntimeError(
+            f"index stats {_stats_path(path)} exists but is unreadable "
+            f"({exc!r}) — repair or remove it explicitly"
+        )
 
 
 def read_index_stats(path: str) -> tuple[int, int]:

@@ -54,8 +54,17 @@ def read_ingest_fence(store_path: str) -> int:
     try:
         with open(_fence_path(store_path)) as fh:
             return int(json.load(fh)["max_ingested_batch"])
-    except (OSError, ValueError, KeyError):
-        return -1
+    except FileNotFoundError:
+        return -1  # genuinely fresh store
+    except (OSError, ValueError, KeyError) as exc:
+        # -1 here would re-ingest already-landed batches: the band store
+        # append is at-least-once, so a silent fence reset double-counts
+        # history bands and every later probe's pairs (ADVICE r10
+        # discipline: exists-but-unreadable raises)
+        raise RuntimeError(
+            f"ingest fence {_fence_path(store_path)} exists but is "
+            f"unreadable ({exc!r}) — repair or remove it explicitly"
+        )
 
 
 def _write_fence(store_path: str, batch_id: int) -> None:

@@ -45,8 +45,17 @@ def read_kmeans_state(path: str) -> dict | None:
     try:
         with open(_state_path(path)) as fh:
             return json.load(fh)
-    except (OSError, ValueError):
-        return None
+    except FileNotFoundError:
+        return None  # genuinely no model yet: first batch initializes
+    except (OSError, ValueError) as exc:
+        # the folded sums/counts are NOT recomputable from a drained
+        # source — an exists-but-unreadable state must raise, not
+        # silently re-initialize the model and overwrite the fence
+        # (the heavy-hitters/mix_ingest discipline, ADVICE r10)
+        raise RuntimeError(
+            f"kmeans state {_state_path(path)} exists but is unreadable "
+            f"({exc!r}) — replay the stream from a clean state path"
+        )
 
 
 def _publish(path: str, state: dict) -> None:

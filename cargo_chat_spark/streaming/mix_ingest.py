@@ -167,8 +167,8 @@ def read_mix_report(spark: SparkSession, out_dir: str) -> DataFrame:
                 e.name.startswith("batch=")
                 for e in os.scandir(out_dir)
             )
-        except OSError:
-            has_data = False
+        except FileNotFoundError:
+            has_data = False  # no store dir at all: genuinely empty
         if has_data:
             raise ValueError(
                 f"mix store at {out_dir} has batch data but no state "

@@ -49,8 +49,17 @@ def read_compaction_watermark(path: str) -> int:
     try:
         with open(_watermark_path(path)) as f:
             return int(json.load(f)["max_compacted_batch"])
-    except (OSError, ValueError, KeyError):
-        return -1
+    except FileNotFoundError:
+        return -1  # never compacted
+    except (OSError, ValueError, KeyError) as exc:
+        # compaction DESTROYS the per-row src_batch fence for absorbed
+        # batches — with the watermark silently reset a replay of a
+        # compacted batch double-folds into the compacted row (ADVICE
+        # r10 discipline: exists-but-unreadable raises)
+        raise RuntimeError(
+            f"compaction watermark {_watermark_path(path)} exists but is "
+            f"unreadable ({exc!r}) — repair or remove it explicitly"
+        )
 
 
 def _write_compaction_watermark(path: str, batch_id: int) -> None:
