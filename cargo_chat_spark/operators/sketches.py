@@ -130,13 +130,17 @@ def heavy_hitters_verified(
 # companion: partial sketches combine under any partitioning.
 
 CM_DEPTH = 3
+# md5-once discipline (the MinHash-family precedent): ONE digest per
+# item, the D hash rows read DISJOINT 8-hex-char windows of it — a
+# 32-char digest fits at most 4 independent 32-bit rows.
+assert CM_DEPTH <= 4, "CM rows must fit disjoint windows of one md5"
 
 
 def _cm_cell(item: Column, seed: int, width: int) -> Column:
     return (
         F.conv(
             F.substring(
-                F.md5(F.concat(F.lit(f"cm{seed}|"), item)), 1, 8
+                F.md5(F.concat(F.lit("cm|"), item)), 1 + 8 * seed, 8
             ),
             16,
             10,
@@ -147,25 +151,30 @@ def _cm_cell(item: Column, seed: int, width: int) -> Column:
 
 def cm_cell_sql(item_sql: str, seed: int, width: int) -> str:
     return (
-        f"((('0x' || substring(md5('cm{seed}|' || {item_sql}), 1, 8))"
+        f"((('0x' || substring(md5('cm|' || {item_sql}), {1 + 8 * seed}, 8))"
         f"::BIGINT) % {width})"
     )
 
 
 def count_min_sketch(df: DataFrame, col: str, width: int) -> DataFrame:
     """(seed, cell, c): the D×W grid as rows — one map-side-combinable
-    aggregate over the stream replicated across the CM_DEPTH hash rows;
-    at most CM_DEPTH·width output rows regardless of stream size."""
-    seeds = F.explode(
-        F.array(*[F.lit(d) for d in range(CM_DEPTH)])
-    ).alias("seed")
-    keyed = df.select(F.col(col).alias("item")).select("item", seeds)
-    # per-seed cell via one chained conditional (CM_DEPTH is tiny)
-    expr = F.lit(None).cast("bigint")
-    for d in range(CM_DEPTH):
-        expr = F.when(F.col("seed") == d, _cm_cell(F.col("item"), d, width)).otherwise(expr)
+    aggregate; at most CM_DEPTH·width output rows regardless of stream
+    size. The digest is computed ONCE per input row (the hot-path cost
+    at 100 TB is the hash, not the explode): each row materializes its
+    md5, posexplode fans it into the D (seed, cell) rows by substring
+    windows, and the aggregate combines map-side."""
+    h = F.md5(F.concat(F.lit("cm|"), F.col(col)))
+    cells = F.array(
+        *[
+            F.conv(F.substring(F.col("h"), 1 + 8 * d, 8), 16, 10)
+            .cast("bigint")
+            % width
+            for d in range(CM_DEPTH)
+        ]
+    )
     return (
-        keyed.select("seed", expr.alias("cell"))
+        df.select(h.alias("h"))
+        .select(F.posexplode(cells).alias("seed", "cell"))
         .groupBy("seed", "cell")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )

@@ -75,17 +75,21 @@ def test_mg_summary_size_bounded(spark):
 
 # ------------------------------------------------------ Count-Min dual
 def _cm_reference(stream, width):
-    """Pure-Python CM grid + estimates (same md5 derivation)."""
-    from cargo_chat_spark.functions.hashing import h32_py
+    """Pure-Python CM grid + estimates (same md5-once derivation: one
+    digest per item, row d reads hex window [8d, 8d+8))."""
+    import hashlib
+
     from cargo_chat_spark.operators.sketches import CM_DEPTH
+
+    def cell(w, d):
+        hexd = hashlib.md5(f"cm|{w}".encode()).hexdigest()
+        return int(hexd[8 * d: 8 * d + 8], 16) % width
 
     grid = [[0] * width for _ in range(CM_DEPTH)]
     for w in stream:
         for d in range(CM_DEPTH):
-            grid[d][h32_py(f"cm{d}|{w}") % width] += 1
-    return lambda w: min(
-        grid[d][h32_py(f"cm{d}|{w}") % width] for d in range(CM_DEPTH)
-    )
+            grid[d][cell(w, d)] += 1
+    return lambda w: min(grid[d][cell(w, d)] for d in range(CM_DEPTH))
 
 
 @pytest.mark.parametrize("seed,n,vocab,width,parts", [
