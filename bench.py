@@ -713,6 +713,11 @@ _R11_BARS = {
     "kfold_group_assign": 3.75,
     "pmi_bigrams_top": 2.36,
     "corpus_kl_drift_report": 1.2,
+    "packing_efficiency_report": 1.9,
+    # Re-barred after the md5-once Count-Min change (one digest per item
+    # instead of one per row×depth): 3-session envelope 4.3/5.2/4.6
+    # scaled vs the old 10.1 — the 2x the hash dominated.
+    "cm_join_size_report": 5.25,
 }
 
 BASELINE_S = {
