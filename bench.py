@@ -177,6 +177,9 @@ DETAIL_EXTRA = [
     "pmi_bigrams_top",          # new r11: integer micro-nat PMI card
     "corpus_kl_drift_report",   # new r11: unigram KL drift across versions
     "packing_efficiency_report",  # new r11: bin fill/overflow/underfill card
+    "neardup_cluster_histogram",  # new r11: cluster-size health card
+    "doc_length_percentiles",   # new r11: exact per-source length pctls
+    "lsh_band_sweep_report",    # new r11: (b x r) precision sweep card
 ]
 
 
@@ -707,10 +710,9 @@ _R10_LATE_BARS = {
 # global range-partition sort is the thing that stops scaling.
 _R11_BARS = {
     "order_price_deciles_scale": 2.45,
-    # 3-session envelope, calibs 0.376/0.348/0.347; kfold and the KL
-    # drift card are phase-split (component / snapshot-lifecycle builds
-    # ~13 s / ~2.4 s reported in "phases"), bars are the probe axis.
-    "kfold_group_assign": 3.75,
+    # 3-session envelope, calibs 0.376/0.348/0.347; the KL drift card is
+    # phase-split (snapshot-lifecycle build ~2.4 s in "phases"), bars
+    # are the probe axis.
     "pmi_bigrams_top": 2.36,
     "corpus_kl_drift_report": 1.2,
     "packing_efficiency_report": 1.9,
@@ -718,6 +720,20 @@ _R11_BARS = {
     # instead of one per row×depth): 3-session envelope 4.3/5.2/4.6
     # scaled vs the old 10.1 — the 2x the hash dominated.
     "cm_join_size_report": 5.25,
+    # New r11 cards measured under the 3-session protocol.
+    "neardup_cluster_histogram": 2.45,
+    "doc_length_percentiles": 0.8,
+    "lsh_band_sweep_report": 5.5,
+    # Re-barred after the component-frame eager localCheckpoint
+    # (queries/dedup.py::neardup_components): consumers were paying
+    # ~2.3 s/action re-ANALYZING the iterative loop's stacked adaptive
+    # plan even with rows cached; the truncation makes the memoized
+    # frame a bare LogicalRDD. Probe envelopes drop 0.45/2.65 vs the
+    # old 3.96/7.03 (3 sessions, calibs 0.346/0.386/0.327; builds
+    # ~7.5-11.5 s in "phases").
+    "leakage_safe_split": 0.45,
+    "kfold_group_assign": 0.35,
+    "dedup_mor_apply": 2.65,
 }
 
 BASELINE_S = {

@@ -411,6 +411,21 @@ PROMOTION_PLAN: list[str] = [
     # pack frame — overflow/underfill vs the token budget + micro-unit
     # fill ratio; the budget-retuning signal for the packing pass.
     "packing_efficiency_report",
+    # NEW in round 11: near-dup cluster-size histogram — the band-
+    # setting health card (a spike of huge components = boilerplate
+    # bridged unrelated docs); rides the phase-built component frame,
+    # singleton row derived from the corpus total.
+    "neardup_cluster_histogram",
+    # NEW in round 11: exact per-source token-length percentiles
+    # (p50/p90/p99/max under a total order, keyed windows) — the
+    # packing-budget tuning card.
+    "doc_length_percentiles",
+    # NEW in round 11: the (bands × rows) sweep card — the same 16-perm
+    # signature re-banded at (4,4)/(8,2)/(2,8) with hot-bucket caps,
+    # candidates scored against exact Jaccard, s-curve midpoints as
+    # shared literals; how a pipeline picks band settings before a
+    # 100 TB dedup run.
+    "lsh_band_sweep_report",
 ]
 
 _ROUND12_REPROOF_HEAD = [

@@ -313,7 +313,15 @@ def neardup_components(spark, sf_dir, max_iter: int = 20):
         edges = pairs.selectExpr("doc_a AS s", "doc_b AS d").unionByName(
             pairs.selectExpr("doc_b AS s", "doc_a AS d")
         )
-        return connected_components(edges, max_iter=max_iter)
+        comp = connected_components(edges, max_iter=max_iter)
+        # eager lineage truncation: the iterative loop's final frame can
+        # sit up to checkpoint_every-1 join rounds above its last
+        # checkpoint, and EVERY consumer action re-ANALYZES that stacked
+        # adaptive plan (~2.3 s/action measured at sf0.1 even with the
+        # rows cached). Checkpointing here makes the memoized frame a
+        # bare LogicalRDD — consumers pay milliseconds of planning, the
+        # one materialization job lands in the build phase.
+        return comp.localCheckpoint(eager=True)
 
     if max_iter != 20:
         return build()
@@ -747,6 +755,65 @@ def kfold_group_assign(spark, sf_dir):
     )
 
 
+# ------------------------------------------- cluster-size distribution
+# The dedup QUALITY card: how big are the near-dup clusters? A healthy
+# web corpus shows a long tail of 2-3-member clusters; a spike of huge
+# components means boilerplate bridged unrelated docs (band settings
+# too loose) and the keep rule is about to delete real content. One
+# count per component + one count per size — both map-side combinable
+# over the phase-built component frame; singleton count derived from
+# the corpus total so the card sums to n_docs.
+_CLUSTER_HISTO_SQL = f"""
+WITH RECURSIVE {_BANDS_CTE},
+{_COMP_CTES},
+sizes AS (
+    SELECT component_id, CAST(count(*) AS BIGINT) AS sz
+    FROM comp GROUP BY component_id
+),
+histo AS (
+    SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+    FROM sizes GROUP BY sz
+)
+SELECT cluster_size, n_clusters,
+       CAST(cluster_size * n_clusters AS BIGINT) AS n_docs
+FROM histo
+UNION ALL
+SELECT CAST(1 AS BIGINT) AS cluster_size,
+       CAST((SELECT count(*) FROM documents)
+            - (SELECT count(*) FROM comp) AS BIGINT) AS n_clusters,
+       CAST((SELECT count(*) FROM documents)
+            - (SELECT count(*) FROM comp) AS BIGINT) AS n_docs
+"""
+
+
+@register("neardup_cluster_histogram", sql=_CLUSTER_HISTO_SQL)
+def neardup_cluster_histogram(spark, sf_dir):
+    """Cluster-size histogram of the near-dup components (singletons
+    derived from the corpus total, so Σ n_docs = corpus size): the
+    band-setting health card."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    comp = neardup_components(spark, sf_dir)
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    histo = sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters")
+    )
+    n_total = docs.count()
+    n_in_comp = comp.count()  # bounded driver scalars, not collects
+    singles = spark.createDataFrame(
+        [(1, n_total - n_in_comp, n_total - n_in_comp)],
+        "cluster_size bigint, n_clusters bigint, n_docs bigint",
+    )
+    return histo.select(
+        "cluster_size",
+        "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters"))
+        .cast("bigint")
+        .alias("n_docs"),
+    ).unionByName(singles)
+
+
 # ------------------------------------------- dedup drops as a delete wave
 # How a curation pipeline actually LANDS the keep/drop decision at 100 TB:
 # not by rewriting the corpus, but by issuing the dropped doc_ids as a
@@ -936,6 +1003,7 @@ def _components_builder(spark, sf_dir):
 _rpb("leakage_safe_split", _components_builder)
 _rpb("dedup_mor_apply", _components_builder)
 _rpb("kfold_group_assign", _components_builder)
+_rpb("neardup_cluster_histogram", _components_builder)
 
 
 def _bands_builder(spark, sf_dir):

@@ -643,3 +643,172 @@ def knn_label_purity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purity_micro"
         ),
     )
+
+
+# ---------------------------------------------- LSH band-setting sweep
+# The tuning card behind the (bands × rows) choice: the SAME 16-perm
+# minhash signature re-banded at three settings — production (4,4),
+# looser (8,2), stricter (2,8) — each with the hot-bucket cap, each
+# scored against EXACT Jaccard (true pair := J ≥ 0.5, the integer test
+# 2·|∩| ≥ |∪| — no division). The s-curve midpoint (1/b)^(1/r) is
+# precomputed in Python and rendered as the same literal into both
+# engines (micro-units), so the card shows threshold vs realized
+# precision side by side. This is how a pipeline PICKS band settings
+# before a 100 TB dedup run: candidates scale with looseness, the cap
+# bounds any degenerate bucket, and the exact-Jaccard scoring touches
+# only candidate pairs, never all-pairs.
+_SWEEP_SETTINGS = [(4, 4), (8, 2), (2, 8)]  # b*r <= 16 perms
+
+
+def _sweep_threshold_micro(b: int, r: int) -> int:
+    return round((1.0 / b) ** (1.0 / r) * 1_000_000)
+
+
+def _band_sweep_sql() -> str:
+    from cargo_chat_spark.operators import dedup as D
+    from cargo_chat_spark.queries.dedup import _SIGS_CTE
+
+    per = []
+    for b, r in _SWEEP_SETTINGS:
+        tag = f"b{b}r{r}"
+        per.append(f"""
+bands_{tag} AS (
+    SELECT doc_id, band, key FROM (
+        SELECT doc_id, s.band,
+               array_to_string(list_transform(
+                   list_slice(mh, s.band * {r} + 1, (s.band + 1) * {r}),
+                   x -> CAST(x AS VARCHAR)), '_') AS key
+        FROM sigs, (
+            SELECT unnest(generate_series(0, {b - 1})) AS band
+        ) s
+    )
+    QUALIFY row_number() OVER (
+        PARTITION BY band, key ORDER BY doc_id
+    ) <= {D.BUCKET_CAP}
+),
+scored_{tag} AS (
+    SELECT len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS inter,
+           len(sa.s) + len(sb.s)
+               - len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS uni
+    FROM (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands_{tag} a JOIN bands_{tag} b
+          ON a.band = b.band AND a.key = b.key
+        WHERE a.doc_id < b.doc_id
+    ) p
+    JOIN hs sa ON sa.doc_id = p.doc_a
+    JOIN hs sb ON sb.doc_id = p.doc_b
+)""")
+    selects = []
+    for b, r in _SWEEP_SETTINGS:
+        tag = f"b{b}r{r}"
+        selects.append(f"""
+SELECT '{tag}' AS setting,
+    CAST({b} AS INT) AS bands, CAST({r} AS INT) AS rows_per_band,
+    CAST({_sweep_threshold_micro(b, r)} AS BIGINT) AS threshold_micro,
+    CAST(COUNT(*) AS BIGINT) AS n_candidates,
+    CAST(COALESCE(SUM(CASE WHEN 2 * inter >= uni THEN 1 END), 0)
+         AS BIGINT) AS n_true,
+    CAST(CASE WHEN COUNT(*) = 0 THEN 0
+         ELSE (1000000 * COALESCE(SUM(
+                  CASE WHEN 2 * inter >= uni THEN 1 END), 0)) // COUNT(*)
+         END AS BIGINT) AS precision_micro
+FROM scored_{tag}""")
+    return (
+        f"WITH {_SIGS_CTE},\n"
+        "hs AS (SELECT doc_id, list_sort(list_distinct(h)) AS s"
+        " FROM hashes),"
+        + ",".join(per)
+        + "\nUNION ALL".join(selects)
+    )
+
+
+@register("lsh_band_sweep_report", sql=_band_sweep_sql())
+def lsh_band_sweep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per (bands, rows) setting: candidate count, true-pair
+    count (exact Jaccard ≥ 0.5 over the candidates only), realized
+    precision, and the setting's theoretical s-curve midpoint."""
+    from cargo_chat_spark.operators import dedup as D
+    from cargo_chat_spark.queries.dedup import (
+        _hashes_df,
+        _memo_persist,
+        _sigs_df,
+    )
+
+    sigs = _memo_persist(
+        spark, ("sweep_sigs", sf_dir), lambda: _sigs_df(spark, sf_dir)
+    )
+    hs = _memo_persist(
+        spark,
+        ("sorted_hashes", sf_dir),
+        lambda: _hashes_df(spark, sf_dir).select(
+            "doc_id", F.array_sort(F.array_distinct(F.col("h"))).alias("s")
+        ),
+    )
+    parts = []
+    for b, r in _SWEEP_SETTINGS:
+        entries = []
+        for band in range(b):
+            sl = F.slice(F.col("mh"), band * r + 1, r)
+            key = F.array_join(
+                F.transform(sl, lambda x: x.cast("string")), "_"
+            )
+            entries.append(
+                F.struct(F.lit(band).alias("band"), key.alias("key"))
+            )
+        bands = sigs.select(
+            "doc_id", F.explode(F.array(*entries)).alias("bk")
+        ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        bands = D.cap_hot_buckets(bands)
+        a = bands.select(
+            F.col("doc_id").alias("doc_a"), "band", "key"
+        )
+        bb = bands.select(
+            F.col("doc_id").alias("doc_b"), "band", "key"
+        )
+        pairs = (
+            a.join(bb, ["band", "key"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+        uni = F.size("sa") + F.size("sb") - inter
+        scored = (
+            pairs.join(
+                hs.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa")),
+                "doc_a",
+            )
+            .join(
+                hs.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb")),
+                "doc_b",
+            )
+            .select(inter.alias("inter"), uni.alias("uni"))
+        )
+        agg = scored.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.coalesce(
+                F.sum(F.when(2 * F.col("inter") >= F.col("uni"), 1)),
+                F.lit(0),
+            ).cast("bigint").alias("n_true"),
+        ).select(
+            F.lit(f"b{b}r{r}").alias("setting"),
+            F.lit(b).cast("int").alias("bands"),
+            F.lit(r).cast("int").alias("rows_per_band"),
+            F.lit(_sweep_threshold_micro(b, r)).cast("bigint").alias(
+                "threshold_micro"
+            ),
+            "n_candidates",
+            "n_true",
+            F.when(F.col("n_candidates") == 0, F.lit(0))
+            .otherwise(
+                F.expr("(1000000 * n_true) DIV n_candidates")
+            )
+            .cast("bigint")
+            .alias("precision_micro"),
+        )
+        parts.append(agg)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1040,3 +1040,80 @@ def pmi_bigrams_top(spark, sf_dir):
         .orderBy(F.desc("pmi_micro"), F.asc("bigram"))
         .limit(50)
     )
+
+
+# ------------------------------------ per-source length percentiles
+# The packing/budget tuning card: exact token-length percentiles per
+# source (p50/p90/p99 + max). Exact ranks, not a sketch — percentile =
+# the length at 1-based position ceil(q·n) under the (len, doc_id)
+# total order within each source. The window is PARTITIONED by source
+# (keyed state, no global sort); at 100 TB per-source percentiles is
+# exactly the shape Spark's rangepartition-per-key window handles, and
+# the approx exit (GK per source) is already gated in
+# event_value_percentiles_approx.
+_LEN_PCTL_SQL = """
+WITH lens AS (
+    SELECT source, doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+           END AS n_tokens
+    FROM documents
+),
+ranked AS (
+    SELECT source, n_tokens,
+           row_number() OVER (
+               PARTITION BY source ORDER BY n_tokens, doc_id
+           ) AS rn,
+           count(*) OVER (PARTITION BY source) AS n
+    FROM lens
+)
+SELECT source,
+    CAST(ANY_VALUE(n) AS BIGINT) AS n_docs,
+    CAST(MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT)
+             THEN n_tokens END) AS BIGINT) AS p50,
+    CAST(MAX(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT)
+             THEN n_tokens END) AS BIGINT) AS p90,
+    CAST(MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+             THEN n_tokens END) AS BIGINT) AS p99,
+    CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+FROM ranked
+GROUP BY source
+"""
+
+
+@register("doc_length_percentiles", sql=_LEN_PCTL_SQL)
+def doc_length_percentiles(spark, sf_dir):
+    """Exact per-source token-length percentiles (p50/p90/p99/max) under
+    the (length, doc_id) total order — the packing-budget tuning card."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.when(F.trim("text") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+"))
+    )
+    lens = docs.select(
+        "source", "doc_id", n_tokens.alias("n_tokens")
+    )
+    w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    wc = Window.partitionBy("source")
+    ranked = lens.select(
+        "source",
+        "n_tokens",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+
+    def at(q: float):
+        return F.max(
+            F.when(
+                F.col("rn")
+                == F.ceil(F.lit(q) * F.col("n")).cast("bigint"),
+                F.col("n_tokens"),
+            )
+        ).cast("bigint")
+
+    return ranked.groupBy("source").agg(
+        F.first("n").cast("bigint").alias("n_docs"),
+        at(0.50).alias("p50"),
+        at(0.90).alias("p90"),
+        at(0.99).alias("p99"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
+    )
