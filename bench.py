@@ -180,6 +180,8 @@ DETAIL_EXTRA = [
     "neardup_cluster_histogram",  # new r11: cluster-size health card
     "doc_length_percentiles",   # new r11: exact per-source length pctls
     "lsh_band_sweep_report",    # new r11: (b x r) precision sweep card
+    "containment_pairs",        # new r11: excerpt detector (containment)
+    "corpus_datasheet",         # new r11: one-row dataset datasheet
 ]
 
 
@@ -723,7 +725,10 @@ _R11_BARS = {
     # New r11 cards measured under the 3-session protocol.
     "neardup_cluster_histogram": 2.45,
     "doc_length_percentiles": 0.8,
-    "lsh_band_sweep_report": 5.5,
+    # probe axis (bands/sigs/sorted-hashes builds in "phases"):
+    "lsh_band_sweep_report": 3.0,
+    "containment_pairs": 1.55,
+    "corpus_datasheet": 1.45,
     # Re-barred after the component-frame eager localCheckpoint
     # (queries/dedup.py::neardup_components): consumers were paying
     # ~2.3 s/action re-ANALYZING the iterative loop's stacked adaptive

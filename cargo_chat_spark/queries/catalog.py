@@ -426,6 +426,14 @@ PROMOTION_PLAN: list[str] = [
     # shared literals; how a pipeline picks band settings before a
     # 100 TB dedup run.
     "lsh_band_sweep_report",
+    # NEW in round 11: Broder containment over the LSH candidates — the
+    # excerpt/quote detector symmetric Jaccard misses (c(A→B) ≥ 0.8 in
+    # integer micro-units, Jaccard alongside).
+    "containment_pairs",
+    # NEW in round 11: the one-row dataset datasheet (size, breadth,
+    # exact-dup rate, empty docs, mean tokens/doc) — a pure composition
+    # of gated member semantics.
+    "corpus_datasheet",
 ]
 
 _ROUND12_REPROOF_HEAD = [

@@ -755,6 +755,94 @@ def kfold_group_assign(spark, sf_dir):
     )
 
 
+# ---------------------------------------------- containment (excerpt) pairs
+# Broder's second resemblance measure: CONTAINMENT c(A→B) = |A∩B|/|A|.
+# Symmetric Jaccard misses the excerpt class — a short doc quoted whole
+# inside a long one has J ≈ |A|/|B| (small) but c(A→B) ≈ 1 — exactly the
+# quote/boilerplate-inclusion case a decontamination pass must catch.
+# This gate reports LSH-candidate pairs where either direction's
+# containment ≥ 0.8 in integer micro-units (plus the Jaccard, so the
+# "excerpt but not near-dup" class is visible: high containment, low
+# Jaccard). Cost: the gated candidate join + two set lookups per pair —
+# never all-pairs; the candidate generation inherits LSH recall (an
+# excerpt must still share a band, which 3-token shingles of a verbatim
+# quote do).
+_CONTAINMENT_SQL = f"""
+WITH {_BANDS_CTE},
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+    WHERE a.doc_id < b.doc_id
+),
+hs AS (SELECT doc_id, list_sort(list_distinct(h)) AS s FROM hashes),
+scored AS (
+    SELECT p.doc_a, p.doc_b,
+        len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS inter,
+        len(sa.s) AS na, len(sb.s) AS nb
+    FROM cand p
+    JOIN hs sa ON sa.doc_id = p.doc_a
+    JOIN hs sb ON sb.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b,
+    CAST((1000000 * inter) // na AS BIGINT) AS contain_a_micro,
+    CAST((1000000 * inter) // nb AS BIGINT) AS contain_b_micro,
+    CAST((1000000 * inter) // (na + nb - inter) AS BIGINT)
+        AS jaccard_micro
+FROM scored
+WHERE (1000000 * inter) // na >= 800000
+   OR (1000000 * inter) // nb >= 800000
+"""
+
+
+@register("containment_pairs", sql=_CONTAINMENT_SQL)
+def containment_pairs(spark, sf_dir):
+    """LSH-candidate pairs with shingle containment ≥ 0.8 in either
+    direction (integer micro-units), alongside their Jaccard — the
+    excerpt/quote detector symmetric near-dup misses."""
+    from cargo_chat_spark.caching import memo_persist as _mp
+
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    hs = _mp(
+        spark,
+        ("sorted_hashes", sf_dir),
+        lambda: _hashes_df(spark, sf_dir).select(
+            "doc_id",
+            F.array_sort(F.array_distinct(F.col("h"))).alias("s"),
+        ),
+    )
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    scored = (
+        pairs.join(
+            hs.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            hs.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("inter"),
+            F.size("sa").alias("na"),
+            F.size("sb").alias("nb"),
+        )
+    )
+    ca = F.expr("(1000000 * inter) DIV na")
+    cb = F.expr("(1000000 * inter) DIV nb")
+    jac = F.expr("(1000000 * inter) DIV (na + nb - inter)")
+    return scored.select(
+        "doc_a",
+        "doc_b",
+        ca.cast("bigint").alias("contain_a_micro"),
+        cb.cast("bigint").alias("contain_b_micro"),
+        jac.cast("bigint").alias("jaccard_micro"),
+    ).where(
+        (F.col("contain_a_micro") >= 800000)
+        | (F.col("contain_b_micro") >= 800000)
+    )
+
+
 # ------------------------------------------- cluster-size distribution
 # The dedup QUALITY card: how big are the near-dup clusters? A healthy
 # web corpus shows a long tail of 2-3-member clusters; a spike of huge
@@ -1014,3 +1102,23 @@ def _bands_builder(spark, sf_dir):
 
 
 _rpb("fuzzy_decontamination", _bands_builder)
+
+
+def _sorted_hashes_builder(spark, sf_dir):
+    """Materialize bands + the sorted-hashes memo — the shared
+    once-per-corpus artifacts behind the candidate-scoring cards
+    (containment, band sweep, precision)."""
+    from cargo_chat_spark.caching import memo_persist as _mp
+
+    _bands_df(spark, sf_dir).count()
+    _mp(
+        spark,
+        ("sorted_hashes", sf_dir),
+        lambda: _hashes_df(spark, sf_dir).select(
+            "doc_id",
+            F.array_sort(F.array_distinct(F.col("h"))).alias("s"),
+        ),
+    ).count()
+
+
+_rpb("containment_pairs", _sorted_hashes_builder)

@@ -1117,3 +1117,99 @@ def doc_length_percentiles(spark, sf_dir):
         at(0.99).alias("p99"),
         F.max("n_tokens").cast("bigint").alias("max_tokens"),
     )
+
+
+# ---------------------------------------------------- corpus datasheet
+# The "Datasheets for Datasets" one-row summary a release ships with:
+# corpus size (docs/tokens/chars), source/language breadth, exact-dup
+# rate (the dedup_exact 40-char canonical key), empty-doc count, and
+# mean tokens-per-doc in micro-units. One scan + two tiny aggregates —
+# every number integer-exact, so the whole card value-hashes. This is
+# deliberately a COMPOSITION of already-gated semantics (token spec =
+# token_count's, dup key = dedup_exact's): the datasheet can only
+# drift if a member gate drifts.
+_DATASHEET_SQL = """
+WITH base AS (
+    SELECT doc_id, source, lang, text,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+           END AS n_tokens,
+           length(text) AS n_chars,
+           md5(substring(text, 1, 40)) AS dk
+    FROM documents
+),
+dups AS (
+    SELECT CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT) AS n_dup_docs,
+           CAST(COALESCE(SUM(CASE WHEN cnt > 1 THEN 1 END), 0) AS BIGINT)
+               AS n_dup_groups
+    FROM (SELECT dk, count(*) AS cnt FROM base GROUP BY dk)
+)
+SELECT
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+    CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+    CAST(SUM(CASE WHEN n_tokens = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_empty_docs,
+    (SELECT n_dup_docs FROM dups) AS n_exact_dup_docs,
+    (SELECT n_dup_groups FROM dups) AS n_exact_dup_groups,
+    CAST((1000000 * SUM(n_tokens)) // COUNT(*) AS BIGINT)
+        AS tokens_per_doc_micro
+FROM base
+"""
+
+
+@register("corpus_datasheet", sql=_DATASHEET_SQL)
+def corpus_datasheet(spark, sf_dir):
+    """One-row dataset datasheet: size, breadth, exact-dup rate, empty
+    docs, mean tokens/doc — all integer-exact compositions of gated
+    member semantics."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.when(F.trim("text") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+"))
+    )
+    base = docs.select(
+        "source",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.md5(F.substring("text", 1, 40)).alias("dk"),
+    )
+    dups = (
+        base.groupBy("dk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0))
+            .cast("bigint")
+            .alias("n_exact_dup_docs"),
+            F.coalesce(
+                F.sum(F.when(F.col("cnt") > 1, 1)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_exact_dup_groups"),
+        )
+    )
+    summary = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.sum(F.when(F.col("n_tokens") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_empty_docs"),
+    )
+    return summary.crossJoin(F.broadcast(dups)).select(
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "n_sources",
+        "n_langs",
+        "n_empty_docs",
+        "n_exact_dup_docs",
+        "n_exact_dup_groups",
+        F.expr("CAST((1000000 * n_tokens) DIV n_docs AS BIGINT)").alias(
+            "tokens_per_doc_micro"
+        ),
+    )
