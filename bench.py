@@ -182,6 +182,7 @@ DETAIL_EXTRA = [
     "lsh_band_sweep_report",    # new r11: (b x r) precision sweep card
     "containment_pairs",        # new r11: excerpt detector (containment)
     "corpus_datasheet",         # new r11: one-row dataset datasheet
+    "curriculum_phase_assign",  # new r11: easy->hard curriculum phases
 ]
 
 
@@ -729,6 +730,7 @@ _R11_BARS = {
     "lsh_band_sweep_report": 3.0,
     "containment_pairs": 1.55,
     "corpus_datasheet": 1.45,
+    "curriculum_phase_assign": 2.7,
     # Re-barred after the component-frame eager localCheckpoint
     # (queries/dedup.py::neardup_components): consumers were paying
     # ~2.3 s/action re-ANALYZING the iterative loop's stacked adaptive

@@ -434,6 +434,10 @@ PROMOTION_PLAN: list[str] = [
     # exact-dup rate, empty docs, mean tokens/doc) — a pure composition
     # of gated member semantics.
     "corpus_datasheet",
+    # NEW in round 11: curriculum phase assignment — quality-dropped
+    # docs phase 0, kept docs in 4 length quartiles via the same
+    # no-global-sort sampled-cutpoint machinery as the deciles twin.
+    "curriculum_phase_assign",
 ]
 
 _ROUND12_REPROOF_HEAD = [

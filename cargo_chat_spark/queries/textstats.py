@@ -1213,3 +1213,89 @@ def corpus_datasheet(spark, sf_dir):
             "tokens_per_doc_micro"
         ),
     )
+
+
+# ----------------------------------------------- curriculum phases
+# Curriculum data ordering (easy→hard) as a deterministic assignment:
+# docs failing the quality gate get phase 0 (dropped from the
+# curriculum); kept docs split into 4 difficulty phases by token count
+# — the canonical curriculum proxy — using the SAME no-global-sort
+# sampled-cutpoint machinery as order_price_deciles_scale (key-modulus
+# sample of the kept docs, 3 integer-position cuts under the
+# (n_tokens, doc_id) total order, broadcast, map-side assign). A
+# training loader then streams phase 1 → 4. Composes two gated
+# semantics: the quality gate's score and the cutpoint discipline.
+_CURRICULUM_SQL = f"""
+WITH q AS ({_QUALITY_SQL}),
+s AS (
+    SELECT n_tokens AS v, doc_id AS k FROM q
+    WHERE quality_score >= 0.5 AND doc_id % 101 = 0
+),
+arr AS (
+    SELECT list(v ORDER BY v, k) AS vs, list(k ORDER BY v, k) AS ks,
+           count(*) AS m
+    FROM s
+)
+SELECT q.doc_id, q.n_tokens,
+    CAST(CASE WHEN q.quality_score < 0.5 THEN 0 ELSE 1 + {" + ".join(
+        f"(CASE WHEN q.n_tokens > vs[greatest(1, ({i} * m) // 4)]"
+        f" OR (q.n_tokens = vs[greatest(1, ({i} * m) // 4)]"
+        f"     AND q.doc_id > ks[greatest(1, ({i} * m) // 4)])"
+        " THEN 1 ELSE 0 END)"
+        for i in range(1, 4)
+    )} END AS INT) AS phase
+FROM q CROSS JOIN arr
+"""
+
+
+@register("curriculum_phase_assign", sql=_CURRICULUM_SQL)
+def curriculum_phase_assign(spark, sf_dir):
+    """Phase 0 = quality-dropped; phases 1-4 = token-count quartiles of
+    the kept docs via deterministic sampled cut points (no global
+    sort). The easy→hard loader order for curriculum training."""
+    q = quality_score(spark, sf_dir).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    kept = q.where(F.col("quality_score") >= 0.5)
+    s = kept.where((F.col("doc_id") % 101) == 0)
+    arr = s.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("n_tokens").alias("v"),
+                    F.col("doc_id").alias("k"),
+                )
+            )
+        ).alias("a"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    cuts = arr.select(
+        *[
+            F.element_at(
+                "a",
+                F.greatest(
+                    F.lit(1), F.expr(f"CAST(({i} * m) DIV 4 AS INT)")
+                ),
+            ).alias(f"c{i}")
+            for i in range(1, 4)
+        ]
+    )
+
+    def _above(i: int):
+        v, k = F.col(f"c{i}.v"), F.col(f"c{i}.k")
+        hit = (F.col("n_tokens") > v) | (
+            (F.col("n_tokens") == v) & (F.col("doc_id") > k)
+        )
+        return F.when(hit, 1).otherwise(0)
+
+    phase = F.lit(1)
+    for i in range(1, 4):
+        phase = phase + _above(i)
+    return q.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "n_tokens",
+        F.when(F.col("quality_score") < 0.5, F.lit(0))
+        .otherwise(phase)
+        .cast("int")
+        .alias("phase"),
+    )
