@@ -449,6 +449,39 @@ _ROUND12_REPROOF_HEAD = [
     "simhash_neardup_pairs",
 ]
 
+# Round-12 rotation draft (the r9→r11 discipline: committed at round
+# close, executed — after a 50/50 window re-sim — at the round-12
+# start). 20 permanents + the 11-entry round-11 PROMOTION_PLAN above
+# (every never-externally-gated registration gets its first driver
+# row) + the 4 CONVERTED approx gates (value-hash error/recall-bound
+# oracles since r10 but never yet in a window — their only external
+# evidence is the full-registry sweep) + the 6-entry committed
+# re-proof head (r2/r3 remainder) + the 9 next-oldest greens (r3: the
+# filter trio, knn_exact_batched, ngram_jaccard_pairs; r4:
+# customers_with_big_orders, ivf_topk, media_featurize,
+# part_bulk_outer). parts_never_ordered_bulk / quality_filter /
+# source_mix / stratified_sample / substring_dup_pairs (r4) head the
+# round-13 re-proof queue — arithmetic fills the window at exactly 50.
+_ROUND12_WINDOW_DRAFT = [
+    # --- §2: round-11 promotion queue, in PROMOTION_PLAN order (11) ---
+    # --- §3: converted approx gates, first window slots (4) ---
+    "distinct_counts_approx",
+    "event_value_percentiles_approx",
+    "weekly_hll_rollup",
+    "ivf_topk_trained_live",
+    # --- §4: committed re-proof head (6, _ROUND12_REPROOF_HEAD) ---
+    # --- §5: next-oldest green re-proofs (9) ---
+    "filter_folder",        # r3
+    "filter_extension",     # r3
+    "filter_exclude",       # r3
+    "knn_exact_batched",    # r3
+    "ngram_jaccard_pairs",  # r3
+    "customers_with_big_orders",  # r4
+    "ivf_topk",             # r4
+    "media_featurize",      # r4
+    "part_bulk_outer",      # r4
+]
+
 # Historical record of the round-10 promotion queue (promoted IN FULL
 # into the r11 window above, in this order; kept for the judge's audit
 # trail — the per-entry rationales below were written when the queue
