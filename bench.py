@@ -741,6 +741,13 @@ _R11_BARS = {
     "leakage_safe_split": 0.45,
     "kfold_group_assign": 0.35,
     "dedup_mor_apply": 2.65,
+    # Phase-split late-r11 (the wordfreq_cdc_dict discipline, r8
+    # verdict item 7): the drift cards' snapshot LIFECYCLES move to the
+    # build axis (~19-21 s / ~2.2 s in "phases"); the probe is the
+    # signed-delta fold the steady state pays per commit. 3-session
+    # probe envelopes (calibs 0.408/0.340/0.484).
+    "embedding_drift_cdc_report": 5.3,
+    "corpus_drift_cdc_report": 1.1,
 }
 
 BASELINE_S = {

@@ -841,3 +841,28 @@ from cargo_chat_spark.queries.registry import (  # noqa: E402
 )
 
 _rpb("lsh_band_sweep_report", _sweep_builder)
+
+
+def _emb_drift_builder(spark: SparkSession, sf_dir: str) -> None:
+    """The vector snapshot LIFECYCLE (write → MERGE-negate → CoW
+    delete) is the once-per-corpus-version fixture; the drift report's
+    steady-state cost is the delta assign + one cell-sized aggregate.
+    Phase-split so the bench probe axis measures the fold, not the
+    commits (the wordfreq_cdc_dict discipline)."""
+    from cargo_chat_spark.queries.vector_search import _ann_cdc_table
+
+    _ann_cdc_table(spark, sf_dir)
+
+
+_rpb("embedding_drift_cdc_report", _emb_drift_builder)
+
+
+def _drift_report_builder(spark: SparkSession, sf_dir: str) -> None:
+    """Same split for the corpus-volume drift card: the documents
+    snapshot lifecycle is the build, the signed-delta fold the probe."""
+    from cargo_chat_spark.queries.bpe_queries import _wf_snapshot_fixture
+
+    _wf_snapshot_fixture(spark, sf_dir)
+
+
+_rpb("corpus_drift_cdc_report", _drift_report_builder)
