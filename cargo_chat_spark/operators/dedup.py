@@ -150,12 +150,19 @@ def minhash_signature_sql(hashes_sql_expr: str) -> str:
     return "[" + ",\n        ".join(parts) + "]"
 
 
-def band_keys(sig: Column) -> Column:
+def band_keys(
+    sig: Column,
+    n_bands: int = N_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> Column:
     """ARRAY<STRUCT<band INT, key STRING>>: each band's signature slice
-    rendered as a joinable string key."""
+    rendered as a joinable string key. Parametric so the band-setting
+    sweep (queries/eval_report.py) re-bands the SAME signature at
+    alternative (bands, rows) settings through this one derivation —
+    a key-format change here reaches production and sweep together."""
     entries = []
-    for band in range(N_BANDS):
-        sl = F.slice(sig, band * ROWS_PER_BAND + 1, ROWS_PER_BAND)
+    for band in range(n_bands):
+        sl = F.slice(sig, band * rows_per_band + 1, rows_per_band)
         key = F.array_join(F.transform(sl, lambda x: x.cast("string")), "_")
         entries.append(F.struct(F.lit(band).alias("band"), key.alias("key")))
     return F.array(*entries)

@@ -410,20 +410,30 @@ JOIN hs sb ON sb.doc_id = p.doc_b
 """
 
 
+def _sorted_hashes_df(spark, sf_dir):
+    """Memoized per-doc SORTED DISTINCT shingle-hash sets — the ONE
+    derivation behind every exact-Jaccard/containment scorer
+    (ngram_jaccard_pairs, lsh_precision_report, lsh_band_sweep_report,
+    containment_pairs share the memo KEY, so they must share this
+    builder: a semantics change in one copy would silently serve
+    mismatched frames to the others depending on build order).
+    array_distinct matches the oracles' list_distinct — set semantics
+    even when h32 collisions duplicate hash values."""
+    return _memo_persist(
+        spark,
+        ("sorted_hashes", sf_dir),
+        lambda: _hashes_df(spark, sf_dir).select(
+            "doc_id", F.array_sort(F.array_distinct(F.col("h"))).alias("s")
+        ),
+    )
+
+
 @register("ngram_jaccard_pairs", sql=_JACCARD_SQL)
 def ngram_jaccard_pairs(spark, sf_dir):
     """Exact 3-gram Jaccard verification, computed ONLY for LSH candidate
     pairs (the classic two-stage near-dup pipeline)."""
     pairs = minhash_lsh_pairs(spark, sf_dir)
-    hs = _memo_persist(  # referenced twice (sa/sb sides)
-        spark,
-        ("sorted_hashes", sf_dir),
-        lambda: _hashes_df(spark, sf_dir).select(
-            # array_distinct matches the oracle's list_distinct: set
-            # semantics even when h32 collisions duplicate hash values.
-            "doc_id", F.array_sort(F.array_distinct(F.col("h"))).alias("s")
-        ),
-    )
+    hs = _sorted_hashes_df(spark, sf_dir)  # referenced twice (sa/sb)
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     union = F.size(F.col("sa")) + F.size(F.col("sb")) - inter
     return (
@@ -799,17 +809,8 @@ def containment_pairs(spark, sf_dir):
     """LSH-candidate pairs with shingle containment ≥ 0.8 in either
     direction (integer micro-units), alongside their Jaccard — the
     excerpt/quote detector symmetric near-dup misses."""
-    from cargo_chat_spark.caching import memo_persist as _mp
-
     pairs = minhash_lsh_pairs(spark, sf_dir)
-    hs = _mp(
-        spark,
-        ("sorted_hashes", sf_dir),
-        lambda: _hashes_df(spark, sf_dir).select(
-            "doc_id",
-            F.array_sort(F.array_distinct(F.col("h"))).alias("s"),
-        ),
-    )
+    hs = _sorted_hashes_df(spark, sf_dir)
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     scored = (
         pairs.join(
@@ -1108,17 +1109,8 @@ def _sorted_hashes_builder(spark, sf_dir):
     """Materialize bands + the sorted-hashes memo — the shared
     once-per-corpus artifacts behind the candidate-scoring cards
     (containment, band sweep, precision)."""
-    from cargo_chat_spark.caching import memo_persist as _mp
-
     _bands_df(spark, sf_dir).count()
-    _mp(
-        spark,
-        ("sorted_hashes", sf_dir),
-        lambda: _hashes_df(spark, sf_dir).select(
-            "doc_id",
-            F.array_sort(F.array_distinct(F.col("h"))).alias("s"),
-        ),
-    ).count()
+    _sorted_hashes_df(spark, sf_dir).count()
 
 
 _rpb("containment_pairs", _sorted_hashes_builder)

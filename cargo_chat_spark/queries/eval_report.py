@@ -153,22 +153,12 @@ def lsh_precision_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH pair join + two hash-array lookups per candidate pair (never
     all-pairs) + a decile-sized aggregate."""
     from cargo_chat_spark.queries.dedup import (
-        _hashes_df,
-        _memo_persist,
+        _sorted_hashes_df,
         minhash_lsh_pairs,
     )
 
     pairs = minhash_lsh_pairs(spark, sf_dir)
-    hs = _memo_persist(
-        spark,
-        ("sorted_hashes", sf_dir),
-        lambda: _hashes_df(spark, sf_dir).select(
-            # array_distinct: h32 collisions can duplicate hash values
-            # inside an array; set semantics must match the oracle's
-            # list_distinct exactly or size() counts diverge.
-            "doc_id", F.array_sort(F.array_distinct(F.col("h"))).alias("s")
-        ),
-    )
+    hs = _sorted_hashes_df(spark, sf_dir)
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     union = F.size(F.col("sa")) + F.size(F.col("sb")) - inter
     return (
@@ -730,34 +720,20 @@ def lsh_band_sweep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     precision, and the setting's theoretical s-curve midpoint."""
     from cargo_chat_spark.operators import dedup as D
     from cargo_chat_spark.queries.dedup import (
-        _hashes_df,
         _memo_persist,
         _sigs_df,
+        _sorted_hashes_df,
     )
 
     sigs = _memo_persist(
         spark, ("sweep_sigs", sf_dir), lambda: _sigs_df(spark, sf_dir)
     )
-    hs = _memo_persist(
-        spark,
-        ("sorted_hashes", sf_dir),
-        lambda: _hashes_df(spark, sf_dir).select(
-            "doc_id", F.array_sort(F.array_distinct(F.col("h"))).alias("s")
-        ),
-    )
+    hs = _sorted_hashes_df(spark, sf_dir)
     parts = []
     for b, r in _SWEEP_SETTINGS:
-        entries = []
-        for band in range(b):
-            sl = F.slice(F.col("mh"), band * r + 1, r)
-            key = F.array_join(
-                F.transform(sl, lambda x: x.cast("string")), "_"
-            )
-            entries.append(
-                F.struct(F.lit(band).alias("band"), key.alias("key"))
-            )
         bands = sigs.select(
-            "doc_id", F.explode(F.array(*entries)).alias("bk")
+            "doc_id",
+            F.explode(D.band_keys(F.col("mh"), b, r)).alias("bk"),
         ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
         bands = D.cap_hot_buckets(bands)
         a = bands.select(
@@ -819,21 +795,15 @@ def _sweep_builder(spark: SparkSession, sf_dir: str) -> None:
     frame + sorted-hash sets) so the bench probe axis measures the
     re-band + candidate scoring, not the shared MinHash build."""
     from cargo_chat_spark.queries.dedup import (
-        _hashes_df,
         _memo_persist,
         _sigs_df,
+        _sorted_hashes_df,
     )
 
     _memo_persist(
         spark, ("sweep_sigs", sf_dir), lambda: _sigs_df(spark, sf_dir)
     ).count()
-    _memo_persist(
-        spark,
-        ("sorted_hashes", sf_dir),
-        lambda: _hashes_df(spark, sf_dir).select(
-            "doc_id", F.array_sort(F.array_distinct(F.col("h"))).alias("s")
-        ),
-    ).count()
+    _sorted_hashes_df(spark, sf_dir).count()
 
 
 from cargo_chat_spark.queries.registry import (  # noqa: E402

@@ -1126,8 +1126,11 @@ def doc_length_percentiles(spark, sf_dir):
 # mean tokens-per-doc in micro-units. One scan + two tiny aggregates —
 # every number integer-exact, so the whole card value-hashes. This is
 # deliberately a COMPOSITION of already-gated semantics (token spec =
-# token_count's, dup key = dedup_exact's): the datasheet can only
-# drift if a member gate drifts.
+# the pack_sequences/doc_length_percentiles EMPTY-AWARE spec —
+# empty/whitespace-only docs count 0 tokens, unlike token_count's raw
+# size(split(...)) which yields 1 for them; that divergence is why
+# n_empty_docs is a separate column — dup key = dedup_exact's): the
+# datasheet can only drift if a member gate drifts.
 _DATASHEET_SQL = """
 WITH base AS (
     SELECT doc_id, source, lang, text,

@@ -173,22 +173,19 @@ def _tombstones_path(path: str) -> str:
 
 
 def synced_band_version(path: str) -> int:
-    import json
+    # "never built" (callers rebuild) must not be conflated with "built
+    # but the sidecar is unreadable" (sources/sidecar.py)
+    from cargo_chat_spark.sources.sidecar import read_json_sidecar
 
-    try:
-        with open(_sync_path(path)) as fh:
-            return int(json.load(fh)["synced_version"])
-    except FileNotFoundError:
-        return -1  # store never built
-    except (OSError, ValueError, KeyError) as exc:
-        # distinguish "never built" (callers rebuild) from "built but
-        # the sidecar is unreadable" — the -1 path's error message would
-        # misdiagnose the latter (ADVICE r10 discipline)
-        raise RuntimeError(
-            f"band-store sync sidecar {_sync_path(path)} exists but is "
-            f"unreadable ({exc!r}) — re-run the full sync (overwrite) "
-            "or repair the sidecar"
+    return int(
+        read_json_sidecar(
+            _sync_path(path),
+            default=-1,
+            field="synced_version",
+            what="band-store sync sidecar",
+            hint="re-run the full sync (overwrite) or repair the sidecar",
         )
+    )
 
 
 def _write_sync(path: str, version: int) -> None:

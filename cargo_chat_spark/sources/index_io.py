@@ -494,19 +494,19 @@ _ANN_SYNC = ".ann_sync.json"
 
 
 def ann_synced_version(index_dir: str) -> int:
-    try:
-        with open(index_dir.rstrip("/") + _ANN_SYNC) as fh:
-            return int(json.load(fh)["synced_version"])
-    except FileNotFoundError:
-        return -1  # index never built
-    except (OSError, ValueError, KeyError) as exc:
-        # distinguish "never built" (callers rebuild) from "built but
-        # the sidecar is unreadable" (ADVICE r10 discipline)
-        raise RuntimeError(
-            f"ANN sync sidecar {index_dir.rstrip('/') + _ANN_SYNC} "
-            f"exists but is unreadable ({exc!r}) — re-run the full sync "
-            "(overwrite) or repair the sidecar"
+    # "never built" (callers rebuild) must not be conflated with "built
+    # but the sidecar is unreadable" (sources/sidecar.py)
+    from cargo_chat_spark.sources.sidecar import read_json_sidecar
+
+    return int(
+        read_json_sidecar(
+            index_dir.rstrip("/") + _ANN_SYNC,
+            default=-1,
+            field="synced_version",
+            what="ANN sync sidecar",
+            hint="re-run the full sync (overwrite) or repair the sidecar",
         )
+    )
 
 
 def _write_ann_sync(index_dir: str, version: int) -> None:

@@ -111,21 +111,14 @@ def _doc_stats(docs: DataFrame, text_col: str = "text") -> tuple[int, int]:
 
 
 def _read_stats_raw(path: str) -> dict:
-    try:
-        with open(_stats_path(path)) as fh:
-            return json.load(fh)
-    except FileNotFoundError:
-        return {}  # genuinely no index yet
-    except (OSError, ValueError) as exc:
-        # the stats file is the streaming ingest's COMMIT POINT
-        # (stats_batch fence + cumulative n_docs/sum_dl): defaulting to
-        # {} on an exists-but-unreadable file silently resets the fence
-        # and double-folds doc stats on the next batch (ADVICE r10
-        # discipline: raise instead)
-        raise RuntimeError(
-            f"index stats {_stats_path(path)} exists but is unreadable "
-            f"({exc!r}) — repair or remove it explicitly"
-        )
+    # the stats file is the streaming ingest's COMMIT POINT (stats_batch
+    # fence + cumulative n_docs/sum_dl): a silent {} on an unreadable
+    # file would reset the fence and double-fold (sources/sidecar.py)
+    from cargo_chat_spark.sources.sidecar import read_json_sidecar
+
+    return read_json_sidecar(
+        _stats_path(path), default={}, what="index stats"
+    )
 
 
 def read_index_stats(path: str) -> tuple[int, int]:

@@ -35,6 +35,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cargo_chat_spark.sources.sidecar import read_json_sidecar
 from cargo_chat_spark.sources.band_store import (
     append_band_store,
     probe_band_store,
@@ -50,21 +51,17 @@ def _fence_path(store_path: str) -> str:
 
 
 def read_ingest_fence(store_path: str) -> int:
-    """Highest fully-ingested batch id (-1 if none)."""
-    try:
-        with open(_fence_path(store_path)) as fh:
-            return int(json.load(fh)["max_ingested_batch"])
-    except FileNotFoundError:
-        return -1  # genuinely fresh store
-    except (OSError, ValueError, KeyError) as exc:
-        # -1 here would re-ingest already-landed batches: the band store
-        # append is at-least-once, so a silent fence reset double-counts
-        # history bands and every later probe's pairs (ADVICE r10
-        # discipline: exists-but-unreadable raises)
-        raise RuntimeError(
-            f"ingest fence {_fence_path(store_path)} exists but is "
-            f"unreadable ({exc!r}) — repair or remove it explicitly"
+    """Highest fully-ingested batch id (-1 if none). A silent -1 on an
+    unreadable fence would re-ingest landed batches (the band-store
+    append is at-least-once) — so it raises (sources/sidecar.py)."""
+    return int(
+        read_json_sidecar(
+            _fence_path(store_path),
+            default=-1,
+            field="max_ingested_batch",
+            what="ingest fence",
         )
+    )
 
 
 def _write_fence(store_path: str, batch_id: int) -> None:

@@ -36,20 +36,16 @@ def _fence_path(state_dir: str) -> str:
 
 
 def read_hh_state(state_dir: str) -> dict | None:
-    try:
-        with open(_fence_path(state_dir)) as fh:
-            return json.load(fh)
-    except FileNotFoundError:
-        return None  # genuinely no state yet: first fold starts from zero
-    except (OSError, ValueError) as exc:
-        # an existing-but-unreadable fence (EACCES/EIO just as much as
-        # corrupt JSON) must not silently restart the fold from zero —
-        # merge_batch_into_state would overwrite it with a reset n_total
-        # (the mix_ingest advisory fix discipline)
-        raise RuntimeError(
-            f"heavy-hitters fence {_fence_path(state_dir)} exists but is "
-            f"unreadable ({exc!r}) — replay the stream from a clean state dir"
-        )
+    # an existing-but-unreadable fence must not silently restart the
+    # fold from zero (sources/sidecar.py)
+    from cargo_chat_spark.sources.sidecar import read_json_sidecar
+
+    return read_json_sidecar(
+        _fence_path(state_dir),
+        default=None,
+        what="heavy-hitters fence",
+        hint="replay the stream from a clean state dir",
+    )
 
 
 def _publish(
@@ -72,6 +68,15 @@ def _publish(
     os.replace(tmp, _fence_path(state_dir))
 
 
+def _canon_ckpt(checkpoint: str | None) -> str | None:
+    """Lineage identity must survive spelling differences ('/x/ckpt' vs
+    '/x/ckpt/' vs a relative path resolving to the same dir) — compare
+    normalized absolute paths, not raw strings, or a valid resume raises."""
+    if checkpoint is None:
+        return None
+    return os.path.normpath(os.path.abspath(checkpoint))
+
+
 def _truncate(counters: dict[str, int], k: int) -> dict[str, int]:
     """Mergeable-summaries reduce to ≤ k entries: subtract the (k+1)-th
     largest count from everything, keep strictly positive remainders."""
@@ -90,9 +95,10 @@ def merge_batch_into_state(
     item_col: str = "item",
     checkpoint: str | None = None,
 ) -> None:
+    checkpoint = _canon_ckpt(checkpoint)
     state = read_hh_state(state_dir)
+    stored_ckpt = _canon_ckpt(state.get("checkpoint")) if state else None
     if state is not None and batch_id <= state["max_batch"]:
-        stored_ckpt = state.get("checkpoint")
         if stored_ckpt is not None and checkpoint is not None and (
             stored_ckpt != checkpoint
         ):
@@ -132,7 +138,11 @@ def merge_batch_into_state(
     ).where("item <> '' OR est <> 0").coalesce(1).write.mode(
         "overwrite"
     ).parquet(out_dir)
-    _publish(state_dir, batch_id, n_total, checkpoint)
+    # never DISARM the fence: a direct call with the checkpoint=None API
+    # default (tests/backfills) must not overwrite a known lineage with
+    # null — else a later fresh-checkpoint replay of lower batch ids
+    # would silently pass the guard (the exact bug the guard prevents)
+    _publish(state_dir, batch_id, n_total, checkpoint or stored_ckpt)
 
 
 def run_hh_stream(

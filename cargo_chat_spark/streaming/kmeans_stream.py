@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cargo_chat_spark.operators.clustering import assign_clusters
+from cargo_chat_spark.sources.sidecar import read_json_sidecar
 
 
 def _state_path(path: str) -> str:
@@ -42,20 +43,14 @@ def _state_path(path: str) -> str:
 
 
 def read_kmeans_state(path: str) -> dict | None:
-    try:
-        with open(_state_path(path)) as fh:
-            return json.load(fh)
-    except FileNotFoundError:
-        return None  # genuinely no model yet: first batch initializes
-    except (OSError, ValueError) as exc:
-        # the folded sums/counts are NOT recomputable from a drained
-        # source — an exists-but-unreadable state must raise, not
-        # silently re-initialize the model and overwrite the fence
-        # (the heavy-hitters/mix_ingest discipline, ADVICE r10)
-        raise RuntimeError(
-            f"kmeans state {_state_path(path)} exists but is unreadable "
-            f"({exc!r}) — replay the stream from a clean state path"
-        )
+    # the folded sums/counts are NOT recomputable from a drained source
+    # — an exists-but-unreadable state raises (sources/sidecar.py)
+    return read_json_sidecar(
+        _state_path(path),
+        default=None,
+        what="kmeans state",
+        hint="replay the stream from a clean state path",
+    )
 
 
 def _publish(path: str, state: dict) -> None:

@@ -24,6 +24,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from cargo_chat_spark.sources.sidecar import read_json_sidecar
+
 # Sidecar recording the highest batch id folded into a ``src_batch = -1``
 # row by compact_rollup. Replays of batches at or below this watermark
 # must be rejected: their contribution is inside the compacted row, so
@@ -45,21 +47,18 @@ def _watermark_path(path: str) -> str:
 
 
 def read_compaction_watermark(path: str) -> int:
-    """Highest batch id absorbed by compaction (-1 if never compacted)."""
-    try:
-        with open(_watermark_path(path)) as f:
-            return int(json.load(f)["max_compacted_batch"])
-    except FileNotFoundError:
-        return -1  # never compacted
-    except (OSError, ValueError, KeyError) as exc:
-        # compaction DESTROYS the per-row src_batch fence for absorbed
-        # batches — with the watermark silently reset a replay of a
-        # compacted batch double-folds into the compacted row (ADVICE
-        # r10 discipline: exists-but-unreadable raises)
-        raise RuntimeError(
-            f"compaction watermark {_watermark_path(path)} exists but is "
-            f"unreadable ({exc!r}) — repair or remove it explicitly"
+    """Highest batch id absorbed by compaction (-1 if never compacted).
+    Compaction DESTROYS the per-row src_batch fence for absorbed
+    batches, so a silently-reset watermark would double-fold a replayed
+    compacted batch — it raises instead (sources/sidecar.py)."""
+    return int(
+        read_json_sidecar(
+            _watermark_path(path),
+            default=-1,
+            field="max_compacted_batch",
+            what="compaction watermark",
         )
+    )
 
 
 def _write_compaction_watermark(path: str, batch_id: int) -> None:

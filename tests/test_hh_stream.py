@@ -87,6 +87,26 @@ def test_stream_hh_guarantees_and_fence(spark, tmp_path):
     assert untouched == before
     assert HH.read_hh_state(state)["n_total"] == n
 
+    # lineage identity survives path spelling: a trailing-slash respelling
+    # of the SAME checkpoint is a valid resume, not a cross-lineage raise
+    HH.merge_batch_into_state(
+        spark, first, 0, state, K, checkpoint=ckpt + "/"
+    )
+    assert HH.read_hh_state(state)["n_total"] == n
+
+    # the fence must not be DISARMABLE: a NEW fold through the
+    # checkpoint=None API default (tests/backfills) must preserve the
+    # stored lineage in the republished fence...
+    HH.merge_batch_into_state(spark, first, 2, state, K)
+    fence2 = HH.read_hh_state(state)
+    assert fence2["max_batch"] == 2
+    assert fence2["checkpoint"] == HH._canon_ckpt(ckpt)
+    # ...so the cross-lineage refusal still fires afterwards
+    with pytest.raises(Exception, match="checkpoint"):
+        HH.run_hh_stream(
+            spark, src, schema, state, str(tmp_path / "ckpt3"), K
+        )
+
 
 def test_corrupt_fence_raises(tmp_path):
     state = str(tmp_path / "state")

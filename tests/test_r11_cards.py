@@ -56,16 +56,26 @@ def test_containment_dominates_jaccard_and_covers_lsh_near_dups(spark):
 
 
 def test_datasheet_members_agree_with_gated_sources(spark):
-    """Every datasheet number must re-derive from the member gates it
-    composes: ingest_stats (docs), token_count (token spec),
-    dedup_exact (dup groups)."""
+    """Every datasheet number must re-derive from the member semantics
+    it composes: the EMPTY-AWARE token spec shared with pack_sequences
+    and doc_length_percentiles (empty docs count 0 — token_count's raw
+    split yields 1 for them, which is why n_empty_docs exists), and
+    dedup_exact's canonical dup key."""
+    from cargo_chat_spark.sources.testdata import load_table
+
     ds = SPARK_QUERIES["corpus_datasheet"](spark, SF_DIR_SMALL).collect()[0]
-    tok = SPARK_QUERIES["token_count"](spark, SF_DIR_SMALL)
-    agg = tok.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("ws_tokens").alias("t")
+    docs = load_table(spark, SF_DIR_SMALL, "documents")
+    ntok = F.when(F.trim("text") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+"))
+    )
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(ntok).alias("t")
     ).collect()[0]
     assert ds["n_docs"] == agg["n"]
     assert ds["n_tokens"] == agg["t"]
+    # cross-pin vs the percentile card (same empty-aware spec)
+    pct = SPARK_QUERIES["doc_length_percentiles"](spark, SF_DIR_SMALL)
+    assert ds["n_docs"] == pct.agg(F.sum("n_docs")).collect()[0][0]
     de = SPARK_QUERIES["dedup_exact"](spark, SF_DIR_SMALL)
     dup = de.where(F.col("group_size") > 1).agg(
         F.count(F.lit(1)).alias("g"),
