@@ -186,12 +186,14 @@ def cm_estimates(
     """Append ``cm_est`` = min over rows of the item's cell counts. The
     sketch is bounded (D×W) — broadcast onto the item frame.
 
-    Probe items are expected to come from the sketched stream: an item
-    the stream never touched can land in grid cells no row populated,
-    and both engines' LEAST then skips the NULLs (min over the populated
-    cells only, NULL if none) rather than reporting 0 — matching the
-    DuckDB twin's scalar-subquery convention exactly (ADVICE r10; the
-    old coalesce-to-0 diverged from it for never-seen items)."""
+    An absent grid cell is a KNOWN zero (no stream row hashed into it),
+    not an unknown: a probe item the stream never touched coalesces its
+    unpopulated cells to 0 and so estimates 0, the textbook CM
+    convention. The DuckDB twin applies the same COALESCE to its scalar
+    subqueries (ADVICE r11 — the earlier NULL-skipping LEAST matched an
+    oracle quirk instead of fixing the oracle). For probes drawn from
+    the sketched stream — every gate's case — all cells are populated
+    and the two conventions coincide, so gate hashes are unchanged."""
     probes = items.select(
         F.col(col).alias("item"),
         *[
@@ -205,5 +207,10 @@ def cm_estimates(
             F.col("cell").alias(f"cell{d}"), F.col("c").alias(f"c{d}")
         )
         out = out.join(F.broadcast(sd), f"cell{d}", "left")
-    est = F.least(*[F.col(f"c{d}") for d in range(CM_DEPTH)])
+    est = F.least(
+        *[
+            F.coalesce(F.col(f"c{d}"), F.lit(0).cast("bigint"))
+            for d in range(CM_DEPTH)
+        ]
+    )
     return out.select("item", est.alias("cm_est"))

@@ -109,14 +109,20 @@ items AS (
 )
 SELECT i.item, i.exact_cnt,
     LEAST(
-        (SELECT c FROM cells WHERE seed = 0 AND cell = {_CM_CELLS_I[0]}),
-        (SELECT c FROM cells WHERE seed = 1 AND cell = {_CM_CELLS_I[1]}),
-        (SELECT c FROM cells WHERE seed = 2 AND cell = {_CM_CELLS_I[2]})
+        COALESCE((SELECT c FROM cells
+                  WHERE seed = 0 AND cell = {_CM_CELLS_I[0]}), 0),
+        COALESCE((SELECT c FROM cells
+                  WHERE seed = 1 AND cell = {_CM_CELLS_I[1]}), 0),
+        COALESCE((SELECT c FROM cells
+                  WHERE seed = 2 AND cell = {_CM_CELLS_I[2]}), 0)
     ) AS cm_est,
     LEAST(
-        (SELECT c FROM cells WHERE seed = 0 AND cell = {_CM_CELLS_I[0]}),
-        (SELECT c FROM cells WHERE seed = 1 AND cell = {_CM_CELLS_I[1]}),
-        (SELECT c FROM cells WHERE seed = 2 AND cell = {_CM_CELLS_I[2]})
+        COALESCE((SELECT c FROM cells
+                  WHERE seed = 0 AND cell = {_CM_CELLS_I[0]}), 0),
+        COALESCE((SELECT c FROM cells
+                  WHERE seed = 1 AND cell = {_CM_CELLS_I[1]}), 0),
+        COALESCE((SELECT c FROM cells
+                  WHERE seed = 2 AND cell = {_CM_CELLS_I[2]}), 0)
     ) >= i.exact_cnt AS overestimates
 FROM items i
 """

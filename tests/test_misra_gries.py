@@ -119,6 +119,30 @@ def test_count_min_matches_reference(spark, seed, n, vocab, width, parts):
     assert all(r["s"] == n for r in rows)
 
 
+def test_count_min_never_seen_item_estimates_known_zero(spark):
+    """An absent grid cell is a KNOWN zero (ADVICE r11): a probe item
+    the tiny stream never touched must estimate exactly what the
+    full-grid pure-Python reference gives (0 when any of its cells is
+    unpopulated), never NULL."""
+    width = 64
+    stream = ["alpha", "beta", "gamma", "alpha"]
+    df = spark.createDataFrame([(w,) for w in stream], "item string")
+    grid = sketches.count_min_sketch(df, "item", width)
+    probes = ["alpha", "zz-never-seen-0", "zz-never-seen-1", "qqq"]
+    items = spark.createDataFrame([(w,) for w in probes], "item string")
+    est = {
+        r["item"]: r["cm_est"]
+        for r in sketches.cm_estimates(items, grid, "item", width).collect()
+    }
+    ref = _cm_reference(stream, width)
+    for w in probes:
+        assert est[w] is not None, w
+        assert est[w] == ref(w), w
+    # with 3 distinct words over 3x64 cells the never-seen probes hit at
+    # least one empty cell each -> the estimates are genuine zeros
+    assert any(est[w] == 0 for w in probes[1:])
+
+
 # ----------------------------------------- HRW placement (storage card)
 def test_hrw_minimal_movement(spark):
     """Rendezvous hashing's defining property, measured: growing 8→9
