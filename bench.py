@@ -944,18 +944,22 @@ def main() -> None:
         prev_factor = calib / prev_calib if prev_calib else 1.0
         refs[os.path.basename(prev)] = (prev_timings, prev_factor)
 
-    # Round-11 suspect retry (r10 verdict item 6): three rounds running,
-    # single-shot sessions on this drifting host produced 1-2 ROTATING
-    # per-session transients (GC/scheduler excursions at unchanged code)
-    # that each cost a 3-session solo-cold adjudication to refute. Before
-    # reporting, any row whose single shot lands near a flag on some
-    # reference axis (both ratios > 1.1x with a > 0.4 s absolute delta —
-    # slightly inside the 1.25x/0.5 s flag line so near-misses re-measure
-    # too) is re-run ONCE under the same self-contained protocol and
-    # scored at the MIN of the two shots: a genuine regression
-    # reproduces, a transient does not. Driver-mode only (--repeat 1);
-    # explicit --repeat already medians. Both shots are recorded in
-    # BENCH_DETAIL "retried" so the evidence stays auditable.
+    # Round-11 suspect retry (r10 verdict item 6; estimator fixed per
+    # ADVICE r11): three rounds running, single-shot sessions on this
+    # drifting host produced 1-2 ROTATING per-session transients
+    # (GC/scheduler excursions at unchanged code) that each cost a
+    # 3-session solo-cold adjudication to refute. Before reporting, any
+    # row whose single shot lands near a flag on some reference axis
+    # (both ratios > 1.1x with a > 0.4 s absolute delta — slightly
+    # inside the 1.25x/0.5 s flag line so near-misses re-measure too)
+    # is re-run TWICE under the same self-contained protocol and scored
+    # at the MEDIAN of the three shots — an unbiased symmetric
+    # estimator (the earlier min-of-two could only move the headline
+    # down; a fast transient was never re-measured upward). A genuine
+    # regression reproduces in the median; a one-shot transient does
+    # not. Driver-mode only (--repeat 1); explicit --repeat already
+    # medians. All three shots are recorded in BENCH_DETAIL "retried"
+    # so the evidence stays auditable.
     retried: dict[str, list[float]] = {}
     if opts.repeat == 1:
         severity: dict[str, float] = {}
@@ -969,12 +973,16 @@ def main() -> None:
         # budget cap keeps the WORST offenders, not dict-order first-come
         suspects = sorted(severity, key=severity.get, reverse=True)[:15]
         if suspects:
-            caching.invalidate_all()
-            retry_t, retry_p = _run_suite(spark, sf_dir, suspects)
-            phase_runs.append(retry_p)
+            shots = {q: [timings_all[q]] for q in suspects}
+            for _ in range(2):
+                caching.invalidate_all()
+                retry_t, retry_p = _run_suite(spark, sf_dir, suspects)
+                phase_runs.append(retry_p)
+                for q in suspects:
+                    shots[q].append(retry_t[q])
             for q in suspects:
-                retried[q] = [timings_all[q], retry_t[q]]
-                timings_all[q] = round(min(timings_all[q], retry_t[q]), 3)
+                retried[q] = shots[q]
+                timings_all[q] = round(statistics.median(shots[q]), 3)
 
     timings = {name: timings_all[name] for name in HEADLINE}
 
@@ -1054,11 +1062,11 @@ def main() -> None:
             )
         },
         "detail_extra": {n: timings_all[n] for n in DETAIL_EXTRA},
-        # r11: suspect rows re-measured once, scored at min (both shots
-        # below). NOTE: for retried rows "medians" therefore holds the
-        # MIN of the two shots, not a median, and the phases medians for
-        # a retried phased gate include the retry sample — the audit
-        # trail for both statistics is this key.
+        # r12 (ADVICE r11): suspect rows re-measured twice, scored at
+        # the MEDIAN of the three shots (all shots below) — a uniform,
+        # symmetric estimator. The phases medians for a retried phased
+        # gate include the retry samples — the audit trail for both
+        # statistics is this key.
         "retried": retried,
         "headline_total_sec": total,
         "vs_references": reports,

@@ -552,10 +552,15 @@ def order_price_deciles_scale(spark, sf_dir):
         ).alias("a"),
         F.count(F.lit(1)).alias("m"),
     )
+    # try_element_at, not element_at (ADVICE r11): on a DEGENERATE corpus
+    # where the key-modulus sample is empty (m=0), DuckDB list indexing
+    # yields NULL cuts -> every comparison is NULL -> all rows land in
+    # bucket 1, while ANSI element_at would throw. NULL cuts make _above
+    # return 0, so both engines agree: empty sample == single bucket.
     cuts = arr.select(
         *[
-            F.element_at(
-                "a",
+            F.try_element_at(
+                F.col("a"),
                 F.greatest(
                     F.lit(1), F.expr(f"CAST(({i} * m) DIV 10 AS INT)")
                 ),

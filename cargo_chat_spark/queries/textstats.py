@@ -1272,10 +1272,14 @@ def curriculum_phase_assign(spark, sf_dir):
         ).alias("a"),
         F.count(F.lit(1)).alias("m"),
     )
+    # try_element_at (ADVICE r11): an empty key-modulus sample (m=0)
+    # yields NULL cuts in DuckDB's list indexing -> all kept docs phase 1;
+    # ANSI element_at would throw instead. NULL cuts make _above return
+    # 0, so both engines agree on the degenerate single-phase corpus.
     cuts = arr.select(
         *[
-            F.element_at(
-                "a",
+            F.try_element_at(
+                F.col("a"),
                 F.greatest(
                     F.lit(1), F.expr(f"CAST(({i} * m) DIV 4 AS INT)")
                 ),

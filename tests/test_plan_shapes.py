@@ -164,6 +164,57 @@ def test_knn_numpy_large_q_never_collects_full_side(spark, monkeypatch):
     assert got == want
 
 
+def test_knn_batched_plan_growth_capped_above_union_ceiling(spark):
+    """VERDICT r11 item 2: above max_union_blocks the batched kNN must not
+    chain one broadcast-join branch per block (at |Q| = 10M the default
+    batch size is ~2,400 union branches in ONE logical plan — driver
+    analysis cost dominates). The over-cap plan is the shuffled
+    (block × corpus-partition) form: exactly one CartesianProduct node,
+    zero Unions, plan size O(1) in |Q| — with the same map-side
+    WindowGroupLimit prune and the same exact result."""
+    from cargo_chat_spark.operators.knn import knn_join_batched
+    from cargo_chat_spark.queries.vector_search import _query_vectors
+    from cargo_chat_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF_DIR_SMALL, "embeddings")
+    q = _query_vectors(spark, SF_DIR_SMALL)  # 5 queries
+    def _one_join_no_union(plan: str) -> None:
+        assert "Union" not in plan, "over-cap path still unions per-block plans"
+        # exactly ONE join node. Catalyst picks the physical strategy: a
+        # statistics-small query side broadcasts (BroadcastNestedLoopJoin);
+        # one that exceeds the broadcast threshold — the 10M-query case the
+        # cap exists for — degrades to CartesianProduct. Either way the
+        # plan has one branch, not one per block.
+        njoins = plan.count("BroadcastNestedLoopJoin") + plan.count(
+            "CartesianProduct"
+        )
+        assert njoins == 1, plan
+        assert "WindowGroupLimit" in plan, "shuffled path lost the top-k prune"
+
+    df = knn_join_batched(q, emb, k=10, batch_size=2, max_union_blocks=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    _one_join_no_union(plan)
+    # plan size stays flat as |Q| grows: many more blocks, same node count
+    q2 = emb.select(
+        emb.vec_id.alias("query_id"), emb.embedding.alias("query_vec")
+    )  # 500 queries -> 250 blocks at batch_size=2
+    df2 = knn_join_batched(q2, emb, k=3, batch_size=2, max_union_blocks=2)
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    _one_join_no_union(plan2)
+    assert len(plan2) < 4 * len(plan), "plan text scales with block count"
+    # unchanged exact contract on the over-cap path
+    base = catalog.SPARK_QUERIES["knn_exact"](spark, SF_DIR_SMALL)
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in df.select("query_id", "neighbor_id", "rank").collect()
+    )
+    want = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in base.select("query_id", "neighbor_id", "rank").collect()
+    )
+    assert got == want
+
+
 def test_deciles_scale_has_no_window_exec(spark):
     """VERDICT r10 item 5: the scale twin of order_price_deciles must not
     contain ANY WindowExec (the exact gate's global NTILE single-partitions
