@@ -183,6 +183,11 @@ DETAIL_EXTRA = [
     "containment_pairs",        # new r11: excerpt detector (containment)
     "corpus_datasheet",         # new r11: one-row dataset datasheet
     "curriculum_phase_assign",  # new r11: easy->hard curriculum phases
+    "zipf_fit_report",          # new r12: Zipf rank-frequency fit card
+    "vocab_oov_report",         # new r12: top-V vocabulary OOV rates
+    "ams_f2_report",            # new r12: AMS F2 / self-join-size sketch
+    "bq_hamming_rerank",        # new r12: 1-bit BQ + Hamming re-rank
+    "waiting_suppliers_q21",    # new r12: Q21 EXISTS/NOT-EXISTS shape
 ]
 
 

@@ -425,11 +425,37 @@ _ROUND8_WINDOW_ROTATED_OUT = [
 # The round-12 re-proof head (committed at r10 close) follows the queue:
 # knn_exact_numpy, knn_overfetch_2k, cosine_topk, dim_validation,
 # minhash_lsh_pairs, simhash_neardup_pairs — the r2/r3 remainder.
-# Rotation queue for the NEXT window (round 13). Empty at the r12
-# rotation commit — the full 11-entry round-11 queue was promoted into
-# GATE_WINDOW above; new round-12 registrations append here as they
-# land, each sim-green at two SFs before registration.
-PROMOTION_PLAN: list[str] = []
+# Rotation queue for the NEXT window (round 13). Emptied at the r12
+# rotation commit (the full 11-entry round-11 queue was promoted into
+# GATE_WINDOW above); round-12 registrations append here as they land,
+# each sim-green at sf0.001 AND sf0.01 before registration.
+PROMOTION_PLAN: list[str] = [
+    # NEW in round 12: Zipf rank-frequency fit card — regression
+    # sufficient statistics over the top-R types in integer micro-nats
+    # plus a positive-operand integer slope; the corpus-health signal a
+    # boilerplate-flooded crawl flattens. Rank window bounded at R rows
+    # by TakeOrderedAndProject (plan-pinned).
+    "zipf_fit_report",
+    # NEW in round 12: per-source OOV rates against the frequency-built
+    # top-V vocabulary — the tokenizer-retrain decision card; bounded
+    # broadcast vocab + one keyed aggregate.
+    "vocab_oov_report",
+    # NEW in round 12: AMS tug-of-war F2 (self-join size) — the unbiased
+    # dual of the CM join bound, md5-reproducible so the ESTIMATES
+    # value-hash; D=6 running sums of mergeable state over the
+    # vocab-bounded word frame.
+    "ams_f2_report",
+    # NEW in round 12: 1-bit binary quantization + XOR/popcount Hamming
+    # shortlist + exact re-rank — the 32x-compression rung below int8 on
+    # the ANN ladder; all-JVM integer candidate metric, (hamming, id)
+    # total order, corpus never shuffles.
+    "bq_hamming_rerank",
+    # NEW in round 12: the Q21 decorrelation shape (correlated EXISTS +
+    # NOT EXISTS with <> inner inequality) — compiled to one left-semi +
+    # one left-anti hash join on the fact key (plan-pinned), broadcast
+    # supplier dim, top-100 total order.
+    "waiting_suppliers_q21",
+]
 
 # Historical record of the round-11 promotion queue (promoted IN FULL
 # into the r12 window above, in this order; kept for the judge's audit

@@ -1820,3 +1820,85 @@ def nation_market_share_q8(spark, sf_dir):
             "share_micro"
         ),
     )
+
+
+# --------------------------------------------------- Q21 shape: waiting
+# The hardest TPC-H decorrelation shape (Q21): for finished orders, the
+# suppliers whose line was late while EVERY other supplier on the same
+# order shipped on time — an EXISTS plus a NOT EXISTS, both correlated
+# through the fact table with a <>-inequality on the inner key. Catalyst
+# must turn these into one left-semi and one left-anti hash join on
+# l_orderkey (no per-row subquery execution); the date cutoff stands in
+# for commit-vs-receipt lateness (the fixture carries l_shipdate only).
+# At 100 TB: two shuffles of the (filtered) fact table on its natural
+# join key, broadcast supplier dim, TakeOrderedAndProject top-100.
+_Q21_CUTOFF = "DATE '1999-06-30'"
+
+_Q21_SQL = f"""
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > {_Q21_CUTOFF}
+  AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey
+        AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey
+        AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_shipdate > {_Q21_CUTOFF})
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name ASC
+LIMIT 100
+"""
+
+
+@register("waiting_suppliers_q21", sql=_Q21_SQL)
+def waiting_suppliers_q21(spark, sf_dir):
+    """Q21 shape: sole-late-supplier count per supplier over finished
+    multi-supplier orders — correlated EXISTS (left-semi) + NOT EXISTS
+    (left-anti) with <> inner inequality, decorrelated into two hash
+    joins on l_orderkey; supplier dim broadcasts; top-100 under a
+    (numwait DESC, s_name) total order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    sup = load_table(spark, sf_dir, "supplier")
+    cutoff = F.to_date(F.lit("1999-06-30"))
+    l1 = (
+        li.where(F.col("l_shipdate") > cutoff)
+        .join(
+            orders.where(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.where(F.col("l_shipdate") > cutoff).select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    waited = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("k2"))
+        & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == F.col("k3"))
+        & (F.col("l_suppkey") != F.col("s3")),
+        "left_anti",
+    )
+    return (
+        waited.join(
+            F.broadcast(sup.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )

@@ -480,3 +480,116 @@ def kmv_set_ops_report(spark, sf_dir):
             "shared_k",
         )
     )
+
+
+# ------------------------------------------------------------ AMS F2 gate
+# The unbiased dual of Count-Min's one-sided bound: the AMS (tug-of-war)
+# sketch estimates the second frequency moment F2 = sum(f_i^2) — the
+# self-join size, the quantity a CBO needs for skew-aware join planning
+# — from D counters Z_j = sum_i sign_j(i) * f_i, where sign_j is a
+# md5-derived ±1 draw per item. E[Z^2] = F2 exactly; the gate rebuilds
+# the identical sketch in both engines (seed folded into the digest
+# input, the Count-Min precedent), so the ESTIMATES value-hash: the
+# per-row mean, the median-of-rows (integer midpoint of the sorted even
+# count), and the micro-unit relative error. Bounded mergeable state —
+# D running sums, map-side-combinable; the sign aggregate runs over the
+# VOCAB-bounded word-count frame, never the raw stream.
+AMS_DEPTH = 6
+
+
+def _ams_sign_sql(item_sql: str, seed: int) -> str:
+    return (
+        f"(CASE WHEN (('0x' || substring(md5('ams{seed}|' || {item_sql}),"
+        f" 1, 8))::BIGINT) % 2 = 0 THEN 1 ELSE -1 END)"
+    )
+
+
+_AMS_SQL = f"""
+WITH freq AS (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+    FROM (
+        SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents
+    ) WHERE w <> '' GROUP BY w
+),
+z AS (
+    SELECT
+        {", ".join(
+            f"CAST(SUM({_ams_sign_sql('w', j)} * c) AS BIGINT) AS z{j}"
+            for j in range(AMS_DEPTH)
+        )},
+        CAST(SUM(c * c) AS BIGINT) AS f2_exact
+    FROM freq
+),
+est AS (
+    SELECT f2_exact,
+        list_sort([{", ".join(f"z{j} * z{j}" for j in range(AMS_DEPTH))}])
+            AS z2
+    FROM z
+)
+SELECT f2_exact,
+    CAST((z2[1] + z2[2] + z2[3] + z2[4] + z2[5] + z2[6]) // {AMS_DEPTH}
+         AS BIGINT) AS ams_mean,
+    CAST((z2[{AMS_DEPTH // 2}] + z2[{AMS_DEPTH // 2 + 1}]) // 2 AS BIGINT)
+        AS ams_median,
+    CAST((1000000 * abs((z2[{AMS_DEPTH // 2}] + z2[{AMS_DEPTH // 2 + 1}]) // 2
+                        - f2_exact)) // f2_exact AS BIGINT)
+        AS median_err_micro
+FROM est
+"""
+
+
+@register("ams_f2_report", sql=_AMS_SQL)
+def ams_f2_report(spark, sf_dir):
+    """AMS tug-of-war F2 (self-join size) estimates over the documents
+    token stream, next to the exact moment: per-row Z_j from md5 ±1
+    sign draws, mean / median-of-rows estimates and the integer
+    micro-unit relative error — all exactly engine-reproducible. One
+    vocab-bounded aggregate; D=6 running sums of state."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    toks = docs.select(F.explode(D.tokens(F.col("text"))).alias("w")).where(
+        F.col("w") != ""
+    )
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+
+    def sign(j: int):
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"ams{j}|"), F.col("w"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        return F.when(h % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+
+    z = freq.agg(
+        *[
+            F.sum(sign(j) * F.col("c")).cast("bigint").alias(f"z{j}")
+            for j in range(AMS_DEPTH)
+        ],
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("f2_exact"),
+    )
+    z2 = F.array_sort(
+        F.array(*[F.col(f"z{j}") * F.col(f"z{j}") for j in range(AMS_DEPTH)])
+    )
+    mid = AMS_DEPTH // 2
+    est = z.select(
+        "f2_exact",
+        z2.alias("z2"),
+    ).select(
+        "f2_exact",
+        F.expr(
+            f"CAST(aggregate(z2, 0L, (a, x) -> a + x) DIV {AMS_DEPTH}"
+            " AS BIGINT)"
+        ).alias("ams_mean"),
+        F.expr(
+            f"CAST((z2[{mid - 1}] + z2[{mid}]) DIV 2 AS BIGINT)"
+        ).alias("ams_median"),
+    )
+    return est.select(
+        "f2_exact",
+        "ams_mean",
+        "ams_median",
+        F.expr(
+            "CAST((1000000 * abs(ams_median - f2_exact)) DIV f2_exact"
+            " AS BIGINT)"
+        ).alias("median_err_micro"),
+    )

@@ -1306,3 +1306,160 @@ def curriculum_phase_assign(spark, sf_dir):
         .cast("int")
         .alias("phase"),
     )
+
+
+# ----------------------------------------------------- Zipf rank-frequency
+# Corpus-health card: does the token distribution follow Zipf's law
+# (frequency ~ rank^-s, s near 1)? A natural corpus fits; a template- or
+# boilerplate-dominated one flattens (s << 1) and a degenerate one
+# steepens. The card least-squares-fits ln(freq) on ln(rank) over the
+# top-R types and emits the SUFFICIENT STATISTICS as integer micro-nats
+# (floor(ln·1e6), the pmi/ccnet convention) plus a guarded integer slope
+# in milli-units: slope_milli = -((-num) DIV (den DIV 1000)), all
+# operands positive, so truncation direction is identical in both
+# engines (the corpus_kl_drift signed-division lesson). At 100 TB the
+# word aggregate is map-side-combinable and the fit runs over a
+# VOCAB-bounded (≤ R rows) frame — the rank window touches at most R
+# rows by construction (TakeOrderedAndProject feeds it), never the
+# corpus.
+_ZIPF_TOP_R = 100
+
+_ZIPF_SQL = f"""
+WITH freq AS (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+    FROM (
+        SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents
+    ) WHERE w <> '' GROUP BY w
+),
+top AS (
+    SELECT w, c FROM freq ORDER BY c DESC, w ASC LIMIT {_ZIPF_TOP_R}
+),
+xy AS (
+    SELECT CAST(floor(ln(ROW_NUMBER() OVER (ORDER BY c DESC, w ASC))
+                      * 1000000) AS BIGINT) AS x,
+           CAST(floor(ln(c) * 1000000) AS BIGINT) AS y
+    FROM top
+),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx
+    FROM xy
+)
+SELECT n, sx, sy, sxy, sxx,
+    CASE WHEN (n * sxx - sx * sx) >= 1000 AND (sx * sy - n * sxy) >= 0
+         THEN -((sx * sy - n * sxy) // ((n * sxx - sx * sx) // 1000))
+         ELSE CAST(0 AS BIGINT) END AS slope_milli
+FROM s
+"""
+
+
+@register("zipf_fit_report", sql=_ZIPF_SQL)
+def zipf_fit_report(spark, sf_dir):
+    """One-row Zipf fit card over the top-{R} token types: regression
+    sufficient statistics in integer micro-nats and the slope in
+    milli-units via positive-operand integer division (slope ≈ -1000
+    for a Zipfian corpus). The rank window runs on the R-row
+    TakeOrderedAndProject result — bounded at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(D.tokens(F.col("text"))).alias("w")).where(
+        F.col("w") != ""
+    )
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    top = freq.orderBy(F.desc("c"), F.asc("w")).limit(_ZIPF_TOP_R)
+    w = Window.orderBy(F.desc("c"), F.asc("w"))
+    micro = lambda col: F.floor(F.log(col) * F.lit(1000000)).cast(  # noqa: E731
+        "bigint"
+    )
+    xy = top.select(
+        micro(F.row_number().over(w).cast("double")).alias("x"),
+        micro(F.col("c").cast("double")).alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    neg_num = F.col("sx") * F.col("sy") - F.col("n") * F.col("sxy")
+    slope = F.when(
+        (den >= 1000) & (neg_num >= 0),
+        -F.expr(
+            "(sx * sy - n * sxy) DIV ((n * sxx - sx * sx) DIV 1000)"
+        ),
+    ).otherwise(F.lit(0)).cast("bigint")
+    return s.select("n", "sx", "sy", "sxy", "sxx", slope.alias("slope_milli"))
+
+
+# -------------------------------------------------- vocabulary OOV card
+# Tokenizer-coverage card: with a frequency-built top-V vocabulary, what
+# fraction of each source's tokens (and types) falls outside it? The
+# out-of-vocabulary rate is the first thing a tokenizer retrain decision
+# looks at. V is deliberately small relative to the fixture vocabulary so
+# the OOV branch is exercised, not vacuously zero. The vocab is
+# TakeOrderedAndProject-bounded and broadcast; everything else is one
+# map-side-combinable aggregate per source.
+_OOV_V = 20
+
+_OOV_SQL = f"""
+WITH toks AS (
+    SELECT source, w FROM (
+        SELECT source,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents
+    ) WHERE w <> ''
+),
+vocab AS (
+    SELECT w FROM (
+        SELECT w, COUNT(*) AS c FROM toks GROUP BY w
+    ) ORDER BY c DESC, w ASC LIMIT {_OOV_V}
+)
+SELECT t.source,
+    CAST(COUNT(*) AS BIGINT) AS n_tokens,
+    CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_oov_tokens,
+    CAST((1000000 * SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END))
+         // COUNT(*) AS BIGINT) AS oov_micro,
+    CAST(COUNT(DISTINCT CASE WHEN v.w IS NULL THEN t.w END) AS BIGINT)
+        AS n_oov_types
+FROM toks t LEFT JOIN vocab v ON t.w = v.w
+GROUP BY t.source
+"""
+
+
+@register("vocab_oov_report", sql=_OOV_SQL)
+def vocab_oov_report(spark, sf_dir):
+    """Per-source OOV rates against the frequency-built top-{V} vocab:
+    token and type counts outside the vocabulary plus the integer
+    micro-unit OOV fraction. Vocab broadcast onto one keyed aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(D.tokens(F.col("text"))).alias("w")
+    ).where(F.col("w") != "")
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(_OOV_V)
+        .select(F.col("w").alias("vw"))
+    )
+    flagged = toks.join(
+        F.broadcast(vocab), toks.w == F.col("vw"), "left"
+    ).select("source", "w", F.col("vw").isNull().alias("oov"))
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("oov"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_oov_tokens"),
+        F.expr(
+            "CAST((1000000 * sum(CASE WHEN oov THEN 1 ELSE 0 END))"
+            " DIV count(1) AS BIGINT)"
+        ).alias("oov_micro"),
+        F.countDistinct(F.when(F.col("oov"), F.col("w")))
+        .cast("bigint")
+        .alias("n_oov_types"),
+    )

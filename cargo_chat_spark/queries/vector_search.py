@@ -1320,3 +1320,125 @@ from cargo_chat_spark.queries.registry import register_phase_builder as _rpb
 
 _rpb("ivf_topk_persisted", _ivf_persisted_fixture)
 _rpb("ivf_topk_cdc_synced", _ann_cdc_fixture)
+
+
+# --------------------------------------- 1-bit binary quantization + re-rank
+# The compression rung BELOW int8 on the ANN ladder (32x smaller than
+# float32): keep only each dimension's SIGN, packed into two 32-bit words
+# per 64-dim vector, scan candidates by Hamming distance (XOR + popcount —
+# pure integer, a few cycles per pair), re-rank the shortlist at full
+# precision. The production posture for first-pass filtering at 100 TB:
+# the packed corpus is 16 bytes/vector, so a billion vectors fit in
+# executor memory and the scan is bandwidth-, not compute-, bound.
+# Bits live in 0..31 of each word (never bit 63), so the packed values
+# are small positive BIGINTs — no signed-shift portability edge between
+# engines. Shortlist selection is exactly engine-reproducible: integer
+# Hamming with a (hamming, neighbor_id) total order.
+_BQ_CAND = 64  # candidates per query entering the exact re-rank
+
+
+def _bq_pack_sql(vec: str, lo: int) -> str:
+    return f"""list_sum(list_transform(generate_series(1, 32),
+        i -> CASE WHEN {vec}[i + {lo}] > 0
+                  THEN (CAST(1 AS BIGINT) << (i - 1))
+                  ELSE CAST(0 AS BIGINT) END))"""
+
+
+_BQ_SQL = f"""
+WITH packed AS (
+    SELECT vec_id, embedding,
+        {_bq_pack_sql('embedding', 0)} AS w0,
+        {_bq_pack_sql('embedding', 32)} AS w1
+    FROM embeddings
+),
+qq AS (
+    SELECT vec_id AS query_id, embedding AS qvec, w0 AS qw0, w1 AS qw1
+    FROM packed WHERE vec_id % 100 = 0
+),
+cand AS (
+    SELECT qq.query_id, qq.qvec, c.vec_id AS neighbor_id, c.embedding,
+        bit_count(xor(qq.qw0, c.w0)) + bit_count(xor(qq.qw1, c.w1))
+            AS hamming
+    FROM packed c CROSS JOIN qq
+),
+shortlist AS (
+    SELECT query_id, qvec, neighbor_id, embedding, hamming,
+        row_number() OVER (
+            PARTITION BY query_id ORDER BY hamming, neighbor_id
+        ) AS hr
+    FROM cand
+),
+rescored AS (
+    SELECT query_id, neighbor_id, CAST(hamming AS INT) AS hamming,
+        sqrt(list_sum(list_transform(generate_series(1, len(qvec)),
+            i -> (CAST(qvec[i] AS DOUBLE) - CAST(embedding[i] AS DOUBLE))
+               * (CAST(qvec[i] AS DOUBLE) - CAST(embedding[i] AS DOUBLE)))))
+            AS distance
+    FROM shortlist WHERE hr <= {_BQ_CAND}
+)
+SELECT query_id, neighbor_id, hamming, distance,
+    CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY distance, neighbor_id
+    ) AS INT) AS "rank"
+FROM rescored
+QUALIFY "rank" <= 10
+"""
+
+
+@register("bq_hamming_rerank", sql=_BQ_SQL)
+def bq_hamming_rerank(spark, sf_dir):
+    """Sign-bit binary quantization → XOR/popcount Hamming shortlist
+    ({CAND}/query, (hamming, id) total order) → exact re-rank top-10.
+    The packed corpus form (two 32-bit words per 64-dim vector) is what
+    a 100 TB deployment scans first; floats are read only for the
+    shortlist. All-JVM integer candidate metric (bit_count over ^),
+    broadcast query side, corpus never shuffles."""
+    from pyspark.sql import Window
+
+    from cargo_chat_spark.functions import vectors
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def pack(lo: int):
+        # one SQL string (the DISTANCES_FIXED_SQL convention): the Python
+        # F.shiftleft only takes a literal bit count, the SQL form takes a
+        # column
+        return F.expr(
+            f"""aggregate(sequence(1, 32), 0L,
+                (acc, i) -> acc + IF(element_at(embedding, i + {lo}) > 0,
+                                     shiftleft(1L, i - 1), 0L))"""
+        )
+
+    packed = emb.select(
+        "vec_id", "embedding", pack(0).alias("w0"), pack(32).alias("w1")
+    )
+    qq = packed.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    hamming = F.expr("bit_count(qw0 ^ w0) + bit_count(qw1 ^ w1)")
+    cand = packed.crossJoin(F.broadcast(qq)).select(
+        "query_id",
+        "qvec",
+        F.col("vec_id").alias("neighbor_id"),
+        "embedding",
+        hamming.alias("hamming"),
+    )
+    w_h = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    shortlist = (
+        cand.withColumn("hr", F.row_number().over(w_h))
+        .where(F.col("hr") <= _BQ_CAND)
+    )
+    rescored = shortlist.select(
+        "query_id",
+        "neighbor_id",
+        F.col("hamming").cast("int").alias("hamming"),
+        vectors.euclidean(F.col("qvec"), F.col("embedding")).alias("distance"),
+    )
+    w_r = Window.partitionBy("query_id").orderBy("distance", "neighbor_id")
+    return (
+        rescored.withColumn("rank", F.row_number().over(w_r))
+        .where(F.col("rank") <= 10)
+    )

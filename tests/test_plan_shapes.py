@@ -215,6 +215,41 @@ def test_knn_batched_plan_growth_capped_above_union_ceiling(spark):
     assert got == want
 
 
+def test_q21_decorrelates_to_semi_and_anti_joins(spark):
+    """waiting_suppliers_q21: the correlated EXISTS / NOT EXISTS pair must
+    compile to one left-semi and one left-anti hash join on l_orderkey —
+    never a per-row subquery — with the supplier dim broadcast."""
+    plan = _plan(spark, "waiting_suppliers_q21")
+    assert "LeftSemi" in plan, "EXISTS did not decorrelate to a semi join"
+    assert "LeftAnti" in plan, "NOT EXISTS did not decorrelate to an anti join"
+    assert "BroadcastHashJoin" in plan, "supplier dim no longer broadcasts"
+    assert "TakeOrderedAndProject" in plan, "top-100 lost the ordered-limit"
+
+
+def test_bq_hamming_stays_jvm_side_and_prunes(spark):
+    """bq_hamming_rerank: packing, XOR and popcount are all JVM
+    expressions (no Python boundary), the query side broadcasts, and the
+    Hamming shortlist gets the map-side WindowGroupLimit prune."""
+    plan = _plan(spark, "bq_hamming_rerank")
+    assert "EvalPython" not in plan and "PythonUDF" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_zipf_rank_window_is_bounded_by_ordered_limit(spark):
+    """zipf_fit_report: the global rank window runs over the R-row
+    TakeOrderedAndProject result, never the corpus — the bounded-input
+    answer to the single-partition WindowExec concern."""
+    plan = _plan(spark, "zipf_fit_report")
+    assert "TakeOrderedAndProject" in plan, (
+        "top-R selection no longer an ordered limit — the rank window "
+        "would see the whole vocabulary"
+    )
+    # the window consumes the limit's output: the ordered-limit node must
+    # appear BELOW the window in the tree (later in toString)
+    assert plan.index("TakeOrderedAndProject") > plan.index("Window"), plan
+
+
 def test_deciles_scale_has_no_window_exec(spark):
     """VERDICT r10 item 5: the scale twin of order_price_deciles must not
     contain ANY WindowExec (the exact gate's global NTILE single-partitions
