@@ -216,30 +216,72 @@ def _calibrate(spark) -> float:
         t.append(time.perf_counter() - t0)
     return round(statistics.median(t[1:]), 3)
 
-
 # Per-query baseline seconds on the CALIB_REF_S axis, the numbers BENCH
 # must stay within 2x of.
 #
-# _R6_BARS is the CONSOLIDATED round-6 table (r5 verdict item 4): every
-# tracked query re-measured in ONE session (sf0.1, local[32], 3 cold
-# repeats after a JIT warm pass, median; measuring-host median calib
-# 0.468 s scaled to CALIB_REF_S 0.427 s by /1.096), replacing the
-# round-1/round-5 wave patchwork of single-shot bars recorded on hosts
-# whose calib drifted 0.30-0.75 s. The per-repeat evidence for this table
-# is BENCH_DETAIL.json (committed with the same change).
-_R6_BARS = {
-    "bm25_topk": 0.61, "cheapest_supplier_per_part": 0.72, "contamination_bloom": 1.37,
-    "curation_pipeline": 1.82, "dedup_exact": 0.17, "events_asof_join": 0.41,
-    "events_gap_fill_locf": 0.46, "events_ohlc_hourly": 0.42, "events_tumbling_window": 0.34,
-    "events_xml_parse": 0.83, "fuzzy_decontamination": 0.36, "hybrid_rrf_retrieval": 0.93,
-    "ivf_topk_trained": 1.34, "ivfpq_topk": 1.78, "knn_exact": 0.98,
-    "knn_int8_rerank": 0.93, "local_supplier_volume": 0.7, "media_frame_sample": 0.35,
-    "minhash_lsh_pairs": 1.89, "paragraph_dedup_rebuild": 0.54, "part_copurchase_pagerank": 5.36,
-    "part_name_entities_recursive": 1.81, "pq_knn_rerank": 1.3, "pricing_summary": 0.74,
-    "quality_score": 0.41, "repo_profile": 1.74, "retrieval_rank_reference": 1.3,
-    "rp_lsh_forest_topk": 2.34, "semdedup_keep": 3.01, "shipping_priority": 0.66,
-    "table_profile": 1.53, "top_customers": 0.64,
+# _R12_CONSOLIDATED_BARS is THE bar table (r11 verdict item 3): every
+# tracked query (HEADLINE + DETAIL_EXTRA) re-measured in ONE round-12
+# pass — per-query MEDIANS of three independent single-shot sessions
+# (fresh JVM each, driver protocol --repeat 1 with the suspect-retry
+# active, sf0.1, local[32]; session calibs 0.394/0.444/0.409, session
+# headlines 50.50/73.61/49.58 s — the 73.6 s session is a shared-host
+# noise window the median absorbs), each session scaled to the
+# CALIB_REF_S axis by its own calib before the median (the r8 driver-
+# axis recipe). This SUPERSEDES the r6-r11 per-wave patchwork
+# (_R6_BARS/_R7_BARS/_R8_DRIVER_BARS/_R9_*/_R10_*/_R11_BARS — history
+# in git and in BASELINE.md's per-round sections): one protocol, one
+# session triple, one dict. Per-session evidence: BASELINE.md round-12
+# section.
+_R12_CONSOLIDATED_BARS = {
+    "ams_f2_report": 0.57, "ann_rank_metrics_report": 6.3, "ann_recall_report": 5.31,
+    "answer_synthesize_mock": 2.0, "bm25_cdc_compacted_index": 2.02, "bm25_cdc_synced_index": 0.82,
+    "bm25_topk": 1.21, "bm25_topk_persisted": 0.58, "bpe_compression_report": 5.07,
+    "bpe_encode_sample": 4.5, "bpe_fertility_by_lang": 4.01, "bpe_learned_merges": 4.44,
+    "bpe_pack_tokens": 5.01, "bpe_pair_counts": 0.52, "bq_hamming_rerank": 0.64,
+    "ccnet_perplexity_buckets": 1.04, "cheapest_supplier_per_part": 1.18, "cluster_balanced_sample": 1.95,
+    "cluster_representatives": 1.98, "cm_join_size_report": 3.28, "containment_pairs": 0.52,
+    "contamination_bloom": 2.43, "copurchase_bfs_hops": 5.36, "copurchase_label_prop": 6.96,
+    "copurchase_triangles": 7.59, "corpus_datasheet": 0.53, "corpus_drift_cdc_report": 0.64,
+    "corpus_kl_drift_report": 0.84, "countmin_word_counts": 1.31, "curated_pack_tokens": 6.81,
+    "curation_pipeline": 2.77, "curriculum_phase_assign": 1.25, "dedup_exact": 0.39,
+    "dedup_mor_apply": 1.54, "doc_length_percentiles": 1.24, "dsir_cdc_model": 1.95,
+    "dsir_gumbel_resample": 3.43, "dsir_logratio_weights": 3.77, "dsir_topk_selection": 3.8,
+    "embedding_drift_cdc_report": 4.2, "epoch_schedule_mix": 0.6, "events_asof_join": 0.77,
+    "events_compact_small_files": 3.03, "events_deletion_vectors": 3.07, "events_gap_fill_locf": 0.86,
+    "events_merge_on_read": 3.86, "events_metadata_count": 1.72, "events_ohlc_hourly": 0.75,
+    "events_orc_roundtrip": 1.23, "events_range_pruned_scan": 1.79, "events_retention_delete": 1.84,
+    "events_snapshot_cdc": 3.93, "events_snapshot_optimize": 2.39, "events_snapshot_restore": 1.52,
+    "events_snapshot_schema_evolution": 1.76, "events_time_travel": 2.39, "events_tumbling_window": 0.55,
+    "events_xml_parse": 1.02, "events_zorder_pruned_scan": 2.29, "frame_neardup": 0.9,
+    "functional_dependency_report": 3.06, "funnel_conversion": 0.91, "fuzzy_decontamination": 0.65,
+    "heavy_hitters_mg": 0.96, "hrw_reshard_report": 0.76, "html_text_extract": 0.53,
+    "hybrid_rrf_retrieval": 1.63, "incremental_join_cdc": 1.28, "incremental_neardup": 1.25,
+    "incremental_neardup_cdc": 6.42, "incremental_rollup_cdc": 0.66, "index_import_reference": 1.9,
+    "index_upsert_cells": 11.58, "inverted_postings_waves": 4.17, "ivf_topk_cdc_synced": 1.72,
+    "ivf_topk_persisted": 2.15, "ivf_topk_trained": 1.75, "ivfpq_topk": 3.02,
+    "ivm_view_follow": 10.71, "jl_distortion_report": 3.15, "jl_project_topk": 1.78,
+    "kfold_group_assign": 0.27, "kmeans_centroids": 2.18, "kmeans_cluster_profile": 1.98,
+    "kmeans_online_centroids": 1.54, "kmv_distinct_report": 2.01, "kmv_set_ops_report": 1.22,
+    "knn_exact": 1.17, "knn_int8_rerank": 1.56, "knn_label_purity_report": 1.35,
+    "late_shipment_priorities": 0.92, "leakage_safe_split": 0.26, "local_supplier_volume": 1.04,
+    "lsh_band_sweep_report": 2.09, "lsh_precision_report": 3.09, "media_frame_sample": 0.49,
+    "minhash_lsh_pairs": 3.07, "mmr_diversified_topk": 1.57, "nation_market_share_q8": 1.22,
+    "nb_calibration_report": 2.57, "nb_classify_docs": 1.27, "nb_filter_report": 2.34,
+    "nb_train_logprobs": 0.7, "neardup_cluster_histogram": 2.12, "nfc_normalize_text": 0.55,
+    "ngram_diversity_report": 1.11, "order_price_deciles_scale": 1.44, "packing_efficiency_report": 0.72,
+    "paragraph_dedup_rebuild": 1.19, "part_copurchase_pagerank": 7.23, "part_name_entities_recursive": 2.67,
+    "phrase_match_docs": 0.49, "phrase_match_persisted": 0.31, "pmi_bigrams_top": 1.59,
+    "pq_knn_rerank": 2.27, "pricing_summary": 1.15, "product_profit_q9": 0.44,
+    "quality_score": 0.67, "repo_profile": 3.04, "repo_walk": 0.89,
+    "retrieval_rank_reference": 1.79, "returned_items_q10": 1.12, "returnflag_status_mix_q12": 0.91,
+    "rp_forest_cdc_synced": 2.39, "rp_forest_persisted": 3.32, "rp_lsh_forest_topk": 3.02,
+    "semdedup_keep": 4.56, "shipping_priority": 0.92, "small_lot_revenue_q17": 0.75,
+    "table_profile": 1.96, "token_budget_mix": 0.32, "top_customers": 0.9,
+    "unigram_piece_vocab": 0.57, "unigram_viterbi_encode": 0.9, "vocab_oov_report": 0.71,
+    "volume_shipping_q7": 0.48, "waiting_customers_q22": 0.58, "waiting_suppliers_q21": 1.12,
+    "wordfreq_cdc_dict": 0.73, "zipf_fit_report": 0.5,
 }
+
 
 # Bars for registry entries NOT in the tracked set (HEADLINE +
 # DETAIL_EXTRA): last recorded value on the same axis, kept for ad-hoc
@@ -272,494 +314,7 @@ _LEGACY_BARS = {
     "word_entropy": 1.12,
 }
 
-# First bars for the operators ADDED in round 6 (not in the consolidated
-# session above): medians of 3 cold repeats after a JIT warm pass,
-# measuring host median calib 0.339 scaled by /0.794.
-# index_upsert_cells is an end-to-end maintenance round-trip fixture —
-# warm split measured separately: initial partitioned build 2.3 s,
-# upsert itself 1.9 s, read-back 0.14 s.
-_R6_NEW_BARS = {
-    "index_import_reference": 1.35,
-    "frame_neardup": 0.89,
-    "index_upsert_cells": 8.34,
-    # measured at calib 0.327 (/0.766): layout write + manifest +
-    # pruned-scan aggregate end-to-end
-    "events_range_pruned_scan": 1.13,
-    # measured at calib 0.333 (/0.780): persisted-index build + probe +
-    # partition-pruned search end-to-end
-    "ivf_topk_persisted": 5.55,
-    # measured at calib 0.303 (/0.710): z-ordered layout write + 2-D
-    # manifest + two-band pruned aggregate end-to-end
-    "events_zorder_pruned_scan": 1.84,
-    # measured at calib 0.280 (/0.656; low-calib caveat above applies —
-    # raw medians 2.74 / 6.71): full delete lifecycle (base write +
-    # tombstone + MOR read + compaction + re-read) and the group-aware
-    # split (runs the whole minhash→LSH→components pipeline per repeat)
-    "events_merge_on_read": 4.17,
-    "leakage_safe_split": 10.23,
-    # measured at calib 0.312 (/0.731; raw median 1.59): three snapshot
-    # commits (write/append/CoW-delete) + three time-travel reads
-    "events_time_travel": 2.17,
-    # measured at calib 0.329 (/0.770; raw median 2.53): write + MERGE
-    # INTO + CoW delete + row-level v0→v2 change feed
-    "events_snapshot_cdc": 3.28,
-    # measured at calib 0.316 (/0.740; raw median 2.16): same lifecycle
-    # + rollup maintained from the manifest-diff files alone
-    "incremental_rollup_cdc": 2.92,
-    # two 3-repeat sessions: raw median 8.67 @ calib 0.324 (→11.43) and
-    # 10.78 @ calib 0.300 (→15.34); bar = the session median 13.4.
-    # Cost is inherent: the full minhash→LSH→components decision (the
-    # eager checkpointed iteration) + base write + tombstone wave + MOR
-    # profile, all self-contained in one gate
-    "dedup_mor_apply": 13.4,
-    # measured at calib 0.385 (/0.902; raw median 0.51): wrapper build +
-    # 11-step regex strip chain + ratio gate, one codegen'd scan
-    "html_text_extract": 0.57,
-    # measured at calib 0.400 (/0.937; raw median 0.39): NFC pandas_udf
-    # over Arrow batches, two invocations per row (length + md5)
-    "nfc_normalize_text": 0.42,
-    # measured at calib 0.289 (/0.677; raw median 1.63): two fragmented
-    # appends + z-order OPTIMIZE commit + stats-pruned band aggregate
-    "events_snapshot_optimize": 2.4,
-    # measured at calib 0.331 (/0.775; raw medians 1.59 / 1.40 / 1.51,
-    # median of 3 cold after a warm pass): each runs the full
-    # write/append/third-commit lifecycle; the query step itself is
-    # metadata-only (count/restore) or one grouped aggregate (schevo)
-    "events_metadata_count": 2.06,
-    "events_snapshot_restore": 1.81,
-    "events_snapshot_schema_evolution": 1.95,
-    # measured at calib 0.325 (/0.761; raw median 1.461, 3 cold repeats;
-    # per-repeat calibs 0.495/0.325/0.275 — the documented intra-run
-    # calib swing): write + ts-clustering OPTIMIZE + file-granular
-    # retention delete + surviving aggregate
-    "events_retention_delete": 1.92,
-    # measured warm-then-3-cold (raw median 2.156, ref-axis /0.721):
-    # write + two DV delete waves + MOR aggregate + dirty-file
-    # compaction + post-compaction aggregate, all in one gate
-    "events_deletion_vectors": 2.99,
-}
-
-# Round-7 re-bars (same warm-then-3-cold-repeats protocol). Only entry:
-# contamination_bloom's Bloom bit array is now built SPARK-SIDE (r6
-# verdict item 6 — bit_or word aggregate, no gram collect; the 100 TB
-# posture) instead of a driver-side NumPy build over a toPandas of the
-# eval grams. The distributed build costs ~0.5 s more at sf0.1 (extra
-# sizing-count + word-aggregate jobs over the memo-persisted eval-gram
-# subtree) and that price is deliberate: the old build's driver memory
-# was O(eval grams), the new one's is O(m/64) words regardless of eval
-# size. Re-measured warm-then-3-cold: raw medians 1.89 @ calib 0.311
-# and 1.847 @ calib 0.293 (/0.686 to the ref axis). Evidence in
-# BENCH_DETAIL.json.
-_R7_BARS = {
-    "contamination_bloom": 2.69,
-    # first bar (warm-then-3-cold, raw median 2.297 @ calib 0.400
-    # -> /0.937): store BUILD over the history split + probe join;
-    # the probe alone is sub-second — the gate is end-to-end by
-    # design like the other maintenance fixtures
-    "incremental_neardup": 2.45,
-    # first bars for the round-7 BPE + KMeans families (warm-then-3-cold
-    # medians @ calib 0.308 -> /0.721 to the ref axis). The two trainer
-    # gates are iterative BY DESIGN: bpe_learned_merges runs 6×(pair agg
-    # + argmax collect + checkpointed Arrow merge pass); kmeans_centroids
-    # runs 4 assignment passes + 3 K×D-row update collects. The other
-    # family members share the trained model through the session memo.
-    "bpe_pair_counts": 0.67,
-    "bpe_learned_merges": 5.59,
-    "bpe_encode_sample": 0.71,
-    "kmeans_centroids": 2.55,
-    "kmeans_cluster_profile": 0.56,
-    "cluster_representatives": 0.30,
-    # persisted inverted index (warm-then-3-cold medians @ calib 0.373
-    # -> /0.873): the postings gate is the 3-wave incremental BUILD by
-    # design (like incremental_neardup); the persisted BM25 reuses the
-    # memoized store — its bar is the one pruned-scan query alone.
-    "inverted_postings_waves": 3.00,
-    "bm25_topk_persisted": 0.56,
-    # learned NB classifier (warm-then-3-cold medians @ calib 0.391
-    # -> /0.916)
-    "nb_train_logprobs": 0.88,
-    "nb_classify_docs": 1.61,
-    # CDC-synced index (warm-then-3-cold medians @ calib 0.344 ->
-    # /0.806). The synced gate is the FULL lifecycle by design (7
-    # snapshot commits incl. two CoW rewrites + 3 incremental CDC
-    # applications + the initial index build at 5000 docs) — the
-    # dedup_mor_apply class of end-to-end maintenance fixture; the
-    # compacted gate adds only the O(dirty files) compaction + one
-    # pruned query on the memoized store.
-    "bm25_cdc_synced_index": 16.0,
-    "bm25_cdc_compacted_index": 2.76,
-    # online mini-batch KMeans: 3 sequential wave folds, each = one
-    # map-only assignment + one KxD-row collect (warm-then-3-cold
-    # median @ calib 0.353 -> /0.827)
-    "kmeans_online_centroids": 2.29,
-    # tokenize ∘ pack composition measured in suite order (the training
-    # memo is paid by bpe_learned_merges just before it, same as a bench
-    # run): vocab encode + doc-word equi-join + per-shard pack window,
-    # warm-then-3-cold median 1.583 @ calib 0.398 (/0.932) -> 1.70.
-    # Standalone (training un-memoized) it is ~7.7 raw.
-    "bpe_pack_tokens": 1.70,
-    # multi-source BFS, 3 frontier rounds (join + distinct + anti-join +
-    # eager checkpoint each) over the pagerank-shared edge memo; in-suite
-    # warm-then-3-cold median 3.275 @ calib 0.362 (/0.848) -> 3.86.
-    "copurchase_bfs_hops": 3.86,
-    # per-node triangle counts via edge-iterator + sorted-adjacency
-    # intersection (the literal wedge self-join measured 23.2 s raw —
-    # 49M-row wedge shuffle; the adjacency plan is 8x cheaper); in-suite
-    # warm-then-3-cold median 2.859 @ calib 0.325 (/0.761) -> 3.76.
-    "copurchase_triangles": 3.76,
-    # end-to-end lifecycle fixture (two snapshot tables written + MERGE +
-    # delete each, then the IVM refresh) — the refresh itself is the two
-    # broadcast delta joins; warm-then-3-cold median 5.987 @ calib 0.381
-    # (/0.892) -> 6.71.
-    "incremental_join_cdc": 6.71,
-    # the follower fixture runs the SAME two-table lifecycle but through
-    # FOUR sequential version-fenced refreshes (each pays its own delta
-    # scans + sidecar publish); warm-then-3-cold median 8.944 @ calib
-    # 0.361 (/0.845) -> 10.58.
-    "ivm_view_follow": 10.58,
-    # full pipeline fixture: curation funnel (quality + dedup + decontam)
-    # feeds the trainer, then tokenize + pack the survivors — BPE training
-    # per repeat is the dominant cost; warm-then-3-cold median 6.041 @
-    # calib 0.345 (/0.808) -> 7.48.
-    "curated_pack_tokens": 7.48,
-    # 2 LPA rounds (join + count agg + rank-1 window + checkpoint each)
-    # over the pagerank-shared edge memo; warm-then-3-cold median 2.861
-    # @ calib 0.326-0.426 -> 2.87 adj.
-    "copurchase_label_prop": 2.87,
-    # ORC write + read-back + aggregate; median 0.723 @ calib 0.349 -> 0.89.
-    "events_orc_roundtrip": 0.89,
-    # whole lifecycle fixture (base write + 4 appends + MoR delete +
-    # binpack + aggregate); median 3.412 @ calib 0.334 (/0.782) -> 4.36.
-    "events_compact_small_files": 4.36,
-    # one user-partition shuffle + chained window minima + stack;
-    # median 1.126 @ calib 0.451 (/1.056) -> 1.07.
-    "funnel_conversion": 1.07,
-    # K=5 map-only argmax scans over the quantized corpus;
-    # median 1.319 @ calib 0.327 (/0.766) -> 1.72.
-    "mmr_diversified_topk": 1.72,
-    # explode -> term filter -> (doc,pos) equi-join;
-    # median 0.751 @ calib 0.416 (/0.974) -> 0.77.
-    "phrase_match_docs": 0.77,
-    # shard-pruned 2-term scan + positions intersect (store build paid
-    # by inverted_postings_waves in suite order);
-    # median 0.442 @ calib 0.426 (/0.998) -> 0.44.
-    "phrase_match_persisted": 0.44,
-    # whole lifecycle fixture (snapshot write + sync + MERGE + delete +
-    # CDC apply + probe); median 6.819 @ calib 0.342 (/0.801) -> 8.51.
-    "incremental_neardup_cdc": 8.51,
-    # the heaviest CDC lifecycle fixture (vector snapshot write + full
-    # index build + MERGE-negate + delete + CDC upsert/delete + probe
-    # query); median 14.316 @ calib 0.379 (/0.888) -> 16.13 — the
-    # bm25_cdc_synced_index / dedup_mor_apply weight class.
-    "ivf_topk_cdc_synced": 16.13,
-    # Q4 semi-join (median 0.888 @ calib ~0.37) and Q17 decorrelated
-    # correlated-avg (median 0.899), both warm-then-3-cold.
-    "late_shipment_priorities": 1.03,
-    "small_lot_revenue_q17": 1.07,
-    # Q22 shape (integer-cents global-avg threshold + big-order anti
-    # join); median 0.927 -> 1.02.
-    "waiting_customers_q22": 1.02,
-}
-
-# ROUND-8 RE-BAR TO THE DRIVER'S OWN PROTOCOL (r7 verdict item 3b).
-# Two rounds of evidence established a protocol gap, not plan drift: the
-# warm-median bars above measure AT-BAR when re-run warm, while the
-# driver's --repeat 1 single-shot run measured 7 queries >2x of bar in
-# BOTH r6 and r7. The cause is per-QUERY first-run cost that repeats
-# amortize and a generic warm-up cannot pre-pay: catalyst analysis of
-# each distinct plan (py4j round trips + optimizer passes), whole-stage
-# codegen COMPILATION of each query's generated classes (Spark's codegen
-# cache makes the builder's warm-then-cold repeats skip it), and
-# first-execution JIT of query-specific code paths. The widened
-# `_warmup` (round 8) absorbs the shared-family part (~7.5 s measured);
-# the per-query part is inherent to the single-shot axis.
-#
-# These bars are therefore measured ON that axis: per-query MEDIANS OF
-# THREE INDEPENDENT SINGLE-SHOT SESSIONS (fresh JVM each, bench.py
-# --repeat 1, sf0.1, quiet host), calibs 0.398/0.367/0.379 (median
-# 0.379, /0.888 to the ref axis). Session totals 55.7/53.4/64.3 s.
-# The warm-median tables above remain the record of the warm axis (the
-# per-query plan-quality evidence); regression detection runs against
-# the axis the driver actually measures. Like-for-like with the r7
-# driver run this code measures ZERO both-axes regressions
-# (vs BENCH_r07: {}).
-_R8_DRIVER_BARS = {
-    "bm25_cdc_compacted_index": 2.03, "bm25_cdc_synced_index": 13.14,
-    "bm25_topk": 1.57, "bm25_topk_persisted": 0.7,
-    "bpe_encode_sample": 0.48, "bpe_learned_merges": 4.72,
-    "bpe_pack_tokens": 1.25, "bpe_pair_counts": 0.48,
-    "cheapest_supplier_per_part": 1.19, "cluster_representatives": 0.18,
-    "contamination_bloom": 3.19, "copurchase_bfs_hops": 3.59,
-    "copurchase_label_prop": 4.33, "copurchase_triangles": 6.62,
-    "curated_pack_tokens": 7.15, "curation_pipeline": 2.93,
-    "dedup_exact": 0.37, "dedup_mor_apply": 9.58,
-    "events_asof_join": 0.81, "events_compact_small_files": 3.22,
-    "events_deletion_vectors": 3.0, "events_gap_fill_locf": 0.82,
-    "events_merge_on_read": 3.55, "events_metadata_count": 1.71,
-    "events_ohlc_hourly": 0.73, "events_orc_roundtrip": 1.51,
-    "events_range_pruned_scan": 1.67, "events_retention_delete": 1.84,
-    "events_snapshot_cdc": 3.41, "events_snapshot_optimize": 2.41,
-    "events_snapshot_restore": 1.6,
-    "events_snapshot_schema_evolution": 1.8,
-    "events_time_travel": 2.04, "events_tumbling_window": 0.53,
-    "events_xml_parse": 1.05, "events_zorder_pruned_scan": 1.76,
-    "frame_neardup": 0.74, "funnel_conversion": 0.89,
-    "fuzzy_decontamination": 0.75, "html_text_extract": 0.47,
-    "hybrid_rrf_retrieval": 1.73, "incremental_join_cdc": 6.07,
-    "incremental_neardup": 3.02, "incremental_neardup_cdc": 6.56,
-    "incremental_rollup_cdc": 2.77, "index_import_reference": 1.43,
-    "index_upsert_cells": 8.98, "inverted_postings_waves": 4.06,
-    "ivf_topk_cdc_synced": 16.39, "ivf_topk_persisted": 5.31,
-    "ivf_topk_trained": 3.97, "ivfpq_topk": 3.18,
-    "ivm_view_follow": 8.91, "kmeans_centroids": 2.19,
-    "kmeans_cluster_profile": 0.42, "kmeans_online_centroids": 1.74,
-    "knn_exact": 2.6, "knn_int8_rerank": 1.81,
-    "late_shipment_priorities": 1.04, "leakage_safe_split": 8.66,
-    "local_supplier_volume": 1.1, "media_frame_sample": 0.45,
-    "minhash_lsh_pairs": 3.14, "mmr_diversified_topk": 1.41,
-    "nb_classify_docs": 1.29, "nb_train_logprobs": 0.65,
-    "nfc_normalize_text": 0.48, "paragraph_dedup_rebuild": 1.14,
-    "part_copurchase_pagerank": 7.41,
-    "part_name_entities_recursive": 3.03, "phrase_match_docs": 0.45,
-    "phrase_match_persisted": 0.33, "pq_knn_rerank": 2.55,
-    "pricing_summary": 1.36, "quality_score": 0.72,
-    "repo_profile": 2.33, "retrieval_rank_reference": 4.19,
-    "rp_lsh_forest_topk": 4.15, "semdedup_keep": 5.02,
-    "shipping_priority": 1.04, "small_lot_revenue_q17": 0.79,
-    "table_profile": 1.87, "top_customers": 1.04,
-    "waiting_customers_q22": 0.61,
-    # round-8 new-operator first bars (same single-shot protocol, one
-    # fresh-JVM session, calib 0.378 → /0.885): repo_walk is the fixture
-    # walk + two binaryFile joins; wordfreq_cdc_dict runs its whole
-    # write→MERGE→MoR-delete lifecycle + delta fold per repeat;
-    # nb_filter_report scores the ENTIRE corpus (sample_mod=1)
-    "repo_walk": 2.57,
-    "wordfreq_cdc_dict": 5.57,
-    "nb_filter_report": 3.60,
-    # store BUILD (one 12-key NumPy pass over the corpus + partitioned
-    # write) + first probe, end-to-end per repeat (calib 0.425 →
-    # /0.995); a probe against an existing store measures 1.4 s warm —
-    # vs the batch forest's 4.15 s driver bar, the materialization's
-    # payoff
-    "rp_forest_persisted": 5.79,
-    # measured @ calib 0.528 (/1.237 — a slow shared-host window; the
-    # calib adjustment is what these bars exist for)
-    "token_budget_mix": 0.88,
-    "volume_shipping_q7": 1.20,
-    "product_profit_q9": 0.92,
-    # measured @ calib 0.387 (/0.906)
-    "returned_items_q10": 3.18,
-    "returnflag_status_mix_q12": 1.95,
-    # whole lifecycle fixture (vector snapshot write + full posting
-    # build + MERGE-negate + CoW delete + CDC apply + probe) @ calib
-    # 0.381 (/0.892) — the ivf_topk_cdc_synced weight class
-    "rp_forest_cdc_synced": 12.83,
-}
-
-# Round-9 re-bar of the lifecycle gates onto the PROBE axis (r8 verdict
-# items 3+7): _run_suite now times each gate's fixture/store build
-# separately (PHASE_BUILDERS), so the per-query number — and therefore
-# its bar — is the steady-state probe a production deployment pays. The
-# r8 fused bars above stay in the table history; these override them.
-# Protocol: medians of 2-3 independent fresh-JVM single-shot sessions
-# (calibs 0.374/0.352/0.403, scaled per-session to CALIB_REF_S).
-# One-time BUILD phases measured on the same axis (documentation, not
-# gated; reported per round in BENCH_DETAIL "phases"):
-#   bm25_cdc_synced_index lifecycle ~12.3 s (compacted/persisted/phrase
-#   share stores built earlier in the suite → ~0 build),
-#   ivf_topk_cdc_synced ~15.5, ivf_topk_persisted ~3.7,
-#   rp_forest_cdc_synced ~5.8, rp_forest_persisted ~2.8,
-#   incremental_neardup history store ~1.9, wordfreq lifecycle ~2.0.
-_R9_PROBE_BARS = {
-    "bm25_cdc_compacted_index": 2.18,  # probe includes the compaction op
-    "bm25_cdc_synced_index": 0.96,
-    "bm25_topk_persisted": 0.77,
-    "incremental_neardup": 1.12,
-    "ivf_topk_cdc_synced": 1.74,
-    "ivf_topk_persisted": 1.84,
-    "phrase_match_persisted": 0.35,
-    "rp_forest_cdc_synced": 1.84,
-    "rp_forest_persisted": 2.87,
-    "wordfreq_cdc_dict": 0.76,
-}
-
-# First bars for the round-9 registrations (single fresh-JVM single-shot
-# session @ calib 0.399, /0.934 — suite order, so shared fixtures built
-# by earlier entries are warm exactly as in the driver's run:
-# corpus_drift reuses wordfreq's snapshot fixture, bpe_compression the
-# trained-merges memo, ann_recall_report the ANN members' memos).
-_R9_NEW_BARS = {
-    "answer_synthesize_mock": 2.48,
-    "ann_recall_report": 5.60,     # runs exact kNN + 3 ANN members
-    "lsh_precision_report": 1.43,
-    "bpe_compression_report": 1.21,
-    "corpus_drift_cdc_report": 0.61,
-}
-
-# Round-10 FULL re-bar under the self-contained cold protocol (r9 verdict
-# item 3): _run_suite now invalidates the memo caches after EVERY query,
-# so each row pays its own fixture builds and inherits no warmth / no
-# eviction pressure from suite order — per-query numbers are independent
-# of how many other queries share the JVM, which is the exact fragility
-# the r9 driver session exposed (73.95 s / 7 flags at a HEAD whose close
-# run measured 52.96 s / 0 flags). Earlier bar tables above are the
-# historical record of the old (order-dependent) axis; these override
-# ALL of them. Protocol: the UPPER ENVELOPE (max) of 3 independent
-# fresh-JVM full-suite single-shot sessions at sf0.1 (headline totals
-# 59.7/61.1/57.1 s raw; calibs 0.415/0.351/0.377, each session scaled to
-# CALIB_REF_S before taking the envelope). Envelope, not median: the
-# driver runs ONE session, and observed per-query session spread reaches
-# ~1.5x on GC-heavy rows (fuzzy_decontamination 2.12/3.14/2.13 raw) — a
-# median bar would flag ordinary variance; against the envelope a flag
-# means a run 1.25x beyond anything three clean sessions produced.
-# Phased gates (PHASE_BUILDERS) are PROBE-axis as in r9; their builds
-# are reported in BENCH_DETAIL "phases". ENVELOPE WIDENED over SEVEN
-# sessions at round close (59.7/61.1/57.1/53.8/55.5-ish raw totals,
-# calibs 0.351-0.431): fuzzy_decontamination's bar is the probe-axis
-# envelope of the four phased sessions; three rows carry the observed
-# session-4 GC/scheduler transients (media_frame_sample 0.99,
-# phrase_match_persisted 0.71, small_lot_revenue_q17 2.26 vs typical
-# 0.4/0.3/0.7) — single-session excursions at unchanged code on
-# sub-second rows, kept in the envelope because the bar's meaning is
-# "anything beyond what clean sessions have produced"; their typical
-# costs remain visible in BENCH_DETAIL's ratios table every round.
-_R10_COLD_BARS = {
-    "ann_recall_report": 5.98, "answer_synthesize_mock": 2.63, "bm25_cdc_compacted_index": 3.1,
-    "bm25_cdc_synced_index": 1.03, "bm25_topk": 2.34, "bm25_topk_persisted": 0.79,
-    "bpe_compression_report": 6.45, "bpe_encode_sample": 5.43, "bpe_learned_merges": 6.35,
-    "bpe_pack_tokens": 5.79, "bpe_pair_counts": 0.59, "cheapest_supplier_per_part": 1.53,
-    "cluster_representatives": 2.15, "contamination_bloom": 3.33, "copurchase_bfs_hops": 6.5,
-    "copurchase_label_prop": 7.95, "copurchase_triangles": 8.44, "corpus_drift_cdc_report": 2.72,
-    "curated_pack_tokens": 8.32, "curation_pipeline": 3.64, "dedup_exact": 0.5,
-    "dedup_mor_apply": 7.03, "embedding_drift_cdc_report": 20.38, "events_asof_join": 1.03,
-    "events_compact_small_files": 3.72, "events_deletion_vectors": 3.42, "events_gap_fill_locf": 1.03,
-    "events_merge_on_read": 5.15, "events_metadata_count": 2.4, "events_ohlc_hourly": 0.89,
-    "events_orc_roundtrip": 1.74, "events_range_pruned_scan": 1.78, "events_retention_delete": 2.15,
-    "events_snapshot_cdc": 4.17, "events_snapshot_optimize": 3.14, "events_snapshot_restore": 1.87,
-    "events_snapshot_schema_evolution": 2.28, "events_time_travel": 2.52, "events_tumbling_window": 0.78,
-    "events_xml_parse": 1.54, "events_zorder_pruned_scan": 2.31, "frame_neardup": 0.93,
-    "funnel_conversion": 1.06, "fuzzy_decontamination": 0.71, "html_text_extract": 0.78,
-    "hybrid_rrf_retrieval": 1.74, "incremental_join_cdc": 7.61, "incremental_neardup": 1.49,
-    "incremental_neardup_cdc": 8.34, "incremental_rollup_cdc": 3.41, "index_import_reference": 1.57,
-    "index_upsert_cells": 10.68, "inverted_postings_waves": 5.21, "ivf_topk_cdc_synced": 2.33,
-    "ivf_topk_persisted": 2.35, "ivf_topk_trained": 4.08, "ivfpq_topk": 3.23,
-    "ivm_view_follow": 10.91, "kmeans_centroids": 2.76, "kmeans_cluster_profile": 2.43,
-    "kmeans_online_centroids": 1.9, "knn_exact": 2.67, "knn_int8_rerank": 1.89,
-    "late_shipment_priorities": 1.03, "leakage_safe_split": 3.96, "local_supplier_volume": 1.3,
-    "lsh_precision_report": 4.33, "media_frame_sample": 0.99, "minhash_lsh_pairs": 3.18,
-    "mmr_diversified_topk": 1.72, "nb_classify_docs": 1.65, "nb_filter_report": 3.32,
-    "nb_train_logprobs": 0.86, "nfc_normalize_text": 1.01, "paragraph_dedup_rebuild": 1.38,
-    "part_copurchase_pagerank": 9.61, "part_name_entities_recursive": 3.98, "phrase_match_docs": 0.53,
-    "phrase_match_persisted": 0.71, "pq_knn_rerank": 2.65, "pricing_summary": 1.59,
-    "product_profit_q9": 0.59, "quality_score": 0.88, "repo_profile": 3.05,
-    "repo_walk": 1.24, "retrieval_rank_reference": 4.45, "returned_items_q10": 1.77,
-    "returnflag_status_mix_q12": 1.49, "rp_forest_cdc_synced": 3.17, "rp_forest_persisted": 3.81,
-    "rp_lsh_forest_topk": 3.85, "semdedup_keep": 6.99, "shipping_priority": 1.25,
-    "small_lot_revenue_q17": 2.26, "table_profile": 2.82, "token_budget_mix": 0.49,
-    "top_customers": 1.24, "volume_shipping_q7": 0.61, "waiting_customers_q22": 0.69,
-    "wordfreq_cdc_dict": 0.86,}
-
-# Late-round-10 registrations joining the tracked set: cold bars under
-# the same self-contained protocol — upper envelope of 3 fresh-JVM
-# sessions over ONLY these entries (valid because the protocol makes
-# per-query rows order/suite-independent), each session scaled to
-# CALIB_REF_S (measuring calibs 0.330/0.359/0.326). Sessions showed
-# first-session JIT/IO transients on several rows (heavy_hitters_mg
-# 3.40 vs 0.87/1.54 typical; jl_distortion 5.68 vs 2.10/2.47) — kept
-# in the envelope per the r10 bar semantics ("beyond anything a clean
-# session produced"); typical costs stay visible in BENCH_DETAIL.
-# ann_rank_metrics_report's bar is large because the gate RUNS four
-# member plans (exact + 3 ANN ladder members) — an evaluation card,
-# not a steady-state query.
-_R10_LATE_BARS = {
-    "ann_rank_metrics_report": 17.29, "bpe_fertility_by_lang": 9.73,
-    "ccnet_perplexity_buckets": 1.44, "dsir_cdc_model": 2.69,
-    "dsir_gumbel_resample": 4.22, "dsir_logratio_weights": 6.78,
-    "dsir_topk_selection": 8.58, "epoch_schedule_mix": 0.78,
-    "heavy_hitters_mg": 4.4, "jl_distortion_report": 7.35,
-    "jl_project_topk": 3.23, "nb_calibration_report": 3.32,
-    "ngram_diversity_report": 2.66, "unigram_piece_vocab": 0.77,
-    "unigram_viterbi_encode": 1.13,
-    # second late batch, same protocol (calibs 0.343/0.354/0.340)
-    "countmin_word_counts": 3.25, "cluster_balanced_sample": 3.7,
-    "knn_label_purity_report": 3.15, "hrw_reshard_report": 2.06,
-    # Probe-axis re-bars after the IVM gates' phase split (late r10):
-    # the snapshot-lifecycle fixture moved to the build phase (the
-    # leakage_safe_split pattern) after a host-IO swing doubled the
-    # fused rows at unchanged code; probe = the manifest-diff fold.
-    # Envelope of 3 fresh-JVM sessions (calibs 0.31-0.35), builds
-    # reported ~4.1-4.3 s in BENCH_DETAIL "phases".
-    "incremental_rollup_cdc": 1.3, "incremental_join_cdc": 2.2,
-    # Envelope widened late-r10 after an unchanged-code host drift: the
-    # final-HEAD driver-protocol session flagged these two vs baseline
-    # (r9-axis EMPTY), and 3 solo cold sessions confirmed today's host
-    # runs them 1.2-1.6x their r10-close envelope at identical plans
-    # (triangles scaled 10.5/10.8/13.7 vs bar 8.44; nb_filter
-    # 3.49/3.32/3.92 vs 3.32) — the memory/GC axis the CPU calib can't
-    # see. Bar = max observed across clean sessions, per the r10 rule.
-    "copurchase_triangles": 13.7, "nb_filter_report": 3.95,
-    "nation_market_share_q8": 2.58, "functional_dependency_report": 4.02,
-    "cm_join_size_report": 10.1, "kmv_distinct_report": 2.92,
-    "kmv_set_ops_report": 2.89,
-    # Same drift class as the triangles/nb_filter widening (see above):
-    # the final close session flagged ivf_topk_trained vs baseline
-    # (r9-axis empty) and 3 solo cold sessions measured scaled
-    # 4.59/4.71/6.77 vs the 4.08 envelope at unchanged code — widened
-    # to the observed max per the r10 bar semantics.
-    "ivf_topk_trained": 6.8,
-}
-
-# Round-11 registrations joining the tracked set: cold bars under the
-# self-contained protocol — upper envelope of 3 fresh-JVM sessions over
-# only these entries, each session scaled to CALIB_REF_S (measuring
-# calibs 0.343/0.373/0.332). The scale twin is slower than the exact
-# NTILE gate at sf0.1 (two scans + the sampled-cut broadcast vs one
-# in-memory sort) — the trade inverts at cluster scale, where the
-# global range-partition sort is the thing that stops scaling.
-_R11_BARS = {
-    "order_price_deciles_scale": 2.45,
-    # 3-session envelope, calibs 0.376/0.348/0.347; the KL drift card is
-    # phase-split (snapshot-lifecycle build ~2.4 s in "phases"), bars
-    # are the probe axis.
-    "pmi_bigrams_top": 2.36,
-    "corpus_kl_drift_report": 1.2,
-    "packing_efficiency_report": 1.9,
-    # Re-barred after the md5-once Count-Min change (one digest per item
-    # instead of one per row×depth): 3-session envelope 4.3/5.2/4.6
-    # scaled vs the old 10.1 — the 2x the hash dominated.
-    "cm_join_size_report": 5.25,
-    # New r11 cards measured under the 3-session protocol.
-    "neardup_cluster_histogram": 2.45,
-    "doc_length_percentiles": 0.8,
-    # probe axis (bands/sigs/sorted-hashes builds in "phases"):
-    "lsh_band_sweep_report": 3.0,
-    "containment_pairs": 1.55,
-    "corpus_datasheet": 1.45,
-    "curriculum_phase_assign": 2.7,
-    # Re-barred after the component-frame eager localCheckpoint
-    # (queries/dedup.py::neardup_components): consumers were paying
-    # ~2.3 s/action re-ANALYZING the iterative loop's stacked adaptive
-    # plan even with rows cached; the truncation makes the memoized
-    # frame a bare LogicalRDD. Probe envelopes drop 0.45/2.65 vs the
-    # old 3.96/7.03 (3 sessions, calibs 0.346/0.386/0.327; builds
-    # ~7.5-11.5 s in "phases").
-    "leakage_safe_split": 0.45,
-    "kfold_group_assign": 0.35,
-    "dedup_mor_apply": 2.65,
-    # Phase-split late-r11 (the wordfreq_cdc_dict discipline, r8
-    # verdict item 7): the drift cards' snapshot LIFECYCLES move to the
-    # build axis (~19-21 s / ~2.2 s in "phases"); the probe is the
-    # signed-delta fold the steady state pays per commit. 3-session
-    # probe envelopes (calibs 0.408/0.340/0.484).
-    "embedding_drift_cdc_report": 5.3,
-    "corpus_drift_cdc_report": 1.1,
-}
-
-BASELINE_S = {
-    **_LEGACY_BARS, **_R6_BARS, **_R6_NEW_BARS, **_R7_BARS,
-    **_R8_DRIVER_BARS, **_R9_PROBE_BARS, **_R9_NEW_BARS,
-    **_R10_COLD_BARS, **_R10_LATE_BARS, **_R11_BARS,
-}
+BASELINE_S = {**_LEGACY_BARS, **_R12_CONSOLIDATED_BARS}
 
 
 def _reference_timings(path: str) -> tuple[dict[str, float], float | None]:
