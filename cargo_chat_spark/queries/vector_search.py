@@ -185,7 +185,6 @@ def knn_int8_rerank(spark, sf_dir):
     )
     qq = quant.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qvec"),
         F.col("q").alias("qq"),
     )
     qdist = F.aggregate(
@@ -193,22 +192,37 @@ def knn_int8_rerank(spark, sf_dir):
         F.lit(0).cast("bigint"),
         lambda acc, v: acc + v,
     )
-    cand = quant.crossJoin(F.broadcast(qq)).select(
-        "query_id", "qvec",
-        F.col("vec_id").alias("neighbor_id"), "embedding",
+    # candidate frame carries KEYS + the ranking scalar only (the r12 BQ
+    # payload-slimming rule, SCALE.md): floats re-attach after the prune —
+    # query side broadcast, corpus floats via broadcasting the bounded
+    # shortlist back onto the corpus scan (corpus still never shuffles)
+    cand = quant.drop("embedding").crossJoin(F.broadcast(qq)).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
         qdist.alias("qdist"),
     )
     w_q = Window.partitionBy("query_id").orderBy("qdist", "neighbor_id")
     shortlist = (
         cand.withColumn("qr", F.row_number().over(w_q))
         .where(F.col("qr") <= _QUANT_CAND)
+        .select("query_id", "neighbor_id")
     )
     from cargo_chat_spark.functions import vectors
 
-    rescored = shortlist.select(
-        "query_id",
-        "neighbor_id",
-        vectors.euclidean(F.col("qvec"), F.col("embedding")).alias("distance"),
+    qvecs = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    rescored = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+        .join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            vectors.euclidean(F.col("qvec"), F.col("embedding")).alias(
+                "distance"
+            ),
+        )
     )
     w_r = Window.partitionBy("query_id").orderBy("distance", "neighbor_id")
     return (
@@ -1409,33 +1423,46 @@ def bq_hamming_rerank(spark, sf_dir):
                                      shiftleft(1L, i - 1), 0L))"""
         )
 
-    packed = emb.select(
-        "vec_id", "embedding", pack(0).alias("w0"), pack(32).alias("w1")
-    )
+    # the Hamming scan carries ONLY (ids, packed words) — never the float
+    # vectors: the shortlist window sorts |Q|x|C| candidate rows, and a
+    # 128-double payload per row multiplies that sort's volume ~10x
+    # (measured on the decade probe). Vectors re-attach AFTER the prune:
+    # the query side broadcasts (it always did), and the corpus floats
+    # come from a broadcast of the |Q|*CAND-row shortlist back onto the
+    # corpus scan — map-side both ways, corpus still never shuffles.
+    packed = emb.select("vec_id", pack(0).alias("w0"), pack(32).alias("w1"))
     qq = packed.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qvec"),
         F.col("w0").alias("qw0"),
         F.col("w1").alias("qw1"),
     )
     hamming = F.expr("bit_count(qw0 ^ w0) + bit_count(qw1 ^ w1)")
     cand = packed.crossJoin(F.broadcast(qq)).select(
         "query_id",
-        "qvec",
         F.col("vec_id").alias("neighbor_id"),
-        "embedding",
         hamming.alias("hamming"),
     )
     w_h = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
     shortlist = (
         cand.withColumn("hr", F.row_number().over(w_h))
         .where(F.col("hr") <= _BQ_CAND)
+        .select("query_id", "neighbor_id", "hamming")
     )
-    rescored = shortlist.select(
-        "query_id",
-        "neighbor_id",
-        F.col("hamming").cast("int").alias("hamming"),
-        vectors.euclidean(F.col("qvec"), F.col("embedding")).alias("distance"),
+    qvecs = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    rescored = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+        .join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("hamming").cast("int").alias("hamming"),
+            vectors.euclidean(F.col("qvec"), F.col("embedding")).alias(
+                "distance"
+            ),
+        )
     )
     w_r = Window.partitionBy("query_id").orderBy("distance", "neighbor_id")
     return (
