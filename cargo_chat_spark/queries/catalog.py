@@ -455,6 +455,16 @@ PROMOTION_PLAN: list[str] = [
     # one left-anti hash join on the fact key (plan-pinned), broadcast
     # supplier dim, top-100 total order.
     "waiting_suppliers_q21",
+    # NEW in round 12: evaluation-as-data for the langid heuristic (P2)
+    # — confusion cells against the fixture's true labels with per-lang
+    # totals and micro-unit rates; two keyed aggregates + broadcast join.
+    "langid_confusion_report",
+    # NEW in round 12: interpolated Kneser-Ney bigram LM (D=0.5) trained
+    # on the corpus and scored back per source — the standard n-gram
+    # smoothing at the bigram order (self-scoring fluency card);
+    # integer micro-nat types weighted by instance counts, everything
+    # vocab-bounded after the gram aggregates.
+    "kn_bigram_logprob",
 ]
 
 # Historical record of the round-11 promotion queue (promoted IN FULL

@@ -1463,3 +1463,186 @@ def vocab_oov_report(spark, sf_dir):
         .cast("bigint")
         .alias("n_oov_types"),
     )
+
+
+# ------------------------------------------------ langid confusion card
+# Evaluation-as-data for the language-ID heuristic (P2 family): the
+# fixture's true `lang` column crossed with langid_heuristic's
+# prediction — confusion cells with per-true-language totals and the
+# integer micro-unit cell rate. The ann_recall/nb_calibration
+# discipline applied to langid: the card an operator consumes to decide
+# marker-set changes. Two keyed aggregates + one broadcast join.
+_LANGID_CONF_SQL = f"""
+WITH pred AS ({_langid_sql()}),
+joined AS (
+    SELECT d.lang, p.pred_lang
+    FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+),
+totals AS (
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS lang_total
+    FROM joined GROUP BY lang
+)
+SELECT j.lang, j.pred_lang,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    t.lang_total,
+    CAST((1000000 * COUNT(*)) // t.lang_total AS BIGINT) AS cell_micro
+FROM joined j JOIN totals t ON j.lang = t.lang
+GROUP BY j.lang, j.pred_lang, t.lang_total
+"""
+
+
+@register("langid_confusion_report", sql=_LANGID_CONF_SQL)
+def langid_confusion_report(spark, sf_dir):
+    """Confusion matrix of the langid heuristic against the fixture's
+    true language labels: (lang, pred_lang) counts, per-true-language
+    totals, and micro-unit cell rates."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    pred = langid_heuristic(spark, sf_dir).select("doc_id", "pred_lang")
+    joined = d.join(pred, "doc_id").select("lang", "pred_lang")
+    totals = joined.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("lang_total")
+    )
+    return (
+        joined.groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            "pred_lang",
+            "n_docs",
+            "lang_total",
+            F.expr(
+                "CAST((1000000 * n_docs) DIV lang_total AS BIGINT)"
+            ).alias("cell_micro"),
+        )
+    )
+
+
+# --------------------------------------- Kneser-Ney bigram LM scoring
+# The standard n-gram LM the ccnet-style pipelines actually run:
+# interpolated Kneser-Ney bigrams with fixed discount D=0.5, trained on
+# the corpus and scored back over it (the perplexity-of-train card that
+# ranks sources by fluency under the corpus's own statistics).
+#   P(w2|w1) = (c(w1w2) - D)/c(w1) + (D·N1+(w1·)/c(w1)) · Pcont(w2)
+#   Pcont(w2) = N1+(·w2) / N1+(··)
+# Every count is an exact integer aggregate; the probability is a fixed
+# double expression tree evaluated identically in both engines (IEEE
+# ops on identical inputs), folded to integer micro-nats by the
+# floor(ln·1e6) convention per bigram TYPE, then weighted by the
+# per-source instance counts — so the per-source sums are pure BIGINT.
+# Four map-side-combinable aggregates + token-keyed joins; everything
+# is vocabulary-bounded after the gram aggregates (the pmi posture).
+_KN_D = 0.5
+
+_KN_SQL = f"""
+WITH grams AS (
+    SELECT source, unnest({D.shingles_all_sql('text', 2)}) AS g
+    FROM documents
+),
+big AS (
+    SELECT source,
+        string_split(g, ' ')[1] AS w1,
+        string_split(g, ' ')[2] AS w2
+    FROM grams WHERE g LIKE '% %'
+),
+bc AS (
+    SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+    FROM big GROUP BY w1, w2
+),
+uc AS (
+    SELECT w1, CAST(SUM(c_xy) AS BIGINT) AS c_x,
+           CAST(COUNT(*) AS BIGINT) AS n1p_x
+    FROM bc GROUP BY w1
+),
+cont AS (
+    SELECT w2, CAST(COUNT(*) AS BIGINT) AS cont_y FROM bc GROUP BY w2
+),
+nbig AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_big FROM bc),
+model AS (
+    SELECT bc.w1, bc.w2,
+        CAST(floor(ln(
+            ((bc.c_xy - {_KN_D}) / uc.c_x)
+            + (({_KN_D} * uc.n1p_x) / uc.c_x)
+              * (CAST(cont.cont_y AS DOUBLE) / nbig.n_big)
+        ) * 1000000) AS BIGINT) AS lp_micro
+    FROM bc
+    JOIN uc ON bc.w1 = uc.w1
+    JOIN cont ON bc.w2 = cont.w2
+    CROSS JOIN nbig
+),
+per_src AS (
+    SELECT source, w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+    FROM big GROUP BY source, w1, w2
+)
+SELECT s.source,
+    CAST(SUM(s.n) AS BIGINT) AS n_bigrams,
+    CAST(SUM(s.n * m.lp_micro) AS BIGINT) AS sum_logprob_micro,
+    CAST(SUM(s.n * m.lp_micro) // SUM(s.n) AS BIGINT) AS mean_logprob_micro
+FROM per_src s JOIN model m ON s.w1 = m.w1 AND s.w2 = m.w2
+GROUP BY s.source
+"""
+
+
+@register("kn_bigram_logprob", sql=_KN_SQL)
+def kn_bigram_logprob(spark, sf_dir):
+    """Per-source corpus fluency under an interpolated Kneser-Ney bigram
+    LM (D=0.5) trained on the corpus itself: bigram/continuation counts
+    as exact aggregates, per-type log-probs in integer micro-nats,
+    instance-weighted per-source sums. The self-scoring twin of
+    ccnet_perplexity_buckets at the bigram order."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("source", D.tokens(F.col("text")).alias("tk")).where(
+        F.size("tk") >= 2
+    )
+    big = tk.select(
+        "source",
+        F.explode(D.shingles_all_from_tokens(F.col("tk"), 2)).alias("g"),
+    ).where(F.col("g").contains(" "))
+    parts = F.split(F.col("g"), " ")
+    big = big.select(
+        "source", parts.getItem(0).alias("w1"), parts.getItem(1).alias("w2")
+    )
+    bc = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_xy")
+    )
+    uc = bc.groupBy("w1").agg(
+        F.sum("c_xy").cast("bigint").alias("c_x"),
+        F.count(F.lit(1)).cast("bigint").alias("n1p_x"),
+    )
+    cont = bc.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cont_y")
+    )
+    nbig = bc.agg(F.count(F.lit(1)).cast("bigint").alias("n_big"))
+    prob = (
+        (F.col("c_xy") - F.lit(_KN_D)) / F.col("c_x")
+        + ((F.lit(_KN_D) * F.col("n1p_x")) / F.col("c_x"))
+        * (F.col("cont_y").cast("double") / F.col("n_big"))
+    )
+    model = (
+        bc.join(uc, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(nbig))
+        .select(
+            "w1",
+            "w2",
+            F.floor(F.log(prob) * F.lit(1000000))
+            .cast("bigint")
+            .alias("lp_micro"),
+        )
+    )
+    per_src = big.groupBy("source", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return (
+        per_src.join(model, ["w1", "w2"])
+        .groupBy("source")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("n") * F.col("lp_micro"))
+            .cast("bigint")
+            .alias("sum_logprob_micro"),
+            F.expr(
+                "CAST(sum(n * lp_micro) DIV sum(n) AS BIGINT)"
+            ).alias("mean_logprob_micro"),
+        )
+    )
