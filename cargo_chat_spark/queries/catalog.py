@@ -467,6 +467,55 @@ PROMOTION_PLAN: list[str] = [
     "kn_bigram_logprob",
 ]
 
+# Round-13 rotation draft (the r9→r12 discipline: committed at r12
+# close, executed — after a 50/50 window re-sim — at the round-13
+# start). 20 permanents + the 7-entry PROMOTION_PLAN above + these 23
+# re-proofs: the r4 remainder (5) and the 18 OLDEST r5 greens by
+# registry name (deterministic pick from the CORRECTNESS history;
+# knn_int8_rerank is deliberately among them — its candidate frame was
+# payload-slimmed in r12 and a fresh external row re-proves the oracle
+# on the new plan). The remaining r5 greens (quality_score,
+# repetition_signals, repo_files_fixture, revenue_rollup,
+# rp_lsh_forest_topk, rp_lsh_topk, segment_running_totals,
+# sources_by_lang, temperature_mix, token_count, top_customers,
+# vocab_top50, pricing_summary tail) head the round-14 queue —
+# arithmetic fills the window at exactly 50.
+_ROUND13_REPROOF_WAVE = [
+    # --- r4 remainder (5) ---
+    "parts_never_ordered_bulk",
+    "quality_filter",
+    "source_mix",
+    "stratified_sample",
+    "substring_dup_pairs",
+    # --- oldest r5 greens (18) ---
+    "contamination_13gram",
+    "dedup_exact",
+    "distinct_counts_exact",
+    "doc_fingerprints",
+    "embedding_neardup_pairs",
+    "event_value_percentiles",
+    "events_asof_join",
+    "events_moving_avg",
+    "events_props_extract",
+    "events_tumbling_window",
+    "events_within_5min_pairs",
+    "ivf_topk_trained",
+    "knn_int8_rerank",
+    "langid_heuristic",
+    "neardup_dedup_keep",
+    "pack_sequences",
+    "pii_scan",
+    "pricing_summary",
+]
+_ROUND13_WINDOW_DRAFT = (
+    # GATE_WINDOW[:20] at execution time (the 20 permanents)
+    PROMOTION_PLAN + _ROUND13_REPROOF_WAVE
+)
+assert len(_ROUND13_WINDOW_DRAFT) == 30 and len(set(_ROUND13_WINDOW_DRAFT)) == 30, (
+    "r13 draft arithmetic: 7 promotions + 23 re-proofs must fill "
+    "slots 21-50 exactly"
+)
+
 # Historical record of the round-11 promotion queue (promoted IN FULL
 # into the r12 window above, in this order; kept for the judge's audit
 # trail — the per-entry rationales below were written when the queue
