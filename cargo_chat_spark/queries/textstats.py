@@ -1559,10 +1559,13 @@ cont AS (
 ),
 nbig AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_big FROM bc),
 model AS (
+    -- D spelled CAST(0.5 AS DOUBLE): a bare 0.5 is DECIMAL in DuckDB
+    -- (registry header rule) and would route the whole expression
+    -- through decimal arithmetic instead of the IEEE tree Spark runs
     SELECT bc.w1, bc.w2,
         CAST(floor(ln(
-            ((bc.c_xy - {_KN_D}) / uc.c_x)
-            + (({_KN_D} * uc.n1p_x) / uc.c_x)
+            ((bc.c_xy - CAST({_KN_D} AS DOUBLE)) / uc.c_x)
+            + ((CAST({_KN_D} AS DOUBLE) * uc.n1p_x) / uc.c_x)
               * (CAST(cont.cont_y AS DOUBLE) / nbig.n_big)
         ) * 1000000) AS BIGINT) AS lp_micro
     FROM bc
