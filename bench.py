@@ -434,7 +434,8 @@ def _run_suite(
     queries share the JVM — the exact fragility the r9 driver session
     exposed (73.95 s with 7 flags at a HEAD whose close run measured
     52.96 s with zero: ~100 accumulated persisted frames in one JVM).
-    Bars are re-measured under this protocol (_R10_COLD_BARS)."""
+    Bars are re-measured under this protocol
+    (_R12_CONSOLIDATED_BARS — the round-12 consolidated table)."""
     from cargo_chat_spark.queries.registry import PHASE_BUILDERS
 
     timings: dict[str, float] = {}

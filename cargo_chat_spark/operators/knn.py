@@ -253,7 +253,15 @@ def knn_join_batched(
         # query side into ~batch_size-row hash partitions; the cross join
         # (NO broadcast hint) compiles to CartesianProduct — every task is
         # one (query block × corpus partition) pair.
-        qp = blocked.repartition(nblocks, F.col(query_id))
+        # SHUFFLE_REPLICATE_NL pins CartesianProduct: a hintless cross
+        # join lets JoinSelection broadcast the query side whenever its
+        # (possibly underestimated) statistics look small — re-opening
+        # the exact unbounded-broadcast failure this cap exists to close
+        # (r12 review finding). The hint guarantees the documented
+        # O(batch_size·dim + corpus partition) per-task bound.
+        qp = blocked.repartition(nblocks, F.col(query_id)).hint(
+            "shuffle_replicate_nl"
+        )
         if isinstance(dim, int):
             sql = vectors.DISTANCES_FIXED_SQL[metric](
                 f"`{query_vec}`", f"`{corpus_vec}`", dim

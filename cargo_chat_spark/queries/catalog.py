@@ -507,13 +507,29 @@ _ROUND13_REPROOF_WAVE = [
     "pii_scan",
     "pricing_summary",
 ]
-_ROUND13_WINDOW_DRAFT = (
-    # GATE_WINDOW[:20] at execution time (the 20 permanents)
-    PROMOTION_PLAN + _ROUND13_REPROOF_WAVE
-)
+# FROZEN LITERAL (r12 review finding: computing the draft live from the
+# mutable PROMOTION_PLAN meant the first round-13 registration appended
+# to the plan would break an import-time length assert everywhere).
+# This literal is the commitment; if PROMOTION_PLAN grows after the r12
+# close, rebalance THIS list deliberately in the same commit (promote
+# the new entries, push the tail of the re-proof wave to round 14).
+_ROUND13_WINDOW_DRAFT = [
+    "zipf_fit_report",
+    "vocab_oov_report",
+    "ams_f2_report",
+    "bq_hamming_rerank",
+    "waiting_suppliers_q21",
+    "langid_confusion_report",
+    "kn_bigram_logprob",
+    *_ROUND13_REPROOF_WAVE,
+]
 assert len(_ROUND13_WINDOW_DRAFT) == 30 and len(set(_ROUND13_WINDOW_DRAFT)) == 30, (
     "r13 draft arithmetic: 7 promotions + 23 re-proofs must fill "
     "slots 21-50 exactly"
+)
+assert set(PROMOTION_PLAN) <= set(_ROUND13_WINDOW_DRAFT), (
+    "every queued promotion must hold a draft slot — rebalance the "
+    "frozen draft when the plan grows"
 )
 
 # Historical record of the round-11 promotion queue (promoted IN FULL

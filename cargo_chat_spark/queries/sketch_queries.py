@@ -488,19 +488,32 @@ def kmv_set_ops_report(spark, sf_dir):
 # self-join size, the quantity a CBO needs for skew-aware join planning
 # — from D counters Z_j = sum_i sign_j(i) * f_i, where sign_j is a
 # md5-derived ±1 draw per item. E[Z^2] = F2 exactly; the gate rebuilds
-# the identical sketch in both engines (seed folded into the digest
-# input, the Count-Min precedent), so the ESTIMATES value-hash: the
-# per-row mean, the median-of-rows (integer midpoint of the sorted even
-# count), and the micro-unit relative error. Bounded mergeable state —
-# D running sums, map-side-combinable; the sign aggregate runs over the
-# VOCAB-bounded word-count frame, never the raw stream.
+# the identical sketch in both engines — ONE md5 digest per item, the
+# D sign rows reading DISJOINT 4-hex-char windows (the Count-Min
+# md5-once discipline: the hot-path cost at scale is the hash; the r11
+# re-bar measured the per-seed-digest form 2x slower) — so the
+# ESTIMATES value-hash: the per-row mean, the median-of-rows (integer
+# midpoint of the sorted even count), and the micro-unit relative
+# error. Bounded mergeable state — D running sums, map-side-
+# combinable; the sign aggregate runs over the VOCAB-bounded
+# word-count frame, never the raw stream.
+#
+# Integer domain (documented bound): the squared terms c*c and Z^2 are
+# BIGINT-exact while per-type counts and |Z_j| stay <= ~3.03e9 (sqrt of
+# int64 max) — ample for the gate fixtures and for per-shard sketches.
+# A corpus-wide 100 TB deployment where one type exceeds 3e9
+# occurrences computes the squares in 128-bit (HUGEINT / DECIMAL(38,0))
+# and emits DOUBLE — the documented exit in SCALE.md; the gate keeps
+# the BIGINT spelling because the harness canonicalization downcasts
+# HUGEINT to float64 (the driver-sim failure mode FIXTURES.md records).
 AMS_DEPTH = 6
 
 
 def _ams_sign_sql(item_sql: str, seed: int) -> str:
+    # parity of the seed-th disjoint 4-hex window of the ONE digest
     return (
-        f"(CASE WHEN (('0x' || substring(md5('ams{seed}|' || {item_sql}),"
-        f" 1, 8))::BIGINT) % 2 = 0 THEN 1 ELSE -1 END)"
+        f"(CASE WHEN (('0x' || substring(md5('ams|' || {item_sql}),"
+        f" {1 + 4 * seed}, 4))::BIGINT) % 2 = 0 THEN 1 ELSE -1 END)"
     )
 
 
@@ -553,13 +566,15 @@ def ams_f2_report(spark, sf_dir):
     freq = toks.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
 
     def sign(j: int):
+        # seed-th disjoint 4-hex window of the single per-item digest
         h = F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"ams{j}|"), F.col("w"))), 1, 8),
-            16,
-            10,
+            F.substring(F.col("h"), 1 + 4 * j, 4), 16, 10
         ).cast("bigint")
         return F.when(h % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
 
+    freq = freq.withColumn(
+        "h", F.md5(F.concat(F.lit("ams|"), F.col("w")))
+    )
     z = freq.agg(
         *[
             F.sum(sign(j) * F.col("c")).cast("bigint").alias(f"z{j}")

@@ -180,15 +180,13 @@ def test_knn_batched_plan_growth_capped_above_union_ceiling(spark):
     q = _query_vectors(spark, SF_DIR_SMALL)  # 5 queries
     def _one_join_no_union(plan: str) -> None:
         assert "Union" not in plan, "over-cap path still unions per-block plans"
-        # exactly ONE join node. Catalyst picks the physical strategy: a
-        # statistics-small query side broadcasts (BroadcastNestedLoopJoin);
-        # one that exceeds the broadcast threshold — the 10M-query case the
-        # cap exists for — degrades to CartesianProduct. Either way the
-        # plan has one branch, not one per block.
-        njoins = plan.count("BroadcastNestedLoopJoin") + plan.count(
-            "CartesianProduct"
+        # exactly ONE join node, and it must be CartesianProduct: the
+        # SHUFFLE_REPLICATE_NL hint pins it so statistics underestimation
+        # can never re-broadcast an over-cap query side (r12 review).
+        assert plan.count("CartesianProduct") == 1, plan
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            "over-cap query side broadcast despite the replicate-NL hint"
         )
-        assert njoins == 1, plan
         assert "WindowGroupLimit" in plan, "shuffled path lost the top-k prune"
 
     df = knn_join_batched(q, emb, k=10, batch_size=2, max_union_blocks=2)
