@@ -465,6 +465,12 @@ PROMOTION_PLAN: list[str] = [
     # integer micro-nat types weighted by instance counts, everything
     # vocab-bounded after the gram aggregates.
     "kn_bigram_logprob",
+    # NEW in round 12 (post-review wave): Spearman rank agreement
+    # between the DSIR weight and the quality score (deterministic
+    # (value DESC, doc_id) ranks, micro-unit rho via positive-operand
+    # sign-split division) + top-200 overlap — the
+    # do-my-selection-signals-compose card.
+    "signal_agreement_report",
 ]
 
 # Round-13 rotation draft (the r9→r12 discipline: committed at r12
@@ -505,7 +511,9 @@ _ROUND13_REPROOF_WAVE = [
     "neardup_dedup_keep",
     "pack_sequences",
     "pii_scan",
-    "pricing_summary",
+    # pricing_summary moved to the round-14 queue head when
+    # signal_agreement_report took the 8th promotion slot (the
+    # frozen-draft rebalance rule below).
 ]
 # FROZEN LITERAL (r12 review finding: computing the draft live from the
 # mutable PROMOTION_PLAN meant the first round-13 registration appended
@@ -521,10 +529,11 @@ _ROUND13_WINDOW_DRAFT = [
     "waiting_suppliers_q21",
     "langid_confusion_report",
     "kn_bigram_logprob",
+    "signal_agreement_report",
     *_ROUND13_REPROOF_WAVE,
 ]
 assert len(_ROUND13_WINDOW_DRAFT) == 30 and len(set(_ROUND13_WINDOW_DRAFT)) == 30, (
-    "r13 draft arithmetic: 7 promotions + 23 re-proofs must fill "
+    "r13 draft arithmetic: 8 promotions + 22 re-proofs must fill "
     "slots 21-50 exactly"
 )
 assert set(PROMOTION_PLAN) <= set(_ROUND13_WINDOW_DRAFT), (

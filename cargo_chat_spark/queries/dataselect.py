@@ -344,3 +344,126 @@ def _dsir_fixture(spark, sf_dir):
 
 
 _rpb("dsir_cdc_model", _dsir_fixture)
+
+
+# ---------------------------------------- cross-signal agreement card
+# Do the two selection signals a curation pipeline runs — DSIR
+# importance weights and the heuristic quality score — agree on
+# document ordering? Spearman rank correlation with a deterministic
+# tie-break (rank by (value DESC, doc_id ASC) — NOT average ranks, so
+# both engines produce identical integer ranks), emitted in micro-units
+# via positive-operand integer division, plus the top-200 overlap. A
+# low rho tells the pipeline the signals select DIFFERENT corpora and
+# compose (the DSIR paper's motivation); a high rho says one is
+# redundant. The exact global ranks are the correctness anchor (the
+# order_price_deciles posture — the frame is (doc_id, 2 scalars),
+# narrow); at 100 TB ranks come from the sampled-cutpoint bucketing
+# (order_price_deciles_scale machinery) and rho from bucket midpoints.
+_AGREE_TOP = 200
+
+
+def _quality_sql_for_agree() -> str:
+    from cargo_chat_spark.queries.textstats import _QUALITY_SQL
+
+    return _QUALITY_SQL
+
+
+_AGREE_SQL = f"""
+WITH {_FEAT_CTE},
+ra AS (
+    SELECT d.doc_id,
+        ROW_NUMBER() OVER (ORDER BY w.weight DESC, d.doc_id ASC) AS r1
+    FROM documents d JOIN w USING (doc_id)
+),
+qual AS ({{QUALITY}}),
+rb AS (
+    SELECT doc_id,
+        ROW_NUMBER() OVER (ORDER BY quality_score DESC, doc_id ASC) AS r2
+    FROM qual
+),
+joined AS (
+    SELECT CAST(ra.r1 AS BIGINT) AS r1, CAST(rb.r2 AS BIGINT) AS r2
+    FROM ra JOIN rb USING (doc_id)
+),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM((r1 - r2) * (r1 - r2)) AS BIGINT) AS sd2
+    FROM joined
+),
+ov AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS overlap_at_{_AGREE_TOP}
+    FROM joined WHERE r1 <= {_AGREE_TOP} AND r2 <= {_AGREE_TOP}
+)
+SELECT n, sd2,
+    -- rho = (n(n^2-1) - 6*sd2) / n(n^2-1) in micro-units; numerator can
+    -- be negative and Spark DIV truncates while DuckDB // floors, so
+    -- divide POSITIVE operands only and apply the sign explicitly
+    CAST(CASE WHEN (n * (n * n - 1) - 6 * sd2) >= 0
+        THEN (n * (n * n - 1) - 6 * sd2)
+             // greatest(1, (n * (n * n - 1)) // 1000000)
+        ELSE -((6 * sd2 - n * (n * n - 1))
+             // greatest(1, (n * (n * n - 1)) // 1000000))
+        END AS BIGINT) AS rho_micro,
+    overlap_at_{_AGREE_TOP}
+FROM s CROSS JOIN ov
+""".replace("{QUALITY}", "%%Q%%")
+
+
+@register(
+    "signal_agreement_report",
+    sql=_AGREE_SQL.replace("%%Q%%", _quality_sql_for_agree()),
+)
+def signal_agreement_report(spark, sf_dir):
+    """Spearman rank agreement between the DSIR weight and the quality
+    score (deterministic (value DESC, doc_id) ranks, micro-unit rho via
+    positive integer division) plus the top-{K} overlap — the
+    do-my-signals-compose card."""
+    from cargo_chat_spark.queries.textstats import quality_score
+
+    wts = _doc_weights(spark, sf_dir).select("doc_id", "weight")
+    ra = wts.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("weight"), F.asc("doc_id")))
+        .alias("r1"),
+    )
+    rb = quality_score(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("quality_score"), F.asc("doc_id")))
+        .alias("r2"),
+    )
+    # rank diffs squared in BIGINT (row_number yields INT32: d^2 at
+    # |d| > 46341 would overflow the 32-bit multiply under ANSI — it
+    # did at the 10x decade probe). Integer domain of the exact-rank
+    # anchor: n(n^2-1) is BIGINT-exact to n ~ 2.1e6 docs; beyond that
+    # the scale path is bucketed ranks via the sampled-cutpoint
+    # machinery (docstring).
+    joined = ra.join(rb, "doc_id").select(
+        F.col("r1").cast("bigint").alias("r1"),
+        F.col("r2").cast("bigint").alias("r2"),
+    )
+    s = joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("r1") - F.col("r2")) * (F.col("r1") - F.col("r2")))
+        .cast("bigint")
+        .alias("sd2"),
+    )
+    ov = joined.where(
+        (F.col("r1") <= _AGREE_TOP) & (F.col("r2") <= _AGREE_TOP)
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias(f"overlap_at_{_AGREE_TOP}")
+    )
+    return s.crossJoin(F.broadcast(ov)).select(
+        "n",
+        "sd2",
+        F.expr(
+            "CAST(CASE WHEN (n * (n * n - 1) - 6 * sd2) >= 0"
+            " THEN (n * (n * n - 1) - 6 * sd2)"
+            "      DIV greatest(1, (n * (n * n - 1)) DIV 1000000)"
+            " ELSE -((6 * sd2 - n * (n * n - 1))"
+            "      DIV greatest(1, (n * (n * n - 1)) DIV 1000000))"
+            " END AS BIGINT)"
+        ).alias("rho_micro"),
+        f"overlap_at_{_AGREE_TOP}",
+    )
