@@ -191,6 +191,7 @@ DETAIL_EXTRA = [
     "langid_confusion_report",  # new r12: langid confusion cells card
     "kn_bigram_logprob",        # new r12: Kneser-Ney bigram fluency card
     "signal_agreement_report",  # new r12: DSIR-vs-quality Spearman card
+    "source_divergence_report",  # new r12: source-vs-corpus KL card
 ]
 
 
@@ -264,7 +265,7 @@ _R12_CONSOLIDATED_BARS = {
     "ivf_topk_persisted": 2.15, "ivf_topk_trained": 1.75, "ivfpq_topk": 3.02,
     "ivm_view_follow": 10.71, "jl_distortion_report": 3.15, "jl_project_topk": 1.78,
     "kfold_group_assign": 0.27, "kmeans_centroids": 2.18, "kmeans_cluster_profile": 1.98,
-    "kmeans_online_centroids": 1.54, "kmv_distinct_report": 2.01, "kn_bigram_logprob": 3.13, "signal_agreement_report": 7.3, "langid_confusion_report": 2.72, "kmv_set_ops_report": 1.22,
+    "kmeans_online_centroids": 1.54, "kmv_distinct_report": 2.01, "kn_bigram_logprob": 3.13, "signal_agreement_report": 7.3, "source_divergence_report": 2.2, "langid_confusion_report": 2.72, "kmv_set_ops_report": 1.22,
     "knn_exact": 1.17, "knn_int8_rerank": 1.56, "knn_label_purity_report": 1.35,
     "late_shipment_priorities": 0.92, "leakage_safe_split": 0.26, "local_supplier_volume": 1.04,
     "lsh_band_sweep_report": 2.09, "lsh_precision_report": 3.09, "media_frame_sample": 0.49,

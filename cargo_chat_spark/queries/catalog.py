@@ -471,6 +471,12 @@ PROMOTION_PLAN: list[str] = [
     # sign-split division) + top-200 overlap — the
     # do-my-selection-signals-compose card.
     "signal_agreement_report",
+    # NEW in round 12 (post-review wave): per-source KL(source ‖ corpus)
+    # over unigram distributions in integer micro-nats — the mixture
+    # re-weighting card (complements corpus_kl_drift_report's
+    # version-over-version axis); two map-side-combinable word
+    # aggregates + a vocab-bounded join.
+    "source_divergence_report",
 ]
 
 # Round-13 rotation draft (the r9→r12 discipline: committed at r12
@@ -510,10 +516,10 @@ _ROUND13_REPROOF_WAVE = [
     "langid_heuristic",
     "neardup_dedup_keep",
     "pack_sequences",
-    "pii_scan",
-    # pricing_summary moved to the round-14 queue head when
-    # signal_agreement_report took the 8th promotion slot (the
-    # frozen-draft rebalance rule below).
+    # pii_scan and pricing_summary moved to the round-14 queue head
+    # when signal_agreement_report / source_divergence_report took the
+    # 8th and 9th promotion slots (the frozen-draft rebalance rule
+    # below).
 ]
 # FROZEN LITERAL (r12 review finding: computing the draft live from the
 # mutable PROMOTION_PLAN meant the first round-13 registration appended
@@ -530,10 +536,11 @@ _ROUND13_WINDOW_DRAFT = [
     "langid_confusion_report",
     "kn_bigram_logprob",
     "signal_agreement_report",
+    "source_divergence_report",
     *_ROUND13_REPROOF_WAVE,
 ]
 assert len(_ROUND13_WINDOW_DRAFT) == 30 and len(set(_ROUND13_WINDOW_DRAFT)) == 30, (
-    "r13 draft arithmetic: 8 promotions + 22 re-proofs must fill "
+    "r13 draft arithmetic: 9 promotions + 21 re-proofs must fill "
     "slots 21-50 exactly"
 )
 assert set(PROMOTION_PLAN) <= set(_ROUND13_WINDOW_DRAFT), (

@@ -1649,3 +1649,108 @@ def kn_bigram_logprob(spark, sf_dir):
             ).alias("mean_logprob_micro"),
         )
     )
+
+
+# --------------------------------------- source-vs-corpus divergence
+# Which source drifts furthest from the corpus blend? Per-source
+# KL(P_source ‖ P_corpus) over the unigram distributions — the mixture
+# re-weighting signal (a source whose distribution diverges needs its
+# temperature revisited), complementing corpus_kl_drift_report (which
+# compares snapshot VERSIONS, not sources). Shared support holds by
+# construction (every source word is a corpus word), so the sum is
+# total. Per-type terms in integer micro-nats: the log ratio is ONE
+# fixed double expression — (c_sw·N)/(n_s·C_w) with both products
+# taken in DOUBLE so no BIGINT overflow at any scale — floored to
+# micro-nats (the pmi/ccnet convention) and weighted by exact integer
+# counts, so the per-source sums are pure BIGINT. Two map-side-
+# combinable word aggregates + one vocab-bounded join.
+_SRC_DIVERGENCE_SQL = """
+WITH toks AS (
+    SELECT source, w FROM (
+        SELECT source,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents
+    ) WHERE w <> ''
+),
+sw AS (
+    SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c_sw
+    FROM toks GROUP BY source, w
+),
+st AS (
+    SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s,
+           CAST(COUNT(*) AS BIGINT) AS n_types
+    FROM sw GROUP BY source
+),
+cw AS (
+    SELECT w, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY w
+),
+tot AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n FROM cw),
+terms AS (
+    SELECT sw.source, sw.c_sw,
+        CAST(floor(ln(
+            (CAST(sw.c_sw AS DOUBLE) * tot.n)
+            / (CAST(st.n_s AS DOUBLE) * cw.c_w)
+        ) * 1000000) AS BIGINT) AS lr_micro
+    FROM sw
+    JOIN st ON sw.source = st.source
+    JOIN cw ON sw.w = cw.w
+    CROSS JOIN tot
+)
+SELECT t.source, st.n_s AS n_tokens, st.n_types,
+    CAST(SUM(t.c_sw * t.lr_micro) AS BIGINT) AS kl_num_micro,
+    CAST(SUM(t.c_sw * t.lr_micro) // st.n_s AS BIGINT) AS mean_kl_micro
+FROM terms t JOIN st ON t.source = st.source
+GROUP BY t.source, st.n_s, st.n_types
+"""
+
+
+@register("source_divergence_report", sql=_SRC_DIVERGENCE_SQL)
+def source_divergence_report(spark, sf_dir):
+    """Per-source KL(source ‖ corpus) over unigram distributions in
+    integer micro-nats (exact-count-weighted floored log ratios) — the
+    mixture re-weighting card. Note mean_kl_micro uses truncating
+    division on a possibly-negative sum: the SUM of floored terms can
+    dip below zero even though true KL ≥ 0 (each floor subtracts up to
+    1 micro-nat), and Spark DIV and DuckDB // both truncate toward
+    zero, so the engines agree (verified; the sign-split spelling in
+    signal_agreement_report is for engines that floor)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(D.tokens(F.col("text"))).alias("w")
+    ).where(F.col("w") != "")
+    sw = toks.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_sw")
+    )
+    st = sw.groupBy("source").agg(
+        F.sum("c_sw").cast("bigint").alias("n_s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+    )
+    cw = sw.groupBy("w").agg(F.sum("c_sw").cast("bigint").alias("c_w"))
+    tot = cw.agg(F.sum("c_w").cast("bigint").alias("n"))
+    lr = F.floor(
+        F.log(
+            (F.col("c_sw").cast("double") * F.col("n"))
+            / (F.col("n_s").cast("double") * F.col("c_w"))
+        )
+        * F.lit(1000000)
+    ).cast("bigint")
+    terms = (
+        sw.join(st, "source")
+        .join(cw, "w")
+        .crossJoin(F.broadcast(tot))
+        .select("source", "c_sw", "n_s", "n_types", lr.alias("lr_micro"))
+    )
+    return terms.groupBy("source", "n_s", "n_types").agg(
+        F.sum(F.col("c_sw") * F.col("lr_micro"))
+        .cast("bigint")
+        .alias("kl_num_micro"),
+        F.expr(
+            "CAST(sum(c_sw * lr_micro) DIV first(n_s) AS BIGINT)"
+        ).alias("mean_kl_micro"),
+    ).select(
+        "source",
+        F.col("n_s").alias("n_tokens"),
+        "n_types",
+        "kl_num_micro",
+        "mean_kl_micro",
+    )
