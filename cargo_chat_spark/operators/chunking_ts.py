@@ -10,14 +10,29 @@ with the same merge-forward + hard-wrap assembly (``merge_pieces`` is
 shared, so the two tiers differ ONLY in boundary placement).
 
 py-tree-sitter is NOT installable in this sandbox (no network installs,
-verified rounds 2-4 and re-verified round 9), so everything is
-import-gated: ``HAVE_TREE_SITTER`` is False here, the provider raises
-``RuntimeError`` if called without the libs, and the differential suite
-(tests/test_chunking_ts.py) skips. In an environment with
-``tree-sitter`` + per-language grammar wheels (``tree-sitter-python``,
-``tree-sitter-rust``, ...) the provider activates with no other change
-— the char-window spec (chunk_documents gate) and the boundary-fixture
-contract in tests/test_chunking.py remain the acceptance gates.
+verified rounds 2-4 and re-verified rounds 9 and 13), so the wheel tier
+is import-gated: ``HAVE_TREE_SITTER`` is False here and per-language
+differentials skip — EXCEPT Python, which since round 13 has a
+PURE-PYTHON grammar provider (``PythonAstParser`` below): stdlib
+``ast`` compiled to tree-sitter-python's node shape (same node type
+names, 0-based ``start_point`` rows, ``block`` body wrappers,
+``decorated_definition`` envelopes), so the SAME ``_boundary_lines``
+walk runs against a real grammar in this sandbox and the Python
+differential suite executes instead of skipping (r12 verdict item 5).
+In an environment with ``tree-sitter`` + per-language grammar wheels
+(``tree-sitter-python``, ``tree-sitter-rust``, ...) the wheel provider
+takes precedence with no other change — the char-window spec
+(chunk_documents gate) and the boundary-fixture contract in
+tests/test_chunking.py remain the acceptance gates.
+
+Running the differential against the stdlib grammar immediately caught
+a LATENT DEPTH BUG in the original (never-executable) ``_boundary_lines``:
+grammar bodies are wrapped in container nodes (``block``,
+``declaration_list``, ``class_body``, ...), so the walk's single
+recursion level was spent on the wrapper and "one level down" never
+reached the methods inside a class. Containers are now transparent
+(descend without charging depth) — which is also what the wheel tier
+needs for the nested-method split the suite pins.
 
 Boundary rule (mirrors the reference's "split at semantic levels,
 highest level that fits" — text-splitter's CodeSplitter semantics,
@@ -94,18 +109,127 @@ _DECL_TYPES = {
 
 _PARSER_CACHE: dict = {}
 
+# Body-wrapper node types across the 12 grammars: structural containers
+# between a declaration and its member declarations. The boundary walk
+# descends through these WITHOUT charging recursion depth — the depth
+# budget counts declaration nesting, not grammar plumbing (the latent
+# bug the stdlib-grammar differential caught; module docstring).
+_CONTAINER_TYPES = {
+    "block",                    # Python, Rust fn bodies
+    "statement_block",          # JavaScript/TypeScript
+    "compound_statement",       # C/C++
+    "declaration_list",         # Rust impl/mod/trait, C++ namespace, C#
+    "field_declaration_list",   # Rust/C/C++ structs
+    "class_body",               # JS/TS/Java/Swift
+    "interface_body",           # Java/TS
+    "enum_body",                # Java/Swift
+    "enum_body_declarations",   # Java
+    "body_statement",           # Ruby
+    "function_body",            # Swift
+    "protocol_body",            # Swift
+}
+
+
+class _Node:
+    """Minimal tree-sitter node facade: the three attributes
+    ``_boundary_lines`` reads (``type``, 0-based ``start_point``,
+    ``named_children``), shaped exactly like tree-sitter-python emits
+    them so the wheel tier and the stdlib tier share one walk."""
+
+    __slots__ = ("type", "start_point", "named_children")
+
+    def __init__(self, type_, start_point, named_children=()):
+        self.type = type_
+        self.start_point = start_point
+        self.named_children = list(named_children)
+
+
+class _Tree:
+    __slots__ = ("root_node",)
+
+    def __init__(self, root_node):
+        self.root_node = root_node
+
+
+def _py_stmt_node(s):
+    """One stdlib-ast statement -> tree-sitter-python-shaped facade
+    node. Definitions become function_definition / class_definition
+    with a ``block`` body wrapper; decorated definitions get the
+    ``decorated_definition`` envelope starting at the first decorator
+    (ast excludes decorators from the def's lineno since 3.8, exactly
+    like tree-sitter's inner definition node). Other statements map to
+    a generic node whose nested suites are wrapped in ``block``s, so
+    defs inside a top-level ``if``/``try`` sit at the same facade depth
+    as under the wheel grammar."""
+    import ast
+
+    if isinstance(s, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+        t = (
+            "class_definition"
+            if isinstance(s, ast.ClassDef)
+            else "function_definition"
+        )
+        body = [_py_stmt_node(c) for c in s.body]
+        block = _Node(
+            "block", (s.body[0].lineno - 1, s.body[0].col_offset), body
+        )
+        core = _Node(t, (s.lineno - 1, s.col_offset), [block])
+        if s.decorator_list:
+            decs = [
+                _Node("decorator", (d.lineno - 1, max(0, d.col_offset - 1)))
+                for d in s.decorator_list
+            ]
+            first = min(d.lineno for d in s.decorator_list) - 1
+            return _Node(
+                "decorated_definition", (first, 0), decs + [core]
+            )
+        return core
+    nested = []
+    for attr in ("body", "orelse", "finalbody"):
+        nested.extend(getattr(s, attr, None) or [])
+    for h in getattr(s, "handlers", None) or []:
+        nested.extend(h.body)
+    children = []
+    if nested:
+        children = [
+            _Node(
+                "block",
+                (nested[0].lineno - 1, nested[0].col_offset),
+                [_py_stmt_node(c) for c in nested],
+            )
+        ]
+    return _Node(
+        "expression_statement", (s.lineno - 1, s.col_offset), children
+    )
+
+
+class PythonAstParser:
+    """Pure-Python 'grammar wheel' for Python: stdlib ``ast`` compiled
+    to the tree-sitter node shape, so the grammar-vs-spec differential
+    runs in sandboxes where py-tree-sitter cannot install. One
+    documented divergence: tree-sitter is error-tolerant (partial trees
+    with ERROR nodes) while ``ast.parse`` raises ``SyntaxError`` —
+    callers fall back to the hard char window for unparseable source."""
+
+    def parse(self, src: bytes) -> _Tree:
+        import ast
+
+        mod = ast.parse(src.decode("utf-8"))
+        return _Tree(
+            _Node("module", (0, 0), [_py_stmt_node(s) for s in mod.body])
+        )
+
 
 def get_parser(language: str):
-    """Parser for a display-name language, or None when the grammar
-    wheel (or tree-sitter itself) is absent. Cached per language — the
-    per-executor splitter cache of chunker.rs:64-74."""
-    if not HAVE_TREE_SITTER:
-        return None
+    """Parser for a display-name language, or None when no grammar is
+    available. Wheel grammars win when importable; Python additionally
+    has the always-available stdlib-ast provider. Cached per language —
+    the per-executor splitter cache of chunker.rs:64-74."""
     if language in _PARSER_CACHE:
         return _PARSER_CACHE[language]
     parser = None
     mod_name = _GRAMMAR_MODULES.get(language)
-    if mod_name:
+    if HAVE_TREE_SITTER and mod_name:
         try:
             import importlib
 
@@ -116,21 +240,40 @@ def get_parser(language: str):
             parser = Parser(lang)
         except Exception:
             parser = None
+    if parser is None and language == "Python":
+        parser = PythonAstParser()
     _PARSER_CACHE[language] = parser
     return parser
 
 
 def _boundary_lines(tree, decl_types: set[str]) -> list[int]:
-    """0-based start LINES of declaration nodes at depth <= 1. Line
-    granularity (not byte) keeps pieces line-aligned like the regex
-    tier, so the two tiers are comparable chunk-for-chunk."""
+    """0-based start LINES of declaration nodes at declaration depth
+    <= 1 (top level, plus one level down). Body containers
+    (_CONTAINER_TYPES) are transparent. A decorated_definition opens
+    ONE boundary at its decorator line — the wrapped definition must
+    not open a second one between the decorator and the def/class line,
+    but its members still count as one level down. Line granularity
+    (not byte) keeps pieces line-aligned like the regex tier, so the
+    two tiers are comparable chunk-for-chunk."""
     lines: set[int] = set()
     root = tree.root_node
     stack = [(child, 0) for child in root.named_children]
     while stack:
         node, depth = stack.pop()
-        if node.type in decl_types:
+        t = node.type
+        if t in _CONTAINER_TYPES:
+            stack.extend((c, depth) for c in node.named_children)
+            continue
+        if t in decl_types:
             lines.add(node.start_point[0])
+        if t == "decorated_definition":
+            if depth == 0:
+                for c in node.named_children:
+                    if c.type in decl_types or c.type.endswith(
+                        ("_definition", "_declaration", "_item")
+                    ):
+                        stack.extend((g, 1) for g in c.named_children)
+            continue
         if depth == 0:
             stack.extend((c, 1) for c in node.named_children)
     return sorted(lines)
@@ -140,22 +283,32 @@ def split_structured_ts(
     text: str, language: str | None, max_chars: int
 ) -> list[str]:
     """Grammar-backed ``split_structured``: identical contract, AST
-    boundaries. Falls back to the char window for unknown/absent
-    grammars (same rule as the regex tier's unknown-language branch);
-    raises RuntimeError when tree-sitter itself is missing so a caller
-    cannot silently get non-AST chunks after opting into this tier."""
-    if not HAVE_TREE_SITTER:
-        raise RuntimeError(
-            "tree-sitter is not installed; use "
-            "operators.chunking.split_structured (the regex tier)"
-        )
+    boundaries. Falls back to the char window for unknown grammars
+    (same rule as the regex tier's unknown-language branch) and for
+    source the stdlib grammar cannot parse; raises RuntimeError when NO
+    grammar exists for the language at all (tree-sitter missing and no
+    stdlib provider) so a caller cannot silently get non-AST chunks
+    after opting into this tier."""
     parser = get_parser(language or "")
     if parser is None:
+        if not HAVE_TREE_SITTER:
+            raise RuntimeError(
+                "tree-sitter is not installed and no stdlib grammar "
+                f"covers {language!r}; use "
+                "operators.chunking.split_structured (the regex tier)"
+            )
         return [
             text[i : i + max_chars] for i in range(0, len(text), max_chars)
         ]
     src = text.encode("utf-8")
-    tree = parser.parse(src)
+    try:
+        tree = parser.parse(src)
+    except SyntaxError:
+        # stdlib-grammar divergence (PythonAstParser docstring):
+        # tree-sitter tolerates broken source, ast.parse does not
+        return [
+            text[i : i + max_chars] for i in range(0, len(text), max_chars)
+        ]
     bounds = _boundary_lines(tree, _DECL_TYPES.get(language or "", set()))
     # \n-only split: tree-sitter rows count only \n line breaks, but
     # splitlines(keepends=True) also splits on \x0b \x0c \x85

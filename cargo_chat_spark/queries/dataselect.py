@@ -395,14 +395,28 @@ ov AS (
     FROM joined WHERE r1 <= {_AGREE_TOP} AND r2 <= {_AGREE_TOP}
 )
 SELECT n, sd2,
-    -- rho = (n(n^2-1) - 6*sd2) / n(n^2-1) in micro-units; numerator can
-    -- be negative and Spark DIV truncates while DuckDB // floors, so
-    -- divide POSITIVE operands only and apply the sign explicitly
-    CAST(CASE WHEN (n * (n * n - 1) - 6 * sd2) >= 0
-        THEN (n * (n * n - 1) - 6 * sd2)
-             // greatest(1, (n * (n * n - 1)) // 1000000)
-        ELSE -((6 * sd2 - n * (n * n - 1))
-             // greatest(1, (n * (n * n - 1)) // 1000000))
+    -- rho = (n(n^2-1) - 6*sd2) / n(n^2-1) in micro-units; the numerator
+    -- can be negative, and although BOTH engines truncate integer
+    -- division toward zero (verified: -7//2 = -3 in DuckDB, -7 DIV 2 =
+    -- -3 in Spark), we divide POSITIVE operands only and apply the sign
+    -- explicitly so the card stays hash-identical under any engine
+    -- version whose // floors instead. Below den = n(n^2-1) < 1e6 the
+    -- multiply-first form is exact micro-units (|num| <= den, so
+    -- 1e6*|num| < 1e12 — no BIGINT overflow); at den >= 1e6 the
+    -- pre-divided form avoids overflow at <= ~1e-6 relative truncation.
+    CAST(CASE WHEN (n * (n * n - 1)) < 1000000
+        THEN CASE WHEN (n * (n * n - 1) - 6 * sd2) >= 0
+            THEN (1000000 * (n * (n * n - 1) - 6 * sd2))
+                 // greatest(1, n * (n * n - 1))
+            ELSE -((1000000 * (6 * sd2 - n * (n * n - 1)))
+                 // greatest(1, n * (n * n - 1)))
+            END
+        ELSE CASE WHEN (n * (n * n - 1) - 6 * sd2) >= 0
+            THEN (n * (n * n - 1) - 6 * sd2)
+                 // ((n * (n * n - 1)) // 1000000)
+            ELSE -((6 * sd2 - n * (n * n - 1))
+                 // ((n * (n * n - 1)) // 1000000))
+            END
         END AS BIGINT) AS rho_micro,
     overlap_at_{_AGREE_TOP}
 FROM s CROSS JOIN ov
@@ -457,12 +471,23 @@ def signal_agreement_report(spark, sf_dir):
     return s.crossJoin(F.broadcast(ov)).select(
         "n",
         "sd2",
+        # mirrors the oracle exactly: multiply-first exact micro-units
+        # below den = n(n^2-1) < 1e6, pre-divided form above (overflow
+        # guard; <= ~1e-6 relative truncation), positive operands only.
         F.expr(
-            "CAST(CASE WHEN (n * (n * n - 1) - 6 * sd2) >= 0"
-            " THEN (n * (n * n - 1) - 6 * sd2)"
-            "      DIV greatest(1, (n * (n * n - 1)) DIV 1000000)"
-            " ELSE -((6 * sd2 - n * (n * n - 1))"
-            "      DIV greatest(1, (n * (n * n - 1)) DIV 1000000))"
+            "CAST(CASE WHEN (n * (n * n - 1)) < 1000000"
+            " THEN CASE WHEN (n * (n * n - 1) - 6 * sd2) >= 0"
+            "   THEN (1000000 * (n * (n * n - 1) - 6 * sd2))"
+            "        DIV greatest(1, n * (n * n - 1))"
+            "   ELSE -((1000000 * (6 * sd2 - n * (n * n - 1)))"
+            "        DIV greatest(1, n * (n * n - 1)))"
+            "   END"
+            " ELSE CASE WHEN (n * (n * n - 1) - 6 * sd2) >= 0"
+            "   THEN (n * (n * n - 1) - 6 * sd2)"
+            "        DIV ((n * (n * n - 1)) DIV 1000000)"
+            "   ELSE -((6 * sd2 - n * (n * n - 1))"
+            "        DIV ((n * (n * n - 1)) DIV 1000000))"
+            "   END"
             " END AS BIGINT)"
         ).alias("rho_micro"),
         f"overlap_at_{_AGREE_TOP}",

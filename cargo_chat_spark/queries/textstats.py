@@ -1698,7 +1698,14 @@ terms AS (
 )
 SELECT t.source, st.n_s AS n_tokens, st.n_types,
     CAST(SUM(t.c_sw * t.lr_micro) AS BIGINT) AS kl_num_micro,
-    CAST(SUM(t.c_sw * t.lr_micro) // st.n_s AS BIGINT) AS mean_kl_micro
+    -- the floored-term sum can dip below zero; positive-operand
+    -- sign-split keeps the card hash-identical under truncating AND
+    -- flooring integer-division conventions (both current engines
+    -- truncate, but don't depend on it)
+    CAST(CASE WHEN SUM(t.c_sw * t.lr_micro) >= 0
+        THEN SUM(t.c_sw * t.lr_micro) // st.n_s
+        ELSE -((-SUM(t.c_sw * t.lr_micro)) // st.n_s)
+        END AS BIGINT) AS mean_kl_micro
 FROM terms t JOIN st ON t.source = st.source
 GROUP BY t.source, st.n_s, st.n_types
 """
@@ -1708,12 +1715,12 @@ GROUP BY t.source, st.n_s, st.n_types
 def source_divergence_report(spark, sf_dir):
     """Per-source KL(source ‖ corpus) over unigram distributions in
     integer micro-nats (exact-count-weighted floored log ratios) — the
-    mixture re-weighting card. Note mean_kl_micro uses truncating
-    division on a possibly-negative sum: the SUM of floored terms can
-    dip below zero even though true KL ≥ 0 (each floor subtracts up to
-    1 micro-nat), and Spark DIV and DuckDB // both truncate toward
-    zero, so the engines agree (verified; the sign-split spelling in
-    signal_agreement_report is for engines that floor)."""
+    mixture re-weighting card. mean_kl_micro divides a possibly-negative
+    sum (the SUM of floored terms can dip below zero even though true
+    KL ≥ 0 — each floor subtracts up to 1 micro-nat): Spark DIV and
+    DuckDB // both truncate toward zero (verified: -7//2 = -3), but the
+    positive-operand sign-split spelling below removes the dependence
+    on that convention entirely, matching signal_agreement_report."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "source", F.explode(D.tokens(F.col("text"))).alias("w")
@@ -1745,7 +1752,10 @@ def source_divergence_report(spark, sf_dir):
         .cast("bigint")
         .alias("kl_num_micro"),
         F.expr(
-            "CAST(sum(c_sw * lr_micro) DIV first(n_s) AS BIGINT)"
+            "CAST(CASE WHEN sum(c_sw * lr_micro) >= 0"
+            " THEN sum(c_sw * lr_micro) DIV first(n_s)"
+            " ELSE -((-sum(c_sw * lr_micro)) DIV first(n_s))"
+            " END AS BIGINT)"
         ).alias("mean_kl_micro"),
     ).select(
         "source",

@@ -1,14 +1,15 @@
-"""Differential suite for the optional tree-sitter P3 tier
+"""Differential suite for the grammar-backed P3 tier
 (operators/chunking_ts.py vs the regex tier, r8 verdict item 5).
 
-py-tree-sitter is not installable in this sandbox, so the differential
-tests skip per-language unless the grammar wheel is importable; the
-contract tests (table completeness, the explicit no-lib failure mode)
-always run. In a grammar-equipped environment the suite verifies, per
-reference language: the provider satisfies the exact split_structured
-contract (lossless partition, cap, declaration-at-boundary), EQUALS the
-regex tier on flat fixtures, and beats it on nested declarations (the
-fidelity gap the verdict names)."""
+py-tree-sitter is not installable in this sandbox, so wheel-backed
+differentials skip per-language — EXCEPT Python, whose stdlib-ast
+grammar provider (r12 verdict item 5) is always available: the Python
+rows of this suite now RUN here instead of skipping. The contract tests
+(table completeness, the explicit no-grammar failure mode) always run.
+Per runnable language the suite verifies: the provider satisfies the
+exact split_structured contract (lossless partition, cap,
+declaration-at-boundary), EQUALS the regex tier on flat fixtures, and
+beats it on nested declarations (the fidelity gap the verdict names)."""
 
 from __future__ import annotations
 
@@ -32,20 +33,46 @@ def test_provider_tables_language_complete():
 @pytest.mark.skipif(
     TS.HAVE_TREE_SITTER, reason="tree-sitter present; failure mode N/A"
 )
-def test_explicit_failure_without_tree_sitter():
-    """Opting into the AST tier without the libs must raise, never
-    silently fall back (the caller asked for syntax fidelity)."""
+def test_explicit_failure_without_any_grammar():
+    """Opting into the AST tier for a language with NO grammar (wheel
+    missing AND no stdlib provider) must raise, never silently fall
+    back (the caller asked for syntax fidelity). Python is exempt: it
+    always has the stdlib-ast provider."""
     with pytest.raises(RuntimeError, match="tree-sitter"):
-        TS.split_structured_ts("def f():\n    pass\n", "Python", 100)
-    assert TS.get_parser("Python") is None
+        TS.split_structured_ts("fn f() {}\n", "Rust", 100)
+    assert TS.get_parser("Rust") is None
+    assert isinstance(TS.get_parser("Python"), TS.PythonAstParser)
+
+
+def test_python_stdlib_grammar_always_available():
+    """The r13 closure of the wheel gap: the Python differential rows
+    below run in THIS sandbox via the stdlib-ast grammar."""
+    p = TS.get_parser("Python")
+    assert p is not None
+    tree = p.parse(b"def f():\n    pass\n")
+    assert tree.root_node.type == "module"
+    node = tree.root_node.named_children[0]
+    assert node.type == "function_definition"
+    assert node.start_point == (0, 0)
+
+
+def test_python_stdlib_grammar_syntax_error_falls_back_to_window():
+    """Documented stdlib-grammar divergence: unparseable source gets
+    the hard char window (tree-sitter would emit a partial tree)."""
+    bad = "def broken(:\n" + "x" * 50
+    chunks = TS.split_structured_ts(bad, "Python", max_chars=20)
+    assert "".join(chunks) == bad
+    assert all(len(c) <= 20 for c in chunks)
+    assert [len(c) for c in chunks[:-1]] == [20] * (len(chunks) - 1)
 
 
 def _parser_or_skip(lang: str):
-    if not TS.HAVE_TREE_SITTER:
-        pytest.skip("tree-sitter not installed in this environment")
     p = TS.get_parser(lang)
     if p is None:
-        pytest.skip(f"no grammar wheel for {lang}")
+        pytest.skip(
+            f"no grammar for {lang} (tree-sitter wheels not installable "
+            "in this sandbox; only Python has a stdlib provider)"
+        )
     return p
 
 
@@ -83,6 +110,25 @@ def test_ts_tier_splits_nested_methods():
     assert "".join(chunks) == text
     assert any(c.lstrip().startswith("def b") for c in chunks), (
         "nested method not at a chunk boundary"
+    )
+
+
+def test_ts_tier_keeps_decorator_with_its_function():
+    """decorated_definition semantics: ONE boundary at the decorator
+    line — the chunk break lands before '@', never between the
+    decorator and its def (where the def-anchored regex would put it)."""
+    _parser_or_skip("Python")
+    first = "def first():\n    return 1\n"
+    deco = "@wraps(first)\ndef second():\n    return 2\n"
+    text = first + deco
+    cap = max(len(first), len(deco)) + 4
+    chunks = TS.split_structured_ts(text, "Python", max_chars=cap)
+    assert "".join(chunks) == text
+    assert any(c.startswith("@wraps") for c in chunks), (
+        "decorator must open the chunk"
+    )
+    assert not any(c.startswith("def second") for c in chunks), (
+        "a boundary between decorator and def splits the envelope"
     )
 
 
