@@ -541,7 +541,56 @@ assert len(_ROUND13_WINDOW_DRAFT) == 30 and len(set(_ROUND13_WINDOW_DRAFT)) == 3
     "r13 draft arithmetic: 9 promotions + 21 re-proofs must fill "
     "slots 21-50 exactly"
 )
-assert set(PROMOTION_PLAN) <= set(_ROUND13_WINDOW_DRAFT), (
+
+# Round-14 rotation draft (frozen at the r13 rotation commit, executed
+# — after a 50/50 window re-sim — at the round-14 start). 20 permanents
+# + these 30 re-proofs: the full r5-green remainder (14, with pii_scan
+# and pricing_summary at the head per the r12 verdict item 4 — the two
+# rows displaced by the r13 frozen-draft rebalance) + the 16 OLDEST
+# r6 greens by registry name (deterministic pick from the CORRECTNESS
+# history; the other 14 r6 greens head the round-15 queue). REBALANCE
+# RULE (same as r13): a round-13 registration appended to
+# PROMOTION_PLAN takes a slot from the TAIL of the r6 wave below, in
+# the same commit, pushing the displaced name to the round-15 head.
+_ROUND14_WINDOW_DRAFT = [
+    # --- r5-green remainder (14; displaced pair first) ---
+    "pii_scan",
+    "pricing_summary",
+    "quality_score",
+    "repetition_signals",
+    "repo_files_fixture",
+    "revenue_rollup",
+    "rp_lsh_forest_topk",
+    "rp_lsh_topk",
+    "segment_running_totals",
+    "sources_by_lang",
+    "temperature_mix",
+    "token_count",
+    "top_customers",
+    "vocab_top50",
+    # --- oldest r6 greens (16 of 30, by registry name) ---
+    "abandoned_purchases",
+    "bm25_topk",
+    "cheapest_supplier_per_part",
+    "cogroup_purchase_view_asof",
+    "constraint_violations",
+    "curation_pipeline",
+    "daily_active_bitmap",
+    "dataset_split",
+    "event_funnel",
+    "events_dedup_collapse",
+    "events_gap_fill_locf",
+    "events_ohlc_hourly",
+    "events_partitioned_pruned",
+    "frame_neardup",
+    "hybrid_rrf_retrieval",
+    "index_import_reference",
+]
+assert len(_ROUND14_WINDOW_DRAFT) == 30 and len(set(_ROUND14_WINDOW_DRAFT)) == 30, (
+    "r14 draft arithmetic: promotions + re-proofs must fill slots "
+    "21-50 exactly"
+)
+assert set(PROMOTION_PLAN) <= set(_ROUND14_WINDOW_DRAFT), (
     "every queued promotion must hold a draft slot — rebalance the "
     "frozen draft when the plan grows"
 )

@@ -154,25 +154,116 @@ QUALIFY "rank" <= 10
 
 
 @register("knn_int8_rerank", sql=_KNN_INT8_SQL)
-def knn_int8_rerank(spark, sf_dir):
+def knn_int8_rerank(spark, sf_dir, *, max_collect_queries: int = 4096):
     """Quantize → integer-distance shortlist ({_QUANT_CAND}/query) → exact
     re-rank top-10. The global scale is a bounded driver scalar (like the
     k-means centroids); quantized vectors would be the stored form at scale
     (4x less scan bandwidth), with the float originals read only for the
-    shortlist."""
+    shortlist.
+
+    Physical strategy (r13 rework — the r12 keys-only rework was
+    scale-right but paid 5 corpus scans + a per-pair JVM lambda at
+    fixture scale): ONE aggregate pass collects gscale AND the bounded
+    query set (LIMIT-capped by count at {max_collect_queries}; past the
+    cap the all-JVM broadcast form below takes over), then ONE
+    mapInPandas pass quantizes each Arrow batch in NumPy and emits the
+    local integer top-{_QUANT_CAND} per query via an exact float64 GEMM
+    (|q|^2+|c|^2-2qc; every intermediate < 2^53, so bit-exact vs the
+    oracle's BIGINT arithmetic). The shuffle then carries only
+    O(partitions x |Q| x {_QUANT_CAND}) key rows; floats re-attach by
+    broadcasting the pruned shortlist back onto one corpus scan (the
+    r12 payload-slimming rule kept — the corpus itself never shuffles).
+    """
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    gmax = emb.agg(
-        F.max(
-            F.aggregate(
-                F.col("embedding"),
-                F.lit(0.0),
-                lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    absmax = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    is_q = F.col("vec_id") % 100 == 0
+    head = emb.agg(
+        F.max(absmax).alias("gmax"),
+        F.count(F.when(is_q, 1)).alias("nq"),
+    ).first()
+    gscale = float(head["gmax"]) / 127.0
+    if head["nq"] > max_collect_queries:
+        return _knn_int8_rerank_jvm(spark, emb, gscale)
+    qrows = (
+        emb.where(is_q)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .collect()
+    )
+    qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+    qmat = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    qq = np.floor(qmat / gscale + 0.5)  # float64 holds the exact ints
+    qq_sq = (qq * qq).sum(axis=1)
+    bc = spark.sparkContext.broadcast((qids, qq, qq_sq))
+
+    def local_topk(batches):
+        bqids, bqq, bqq_sq = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cmat = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+            cq = np.floor(cmat / gscale + 0.5)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            # exact integer distances via float64 GEMM: values bounded by
+            # dim * 254^2 << 2^53, so the BLAS path loses nothing
+            d2 = bqq_sq[:, None] + (cq * cq).sum(axis=1)[None, :] - 2.0 * (
+                bqq @ cq.T
             )
+            keep = min(_QUANT_CAND, d2.shape[1])
+            out = {"query_id": [], "neighbor_id": [], "qdist": []}
+            for qi in range(len(bqids)):
+                order = np.lexsort((ids, d2[qi]))[:keep]
+                out["query_id"].extend([bqids[qi]] * keep)
+                out["neighbor_id"].extend(ids[order])
+                out["qdist"].extend(d2[qi, order].astype(np.int64))
+            yield pd.DataFrame(out)
+
+    local = emb.select("vec_id", "embedding").mapInPandas(
+        local_topk, "query_id bigint, neighbor_id bigint, qdist bigint"
+    )
+    w_q = Window.partitionBy("query_id").orderBy("qdist", "neighbor_id")
+    shortlist = (
+        local.withColumn("qr", F.row_number().over(w_q))
+        .where(F.col("qr") <= _QUANT_CAND)
+        .select("query_id", "neighbor_id")
+    )
+    from cargo_chat_spark.functions import vectors
+
+    qvecs = spark.createDataFrame(
+        [(int(r["query_id"]), r["embedding"]) for r in qrows],
+        "query_id bigint, qvec array<float>",
+    )
+    rescored = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+        .join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            vectors.euclidean(F.col("qvec"), F.col("embedding")).alias(
+                "distance"
+            ),
         )
-    ).first()[0]
-    gscale = float(gmax) / 127.0
+    )
+    w_r = Window.partitionBy("query_id").orderBy("distance", "neighbor_id")
+    return (
+        rescored.withColumn("rank", F.row_number().over(w_r))
+        .where(F.col("rank") <= 10)
+    )
+
+
+def _knn_int8_rerank_jvm(spark, emb, gscale):
+    """Over-cap fallback: the r12 all-JVM broadcast form (no driver
+    collect of the query set). Same oracle, same result order."""
+    from pyspark.sql import Window
+
     quant = emb.select(
         "vec_id",
         "embedding",
@@ -192,10 +283,6 @@ def knn_int8_rerank(spark, sf_dir):
         F.lit(0).cast("bigint"),
         lambda acc, v: acc + v,
     )
-    # candidate frame carries KEYS + the ranking scalar only (the r12 BQ
-    # payload-slimming rule, SCALE.md): floats re-attach after the prune —
-    # query side broadcast, corpus floats via broadcasting the bounded
-    # shortlist back onto the corpus scan (corpus still never shuffles)
     cand = quant.drop("embedding").crossJoin(F.broadcast(qq)).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),

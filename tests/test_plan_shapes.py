@@ -286,12 +286,18 @@ def test_lsh_forest_join_is_equijoin(spark):
 
 
 def test_int8_shortlist_prunes_map_side(spark):
-    """The quantized candidate pass must keep knn_exact's posture: corpus
-    never shuffles (query side broadcasts) and the per-query shortlist
-    window gets the map-side WindowGroupLimit prune."""
+    """The quantized candidate pass must keep knn_exact's posture: the
+    corpus never shuffles — since r13 the integer shortlist comes from a
+    single NumPy mapInPandas pass whose output is the only shuffled
+    frame (keys + qdist, O(partitions x |Q| x 32) rows), the global
+    shortlist window gets the map-side WindowGroupLimit prune, and the
+    float re-attach joins broadcast the pruned side."""
     plan = _plan(spark, "knn_int8_rerank")
     assert "WindowGroupLimit" in plan and "Partial" in plan
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "BroadcastExchange" in plan
+    assert "MapInPandas" in plan, (
+        "int8 shortlist lost the vectorized single-pass kernel"
+    )
 
 
 def test_range_join_is_bucketed_equijoin(spark):
