@@ -638,3 +638,212 @@ from cargo_chat_spark.queries.registry import register_phase_builder as _rpb
 
 _rpb("rp_forest_persisted", _forest_store)
 _rpb("rp_forest_cdc_synced", _forest_cdc_fixture)
+
+
+# ------------------------------------------------------- RP-TREE forest (r13)
+# The reference's ACTUAL ANN data structure is 16 recursive random-
+# projection TREES (ann.rs:254 via the external `vector` crate): each
+# tree recursively splits the corpus at the MEDIAN of a random
+# projection until leaves are small; a query descends each tree and the
+# union of its 16 leaves is the candidate set. The RP-LSH forest above
+# is the hash-table analog (fixed sign-bit hyperplanes); this card is
+# the literal algorithm — data-DEPENDENT median splits, so every leaf
+# holds exactly corpus/2^depth vectors regardless of the distribution
+# (the property sign-bit buckets lack under skew). Spark-first shape:
+# projections in one Arrow-batched kernel (dim-order left-fold == the
+# SQL list_sum, the _forest_keys_numpy precedent), then D rounds of
+# window rank-median per (tree, node) — the recursion becomes D
+# sequential (tree, node)-keyed windows over an N x T key frame, and
+# query-leaf lookup is the same (t, leaf) equi-join as the forest. At
+# 100 TB the build amortizes exactly like the persisted forest store
+# (leaves written bucketed by (t, leaf) once); depth grows with
+# log2(corpus/leaf_target), keeping probe cost flat.
+N_TREES_RPT = 16
+DEPTH_RPT = 4
+
+
+def _rpt_plane_sql(t_expr: str, lvl: int) -> str:
+    return f"(1000 + ({t_expr} - 1) * {DEPTH_RPT} + {lvl})"
+
+
+def _rpt_proj_sql(embedding: str, t_expr: str, lvl: int) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, len({embedding})), "
+        f"i -> CAST({embedding}[i] AS DOUBLE) * "
+        f"{_weight_sql(_rpt_plane_sql(t_expr, lvl), 'i')}))"
+    )
+
+
+def _rpt_level_sql(lvl: int) -> str:
+    """Two CTE stages for one median split: rank within (t, node), then
+    threshold = the LOWER-MEDIAN element (rank (cnt+1)//2 — an exact
+    member of the projection multiset, so both engines compare the same
+    double; > goes right, ties left)."""
+    prev = f"l{lvl - 1}" if lvl > 1 else "p0"
+    keep = ", ".join(f"p{j}" for j in range(lvl + 1, DEPTH_RPT + 1))
+    keep = (keep + ", ") if keep else ""
+    return f"""
+r{lvl} AS (
+    SELECT *, row_number() OVER (PARTITION BY t, node ORDER BY p{lvl}, vec_id) AS rk,
+        count(*) OVER (PARTITION BY t, node) AS cnt
+    FROM {prev}
+),
+s{lvl} AS (
+    SELECT *, max(CASE WHEN rk = (cnt + 1) // 2 THEN p{lvl} END)
+        OVER (PARTITION BY t, node) AS thr
+    FROM r{lvl}
+),
+l{lvl} AS (
+    SELECT vec_id, t, {keep}
+        node * 2 + CASE WHEN p{lvl} > thr THEN 1 ELSE 0 END AS node
+    FROM s{lvl}
+)"""
+
+
+_RPT_SQL = f"""
+WITH p0 AS (
+    SELECT e.vec_id, tr.t,
+        {", ".join(f"{_rpt_proj_sql('e.embedding', 'tr.t', l)} AS p{l}" for l in range(1, DEPTH_RPT + 1))},
+        0 AS node
+    FROM embeddings e
+    CROSS JOIN (SELECT unnest(generate_series(1, {N_TREES_RPT})) AS t) tr
+),
+{", ".join(_rpt_level_sql(l).strip() for l in range(1, DEPTH_RPT + 1))},
+cand AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM l{DEPTH_RPT} q JOIN l{DEPTH_RPT} c ON q.t = c.t AND q.node = c.node
+    WHERE q.vec_id % 100 = 0
+    GROUP BY 1, 2
+),
+resc AS (
+    SELECT cand.query_id, cand.neighbor_id,
+        sqrt(list_sum(list_transform(generate_series(1, len(qe.embedding)),
+            i -> (CAST(qe.embedding[i] AS DOUBLE) - CAST(ce.embedding[i] AS DOUBLE))
+               * (CAST(qe.embedding[i] AS DOUBLE) - CAST(ce.embedding[i] AS DOUBLE)))))
+            AS distance
+    FROM cand
+    JOIN embeddings qe ON qe.vec_id = cand.query_id
+    JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, distance,
+    CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY distance, neighbor_id
+    ) AS INT) AS "rank"
+FROM resc
+QUALIFY "rank" <= 10
+"""
+
+
+@register("rp_tree_forest_topk", sql=_RPT_SQL)
+def rp_tree_forest_topk(spark, sf_dir):
+    """{N} recursive median-split random-projection trees (the literal
+    ann.rs:254 / `vector`-crate structure), depth {D}: candidates =
+    union of the query's leaf across trees, exact re-rank top-10.
+    Projections come from one mapInPandas kernel (dim-order float64
+    accumulation from 0.0 — bit-identical to the oracle's list_sum left
+    fold); each split level is a (t, node)-keyed rank window whose
+    threshold is the lower-median ELEMENT, so both engines branch on
+    exactly the same double."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def proj_rows(batches):
+        w = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(list(pdf["embedding"]), dtype=np.float64)
+            dim = m.shape[1]
+            if w is None or w.shape[2] != dim:
+                w = np.array(
+                    [
+                        [
+                            [
+                                _weight_py(
+                                    1000 + (t - 1) * DEPTH_RPT + lvl, i
+                                )
+                                for i in range(1, dim + 1)
+                            ]
+                            for lvl in range(1, DEPTH_RPT + 1)
+                        ]
+                        for t in range(1, N_TREES_RPT + 1)
+                    ],
+                    dtype=np.float64,
+                )
+            n = len(pdf)
+            proj = np.zeros((n, N_TREES_RPT, DEPTH_RPT))
+            for i in range(dim):
+                proj += m[:, i, None, None] * w[None, :, :, i]
+            ids = pdf["vec_id"].to_numpy()
+            out = {
+                "vec_id": np.repeat(ids, N_TREES_RPT),
+                "t": np.tile(
+                    np.arange(1, N_TREES_RPT + 1, dtype=np.int32), n
+                ),
+            }
+            for lvl in range(DEPTH_RPT):
+                out[f"p{lvl + 1}"] = proj[:, :, lvl].reshape(-1)
+            yield pd.DataFrame(out)
+
+    schema = "vec_id bigint, t int, " + ", ".join(
+        f"p{l} double" for l in range(1, DEPTH_RPT + 1)
+    )
+    df = emb.select("vec_id", "embedding").mapInPandas(
+        proj_rows, schema
+    ).withColumn("node", F.lit(0))
+    for lvl in range(1, DEPTH_RPT + 1):
+        w_rank = Window.partitionBy("t", "node").orderBy(f"p{lvl}", "vec_id")
+        w_node = Window.partitionBy("t", "node")
+        df = (
+            df.withColumn("rk", F.row_number().over(w_rank))
+            .withColumn("cnt", F.count(F.lit(1)).over(w_node))
+            .withColumn(
+                "thr",
+                F.max(
+                    F.when(
+                        F.col("rk") == F.expr("(cnt + 1) DIV 2"),
+                        F.col(f"p{lvl}"),
+                    )
+                ).over(w_node),
+            )
+            .withColumn(
+                "node",
+                F.col("node") * 2
+                + F.when(F.col(f"p{lvl}") > F.col("thr"), 1).otherwise(0),
+            )
+            .drop("rk", "cnt", "thr", f"p{lvl}")
+        )
+    leaves = df.select("vec_id", "t", "node")
+    qleaves = leaves.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "t", "node"
+    )
+    cand = (
+        qleaves.join(
+            leaves.select(F.col("vec_id").alias("neighbor_id"), "t", "node"),
+            ["t", "node"],
+        )
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qvecs = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    rescored = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+        .join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            vectors.euclidean(F.col("qvec"), F.col("embedding")).alias(
+                "distance"
+            ),
+        )
+    )
+    w_r = Window.partitionBy("query_id").orderBy("distance", "neighbor_id")
+    return (
+        rescored.withColumn("rank", F.row_number().over(w_r))
+        .where(F.col("rank") <= 10)
+    )

@@ -473,7 +473,15 @@ _ROUND8_WINDOW_ROTATED_OUT = [
 # pricing_summary — the two r5 greens displaced by the frozen-draft
 # rebalance — followed by the remaining r5 greens; see
 # _ROUND14_WINDOW_DRAFT below.
-PROMOTION_PLAN: list[str] = []
+PROMOTION_PLAN: list[str] = [
+    # NEW in round 13: the LITERAL reference ANN structure (r12 verdict
+    # "What's missing" #3 — ann.rs:254's 16 recursive median-split
+    # random-projection trees, until now covered only by the RP-LSH
+    # hash-table analog). Data-dependent lower-median splits as D
+    # (tree, node)-keyed rank windows over an N x T key frame; query
+    # leaf lookup is a (t, leaf) equi-join; exact re-rank top-10.
+    "rp_tree_forest_topk",
+]
 
 # Round-13 rotation draft (the r9→r12 discipline: committed at r12
 # close, EXECUTED at the round-13 start — GATE_WINDOW above is the
@@ -553,9 +561,13 @@ assert len(_ROUND13_WINDOW_DRAFT) == 30 and len(set(_ROUND13_WINDOW_DRAFT)) == 3
 # PROMOTION_PLAN takes a slot from the TAIL of the r6 wave below, in
 # the same commit, pushing the displaced name to the round-15 head.
 _ROUND14_WINDOW_DRAFT = [
-    # --- r5-green remainder (14; displaced pair first) ---
+    # --- r5-green remainder head (r12 verdict item 4: slots 21-22) ---
     "pii_scan",
     "pricing_summary",
+    # --- round-13 promotion queue (1; rebalance rule applied: the r6
+    # wave tail index_import_reference moved to the round-15 head) ---
+    "rp_tree_forest_topk",
+    # --- r5-green remainder (12) ---
     "quality_score",
     "repetition_signals",
     "repo_files_fixture",
@@ -584,7 +596,8 @@ _ROUND14_WINDOW_DRAFT = [
     "events_partitioned_pruned",
     "frame_neardup",
     "hybrid_rrf_retrieval",
-    "index_import_reference",
+    # index_import_reference -> round-15 head (displaced by the
+    # rp_tree_forest_topk promotion)
 ]
 assert len(_ROUND14_WINDOW_DRAFT) == 30 and len(set(_ROUND14_WINDOW_DRAFT)) == 30, (
     "r14 draft arithmetic: promotions + re-proofs must fill slots "
