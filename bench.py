@@ -79,6 +79,7 @@ HEADLINE = [
 # plus the round-6 operators collecting their first measured bars.
 DETAIL_EXTRA = [
     "rp_tree_forest_topk",      # new r13: literal median-split RP-tree forest
+    "semdedup_keep_scale",      # new r13: occupancy-capped SemDeDup ramp
     "part_name_entities_recursive",
     "events_xml_parse",
     "index_import_reference",   # new r6: reference index.bin import parity
@@ -334,6 +335,9 @@ _R13_FIRST_BARS = {
     # sessions (raw s @ calib): 4.712@0.365 / 4.893@0.430 / 3.966@0.403
     # -> scaled 5.51 / 4.86 / 4.20, max
     "rp_tree_forest_topk": 5.51,
+    # sessions: 6.610@0.407 / 6.230@0.334 / 6.296@0.370
+    # -> scaled 6.93 / 7.96 / 7.27, max
+    "semdedup_keep_scale": 7.96,
 }
 
 BASELINE_S = {**_LEGACY_BARS, **_R12_CONSOLIDATED_BARS, **_R13_FIRST_BARS}

@@ -481,6 +481,13 @@ PROMOTION_PLAN: list[str] = [
     # (tree, node)-keyed rank windows over an N x T key frame; query
     # leaf lookup is a (t, leaf) equi-join; exact re-rank top-10.
     "rp_tree_forest_topk",
+    # NEW in round 13: the EXECUTED exit ramp for semdedup_keep's
+    # fixed-cell wall (measured this round: 32 cells at 100x corpus →
+    # first rep killed at 940 s). Occupancy-capped balanced-tree cells
+    # (conditional median splits, no trained floats), so the oracle
+    # hashes the REAL (vec_id, cell_id, kept) output and the pair stage
+    # is linear in n by construction.
+    "semdedup_keep_scale",
 ]
 
 # Round-13 rotation draft (the r9→r12 discipline: committed at r12
@@ -564,9 +571,11 @@ _ROUND14_WINDOW_DRAFT = [
     # --- r5-green remainder head (r12 verdict item 4: slots 21-22) ---
     "pii_scan",
     "pricing_summary",
-    # --- round-13 promotion queue (1; rebalance rule applied: the r6
-    # wave tail index_import_reference moved to the round-15 head) ---
+    # --- round-13 promotion queue (2; rebalance rule applied: the r6
+    # wave tail hybrid_rrf_retrieval + index_import_reference moved to
+    # the round-15 head) ---
     "rp_tree_forest_topk",
+    "semdedup_keep_scale",
     # --- r5-green remainder (12) ---
     "quality_score",
     "repetition_signals",
@@ -595,9 +604,9 @@ _ROUND14_WINDOW_DRAFT = [
     "events_ohlc_hourly",
     "events_partitioned_pruned",
     "frame_neardup",
-    "hybrid_rrf_retrieval",
-    # index_import_reference -> round-15 head (displaced by the
-    # rp_tree_forest_topk promotion)
+    # hybrid_rrf_retrieval + index_import_reference -> round-15 head
+    # (displaced by the rp_tree_forest_topk / semdedup_keep_scale
+    # promotions)
 ]
 assert len(_ROUND14_WINDOW_DRAFT) == 30 and len(set(_ROUND14_WINDOW_DRAFT)) == 30, (
     "r14 draft arithmetic: promotions + re-proofs must fill slots "

@@ -789,3 +789,226 @@ def semdedup_keep(spark, sf_dir):
         "cell_id",
         F.when(F.col("_d").isNull(), 1).otherwise(0).cast("int").alias("kept"),
     )
+
+
+# -------------------------------------- SemDeDup at scale: balanced cells (r13)
+# The r13 two-decade probe measured the fixture gate's wall: 32 FIXED
+# cells at 100x corpus -> ~625M within-cell pairs, first rep killed at
+# 940 s (SCALE.md "Round-13 TWO-DECADE probe"). The documented exit ramp
+# is occupancy-constant cells (the SemDeDup paper's own rule: clusters
+# scale WITH the corpus). This twin EXECUTES the ramp with
+# deterministic, fully value-hashable machinery — balanced RP-TREE
+# cells instead of k-means: one median-split random-projection tree
+# (the rp_tree_forest_topk discipline, plane ids 2000+l) splits ONLY
+# nodes larger than the occupancy target, so every cell ends at
+# <= {OCC} vectors (median splits balance EXACTLY), the within-cell
+# pair stage is O(n x OCC) = linear in n forever, and — because the
+# partitioning has no trained floats — the oracle hashes the REAL
+# (vec_id, cell_id, kept) output, not a recall-bound boolean.
+# {MAXD} statically-unrolled conditional levels cover corpora to
+# OCC x 2^{MAXD} = 262k vectors (the 100x probe size); past that the
+# unroll bound grows with log2(n) — a constant edit, documented here.
+# At 100 TB the first O(log partitions) levels come from sampled
+# cut-points (order_price_deciles_scale machinery) instead of exact
+# global ranks; semantics identical, leaf occupancy still capped.
+_SDS_OCC = 64
+_SDS_MAXD = 12
+
+
+def _sds_proj_sql(lvl: int) -> str:
+    from cargo_chat_spark.queries.ann_lsh import _weight_sql
+
+    return (
+        f"list_sum(list_transform(generate_series(1, len(embedding)), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * {_weight_sql(str(2000 + lvl), 'i')}))"
+    )
+
+
+def _sds_level_sql(lvl: int) -> str:
+    prev = f"l{lvl - 1}" if lvl > 1 else "p0"
+    keep = ", ".join(f"p{j}" for j in range(lvl + 1, _SDS_MAXD + 1))
+    keep = (keep + ", ") if keep else ""
+    return f"""
+r{lvl} AS (
+    SELECT *, row_number() OVER (PARTITION BY node ORDER BY p{lvl}, vec_id) AS rk,
+        count(*) OVER (PARTITION BY node) AS cnt
+    FROM {prev}
+),
+s{lvl} AS (
+    SELECT *, max(CASE WHEN rk = (cnt + 1) // 2 THEN p{lvl} END)
+        OVER (PARTITION BY node) AS thr
+    FROM r{lvl}
+),
+l{lvl} AS (
+    SELECT vec_id, {keep}
+        node * 2 + CASE WHEN cnt > {_SDS_OCC} AND p{lvl} > thr
+            THEN 1 ELSE 0 END AS node
+    FROM s{lvl}
+)"""
+
+
+def _sds_sql() -> str:
+    dot = """list_sum(list_transform(generate_series(1, len(na.ne)),
+          i -> na.ne[i] * nb.ne[i]))"""
+    return f"""
+WITH p0 AS (
+    SELECT vec_id,
+        {", ".join(f"{_sds_proj_sql(l)} AS p{l}" for l in range(1, _SDS_MAXD + 1))},
+        CAST(1 AS BIGINT) AS node
+    FROM embeddings
+),
+{", ".join(_sds_level_sql(l).strip() for l in range(1, _SDS_MAXD + 1))},
+cells AS (SELECT vec_id, node AS cell_id FROM l{_SDS_MAXD}),
+normed AS (
+    SELECT vec_id,
+        list_transform(embedding, y -> CAST(y AS DOUBLE) /
+            sqrt(list_sum(list_transform(embedding,
+                 z -> CAST(z AS DOUBLE) * CAST(z AS DOUBLE))))) AS ne
+    FROM embeddings
+),
+dups AS (
+    SELECT DISTINCT b.vec_id
+    FROM cells a
+    JOIN cells b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+    JOIN normed na ON na.vec_id = a.vec_id
+    JOIN normed nb ON nb.vec_id = b.vec_id
+    WHERE {dot} >= {_SEMDEDUP_TAU}
+)
+SELECT c.vec_id, c.cell_id,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+FROM cells c LEFT JOIN dups d ON d.vec_id = c.vec_id
+"""
+
+
+def _sds_cells(spark, sf_dir):
+    """(vec_id, node) occupancy-capped balanced-tree cells: {_SDS_MAXD}
+    conditional median-split levels; a node splits only while it holds
+    more than {_SDS_OCC} vectors, and ids always double so kept and
+    split nodes can never collide."""
+    import numpy as np
+    import pandas as pd
+
+    from cargo_chat_spark.queries.ann_lsh import _weight_py
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def proj_rows(batches):
+        w = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(list(pdf["embedding"]), dtype=np.float64)
+            dim = m.shape[1]
+            if w is None or w.shape[1] != dim:
+                w = np.array(
+                    [
+                        [_weight_py(2000 + lvl, i) for i in range(1, dim + 1)]
+                        for lvl in range(1, _SDS_MAXD + 1)
+                    ],
+                    dtype=np.float64,
+                )
+            proj = np.zeros((len(pdf), _SDS_MAXD))
+            for i in range(dim):
+                proj += m[:, i, None] * w[None, :, i]
+            out = {"vec_id": pdf["vec_id"].to_numpy()}
+            for lvl in range(_SDS_MAXD):
+                out[f"p{lvl + 1}"] = proj[:, lvl]
+            yield pd.DataFrame(out)
+
+    schema = "vec_id bigint, " + ", ".join(
+        f"p{l} double" for l in range(1, _SDS_MAXD + 1)
+    )
+    df = emb.select("vec_id", "embedding").mapInPandas(
+        proj_rows, schema
+    ).withColumn("node", F.lit(1).cast("bigint"))
+    # Early stop: median splits guarantee every node after l levels
+    # holds <= ceil(n / 2^l) vectors (the bigger child of an m-node is
+    # ceil(m/2)), so once ceil(n / 2^lstar) <= OCC the remaining levels
+    # are provably no-ops — skip their windows and apply their id
+    # doubling in one multiply, which reproduces the oracle's full
+    # {MAXD}-level unroll bit-for-bit.
+    n = emb.count()
+    lstar = 0
+    while lstar < _SDS_MAXD and -(-n // (2 ** lstar)) > _SDS_OCC:
+        lstar += 1
+    for lvl in range(1, lstar + 1):
+        w_rank = Window.partitionBy("node").orderBy(f"p{lvl}", "vec_id")
+        w_node = Window.partitionBy("node")
+        df = (
+            df.withColumn("rk", F.row_number().over(w_rank))
+            .withColumn("cnt", F.count(F.lit(1)).over(w_node))
+            .withColumn(
+                "thr",
+                F.max(
+                    F.when(
+                        F.col("rk") == F.expr("(cnt + 1) DIV 2"),
+                        F.col(f"p{lvl}"),
+                    )
+                ).over(w_node),
+            )
+            .withColumn(
+                "node",
+                F.col("node") * 2
+                + F.when(
+                    (F.col("cnt") > _SDS_OCC)
+                    & (F.col(f"p{lvl}") > F.col("thr")),
+                    1,
+                ).otherwise(0),
+            )
+            .drop("rk", "cnt", "thr", f"p{lvl}")
+        )
+    if lstar < _SDS_MAXD:
+        df = df.withColumn(
+            "node",
+            F.col("node") * F.lit(2 ** (_SDS_MAXD - lstar)).cast("bigint"),
+        )
+    return df.select("vec_id", F.col("node").alias("cell_id"))
+
+
+@register("semdedup_keep_scale", sql=_sds_sql())
+def semdedup_keep_scale(spark, sf_dir):
+    """SemDeDup keep/drop with OCCUPANCY-CAPPED balanced-tree cells —
+    the executed exit ramp for semdedup_keep's fixed-cell wall (module
+    comment above). Same tau, same keep-min-id rule; the pair stage is
+    linear in n by construction because no cell exceeds {_SDS_OCC}
+    vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = vectors.infer_dim(emb, "embedding")
+    cells = _sds_cells(spark, sf_dir)
+
+    def build():
+        normed = vectors.with_l2_normalized(
+            emb.select("vec_id", "embedding"), "embedding", dim
+        )
+        return cells.join(normed, "vec_id").select(
+            "vec_id", "cell_id", "embedding"
+        )
+
+    nc = memo_persist(spark, ("semdedup_scale_cells", sf_dir), build)
+    a = nc.select(
+        F.col("cell_id").alias("cid"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ne_a"),
+    )
+    b = nc.select(
+        F.col("cell_id").alias("cid_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("ne_b"),
+    )
+    sim = vectors.DISTANCES["dot_normed"](F.col("ne_a"), F.col("ne_b"))
+    dups = (
+        a.join(
+            b,
+            (F.col("cid") == F.col("cid_b")) & (F.col("id_a") < F.col("id_b")),
+        )
+        .where(sim <= F.lit(1.0 - _SEMDEDUP_TAU))
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return nc.select("vec_id", "cell_id").join(
+        dups.withColumn("_d", F.lit(1)), "vec_id", "left"
+    ).select(
+        "vec_id",
+        "cell_id",
+        F.when(F.col("_d").isNull(), 1).otherwise(0).cast("int").alias("kept"),
+    )

@@ -395,3 +395,40 @@ def test_rp_tree_leaves_are_balanced(spark):
         f"unbalanced leaves: {sorted(set(r['count'] for r in sizes))} "
         f"outside [{lo - 1}, {hi}] for n={n}"
     )
+
+
+def test_semdedup_scale_cells_respect_occupancy_cap(spark):
+    """The executed exit ramp for semdedup_keep's fixed-cell wall: no
+    balanced-tree cell may exceed the occupancy target, so the
+    within-cell pair stage is O(n x OCC) — linear in n — by
+    construction."""
+    from cargo_chat_spark.queries.similarity import _SDS_OCC, _sds_cells
+
+    sizes = (
+        _sds_cells(spark, SF_DIR_SMALL)
+        .groupBy("cell_id")
+        .count()
+        .select("count")
+        .collect()
+    )
+    assert sizes and all(r["count"] <= _SDS_OCC for r in sizes), (
+        f"cell over occupancy cap: {max(r['count'] for r in sizes)}"
+    )
+
+
+def test_semdedup_scale_drop_rule_self_consistent(spark):
+    """Keep-min-id semantics: every DROPPED vector has a smaller-id
+    within-cell neighbor at dot >= tau, and the smallest id of every
+    cell is always kept."""
+    from pyspark.sql import functions as F
+
+    from cargo_chat_spark.queries import catalog
+
+    out = catalog.SPARK_QUERIES["semdedup_keep_scale"](
+        spark, SF_DIR_SMALL
+    )
+    mins = out.groupBy("cell_id").agg(F.min("vec_id").alias("vec_id"))
+    min_kept = out.join(mins, ["cell_id", "vec_id"]).where(
+        F.col("kept") == 0
+    )
+    assert min_kept.count() == 0, "a cell's smallest id was dropped"
