@@ -12,13 +12,15 @@ shared, so the two tiers differ ONLY in boundary placement).
 py-tree-sitter is NOT installable in this sandbox (no network installs,
 verified rounds 2-4 and re-verified rounds 9 and 13), so the wheel tier
 is import-gated: ``HAVE_TREE_SITTER`` is False here and per-language
-differentials skip — EXCEPT Python, which since round 13 has a
-PURE-PYTHON grammar provider (``PythonAstParser`` below): stdlib
-``ast`` compiled to tree-sitter-python's node shape (same node type
-names, 0-based ``start_point`` rows, ``block`` body wrappers,
-``decorated_definition`` envelopes), so the SAME ``_boundary_lines``
-walk runs against a real grammar in this sandbox and the Python
-differential suite executes instead of skipping (r12 verdict item 5).
+differentials skip — EXCEPT Python and Markdown, which since round 13
+have PURE-PYTHON grammar providers: ``PythonAstParser`` (stdlib ``ast``
+compiled to tree-sitter-python's node shape — same node type names,
+0-based ``start_point`` rows, ``block`` body wrappers,
+``decorated_definition`` envelopes) and ``MarkdownAstParser``
+(fence-aware ATX ``section`` nesting, tree-sitter-markdown's shape), so
+the SAME ``_boundary_lines`` walk runs against real grammars in this
+sandbox and those differential rows execute instead of skipping (r12
+verdict item 5).
 In an environment with ``tree-sitter`` + per-language grammar wheels
 (``tree-sitter-python``, ``tree-sitter-rust``, ...) the wheel provider
 takes precedence with no other change — the char-window spec
@@ -220,11 +222,53 @@ class PythonAstParser:
         )
 
 
+class MarkdownAstParser:
+    """Pure-Python 'grammar wheel' for Markdown: ATX sections compiled
+    to tree-sitter-markdown's shape (``document`` root, nested
+    ``section`` nodes — a lower-level heading's section nests inside
+    the enclosing higher-level one — each starting at its
+    ``atx_heading`` line). Fence-aware: headings inside ``` / ~~~ code
+    fences are CONTENT, not boundaries — the class of regex false
+    positive the grammar tier exists to remove."""
+
+    _HEADING = None  # compiled lazily; avoids import-time re cost
+
+    def parse(self, src: bytes) -> _Tree:
+        import re
+
+        if MarkdownAstParser._HEADING is None:
+            MarkdownAstParser._HEADING = re.compile(r"^(#{1,6})\s")
+        heading = MarkdownAstParser._HEADING
+        lines = src.decode("utf-8").split("\n")
+        root = _Node("document", (0, 0), [])
+        stack: list[tuple[int, _Node]] = [(0, root)]
+        in_fence = False
+        for idx, ln in enumerate(lines):
+            stripped = ln.lstrip()
+            if stripped.startswith("```") or stripped.startswith("~~~"):
+                in_fence = not in_fence
+                continue
+            if in_fence:
+                continue
+            m = heading.match(ln)
+            if not m:
+                continue
+            level = len(m.group(1))
+            node = _Node(
+                "section", (idx, 0), [_Node("atx_heading", (idx, 0))]
+            )
+            while stack[-1][0] >= level:
+                stack.pop()
+            stack[-1][1].named_children.append(node)
+            stack.append((level, node))
+        return _Tree(root)
+
+
 def get_parser(language: str):
     """Parser for a display-name language, or None when no grammar is
-    available. Wheel grammars win when importable; Python additionally
-    has the always-available stdlib-ast provider. Cached per language —
-    the per-executor splitter cache of chunker.rs:64-74."""
+    available. Wheel grammars win when importable; Python and Markdown
+    additionally have always-available stdlib providers. Cached per
+    language — the per-executor splitter cache of chunker.rs:64-74."""
     if language in _PARSER_CACHE:
         return _PARSER_CACHE[language]
     parser = None
@@ -242,6 +286,8 @@ def get_parser(language: str):
             parser = None
     if parser is None and language == "Python":
         parser = PythonAstParser()
+    if parser is None and language == "Markdown":
+        parser = MarkdownAstParser()
     _PARSER_CACHE[language] = parser
     return parser
 

@@ -132,6 +132,35 @@ def test_ts_tier_keeps_decorator_with_its_function():
     )
 
 
+def test_markdown_stdlib_grammar_always_available():
+    """Markdown's stdlib provider: sections nest by heading level
+    (tree-sitter-markdown's shape), so an h3 under an h2 sits at
+    grammar depth 2 and does NOT open a boundary under the depth<=1
+    rule, while h1/h2 do."""
+    p = TS.get_parser("Markdown")
+    assert isinstance(p, TS.MarkdownAstParser)
+    text = "# A\nbody\n## B\nmore\n### C\ndeep\n## D\nend\n"
+    chunks = TS.split_structured_ts(text, "Markdown", max_chars=12)
+    assert "".join(chunks) == text
+    assert any(c.startswith("## B") for c in chunks)
+    assert any(c.startswith("## D") for c in chunks)
+    assert not any(c.startswith("### C") for c in chunks), (
+        "depth-2 section must not open a boundary"
+    )
+
+
+def test_markdown_ignores_headings_inside_code_fences():
+    """The regex tier splits at a '# heading' INSIDE a code fence; the
+    grammar tier must treat fenced content as content."""
+    text = "# Real\n```\n# fake heading\n```\n# Also real\nbody\n"
+    chunks = TS.split_structured_ts(text, "Markdown", max_chars=30)
+    assert "".join(chunks) == text
+    assert any(c.startswith("# Also real") for c in chunks)
+    assert not any(c.startswith("# fake") for c in chunks), (
+        "fenced pseudo-heading opened a boundary"
+    )
+
+
 def test_ts_tier_ignores_decl_keywords_inside_strings():
     """A string literal containing 'def ' must not open a boundary —
     the second class of regex false positives an AST removes."""
