@@ -498,6 +498,14 @@ def main() -> None:
     _warmup(spark, sf_dir)
     calibs = [_calibrate(spark)]
     first_timings, first_phases = _run_suite(spark, sf_dir, all_names)
+    # r13: sample calibration AFTER the suite too. A start-only calib
+    # under-corrects when the shared host degrades DURING the run (r13
+    # close: back-to-back sessions at calibs 0.548 then 0.686 — the
+    # first flagged 3 phantom rows because its queries ran on a host
+    # already slower than its start-of-session calib; the second's
+    # higher calib absorbed the same raw numbers to ~1.0x adjusted).
+    # The median over start+end samples tracks intra-session drift.
+    calibs.append(_calibrate(spark))
     runs = [first_timings]
     phase_runs = [first_phases]
     for _ in range(max(0, opts.repeat - 1)):
@@ -508,6 +516,7 @@ def main() -> None:
         t, p = _run_suite(spark, sf_dir, all_names)
         runs.append(t)
         phase_runs.append(p)
+        calibs.append(_calibrate(spark))
     calib = round(statistics.median(calibs), 3)
     env_factor = calib / CALIB_REF_S if calib > 0 else 1.0
     timings_all = {

@@ -404,14 +404,17 @@ def test_semdedup_scale_cells_respect_occupancy_cap(spark):
     construction."""
     from cargo_chat_spark.queries.similarity import _SDS_OCC, _sds_cells
 
+    # sf0.01 (500 vectors): actually exercises the conditional splits
+    # (sf0.001's 50 vectors fit one cell and never split)
     sizes = (
-        _sds_cells(spark, SF_DIR_SMALL)
+        _sds_cells(spark, "/root/testdata/sf0.01")
         .groupBy("cell_id")
         .count()
         .select("count")
         .collect()
     )
-    assert sizes and all(r["count"] <= _SDS_OCC for r in sizes), (
+    assert len(sizes) > 1, "expected multiple cells at sf0.01"
+    assert all(r["count"] <= _SDS_OCC for r in sizes), (
         f"cell over occupancy cap: {max(r['count'] for r in sizes)}"
     )
 
