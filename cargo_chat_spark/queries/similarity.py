@@ -143,6 +143,24 @@ def embedding_neardup_pairs(spark, sf_dir, top: int = 20, n_blocks: int | None =
         # Row count comes from the parquet footer (driver-side metadata
         # read) — an eager count() job here cost ~1 s of every invocation.
         n = parquet_rows(f"{sf_dir}/embeddings.parquet")
+        # Programmatic guard (the graph.py max_nodes pattern; r13 probe
+        # evidence): the exact all-pairs scan measured per-decade
+        # exponent 1.12 at the second decade — past the point where the
+        # 64-block cap can keep tiles at ~_PAIR_BLOCK_ROWS rows, the
+        # invariant (bounded tile memory) silently breaks and the
+        # operator would grind, not fail. Refuse with the takeover path
+        # spelled out instead.
+        if n > 64 * _PAIR_BLOCK_ROWS:
+            raise ValueError(
+                f"embedding_neardup_pairs is the EXACT all-pairs rung "
+                f"(O(n^2) GEMM tiles) and is capped at "
+                f"{64 * _PAIR_BLOCK_ROWS} vectors (got {n}). Past this, "
+                f"use the bucketed near-dup rungs: semdedup_keep_scale "
+                f"(occupancy-capped cells), minhash_lsh_pairs / "
+                f"simhash_neardup_pairs (banded), or bq_hamming_rerank "
+                f"(1-bit shortlist) — SCALE.md 'Round-13 TWO-DECADE "
+                f"probe'. An explicit n_blocks overrides the guard."
+            )
         n_blocks = max(2, min(64, -(-n // _PAIR_BLOCK_ROWS)))
     # Fan each row out to its B block-pair groups with one JVM-side explode
     # (no count job, no Python-built key frame, no broadcast joins): a row

@@ -435,3 +435,23 @@ def test_semdedup_scale_drop_rule_self_consistent(spark):
         F.col("kept") == 0
     )
     assert min_kept.count() == 0, "a cell's smallest id was dropped"
+
+
+def test_embedding_neardup_exact_rung_guard(spark):
+    """The exact all-pairs rung refuses past the tile-invariant bound
+    (64 x block rows) instead of silently grinding — the measured
+    second-decade exponent is 1.12 (SCALE.md r13). An explicit n_blocks
+    still overrides for deliberate over-cap runs."""
+    import pytest as _pytest
+
+    from cargo_chat_spark.queries import similarity as S
+
+    real = S.parquet_rows
+    try:
+        S.parquet_rows = lambda path: 64 * S._PAIR_BLOCK_ROWS + 1
+        with _pytest.raises(ValueError, match="EXACT all-pairs rung"):
+            S.embedding_neardup_pairs(spark, SF_DIR_SMALL)
+        # explicit n_blocks bypasses the guard (deliberate over-cap run)
+        S.embedding_neardup_pairs(spark, SF_DIR_SMALL, n_blocks=4)
+    finally:
+        S.parquet_rows = real
