@@ -191,6 +191,8 @@ def _py_stmt_node(s):
         nested.extend(getattr(s, attr, None) or [])
     for h in getattr(s, "handlers", None) or []:
         nested.extend(h.body)
+    for c in getattr(s, "cases", None) or []:  # ast.Match stores bodies
+        nested.extend(c.body)                   # under .cases[i].body
     children = []
     if nested:
         children = [
@@ -242,13 +244,24 @@ class MarkdownAstParser:
         lines = src.decode("utf-8").split("\n")
         root = _Node("document", (0, 0), [])
         stack: list[tuple[int, _Node]] = [(0, root)]
-        in_fence = False
+        # Open fence state: (char, run_length) or None. CommonMark (and
+        # tree-sitter-markdown) close a fence only on a run of the SAME
+        # character at least as long as the opener; a literal ~~~ line
+        # inside a ``` block is content, not a toggle.
+        fence: tuple[str, int] | None = None
         for idx, ln in enumerate(lines):
             stripped = ln.lstrip()
-            if stripped.startswith("```") or stripped.startswith("~~~"):
-                in_fence = not in_fence
+            if stripped[:1] in ("`", "~") and (
+                stripped.startswith("```") or stripped.startswith("~~~")
+            ):
+                ch = stripped[0]
+                run = len(stripped) - len(stripped.lstrip(ch))
+                if fence is None:
+                    fence = (ch, run)
+                elif ch == fence[0] and run >= fence[1]:
+                    fence = None
                 continue
-            if in_fence:
+            if fence is not None:
                 continue
             m = heading.match(ln)
             if not m:

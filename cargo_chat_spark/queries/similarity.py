@@ -729,10 +729,18 @@ assigned AS (
 ),
 cells AS (SELECT vec_id, cell_id FROM assigned WHERE rn = 1),
 normed AS (
+    -- zero-norm guard (the _HARD_NEG_SQL pattern): DuckDB orders NaN
+    -- above every value, so an unguarded 0/0 vector would satisfy
+    -- dot >= tau while the Spark side's with_l2_normalized maps zero
+    -- vectors to zeros (dot 0, never a dup).
     SELECT vec_id,
-        list_transform(embedding, y -> CAST(y AS DOUBLE) /
-            sqrt(list_sum(list_transform(embedding,
-                 z -> CAST(z AS DOUBLE) * CAST(z AS DOUBLE))))) AS ne
+        CASE WHEN sqrt(list_sum(list_transform(embedding,
+                 y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) = 0
+             THEN list_transform(embedding, y -> 0.0)
+             ELSE list_transform(embedding, y -> CAST(y AS DOUBLE) /
+                 sqrt(list_sum(list_transform(embedding,
+                      z -> CAST(z AS DOUBLE) * CAST(z AS DOUBLE)))))
+        END AS ne
     FROM embeddings
 ),
 dups AS (
@@ -878,10 +886,18 @@ WITH p0 AS (
 {", ".join(_sds_level_sql(l).strip() for l in range(1, _SDS_MAXD + 1))},
 cells AS (SELECT vec_id, node AS cell_id FROM l{_SDS_MAXD}),
 normed AS (
+    -- zero-norm guard (the _HARD_NEG_SQL pattern): DuckDB orders NaN
+    -- above every value, so an unguarded 0/0 vector would satisfy
+    -- dot >= tau while the Spark side's with_l2_normalized maps zero
+    -- vectors to zeros (dot 0, never a dup).
     SELECT vec_id,
-        list_transform(embedding, y -> CAST(y AS DOUBLE) /
-            sqrt(list_sum(list_transform(embedding,
-                 z -> CAST(z AS DOUBLE) * CAST(z AS DOUBLE))))) AS ne
+        CASE WHEN sqrt(list_sum(list_transform(embedding,
+                 y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) = 0
+             THEN list_transform(embedding, y -> 0.0)
+             ELSE list_transform(embedding, y -> CAST(y AS DOUBLE) /
+                 sqrt(list_sum(list_transform(embedding,
+                      z -> CAST(z AS DOUBLE) * CAST(z AS DOUBLE)))))
+        END AS ne
     FROM embeddings
 ),
 dups AS (
@@ -939,21 +955,11 @@ def _sds_cells(spark, sf_dir):
     df = emb.select("vec_id", "embedding").mapInPandas(
         proj_rows, schema
     ).withColumn("node", F.lit(1).cast("bigint"))
-    # Early stop: median splits guarantee every node after l levels
-    # holds <= ceil(n / 2^l) vectors (the bigger child of an m-node is
-    # ceil(m/2)), so once ceil(n / 2^lstar) <= OCC the remaining levels
-    # are provably no-ops — skip their windows and apply their id
-    # doubling in one multiply, which reproduces the oracle's full
-    # {MAXD}-level unroll bit-for-bit.
-    n = emb.count()
-    lstar = 0
-    while lstar < _SDS_MAXD and -(-n // (2 ** lstar)) > _SDS_OCC:
-        lstar += 1
-    for lvl in range(1, lstar + 1):
+    def run_level(frame, lvl):
         w_rank = Window.partitionBy("node").orderBy(f"p{lvl}", "vec_id")
         w_node = Window.partitionBy("node")
-        df = (
-            df.withColumn("rk", F.row_number().over(w_rank))
+        return (
+            frame.withColumn("rk", F.row_number().over(w_rank))
             .withColumn("cnt", F.count(F.lit(1)).over(w_node))
             .withColumn(
                 "thr",
@@ -975,10 +981,40 @@ def _sds_cells(spark, sf_dir):
             )
             .drop("rk", "cnt", "thr", f"p{lvl}")
         )
-    if lstar < _SDS_MAXD:
+
+    # Early stop, VERIFIED (r13 review): for distinct projections the
+    # bigger child of an m-node median split is ceil(m/2), so after
+    # lstar = ceil(log2(n/OCC)) levels every node provably fits — but
+    # TIES at the threshold (exact-duplicate embeddings share every
+    # projection value) put the whole tie run in the left child, which
+    # can then exceed ceil(m/2). So lstar is only the point where we
+    # START checking: run the remaining conditional levels until an
+    # aggregate confirms max per-node occupancy <= OCC (one small job
+    # per check; in the untied common case exactly one check runs).
+    # Once confirmed, the remaining oracle levels are guaranteed no-ops
+    # (cnt > OCC is false everywhere, node -> node*2+0), so replacing
+    # them with a single id-doubling multiply reproduces the oracle's
+    # full {MAXD}-level unroll bit-for-bit.
+    n = emb.count()
+    lstar = 0
+    while lstar < _SDS_MAXD and -(-n // (2 ** lstar)) > _SDS_OCC:
+        lstar += 1
+    lvl = 0
+    while lvl < lstar:
+        lvl += 1
+        df = run_level(df, lvl)
+    while lvl < _SDS_MAXD:
+        max_occ = (
+            df.groupBy("node").count().agg(F.max("count")).first()[0]
+        )
+        if max_occ is None or max_occ <= _SDS_OCC:
+            break
+        lvl += 1
+        df = run_level(df, lvl)
+    if lvl < _SDS_MAXD:
         df = df.withColumn(
             "node",
-            F.col("node") * F.lit(2 ** (_SDS_MAXD - lstar)).cast("bigint"),
+            F.col("node") * F.lit(2 ** (_SDS_MAXD - lvl)).cast("bigint"),
         )
     return df.select("vec_id", F.col("node").alias("cell_id"))
 

@@ -455,3 +455,64 @@ def test_embedding_neardup_exact_rung_guard(spark):
         S.embedding_neardup_pairs(spark, SF_DIR_SMALL, n_blocks=4)
     finally:
         S.parquet_rows = real
+
+
+def test_semdedup_scale_tie_heavy_matches_oracle(spark, tmp_path):
+    """Regression (r13 advisor, medium): exact-duplicate embeddings share
+    every projection value, so a median split puts the whole tie run in the
+    LEFT child and the ceil(m/2) bound behind the lstar level-skip fails —
+    a node can still exceed _SDS_OCC after lstar levels. The Spark path
+    must then keep running conditional levels (verified by an occupancy
+    aggregate) so its cell_ids match the oracle's full MAXD-level unroll
+    on duplicate-heavy corpora."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cargo_chat_spark.queries import catalog
+    from cargo_chat_spark.queries.similarity import _SDS_OCC
+
+    rng = np.random.default_rng(7)
+    dup = rng.normal(size=8)
+    vecs = [dup if i < 150 else rng.normal(size=8) for i in range(200)]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(200), pa.int64()),
+            "embedding": pa.array(
+                [[float(x) for x in v] for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([i % 3 for i in range(200)], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    sdf = catalog.SPARK_QUERIES["semdedup_keep_scale"](spark, str(tmp_path))
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{tmp_path}/embeddings.parquet'"
+    )
+    res = con.execute(catalog.ORACLE_SQL["semdedup_keep_scale"])
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+    con.close()
+
+    from tests.test_oracle_harness import canonicalize
+
+    sc, sr = canonicalize(sdf.columns, s_rows)
+    dc, dr = canonicalize(d_cols, d_rows)
+    assert sc == dc
+    assert sr == dr, (
+        "tie-heavy cell assignment diverged from the oracle's full unroll"
+    )
+    # the 150-duplicate cluster can never split (every projection ties),
+    # so its cell legitimately exceeds the cap in BOTH engines — the test
+    # corpus really does exercise the tie regime
+    from collections import Counter
+
+    cells = Counter(r[0] for r in ((row[1],) for row in s_rows))
+    assert max(cells.values()) >= 150 > _SDS_OCC
