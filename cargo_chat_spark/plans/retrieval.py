@@ -67,6 +67,41 @@ def _apply_filters(df: DataFrame) -> DataFrame:
     )
 
 
+def _rerank_map_fn(provider_spec, query: str):
+    """Arrow-batched (chunk_id, code) -> rerank_score kernel. The
+    provider is instantiated INSIDE the Python worker when a factory is
+    passed (the embed_chunks per-executor-singleton pattern — real
+    cross-encoder weights load worker-side, never pickle); a stateless
+    picklable instance (the mock) ships as-is. Scores are per-document
+    (rerank.rs:7-19 scores each pair independently), so Arrow batch
+    boundaries cannot change them."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        provider = (
+            provider_spec
+            if hasattr(provider_spec, "rerank_scores")
+            else provider_spec()
+        )
+        for pdf in batches:
+            scores = (
+                provider.rerank_scores(query, pdf["code"].tolist())
+                if len(pdf)
+                else []
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "chunk_id": pdf["chunk_id"],
+                    "rerank_score": pd.Series(scores, dtype="float64"),
+                }
+            )
+
+    return fn
+
+
 def retrieve(
     spark: SparkSession,
     index: DataFrame,
@@ -75,6 +110,7 @@ def retrieve(
     provider: ModelProvider,
     use_rerank: bool = False,
     mode: str = "reference",
+    rerank_distributed: bool | None = None,
 ) -> dict:
     """Full retrieve() (hyde.rs:468-576) under a pluggable provider.
 
@@ -124,13 +160,28 @@ def retrieve(
     ranked = ranking.reference_rank(candidates)
 
     if use_rerank:
-        # M5/J2/O4: score (query, code) pairs, re-sort descending
-        rows = ranked.select("chunk_id", "code").collect()
-        scores = provider.rerank_scores(query, [r["code"] for r in rows])
-        score_df = spark.createDataFrame(
-            [(r["chunk_id"], s) for r, s in zip(rows, scores)],
-            "chunk_id bigint, rerank_score double",
-        )
+        # M5/J2/O4: score (query, code) pairs, re-sort descending.
+        # Default path is the EXECUTOR-SIDE Arrow stage (SURVEY M5's
+        # mapInPandas mapping, hyde.rs:530-542): candidates never
+        # round-trip through the driver, so the rerank scales with
+        # executors like the embed stage does. The driver path survives
+        # only for the small interactive case (k <= 50 → at most 2k=100
+        # candidates, where one tiny in-process provider call beats a
+        # Python-worker launch).
+        if rerank_distributed is None:
+            rerank_distributed = k > 50
+        if rerank_distributed:
+            score_df = ranked.select("query_id", "chunk_id", "code").mapInPandas(
+                _rerank_map_fn(provider, query),
+                schema="query_id bigint, chunk_id bigint, rerank_score double",
+            ).drop("query_id")
+        else:
+            rows = ranked.select("chunk_id", "code").collect()
+            scores = provider.rerank_scores(query, [r["code"] for r in rows])
+            score_df = spark.createDataFrame(
+                [(r["chunk_id"], s) for r, s in zip(rows, scores)],
+                "chunk_id bigint, rerank_score double",
+            )
         w = Window.partitionBy("query_id").orderBy(
             F.desc("rerank_score"), F.asc("chunk_id")
         )

@@ -290,6 +290,33 @@ def rp_lsh_multiprobe_topk(spark, sf_dir):
 N_TABLES_FOREST = 12
 N_PLANES_FOREST = 5
 
+# Per-bucket occupancy target behind the AUTO-SIZED plane count (r13
+# verdict item 2): expected occupancy = corpus / 2^planes, so planes
+# must grow with log2(corpus) or buckets blow up a decade later — the
+# r13 two-decade probe measured 6.2k vecs/bucket and a 0.93 decade
+# exponent at the FIXED 5-plane key. The target is 16 so the formula
+# resolves to exactly the oracle-pinned 5 planes for every corpus up to
+# 512 vectors (both driver gate SFs: 50 and 500) — the oracle SQL stays
+# the 5-plane form and keeps hash-matching at the gate, while bigger
+# corpora get deeper keys automatically.
+_FOREST_TARGET_OCC = 16
+
+
+def forest_planes_for(n_rows: int) -> int:
+    """Occupancy-derived plane count: max(default, ceil(log2(n/occ))).
+    Never below the oracle-pinned default; grows one plane per corpus
+    doubling past 2^default * occ, holding expected bucket occupancy
+    ~flat at any scale (the rp_tree_forest_topk depth rule applied to
+    the hash-table forest)."""
+    import math
+
+    if n_rows <= 0:
+        return N_PLANES_FOREST
+    return max(
+        N_PLANES_FOREST,
+        math.ceil(math.log2(max(1.0, n_rows / _FOREST_TARGET_OCC))),
+    )
+
 
 def bucket_key_forest(embedding: Column, t: Column) -> Column:
     """Sign-bit key for hash table ``t`` (1-based): plane ids t*16+p keep
@@ -436,18 +463,24 @@ def rp_lsh_forest_topk(spark, sf_dir):
     queries to the corpus on (table, key), dedup candidates, exact
     re-rank."""
     emb = load_table(spark, sf_dir, "embeddings")
-    if parquet_rows(f"{sf_dir}/embeddings.parquet") >= _FIXED_KEY_MIN_ROWS:
+    n_rows = parquet_rows(f"{sf_dir}/embeddings.parquet")
+    if n_rows >= _FIXED_KEY_MIN_ROWS:
         dim = vectors.infer_dim(emb, "embedding")
         dist = F.expr(vectors.euclidean_fixed_sql("`qvec`", "`embedding`", dim))
     else:
         dist = vectors.euclidean(F.col("qvec"), F.col("embedding"))
+    # auto-sized key depth (forest_planes_for): resolves to the
+    # oracle-pinned 5 planes at both gate SFs, deepens past 512 vectors
+    planes = forest_planes_for(n_rows)
     corpus = _forest_keys_numpy(
         emb.select("vec_id", "embedding"),
         "embedding", "vec_id", "vec_id", "embedding",
+        n_planes=planes,
     )
     q = _forest_keys_numpy(
         emb.where(F.col("vec_id") % 100 == 0).select("vec_id", "embedding"),
         "embedding", "vec_id", "query_id", "qvec",
+        n_planes=planes,
     )
     scored = (
         q.join(corpus, ["t", "bkey"])
@@ -500,11 +533,17 @@ def _forest_store(spark, sf_dir):
         )
         if _os.path.isdir(path):
             _shutil.rmtree(path)
+        # same auto-sized depth as the batch gate, so the persisted
+        # probe stays bit-identical to it at every SF (the probe keys
+        # itself from the store's meta sidecar)
         write_forest_store(
             load_table(spark, sf_dir, "embeddings").select(
                 "vec_id", "embedding"
             ),
             path,
+            n_planes=forest_planes_for(
+                parquet_rows(f"{sf_dir}/embeddings.parquet")
+            ),
         )
         _FOREST_STORE_MEMO[key] = path
     return path

@@ -173,29 +173,73 @@ GATE_WINDOW = [
     "primary_languages",
     "mock_embed_documents",
     "rerank_topk",
-    # --- ROUND-13 ROTATION (executes the round-12 VERDICT item 1 /
-    # _ROUND13_WINDOW_DRAFT frozen at r12 close, re-simmed 50/50 green
-    # before this rotation commit): the 30 round-12 window rows rotate
-    # out on their green CORRECTNESS_r12 externals (50/50, zero err) —
-    # recorded in _ROUND12_WINDOW_ROTATED_OUT below. Slots 21-29 burn
-    # the ENTIRE 9-entry round-12 promotion queue (Zipf fit, OOV rates,
-    # AMS F2, 1-bit BQ rung, Q21 decorrelation, langid confusion,
-    # Kneser-Ney bigram LM, Spearman signal agreement, per-source KL
-    # divergence — every never-externally-gated registration gets its
-    # first driver row, returning the never-driver-gated set to ZERO).
-    # Slots 30-50 are the committed 21-entry re-proof wave: the r4
-    # remainder (5) + the 16 oldest r5 greens — including
-    # knn_int8_rerank, whose candidate frame was payload-slimmed in r12
-    # and needs a fresh external row on the new plan (r12 verdict item
-    # 2). Machinery of the rotating-out r12 rows stays exercised
-    # in-window: the kNN ladder by knn_int8_rerank + bq_hamming_rerank
-    # + ivf_topk_trained + embedding_neardup_pairs + the permanent
-    # knn_exact; banded dedup by substring_dup_pairs + neardup_dedup_keep
-    # + dedup_exact + the permanent neardup_components; sketch/approx
-    # discipline by ams_f2_report + distinct_counts_exact; curation by
-    # quality_filter + contamination_13gram + source_mix +
-    # stratified_sample + langid_heuristic.
-    # --- §2: round-12 promotion queue, in plan order (9) ---
+    # --- ROUND-14 ROTATION (executes the round-13 VERDICT item 3 /
+    # _ROUND14_WINDOW_DRAFT frozen at the r13 rotation commit,
+    # re-simmed 50/50 green before this rotation commit): the 30
+    # round-13 window rows rotate out on their green CORRECTNESS_r13
+    # externals (50/50, zero err) — recorded in
+    # _ROUND13_WINDOW_ROTATED_OUT below. Slots 21-22 are the r12
+    # verdict item-4 head (pii_scan, pricing_summary — the two r5
+    # greens displaced by the r13 frozen-draft rebalance); slots 23-24
+    # land the FIRST external rows for the only two registry entries
+    # never driver-checked (rp_tree_forest_topk, semdedup_keep_scale —
+    # r13 verdict item 1, returning the never-driver-gated set to
+    # ZERO); slots 25-36 are the full r5-green remainder; slots 37-50
+    # the 14 oldest r6 greens by registry name (hybrid_rrf_retrieval +
+    # index_import_reference were displaced to the round-15 head by the
+    # rebalance rule when the two r13 promotions took their slots).
+    # Machinery of the rotating-out r13 rows stays exercised in-window:
+    # the kNN ladder by rp_tree_forest_topk + rp_lsh_forest_topk +
+    # rp_lsh_topk + the permanent knn_exact; banded dedup /
+    # fingerprints by frame_neardup + the permanent neardup_components;
+    # curation/sampling by quality_score + temperature_mix +
+    # dataset_split + curation_pipeline; relational by pricing_summary
+    # + revenue_rollup + top_customers + segment_running_totals +
+    # cheapest_supplier_per_part; events by events_ohlc_hourly +
+    # events_gap_fill_locf + cogroup_purchase_view_asof +
+    # abandoned_purchases + events_dedup_collapse; text stats by
+    # token_count + vocab_top50 + sources_by_lang + bm25_topk;
+    # sketches by daily_active_bitmap.
+    # --- §2: r12 verdict item-4 head (2) ---
+    "pii_scan",
+    "pricing_summary",
+    # --- §3: round-13 promotion queue — first external rows (2) ---
+    "rp_tree_forest_topk",
+    "semdedup_keep_scale",
+    # --- §4: r5-green remainder (12) ---
+    "quality_score",
+    "repetition_signals",
+    "repo_files_fixture",
+    "revenue_rollup",
+    "rp_lsh_forest_topk",
+    "rp_lsh_topk",
+    "segment_running_totals",
+    "sources_by_lang",
+    "temperature_mix",
+    "token_count",
+    "top_customers",
+    "vocab_top50",
+    # --- §5: oldest r6 greens by registry name (14) ---
+    "abandoned_purchases",
+    "bm25_topk",
+    "cheapest_supplier_per_part",
+    "cogroup_purchase_view_asof",
+    "constraint_violations",
+    "curation_pipeline",
+    "daily_active_bitmap",
+    "dataset_split",
+    "event_funnel",
+    "events_dedup_collapse",
+    "events_gap_fill_locf",
+    "events_ohlc_hourly",
+    "events_partitioned_pruned",
+    "frame_neardup",
+]
+# Historical record of the round-13 window promotions (kept for the
+# judge's audit trail; every name below holds a green CORRECTNESS_r13
+# row — 50/50, zero err).
+_ROUND13_WINDOW_ROTATED_OUT = [
+    # --- round-12 promotion queue, in plan order (9) ---
     "zipf_fit_report",
     "vocab_oov_report",
     "ams_f2_report",
@@ -205,14 +249,13 @@ GATE_WINDOW = [
     "kn_bigram_logprob",
     "signal_agreement_report",
     "source_divergence_report",
-    # --- §3: committed re-proof wave (21, _ROUND13_REPROOF_WAVE) ---
-    # r4 remainder (5):
+    # --- committed re-proof wave (21): r4 remainder (5) ---
     "parts_never_ordered_bulk",
     "quality_filter",
     "source_mix",
     "stratified_sample",
     "substring_dup_pairs",
-    # oldest r5 greens (16):
+    # --- oldest r5 greens (16) ---
     "contamination_13gram",
     "dedup_exact",
     "distinct_counts_exact",
@@ -474,20 +517,13 @@ _ROUND8_WINDOW_ROTATED_OUT = [
 # rebalance — followed by the remaining r5 greens; see
 # _ROUND14_WINDOW_DRAFT below.
 PROMOTION_PLAN: list[str] = [
-    # NEW in round 13: the LITERAL reference ANN structure (r12 verdict
-    # "What's missing" #3 — ann.rs:254's 16 recursive median-split
-    # random-projection trees, until now covered only by the RP-LSH
-    # hash-table analog). Data-dependent lower-median splits as D
-    # (tree, node)-keyed rank windows over an N x T key frame; query
-    # leaf lookup is a (t, leaf) equi-join; exact re-rank top-10.
-    "rp_tree_forest_topk",
-    # NEW in round 13: the EXECUTED exit ramp for semdedup_keep's
-    # fixed-cell wall (measured this round: 32 cells at 100x corpus →
-    # first rep killed at 940 s). Occupancy-capped balanced-tree cells
-    # (conditional median splits, no trained floats), so the oracle
-    # hashes the REAL (vec_id, cell_id, kept) output and the pair stage
-    # is linear in n by construction.
-    "semdedup_keep_scale",
+    # Emptied at the r14 rotation commit: the full round-13 queue
+    # (rp_tree_forest_topk, semdedup_keep_scale) was promoted into
+    # GATE_WINDOW above — the never-driver-gated set is ZERO again.
+    # Round-14 registrations append here as they land, each sim-green
+    # at sf0.001 AND sf0.01 before registration; the rebalance rule
+    # (below, _ROUND15_WINDOW_DRAFT) gives each a draft slot from the
+    # tail of the r7 wave in the same commit.
 ]
 
 # Round-13 rotation draft (the r9→r12 discipline: committed at r12
@@ -557,8 +593,9 @@ assert len(_ROUND13_WINDOW_DRAFT) == 30 and len(set(_ROUND13_WINDOW_DRAFT)) == 3
     "slots 21-50 exactly"
 )
 
-# Round-14 rotation draft (frozen at the r13 rotation commit, executed
-# — after a 50/50 window re-sim — at the round-14 start). 20 permanents
+# Round-14 rotation draft (frozen at the r13 rotation commit; EXECUTED
+# at the round-14 start after a 50/50 window re-sim — GATE_WINDOW above
+# is the draft verbatim). 20 permanents
 # + these 30 re-proofs: the full r5-green remainder (14, with pii_scan
 # and pricing_summary at the head per the r12 verdict item 4 — the two
 # rows displaced by the r13 frozen-draft rebalance) + the 16 OLDEST
@@ -612,7 +649,55 @@ assert len(_ROUND14_WINDOW_DRAFT) == 30 and len(set(_ROUND14_WINDOW_DRAFT)) == 3
     "r14 draft arithmetic: promotions + re-proofs must fill slots "
     "21-50 exactly"
 )
-assert set(PROMOTION_PLAN) <= set(_ROUND14_WINDOW_DRAFT), (
+
+# Round-15 rotation draft (frozen at the r14 rotation commit, executed
+# — after a 50/50 window re-sim — at the round-15 start). 20 permanents
+# + these 30 re-proofs: the full r6-green remainder (16, headed by
+# hybrid_rrf_retrieval + index_import_reference — the two rows
+# displaced from the r14 draft by the rp_tree_forest_topk /
+# semdedup_keep_scale promotions) + the 14 OLDEST r7 greens by
+# registry name (the other 15 r7 greens head the round-16 queue).
+# REBALANCE RULE (same as r13/r14): a round-14 registration appended to
+# PROMOTION_PLAN takes a slot from the TAIL of the r7 wave below, in
+# the same commit, pushing the displaced name to the round-16 head.
+_ROUND15_WINDOW_DRAFT = [
+    # --- r6-green remainder (16; displaced rebalance pair first) ---
+    "hybrid_rrf_retrieval",
+    "index_import_reference",
+    "ivfpq_topk",
+    "local_supplier_volume",
+    "media_frame_sample",
+    "paragraph_dedup_rebuild",
+    "part_copurchase_pagerank",
+    "part_name_entities",
+    "pq_knn_rerank",
+    "rolling_7d_actives",
+    "semdedup_keep",
+    "shipping_priority",
+    "source_quality_report",
+    "table_profile",
+    "token_spans_udtf",
+    "value_stats_salted",
+    # --- oldest r7 greens by registry name (14) ---
+    "boilerplate_grams",
+    "cohort_retention",
+    "contamination_bloom",
+    "dedup_mor_apply",
+    "event_transitions",
+    "events_deletion_vectors",
+    "events_jsonl_roundtrip",
+    "events_merge_clauses",
+    "events_merge_on_read",
+    "events_metadata_count",
+    "events_range_pruned_scan",
+    "events_retention_delete",
+    "events_snapshot_cdc",
+    "events_snapshot_optimize",
+]
+assert len(_ROUND15_WINDOW_DRAFT) == 30 and len(set(_ROUND15_WINDOW_DRAFT)) == 30, (
+    "r15 draft arithmetic: re-proofs must fill slots 21-50 exactly"
+)
+assert set(PROMOTION_PLAN) <= set(_ROUND15_WINDOW_DRAFT), (
     "every queued promotion must hold a draft slot — rebalance the "
     "frozen draft when the plan grows"
 )
@@ -1325,12 +1410,13 @@ _reorder()
 
 __all__ = ["SPARK_QUERIES", "ORACLE_SQL", "GATE_WINDOW", "PROMOTION_PLAN"]
 
-# The ROUND-13 WINDOW DRAFT frozen at r12 close (20 permanents + the
-# full 9-entry r12 promotion queue + the 21-entry re-proof wave) is
-# EXECUTED above — GATE_WINDOW is that frozen literal verbatim. The
-# never-driver-gated set is ZERO: every registered query holds an
-# external CORRECTNESS row or sits in the current window.
-assert GATE_WINDOW[20:] == _ROUND13_WINDOW_DRAFT, (
-    "the r13 window must be the frozen draft: 20 permanents + the full "
-    "r12 promotion queue in plan order + the 21-entry re-proof wave"
+# The ROUND-14 WINDOW DRAFT frozen at the r13 rotation commit (20
+# permanents + the item-4 head + the 2-entry r13 promotion queue + the
+# r5/r6 re-proof waves) is EXECUTED above — GATE_WINDOW is that frozen
+# literal verbatim. The never-driver-gated set is ZERO: every
+# registered query holds an external CORRECTNESS row or sits in the
+# current window.
+assert GATE_WINDOW[20:] == _ROUND14_WINDOW_DRAFT, (
+    "the r14 window must be the frozen draft: 20 permanents + the "
+    "item-4 head + the r13 promotions + the r5/r6 re-proof waves"
 )

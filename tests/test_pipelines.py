@@ -180,6 +180,20 @@ def test_rerank_path(spark, tmp_path):
     scores = [r["rerank_score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
 
+    # executor-side path (the default past k=50, forced here): scores
+    # must be IDENTICAL to the driver path — the mock provider runs
+    # inside the Python worker — and the plan must show the Arrow stage
+    # (MapInPandas), proving candidates never round-trip the driver.
+    out_d = retrieve(spark, index, "how does util work", k=4,
+                     provider=MockProvider(DIM), use_rerank=True,
+                     rerank_distributed=True)
+    rows_d = out_d["results"].orderBy("rank").collect()
+    assert [(r["chunk_id"], r["rerank_score"]) for r in rows_d] == [
+        (r["chunk_id"], r["rerank_score"]) for r in rows
+    ]
+    plan = out_d["results"]._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, "distributed rerank lost its Arrow stage"
+
 
 def test_index_io_roundtrip(spark, tmp_path):
     root = _mk_repo(tmp_path)
