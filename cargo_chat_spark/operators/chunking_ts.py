@@ -11,16 +11,18 @@ shared, so the two tiers differ ONLY in boundary placement).
 
 py-tree-sitter is NOT installable in this sandbox (no network installs,
 verified rounds 2-4 and re-verified rounds 9 and 13), so the wheel tier
-is import-gated: ``HAVE_TREE_SITTER`` is False here and per-language
-differentials skip — EXCEPT Python and Markdown, which since round 13
-have PURE-PYTHON grammar providers: ``PythonAstParser`` (stdlib ``ast``
-compiled to tree-sitter-python's node shape — same node type names,
-0-based ``start_point`` rows, ``block`` body wrappers,
-``decorated_definition`` envelopes) and ``MarkdownAstParser``
-(fence-aware ATX ``section`` nesting, tree-sitter-markdown's shape), so
-the SAME ``_boundary_lines`` walk runs against real grammars in this
-sandbox and those differential rows execute instead of skipping (r12
-verdict item 5).
+is import-gated: ``HAVE_TREE_SITTER`` is False here and wheel
+differentials would skip — but since round 14 every reference language
+EXCEPT Ruby has a PURE-PYTHON grammar provider: ``PythonAstParser``
+(stdlib ``ast`` compiled to tree-sitter-python's node shape — same node
+type names, 0-based ``start_point`` rows, ``block`` body wrappers,
+``decorated_definition`` envelopes, r13), ``MarkdownAstParser``
+(fence-aware ATX ``section`` nesting, tree-sitter-markdown's shape,
+r13), and ``CFamilyParser`` (comment/string-masking lexer + brace-depth
+state machine for Rust/Java/Go/C/C++/C#/JS/TS/Swift, r14 — r13 verdict
+item 5), so the SAME ``_boundary_lines`` walk runs against real
+grammars in this sandbox and those differential rows execute instead of
+skipping.
 In an environment with ``tree-sitter`` + per-language grammar wheels
 (``tree-sitter-python``, ``tree-sitter-rust``, ...) the wheel provider
 takes precedence with no other change — the char-window spec
@@ -277,6 +279,327 @@ class MarkdownAstParser:
         return _Tree(root)
 
 
+# ---------------------------------------------------------------- C family
+# Per-language declaration rules for the brace-structured languages:
+# (compiled-on-demand regex over MASKED lines, tree-sitter node type).
+# First match wins. The regexes deliberately mirror the regex tier's
+# _BOUNDARY_PATTERNS keyword sets so the two tiers agree on flat files;
+# the grammar tier wins where line regexes cannot see structure —
+# declarations inside strings/comments (masked away here), nested
+# members (brace-depth tracking), multi-line signatures (the pending-
+# declaration state survives until its body brace opens).
+_CFAMILY_RULES: dict[str, list[tuple[str, str]]] = {
+    "Rust": [
+        (r"^\s*(?:pub(?:\([^)]*\))?\s+)?(?:unsafe\s+|async\s+|const\s+|extern\s+\S+\s+)*fn\b",
+         "function_item"),
+        (r"^\s*(?:pub(?:\([^)]*\))?\s+)?struct\b", "struct_item"),
+        (r"^\s*(?:pub(?:\([^)]*\))?\s+)?enum\b", "enum_item"),
+        (r"^\s*(?:unsafe\s+)?impl\b", "impl_item"),
+        (r"^\s*(?:pub(?:\([^)]*\))?\s+)?(?:unsafe\s+)?trait\b", "trait_item"),
+        (r"^\s*(?:pub(?:\([^)]*\))?\s+)?mod\b", "mod_item"),
+    ],
+    "Java": [
+        (r"^\s*(?:@\w+(?:\([^)]*\))?\s+)*(?:(?:public|private|protected|static|final|abstract|sealed|strictfp)\s+)*class\s+\w",
+         "class_declaration"),
+        (r"^\s*(?:@\w+(?:\([^)]*\))?\s+)*(?:(?:public|private|protected|static|abstract)\s+)*interface\s+\w",
+         "interface_declaration"),
+        (r"^\s*(?:@\w+(?:\([^)]*\))?\s+)*(?:(?:public|private|protected|static)\s+)*enum\s+\w",
+         "enum_declaration"),
+        (r"^\s*(?:@\w+(?:\([^)]*\))?\s+)*(?:(?:public|private|protected|static|final|abstract|synchronized|native|default)\s+)+[\w<>\[\],\s\.]*\(",
+         "method_declaration"),
+    ],
+    "Go": [
+        (r"^func\s+\(", "method_declaration"),
+        (r"^func\b", "function_declaration"),
+        (r"^type\b", "type_declaration"),
+        (r"^var\b", "var_declaration"),
+        (r"^const\b", "const_declaration"),
+    ],
+    "C": [
+        (r"^\s*(?:typedef\s+)?struct\b", "struct_specifier"),
+        (r"^\s*(?:typedef\s+)?enum\b", "enum_specifier"),
+        (r"^\w[\w\s\*]*\([^;]*$", "function_definition"),
+    ],
+    "C++": [
+        (r"^\s*(?:inline\s+)?namespace\b", "namespace_definition"),
+        (r"^\s*(?:template\s*<[^>]*>\s*)?class\b", "class_specifier"),
+        (r"^\s*(?:typedef\s+)?struct\b", "struct_specifier"),
+        (r"^\w[\w\s\*:<>~&]*\([^;]*$", "function_definition"),
+    ],
+    "C#": [
+        (r"^\s*(?:(?:public|private|protected|internal|static|sealed|abstract|partial)\s+)*namespace\b",
+         "namespace_declaration"),
+        (r"^\s*(?:(?:public|private|protected|internal|static|sealed|abstract|partial)\s+)*class\s+\w",
+         "class_declaration"),
+        (r"^\s*(?:(?:public|private|protected|internal|partial)\s+)*interface\s+\w",
+         "interface_declaration"),
+        (r"^\s*(?:(?:public|private|protected|internal|readonly|partial)\s+)*struct\s+\w",
+         "struct_declaration"),
+        (r"^\s*(?:(?:public|private|protected|internal)\s+)*enum\s+\w",
+         "enum_declaration"),
+        (r"^\s*(?:(?:public|private|protected|internal|static|sealed|abstract|virtual|override|async|partial)\s+)+[\w<>\[\],\s\.\?]*\(",
+         "method_declaration"),
+    ],
+    "JavaScript": [
+        (r"^\s*export\b", "export_statement"),
+        (r"^\s*(?:async\s+)?function\b", "function_declaration"),
+        (r"^\s*class\b", "class_declaration"),
+        (r"^\s*const\s+\w+\s*=", "lexical_declaration"),
+        (r"^\s*(?!if\b|for\b|while\b|switch\b|catch\b|do\b|else\b|return\b|new\b|typeof\b)(?:static\s+)?(?:async\s+)?(?:get\s+|set\s+)?[\w$]+\s*\([^;{}]*\)\s*\{",
+         "method_definition"),
+    ],
+    "TypeScript": [
+        (r"^\s*export\b", "export_statement"),
+        (r"^\s*(?:async\s+)?function\b", "function_declaration"),
+        (r"^\s*(?:abstract\s+)?class\b", "class_declaration"),
+        (r"^\s*interface\b", "interface_declaration"),
+        (r"^\s*type\s+\w+", "type_alias_declaration"),
+        (r"^\s*(?:const\s+)?enum\b", "enum_declaration"),
+        (r"^\s*namespace\b", "module"),
+        (r"^\s*const\s+\w+\s*=", "lexical_declaration"),
+        (r"^\s*(?!if\b|for\b|while\b|switch\b|catch\b|do\b|else\b|return\b|new\b|typeof\b)(?:static\s+)?(?:async\s+)?(?:get\s+|set\s+)?(?:public\s+|private\s+|protected\s+|readonly\s+)*[\w$]+\s*\([^;{}]*\)\s*\{",
+         "method_definition"),
+    ],
+    "Swift": [
+        (r"^\s*(?:@\w+\s+)*(?:(?:public|private|internal|open|final|fileprivate|static|override)\s+)*func\b",
+         "function_declaration"),
+        # tree-sitter-swift folds class/struct/enum/actor into ONE
+        # class_declaration node type — mirrored here so struct/enum
+        # members and boundaries behave like the wheel grammar
+        (r"^\s*(?:@\w+\s+)*(?:(?:public|private|internal|open|final|fileprivate)\s+)*(?:class|struct|enum|actor)\b",
+         "class_declaration"),
+        (r"^\s*(?:@\w+\s+)*(?:(?:public|private|internal|open)\s+)*protocol\b",
+         "protocol_declaration"),
+        (r"^\s*(?:@\w+\s+)*(?:(?:public|private|internal|open)\s+)*extension\b",
+         "extension_declaration"),
+    ],
+}
+
+# declaration node type -> its body-container node type (the wheel
+# grammar's wrapper between a declaration and its members; every value
+# is in _CONTAINER_TYPES so the walk descends transparently)
+_CFAMILY_CONTAINERS: dict[str, dict[str, str]] = {
+    "Rust": {
+        "function_item": "block",
+        "struct_item": "field_declaration_list",
+        "enum_item": "field_declaration_list",
+        "impl_item": "declaration_list",
+        "trait_item": "declaration_list",
+        "mod_item": "declaration_list",
+    },
+    "Java": {
+        "class_declaration": "class_body",
+        "interface_declaration": "interface_body",
+        "enum_declaration": "enum_body",
+        "method_declaration": "block",
+    },
+    "Go": {},  # every Go body is a block
+    "C": {
+        "function_definition": "compound_statement",
+        "struct_specifier": "field_declaration_list",
+        "enum_specifier": "field_declaration_list",
+    },
+    "C++": {
+        "function_definition": "compound_statement",
+        "class_specifier": "field_declaration_list",
+        "struct_specifier": "field_declaration_list",
+        "namespace_definition": "declaration_list",
+    },
+    "C#": {
+        "method_declaration": "block",
+    },
+    "JavaScript": {
+        "class_declaration": "class_body",
+        "function_declaration": "statement_block",
+        "method_definition": "statement_block",
+        "export_statement": "statement_block",
+        "lexical_declaration": "statement_block",
+    },
+    "TypeScript": {
+        "class_declaration": "class_body",
+        "interface_declaration": "interface_body",
+        "enum_declaration": "enum_body",
+        "function_declaration": "statement_block",
+        "method_definition": "statement_block",
+        "export_statement": "statement_block",
+        "module": "statement_block",
+        "lexical_declaration": "statement_block",
+    },
+    "Swift": {
+        "function_declaration": "function_body",
+        "class_declaration": "class_body",
+        "protocol_declaration": "protocol_body",
+        "extension_declaration": "class_body",
+    },
+}
+_CFAMILY_DEFAULT_CONTAINER = {"Go": "block", "C#": "declaration_list"}
+
+
+class CFamilyParser:
+    """Pure-Python 'grammar wheel' for the brace-structured languages
+    (Rust/Java/Go/C/C++/C#/JavaScript/TypeScript/Swift): a comment- and
+    string-aware lexer plus a brace-depth state machine, compiled to
+    the tree-sitter node shape so the SAME ``_boundary_lines`` walk
+    runs against it (the PythonAstParser move, r13, extended to the C
+    family per the r13 verdict item 5).
+
+    What it sees that line regexes cannot: declaration keywords inside
+    strings and comments (masked before matching), nested member
+    declarations (attached one brace level down, where the wheel
+    grammar puts them), and multi-line signatures (a matched
+    declaration stays PENDING until its body brace opens, so the
+    boundary lands on the signature line even when ``{`` is lines
+    later). Error-tolerant like tree-sitter: unbalanced braces clamp,
+    nothing raises.
+
+    Documented divergences from the wheel grammars (line granularity by
+    design — the walk is line-based): one declaration per line;
+    multi-line double-quoted strings close at end-of-line (Rust raw
+    strings spanning lines may leak); single quotes mask only when they
+    close on the same line (so Rust lifetimes stay plain text)."""
+
+    __slots__ = ("language", "_rules")
+
+    def __init__(self, language: str):
+        import re
+
+        self.language = language
+        self._rules = [
+            (re.compile(rx), ntype)
+            for rx, ntype in _CFAMILY_RULES[language]
+        ]
+
+    def _mask(self, text: str) -> str:
+        """Blank out comments and string/char literals (newlines kept,
+        every other position preserved) so declaration regexes and the
+        brace counter only see code."""
+        lang = self.language
+        backtick = lang in ("JavaScript", "TypeScript", "Go")
+        out: list[str] = []
+        i, n = 0, len(text)
+        state: str | None = None
+        while i < n:
+            ch = text[i]
+            if state == "block_comment":
+                if ch == "*" and i + 1 < n and text[i + 1] == "/":
+                    out.append("  ")
+                    i += 2
+                    state = None
+                else:
+                    out.append("\n" if ch == "\n" else " ")
+                    i += 1
+                continue
+            if state == "backtick":
+                if ch == "`":
+                    state = None
+                out.append("\n" if ch == "\n" else " ")
+                i += 1
+                continue
+            if state == "dquote":
+                if ch == "\\" and i + 1 < n:
+                    out.append("  ")
+                    i += 2
+                elif ch == '"':
+                    out.append(" ")
+                    state = None
+                    i += 1
+                elif ch == "\n":  # unterminated: close at EOL (divergence note)
+                    out.append("\n")
+                    state = None
+                    i += 1
+                else:
+                    out.append(" ")
+                    i += 1
+                continue
+            if ch == "/" and i + 1 < n and text[i + 1] == "/":
+                j = text.find("\n", i)
+                j = n if j < 0 else j
+                out.append(" " * (j - i))
+                i = j
+                continue
+            if ch == "/" and i + 1 < n and text[i + 1] == "*":
+                out.append("  ")
+                i += 2
+                state = "block_comment"
+                continue
+            if ch == '"':
+                out.append(" ")
+                i += 1
+                state = "dquote"
+                continue
+            if ch == "`" and backtick:
+                out.append(" ")
+                i += 1
+                state = "backtick"
+                continue
+            if ch == "'":
+                # mask only a SAME-LINE-closing literal; a lone quote
+                # (Rust lifetime 'a) stays plain text
+                j = i + 1
+                closed = -1
+                while j < n and text[j] != "\n":
+                    if text[j] == "\\":
+                        j += 2
+                        continue
+                    if text[j] == "'":
+                        closed = j
+                        break
+                    j += 1
+                if closed > 0:
+                    out.append(" " * (closed - i + 1))
+                    i = closed + 1
+                else:
+                    out.append(ch)
+                    i += 1
+                continue
+            out.append(ch)
+            i += 1
+        return "".join(out)
+
+    def parse(self, src: bytes) -> _Tree:
+        text = src.decode("utf-8")
+        masked = self._mask(text)
+        containers = _CFAMILY_CONTAINERS[self.language]
+        default_container = _CFAMILY_DEFAULT_CONTAINER.get(
+            self.language, "declaration_list"
+        )
+        root = _Node("translation_unit", (0, 0), [])
+        # (children list collecting declarations, brace depth it opened at)
+        stack: list[tuple[list, int]] = [(root.named_children, 0)]
+        depth = 0
+        pending: tuple[_Node, str, int] | None = None
+        for idx, ln in enumerate(masked.split("\n")):
+            for rx, ntype in self._rules:
+                if rx.match(ln):
+                    col = len(ln) - len(ln.lstrip())
+                    node = _Node(ntype, (idx, col), [])
+                    stack[-1][0].append(node)
+                    pending = (node, ntype, depth)
+                    break
+            for cidx, ch in enumerate(ln):
+                if ch == "{":
+                    depth += 1
+                    if pending is not None and depth == pending[2] + 1:
+                        ctype = containers.get(pending[1], default_container)
+                        cont = _Node(ctype, (idx, cidx), [])
+                        pending[0].named_children.append(cont)
+                        stack.append((cont.named_children, depth))
+                        pending = None
+                    else:
+                        # anonymous block (if/for/match bodies, struct
+                        # literals): OPAQUE — declarations inside sit
+                        # deeper than the wheel walk looks, exactly as
+                        # with a real grammar
+                        anon = _Node("_anon_block", (idx, cidx), [])
+                        stack[-1][0].append(anon)
+                        stack.append((anon.named_children, depth))
+                elif ch == "}":
+                    depth = max(0, depth - 1)
+                    while len(stack) > 1 and depth < stack[-1][1]:
+                        stack.pop()
+        return _Tree(root)
+
+
 def get_parser(language: str):
     """Parser for a display-name language, or None when no grammar is
     available. Wheel grammars win when importable; Python and Markdown
@@ -301,6 +624,8 @@ def get_parser(language: str):
         parser = PythonAstParser()
     if parser is None and language == "Markdown":
         parser = MarkdownAstParser()
+    if parser is None and language in _CFAMILY_RULES:
+        parser = CFamilyParser(language)
     _PARSER_CACHE[language] = parser
     return parser
 

@@ -36,12 +36,14 @@ def test_provider_tables_language_complete():
 def test_explicit_failure_without_any_grammar():
     """Opting into the AST tier for a language with NO grammar (wheel
     missing AND no stdlib provider) must raise, never silently fall
-    back (the caller asked for syntax fidelity). Python is exempt: it
-    always has the stdlib-ast provider."""
+    back (the caller asked for syntax fidelity). Since r14 only Ruby
+    (end-delimited, not brace-structured) lacks a stdlib provider; the
+    C family runs on the brace tracker and Python on stdlib ast."""
     with pytest.raises(RuntimeError, match="tree-sitter"):
-        TS.split_structured_ts("fn f() {}\n", "Rust", 100)
-    assert TS.get_parser("Rust") is None
+        TS.split_structured_ts("def f\n  1\nend\n", "Ruby", 100)
+    assert TS.get_parser("Ruby") is None
     assert isinstance(TS.get_parser("Python"), TS.PythonAstParser)
+    assert isinstance(TS.get_parser("Rust"), TS.CFamilyParser)
 
 
 def test_python_stdlib_grammar_always_available():
@@ -169,3 +171,93 @@ def test_ts_tier_ignores_decl_keywords_inside_strings():
     chunks = TS.split_structured_ts(text, "Python", max_chars=19)
     assert "".join(chunks) == text
     assert any(c.startswith("def real") for c in chunks)
+
+
+def test_cfamily_nested_methods_split():
+    """The fidelity gap for the brace family: methods INSIDE a class
+    body (brace depth 1) open boundaries — the wheel grammar's 'one
+    level down' rule — including in languages whose regex tier already
+    fires on modifier lines, and in Rust impl blocks where the
+    indented 'fn' is invisible to the ^-anchored pattern."""
+    m1 = "impl Big {\n    fn a(&self) -> i32 {\n        1\n    }\n"
+    m2 = "    fn b(&self) -> i32 {\n        2\n    }\n}\n"
+    text = m1 + m2
+    cap = max(len(m1), len(m2)) + 4
+    chunks = TS.split_structured_ts(text, "Rust", max_chars=cap)
+    assert "".join(chunks) == text
+    assert any(c.lstrip().startswith("fn b") for c in chunks), (
+        "nested impl method not at a chunk boundary"
+    )
+
+
+def test_cfamily_ignores_decls_in_strings_and_comments():
+    """Masking removes the regex tier's false positives: declaration
+    keywords inside string literals and comments must NOT open
+    boundaries."""
+    text = (
+        'static S: &str = "pub fn fake() {";\n'
+        "// fn also_fake() {\n"
+        "/* fn block_fake() {\n   fn still_fake() { */\n"
+        "fn real() -> i32 {\n    1\n}\n"
+    )
+    chunks = TS.split_structured_ts(text, "Rust", max_chars=60)
+    assert "".join(chunks) == text
+    assert any(c.startswith("fn real") for c in chunks)
+    for c in chunks:
+        body = c.lstrip()
+        assert not body.startswith("// fn also_fake"), (
+            "comment line opened a boundary"
+        )
+        assert not body.startswith("fn still_fake"), (
+            "block-comment interior opened a boundary"
+        )
+
+
+def test_cfamily_multiline_signature_boundary():
+    """A declaration whose body brace opens LINES after the signature
+    (the C fixture shape, exaggerated): the boundary must land on the
+    signature line, and the body must attach to that declaration (the
+    pending-declaration state)."""
+    f1 = "int first(\n    int a,\n    int b)\n{\n    return a;\n}\n"
+    f2 = "void second(void)\n{\n}\n"
+    text = f1 + f2
+    cap = max(len(f1), len(f2)) + 4
+    chunks = TS.split_structured_ts(text, "C", max_chars=cap)
+    assert "".join(chunks) == text
+    assert any(c.startswith("void second") for c in chunks)
+
+
+def test_cfamily_rust_lifetime_not_a_string():
+    """A lone single quote (Rust lifetime) must not open a string mask
+    and swallow the rest of the file."""
+    text = (
+        "fn first<'a>(x: &'a str) -> &'a str {\n    x\n}\n"
+        "pub fn second() {\n}\n"
+    )
+    chunks = TS.split_structured_ts(text, "Rust", max_chars=50)
+    assert "".join(chunks) == text
+    assert any(c.startswith("pub fn second") for c in chunks), (
+        "lifetime quote swallowed the second declaration"
+    )
+
+
+def test_cfamily_anonymous_blocks_opaque():
+    """Declarations nested inside control-flow braces sit DEEPER than
+    the walk's one-level rule, exactly as with a wheel grammar: no
+    boundary for a function defined inside an if body."""
+    outer = (
+        "function outer() {\n"
+        "  if (x) {\n"
+        "    function inner() {\n      return 1;\n    }\n"
+        "  }\n"
+        "}\n"
+    )
+    text = outer + "function next() {\n  return 2;\n}\n"
+    chunks = TS.split_structured_ts(
+        text, "JavaScript", max_chars=len(outer) + 4
+    )
+    assert "".join(chunks) == text
+    assert any(c.startswith("function next") for c in chunks)
+    assert not any(
+        c.lstrip().startswith("function inner") for c in chunks
+    ), "control-flow-nested declaration opened a boundary"
