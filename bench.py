@@ -342,7 +342,22 @@ _R13_FIRST_BARS = {
     "semdedup_keep_scale": 7.96,
 }
 
-BASELINE_S = {**_LEGACY_BARS, **_R12_CONSOLIDATED_BARS, **_R13_FIRST_BARS}
+# First bars for round-14 registrations (same cold protocol).
+_R14_FIRST_BARS = {
+    # sessions (raw s @ calib): 3.422@0.529 / 6.192@0.682 / 3.292@0.343
+    # -> scaled 2.76 / 3.88 / 4.10, max
+    "kcenter_coreset": 4.10,
+    # sessions: 3.306@0.529 / 4.278@0.682 / 3.855@0.343
+    # -> scaled 2.67 / 2.68 / 4.80, max
+    "rp_tree_filtered_topk": 4.80,
+}
+
+BASELINE_S = {
+    **_LEGACY_BARS,
+    **_R12_CONSOLIDATED_BARS,
+    **_R13_FIRST_BARS,
+    **_R14_FIRST_BARS,
+}
 
 
 def _reference_timings(path: str) -> tuple[dict[str, float], float | None]:
