@@ -93,10 +93,18 @@ def cosine_topk(spark, sf_dir):
 # dot/(|a||b|) — in BOTH engines so the float rounding matches.
 _NORMALIZE_CTE = """
 normed AS (
+    -- zero-norm guard (the _HARD_NEG_SQL pattern, extended here r14):
+    -- an unguarded 0/0 yields NaN components, and DuckDB orders NaN
+    -- above every value in the cosine DESC sort while the NumPy tile
+    -- kernel maps zero vectors to zeros — kept divergent rankings.
     SELECT vec_id,
-        list_transform(embedding, x -> CAST(x AS DOUBLE) /
-            sqrt(list_sum(list_transform(embedding,
-                 y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS ne
+        CASE WHEN sqrt(list_sum(list_transform(embedding,
+                 y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) = 0
+             THEN list_transform(embedding, y -> 0.0)
+             ELSE list_transform(embedding, x -> CAST(x AS DOUBLE) /
+                 sqrt(list_sum(list_transform(embedding,
+                      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))
+        END AS ne
     FROM embeddings
 )
 """
@@ -185,7 +193,9 @@ def embedding_neardup_pairs(spark, sf_dir, top: int = 20, n_blocks: int | None =
     def tile(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         m = np.array(list(pdf["embedding"]), dtype=np.float64)
-        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0  # zero vectors stay zeros (oracle's CASE guard)
+        m = m / norms
         same_block = bool((pdf["ga"].iat[0] == pdf["gb"].iat[0]))
         if same_block:
             a_idx = np.arange(len(ids))
