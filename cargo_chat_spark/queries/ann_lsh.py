@@ -773,9 +773,37 @@ QUALIFY "rank" <= 10
 """
 
 
-def _rpt_leaves(spark, sf_dir):
+# Per-leaf occupancy target behind the AUTO-SIZED tree depth (r14, the
+# forest_planes_for twin executed for the tree structure): leaf size =
+# corpus / 2^depth exactly (median splits balance), so depth must grow
+# with log2(corpus) or the leaf-union candidate frame blows up a decade
+# later — the r14 probe at the fixed depth 3 put 25k vectors in every
+# leaf at 200k corpus and the candidate broadcast with it. The target
+# is 64 so the formula resolves to exactly the oracle-pinned depth 3
+# for every corpus up to 512 vectors (both driver gate SFs: 500) — the
+# depth-3 oracle SQL stays verbatim and keeps hash-matching at the
+# gate, while bigger corpora split deeper automatically. Plane ids are
+# 1000 + (t-1)*depth + lvl, disjoint per tree at ANY depth and equal to
+# the historical ids at the default.
+_RPT_LEAF_TARGET = 64
+
+
+def rpt_depth_for(n_rows: int) -> int:
+    """Occupancy-derived tree depth: max(default, ceil(log2(n/64)))."""
+    import math
+
+    if n_rows <= 0:
+        return DEPTH_RPT
+    return max(
+        DEPTH_RPT,
+        math.ceil(math.log2(max(1.0, n_rows / _RPT_LEAF_TARGET))),
+    )
+
+
+def _rpt_leaves(spark, sf_dir, depth: int | None = None):
     """(vec_id, t, node) leaf assignment for every vector under the
-    {N_TREES_RPT}-tree depth-{DEPTH_RPT} median-split forest.
+    {N_TREES_RPT}-tree median-split forest at the given depth (default:
+    auto-sized from the corpus count, oracle-pinned 3 at gate SFs).
     Projections come from one mapInPandas kernel (dim-order float64
     accumulation from 0.0 — bit-identical to the oracle's list_sum left
     fold); each split level is a (t, node)-keyed rank window whose
@@ -785,6 +813,9 @@ def _rpt_leaves(spark, sf_dir):
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings")
+    if depth is None:
+        depth = rpt_depth_for(parquet_rows(f"{sf_dir}/embeddings.parquet"))
+    DEPTH = depth
 
     def proj_rows(batches):
         w = None
@@ -799,18 +830,18 @@ def _rpt_leaves(spark, sf_dir):
                         [
                             [
                                 _weight_py(
-                                    1000 + (t - 1) * DEPTH_RPT + lvl, i
+                                    1000 + (t - 1) * DEPTH + lvl, i
                                 )
                                 for i in range(1, dim + 1)
                             ]
-                            for lvl in range(1, DEPTH_RPT + 1)
+                            for lvl in range(1, DEPTH + 1)
                         ]
                         for t in range(1, N_TREES_RPT + 1)
                     ],
                     dtype=np.float64,
                 )
             n = len(pdf)
-            proj = np.zeros((n, N_TREES_RPT, DEPTH_RPT))
+            proj = np.zeros((n, N_TREES_RPT, DEPTH))
             for i in range(dim):
                 proj += m[:, i, None, None] * w[None, :, :, i]
             ids = pdf["vec_id"].to_numpy()
@@ -820,17 +851,17 @@ def _rpt_leaves(spark, sf_dir):
                     np.arange(1, N_TREES_RPT + 1, dtype=np.int32), n
                 ),
             }
-            for lvl in range(DEPTH_RPT):
+            for lvl in range(DEPTH):
                 out[f"p{lvl + 1}"] = proj[:, :, lvl].reshape(-1)
             yield pd.DataFrame(out)
 
     schema = "vec_id bigint, t int, " + ", ".join(
-        f"p{l} double" for l in range(1, DEPTH_RPT + 1)
+        f"p{l} double" for l in range(1, DEPTH + 1)
     )
     df = emb.select("vec_id", "embedding").mapInPandas(
         proj_rows, schema
     ).withColumn("node", F.lit(0))
-    for lvl in range(1, DEPTH_RPT + 1):
+    for lvl in range(1, DEPTH + 1):
         w_rank = Window.partitionBy("t", "node").orderBy(f"p{lvl}", "vec_id")
         w_node = Window.partitionBy("t", "node")
         df = (

@@ -576,3 +576,30 @@ def test_rp_tree_filtered_topk_postfilter_semantics(spark):
     for q, ranks in per_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= _RPT_FILTER_K
+
+
+def test_auto_sizers_pin_oracle_config_at_gate_sfs():
+    """The static 5-plane / depth-3 oracle SQL stays valid ONLY because
+    both auto-sizing formulas resolve to the oracle-pinned defaults for
+    every corpus up to 512 vectors — both driver gate SFs hold 500.
+    Past that they grow one level per corpus doubling, holding expected
+    bucket/leaf occupancy flat (SCALE.md r14)."""
+    from cargo_chat_spark.queries.ann_lsh import (
+        DEPTH_RPT,
+        N_PLANES_FOREST,
+        forest_planes_for,
+        rpt_depth_for,
+    )
+
+    for n in (0, 1, 50, 500, 512):
+        assert forest_planes_for(n) == N_PLANES_FOREST, n
+        assert rpt_depth_for(n) == DEPTH_RPT, n
+    # growth: one level per doubling past the pinned range
+    assert forest_planes_for(513) == N_PLANES_FOREST + 1
+    assert rpt_depth_for(513) == DEPTH_RPT + 1
+    assert forest_planes_for(200_000) == 14
+    assert rpt_depth_for(200_000) == 12
+    # expected occupancy stays ~target at any probed size
+    for n in (10_000, 200_000, 5_000_000):
+        assert n / 2 ** forest_planes_for(n) <= 32
+        assert n / 2 ** rpt_depth_for(n) <= 128
