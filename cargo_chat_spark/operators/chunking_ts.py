@@ -12,17 +12,18 @@ shared, so the two tiers differ ONLY in boundary placement).
 py-tree-sitter is NOT installable in this sandbox (no network installs,
 verified rounds 2-4 and re-verified rounds 9 and 13), so the wheel tier
 is import-gated: ``HAVE_TREE_SITTER`` is False here and wheel
-differentials would skip — but since round 14 every reference language
-EXCEPT Ruby has a PURE-PYTHON grammar provider: ``PythonAstParser``
-(stdlib ``ast`` compiled to tree-sitter-python's node shape — same node
-type names, 0-based ``start_point`` rows, ``block`` body wrappers,
+differentials would skip — but since round 14 EVERY reference language
+has a PURE-PYTHON grammar provider: ``PythonAstParser`` (stdlib ``ast``
+compiled to tree-sitter-python's node shape — same node type names,
+0-based ``start_point`` rows, ``block`` body wrappers,
 ``decorated_definition`` envelopes, r13), ``MarkdownAstParser``
 (fence-aware ATX ``section`` nesting, tree-sitter-markdown's shape,
-r13), and ``CFamilyParser`` (comment/string-masking lexer + brace-depth
+r13), ``CFamilyParser`` (comment/string-masking lexer + brace-depth
 state machine for Rust/Java/Go/C/C++/C#/JS/TS/Swift, r14 — r13 verdict
-item 5), so the SAME ``_boundary_lines`` walk runs against real
-grammars in this sandbox and those differential rows execute instead of
-skipping.
+item 5), and ``RubyEndParser`` (end-keyword depth tracker, r14), so the
+SAME ``_boundary_lines`` walk runs against real grammars in this
+sandbox and the full 12-language differential suite executes with zero
+skips.
 In an environment with ``tree-sitter`` + per-language grammar wheels
 (``tree-sitter-python``, ``tree-sitter-rust``, ...) the wheel provider
 takes precedence with no other change — the char-window spec
@@ -600,6 +601,116 @@ class CFamilyParser:
         return _Tree(root)
 
 
+# ------------------------------------------------------------------ Ruby
+# Ruby is the one reference language that is neither brace-structured
+# nor stdlib-parsable, so it gets its own end-tracker: def/class/module
+# open declaration nodes (tree-sitter-ruby's method/class/module types
+# with body_statement containers), statement-start control keywords and
+# end-of-line ``do`` open OPAQUE anonymous blocks, and standalone
+# ``end`` tokens pop — the same depth discipline as CFamilyParser, so
+# the shared walk sees class members one level down.
+_RUBY_OPENER = None  # compiled lazily
+_RUBY_DO = None
+_RUBY_END = None
+
+
+class RubyEndParser:
+    """Pure-Python 'grammar wheel' for Ruby: comment/string-masking +
+    an end-keyword depth tracker compiled to the tree-sitter node shape
+    (``method``/``class``/``module`` + ``body_statement`` wrappers).
+
+    Line-granularity approximations (documented divergences from the
+    wheel grammar): modifier conditionals never open blocks (the
+    opener rule is statement-start anchored — the notorious
+    ``x = 1 if y`` case is handled); multi-line strings close at
+    end-of-line; heredocs and regex literals are not masked; multiple
+    statements per line process openers before ``end`` tokens."""
+
+    def _mask(self, text: str) -> str:
+        out: list[str] = []
+        in_block_comment = False
+        for ln in text.split("\n"):
+            if in_block_comment:
+                out.append(" " * len(ln))
+                if ln.startswith("=end"):
+                    in_block_comment = False
+                continue
+            if ln.startswith("=begin"):
+                in_block_comment = True
+                out.append(" " * len(ln))
+                continue
+            buf = []
+            quote: str | None = None
+            i, n = 0, len(ln)
+            while i < n:
+                ch = ln[i]
+                if quote is not None:
+                    if ch == "\\" and i + 1 < n:
+                        buf.append("  ")
+                        i += 2
+                        continue
+                    if ch == quote:
+                        quote = None
+                    buf.append(" ")
+                    i += 1
+                    continue
+                if ch in "\"'":
+                    quote = ch
+                    buf.append(" ")
+                    i += 1
+                    continue
+                if ch == "#":  # comment to EOL (interpolation #{..} only
+                    buf.append(" " * (n - i))  # occurs inside strings,
+                    break                      # already masked)
+                buf.append(ch)
+                i += 1
+            out.append("".join(buf))
+        return "\n".join(out)
+
+    def parse(self, src: bytes) -> _Tree:
+        import re
+
+        global _RUBY_OPENER, _RUBY_DO, _RUBY_END
+        if _RUBY_OPENER is None:
+            _RUBY_OPENER = re.compile(
+                r"^\s*(def|class|module|if|unless|while|until|case|begin|for)\b"
+            )
+            _RUBY_DO = re.compile(r"\bdo(\s*\|[^|]*\|)?\s*$")
+            _RUBY_END = re.compile(r"(?<![:.\w])end\b")
+        decl_map = {"def": "method", "class": "class", "module": "module"}
+        root = _Node("program", (0, 0), [])
+        # (children list, nesting level it opened at)
+        stack: list[tuple[list, int]] = [(root.named_children, 0)]
+        level = 0
+        text = src.decode("utf-8")
+        for idx, ln in enumerate(self._mask(text).split("\n")):
+            m = _RUBY_OPENER.match(ln)
+            if m:
+                kw = m.group(1)
+                level += 1
+                col = len(ln) - len(ln.lstrip())
+                if kw in decl_map:
+                    node = _Node(decl_map[kw], (idx, col), [])
+                    body = _Node("body_statement", (idx, col), [])
+                    node.named_children.append(body)
+                    stack[-1][0].append(node)
+                    stack.append((body.named_children, level))
+                else:
+                    anon = _Node("_anon_block", (idx, col), [])
+                    stack[-1][0].append(anon)
+                    stack.append((anon.named_children, level))
+            if _RUBY_DO.search(ln) and not (m and m.group(1) == "for"):
+                level += 1
+                anon = _Node("_anon_block", (idx, 0), [])
+                stack[-1][0].append(anon)
+                stack.append((anon.named_children, level))
+            for _ in _RUBY_END.findall(ln):
+                level = max(0, level - 1)
+                while len(stack) > 1 and level < stack[-1][1]:
+                    stack.pop()
+        return _Tree(root)
+
+
 def get_parser(language: str):
     """Parser for a display-name language, or None when no grammar is
     available. Wheel grammars win when importable; Python and Markdown
@@ -626,6 +737,8 @@ def get_parser(language: str):
         parser = MarkdownAstParser()
     if parser is None and language in _CFAMILY_RULES:
         parser = CFamilyParser(language)
+    if parser is None and language == "Ruby":
+        parser = RubyEndParser()
     _PARSER_CACHE[language] = parser
     return parser
 

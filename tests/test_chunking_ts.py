@@ -34,16 +34,17 @@ def test_provider_tables_language_complete():
     TS.HAVE_TREE_SITTER, reason="tree-sitter present; failure mode N/A"
 )
 def test_explicit_failure_without_any_grammar():
-    """Opting into the AST tier for a language with NO grammar (wheel
-    missing AND no stdlib provider) must raise, never silently fall
-    back (the caller asked for syntax fidelity). Since r14 only Ruby
-    (end-delimited, not brace-structured) lacks a stdlib provider; the
-    C family runs on the brace tracker and Python on stdlib ast."""
+    """Opting into the AST tier for a language with NO grammar must
+    raise, never silently fall back (the caller asked for syntax
+    fidelity). Since r14 EVERY reference language has a stdlib provider
+    (ast / Markdown sections / brace tracker / Ruby end tracker), so
+    the failure mode only fires for out-of-table languages."""
     with pytest.raises(RuntimeError, match="tree-sitter"):
-        TS.split_structured_ts("def f\n  1\nend\n", "Ruby", 100)
-    assert TS.get_parser("Ruby") is None
+        TS.split_structured_ts("fn main() {}\n", "Zig", 100)
+    assert TS.get_parser("Zig") is None
     assert isinstance(TS.get_parser("Python"), TS.PythonAstParser)
     assert isinstance(TS.get_parser("Rust"), TS.CFamilyParser)
+    assert isinstance(TS.get_parser("Ruby"), TS.RubyEndParser)
 
 
 def test_python_stdlib_grammar_always_available():
@@ -73,7 +74,8 @@ def _parser_or_skip(lang: str):
     if p is None:
         pytest.skip(
             f"no grammar for {lang} (tree-sitter wheels not installable "
-            "in this sandbox; only Python has a stdlib provider)"
+            "in this sandbox and no stdlib provider — since r14 this "
+            "only happens for out-of-table languages)"
         )
     return p
 
@@ -261,3 +263,61 @@ def test_cfamily_anonymous_blocks_opaque():
     assert not any(
         c.lstrip().startswith("function inner") for c in chunks
     ), "control-flow-nested declaration opened a boundary"
+
+
+def test_ruby_nested_methods_split():
+    """Ruby end-tracker: methods inside a class body sit one level
+    down and open boundaries, like every other grammar provider."""
+    m1 = "class Big\n  def a\n    1\n  end\n"
+    m2 = "  def b\n    2\n  end\nend\n"
+    text = m1 + m2
+    cap = max(len(m1), len(m2)) + 4
+    chunks = TS.split_structured_ts(text, "Ruby", max_chars=cap)
+    assert "".join(chunks) == text
+    assert any(c.lstrip().startswith("def b") for c in chunks), (
+        "nested Ruby method not at a chunk boundary"
+    )
+
+
+def test_ruby_modifier_if_does_not_desync_depth():
+    """The notorious Ruby trap: a MODIFIER conditional (x = 1 if y)
+    has no matching end; treating it as an opener would swallow every
+    later declaration. The opener rule is statement-start anchored."""
+    f1 = "def first\n  x = 1 if y\n  z = 2 unless w\n  1\nend\n"
+    f2 = "def second\n  2\nend\n"
+    text = f1 + f2
+    cap = max(len(f1), len(f2)) + 4
+    chunks = TS.split_structured_ts(text, "Ruby", max_chars=cap)
+    assert "".join(chunks) == text
+    assert any(c.startswith("def second") for c in chunks), (
+        "modifier-if desynced the end tracker"
+    )
+
+
+def test_ruby_ignores_decls_in_strings_and_comments():
+    text = (
+        's = "def fake"\n'
+        "# def also_fake\n"
+        "def real\n  1\nend\n"
+        "class Real2\nend\n"
+    )
+    chunks = TS.split_structured_ts(text, "Ruby", max_chars=32)
+    assert "".join(chunks) == text
+    assert any(c.startswith("class Real2") for c in chunks)
+    assert not any(
+        c.lstrip().startswith("# def also_fake") for c in chunks
+    )
+
+
+def test_ruby_do_blocks_balance():
+    """Iterator do-blocks consume their end without opening a
+    declaration; statements after the block still split correctly."""
+    f1 = "def first\n  list.each do |x|\n    puts x\n  end\n  1\nend\n"
+    f2 = "def second\n  2\nend\n"
+    text = f1 + f2
+    cap = max(len(f1), len(f2)) + 4
+    chunks = TS.split_structured_ts(text, "Ruby", max_chars=cap)
+    assert "".join(chunks) == text
+    assert any(c.startswith("def second") for c in chunks), (
+        "do-block end consumed a declaration level"
+    )
