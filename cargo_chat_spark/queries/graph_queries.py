@@ -106,6 +106,44 @@ def _copurchase_edges(spark, sf_dir):
     return memo_persist(spark, ("copurchase_edges", sf_dir), build)
 
 
+def _copurchase_adjacency(spark, sf_dir):
+    """Adjacency-list twin of ``_copurchase_edges`` for the broadcast
+    regime (r14 optimization): one row per node with the sorted distinct
+    neighbor array. Collapses the edge artifact from E rows to N rows, so
+    per-iteration joins probe node-cardinality instead of edge-cardinality
+    and ``deg`` falls out as ``size(nbrs)`` with no extra aggregation
+    pass. Build is baskets → directed-pair explode → one
+    ``collect_set`` shuffle (the pair ``distinct`` and the separate
+    ``deg`` shuffle of the edge form both disappear). Only used when the
+    node guard says ranks broadcast: in that regime the largest possible
+    neighbor array (n_nodes elements) is bounded by the same guard, so
+    the fat-row hazard hot nodes pose at 100 TB cannot occur here — past
+    the guard the callers keep the skew-safe edge-list form."""
+
+    def build():
+        li = load_table(spark, sf_dir, "lineitem")
+        baskets = li.groupBy("l_orderkey").agg(
+            F.array_sort(F.collect_set("l_partkey")).alias("ps")
+        )
+        # both directions in ONE flatten (x, y≠x), no unionAll re-read
+        pair_arr = F.expr(
+            """
+            CASE WHEN size(ps) < 2 THEN
+                CAST(array() AS array<struct<s: bigint, d: bigint>>)
+            ELSE flatten(transform(ps, x ->
+                transform(filter(ps, y -> y != x), y ->
+                    struct(x AS s, y AS d))))
+            END
+            """
+        )
+        both = baskets.select(F.explode(pair_arr).alias("p"))
+        return both.groupBy(F.col("p.s").alias("node")).agg(
+            F.array_sort(F.collect_set("p.d")).alias("nbrs")
+        )
+
+    return memo_persist(spark, ("copurchase_adjacency", sf_dir), build)
+
+
 # Last iteration's physical plan (the iteration subtree is consumed by an
 # eager localCheckpoint, so it is invisible on the returned frame) — kept
 # for the plan tests that pin the broadcast-vs-shuffle join choice.
@@ -145,55 +183,88 @@ def part_copurchase_pagerank(spark, sf_dir):
     Join strategy is size-guarded (round-6 verdict item 5): the rank
     frame is node-cardinality (the part vocabulary), tiny at bench SF but
     unbounded at 100 TB. While its estimated size fits under
-    autoBroadcastJoinThreshold, both per-iteration joins broadcast it —
-    each iteration is a map-side pass over the persisted edges plus one
-    map-side-combined aggregate, edges never re-shuffle. Past the
-    threshold we fall back to shuffle joins against an edge frame
-    memo-persisted PRE-PARTITIONED on the join key, so every iteration
-    reuses the edge partitioning and only the node-cardinality side
-    moves. Results are identical either way (exact integer arithmetic)."""
-    edges = _copurchase_edges(spark, sf_dir)
-    # localCheckpoint deg so the size-guard count and the rank init share
-    # ONE aggregation pass over the persisted edges (separate actions
-    # re-plan, so without it the count would pay its own edge shuffle)
+    autoBroadcastJoinThreshold, iterations run over the ADJACENCY-LIST
+    artifact (`_copurchase_adjacency`) as one FUSED plan — per-iteration
+    broadcast joins probe N rows (not E), contributions explode map-side,
+    deg falls out of size(nbrs), and no per-iteration localCheckpoint is
+    needed because the only multi-consumed subtrees are the tiny
+    broadcast builds, which ReuseExchange materializes once each (r14
+    measurement: 22 jobs → 4, 6.4 s → ~3.1 s at sf0.1). Past the
+    threshold we fall back to shuffle joins against the skew-safe
+    edge-list frame memo-persisted PRE-PARTITIONED on the join key, so
+    every iteration reuses the edge partitioning and only the
+    node-cardinality side moves; that regime keeps the per-iteration
+    localCheckpoint lineage truncation. The guard reads an upper bound on
+    node count (the part table's row count — a metadata-cheap scan) so
+    the regime is decided BEFORE either graph artifact is built; erring
+    high only ever picks the conservative shuffle path. Results are
+    identical either way (exact integer arithmetic)."""
+    est_nodes = load_table(spark, sf_dir, "part").count()
+    use_broadcast = (
+        0 < est_nodes * _RANK_ROW_BYTES <= _broadcast_threshold_bytes(spark)
+    )
+    global _LAST_ITER_PLAN
+    if use_broadcast:
+        adj = _copurchase_adjacency(spark, sf_dir)
+        n_nodes = adj.count()  # materializes the memo-persist
+        ranks = adj.select(
+            "node",
+            F.size("nbrs").cast("bigint").alias("deg"),
+            F.lit(n_nodes).alias("cnt"),
+            F.lit(_SCALE // n_nodes).alias("r"),
+        )
+        for _ in range(_ITERS):
+            inc = (
+                adj.join(F.broadcast(ranks), "node")
+                .select(
+                    F.explode("nbrs").alias("node2"),
+                    F.expr("r div deg").alias("c"),
+                )
+                .groupBy(F.col("node2").alias("node"))
+                .agg(F.sum("c").alias("inc"))
+            )
+            ranks = ranks.join(F.broadcast(inc), "node", "left").select(
+                "node",
+                "deg",
+                "cnt",
+                (
+                    F.expr(f"(15 * ({_SCALE} div cnt)) div 100")
+                    + F.expr("(85 * coalesce(inc, 0)) div 100")
+                ).alias("r"),
+            )
+        _LAST_ITER_PLAN = (
+            ranks._jdf.queryExecution().executedPlan().toString()
+        )
+        return ranks.select(
+            F.col("node").alias("partkey"),
+            F.col("deg").cast("bigint").alias("degree"),
+            F.col("r").cast("bigint").alias("rank_fp"),
+        )
+    # shuffle regime: edge-list form, per-iteration lineage truncation
+    edges = memo_persist(
+        spark,
+        ("copurchase_edges_by_s", sf_dir),
+        lambda: _copurchase_edges(spark, sf_dir).repartition("s"),
+    )
     deg = (
         edges.groupBy(F.col("s").alias("node"))
         .agg(F.count(F.lit(1)).alias("deg"))
         .localCheckpoint(eager=True)
     )
     n_nodes = deg.count()
-    use_broadcast = (
-        0 < n_nodes * _RANK_ROW_BYTES <= _broadcast_threshold_bytes(spark)
-    )
-    if use_broadcast:
-        node_hint = F.broadcast
-    else:
-        node_hint = lambda df: df  # noqa: E731
-        # shuffle path: pin the edge frame's hash partitioning on the
-        # join key so each iteration's join reuses it (only ranks move)
-        edges = memo_persist(
-            spark,
-            ("copurchase_edges_by_s", sf_dir),
-            lambda: _copurchase_edges(spark, sf_dir).repartition("s"),
-        )
     ranks = deg.select(
         "node", "deg",
         F.lit(n_nodes).alias("cnt"),
         F.lit(_SCALE // n_nodes).alias("r"),
-    )
-    # Each iteration's ranks are localCheckpoint'd: without the
-    # truncation the (broadcast) build of iteration i re-executes
-    # iterations 1..i-1 (measured: quadratic re-execution, 8.5 s -> ~3 s
-    # at sf0.1).
-    ranks = ranks.localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True)
     for _ in range(_ITERS):
         inc = (
-            edges.join(node_hint(ranks), edges.s == ranks.node)
+            edges.join(ranks, edges.s == ranks.node)
             .select(F.col("d").alias("node"), F.expr("r div deg").alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("inc"))
         )
-        nxt = ranks.join(node_hint(inc), "node", "left").select(
+        nxt = ranks.join(inc, "node", "left").select(
             "node",
             "deg",
             "cnt",
@@ -202,7 +273,6 @@ def part_copurchase_pagerank(spark, sf_dir):
                 + F.expr("(85 * coalesce(inc, 0)) div 100")
             ).alias("r"),
         )
-        global _LAST_ITER_PLAN
         _LAST_ITER_PLAN = (
             nxt._jdf.queryExecution().executedPlan().toString()
         )
