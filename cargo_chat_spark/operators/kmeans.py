@@ -217,6 +217,65 @@ def train_kmeans(
     return centroids
 
 
+def assign_cells_l2normalized(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+    dim: int,
+) -> DataFrame:
+    """Hard cell assignment + L2 normalization in ONE Arrow pass (r14
+    optimization). Replaces the `_assign` HOF projection (Catalyst
+    evaluates the k×dim distance chain interpreted — measured as the bulk
+    of the SemDeDup query at sf0.1), the separate `with_l2_normalized`
+    projection, and the join that re-unites them: one `mapInPandas` over
+    (ids…, vec) emits (ids…, cell_id, vec_normalized).
+
+    Bit-identity contract (the `n_assign>1` kernel precedent, oracle-
+    proven by the trained-IVF gate): distances and the squared norm
+    accumulate dim-by-dim with vectorized float64 ops — the same left
+    fold from 0.0 as the unrolled JVM chain and DuckDB's list_sum — and
+    `np.argmin` keeps the FIRST minimal cell exactly like the strict-<
+    HOF fold; normalization divides each double-cast element by the
+    sqrt of that fold (zero vectors map to zeros, the with_l2_normalized
+    guard). Still a narrow map: no shuffle, no collect; at 100 TB this
+    is the same one-off batch job, one Arrow stage instead of three
+    codegen'd projections and a join. The output vector column is
+    array<double> (the normalized values), matching with_l2_normalized."""
+    import numpy as np
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in emb.schema.fields
+        if f.name != vec_col
+    ) + f", cell_id int, `{vec_col}` array<double>"
+
+    def assign_norm_batches(batches):
+        for pdf in batches:
+            base = pdf.drop(columns=[vec_col])
+            if len(pdf) == 0:
+                base["cell_id"] = np.array([], dtype="int32")
+                base[vec_col] = []
+                yield base
+                continue
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            acc = np.zeros((len(pdf), cents.shape[0]), dtype=np.float64)
+            sq = np.zeros(len(pdf), dtype=np.float64)
+            for i in range(m.shape[1]):
+                d = m[:, i, None] - cents[None, :, i]
+                acc += d * d
+                sq += m[:, i] * m[:, i]
+            nrm = np.sqrt(sq)
+            safe = np.where(nrm == 0.0, 1.0, nrm)
+            normed = np.where((nrm == 0.0)[:, None], 0.0, m / safe[:, None])
+            base["cell_id"] = np.argmin(acc, axis=1).astype("int32")
+            base[vec_col] = list(normed)
+            yield base
+
+    return emb.mapInPandas(assign_norm_batches, out_schema)
+
+
 def assign_cells(
     emb: DataFrame,
     centroids: list[list[float]],
@@ -238,8 +297,6 @@ def assign_cells(
     Still one projection + one explode, no join or shuffle: the top-n
     cells come from sorting the k-length (distance, cell) struct array,
     ties to the lower cell id."""
-    if n_assign <= 1:
-        return _assign(emb, vec_col, centroids, dim)
     # Arrow-batched NumPy kernel (the knn_exact_numpy pattern): the HOF
     # zip_with/array_sort form is interpreted per element by Catalyst —
     # measured 2-4 s for 2k rows × 32 cells × 64 dims at sf0.1, i.e. the

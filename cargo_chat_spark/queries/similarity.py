@@ -776,30 +776,30 @@ def semdedup_keep(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     dim = vectors.infer_dim(emb, "embedding")
-    cells = kmeans.assign_cells(
-        emb, TRAINED_CENTROIDS, dim=dim, n_assign=1
-    ).select("vec_id", "cell_id")
 
-    # persist the ASSIGNED+NORMALIZED frame, not just normed: the
-    # InMemoryTableScan boundary stops SimplifyExtractValueOps from
-    # inlining the 64-slot normalization back into every dot term of the
-    # pair stage (the cosine_topk lesson), and the assignment expr (32
-    # unrolled centroid distances) runs once per vector instead of once
-    # per pair side.
+    # persist the ASSIGNED+NORMALIZED frame (one memoized subtree feeds
+    # both pair sides and the keep join). r14: assignment + normalization
+    # now run as ONE Arrow kernel pass (bit-identical distances/norms —
+    # see assign_cells_l2normalized) instead of the interpreted 32×64 HOF
+    # assignment expr + unrolled normalize expr + re-uniting join, which
+    # profiling measured as a 1.6 s single-task stage plus ~2 s of
+    # analysis time for the giant expression trees at sf0.1.
     def build():
-        normed = vectors.with_l2_normalized(
-            emb.select("vec_id", "embedding"), "embedding", dim
-        )
-        return cells.join(normed, "vec_id").select(
-            "vec_id", "cell_id", "embedding"
-        )
+        return kmeans.assign_cells_l2normalized(
+            emb.select("vec_id", "embedding"), TRAINED_CENTROIDS, dim=dim
+        ).select("vec_id", "cell_id", "embedding")
 
     nc = memo_persist(spark, ("semdedup_cells", sf_dir), build)
+    # spread cells across tasks: the scan is one input split at bench SF,
+    # so without this the within-cell pair stage (the O(n·occ) heavy part)
+    # runs as ONE task; hash-distributing the probe side by cell_id lets
+    # the pair stage parallelize by cell while the build side broadcasts
+    # (2 kB shuffle at sf0.1 buys 32-way parallelism of the dot stage)
     a = nc.select(
         F.col("cell_id").alias("cid"),
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("ne_a"),
-    )
+    ).repartition("cid")
     b = nc.select(
         F.col("cell_id").alias("cid_b"),
         F.col("vec_id").alias("id_b"),
