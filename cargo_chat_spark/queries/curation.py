@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from cargo_chat_spark.caching import memo_persist
 from cargo_chat_spark.queries.registry import register
-from cargo_chat_spark.sources.testdata import load_table
+from cargo_chat_spark.sources.testdata import load_table, load_table_spread
 
 # ------------------------------------------------- 13-gram decontamination
 # Eval-set surrogate: every 7th doc (deterministic, both engines).
@@ -76,8 +76,12 @@ def contamination_13gram(spark, sf_dir):
     stream through a broadcast hash join — the corpus is scanned once,
     exploded ~tokens-per-doc ways, and only matching (doc_id, gkey,
     eval_id) rows reach the aggregate. At 100 TB the eval side is still
-    MBs, so the broadcast holds; the corpus explode is map-side only."""
-    docs = load_table(spark, sf_dir, "documents")
+    MBs, so the broadcast holds; the corpus explode is map-side only.
+
+    r14: the scan is spread (load_table_spread) so the 13-gram explode —
+    profiled as a ~1 s single-task stage at bench SF — parallelizes;
+    identity at production split counts."""
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
     toks = F.split(F.trim(F.col("text")), " ")
     grams = (
         docs.select("doc_id", toks.alias("t"))
@@ -290,7 +294,8 @@ _LAST_BLOOM_BUILD_PLAN: str | None = None
 
 def _gram_frame(docs):
     """(doc_id, gram) for every 13-token window — shared by the exact and
-    bloom contamination variants."""
+    bloom contamination variants. Callers pass a spread scan
+    (load_table_spread) so the window explode parallelizes at bench SF."""
     toks = F.split(F.trim(F.col("text")), " ")
     return (
         docs.select("doc_id", toks.alias("t"))
@@ -328,7 +333,7 @@ def contamination_bloom(spark, sf_dir):
     depends only on the inputs mod m, so the signed-bigint build and the
     probe's full-width uint64 arithmetic set/test identical positions,
     and no ANSI-mode overflow is possible (values stay under 5m)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
     grams = _gram_frame(docs)
     h1c = F.xxhash64("gram")
     h2c = F.xxhash64("gram", F.lit(1))
@@ -341,9 +346,9 @@ def contamination_bloom(spark, sf_dir):
     ev_grams = memo_persist(
         spark,
         ("contam_eval_grams", sf_dir),
-        lambda: _gram_frame(load_table(spark, sf_dir, "documents")).where(
-            F.col("doc_id") % _EVAL_MOD == 0
-        ),
+        lambda: _gram_frame(
+            load_table_spread(spark, sf_dir, "documents", "doc_id")
+        ).where(F.col("doc_id") % _EVAL_MOD == 0),
     )
     # localCheckpoint the distinct hash pairs: the sizing count and the
     # word aggregate would otherwise each pay the distinct shuffle

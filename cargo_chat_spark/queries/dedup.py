@@ -19,7 +19,7 @@ from cargo_chat_spark.operators import dedup as D
 from cargo_chat_spark.operators.graph import connected_components
 from cargo_chat_spark.queries import _draws as _dr
 from cargo_chat_spark.queries.registry import register
-from cargo_chat_spark.sources.testdata import load_table
+from cargo_chat_spark.sources.testdata import load_table, load_table_spread
 
 # ------------------------------------------------------------- exact dedup
 # Canonical key = first 40 chars (the synthetic corpus has no full-text
@@ -51,7 +51,10 @@ hashes AS (
 
 
 def _hashes_df(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    # r14: spread the single-split scan so the md5 shingle stage (the
+    # dominant cost, profiled as a 1.4 s single-task stage) parallelizes;
+    # identity at production split counts (load_table_spread docstring)
+    d = load_table_spread(spark, sf_dir, "documents", "doc_id")
     # two-step: materialize the token array so the shingle lambda slices an
     # attribute instead of re-running split() per shingle index (operators.
     # dedup.shingles_all_from_tokens docstring; measured ~3 s → ~0.4 s)

@@ -15,7 +15,7 @@ from cargo_chat_spark.functions import hashing
 from cargo_chat_spark.operators import dedup as D
 from cargo_chat_spark.operators.chunking import chunk_text, chunk_text_sql
 from cargo_chat_spark.queries.registry import register
-from cargo_chat_spark.sources.testdata import load_table
+from cargo_chat_spark.sources.testdata import load_table, load_table_spread
 
 # ------------------------------------------------------------- P3 chunking
 _CHUNK_SQL = chunk_text_sql("documents", max_chars=120)
@@ -139,8 +139,9 @@ FROM m
 @register("quality_score", sql=_QUALITY_SQL)
 def quality_score(spark, sf_dir):
     """Heuristic quality scoring: length / stopword / punctuation /
-    repetition signals, 0.25 each."""
-    d = load_table(spark, sf_dir, "documents")
+    repetition signals, 0.25 each. Per-row projection — the r14 spread
+    only parallelizes the regex/array work (identity at scale)."""
+    d = load_table_spread(spark, sf_dir, "documents", "doc_id")
     toks = F.split(F.trim("text"), r"\s+")
     n_tokens = F.size(toks)
     sw = F.array(*[F.lit(w) for w in _STOPWORDS])
@@ -215,8 +216,9 @@ def quality_filter(spark, sf_dir):
 
     Single scan, one projection — the rule array, null-filter, and join
     are all codegen'd; the decision column is what a pipeline would
-    partition its keep/drop writes on."""
-    d = load_table(spark, sf_dir, "documents")
+    partition its keep/drop writes on. Spread scan (r14), same note as
+    quality_score."""
+    d = load_table_spread(spark, sf_dir, "documents", "doc_id")
     toks = F.split(F.trim("text"), r"\s+")
     n_tokens = F.size(toks)
     sw = F.array(*[F.lit(w) for w in _STOPWORDS])

@@ -56,6 +56,58 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def scan_splits(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Approximate number of scan tasks Spark will give the table's
+    parquet layout: ceil(file bytes / maxPartitionBytes) summed per file.
+    Driver-side os.stat only — no Spark job."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        raw = str(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        ).lower().rstrip("b")
+        max_pb = int(raw) if raw.isdigit() else 128 * 1024 * 1024
+    except Exception:
+        max_pb = 128 * 1024 * 1024
+    try:
+        if os.path.isfile(path):
+            sizes = [os.path.getsize(path)]
+        else:
+            sizes = [
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            ]
+    except OSError:
+        return 1
+    return max(1, sum(-(-s // max_pb) for s in sizes))
+
+
+def load_table_spread(
+    spark: SparkSession, sf_dir: str, name: str, key: str
+) -> DataFrame:
+    """``load_table`` + deterministic hash redistribution when the parquet
+    layout supplies fewer scan tasks than the session's parallelism.
+
+    Why (optimization guide §2.6/§6): a table that arrives as one small
+    file is ONE scan task, so every expensive per-row stage downstream
+    (md5 shingling, n-gram explode, tokenization) runs on one core while
+    the rest idle — profiled as 1-task stages of 0.8-1.6 s dominating the
+    document-corpus queries at bench SF. The redistribution is keyed on a
+    stable column (hash partitioning — deterministic under task retry,
+    no round-robin pre-sort) and sized to ``defaultParallelism``.
+
+    Scale posture: fires ONLY when scan splits < half the parallelism —
+    at production scale the layout supplies far more splits than cores
+    and this is the identity, so nothing here is tuned to local[32]."""
+    df = load_table(spark, sf_dir, name)
+    par = spark.sparkContext.defaultParallelism
+    if scan_splits(spark, sf_dir, name) < max(1, par // 2):
+        from pyspark.sql import functions as F
+
+        df = df.repartition(par, F.col(key))
+    return df
+
+
 def parquet_rows(path: str) -> int:
     """Exact row count from the parquet footer — a driver-side metadata
     read (no Spark job). For plan-shaping decisions (block counts, bucket
