@@ -346,13 +346,21 @@ def copurchase_bfs_hops(spark, sf_dir):
     are absent. Same size-guarded join strategy as the pagerank gate:
     frontier/visited frames broadcast while node-cardinality fits under
     autoBroadcastJoinThreshold, else shuffle joins against edges
-    memo-persisted pre-partitioned on the join key."""
-    edges = _copurchase_edges(spark, sf_dir)
-    nodes = edges.select(F.col("s").alias("node")).distinct()
-    nodes = nodes.localCheckpoint(eager=True)  # count + seeds share one pass
-    n_nodes = nodes.count()
-    if 0 < n_nodes * _RANK_ROW_BYTES <= _broadcast_threshold_bytes(spark):
+    memo-persisted pre-partitioned on the join key.
+
+    r14: the broadcast regime expands frontiers over the adjacency-list
+    artifact (join probes N rows, neighbors explode map-side) — the same
+    restructure as pagerank; the per-round checkpoints stay because
+    ``dist`` genuinely feeds two consumers per round."""
+    est_nodes = load_table(spark, sf_dir, "part").count()
+    use_broadcast = (
+        0 < est_nodes * _RANK_ROW_BYTES <= _broadcast_threshold_bytes(spark)
+    )
+    if use_broadcast:
         node_hint = F.broadcast
+        adj = _copurchase_adjacency(spark, sf_dir)
+        nodes = adj.select("node")
+        n_nodes = adj.count()  # materializes the memo-persist
     else:
         node_hint = lambda df: df  # noqa: E731
         edges = memo_persist(
@@ -360,6 +368,9 @@ def copurchase_bfs_hops(spark, sf_dir):
             ("copurchase_edges_by_s", sf_dir),
             lambda: _copurchase_edges(spark, sf_dir).repartition("s"),
         )
+        nodes = edges.select(F.col("s").alias("node")).distinct()
+        nodes = nodes.localCheckpoint(eager=True)
+        n_nodes = nodes.count()
     dist = (
         nodes.orderBy("node")
         .limit(_N_SEEDS)
@@ -368,11 +379,18 @@ def copurchase_bfs_hops(spark, sf_dir):
     )
     for k in range(1, _BFS_HOPS + 1):
         frontier = dist.where(F.col("hop") == k - 1).select("node")
-        reached = (
-            edges.join(node_hint(frontier), edges.s == frontier.node)
-            .select(F.col("d").alias("node"))
-            .distinct()
-        )
+        if use_broadcast:
+            reached = (
+                adj.join(F.broadcast(frontier), "node")
+                .select(F.explode("nbrs").alias("node"))
+                .distinct()
+            )
+        else:
+            reached = (
+                edges.join(node_hint(frontier), edges.s == frontier.node)
+                .select(F.col("d").alias("node"))
+                .distinct()
+            )
         fresh = reached.join(node_hint(dist), "node", "left_anti").select(
             "node", F.lit(k).alias("hop")
         )
@@ -442,28 +460,51 @@ def copurchase_label_prop(spark, sf_dir):
     over the co-purchase graph; community = the converged-so-far label."""
     from pyspark.sql import Window
 
-    edges = _copurchase_edges(spark, sf_dir)
+    w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("lab"))
+    est_nodes = load_table(spark, sf_dir, "part").count()
+    use_broadcast = (
+        0 < est_nodes * _RANK_ROW_BYTES <= _broadcast_threshold_bytes(spark)
+    )
+    if use_broadcast:
+        # r14: FUSED adjacency-list rounds (the pagerank restructure) —
+        # a node's label flows to every neighbor via one N-row broadcast
+        # join + map-side explode per round; the label chain is linear
+        # (each labels_{k} feeds only counts_{k+1}) so no per-round
+        # checkpoint is needed.
+        adj = _copurchase_adjacency(spark, sf_dir)
+        adj.count()  # materializes the memo-persist once
+        labels = adj.select("node", F.col("node").alias("lab"))
+        for _ in range(_LPA_ITERS):
+            counts = (
+                adj.join(F.broadcast(labels), "node")
+                .select(F.explode("nbrs").alias("node2"), "lab")
+                .groupBy(F.col("node2").alias("node"), F.col("lab"))
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            labels = (
+                counts.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select("node", "lab")
+            )
+        return labels.select(
+            F.col("node").alias("partkey"),
+            F.col("lab").cast("bigint").alias("community"),
+        )
+    edges = memo_persist(
+        spark,
+        ("copurchase_edges_by_s", sf_dir),
+        lambda: _copurchase_edges(spark, sf_dir).repartition("s"),
+    )
     labels = (
         edges.select(F.col("s").alias("node"))
         .distinct()
         .withColumn("lab", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    n_nodes = labels.count()
-    if 0 < n_nodes * _RANK_ROW_BYTES <= _broadcast_threshold_bytes(spark):
-        node_hint = F.broadcast
-    else:
-        node_hint = lambda df: df  # noqa: E731
-        edges = memo_persist(
-            spark,
-            ("copurchase_edges_by_s", sf_dir),
-            lambda: _copurchase_edges(spark, sf_dir).repartition("s"),
-        )
-    w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("lab"))
     for _ in range(_LPA_ITERS):
         # neighbor labels arrive over the d-side join so e.s aggregates
         counts = (
-            edges.join(node_hint(labels), edges.d == labels.node)
+            edges.join(labels, edges.d == labels.node)
             .select(F.col("s").alias("node"), "lab")
             .groupBy("node", "lab")
             .agg(F.count(F.lit(1)).alias("cnt"))
@@ -541,25 +582,49 @@ def copurchase_triangles(spark, sf_dir):
     never exists. Adjacency broadcasts while Σ|out| fits the threshold;
     past it both joins degrade to shuffle equi-joins of E rows — still
     strictly cheaper than shuffling the O(E^1.5) wedge set."""
-    edges = _copurchase_edges(spark, sf_dir)
-    deg = edges.groupBy(F.col("s").alias("node")).agg(
-        F.count(F.lit(1)).alias("deg")
-    )
-    # orient: (deg, node)-smaller endpoint → larger, capping out-degree
-    # at O(sqrt(E)); deg joins broadcast under the pagerank guard's
-    # node-cardinality argument.
-    a = deg.selectExpr("node AS s", "deg AS deg_s")
-    b = deg.selectExpr("node AS d", "deg AS deg_d")
-    ordered = (
-        edges.join(a, "s")
-        .join(b, "d")
-        .where(
-            (F.col("deg_s") < F.col("deg_d"))
-            | ((F.col("deg_s") == F.col("deg_d")) & (F.col("s") < F.col("d")))
+    # r14: derive the oriented edge stream from the adjacency-list
+    # artifact — deg_s falls out of size(nbrs) and only ONE E-row join
+    # (for deg_d) remains instead of two; the guard decides the regime
+    # before either artifact is built (the pagerank restructure).
+    est_nodes = load_table(spark, sf_dir, "part").count()
+    if 0 < est_nodes * _RANK_ROW_BYTES <= _broadcast_threshold_bytes(spark):
+        adj0 = _copurchase_adjacency(spark, sf_dir)
+        deg = adj0.select("node", F.size("nbrs").cast("bigint").alias("deg"))
+        b = deg.selectExpr("node AS d", "deg AS deg_d")
+        ordered = (
+            adj0.select(
+                F.col("node").alias("s"),
+                F.size("nbrs").cast("bigint").alias("deg_s"),
+                F.explode("nbrs").alias("d"),
+            )
+            .join(F.broadcast(b), "d")
+            .where(
+                (F.col("deg_s") < F.col("deg_d"))
+                | ((F.col("deg_s") == F.col("deg_d")) & (F.col("s") < F.col("d")))
+            )
+            .select(F.col("s").alias("u"), F.col("d").alias("v"))
+            .persist()  # consumed by the adjacency agg + the edge stream
         )
-        .select(F.col("s").alias("u"), F.col("d").alias("v"))
-        .persist()  # consumed by the adjacency agg + the edge stream
-    )
+    else:
+        edges = _copurchase_edges(spark, sf_dir)
+        deg = edges.groupBy(F.col("s").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        # orient: (deg, node)-smaller endpoint → larger, capping out-degree
+        # at O(sqrt(E)); deg joins broadcast under the pagerank guard's
+        # node-cardinality argument.
+        a = deg.selectExpr("node AS s", "deg AS deg_s")
+        b = deg.selectExpr("node AS d", "deg AS deg_d")
+        ordered = (
+            edges.join(a, "s")
+            .join(b, "d")
+            .where(
+                (F.col("deg_s") < F.col("deg_d"))
+                | ((F.col("deg_s") == F.col("deg_d")) & (F.col("s") < F.col("d")))
+            )
+            .select(F.col("s").alias("u"), F.col("d").alias("v"))
+            .persist()  # consumed by the adjacency agg + the edge stream
+        )
     adj = ordered.groupBy(F.col("u").alias("node")).agg(
         F.sort_array(F.collect_list("v")).alias("nbrs")
     )
