@@ -589,10 +589,19 @@ def pq_knn_rerank(spark, sf_dir):
                     d = xs[:, j : j + 1] - cb_arr[s, :, j][None, :]
                     acc += d * d
                 codes[:, s] = np.argmin(acc, axis=1)
-            yield pdf[["vec_id"]].assign(codes=list(codes))
+            # r14: reconstruct IN the kernel — rvec elements are exact
+            # copies of the frozen codebook doubles (no arithmetic), so
+            # this is bit-identical to the former 16k-literal
+            # element_at expression, whose parse+analyze cost dominated
+            # the driver gap profiled for the PQ queries. At scale the
+            # stored index is still the codes (8 B/vector); decoding at
+            # scan time is the same work either way.
+            rv = cb_arr[np.arange(_PQ_M)[None, :], codes, :]
+            yield pdf[["vec_id"]].assign(
+                rvec=list(rv.reshape(len(pdf), _PQ_M * _PQ_SUB))
+            )
 
-    encoded = emb.mapInPandas(encode, schema="vec_id bigint, codes array<int>")
-    recon = encoded.select("vec_id", F.expr(_pq_recon_expr()).alias("rvec"))
+    recon = emb.mapInPandas(encode, schema="vec_id bigint, rvec array<double>")
     queries = _query_vectors(spark, sf_dir)
     short = knn_join(
         queries, recon, k=_PQ_SHORTLIST, corpus_vec="rvec", dim=64
@@ -734,7 +743,9 @@ QUALIFY "rank" <= 10
 
 def _pq_encoded(spark, emb):
     """PQ-encode the corpus (same NumPy kernel/fold order as
-    pq_knn_rerank) and reconstruct from the frozen codebook literals."""
+    pq_knn_rerank) and reconstruct in-kernel from the frozen codebook
+    (exact double copies — bit-identical to the literal expression it
+    replaces; see the r14 note in pq_knn_rerank's encode)."""
     import numpy as np
 
     cb_arr = np.asarray(_pq_codebooks(), dtype=np.float64)
@@ -754,10 +765,12 @@ def _pq_encoded(spark, emb):
                     d = xs[:, j : j + 1] - cb_arr[s, :, j][None, :]
                     acc += d * d
                 codes[:, s] = np.argmin(acc, axis=1)
-            yield pdf[["vec_id"]].assign(codes=list(codes))
+            rv = cb_arr[np.arange(_PQ_M)[None, :], codes, :]
+            yield pdf[["vec_id"]].assign(
+                rvec=list(rv.reshape(len(pdf), _PQ_M * _PQ_SUB))
+            )
 
-    encoded = emb.mapInPandas(encode, schema="vec_id bigint, codes array<int>")
-    return encoded.select("vec_id", F.expr(_pq_recon_expr()).alias("rvec"))
+    return emb.mapInPandas(encode, schema="vec_id bigint, rvec array<double>")
 
 
 @register("ivfpq_topk", sql=_ivfpq_sql())
