@@ -17,6 +17,8 @@ oracle SQL stays literally in sync with the Spark expression.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
+
+from cargo_chat_spark.functions.localframe import local_frame
 from pyspark.sql import functions as F
 
 # language display name -> extensions (language.rs:57-72)
@@ -75,7 +77,7 @@ def detect_language_sql_case(ext_sql: str) -> str:
 def language_lookup_df(spark: SparkSession) -> DataFrame:
     """24-row (extension, language) table for broadcast joins."""
     rows = [(e, lang) for e, lang in EXT_TO_LANGUAGE.items()]
-    return spark.createDataFrame(rows, "extension string, language string")
+    return local_frame(spark, rows, "extension string, language string")
 
 
 def is_supported_extension(ext: Column) -> Column:

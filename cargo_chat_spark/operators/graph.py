@@ -26,6 +26,8 @@ Semantics parity: the reference engine dedups via exact groupBy only
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+from cargo_chat_spark.functions.localframe import local_frame
 from pyspark.sql import functions as F
 
 
@@ -190,4 +192,4 @@ def connected_components_local(
             else:
                 parent[rs] = rd
     out = [(n, find(n)) for n in parent]
-    return spark.createDataFrame(out, "doc_id: bigint, component_id: bigint")
+    return local_frame(spark, out, "doc_id: bigint, component_id: bigint")

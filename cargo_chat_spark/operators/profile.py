@@ -12,6 +12,8 @@ side (same pattern as operators.filters).
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
+
+from cargo_chat_spark.functions.localframe import local_frame
 from pyspark.sql import functions as F
 
 # F6 build-file allowlist (repo.rs:87-122), compared on lowercased filename.
@@ -126,7 +128,7 @@ def human_list_sql(items: str, conjunction: str = "and") -> str:
 
 
 def probes_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
+    return local_frame(spark, 
         FRAMEWORK_PROBES, "build_file string, needle string, framework string"
     )
 

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from cargo_chat_spark.models.provider import Classification, ModelProvider
 from cargo_chat_spark.operators import filters, ranking
 from cargo_chat_spark.operators.knn import knn_join
+from cargo_chat_spark.functions.localframe import local_frame
 
 
 def _classification_df(
@@ -43,7 +44,7 @@ def _classification_df(
         "confidence double, target_folders array<string>, "
         "target_extensions array<string>, exclude_patterns array<string>, k int"
     )
-    return spark.createDataFrame([row], schema)
+    return local_frame(spark, [row], schema)
 
 
 def _with_chunk_index(hits: DataFrame) -> DataFrame:
@@ -123,7 +124,7 @@ def retrieve(
     # (hyde.rs:500, SURVEY §2.11)
     qvec = provider.embed_batch([hypo])[0]
 
-    queries = spark.createDataFrame(
+    queries = local_frame(spark, 
         [(0, qvec)], "query_id bigint, query_vec array<double>"
     )
     cls_df = _classification_df(spark, cls, 0, k)
@@ -178,7 +179,7 @@ def retrieve(
         else:
             rows = ranked.select("chunk_id", "code").collect()
             scores = provider.rerank_scores(query, [r["code"] for r in rows])
-            score_df = spark.createDataFrame(
+            score_df = local_frame(spark, 
                 [(r["chunk_id"], s) for r, s in zip(rows, scores)],
                 "chunk_id bigint, rerank_score double",
             )

@@ -32,6 +32,7 @@ from cargo_chat_spark.operators.clustering import (
 )
 from cargo_chat_spark.queries.registry import register
 from cargo_chat_spark.sources.testdata import load_table
+from cargo_chat_spark.functions.localframe import local_frame
 
 K = 8
 ITERS = 3
@@ -133,7 +134,7 @@ def _fit(spark, sf_dir):
 def kmeans_centroids(spark, sf_dir):
     """The trained fixed-point KMeans model, long format."""
     cents, _ = _fit(spark, sf_dir)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [(ci, d, int(v)) for ci, c in enumerate(cents) for d, v in enumerate(c)],
         "cluster int, dim int, val bigint",
     )
@@ -272,7 +273,7 @@ def kmeans_online_centroids(spark, sf_dir):
             spark, e.where(F.col("vec_id") % N_WAVES == m), m, out, k=K
         )
     cents = centroids_of(read_kmeans_state(out))
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [(ci, d, int(v)) for ci, c in enumerate(cents) for d, v in enumerate(c)],
         "cluster int, dim int, val bigint",
     )

@@ -893,7 +893,7 @@ def neardup_cluster_histogram(spark, sf_dir):
     )
     n_total = docs.count()
     n_in_comp = comp.count()  # bounded driver scalars, not collects
-    singles = spark.createDataFrame(
+    singles = local_frame(spark, 
         [(1, n_total - n_in_comp, n_total - n_in_comp)],
         "cluster_size bigint, n_clusters bigint, n_docs bigint",
     )
@@ -1078,6 +1078,7 @@ def incremental_neardup_cdc(spark, sf_dir):
 # bench.py phase split (r8 verdict item 7): the history band-store build
 # is the one-time phase; the per-wave probe is the steady state.
 from cargo_chat_spark.queries.registry import register_phase_builder as _rpb
+from cargo_chat_spark.functions.localframe import local_frame
 
 _rpb("incremental_neardup", _band_history_fixture)
 

@@ -19,6 +19,7 @@ aggregate — the report adds no term beyond the members it measures.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from cargo_chat_spark.functions.localframe import local_frame
 from pyspark.sql import functions as F
 
 from cargo_chat_spark.queries.registry import register
@@ -400,7 +401,7 @@ def embedding_drift_cdc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = assigned.groupBy("cell_id").agg(
         F.sum("sgn").alias("vecs_delta")
     )
-    cells = spark.createDataFrame(
+    cells = local_frame(spark, 
         [(i,) for i in range(len(TRAINED_CENTROIDS))], "cell_id int"
     )
     return cells.join(agg, "cell_id", "left").select(

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from cargo_chat_spark.queries.registry import register
+from cargo_chat_spark.functions.localframe import local_frame
 
 # One query per rule branch, plus order-sensitivity probes:
 # - "how does" vs "how do" (prefix-overlapping keywords, list order wins)
@@ -128,7 +129,7 @@ def query_classify_mock(spark: SparkSession, sf_dir: str) -> DataFrame:
             (qid, q, c.language, c.intent, int(c.wants_code),
              float(c.confidence))
         )
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows,
         "query_id bigint, query string, language string, intent string, "
         "wants_code int, confidence double",
@@ -160,7 +161,7 @@ def hyde_expand_mock(spark: SparkSession, sf_dir: str) -> DataFrame:
         c = p.classify_query(q)
         doc = p.hyde_document(q, c.intent, max_chars=_HYDE_MAX_CHARS)
         rows.append((qid, doc, len(doc)))
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows, "query_id bigint, hyde_doc string, n_chars int"
     )
 
@@ -207,4 +208,4 @@ def answer_synthesize_mock(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in context_assembly(spark, sf_dir).collect():
         answer = "".join(p.synthesize_answer(r["context"]))
         rows.append((r["query_id"], answer))
-    return spark.createDataFrame(rows, "query_id bigint, answer string")
+    return local_frame(spark, rows, "query_id bigint, answer string")

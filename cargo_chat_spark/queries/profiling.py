@@ -27,6 +27,7 @@ from cargo_chat_spark.functions.paths import (
 from cargo_chat_spark.operators import profile as P
 from cargo_chat_spark.queries.registry import register
 from cargo_chat_spark.sources.testdata import load_table
+from cargo_chat_spark.functions.localframe import local_frame
 
 _BUILD_NAMES = [
     "Cargo.toml", "package.json", "pom.xml", "build.gradle", "go.mod",
@@ -639,7 +640,7 @@ def profile_roundtrip(spark, sf_dir):
             write_profile({c: r[c] for c in cols}, idx_dir)
             got = read_profile(idx_dir)
         served.append(tuple(got[c] for c in cols))
-    return spark.createDataFrame(
+    return local_frame(spark, 
         served,
         "name string, primary_languages string, build_files string, "
         "frameworks string, readme_summary string, description string, "

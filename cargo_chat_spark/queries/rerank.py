@@ -12,6 +12,7 @@ from cargo_chat_spark.operators import filters, ranking
 from cargo_chat_spark.queries import fixtures
 from cargo_chat_spark.queries.registry import register
 from cargo_chat_spark.sources.testdata import load_table
+from cargo_chat_spark.functions.localframe import local_frame
 
 # ------------------------------------------------------- J2 + O4 rerank
 # Deterministic cross-encoder stand-in, SQL-portable: token-set Jaccard
@@ -57,7 +58,7 @@ def rerank_topk(spark, sf_dir):
     """J2/O4 (hyde.rs:529-552): deterministic pair scores, descending
     re-sort with chunk_id tie-break, top-10 per query."""
     c = fixtures.candidates_df(spark, sf_dir)
-    qt = spark.createDataFrame(_QUERY_TEXTS, "query_id bigint, query_text string")
+    qt = local_frame(spark, _QUERY_TEXTS, "query_id bigint, query_text string")
     joined = c.join(F.broadcast(qt), "query_id")
     q_toks = F.array_distinct(F.split(F.lower(F.trim("query_text")), r"\s+"))
     c_toks = F.array_distinct(F.split(F.lower(F.trim("code")), r"\s+"))
@@ -130,7 +131,7 @@ def supported_extensions_union(spark, sf_dir):
     lists (disjoint → union-all), rendered sorted + '|'-joined for
     determinism (harness needs hashable cells)."""
     rows = [(lang, exts) for lang, exts in LANGUAGE_EXTENSIONS.items()]
-    df = spark.createDataFrame(rows, "language string, exts array<string>")
+    df = local_frame(spark, rows, "language string, exts array<string>")
     return df.agg(
         F.size(F.flatten(F.array_sort(F.collect_list(F.struct("language", "exts")))
                          .getField("exts"))).cast("bigint").alias("n_extensions"),

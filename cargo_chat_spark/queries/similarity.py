@@ -15,6 +15,7 @@ from cargo_chat_spark.functions import hashing, vectors
 from cargo_chat_spark.operators.knn import knn_join
 from cargo_chat_spark.queries.registry import register
 from cargo_chat_spark.sources.testdata import load_table, parquet_rows
+from cargo_chat_spark.functions.localframe import local_frame
 
 _DOT = """
     list_sum(list_transform(generate_series(1, len(a.embedding)),
@@ -465,7 +466,7 @@ def _ivf_search(spark, emb, cells, cents):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
     # nprobe cells per query: rank trained centroids by distance to qvec
-    cent_rows = spark.createDataFrame(
+    cent_rows = local_frame(spark, 
         [(i, c) for i, c in enumerate(cents)], "cell_id int, cvec array<double>"
     )
     w_probe = Window.partitionBy("query_id").orderBy("cdist", "cell_id")

@@ -422,7 +422,7 @@ def events_merge_on_read(spark, sf_dir):
     mor = agg(read_merge_on_read(spark, out, "event_id"), "mor")
     # the union forces the mor stage to evaluate against the PRE-compaction
     # layout: materialize it before mutating the files under the scan
-    mor = spark.createDataFrame(mor.collect(), mor.schema)
+    mor = local_frame(spark, mor.collect(), mor.schema)
     compact_deletes(spark, out, "event_id")
     post = agg(read_merge_on_read(spark, out, "event_id"), "compacted")
     return mor.unionByName(post)
@@ -792,7 +792,7 @@ def events_metadata_count(spark, sf_dir):
         "event_id",
     )
     counts = [(v, snap_count(out, v)) for v in (0, 1, 2)]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         counts, "version int, n_rows bigint"
     )
 
@@ -1575,6 +1575,7 @@ def hrw_reshard_report(spark, sf_dir):
 
 # bench phase split for the two IVM gates: lifecycle = build, fold = probe
 from cargo_chat_spark.queries.registry import register_phase_builder as _rpb
+from cargo_chat_spark.functions.localframe import local_frame
 
 _rpb("incremental_rollup_cdc", _incroll_fixture)
 _rpb("incremental_join_cdc", _incjoin_fixture)

@@ -14,6 +14,7 @@ from cargo_chat_spark.caching import register_memo
 from cargo_chat_spark.queries.registry import register
 from cargo_chat_spark.sources.testdata import load_table
 from cargo_chat_spark.streaming.incremental import windowed_event_counts
+from cargo_chat_spark.functions.localframe import local_frame
 
 _TUMBLING_SQL = """
 SELECT
@@ -167,7 +168,7 @@ def sessionize_stateful(spark, sf_dir):
 
     run_once()
     for i, sentinel_ts in enumerate(("2100-01-01 00:00:00", "2100-01-02 00:00:00")):
-        spark.createDataFrame(
+        local_frame(spark, 
             [(-(i + 1), sentinel_ts, -(i + 1), "sentinel", 0.0)],
             "event_id bigint, ts string, user_id bigint, event_type string, value double",
         ).select(

@@ -236,7 +236,7 @@ def knn_int8_rerank(spark, sf_dir, *, max_collect_queries: int = 4096):
     )
     from cargo_chat_spark.functions import vectors
 
-    qvecs = spark.createDataFrame(
+    qvecs = local_frame(spark, 
         [(int(r["query_id"]), r["embedding"]) for r in qrows],
         "query_id bigint, qvec array<float>",
     )
@@ -803,7 +803,7 @@ def ivfpq_topk(spark, sf_dir):
     recon = _pq_encoded(spark, emb)
     queries = _query_vectors(spark, sf_dir)
 
-    cent_rows = spark.createDataFrame(
+    cent_rows = local_frame(spark, 
         [(i, c) for i, c in enumerate(TRAINED_CENTROIDS)],
         "cell_id int, cvec array<double>",
     )
@@ -982,7 +982,7 @@ def index_upsert_cells(spark, sf_dir):
         F.col("vec_id").alias("chunk_id"),
         F.col("embedding").cast("array<double>").alias("embedding"),
     )
-    centroids = spark.createDataFrame(
+    centroids = local_frame(spark, 
         [(i, c) for i, c in enumerate(TRAINED_CENTROIDS)],
         "cell_id int, cvec array<double>",
     )
@@ -1086,7 +1086,7 @@ _register_memo(_IVF_STORE_MEMO)
 def _centroids_df(spark):
     from cargo_chat_spark.queries._ivf_centroids import TRAINED_CENTROIDS
 
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [(i, c) for i, c in enumerate(TRAINED_CENTROIDS)],
         "cell_id int, cvec array<double>",
     )
@@ -1423,7 +1423,7 @@ def mmr_diversified_topk(spark, sf_dir):
         out_rows.append(
             (k, int(top["vec_id"]), int(top["d2q"]), int(top["score"]))
         )
-    return spark.createDataFrame(
+    return local_frame(spark, 
         out_rows, "sel_rank int, vec_id bigint, d2q bigint, score bigint"
     )
 
@@ -1431,6 +1431,7 @@ def mmr_diversified_topk(spark, sf_dir):
 # bench.py phase split (r8 verdict item 7): index build / CDC lifecycle
 # is the one-time phase; the registered queries are steady-state probes.
 from cargo_chat_spark.queries.registry import register_phase_builder as _rpb
+from cargo_chat_spark.functions.localframe import local_frame
 
 _rpb("ivf_topk_persisted", _ivf_persisted_fixture)
 _rpb("ivf_topk_cdc_synced", _ann_cdc_fixture)

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cargo_chat_spark.operators import dedup as D
+from cargo_chat_spark.functions.localframe import local_frame
 
 _BANDS_SUBDIR = "bands"
 
@@ -133,7 +134,7 @@ def probe_band_store(
         targets = new_bands
     else:
         return (
-            new_docs.sparkSession.createDataFrame(
+            local_frame(new_docs.sparkSession, 
                 [], "doc_a bigint, doc_b bigint"
             )
         )

@@ -16,6 +16,8 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+
+from cargo_chat_spark.functions.localframe import local_frame
 from pyspark.sql import functions as F
 
 INDEX_SCHEMA = (
@@ -199,10 +201,10 @@ def _bloom_candidate_cells(spark: SparkSession, blooms, upd_ids: DataFrame) -> D
         for c, ws in blooms.items()
         for w, b in ws.items()
     ]
-    words_df = spark.createDataFrame(
+    words_df = local_frame(spark, 
         word_rows, "wcell int, word int, bits bigint"
-    ) if word_rows else spark.createDataFrame([], "wcell int, word int, bits bigint")
-    cells_df = spark.createDataFrame([(int(c),) for c in blooms], "cell_id int")
+    ) if word_rows else local_frame(spark, [], "wcell int, word int, bits bigint")
+    cells_df = local_frame(spark, [(int(c),) for c in blooms], "cell_id int")
     probes = (
         upd_ids.select("chunk_id", F.explode(_bloom_positions()).alias("p"))
         .select(
@@ -272,7 +274,7 @@ def upsert_index_cells(spark: SparkSession, index_dir: str, updates: DataFrame) 
     bad = updates.where(F.size("embedding") != meta["dim"]).limit(1).count()
     if bad:
         raise ValueError(f"updates contain vectors with dim != {meta['dim']}")
-    centroids = spark.createDataFrame(
+    centroids = local_frame(spark, 
         [(int(c), v) for c, v in meta["centroids"]],
         "cell_id int, cvec array<double>",
     )
@@ -627,7 +629,7 @@ def import_reference_index(
         )
         for i, (v, m) in enumerate(zip(vectors, metadata))
     ]
-    df = spark.createDataFrame(rows, INDEX_SCHEMA)
+    df = local_frame(spark, rows, INDEX_SCHEMA)
     write_index(df, out_dir, dim)
     return read_index(spark, out_dir)
 

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cargo_chat_spark.functions.paths import extension_from_path
+from cargo_chat_spark.functions.localframe import local_frame
 
 
 def _glob_to_re(pat: str) -> str:
@@ -183,7 +184,7 @@ def scan_repo(
                 continue
             keep.append(rel)
     if not keep:
-        return spark.createDataFrame([], "path string, content binary")
+        return local_frame(spark, [], "path string, content binary")
 
     # Distributed content read: the path list is small (driver-side walk),
     # the bytes are read executor-side via the binaryFile source.
@@ -196,7 +197,7 @@ def scan_repo(
             F.col("content"),
         )
     )
-    rel_paths = spark.createDataFrame([(p,) for p in keep], "rel_path string")
+    rel_paths = local_frame(spark, [(p,) for p in keep], "rel_path string")
     root_uri_len = len("file:" + os.path.abspath(root)) + 1
     files = files.withColumn(
         "rel_path", F.expr(f"substring(path, {root_uri_len + 1})")

@@ -39,6 +39,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from cargo_chat_spark.sources._paths import strip_scheme as _local
+from cargo_chat_spark.functions.localframe import local_frame
 
 _SNAP_DIR = "_snapshots"
 _STAGING = "_snap_staging"
@@ -509,7 +510,7 @@ def _read_files_with_dv(
                 f"version {m.get('version')} has no files and no "
                 "recorded schema — cannot construct the empty frame"
             )
-        return spark.createDataFrame([], schema)
+        return local_frame(spark, [], schema)
     df = reader.parquet(*(os.path.join(root, f) for f in files))
     pos = _dv_positions(spark, path, m)
     if pos is None:
@@ -1151,7 +1152,7 @@ def snap_file_deltas(
         # however many files the manifests share; only the DV rows that
         # actually touch a shared file survive)
         shared_df = F.broadcast(
-            spark.createDataFrame(
+            local_frame(spark, 
                 [(f,) for f in sorted(shared)], "file string"
             )
         )
@@ -1298,7 +1299,7 @@ def snap_changes(
     frames = [] if base is None else [base]
     shared = ma & mb
     if shared:
-        empty = spark.createDataFrame([], _DV_SCHEMA)
+        empty = local_frame(spark, [], _DV_SCHEMA)
         pa = _dv_positions(spark, path, m_a) or empty
         pb = _dv_positions(spark, path, m_b) or empty
         sh = sorted(shared)
@@ -1339,7 +1340,7 @@ def snap_changes(
             snap_read(spark, path, to_version)
             .schema[key_col].dataType.simpleString()
         )
-        return spark.createDataFrame(
+        return local_frame(spark, 
             [], f"change string, {key_col} {key_type}"
         )
     out = frames[0]

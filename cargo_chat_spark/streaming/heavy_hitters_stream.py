@@ -29,6 +29,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from cargo_chat_spark.operators.sketches import misra_gries_summaries
+from cargo_chat_spark.functions.localframe import local_frame
 
 
 def _fence_path(state_dir: str) -> str:
@@ -132,7 +133,7 @@ def merge_batch_into_state(
     counters = _truncate(counters, k)
     n_total = (state["n_total"] if state else 0) + n_batch
     out_dir = os.path.join(state_dir, f"counters_v{batch_id}")
-    spark.createDataFrame(
+    local_frame(spark, 
         [(w, int(c)) for w, c in counters.items()] or [("", 0)],
         "item string, est long",
     ).where("item <> '' OR est <> 0").coalesce(1).write.mode(

@@ -43,6 +43,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cargo_chat_spark.functions.localframe import local_frame
 from cargo_chat_spark.sources.snapshots import (
     manifest,
     snap_file_deltas,
@@ -176,7 +177,7 @@ def view_frame(spark: SparkSession, view_path: str) -> DataFrame:
         for g, v in state["groups"].items()
         if v[0] > 0
     ]
-    df = spark.createDataFrame(
+    df = local_frame(spark, 
         rows, "c_nationkey int, n_orders long, rc long, bc long"
     )
     return df.select(

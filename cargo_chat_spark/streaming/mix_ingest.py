@@ -27,6 +27,8 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
+
+from cargo_chat_spark.functions.localframe import local_frame
 from pyspark.sql import functions as F
 
 _STATE_SUFFIX = ".mix_state.json"
@@ -91,7 +93,7 @@ def mix_ingest_batch(
     prior = state["totals"]
     prior_rows = [(s, int(t)) for s, t in prior.items()] or [("", 0)]
     prior_df = F.broadcast(
-        spark.createDataFrame(prior_rows, "source string, prior bigint")
+        local_frame(spark, prior_rows, "source string, prior bigint")
     )
     decided = toks.join(prior_df, "source", "left").select(
         "doc_id",
