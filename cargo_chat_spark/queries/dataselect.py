@@ -453,9 +453,19 @@ def signal_agreement_report(spark, sf_dir):
     # anchor: n(n^2-1) is BIGINT-exact to n ~ 2.1e6 docs; beyond that
     # the scale path is bucketed ranks via the sampled-cutpoint
     # machinery (docstring).
-    joined = ra.join(rb, "doc_id").select(
-        F.col("r1").cast("bigint").alias("r1"),
-        F.col("r2").cast("bigint").alias("r2"),
+    joined = (
+        ra.join(rb, "doc_id")
+        .select(
+            F.col("r1").cast("bigint").alias("r1"),
+            F.col("r2").cast("bigint").alias("r2"),
+        )
+        # n rows × 2 bigints, but the subtree above it is the DSIR
+        # weight pipeline + the quality scorer + two global-rank
+        # windows; both the (n, sd2) aggregate and the top-K overlap
+        # consume it, and the crossJoin re-executes the whole thing
+        # twice (captured plan: 20 parquet scans, 0 ReusedExchange).
+        # Materialize the narrow rank pairs once (guide §5).
+        .localCheckpoint(eager=True)
     )
     s = joined.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),

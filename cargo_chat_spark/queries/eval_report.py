@@ -70,7 +70,17 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         knn_int8_rerank,
     )
 
-    exact = knn_exact(spark, sf_dir).select("query_id", "neighbor_id")
+    # |Q|·10 rows, 2 ints — but the subtree is the full broadcast-kNN
+    # plan, and it feeds every member's semi-join plus the n_queries
+    # aggregate. Without a materialization the final union re-executes
+    # it 4× (captured plan: 42 parquet scans, 0 ReusedExchange);
+    # localCheckpoint runs it once and the consumers read the tiny
+    # cached rows (guide §5: cut lineage of multi-consumed subtrees).
+    exact = (
+        knn_exact(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
     nq = exact.agg(
         F.count_distinct("query_id").cast("bigint").alias("n_queries")
     )
@@ -500,7 +510,14 @@ def ann_rank_metrics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         knn_int8_rerank,
     )
 
-    exact = knn_exact(spark, sf_dir).select("query_id", "neighbor_id")
+    # same materialization as ann_recall_report: the exact top-10 frame
+    # is consumed by 3 member joins + the query spine — checkpoint the
+    # |Q|·10-row result instead of re-running the kNN subtree 4×.
+    exact = (
+        knn_exact(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
     qids = exact.select("query_id").distinct()
     disc = F.create_map(
         *[

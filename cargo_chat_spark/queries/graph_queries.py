@@ -625,8 +625,15 @@ def copurchase_triangles(spark, sf_dir):
             .select(F.col("s").alias("u"), F.col("d").alias("v"))
             .persist()  # consumed by the adjacency agg + the edge stream
         )
-    adj = ordered.groupBy(F.col("u").alias("node")).agg(
-        F.sort_array(F.collect_list("v")).alias("nbrs")
+    adj = (
+        ordered.groupBy(F.col("u").alias("node")).agg(
+            F.sort_array(F.collect_list("v")).alias("nbrs")
+        )
+        # consumed TWICE (au on u, av on v — different join keys, so the
+        # two broadcast builds cannot share an exchange): materialize the
+        # N-row adjacency once instead of re-running the agg+sort per side
+        # (captured before-plan: 25 scans / 64 exchanges, 0 reuse)
+        .localCheckpoint(eager=True)
     )
     # broadcast guard: adjacency holds one entry per oriented edge
     n_edges = ordered.count()
