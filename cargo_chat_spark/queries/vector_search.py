@@ -977,7 +977,10 @@ def index_upsert_cells(spark, sf_dir):
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()["embedding"])
+    # index dim == centroid dim by construction (assignment distances are
+    # only defined when they match, and the upsert's dim gate checks
+    # updates against the stored meta) — no need for a dim-sniff job
+    dim = len(TRAINED_CENTROIDS[0])
     base = emb.where(F.col("vec_id") < 400).select(
         F.col("vec_id").alias("chunk_id"),
         F.col("embedding").cast("array<double>").alias("embedding"),

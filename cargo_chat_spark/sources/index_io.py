@@ -150,14 +150,20 @@ def _read_cell_blooms(index_dir: str) -> dict[int, dict[int, int]] | None:
 
 
 def _refresh_cell_blooms(
-    spark: SparkSession, index_dir: str, cell_ids: list[int] | None = None
+    spark: SparkSession,
+    index_dir: str,
+    cell_ids: list[int] | None = None,
+    frame: DataFrame | None = None,
 ) -> None:
     """(Re)compute per-cell chunk-id Blooms; ``cell_ids=None`` rebuilds
     all cells, else only those cells rescan (partition-pruned) and the
     rest keep their stored filters. Cells that no longer exist on disk
-    drop out of the sidecar."""
+    drop out of the sidecar. ``frame``: when the caller already holds a
+    materialized frame of exactly the rows that landed in the refreshed
+    cells (the upsert's checkpointed ``merged``), aggregate from it
+    instead of re-reading the written partitions from disk."""
     data_dir = os.path.join(index_dir, "index")
-    df = spark.read.parquet(data_dir)
+    df = spark.read.parquet(data_dir) if frame is None else frame
     scan = df if cell_ids is None else df.where(F.col("cell_id").isin(cell_ids))
     rows = (
         scan.select("cell_id", F.explode(_bloom_positions()).alias("p"))
@@ -271,13 +277,46 @@ def upsert_index_cells(spark: SparkSession, index_dir: str, updates: DataFrame) 
         meta = json.load(fh)
     if meta.get("partitioned_by") != "cell_id" or "centroids" not in meta:
         raise ValueError("upsert requires a cell-partitioned index with stored centroids")
-    bad = updates.where(F.size("embedding") != meta["dim"]).limit(1).count()
-    if bad:
-        raise ValueError(f"updates contain vectors with dim != {meta['dim']}")
-    centroids = local_frame(spark, 
+    centroids = local_frame(spark,
         [(int(c), v) for c, v in meta["centroids"]],
         "cell_id int, cvec array<double>",
     )
+    # Contract checks BEFORE assignment, fused into ONE aggregate job
+    # (the dim filter and the duplicate groupBy were two separate scans
+    # of `updates`): _assign_cells's per-chunk_id window would silently
+    # collapse duplicate ids to whichever row sits closest to its
+    # centroid — an arbitrary winner, not an error — and a wrong-dim
+    # vector must refuse, not assign. The same pass counts the rows, so
+    # the empty-update early return needs no extra job.
+    chk = (
+        updates.groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.size("embedding")).alias("mn"),
+            F.max(F.size("embedding")).alias("mx"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_ids"),
+            F.max((F.col("n") > 1).cast("int")).alias("has_dup"),
+            F.max(
+                (
+                    (F.col("mn") != F.lit(meta["dim"]))
+                    | (F.col("mx") != F.lit(meta["dim"]))
+                ).cast("int")
+            ).alias("has_bad_dim"),
+        )
+        .collect()[0]
+    )
+    if chk["has_bad_dim"]:
+        raise ValueError(f"updates contain vectors with dim != {meta['dim']}")
+    if chk["has_dup"]:
+        raise ValueError(
+            "updates must contain one row per chunk_id — collapse "
+            "duplicates before upserting (the assignment window would "
+            "otherwise pick an arbitrary winner)"
+        )
+    if not chk["n_ids"]:  # empty update set: nothing to touch
+        return
     # Materialize the assignment ONCE: `assigned` feeds both the
     # touched-cell collect and the overwrite job. Without this, a
     # nondeterministic ``updates`` frame (e.g. a stream micro-batch
@@ -287,25 +326,7 @@ def upsert_index_cells(spark: SparkSession, index_dir: str, updates: DataFrame) 
     # REPLACED by just the new row (silent data loss under dynamic
     # overwrite). The checkpoint pins one evaluation for both jobs (and
     # skips recomputing the assignment crossJoin).
-    # contract check BEFORE assignment: _assign_cells's per-chunk_id
-    # window would silently collapse duplicate ids to whichever row sits
-    # closest to its centroid — an arbitrary winner, not an error
-    dup = (
-        updates.groupBy("chunk_id")
-        .count()
-        .where(F.col("count") > 1)
-        .limit(1)
-        .count()
-    )
-    if dup:
-        raise ValueError(
-            "updates must contain one row per chunk_id — collapse "
-            "duplicates before upserting (the assignment window would "
-            "otherwise pick an arbitrary winner)"
-        )
     assigned = _assign_cells(updates, centroids).localCheckpoint(eager=True)
-    if not assigned.head(1):  # empty update set: nothing to touch
-        return
     data_dir = os.path.join(index_dir, "index")
     idx = spark.read.parquet(data_dir)
     upd_ids = assigned.select("chunk_id").distinct()
@@ -357,9 +378,14 @@ def upsert_index_cells(spark: SparkSession, index_dir: str, updates: DataFrame) 
             if os.path.isdir(p):
                 shutil.rmtree(p)
     if blooms is not None:
-        # keep the manifest consistent with the new state: rescan only
-        # the touched cells (partition-pruned); emptied cells drop out
-        _refresh_cell_blooms(spark, index_dir, sorted(present & set(touched)))
+        # keep the manifest consistent with the new state: the
+        # checkpointed `merged` IS the new content of the touched cells,
+        # so aggregate the filters from it instead of re-reading the
+        # just-written partitions from disk; emptied cells drop out via
+        # the live-directory pruning
+        _refresh_cell_blooms(
+            spark, index_dir, sorted(present & set(touched)), frame=merged
+        )
 
 
 def compact_index_cells(
