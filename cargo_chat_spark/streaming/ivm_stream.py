@@ -138,30 +138,31 @@ def ivm_refresh(
     va, vb = int(state["a_version"]), int(state["b_version"])
     if (va, vb) == (la, lb):
         return state  # fenced no-op (replay or idle tick)
+    # both delta terms contribute additively to the same per-group fold,
+    # so when BOTH tables advanced they union into ONE rollup job (the
+    # signed groupBy-sum is associative) instead of two collect round
+    # trips; each term projects to the 4 columns the rollup reads before
+    # the union so neither join ships unused payload columns
+    _TERM_COLS = [_GROUP, "sgn", _MEASURE_A, _MEASURE_B]
+    terms = []
     if la > va:
         d_a = snap_file_deltas(spark, a_path, va, la)
         b_new = snap_read(spark, b_path, lb)
-        _fold(
-            state,
-            _signed_rollup(
-                F.broadcast(d_a).join(
-                    b_new, d_a[_JOIN_A] == b_new[_JOIN_B]
-                ),
-                F.col("sgn"),
-            ),
+        terms.append(
+            F.broadcast(d_a)
+            .join(b_new, d_a[_JOIN_A] == b_new[_JOIN_B])
+            .select(*_TERM_COLS)
         )
     if lb > vb:
         d_b = snap_file_deltas(spark, b_path, vb, lb)
         a_old = snap_read(spark, a_path, va)
-        _fold(
-            state,
-            _signed_rollup(
-                a_old.join(
-                    F.broadcast(d_b), a_old[_JOIN_A] == d_b[_JOIN_B]
-                ),
-                F.col("sgn"),
-            ),
+        terms.append(
+            a_old.join(F.broadcast(d_b), a_old[_JOIN_A] == d_b[_JOIN_B])
+            .select(*_TERM_COLS)
         )
+    if terms:
+        t = terms[0] if len(terms) == 1 else terms[0].unionByName(terms[1])
+        _fold(state, _signed_rollup(t, F.col("sgn")))
     state["a_version"], state["b_version"] = la, lb
     _publish(view_path, state)
     return state
