@@ -228,16 +228,51 @@ def cm_join_size_report(spark, sf_dir):
     ≥ bound. Sketches cost one D×W aggregate per table side; the
     estimate is a D-row join of the two grids — the O(1)-state
     cardinality oracle a CBO consults, exactly reproducible here."""
+    # One partial-agg scan per (table, key) side: both downstream facts
+    # are functions of the per-key multiplicities — the CM grid cell
+    # count is the count-WEIGHTED cell sum over distinct keys, and the
+    # exact equi-join size is sum(cnt_a * cnt_b) over matching keys.
+    # The raw-row form scanned every table twice (once into the sketch,
+    # once into a row-level join) and executed the full sketch pipeline
+    # inside a low-parallelism broadcast build; here raw rows are
+    # touched exactly once per side and everything downstream runs at
+    # key cardinality. The key-count frames are checkpointed because
+    # each feeds two consumers (grid + join).
+    def _key_counts(tbl: str, key: str):
+        return (
+            load_table(spark, sf_dir, tbl)
+            .groupBy(F.col(key).cast("string").alias("item"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .localCheckpoint(eager=True)
+        )
+
+    def _weighted_grid(kc):
+        h = F.md5(F.concat(F.lit("cm|"), F.col("item")))
+        cells = F.array(
+            *[
+                F.conv(F.substring(F.col("h"), 1 + 8 * d, 8), 16, 10)
+                .cast("bigint")
+                % CM_JOIN_WIDTH
+                for d in range(sketches.CM_DEPTH)
+            ]
+        )
+        return (
+            kc.select(h.alias("h"), "cnt")
+            .select(F.posexplode(cells).alias("seed", "cell"), "cnt")
+            .groupBy("seed", "cell")
+            .agg(F.sum("cnt").cast("bigint").alias("c"))
+        )
+
+    kcs: dict[tuple[str, str], DataFrame] = {}
+    for _, ta, ka, tb, kb in _JOIN_PAIRS:
+        for t, k in ((ta, ka), (tb, kb)):
+            if (t, k) not in kcs:
+                kcs[(t, k)] = _key_counts(t, k)
     parts = []
     for name, ta, ka, tb, kb in _JOIN_PAIRS:
-        da = load_table(spark, sf_dir, ta).select(
-            F.col(ka).cast("string").alias("item")
-        )
-        db = load_table(spark, sf_dir, tb).select(
-            F.col(kb).cast("string").alias("item")
-        )
-        ga = sketches.count_min_sketch(da, "item", CM_JOIN_WIDTH)
-        gb = sketches.count_min_sketch(db, "item", CM_JOIN_WIDTH).select(
+        kc_a, kc_b = kcs[(ta, ka)], kcs[(tb, kb)]
+        ga = _weighted_grid(kc_a)
+        gb = _weighted_grid(kc_b).select(
             "seed", "cell", F.col("c").alias("cb")
         )
         est = (
@@ -247,12 +282,19 @@ def cm_join_size_report(spark, sf_dir):
             .agg(F.min("p").cast("bigint").alias("cm_est"))
         )
         exact = (
-            load_table(spark, sf_dir, ta)
-            .join(
-                load_table(spark, sf_dir, tb),
-                F.col(ka) == F.col(kb),
+            kc_a.join(
+                kc_b.select(F.col("item"), F.col("cnt").alias("cnt_b")),
+                "item",
             )
-            .agg(F.count(F.lit(1)).cast("bigint").alias("exact_size"))
+            .agg(
+                # coalesce: an empty key intersection must report 0 the
+                # way the row-level count did, not NULL
+                F.coalesce(
+                    F.sum(F.col("cnt") * F.col("cnt_b")), F.lit(0)
+                )
+                .cast("bigint")
+                .alias("exact_size")
+            )
         )
         parts.append(
             exact.crossJoin(F.broadcast(est)).select(
