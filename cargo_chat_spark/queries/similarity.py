@@ -1014,6 +1014,14 @@ def _sds_cells(spark, sf_dir):
     while lvl < lstar:
         lvl += 1
         df = run_level(df, lvl)
+    # Materialize the level chain ONCE before the occupancy checks: the
+    # probe aggregate and every downstream consumer (the memoized
+    # normed-cells build) otherwise re-execute the mapInPandas
+    # projection + all lstar window levels per action — measured as the
+    # dominant cost of this query at sf0.1 (driver gaps from re-planning
+    # the chain plus repeated Arrow stages). Conditional levels (tie
+    # blowups only) re-checkpoint so each probe reads materialized rows.
+    df = df.localCheckpoint(eager=True)
     while lvl < _SDS_MAXD:
         max_occ = (
             df.groupBy("node").count().agg(F.max("count")).first()[0]
@@ -1021,7 +1029,7 @@ def _sds_cells(spark, sf_dir):
         if max_occ is None or max_occ <= _SDS_OCC:
             break
         lvl += 1
-        df = run_level(df, lvl)
+        df = run_level(df, lvl).localCheckpoint(eager=True)
     if lvl < _SDS_MAXD:
         df = df.withColumn(
             "node",
