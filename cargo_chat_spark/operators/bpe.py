@@ -109,6 +109,26 @@ def _merge_syms_batch(syms: pd.Series, left: str, right: str) -> pd.Series:
     return syms.map(one)
 
 
+def right_size_dict(df: DataFrame, rows_per_part: int | None = None) -> DataFrame:
+    """Materialize a dict-sized frame (word-frequency tables, trainer
+    state) and coalesce it to match its ACTUAL row count: such frames
+    inherit their upstream shuffle layout (e.g. 32+ partitions for a
+    few-thousand-word dict), and every downstream Arrow pass — trainer
+    iterations, vocabulary encodes — then pays per-task scheduling and
+    Python-worker round trips on near-empty batches (measured ~10 s of
+    summed task wall per trainer iteration with <0.5 s CPU at sf0.1).
+    The count is cheap on the materialized checkpoint; coalesce is
+    narrow (no shuffle) and never increases the partition count, so a
+    genuinely large web-scale dict keeps its parallelism."""
+    if rows_per_part is None:
+        rows_per_part = int(
+            os.environ.get("SPARK_GRAFT_BPE_ROWS_PER_PART", "250000")
+        )
+    out = df.localCheckpoint(eager=True)
+    n = out.count()
+    return out.coalesce(max(1, -(-n // max(1, rows_per_part))))
+
+
 def train_bpe(
     wf: DataFrame,
     num_merges: int,
@@ -131,26 +151,9 @@ def train_bpe(
     never the corpus — which is exactly the state a cluster run would
     reliably checkpoint per iteration anyway.
     """
-    state = wf.select(
-        "word", "freq", F.expr(_CHARS_EXPR).alias("syms")
-    ).localCheckpoint(eager=True)
-    # Scale-adaptive layout for the iteration state: the dict frame
-    # inherits its upstream shuffle layout (e.g. 32+ partitions for a
-    # dict of a few thousand words), and every one of the num_merges
-    # iterations then pays per-task scheduling + Python-worker round
-    # trips on near-empty Arrow batches — measured as ~10 s of summed
-    # task wall per iteration with <0.5 s CPU at sf0.1. Right-size from
-    # the actual row count (a cheap count on the materialized
-    # checkpoint), targeting enough rows per partition for the Arrow
-    # pass to amortize; coalesce is narrow (no shuffle) and never
-    # increases the partition count, so a genuinely large dict keeps
-    # its parallelism.
-    rows_per_part = int(
-        os.environ.get("SPARK_GRAFT_BPE_ROWS_PER_PART", "250000")
+    state = right_size_dict(
+        wf.select("word", "freq", F.expr(_CHARS_EXPR).alias("syms"))
     )
-    n_words = state.count()
-    nparts = max(1, -(-n_words // max(1, rows_per_part)))
-    state = state.coalesce(nparts)
     merges: list[tuple[str, str, int]] = []
     for it in range(num_merges):
         top = (

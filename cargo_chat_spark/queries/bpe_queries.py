@@ -37,6 +37,7 @@ from cargo_chat_spark.caching import register_memo as memo_register
 from cargo_chat_spark.operators.bpe import (
     encode_words,
     initial_pair_counts,
+    right_size_dict,
     train_bpe,
     word_freqs,
 )
@@ -144,8 +145,11 @@ def _trained(spark, sf_dir):
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _TRAIN_MEMO.get(key)
     if cached is None:
-        wf = word_freqs(load_table(spark, sf_dir, "documents"))
-        wf = wf.persist()
+        # right_size_dict (checkpoint + row-count coalesce) instead of a
+        # bare persist: every consumer of wf — the trainer iterations and
+        # the vocabulary encodes — is an Arrow pass that otherwise runs
+        # at the inherited 32-partition layout on a dict-sized frame
+        wf = right_size_dict(word_freqs(load_table(spark, sf_dir, "documents")))
         merges, _ = train_bpe(wf, N_MERGES)
         cached = (wf, merges)
         _TRAIN_MEMO[key] = cached
@@ -352,7 +356,7 @@ def curated_pack_tokens(spark, sf_dir):
         # explode, AND the pack's doc spine — materialize once
         .persist()
     )
-    wf = word_freqs(surv).persist()
+    wf = right_size_dict(word_freqs(surv))
     merges, _ = train_bpe(wf, N_MERGES)
     return _pack_learned(surv, wf, merges)
 
