@@ -1153,7 +1153,7 @@ FROM d{_KC_K} d LEFT JOIN centers ct ON ct.vec_id = d.vec_id
 """
 
 
-def _kc_assign_numpy(emb, centers):
+def _kc_assign_numpy(emb, centers, with_embedding: bool = False):
     """(vec_id, dmin, cid) against the given center list via an Arrow
     kernel: squared diffs accumulate dim-by-dim in ascending order from
     0.0 and centers fold in selection order with strict-< updates —
@@ -1186,17 +1186,21 @@ def _kc_assign_numpy(emb, centers):
                     upd = d < dmin
                     cid = np.where(upd, j, cid)
                     dmin = np.where(upd, d, dmin)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "dmin": dmin,
-                    "cid": cid,
-                }
-            )
+            out = {
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "dmin": dmin,
+                "cid": cid,
+            }
+            if with_embedding:
+                # passthrough so the selection loop's TakeOrdered(1)
+                # carries the winner's vector — no second lookup job
+                out["embedding"] = pdf["embedding"]
+            yield pd.DataFrame(out)
 
-    return emb.select("vec_id", "embedding").mapInPandas(
-        fn, "vec_id bigint, dmin double, cid bigint"
-    )
+    schema = "vec_id bigint, dmin double, cid bigint"
+    if with_embedding:
+        schema += ", embedding array<double>"
+    return emb.select("vec_id", "embedding").mapInPandas(fn, schema)
 
 
 @register("kcenter_coreset", sql=_kcenter_sql())
@@ -1213,14 +1217,17 @@ def kcenter_coreset(spark, sf_dir):
     seed = emb.orderBy("vec_id").first()
     centers = [(seed["vec_id"], list(seed["embedding"]))]
     while len(centers) < _KC_K:
+        # the kernel passes the embedding through, so the round's single
+        # TakeOrdered(1) job returns the winner's vector directly — the
+        # previous separate where(vec_id = ...) lookup job per round is
+        # gone (2 jobs/round -> 1)
         nxt = (
-            _kc_assign_numpy(emb, centers)
+            _kc_assign_numpy(emb, centers, with_embedding=True)
             .orderBy(F.desc("dmin"), F.asc("vec_id"))
-            .select("vec_id")
+            .select("vec_id", "embedding")
             .first()
         )
-        row = emb.where(F.col("vec_id") == nxt["vec_id"]).first()
-        centers.append((row["vec_id"], list(row["embedding"])))
+        centers.append((nxt["vec_id"], list(nxt["embedding"])))
     center_ids = [vid for vid, _ in centers]
     return _kc_assign_numpy(emb, centers).select(
         "vec_id",
