@@ -1153,7 +1153,7 @@ FROM d{_KC_K} d LEFT JOIN centers ct ON ct.vec_id = d.vec_id
 """
 
 
-def _kc_assign_numpy(emb, centers, with_embedding: bool = False):
+def _kc_assign_numpy(emb, centers):
     """(vec_id, dmin, cid) against the given center list via an Arrow
     kernel: squared diffs accumulate dim-by-dim in ascending order from
     0.0 and centers fold in selection order with strict-< updates —
@@ -1186,21 +1186,67 @@ def _kc_assign_numpy(emb, centers, with_embedding: bool = False):
                     upd = d < dmin
                     cid = np.where(upd, j, cid)
                     dmin = np.where(upd, d, dmin)
-            out = {
-                "vec_id": pdf["vec_id"].to_numpy(),
-                "dmin": dmin,
-                "cid": cid,
-            }
-            if with_embedding:
-                # passthrough so the selection loop's TakeOrdered(1)
-                # carries the winner's vector — no second lookup job
-                out["embedding"] = pdf["embedding"]
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "dmin": dmin,
+                    "cid": cid,
+                }
+            )
 
-    schema = "vec_id bigint, dmin double, cid bigint"
-    if with_embedding:
-        schema += ", embedding array<double>"
-    return emb.select("vec_id", "embedding").mapInPandas(fn, schema)
+    return emb.select("vec_id", "embedding").mapInPandas(
+        fn, "vec_id bigint, dmin double, cid bigint"
+    )
+
+
+def _kc_round_best(emb, centers):
+    """One greedy selection round reduced INSIDE the kernel: per task,
+    only the (dmin DESC, vec_id ASC)-best row — with its embedding —
+    crosses Arrow, so the round is ONE pass whose output is one row per
+    partition and the winner's vector rides along (the old shape ran a
+    second where(vec_id = winner) scan per round). dmin uses the exact
+    _kc_assign_numpy fold (centers in selection order, dims ascending,
+    strict-< updates) and the reduction compares with the same
+    (max dmin, then min vec_id on exact float ties) rule the orderBy
+    applied, so the selected chain is bit-identical."""
+    import numpy as np
+    import pandas as pd
+
+    cents = [np.array(c, dtype=np.float64) for _, c in centers]
+
+    def fn(batches):
+        best = None  # (dmin, vec_id, embedding)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(list(pdf["embedding"]), dtype=np.float64)
+            n, dim = m.shape
+            dmin = None
+            for c in cents:
+                acc = np.zeros(n)
+                for i in range(dim):
+                    diff = m[:, i] - c[i]
+                    acc = acc + diff * diff
+                d = np.sqrt(acc)
+                dmin = d if dmin is None else np.where(d < dmin, d, dmin)
+            mx = float(dmin.max())
+            vids = pdf["vec_id"].to_numpy()
+            vid = int(vids[dmin == mx].min())
+            if best is None or (mx, -vid) > (best[0], -best[1]):
+                row = int(np.nonzero(vids == vid)[0][0])
+                best = (mx, vid, list(pdf["embedding"].iloc[row]))
+        if best is not None:
+            yield pd.DataFrame(
+                {
+                    "vec_id": [best[1]],
+                    "dmin": [best[0]],
+                    "embedding": [best[2]],
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        fn, "vec_id bigint, dmin double, embedding array<double>"
+    )
 
 
 @register("kcenter_coreset", sql=_kcenter_sql())
@@ -1217,14 +1263,14 @@ def kcenter_coreset(spark, sf_dir):
     seed = emb.orderBy("vec_id").first()
     centers = [(seed["vec_id"], list(seed["embedding"]))]
     while len(centers) < _KC_K:
-        # the kernel passes the embedding through, so the round's single
-        # TakeOrdered(1) job returns the winner's vector directly — the
-        # previous separate where(vec_id = ...) lookup job per round is
-        # gone (2 jobs/round -> 1)
+        # one pass per round: the kernel reduces to its partition's best
+        # row (winner's vector included), the orderBy ranks the P
+        # partition bests — the previous separate where(vec_id = ...)
+        # lookup job per round is gone (2 jobs/round -> 1) and only P
+        # rows ever cross Arrow on the way out
         nxt = (
-            _kc_assign_numpy(emb, centers, with_embedding=True)
+            _kc_round_best(emb, centers)
             .orderBy(F.desc("dmin"), F.asc("vec_id"))
-            .select("vec_id", "embedding")
             .first()
         )
         centers.append((nxt["vec_id"], list(nxt["embedding"])))
