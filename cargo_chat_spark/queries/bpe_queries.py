@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from cargo_chat_spark.caching import register_memo as memo_register
+from cargo_chat_spark.functions.localframe import local_frame
 from cargo_chat_spark.operators.bpe import (
     encode_words,
     initial_pair_counts,
@@ -172,7 +173,8 @@ def bpe_pair_counts(spark, sf_dir):
 def bpe_learned_merges(spark, sf_dir):
     """First N_MERGES BPE merges learned distributedly from documents."""
     _, merges = _trained(spark, sf_dir)
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
         "merge_rank int, lhs string, rhs string, pair_count bigint",
     )

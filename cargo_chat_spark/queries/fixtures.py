@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cargo_chat_spark.functions.language import detect_language_expr
+from cargo_chat_spark.functions.localframe import local_frame
 from cargo_chat_spark.sources.testdata import load_table
 
 # Moduli 5 and 7 are coprime with the 4 query classes, so every query sees
@@ -111,7 +112,7 @@ _CLASS_SCHEMA = (
 
 
 def classification_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(_CLASSIFICATIONS, _CLASS_SCHEMA)
+    return local_frame(spark, _CLASSIFICATIONS, _CLASS_SCHEMA)
 
 
 def _sql_list(v) -> str:
