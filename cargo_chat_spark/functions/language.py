@@ -54,16 +54,31 @@ DOC_EXTENSIONS = ["md", "txt", "rst", "adoc"]
 DOC_EXTENSIONS_SIMPLE = ["md", "txt", "rst"]
 
 
+# The 24-entry lookup as ONE map literal, built lazily once per process:
+# the historical 24-branch when-chain cost ~100 py4j round trips (~0.2 s)
+# PER CALL SITE per query build — pure driver-side construction overhead
+# (guide §1: the gap before the first job). The JVM expression tree is
+# session-independent, so one cached Column serves every consumer.
+_LANG_MAP_COL: Column | None = None
+
+
+def _lang_map_col() -> Column:
+    global _LANG_MAP_COL
+    if _LANG_MAP_COL is None:
+        pairs: list[Column] = []
+        for e, lang in EXT_TO_LANGUAGE.items():
+            pairs += [F.lit(e), F.lit(lang)]
+        _LANG_MAP_COL = F.create_map(*pairs)
+    return _LANG_MAP_COL
+
+
 def detect_language_expr(ext: Column) -> Column:
-    """ext (no leading dot, any case) -> display name; NULL if unknown."""
-    lowered = F.lower(ext)
-    expr = F.lit(None).cast("string")
-    # build the when-chain in table order; order is irrelevant (keys disjoint)
-    result = None
-    for e, lang in EXT_TO_LANGUAGE.items():
-        clause = (lowered == e, F.lit(lang))
-        result = F.when(*clause) if result is None else result.when(*clause)
-    return result.otherwise(expr)
+    """ext (no leading dot, any case) -> display name; NULL if unknown.
+
+    try_element_at (not element_at): under ANSI semantics element_at
+    raises on a missing map key; try_ returns NULL — the CASE ... ELSE
+    NULL semantics of the oracle's emitted SQL."""
+    return F.try_element_at(_lang_map_col(), F.lower(ext))
 
 
 def detect_language_sql_case(ext_sql: str) -> str:
