@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 from cargo_chat_spark.functions import hashing
 from cargo_chat_spark.operators import dedup as D
 from cargo_chat_spark.queries.registry import register
-from cargo_chat_spark.sources.testdata import load_table
+from cargo_chat_spark.sources.testdata import load_table, load_table_spread
 
 N_BUCKETS = 4096
 TARGET_LANG = "en"
@@ -114,8 +114,19 @@ WHERE "rank" <= {TOP_K}
 
 def _doc_weights(spark, sf_dir):
     """(doc_id, lang, source, weight): the per-document DSIR log
-    importance ratio, weight rounded to 4 d.p."""
-    docs = load_table(spark, sf_dir, "documents").select(
+    importance ratio, weight rounded to 4 d.p.
+
+    Shape (optimization guide §2.3 aggregate-before-shuffle, §2.6): the
+    exploded gram stream is collapsed ONCE into per-(doc, bucket)
+    multiplicities — one map-side-combinable aggregate over the only
+    corpus-sized pass. Both bag models are then sums over that
+    doc×bucket frame (totals fold from the B-row model, not a rescan),
+    and the per-doc weight is Σ n_b·lr_b — the same rational as the
+    per-occurrence fold, one multiply per distinct (doc, bucket) instead
+    of one add per occurrence. The doc scan is spread when the parquet
+    layout under-splits it (the tokenizer+explode otherwise runs on one
+    core)."""
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id").select(
         "doc_id", "lang", "source", "text"
     )
     toks = docs.select(
@@ -132,17 +143,30 @@ def _doc_weights(spark, sf_dir):
         ).alias("g"),
     )
     feat = grams.select(
-        "doc_id", "lang", (hashing.h32(F.col("g")) % N_BUCKETS).alias("b")
+        "doc_id", "lang", "source",
+        (hashing.h32(F.col("g")) % N_BUCKETS).alias("b"),
     )
-    # one shuffle fits BOTH bag models: per-bucket raw count and the
-    # target count as a conditional sum in the same aggregate
-    cnt = feat.groupBy("b").agg(
-        F.count(F.lit(1)).alias("sc"),
-        F.sum((F.col("lang") == TARGET_LANG).cast("long")).alias("tc"),
+    # the ONE pass over gram occurrences: per-(doc, bucket) counts
+    # (lang/source are doc-constant, carried through the same shuffle so
+    # the output needs no second documents scan). Materialized once —
+    # the model aggregate and the weight join both consume it.
+    occ = (
+        feat.groupBy("doc_id", "lang", "source", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
-    totals = feat.agg(
-        F.sum((F.col("lang") == TARGET_LANG).cast("long")).alias("ct"),
-        F.count(F.lit(1)).alias("cs"),
+    # both bag models from the doc×bucket frame; corpus totals fold from
+    # the B-row model frame instead of re-scanning the gram stream
+    cnt = occ.groupBy("b").agg(
+        F.sum("n").alias("sc"),
+        F.sum(
+            F.when(F.col("lang") == TARGET_LANG, F.col("n")).otherwise(
+                F.lit(0)
+            )
+        ).alias("tc"),
+    )
+    totals = cnt.agg(
+        F.sum("tc").alias("ct"), F.sum("sc").alias("cs")
     )
     ratio = cnt.crossJoin(F.broadcast(totals)).select(
         "b",
@@ -155,14 +179,14 @@ def _doc_weights(spark, sf_dir):
             )
         ).alias("lr"),
     )
-    w = (
-        feat.join(F.broadcast(ratio), "b")
-        .groupBy("doc_id")
-        .agg(F.round(F.sum("lr"), 4).alias("weight"))
+    return (
+        occ.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id", "lang", "source")
+        .agg(
+            F.round(F.sum(F.col("lr") * F.col("n")), 4).alias("weight")
+        )
+        .select("doc_id", "lang", "source", "weight")
     )
-    return load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "source"
-    ).join(w, "doc_id")
 
 
 @register("dsir_logratio_weights", sql=_WEIGHTS_SQL)

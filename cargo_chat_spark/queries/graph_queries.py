@@ -22,11 +22,25 @@ partitioning.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from cargo_chat_spark.caching import memo_persist
 from cargo_chat_spark.queries.registry import register
-from cargo_chat_spark.sources.testdata import load_table
+from cargo_chat_spark.sources.testdata import (
+    load_table,
+    load_table_spread,
+    parquet_rows,
+)
+
+
+def _est_nodes(sf_dir: str) -> int:
+    """Upper bound on graph node count for the broadcast-regime guard:
+    the part table's row count read from the parquet FOOTER — driver-side
+    metadata, no Spark job (the old ``part.count()`` was one full-scan
+    job per graph query whose only purpose was this plan decision)."""
+    return parquet_rows(os.path.join(sf_dir, "part.parquet"))
 
 _SCALE = 1_000_000_000_000
 _ITERS = 3
@@ -79,7 +93,12 @@ def _copurchase_edges(spark, sf_dir):
         # size), pairs generate map-side from the sorted array, and one
         # more shuffle dedupes pairs globally. The self-join + double
         # distinct form was measured ~2x slower at sf0.1.
-        li = load_table(spark, sf_dir, "lineitem")
+        # The scan is spread on the groupBy key when the parquet layout
+        # under-splits it (guide §2.6): the basket aggregate then reuses
+        # that hash partitioning, so the CPU-dense pair explode fused
+        # after it runs at full parallelism instead of on the few
+        # byte-sized partitions AQE coalesces a tiny shuffle to.
+        li = load_table_spread(spark, sf_dir, "lineitem", "l_orderkey")
         baskets = li.groupBy("l_orderkey").agg(
             F.array_sort(F.collect_set("l_partkey")).alias("ps")
         )
@@ -121,7 +140,12 @@ def _copurchase_adjacency(spark, sf_dir):
     the guard the callers keep the skew-safe edge-list form."""
 
     def build():
-        li = load_table(spark, sf_dir, "lineitem")
+        # spread-on-underscan as in _copurchase_edges: the pair explode
+        # fused after the basket aggregate is CPU-dense (profiled at 3-4
+        # tasks × ~1 s from an AQE-coalesced 5 MB shuffle while 28 cores
+        # idled); the explicit keyed repartition is the identity at
+        # production split counts (guide §2.6).
+        li = load_table_spread(spark, sf_dir, "lineitem", "l_orderkey")
         baskets = li.groupBy("l_orderkey").agg(
             F.array_sort(F.collect_set("l_partkey")).alias("ps")
         )
@@ -199,7 +223,7 @@ def part_copurchase_pagerank(spark, sf_dir):
     the regime is decided BEFORE either graph artifact is built; erring
     high only ever picks the conservative shuffle path. Results are
     identical either way (exact integer arithmetic)."""
-    est_nodes = load_table(spark, sf_dir, "part").count()
+    est_nodes = _est_nodes(sf_dir)
     use_broadcast = (
         0 < est_nodes * _RANK_ROW_BYTES <= _broadcast_threshold_bytes(spark)
     )
@@ -207,31 +231,48 @@ def part_copurchase_pagerank(spark, sf_dir):
     if use_broadcast:
         adj = _copurchase_adjacency(spark, sf_dir)
         n_nodes = adj.count()  # materializes the memo-persist
-        ranks = adj.select(
-            "node",
-            F.size("nbrs").cast("bigint").alias("deg"),
-            F.lit(n_nodes).alias("cnt"),
-            F.lit(_SCALE // n_nodes).alias("r"),
+        # r15: state rides the CONTRIBUTION frame, not a rank frame. The
+        # r14 form broadcast TWO node-cardinality relations per iteration
+        # (ranks into the contribution join, inc back into the rank
+        # update) — 6 sequential broadcast builds for 3 iterations, each
+        # a serial driver round-trip (the 8-vs-32-core ratio of 1.00
+        # showed the query is bound by exactly this chain). deg and cnt
+        # are functions of the cached adjacency, so each iteration needs
+        # only ONE broadcast — the previous round's aggregated inc; the
+        # rank recomputes inline as the SAME integer expression
+        # (guide §1.1, §2.4). Iteration 1's uniform rank needs no join
+        # at all: its contributions explode straight off the adjacency.
+        # All arithmetic is the identical integer div/sum chain, so the
+        # values are bit-equal to the oracle's unrolled CTEs.
+        base = F.expr(f"(15 * ({_SCALE} div {n_nodes})) div 100")
+        damped = base + F.expr("(85 * coalesce(inc, 0)) div 100")
+        inc = (
+            adj.select(
+                F.explode("nbrs").alias("node2"),
+                F.expr(
+                    f"({_SCALE} div {n_nodes}) div size(nbrs)"
+                ).alias("c"),
+            )
+            .groupBy(F.col("node2").alias("node"))
+            .agg(F.sum("c").alias("inc"))
         )
-        for _ in range(_ITERS):
+        for _ in range(_ITERS - 1):
             inc = (
-                adj.join(F.broadcast(ranks), "node")
+                adj.join(F.broadcast(inc), "node", "left")
                 .select(
                     F.explode("nbrs").alias("node2"),
-                    F.expr("r div deg").alias("c"),
+                    damped.alias("r"),
+                    F.size("nbrs").cast("bigint").alias("dg"),
                 )
+                .select("node2", F.expr("r div dg").alias("c"))
                 .groupBy(F.col("node2").alias("node"))
                 .agg(F.sum("c").alias("inc"))
             )
-            ranks = ranks.join(F.broadcast(inc), "node", "left").select(
-                "node",
-                "deg",
-                "cnt",
-                (
-                    F.expr(f"(15 * ({_SCALE} div cnt)) div 100")
-                    + F.expr("(85 * coalesce(inc, 0)) div 100")
-                ).alias("r"),
-            )
+        ranks = adj.join(F.broadcast(inc), "node", "left").select(
+            "node",
+            F.size("nbrs").cast("bigint").alias("deg"),
+            damped.alias("r"),
+        )
         _LAST_ITER_PLAN = (
             ranks._jdf.queryExecution().executedPlan().toString()
         )
@@ -352,7 +393,7 @@ def copurchase_bfs_hops(spark, sf_dir):
     artifact (join probes N rows, neighbors explode map-side) — the same
     restructure as pagerank; the per-round checkpoints stay because
     ``dist`` genuinely feeds two consumers per round."""
-    est_nodes = load_table(spark, sf_dir, "part").count()
+    est_nodes = _est_nodes(sf_dir)
     use_broadcast = (
         0 < est_nodes * _RANK_ROW_BYTES <= _broadcast_threshold_bytes(spark)
     )
@@ -461,7 +502,7 @@ def copurchase_label_prop(spark, sf_dir):
     from pyspark.sql import Window
 
     w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("lab"))
-    est_nodes = load_table(spark, sf_dir, "part").count()
+    est_nodes = _est_nodes(sf_dir)
     use_broadcast = (
         0 < est_nodes * _RANK_ROW_BYTES <= _broadcast_threshold_bytes(spark)
     )
@@ -586,7 +627,7 @@ def copurchase_triangles(spark, sf_dir):
     # artifact — deg_s falls out of size(nbrs) and only ONE E-row join
     # (for deg_d) remains instead of two; the guard decides the regime
     # before either artifact is built (the pagerank restructure).
-    est_nodes = load_table(spark, sf_dir, "part").count()
+    est_nodes = _est_nodes(sf_dir)
     if 0 < est_nodes * _RANK_ROW_BYTES <= _broadcast_threshold_bytes(spark):
         adj0 = _copurchase_adjacency(spark, sf_dir)
         deg = adj0.select("node", F.size("nbrs").cast("bigint").alias("deg"))
