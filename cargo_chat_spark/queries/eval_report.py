@@ -743,69 +743,111 @@ def lsh_band_sweep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sorted_hashes_df,
     )
 
+    from cargo_chat_spark.functions.localframe import local_frame
+
     sigs = _memo_persist(
         spark, ("sweep_sigs", sf_dir), lambda: _sigs_df(spark, sf_dir)
     )
     hs = _sorted_hashes_df(spark, sf_dir)
-    parts = []
-    for b, r in _SWEEP_SETTINGS:
-        bands = sigs.select(
+    # r15 (guide §2.4, §1.1): ONE tagged plan instead of three. The old
+    # form built a separate band/cap/self-join/score/agg plan per
+    # setting — 6 signature scans (the self-join consumes bands twice),
+    # 3 cap windows, 3 pair shuffles, 3 hs join pairs. All three
+    # settings' band keys now explode from one signature scan with a
+    # setting tag folded into the bucket key, so the cap window, the
+    # candidate self-join, the distinct, and the exact-Jaccard scoring
+    # each run ONCE over the tagged union. Per-setting semantics are
+    # exact: the tag is part of the bucket key (cap and join never mix
+    # settings) and of the pair-distinct key.
+    def _tag_entries(tag):
+        def f(e):
+            return F.struct(
+                F.lit(tag).alias("tag"),
+                e["band"].alias("band"),
+                e["key"].alias("key"),
+            )
+
+        return f
+
+    tagged = F.flatten(
+        F.array(
+            *[
+                F.transform(
+                    D.band_keys(F.col("mh"), b, r),
+                    _tag_entries(f"b{b}r{r}"),
+                )
+                for b, r in _SWEEP_SETTINGS
+            ]
+        )
+    )
+    bands = (
+        sigs.select("doc_id", F.explode(tagged).alias("bk"))
+        .select(
             "doc_id",
-            F.explode(D.band_keys(F.col("mh"), b, r)).alias("bk"),
-        ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-        bands = D.cap_hot_buckets(bands)
-        a = bands.select(
-            F.col("doc_id").alias("doc_a"), "band", "key"
+            F.col("bk.tag").alias("tag"),
+            F.col("bk.band").alias("band"),
+            # composite bucket key: cap_hot_buckets partitions on
+            # (band, key), so the tag folds into the key to keep every
+            # bucket setting-local
+            F.concat_ws("\x1f", "bk.tag", "bk.key").alias("key"),
         )
-        bb = bands.select(
-            F.col("doc_id").alias("doc_b"), "band", "key"
+    )
+    bands = D.cap_hot_buckets(bands)
+    a = bands.select(F.col("doc_id").alias("doc_a"), "tag", "band", "key")
+    bb = bands.select(F.col("doc_id").alias("doc_b"), "band", "key")
+    pairs = (
+        a.join(bb, ["band", "key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("tag", "doc_a", "doc_b")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    uni = F.size("sa") + F.size("sb") - inter
+    scored = (
+        pairs.join(
+            hs.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa")),
+            "doc_a",
         )
-        pairs = (
-            a.join(bb, ["band", "key"])
-            .where(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-            .distinct()
+        .join(
+            hs.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb")),
+            "doc_b",
         )
-        inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
-        uni = F.size("sa") + F.size("sb") - inter
-        scored = (
-            pairs.join(
-                hs.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa")),
-                "doc_a",
-            )
-            .join(
-                hs.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb")),
-                "doc_b",
-            )
-            .select(inter.alias("inter"), uni.alias("uni"))
+        .select("tag", inter.alias("inter"), uni.alias("uni"))
+    )
+    agg = scored.groupBy("tag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.coalesce(
+            F.sum(F.when(2 * F.col("inter") >= F.col("uni"), 1)),
+            F.lit(0),
+        ).cast("bigint").alias("n_true"),
+    )
+    # a setting with zero candidates has no group row — the left join
+    # onto the literal settings frame restores the old per-setting agg's
+    # (0, 0, 0) row
+    base = local_frame(
+        spark,
+        [
+            (f"b{b}r{r}", b, r, _sweep_threshold_micro(b, r))
+            for b, r in _SWEEP_SETTINGS
+        ],
+        "tag string, bands int, rows_per_band int, threshold_micro bigint",
+    )
+    return base.join(agg, "tag", "left").select(
+        F.col("tag").alias("setting"),
+        "bands",
+        "rows_per_band",
+        "threshold_micro",
+        F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias(
+            "n_candidates"
+        ),
+        F.coalesce("n_true", F.lit(0)).cast("bigint").alias("n_true"),
+        F.when(
+            F.coalesce("n_candidates", F.lit(0)) == 0, F.lit(0)
         )
-        agg = scored.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
-            F.coalesce(
-                F.sum(F.when(2 * F.col("inter") >= F.col("uni"), 1)),
-                F.lit(0),
-            ).cast("bigint").alias("n_true"),
-        ).select(
-            F.lit(f"b{b}r{r}").alias("setting"),
-            F.lit(b).cast("int").alias("bands"),
-            F.lit(r).cast("int").alias("rows_per_band"),
-            F.lit(_sweep_threshold_micro(b, r)).cast("bigint").alias(
-                "threshold_micro"
-            ),
-            "n_candidates",
-            "n_true",
-            F.when(F.col("n_candidates") == 0, F.lit(0))
-            .otherwise(
-                F.expr("(1000000 * n_true) DIV n_candidates")
-            )
-            .cast("bigint")
-            .alias("precision_micro"),
-        )
-        parts.append(agg)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        .otherwise(F.expr("(1000000 * n_true) DIV n_candidates"))
+        .cast("bigint")
+        .alias("precision_micro"),
+    )
 
 
 def _sweep_builder(spark: SparkSession, sf_dir: str) -> None:
