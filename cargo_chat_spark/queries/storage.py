@@ -1251,41 +1251,32 @@ def incremental_join_cdc(spark, sf_dir):
         snap_read,
     )
 
+    from cargo_chat_spark.streaming.ivm_stream import _nation_rollup
+
     po, pc = _incjoin_fixture(spark, sf_dir)
-    a0 = snap_read(spark, po, 0)
-    b0 = snap_read(spark, pc, 0)
-    b2 = snap_read(spark, pc, 2)
+    one = F.lit(1)
+    a0 = snap_read(spark, po, 0).withColumn("sgn", one)
+    b0 = snap_read(spark, pc, 0).withColumn("sgn", one)
+    b2 = snap_read(spark, pc, 2).withColumn("sgn", one)
     d_a = snap_file_deltas(spark, po, 0, 2)
     d_b = snap_file_deltas(spark, pc, 0, 2)
 
-    def signed_agg(joined, sgn):
-        return joined.groupBy("c_nationkey").agg(
-            F.sum(sgn).alias("dn"),
-            F.sum(sgn * F.col("o_totalprice").cast("decimal(18,2)"))
-            .alias("dr"),
-            F.sum(sgn * F.col("c_acctbal").cast("decimal(18,2)"))
-            .alias("db"),
-        )
-
-    view0 = signed_agg(
-        a0.join(b0, a0.o_custkey == b0.c_custkey), F.lit(1)
-    )
-    # delta terms: the file-diff sides broadcast; the base scans stream
-    t_a = signed_agg(
-        F.broadcast(d_a).join(b2, d_a.o_custkey == b2.c_custkey),
-        F.col("sgn"),
-    )
-    t_b = signed_agg(
-        a0.join(F.broadcast(d_b), a0.o_custkey == d_b.c_custkey),
-        F.col("sgn"),
-    )
+    # every term pre-aggregates BOTH join sides by custkey before the
+    # join (streaming/ivm_stream._nation_rollup, guide §2.3): the joins
+    # probe key-cardinality signed aggregates in exact integer cents
+    # instead of raw rows; the file-diff sides still broadcast. cents
+    # long → /100.0 double is the same correctly-rounded rational the
+    # decimal-sum → double cast produced.
+    view0 = _nation_rollup(a0, b0)
+    t_a = _nation_rollup(d_a, b2, bcast_orders=True)
+    t_b = _nation_rollup(a0, d_b, bcast_cust=True)
     return (
         view0.unionByName(t_a).unionByName(t_b)
         .groupBy("c_nationkey")
         .agg(
             F.sum("dn").cast("bigint").alias("n_orders"),
-            F.sum("dr").cast("double").alias("revenue"),
-            F.sum("db").cast("double").alias("balance_weight"),
+            (F.sum("dr") / 100.0).alias("revenue"),
+            (F.sum("db") / 100.0).alias("balance_weight"),
         )
         .where(F.col("n_orders") > 0)
     )

@@ -86,20 +86,43 @@ def _publish(view_path: str, state: dict) -> None:
     os.replace(tmp, _state_path(view_path))
 
 
-def _signed_rollup(joined: DataFrame, sgn) -> list:
-    """(group, dn, revenue_cents, balance_cents) rows — integer-exact."""
-    return (
-        joined.groupBy(_GROUP)
-        .agg(
-            F.sum(sgn).cast("long").alias("dn"),
-            F.sum(
-                sgn * F.col(_MEASURE_A).cast("decimal(18,2)") * 100
-            ).cast("long").alias("dr"),
-            F.sum(
-                sgn * F.col(_MEASURE_B).cast("decimal(18,2)") * 100
-            ).cast("long").alias("db"),
-        )
-        .collect()
+def _nation_rollup(
+    orders_side: DataFrame,
+    cust_side: DataFrame,
+    bcast_cust: bool = False,
+    bcast_orders: bool = False,
+) -> DataFrame:
+    """(group, dn, revenue_cents, balance_cents) with BOTH sides
+    pre-aggregated by the join key before the join (guide §2.3,
+    aggregate-before-shuffle): each side carries a signed ``sgn``
+    column; the join then probes key-cardinality aggregates instead of
+    raw rows, and the per-nation totals factorize exactly —
+
+        dn = Σ_k n(k)·m(k)   dr = Σ_k pc(k)·m(k)   db = Σ_k n(k)·ac(k)
+
+    where n/pc are the orders side's signed count / signed price-cents
+    per key and m/ac the customer side's signed count / signed
+    acctbal-cents per key (the group column is key-functional). All
+    quantities are exact int64 cents, so the factorized products equal
+    the old per-joined-row fold bit-for-bit at any parallelism."""
+    cents_a = (F.col(_MEASURE_A).cast("decimal(18,2)") * 100).cast("long")
+    cents_b = (F.col(_MEASURE_B).cast("decimal(18,2)") * 100).cast("long")
+    oa = orders_side.groupBy(F.col(_JOIN_A).alias("k")).agg(
+        F.sum("sgn").cast("long").alias("n"),
+        F.sum(F.col("sgn") * cents_a).cast("long").alias("pc"),
+    )
+    cb = cust_side.groupBy(F.col(_JOIN_B).alias("k"), F.col(_GROUP)).agg(
+        F.sum("sgn").cast("long").alias("m"),
+        F.sum(F.col("sgn") * cents_b).cast("long").alias("ac"),
+    )
+    if bcast_cust:
+        cb = F.broadcast(cb)
+    if bcast_orders:
+        oa = F.broadcast(oa)
+    return oa.join(cb, "k").groupBy(_GROUP).agg(
+        F.sum(F.col("n") * F.col("m")).cast("long").alias("dn"),
+        F.sum(F.col("pc") * F.col("m")).cast("long").alias("dr"),
+        F.sum(F.col("n") * F.col("ac")).cast("long").alias("db"),
     )
 
 
@@ -125,14 +148,12 @@ def ivm_refresh(
     la = int(manifest(a_path)["version"])
     lb = int(manifest(b_path)["version"])
     state = read_ivm_state(view_path)
+    one = F.lit(1)
     if state is None:
-        a = snap_read(spark, a_path, la)
-        b = snap_read(spark, b_path, lb)
+        a = snap_read(spark, a_path, la).withColumn("sgn", one)
+        b = snap_read(spark, b_path, lb).withColumn("sgn", one)
         state = {"groups": {}, "a_version": la, "b_version": lb}
-        _fold(
-            state,
-            _signed_rollup(a.join(b, a[_JOIN_A] == b[_JOIN_B]), F.lit(1)),
-        )
+        _fold(state, _nation_rollup(a, b).collect())
         _publish(view_path, state)
         return state
     va, vb = int(state["a_version"]), int(state["b_version"])
@@ -140,29 +161,21 @@ def ivm_refresh(
         return state  # fenced no-op (replay or idle tick)
     # both delta terms contribute additively to the same per-group fold,
     # so when BOTH tables advanced they union into ONE rollup job (the
-    # signed groupBy-sum is associative) instead of two collect round
-    # trips; each term projects to the 4 columns the rollup reads before
-    # the union so neither join ships unused payload columns
-    _TERM_COLS = [_GROUP, "sgn", _MEASURE_A, _MEASURE_B]
+    # per-nation totals are associative longs) instead of two collect
+    # round trips; each term pre-aggregates BOTH join sides by custkey
+    # (see _nation_rollup) so neither join ever ships raw rows
     terms = []
     if la > va:
         d_a = snap_file_deltas(spark, a_path, va, la)
-        b_new = snap_read(spark, b_path, lb)
-        terms.append(
-            F.broadcast(d_a)
-            .join(b_new, d_a[_JOIN_A] == b_new[_JOIN_B])
-            .select(*_TERM_COLS)
-        )
+        b_new = snap_read(spark, b_path, lb).withColumn("sgn", one)
+        terms.append(_nation_rollup(d_a, b_new, bcast_orders=True))
     if lb > vb:
         d_b = snap_file_deltas(spark, b_path, vb, lb)
-        a_old = snap_read(spark, a_path, va)
-        terms.append(
-            a_old.join(F.broadcast(d_b), a_old[_JOIN_A] == d_b[_JOIN_B])
-            .select(*_TERM_COLS)
-        )
+        a_old = snap_read(spark, a_path, va).withColumn("sgn", one)
+        terms.append(_nation_rollup(a_old, d_b, bcast_cust=True))
     if terms:
         t = terms[0] if len(terms) == 1 else terms[0].unionByName(terms[1])
-        _fold(state, _signed_rollup(t, F.col("sgn")))
+        _fold(state, t.collect())
     state["a_version"], state["b_version"] = la, lb
     _publish(view_path, state)
     return state
