@@ -53,6 +53,7 @@ def _write_fixture(spark, tmp_path, rows, name):
     return str(d)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", [7, 23, 101])
 def test_gap_fill_matches_pandas_locf(spark, tmp_path, seed):
     rng = random.Random(seed)

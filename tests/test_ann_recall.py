@@ -4,6 +4,8 @@ tradeoff, ann.rs:254)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from cargo_chat_spark.queries import catalog
@@ -181,6 +183,7 @@ def test_approx_percentile_error(spark):
         assert r["p50_rank_ok"] and r["p95_rank_ok"] and r["p99_rank_ok"], r
 
 
+@pytest.mark.slow
 def test_multiprobe_lifts_recall(spark):
     """Multiprobe is RETIRED from the catalog (dominated by the forest —
     see its docstring) but stays a library operator; its defining property
@@ -194,6 +197,7 @@ def test_multiprobe_lifts_recall(spark):
     assert multi > 0.4
 
 
+@pytest.mark.slow
 def test_lsh_forest_recall(spark):
     """The L-table forest (the reference's 16-tree analog, ann.rs:254)
     must clear 0.8 and dominate single-table multiprobe (measured 0.90 vs
@@ -214,6 +218,7 @@ def test_int8_rerank_recall(spark):
     assert r >= 0.9, f"int8+re-rank recall@10 {r:.2f} below 0.9"
 
 
+@pytest.mark.slow
 def test_trained_ivf_recall_beats_fixture(spark):
     from cargo_chat_spark.queries.similarity import _live_trained_topk
 

@@ -26,6 +26,8 @@ from cargo_chat_spark.sources.band_store import (
 )
 from tests.conftest import SF_DIR_SMALL, spark  # noqa: F401
 
+import pytest
+
 WORDS = [
     "spark", "join", "window", "filter", "scan", "merge", "delta",
     "shuffle", "broadcast", "codegen",
@@ -59,6 +61,7 @@ def _fresh(spark, model):
     )
 
 
+@pytest.mark.slow
 def test_random_lifecycles_track_model(spark, tmp_path):
     for seed in (7, 31):
         rng = random.Random(seed)

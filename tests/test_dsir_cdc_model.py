@@ -17,6 +17,8 @@ from cargo_chat_spark.queries.dataselect import _bucket_counts
 from cargo_chat_spark.sources import snapshots as S
 from tests.conftest import SF_DIR_SMALL, spark  # noqa: F401
 
+import pytest
+
 LANGS = ["en", "fr", "de"]
 WORDS = [
     "spark", "join", "window", "filter", "scan", "merge", "delta",
@@ -55,6 +57,7 @@ def _rows(df):
     return sorted((r["b"], r["sc"], r["tc"]) for r in df.collect())
 
 
+@pytest.mark.slow
 def test_random_lifecycles_fold_to_scratch(spark, tmp_path):
     for seed in (11, 43):
         rng = random.Random(seed)

@@ -22,6 +22,8 @@ from cargo_chat_spark.sources.forest_store import (
 )
 from tests.conftest import SF_DIR_SMALL, spark  # noqa: F401
 
+import pytest
+
 _DIM = 8
 
 
@@ -57,6 +59,7 @@ def _fresh(spark, model: dict):
     return sorted(map(tuple, keys.collect()))
 
 
+@pytest.mark.slow
 def test_random_lifecycles_track_model(spark, tmp_path):
     for seed in (11, 47):
         rng = random.Random(seed)

@@ -5,6 +5,8 @@ must compose, and the store side must reach the probe join UNSHUFFLED
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from cargo_chat_spark.queries.ann_lsh import rp_forest_persisted, rp_lsh_forest_topk
@@ -261,6 +263,7 @@ def test_compaction_precommit_orphan_rolls_back(spark, tmp_path):
 # ------------------------------------------------ plane-count lever (r9)
 
 
+@pytest.mark.slow
 def test_plane_count_lever_scales_bucket_space(spark, tmp_path):
     """SCALE.md round-9: per-bucket occupancy = corpus / 2^planes, so
     the plane count is how a bigger corpus keeps probe cost flat. Pins:
@@ -375,6 +378,7 @@ def test_probe_scan_pruning_identical_and_pushed(spark, tmp_path):
     assert _rows(capped) == _rows(unpruned)
 
 
+@pytest.mark.slow
 def test_compaction_crash_at_every_step_recovers(spark, tmp_path, monkeypatch):
     """Sweep the crash point through the journaled swap: the completion
     is allowed N filesystem mutations (remove/replace/rmtree) before a

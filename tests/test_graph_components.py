@@ -20,6 +20,7 @@ def _chain_edges(spark, n: int):
     return e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
 
 
+@pytest.mark.slow
 def test_chain_diameter_beyond_plain_max_iter(spark):
     """A 40-hop chain needs 40 plain propagation rounds; pointer jumping
     must close it well inside max_iter=20 (ADVICE r2: degrade-don't-fail
@@ -66,6 +67,7 @@ def test_lineage_stays_bounded_by_checkpoint(spark):
     assert {r.component_id for r in comp.collect()} == {0}
 
 
+@pytest.mark.slow
 def test_sparse_convergence_probe_same_labels(spark):
     """The every-k-rounds convergence probe (round-4 verdict item 8) must
     produce byte-identical labels to the every-round probe: one no-change
@@ -105,6 +107,7 @@ def test_nonconvergence_degrades_with_warning(spark):
     assert all(lbl <= i for i, lbl in got.items())
 
 
+@pytest.mark.slow
 def test_local_union_find_matches_distributed(spark):
     """connected_components_local (bounded-collect union-find) must produce
     identical labels to the distributed pointer-jump loop on random

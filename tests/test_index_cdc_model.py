@@ -28,6 +28,8 @@ from cargo_chat_spark.sources.inverted_index import (
 )
 from tests.conftest import SF_DIR_SMALL, spark  # noqa: F401
 
+import pytest
+
 WORDS = ["spark", "join", "window", "filter", "scan", "merge", "delta"]
 
 
@@ -51,6 +53,7 @@ def _fresh(spark, model, tmp_path, tag):
     return _live(spark, ref), _doc_stats(df)
 
 
+@pytest.mark.slow
 def test_random_lifecycles_track_model(spark, tmp_path):
     for seed in (11, 23):
         rng = random.Random(seed)

@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 from cargo_chat_spark.operators import dedup as D
 from cargo_chat_spark.operators import kmeans
 
+import pytest
+
 
 def _hashes(spark):
     texts = [
@@ -90,6 +92,7 @@ def _toy_embeddings(spark):
     return spark.createDataFrame(pts, "vec_id int, embedding array<double>")
 
 
+@pytest.mark.slow
 def test_kmeans_tol_stop_matches_full_run(spark):
     emb = _toy_embeddings(spark)
     # once converged, extra Lloyd's iterations are no-ops: the tol-stopped
@@ -105,6 +108,7 @@ def test_kmeans_k_collapses_to_row_count(spark):
     assert len(cents) == 3
 
 
+@pytest.mark.slow
 def test_kmeans_parallel_init_deterministic_and_converges(spark):
     emb = _toy_embeddings(spark)
     a = kmeans.train_kmeans(spark, emb, 2, dim=2, n_iter=5, init="parallel")

@@ -107,6 +107,7 @@ def _rand_rows(rng, next_id, n, keys=KEYS):
     ]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", [7, 23, 91])
 def test_snapshot_store_matches_model(spark, tmp_path, seed):  # noqa: F811
     rng = random.Random(seed)
