@@ -75,6 +75,9 @@ def write_index_partitioned(
     (cell_id, cvec) — persisted in the sidecar so maintenance
     (``upsert_index_cells``) assigns with the exact centroids the index
     was built with."""
+    # (the build stays stream-through: assign → write, blooms from the
+    # written partitions — checkpointing the assignment here would
+    # materialize the ENTIRE index on executor storage, wrong at scale)
     assigned = _assign_cells(df, centroids)
     assigned.write.mode("overwrite").partitionBy("cell_id").parquet(
         os.path.join(index_dir, "index")
@@ -149,11 +152,49 @@ def _read_cell_blooms(index_dir: str) -> dict[int, dict[int, int]] | None:
         return None
 
 
+def _bloom_word_rows(df: DataFrame) -> list:
+    """(cell_id, word, bits) rows of the per-cell Bloom filters — one
+    bit_or aggregate, collect bounded by k cells × (m/64) words,
+    independent of id volume."""
+    return (
+        df.select("cell_id", F.explode(_bloom_positions()).alias("p"))
+        .groupBy("cell_id", F.col("p.word").alias("word"))
+        .agg(F.expr("bit_or(shiftleft(1L, p.bit))").alias("bits"))
+        .collect()
+    )
+
+
+def _spawn_job(fn):
+    """Run a driver-blocking Spark action on a side thread so it overlaps
+    an independent action on the main thread (guide §2.6). The caller
+    must join() before reading results; exceptions re-raise at join."""
+    import threading
+
+    class _T(threading.Thread):
+        exc: BaseException | None = None
+
+        def run(self):
+            try:
+                fn()
+            except BaseException as e:  # noqa: BLE001 — re-raised at join
+                self.exc = e
+
+        def join(self, timeout=None):
+            super().join(timeout)
+            if self.exc is not None:
+                raise self.exc
+
+    t = _T(daemon=True)
+    t.start()
+    return t
+
+
 def _refresh_cell_blooms(
     spark: SparkSession,
     index_dir: str,
     cell_ids: list[int] | None = None,
     frame: DataFrame | None = None,
+    precomputed_rows: list | None = None,
 ) -> None:
     """(Re)compute per-cell chunk-id Blooms; ``cell_ids=None`` rebuilds
     all cells, else only those cells rescan (partition-pruned) and the
@@ -161,16 +202,19 @@ def _refresh_cell_blooms(
     drop out of the sidecar. ``frame``: when the caller already holds a
     materialized frame of exactly the rows that landed in the refreshed
     cells (the upsert's checkpointed ``merged``), aggregate from it
-    instead of re-reading the written partitions from disk."""
+    instead of re-reading the written partitions from disk.
+    ``precomputed_rows``: the caller already ran _bloom_word_rows (e.g.
+    overlapped with the partition commit) — skip the scan entirely."""
     data_dir = os.path.join(index_dir, "index")
-    df = spark.read.parquet(data_dir) if frame is None else frame
-    scan = df if cell_ids is None else df.where(F.col("cell_id").isin(cell_ids))
-    rows = (
-        scan.select("cell_id", F.explode(_bloom_positions()).alias("p"))
-        .groupBy("cell_id", F.col("p.word").alias("word"))
-        .agg(F.expr("bit_or(shiftleft(1L, p.bit))").alias("bits"))
-        .collect()  # bounded: k cells × (m/64) words, independent of ids
-    )
+    if precomputed_rows is not None:
+        rows = precomputed_rows
+    else:
+        df = spark.read.parquet(data_dir) if frame is None else frame
+        scan = (
+            df if cell_ids is None
+            else df.where(F.col("cell_id").isin(cell_ids))
+        )
+        rows = _bloom_word_rows(scan)
     blooms = (
         {} if cell_ids is None else (_read_cell_blooms(index_dir) or {})
     )
@@ -288,35 +332,34 @@ def upsert_index_cells(spark: SparkSession, index_dir: str, updates: DataFrame) 
     # centroid — an arbitrary winner, not an error — and a wrong-dim
     # vector must refuse, not assign. The same pass counts the rows, so
     # the empty-update early return needs no extra job.
-    chk = (
-        updates.groupBy("chunk_id")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min(F.size("embedding")).alias("mn"),
-            F.max(F.size("embedding")).alias("mx"),
+    chk_box: dict = {}
+
+    def _contract_check():
+        chk_box["chk"] = (
+            updates.groupBy("chunk_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(F.size("embedding")).alias("mn"),
+                F.max(F.size("embedding")).alias("mx"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_ids"),
+                F.max((F.col("n") > 1).cast("int")).alias("has_dup"),
+                F.max(
+                    (
+                        (F.col("mn") != F.lit(meta["dim"]))
+                        | (F.col("mx") != F.lit(meta["dim"]))
+                    ).cast("int")
+                ).alias("has_bad_dim"),
+            )
+            .collect()[0]
         )
-        .agg(
-            F.count(F.lit(1)).alias("n_ids"),
-            F.max((F.col("n") > 1).cast("int")).alias("has_dup"),
-            F.max(
-                (
-                    (F.col("mn") != F.lit(meta["dim"]))
-                    | (F.col("mx") != F.lit(meta["dim"]))
-                ).cast("int")
-            ).alias("has_bad_dim"),
-        )
-        .collect()[0]
-    )
-    if chk["has_bad_dim"]:
-        raise ValueError(f"updates contain vectors with dim != {meta['dim']}")
-    if chk["has_dup"]:
-        raise ValueError(
-            "updates must contain one row per chunk_id — collapse "
-            "duplicates before upserting (the assignment window would "
-            "otherwise pick an arbitrary winner)"
-        )
-    if not chk["n_ids"]:  # empty update set: nothing to touch
-        return
+
+    # the contract check runs CONCURRENTLY with the assignment
+    # checkpoint (guide §2.6): both are side-effect-free reads of
+    # ``updates``, and nothing is written until both have finished and
+    # the check passed — a violation still aborts before any effect.
+    chk_th = _spawn_job(_contract_check)
     # Materialize the assignment ONCE: `assigned` feeds both the
     # touched-cell collect and the overwrite job. Without this, a
     # nondeterministic ``updates`` frame (e.g. a stream micro-batch
@@ -327,6 +370,18 @@ def upsert_index_cells(spark: SparkSession, index_dir: str, updates: DataFrame) 
     # overwrite). The checkpoint pins one evaluation for both jobs (and
     # skips recomputing the assignment crossJoin).
     assigned = _assign_cells(updates, centroids).localCheckpoint(eager=True)
+    chk_th.join()
+    chk = chk_box["chk"]
+    if chk["has_bad_dim"]:
+        raise ValueError(f"updates contain vectors with dim != {meta['dim']}")
+    if chk["has_dup"]:
+        raise ValueError(
+            "updates must contain one row per chunk_id — collapse "
+            "duplicates before upserting (the assignment window would "
+            "otherwise pick an arbitrary winner)"
+        )
+    if not chk["n_ids"]:  # empty update set: nothing to touch
+        return
     data_dir = os.path.join(index_dir, "index")
     idx = spark.read.parquet(data_dir)
     upd_ids = assigned.select("chunk_id").distinct()
@@ -357,6 +412,15 @@ def upsert_index_cells(spark: SparkSession, index_dir: str, updates: DataFrame) 
     )
     # the plan reads the files the overwrite replaces — materialize first
     merged = merged.localCheckpoint(eager=True)
+    # The Bloom word aggregate over the checkpointed `merged` runs
+    # CONCURRENTLY with the partition commit (guide §2.6) — both consume
+    # the pinned checkpoint, and its result doubles as the present-cell
+    # set (a cell is present iff it contributed a word row), which the
+    # old code collected in a separate distinct job after the write.
+    rows_box: dict = {}
+    bloom_th = _spawn_job(
+        lambda: rows_box.update(rows=_bloom_word_rows(merged))
+    )
     old_mode = spark.conf.get(
         "spark.sql.sources.partitionOverwriteMode", "static"
     )
@@ -365,13 +429,15 @@ def upsert_index_cells(spark: SparkSession, index_dir: str, updates: DataFrame) 
         merged.write.mode("overwrite").partitionBy("cell_id").parquet(data_dir)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+        bloom_th.join()
+    rows = rows_box["rows"]
     # dynamic overwrite cannot express "this partition is now EMPTY": a
     # cell whose only rows all moved elsewhere keeps its stale files.
     # Drop such partitions explicitly (k-bounded loop; with a
     # transactional table format this is the commit's delete set).
     import shutil
 
-    present = {r["cell_id"] for r in merged.select("cell_id").distinct().collect()}
+    present = {int(r["cell_id"]) for r in rows}
     for c in touched:
         if c not in present:
             p = os.path.join(data_dir, f"cell_id={c}")
@@ -380,11 +446,12 @@ def upsert_index_cells(spark: SparkSession, index_dir: str, updates: DataFrame) 
     if blooms is not None:
         # keep the manifest consistent with the new state: the
         # checkpointed `merged` IS the new content of the touched cells,
-        # so aggregate the filters from it instead of re-reading the
-        # just-written partitions from disk; emptied cells drop out via
-        # the live-directory pruning
+        # so its already-collected word rows update the sidecar directly
+        # (no re-read of the just-written partitions); emptied cells drop
+        # out via the live-directory pruning
         _refresh_cell_blooms(
-            spark, index_dir, sorted(present & set(touched)), frame=merged
+            spark, index_dir, sorted(present & set(touched)),
+            precomputed_rows=rows,
         )
 
 
