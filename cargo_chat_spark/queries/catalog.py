@@ -200,40 +200,64 @@ GATE_WINDOW = [
     # abandoned_purchases + events_dedup_collapse; text stats by
     # token_count + vocab_top50 + sources_by_lang + bm25_topk;
     # sketches by daily_active_bitmap.
-    # --- §2: r12 verdict item-4 head (2) ---
-    "pii_scan",
-    "pricing_summary",
-    # --- §3: round-13 promotion queue — first external rows (2) ---
-    "rp_tree_forest_topk",
-    "semdedup_keep_scale",
-    # --- §4: r5-green remainder (12) ---
-    "quality_score",
-    "repetition_signals",
-    "repo_files_fixture",
-    "revenue_rollup",
-    "rp_lsh_forest_topk",
-    "rp_lsh_topk",
-    "segment_running_totals",
-    "sources_by_lang",
-    "temperature_mix",
-    "token_count",
-    "top_customers",
-    "vocab_top50",
-    # --- §5: oldest r6 greens by registry name (14) ---
-    "abandoned_purchases",
-    "bm25_topk",
-    "cheapest_supplier_per_part",
-    "cogroup_purchase_view_asof",
-    "constraint_violations",
-    "curation_pipeline",
-    "daily_active_bitmap",
-    "dataset_split",
-    "event_funnel",
-    "events_dedup_collapse",
-    "events_gap_fill_locf",
-    "events_ohlc_hourly",
-    "events_partitioned_pruned",
-    "frame_neardup",
+    # --- ROUND-15 ROTATION (executes _ROUND15_WINDOW_DRAFT below with
+    # the r14 VERDICT item-2 rebalance, re-simmed 50/50 green before
+    # this rotation commit): the 30 round-14 window rows rotate out on
+    # their green CORRECTNESS_r14 externals (50/50, zero err) —
+    # recorded in _ROUND14_WINDOW_ROTATED_OUT below. Slots 21-22 are
+    # the round-14 promotion queue (first external rows for the two
+    # r14-build cards); slots 23-38 the r6-green remainder from the
+    # frozen draft (headed by the two rows the r14 rebalance
+    # displaced); slots 39-41 the three oldest r7 greens by registry
+    # name. Slots 42-50 execute the r14 VERDICT's item 2 — the judge's
+    # explicit instruction to rotate external oracle coverage onto the
+    # queries the optimization rounds REWROTE, which outranks the
+    # remaining r7 re-proof wave: copurchase_triangles,
+    # cm_join_size_report, bpe_learned_merges, both ANN reports (all
+    # restructured in r14 with no external row since), plus the r15
+    # rewrites dsir_logratio_weights (the weight pipeline shared by
+    # all three DSIR cards), index_upsert_cells (r14 job fusion + r15
+    # job overlap), ivm_view_follow (r15 pre-aggregated rollup; its
+    # one-shot twin incremental_join_cdc shares the same _nation_rollup
+    # and oracle), and lsh_band_sweep_report (r15 one-pass rewrite,
+    # also the one row the r14 bench flagged vs BASELINE). The nine
+    # displaced r7 greens keep their green CORRECTNESS_r07 externals
+    # and head the round-16 queue (PROMOTION_PLAN below).
+    # --- §2: round-14 promotion queue — first external rows (2) ---
+    "kcenter_coreset",
+    "rp_tree_filtered_topk",
+    # --- §3: r6-green remainder (16; rebalance-displaced pair first) ---
+    "hybrid_rrf_retrieval",
+    "index_import_reference",
+    "ivfpq_topk",
+    "local_supplier_volume",
+    "media_frame_sample",
+    "paragraph_dedup_rebuild",
+    "part_copurchase_pagerank",
+    "part_name_entities",
+    "pq_knn_rerank",
+    "rolling_7d_actives",
+    "semdedup_keep",
+    "shipping_priority",
+    "source_quality_report",
+    "table_profile",
+    "token_spans_udtf",
+    "value_stats_salted",
+    # --- §4: oldest r7 greens by registry name (3) ---
+    "boilerplate_grams",
+    "cohort_retention",
+    "contamination_bloom",
+    # --- §5: r14 verdict item-2 — external rows for the optimization
+    # rewrites (9) ---
+    "copurchase_triangles",
+    "cm_join_size_report",
+    "bpe_learned_merges",
+    "ann_recall_report",
+    "ann_rank_metrics_report",
+    "dsir_logratio_weights",
+    "index_upsert_cells",
+    "ivm_view_follow",
+    "lsh_band_sweep_report",
 ]
 # Historical record of the round-13 window promotions (kept for the
 # judge's audit trail; every name below holds a green CORRECTNESS_r13
@@ -517,30 +541,24 @@ _ROUND8_WINDOW_ROTATED_OUT = [
 # rebalance — followed by the remaining r5 greens; see
 # _ROUND14_WINDOW_DRAFT below.
 PROMOTION_PLAN: list[str] = [
-    # Emptied at the r14 rotation commit: the full round-13 queue
-    # (rp_tree_forest_topk, semdedup_keep_scale) was promoted into
-    # GATE_WINDOW above — the never-driver-gated set is ZERO again.
-    # Round-14 registrations append here as they land, each sim-green
-    # at sf0.001 AND sf0.01 before registration; the rebalance rule
-    # (below, _ROUND15_WINDOW_DRAFT) gives each a draft slot from the
-    # tail of the r7 wave in the same commit.
-    #
-    # NEW in round 14 (r13 verdict item 8's first named candidate):
-    # CURE/Gonzalez greedy k-center coreset over the embedding table —
-    # K spread-maximal representatives + nearest-center assignment,
-    # fully deterministic (seed = min vec_id, strict-< argmax with
-    # vec_id tie-breaks), so the oracle value-hashes the real
-    # (vec_id, center_rank, distance, is_center) output. Selection is
-    # K map-side TakeOrdered scans; 100 TB ramp = CURE's
-    # sample-then-greedy + broadcast assignment (docstring).
-    "kcenter_coreset",
-    # NEW in round 14 (r13 verdict item 8's second named candidate):
-    # the reference's POST-FILTER retrieval mode composed with its
-    # literal ANN structure (hyde.rs:500-519 over-fetch-2k + filter
-    # after retrieval + truncate k, on ann.rs:254's RP-tree forest
-    # candidates) — the approximate sibling of hard_negatives_topk's
-    # pre-filter exact path.
-    "rp_tree_filtered_topk",
+    # The round-14 queue (kcenter_coreset, rp_tree_filtered_topk) was
+    # promoted into GATE_WINDOW at the r15 rotation above. The entries
+    # below are the ROUND-16 QUEUE HEAD: the nine r7 greens displaced
+    # from the frozen r15 draft when the r14 VERDICT item-2 rebalance
+    # gave their slots to the optimization-round rewrites. Each keeps
+    # its green CORRECTNESS_r07 external row (the standing claim, same
+    # as every prior rotation wave), and the shared snapshot /
+    # partition-commit primitives stay exercised in-window by
+    # ivm_view_follow + index_upsert_cells.
+    "dedup_mor_apply",
+    "event_transitions",
+    "events_deletion_vectors",
+    "events_jsonl_roundtrip",
+    "events_merge_clauses",
+    "events_merge_on_read",
+    "events_metadata_count",
+    "events_range_pruned_scan",
+    "events_retention_delete",
 ]
 
 # Round-13 rotation draft (the r9→r12 discipline: committed at r12
@@ -723,9 +741,28 @@ assert len(_ROUND15_WINDOW_DRAFT) == 30 and len(set(_ROUND15_WINDOW_DRAFT)) == 3
     "r15 draft arithmetic: promotions + re-proofs must fill slots "
     "21-50 exactly"
 )
-assert set(PROMOTION_PLAN) <= set(_ROUND15_WINDOW_DRAFT), (
-    "every queued promotion must hold a draft slot — rebalance the "
-    "frozen draft when the plan grows"
+# The r14-VERDICT item-2 rebalance applied to the frozen r15 draft at
+# the r15 rotation: the judge's explicit instruction ("promote the
+# optimization-round rewrites into the r15 gate window") takes the nine
+# tail slots of the r7 re-proof wave; the displaced names moved to the
+# round-16 queue head (PROMOTION_PLAN above). This literal records the
+# substitution for the audit trail.
+_ROUND15_ITEM2_REWRITE_ROWS = [
+    "copurchase_triangles",
+    "cm_join_size_report",
+    "bpe_learned_merges",
+    "ann_recall_report",
+    "ann_rank_metrics_report",
+    "dsir_logratio_weights",
+    "index_upsert_cells",
+    "ivm_view_follow",
+    "lsh_band_sweep_report",
+]
+assert set(PROMOTION_PLAN) == (
+    set(_ROUND15_WINDOW_DRAFT) - set(GATE_WINDOW)
+), (
+    "every draft name displaced by the item-2 rebalance must head the "
+    "round-16 queue"
 )
 
 # Historical record of the round-11 promotion queue (promoted IN FULL
@@ -1436,13 +1473,19 @@ _reorder()
 
 __all__ = ["SPARK_QUERIES", "ORACLE_SQL", "GATE_WINDOW", "PROMOTION_PLAN"]
 
-# The ROUND-14 WINDOW DRAFT frozen at the r13 rotation commit (20
-# permanents + the item-4 head + the 2-entry r13 promotion queue + the
-# r5/r6 re-proof waves) is EXECUTED above — GATE_WINDOW is that frozen
-# literal verbatim. The never-driver-gated set is ZERO: every
-# registered query holds an external CORRECTNESS row or sits in the
-# current window.
-assert GATE_WINDOW[20:] == _ROUND14_WINDOW_DRAFT, (
-    "the r14 window must be the frozen draft: 20 permanents + the "
-    "item-4 head + the r13 promotions + the r5/r6 re-proof waves"
+# The ROUND-15 WINDOW is the frozen _ROUND15_WINDOW_DRAFT with the
+# r14-VERDICT item-2 rebalance applied: the draft's 21 head slots
+# execute verbatim (2 promotions + 16 r6-green remainder + the 3 oldest
+# r7 greens), and the remaining 9 r7-wave slots carry the
+# optimization-rewrite rows the verdict ordered external coverage for
+# (_ROUND15_ITEM2_REWRITE_ROWS); the displaced r7 names head the
+# round-16 queue. Every registered query still holds an external
+# CORRECTNESS row or sits in the current window. The full r14 window
+# that rotated out is recorded in _ROUND14_WINDOW_DRAFT above (all 30
+# rows green in CORRECTNESS_r14.json, zero err).
+assert GATE_WINDOW[20:] == (
+    _ROUND15_WINDOW_DRAFT[:21] + _ROUND15_ITEM2_REWRITE_ROWS
+), (
+    "the r15 window must be the frozen draft head + the item-2 "
+    "rewrite rows"
 )
