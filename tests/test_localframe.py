@@ -77,3 +77,46 @@ def test_non_ddl_schema_and_arity_mismatch_fall_back(spark):
         spark.createDataFrame(rows, "a int, b double").collect()
     with pytest.raises(PySparkValueError):
         local_frame(spark, rows, "a int, b double").collect()
+
+
+def test_structtype_schema_takes_arrow_path(spark):
+    # r15: collected-Row re-framing (local_frame(spark, df.collect(),
+    # df.schema)) must use the Arrow path for safe types — it previously
+    # fell back to the 32-task parallelize scan.
+    ref = spark.createDataFrame(_ROWS, _SCHEMA)
+    rows = ref.collect()
+    got = local_frame(spark, rows, ref.schema)
+    assert got.schema == ref.schema
+    assert _collect_sorted(got) == _collect_sorted(ref)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" not in plan
+    assert "LocalTableScan" in plan
+
+
+def test_nan_cells_fall_back_and_stay_nan(spark):
+    # pandas->Arrow would silently turn a genuine NaN double into NULL;
+    # local_frame must keep the tuple path's NaN (r14 ADVICE pin).
+    import math
+
+    rows = [(1, float("nan")), (2, 0.5)]
+    got = {r["a"]: r["b"] for r in local_frame(spark, rows, "a int, b double").collect()}
+    assert math.isnan(got[1]) and got[2] == 0.5
+
+
+def test_mistyped_float_in_int_column_is_not_truncated(spark):
+    # a float landing in a bigint column must behave like the tuple
+    # path (which raises on verification), never silently floor via an
+    # unsafe Arrow cast (r14 ADVICE pin).
+    import pytest
+
+    rows = [(1.7, "x")]
+    try:
+        ref = spark.createDataFrame(rows, "a bigint, s string").collect()
+    except Exception:
+        ref = None
+    if ref is None:
+        with pytest.raises(Exception):
+            local_frame(spark, rows, "a bigint, s string").collect()
+    else:
+        got = local_frame(spark, rows, "a bigint, s string").collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in ref]
