@@ -54,22 +54,30 @@ DOC_EXTENSIONS = ["md", "txt", "rst", "adoc"]
 DOC_EXTENSIONS_SIMPLE = ["md", "txt", "rst"]
 
 
-# The 24-entry lookup as ONE map literal, built lazily once per process:
-# the historical 24-branch when-chain cost ~100 py4j round trips (~0.2 s)
-# PER CALL SITE per query build — pure driver-side construction overhead
-# (guide §1: the gap before the first job). The JVM expression tree is
-# session-independent, so one cached Column serves every consumer.
-_LANG_MAP_COL: Column | None = None
+# The 24-entry lookup as ONE map literal, built lazily once per JVM
+# gateway: the historical 24-branch when-chain cost ~100 py4j round
+# trips (~0.2 s) PER CALL SITE per query build — pure driver-side
+# construction overhead (guide §1: the gap before the first job). The
+# Column wraps py4j objects, so the cache is keyed by the LIVE gateway
+# (r14 ADVICE: a process-lifetime global would serve a dead JVM
+# reference after a SparkContext teardown/rebuild in the same process).
+_LANG_MAP_CACHE: dict[int, Column] = {}
 
 
 def _lang_map_col() -> Column:
-    global _LANG_MAP_COL
-    if _LANG_MAP_COL is None:
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    key = id(sc._gateway) if sc is not None else 0
+    col = _LANG_MAP_CACHE.get(key)
+    if col is None:
         pairs: list[Column] = []
         for e, lang in EXT_TO_LANGUAGE.items():
             pairs += [F.lit(e), F.lit(lang)]
-        _LANG_MAP_COL = F.create_map(*pairs)
-    return _LANG_MAP_COL
+        col = F.create_map(*pairs)
+        _LANG_MAP_CACHE.clear()  # a dead gateway's Column is useless
+        _LANG_MAP_CACHE[key] = col
+    return col
 
 
 def detect_language_expr(ext: Column) -> Column:

@@ -259,7 +259,15 @@ def assign_cells_l2normalized(
                 base[vec_col] = []
                 yield base
                 continue
-            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            vals = list(pdf[vec_col])
+            if any(v is None or len(v) != cents.shape[1] for v in vals):
+                raise ValueError(
+                    f"{vec_col} contains NULL or non-{cents.shape[1]}-dim "
+                    "vectors — the assignment kernels require dense "
+                    "fixed-dimension embeddings (filter or repair rows "
+                    "before assigning)"
+                )
+            m = np.array(vals, dtype=np.float64)
             acc = np.zeros((len(pdf), cents.shape[0]), dtype=np.float64)
             sq = np.zeros(len(pdf), dtype=np.float64)
             for i in range(m.shape[1]):
@@ -323,7 +331,15 @@ def assign_cells(
                 out["cell_id"] = np.array([], dtype="int32")
                 yield out
                 continue
-            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            vals = list(pdf[vec_col])
+            if any(v is None or len(v) != cents.shape[1] for v in vals):
+                raise ValueError(
+                    f"{vec_col} contains NULL or non-{cents.shape[1]}-dim "
+                    "vectors — the assignment kernels require dense "
+                    "fixed-dimension embeddings (filter or repair rows "
+                    "before assigning)"
+                )
+            m = np.array(vals, dtype=np.float64)
             acc = np.zeros((len(pdf), k), dtype=np.float64)
             for i in range(m.shape[1]):
                 d = m[:, i, None] - cents[None, :, i]

@@ -62,10 +62,20 @@ def scan_splits(spark: SparkSession, sf_dir: str, name: str) -> int:
     Driver-side os.stat only — no Spark job."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
+        # parse byte-unit suffixes ('128m', '64MB', '1g') — a bare
+        # digits-only parse silently fell back to the 128 MB default for
+        # unit-suffixed session values (r14 ADVICE), skewing the
+        # fire/identity decision of load_table_spread
         raw = str(
             spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-        ).lower().rstrip("b")
-        max_pb = int(raw) if raw.isdigit() else 128 * 1024 * 1024
+        ).strip().lower().removesuffix("b")
+        mult = 1
+        for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+            if raw.endswith(suffix):
+                raw = raw[:-1]
+                mult = m
+                break
+        max_pb = int(raw) * mult if raw.isdigit() else 128 * 1024 * 1024
     except Exception:
         max_pb = 128 * 1024 * 1024
     try:
