@@ -891,8 +891,12 @@ def neardup_cluster_histogram(spark, sf_dir):
     histo = sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_clusters")
     )
-    n_total = docs.count()
-    n_in_comp = comp.count()  # bounded driver scalars, not collects
+    # corpus total from the parquet footer (driver-side metadata, no
+    # scan job — §1.1); the component count stays a real job
+    from cargo_chat_spark.sources.testdata import parquet_rows
+
+    n_total = parquet_rows(f"{sf_dir}/documents.parquet")
+    n_in_comp = comp.count()  # bounded driver scalar, not a collect
     singles = local_frame(spark, 
         [(1, n_total - n_in_comp, n_total - n_in_comp)],
         "cluster_size bigint, n_clusters bigint, n_docs bigint",

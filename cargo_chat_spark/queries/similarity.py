@@ -1006,7 +1006,11 @@ def _sds_cells(spark, sf_dir):
     # (cnt > OCC is false everywhere, node -> node*2+0), so replacing
     # them with a single id-doubling multiply reproduces the oracle's
     # full {MAXD}-level unroll bit-for-bit.
-    n = emb.count()
+    # n from the parquet footer — a driver-side metadata read instead of
+    # a full-scan count job whose only purpose is sizing lstar (§1.1)
+    from cargo_chat_spark.sources.testdata import parquet_rows
+
+    n = parquet_rows(f"{sf_dir}/embeddings.parquet")
     lstar = 0
     while lstar < _SDS_MAXD and -(-n // (2 ** lstar)) > _SDS_OCC:
         lstar += 1
