@@ -205,13 +205,14 @@ def dsir_topk_selection(spark, sf_dir):
     so equal-text duplicates rank deterministically). Global top-k via
     window-rank over the weight frame; at scale the same frame feeds
     weighted sampling (queries/sampling.py) instead of a hard cutoff."""
+    from cargo_chat_spark.operators.ranking import global_topk_ranked
+
     w = _doc_weights(spark, sf_dir)
-    rk = Window.orderBy(F.desc("weight"), F.asc("doc_id"))
-    return (
-        w.withColumn("rank", F.row_number().over(rk))
-        .where(F.col("rank") <= TOP_K)
-        .select("doc_id", "lang", "source", "weight", "rank")
-    )
+    # TakeOrderedAndProject + k-row rank window (global_topk_ranked):
+    # no corpus-wide single-partition sort, same rows and ranks
+    return global_topk_ranked(
+        w, [F.desc("weight"), F.asc("doc_id")], TOP_K, "rank"
+    ).select("doc_id", "lang", "source", "weight", "rank")
 
 
 # ---------------------------------------------- Gumbel top-k resampling
@@ -263,11 +264,11 @@ def dsir_gumbel_resample(spark, sf_dir):
     skey = F.round(
         F.col("weight") / RESAMPLE_T + (-F.log(-F.log(u))), 4
     ).alias("skey")
-    rk = Window.orderBy(F.desc("skey"), F.asc("doc_id"))
-    return (
-        w.select("doc_id", "lang", "source", skey)
-        .withColumn("rank", F.row_number().over(rk))
-        .where(F.col("rank") <= TOP_K)
+    from cargo_chat_spark.operators.ranking import global_topk_ranked
+
+    return global_topk_ranked(
+        w.select("doc_id", "lang", "source", skey),
+        [F.desc("skey"), F.asc("doc_id")], TOP_K, "rank",
     )
 
 

@@ -27,6 +27,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from cargo_chat_spark.operators import dedup as D
+from cargo_chat_spark.operators.ranking import global_topk_ranked
 from cargo_chat_spark.queries.registry import register
 from cargo_chat_spark.sources.testdata import load_table
 
@@ -124,10 +125,11 @@ def _bm25_scored(spark, sf_dir):
 def bm25_topk(spark, sf_dir):
     """Okapi BM25 top-20 for the fixed query (see module docstring)."""
     scored = _bm25_scored(spark, sf_dir)
-    w = Window.orderBy(F.desc("bm25"), "doc_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= _TOPK)
+    # global top-k via TakeOrderedAndProject + k-row rank window (see
+    # operators/ranking.global_topk_ranked): output-identical, no
+    # corpus-wide single-partition sort
+    return global_topk_ranked(
+        scored, [F.desc("bm25"), F.col("doc_id")], _TOPK, "rank"
     )
 
 
@@ -195,19 +197,13 @@ def hybrid_rrf_retrieval(spark, sf_dir):
             6,
         ).alias("jaccard"),
     )
-    wq = Window.orderBy(F.desc("jaccard"), "doc_id")
-    jac = (
-        jscored.withColumn("jrnk", F.row_number().over(wq))
-        .where(F.col("jrnk") <= _FUSE_N)
-        .select("doc_id", "jrnk")
-    )
-    wb = Window.orderBy(F.desc("bm25"), "doc_id")
-    bm = (
-        _bm25_scored(spark, sf_dir)
-        .withColumn("brnk", F.row_number().over(wb))
-        .where(F.col("brnk") <= _FUSE_N)
-        .select("doc_id", "brnk")
-    )
+    jac = global_topk_ranked(
+        jscored, [F.desc("jaccard"), F.col("doc_id")], _FUSE_N, "jrnk"
+    ).select("doc_id", "jrnk")
+    bm = global_topk_ranked(
+        _bm25_scored(spark, sf_dir),
+        [F.desc("bm25"), F.col("doc_id")], _FUSE_N, "brnk",
+    ).select("doc_id", "brnk")
     fused = bm.join(jac, "doc_id", "full_outer").select(
         "doc_id",
         F.round(
@@ -220,10 +216,8 @@ def hybrid_rrf_retrieval(spark, sf_dir):
         F.col("brnk").cast("int").alias("bm25_rank"),
         F.col("jrnk").cast("int").alias("jaccard_rank"),
     )
-    wf = Window.orderBy(F.desc("rrf_score"), "doc_id")
-    return (
-        fused.withColumn("fused_rank", F.row_number().over(wf).cast("int"))
-        .where(F.col("fused_rank") <= _TOPK)
+    return global_topk_ranked(
+        fused, [F.desc("rrf_score"), F.col("doc_id")], _TOPK, "fused_rank"
     )
 
 
@@ -292,10 +286,8 @@ def bm25_topk_persisted(spark, sf_dir):
     postings scan + sidecar stats — scores bit-identical to the batch
     ``bm25_topk`` gate (shared oracle)."""
     scored = II.bm25_query(spark, _ii_store(spark, sf_dir), list(_TERMS))
-    w = Window.orderBy(F.desc("bm25"), "doc_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= _TOPK)
+    return global_topk_ranked(
+        scored, [F.desc("bm25"), F.col("doc_id")], _TOPK, "rank"
     )
 
 
@@ -378,10 +370,8 @@ def bm25_cdc_synced_index(spark, sf_dir):
     table purely through its change feed — scores must equal the
     from-scratch oracle over the table's final logical state."""
     scored = II.bm25_query(spark, _cdc_index(spark, sf_dir), list(_TERMS))
-    w = Window.orderBy(F.desc("bm25"), "doc_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= _TOPK)
+    return global_topk_ranked(
+        scored, [F.desc("bm25"), F.col("doc_id")], _TOPK, "rank"
     )
 
 
@@ -399,10 +389,8 @@ def bm25_cdc_compacted_index(spark, sf_dir):
     idx = _cdc_index(spark, sf_dir)
     compact_index_tombstones(spark, idx)
     scored = II.bm25_query(spark, idx, list(_TERMS))
-    w = Window.orderBy(F.desc("bm25"), "doc_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= _TOPK)
+    return global_topk_ranked(
+        scored, [F.desc("bm25"), F.col("doc_id")], _TOPK, "rank"
     )
 
 

@@ -142,17 +142,13 @@ def countmin_word_counts(spark, sf_dir):
         F.explode("tk").alias("item")
     )
     grid = sketches.count_min_sketch(toks, "item", CM_WIDTH)
+    # the rank column is dropped — this is a pure top-CM_TOP selection,
+    # so TakeOrderedAndProject replaces the single-partition rank window
     items = (
         toks.groupBy("item")
         .agg(F.count(F.lit(1)).cast("bigint").alias("exact_cnt"))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.orderBy(F.desc("exact_cnt"), F.asc("item"))
-            ),
-        )
-        .where(F.col("rk") <= CM_TOP)
-        .drop("rk")
+        .orderBy(F.desc("exact_cnt"), F.asc("item"))
+        .limit(CM_TOP)
     )
     est = sketches.cm_estimates(items, grid, "item", CM_WIDTH)
     return items.join(est, "item").select(

@@ -103,8 +103,11 @@ def unigram_viterbi_encode(spark, sf_dir):
     exhaustive-enumeration oracle (recursive CTE over all
     segmentations)."""
     wf = word_freqs(load_table(spark, sf_dir, "documents"))
-    topw = wf.withColumn(
-        "rk",
-        F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("word"))),
-    ).where(F.col("rk") <= TOP_WORDS).select("word", F.col("freq").cast("bigint").alias("freq"))
+    # top-TOP_WORDS via TakeOrderedAndProject — rank only selects, so no
+    # window at all (the global sort never leaves the map side)
+    topw = (
+        wf.orderBy(F.desc("freq"), F.asc("word"))
+        .limit(TOP_WORDS)
+        .select("word", F.col("freq").cast("bigint").alias("freq"))
+    )
     return U.viterbi_encode(topw, _vocab_map(spark, sf_dir))
