@@ -1210,8 +1210,27 @@ def _incjoin_fixture(spark, sf_dir) -> tuple[str, str]:
         if os.path.isdir(p):
             shutil.rmtree(p)
 
+    # the orders and customer version chains are fully independent
+    # (different tables, different commit logs) — run the whole customer
+    # chain on a side thread overlapping the orders chain (guide §2.6)
+    from cargo_chat_spark.functions.overlap import spawn_job
+
+    def _customer_chain():
+        snap_write(c, pc)
+        # customer: MERGE first (acctbal bump for BUILDING — includes
+        # some nation-5 rows), THEN delete nation 5, so the delete wins.
+        upd_c = c.where(F.col("c_mktsegment") == "BUILDING").withColumn(
+            "c_acctbal", F.col("c_acctbal") + F.lit(50.0)
+        )
+        snap_merge(spark, pc, upd_c, "c_custkey")
+        snap_delete(
+            spark, pc,
+            c.where(F.col("c_nationkey") == 5).select("c_custkey"),
+            "c_custkey",
+        )
+
+    side = spawn_job(_customer_chain)
     snap_write(o, po)
-    snap_write(c, pc)
     # orders: MERGE (price bump for %10==3, new orders for %10==7), then
     # delete %10==4. Inserted keys are original+1e8 — never deleted.
     upd_o = o.where(F.col("o_custkey") % 10 == 3).withColumn(
@@ -1226,17 +1245,7 @@ def _incjoin_fixture(spark, sf_dir) -> tuple[str, str]:
         o.where(F.col("o_custkey") % 10 == 4).select("o_orderkey"),
         "o_orderkey",
     )
-    # customer: MERGE first (acctbal bump for BUILDING — includes some
-    # nation-5 rows), THEN delete nation 5, so the delete wins.
-    upd_c = c.where(F.col("c_mktsegment") == "BUILDING").withColumn(
-        "c_acctbal", F.col("c_acctbal") + F.lit(50.0)
-    )
-    snap_merge(spark, pc, upd_c, "c_custkey")
-    snap_delete(
-        spark, pc,
-        c.where(F.col("c_nationkey") == 5).select("c_custkey"),
-        "c_custkey",
-    )
+    side.join()
     _INCJOIN_MEMO[key] = (po, pc)
     return po, pc
 
@@ -1321,8 +1330,13 @@ def ivm_view_follow(spark, sf_dir):
     if os.path.exists(_state_path(vp)):
         os.remove(_state_path(vp))
 
+    # the two base-table writes are independent jobs — overlap them
+    # (guide §2.6; the refresh below needs both, so join first)
+    from cargo_chat_spark.functions.overlap import spawn_job
+
+    wc = spawn_job(lambda: snap_write(c, pc))
     snap_write(o, po)
-    snap_write(c, pc)
+    wc.join()
     ivm_refresh(spark, vp, po, pc)  # materialize the v0 ⋈ v0 base
 
     upd_o = o.where(F.col("o_custkey") % 10 == 3).withColumn(
@@ -1334,15 +1348,21 @@ def ivm_view_follow(spark, sf_dir):
     snap_merge(spark, po, upd_o.unionByName(ins_o), "o_orderkey")
     ivm_refresh(spark, vp, po, pc)  # follow orders v0→v1
 
-    snap_delete(
-        spark, po,
-        o.where(F.col("o_custkey") % 10 == 4).select("o_orderkey"),
-        "o_orderkey",
+    # the orders CoW delete and the customer MERGE mutate DIFFERENT
+    # tables — independent commit chains, overlapped (guide §2.6); the
+    # dual-advance refresh below consumes both, so join first
+    dl = spawn_job(
+        lambda: snap_delete(
+            spark, po,
+            o.where(F.col("o_custkey") % 10 == 4).select("o_orderkey"),
+            "o_orderkey",
+        )
     )
     upd_c = c.where(F.col("c_mktsegment") == "BUILDING").withColumn(
         "c_acctbal", F.col("c_acctbal") + F.lit(50.0)
     )
     snap_merge(spark, pc, upd_c, "c_custkey")
+    dl.join()
     ivm_refresh(spark, vp, po, pc)  # both tables advanced in one refresh
 
     snap_delete(

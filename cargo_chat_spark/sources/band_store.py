@@ -250,7 +250,14 @@ def apply_band_cdc(
     )
     if to_v == from_v:
         return to_v
-    ch = snap_changes(spark, table_path, from_v, to_v, id_col)
+    # the change feed (a full-outer md5 hash join over the changed
+    # files) feeds BOTH the tombstone write and the fresh-doc re-sign —
+    # materialize it once instead of re-executing the diff per consumer
+    # (guide §5: cut lineage of multi-consumed subtrees; O(changed docs)
+    # rows, the same bound as the feed itself)
+    ch = snap_changes(
+        spark, table_path, from_v, to_v, id_col
+    ).localCheckpoint(eager=True)
     dead = (
         ch.where(F.col("change").isin("deleted", "updated"))
         .select(F.col(id_col).alias("doc_id"))
@@ -261,11 +268,20 @@ def apply_band_cdc(
         .select(F.col(id_col))
         .distinct()
     )
-    (
-        dead.withColumn("cutoff", F.lit(to_v).cast("int"))
-        .coalesce(1)
-        .write.mode("append")
-        .parquet(_tombstones_path(store_path))
+    # tombstone append and fresh-doc band write are independent given
+    # the materialized feed — overlap them (guide §2.6). Replay safety
+    # is unchanged: _write_sync still lands only after BOTH, and a
+    # replayed wave's duplicate tombstones/band rows collapse in
+    # read_band_store_live (max(cutoff)) / the probe's distinct().
+    from cargo_chat_spark.functions.overlap import spawn_job
+
+    ts = spawn_job(
+        lambda: (
+            dead.withColumn("cutoff", F.lit(to_v).cast("int"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(_tombstones_path(store_path))
+        )
     )
     new_docs = snap_read(spark, table_path, to_v).join(
         F.broadcast(fresh), id_col, "semi"
@@ -278,6 +294,7 @@ def apply_band_cdc(
         "append",
         n_key_files,
     )
+    ts.join()
     _write_sync(store_path, to_v)
     return to_v
 

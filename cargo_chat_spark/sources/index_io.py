@@ -164,29 +164,9 @@ def _bloom_word_rows(df: DataFrame) -> list:
     )
 
 
-def _spawn_job(fn):
-    """Run a driver-blocking Spark action on a side thread so it overlaps
-    an independent action on the main thread (guide §2.6). The caller
-    must join() before reading results; exceptions re-raise at join."""
-    import threading
-
-    class _T(threading.Thread):
-        exc: BaseException | None = None
-
-        def run(self):
-            try:
-                fn()
-            except BaseException as e:  # noqa: BLE001 — re-raised at join
-                self.exc = e
-
-        def join(self, timeout=None):
-            super().join(timeout)
-            if self.exc is not None:
-                raise self.exc
-
-    t = _T(daemon=True)
-    t.start()
-    return t
+# job overlap shared with the snapshot-lifecycle operators (r15):
+# functions/overlap.spawn_job — same contract (join() re-raises)
+from cargo_chat_spark.functions.overlap import spawn_job as _spawn_job
 
 
 def _refresh_cell_blooms(

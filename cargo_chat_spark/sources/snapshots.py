@@ -954,14 +954,23 @@ def snap_merge(
             f"MERGE updates lack table columns {missing}: whole-row "
             "upserts must state every column"
         )
-    _require_unique_keys(
-        updates, key_col, "snap_merge",
-        visible_keys=lambda: _read_files_with_dv(
-            spark, path, prev, prev["files"]
-        ).select(key_col),
+    # the uniqueness guard and the affected-file discovery are both
+    # side-effect-free reads of independent inputs (the batch vs the
+    # table's key column) — overlap them (guide §2.6); the guard's
+    # exception re-raises at join(), BEFORE any file is staged
+    from cargo_chat_spark.functions.overlap import spawn_job
+
+    guard = spawn_job(
+        lambda: _require_unique_keys(
+            updates, key_col, "snap_merge",
+            visible_keys=lambda: _read_files_with_dv(
+                spark, path, prev, prev["files"]
+            ).select(key_col),
+        )
     )
     k = F.broadcast(updates.select(key_col).distinct())
     affected = _affected_files_visible(spark, path, prev, updates, key_col)
+    guard.join()
     kept = [f for f in prev["files"] if f not in affected]
     new_rows = updates
     if affected:
@@ -1021,14 +1030,20 @@ def snap_merge_into(
     bad = [c for c in (matched_update or {}) if c not in table_cols]
     if bad:
         raise ValueError(f"UPDATE SET targets unknown columns {bad}")
-    _require_unique_keys(
-        source, key_col, "snap_merge_into",
-        visible_keys=lambda: _read_files_with_dv(
-            spark, path, prev, prev["files"]
-        ).select(key_col),
-    )
+    # overlapped exactly like snap_merge: guard ‖ discovery, join before
+    # any write (guide §2.6)
+    from cargo_chat_spark.functions.overlap import spawn_job
 
+    guard = spawn_job(
+        lambda: _require_unique_keys(
+            source, key_col, "snap_merge_into",
+            visible_keys=lambda: _read_files_with_dv(
+                spark, path, prev, prev["files"]
+            ).select(key_col),
+        )
+    )
     affected = _affected_files_visible(spark, path, prev, source, key_col)
+    guard.join()
     kept = [f for f in prev["files"] if f not in affected]
 
     frames = []
