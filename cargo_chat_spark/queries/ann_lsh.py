@@ -896,7 +896,11 @@ def rp_tree_forest_topk(spark, sf_dir):
     log2(corpus/leaf_target) at scale; measured recall@10 vs exact:
     0.92 sf0.001 / 0.86 sf0.01."""
     emb = load_table(spark, sf_dir, "embeddings")
-    leaves = _rpt_leaves(spark, sf_dir)
+    # the leaf frame (mapInPandas projection + DEPTH rank-window levels)
+    # feeds BOTH sides of the candidate self-join — materialize it once
+    # (guide §5; captured plan before: 4 MapInPandas / 8 parquet scans,
+    # the whole chain executed twice)
+    leaves = _rpt_leaves(spark, sf_dir).localCheckpoint(eager=True)
     qleaves = leaves.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "t", "node"
     )
@@ -1004,7 +1008,8 @@ def rp_tree_filtered_topk(spark, sf_dir):
     label-mismatch filter -> truncate k. Reference: hyde.rs:500-519
     (over-fetch + post-filter), ann.rs:254 (the forest)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    leaves = _rpt_leaves(spark, sf_dir)
+    # materialized once for the self-join, as in rp_tree_forest_topk
+    leaves = _rpt_leaves(spark, sf_dir).localCheckpoint(eager=True)
     qleaves = leaves.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "t", "node"
     )
