@@ -88,6 +88,7 @@ def test_gap_fill_matches_pandas_locf(spark, tmp_path, seed):
 
 
 @pytest.mark.parametrize("seed", [5, 77])
+@pytest.mark.slow
 def test_rolling_7d_matches_bruteforce(spark, tmp_path, seed):
     rng = random.Random(seed)
     rows = _random_events(rng, 250)

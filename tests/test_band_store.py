@@ -5,6 +5,8 @@ is carried by the ``incremental_neardup`` gate."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -133,6 +135,7 @@ def test_probe_plan_store_never_shuffles(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_band_cdc_follows_updates_and_deletes(spark, tmp_path):
     """CDC-synced store: an updated doc is matched by its NEW text only;
     a deleted doc stops matching; a later reinsert outlives its own
@@ -206,6 +209,7 @@ def test_band_cdc_follows_updates_and_deletes(spark, tmp_path):
     assert (3, 100) in pairs()
 
 
+@pytest.mark.slow
 def test_band_tombstone_compaction_preserves_answers(spark, tmp_path):
     """compact_band_tombstones rewrites only dirty files (clean files
     byte-identical), probe answers are unchanged, and the op is

@@ -6,6 +6,8 @@ is only the merge application over pre-filtered rows)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from cargo_chat_spark.operators.bpe import (
@@ -48,6 +50,7 @@ def test_trainer_matches_reference_with_ties(spark):
     ]
 
 
+@pytest.mark.slow
 def test_deferred_checkpoints_value_identical(spark):
     """checkpoint_every > 1 defers plan materialization across merges, so
     earlier iterations' merge UDFs re-execute inside later plans. The pair
@@ -287,6 +290,7 @@ def test_curated_tokenizer_is_trained_on_survivors(spark):
     assert [m[:2] for m in full] != want  # distinct tokenizer at sf0.001
 
 
+@pytest.mark.slow
 def test_cdc_maintained_dict_retrains_identically(spark, tmp_path):
     """The incremental-retrain story end-to-end at fixture scale: the
     CDC-maintained word dict equals the from-scratch dict of the final

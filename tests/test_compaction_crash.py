@@ -33,6 +33,7 @@ def _crash_mid_swap(monkeypatch, module):
     return real
 
 
+@pytest.mark.slow
 def test_band_compaction_crash_recovers(spark, tmp_path, monkeypatch):
     import cargo_chat_spark.sources.band_store as bs
 
@@ -69,6 +70,7 @@ def test_band_compaction_crash_recovers(spark, tmp_path, monkeypatch):
     assert not os.path.exists(C.journal_path(store))
 
 
+@pytest.mark.slow
 def test_index_compaction_crash_recovers(spark, tmp_path, monkeypatch):
     import cargo_chat_spark.sources.inverted_index as ii
 

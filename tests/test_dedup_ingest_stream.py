@@ -5,6 +5,8 @@ the fence must converge to identical results on replay."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -38,6 +40,7 @@ def _waves(spark):
     return [docs.where(F.col("doc_id") % 3 == m) for m in range(3)]
 
 
+@pytest.mark.slow
 def test_streamed_ingest_matches_serial_calls(spark, tmp_path):
     w = _waves(spark)
 
@@ -86,6 +89,7 @@ def test_clean_replay_is_fenced_noop(spark, tmp_path):
     assert _pairs(read_all_pairs(spark, pairs_dir)) == p0
 
 
+@pytest.mark.slow
 def test_replay_after_crash_window(spark, tmp_path):
     """Crash between the store append and the fence: the replay
     re-probes against a store that already contains the batch's rows

@@ -33,6 +33,7 @@ def test_persisted_probe_equals_batch_forest(spark):
     assert got and got == want
 
 
+@pytest.mark.slow
 def test_append_waves_equal_single_build(spark, tmp_path):
     emb = load_table(spark, SF_DIR_SMALL, "embeddings").select(
         "vec_id", "embedding"
@@ -115,6 +116,7 @@ def _fs_fresh(spark, table, tmp_path, tag):
     )
 
 
+@pytest.mark.slow
 def test_forest_cdc_lifecycle_tracks_snapshot(spark, tmp_path):
     """update-moves-buckets, delete, reinsert-over-tombstone, compaction
     as pure layout change, idle no-op — the store equals a from-scratch
@@ -201,6 +203,7 @@ def _dirty_store(spark, tmp_path, tag):
     return table, store
 
 
+@pytest.mark.slow
 def test_compaction_crash_after_commit_recovers(spark, tmp_path, monkeypatch):
     """The ADVICE-r8 window: crash AFTER dirty posting files are removed
     but BEFORE staged survivors move in. The journal (published before

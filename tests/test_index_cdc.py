@@ -7,6 +7,8 @@ sidecar must track the live corpus exactly."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from cargo_chat_spark.sources import snapshots as S
@@ -47,6 +49,7 @@ def _fresh_rows(spark, docs, tmp_path, name):
     return _live_rows(spark, ref)
 
 
+@pytest.mark.slow
 def test_cdc_lifecycle_tracks_fresh_build(spark, tmp_path):
     docs = _docs(spark)
     table = str(tmp_path / "table")
@@ -100,6 +103,7 @@ def test_cdc_lifecycle_tracks_fresh_build(spark, tmp_path):
     assert synced_version(idx) == 3
 
 
+@pytest.mark.slow
 def test_delete_then_reinsert_survives_tombstone(spark, tmp_path):
     docs = _docs(spark)
     table = str(tmp_path / "table")
@@ -149,6 +153,7 @@ def test_unsynced_index_raises(spark, tmp_path):
         raise AssertionError("expected ValueError")
 
 
+@pytest.mark.slow
 def test_compaction_materializes_tombstones(spark, tmp_path):
     import glob
     import os

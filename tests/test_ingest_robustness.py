@@ -13,6 +13,8 @@ engine: corrupt files, malformed records, and batch-size control.
 
 from __future__ import annotations
 
+import pytest
+
 import glob
 import os
 
@@ -72,6 +74,7 @@ def test_permissive_json_quarantines_bad_records(spark, tmp_path):
     assert any("not json" in r["_bad"] for r in quarantined)
 
 
+@pytest.mark.slow
 def test_max_files_per_trigger_bounded_batches(spark, tmp_path):
     src = str(tmp_path / "backlog")
     e = spark.read.parquet(f"{SF_DIR_SMALL}/events.parquet").limit(400)

@@ -5,6 +5,8 @@ batch recompute bit-for-bit, and the stats sidecar must stay additive."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from cargo_chat_spark.sources.inverted_index import (
@@ -98,6 +100,7 @@ def test_empty_index_raises(spark, tmp_path):
         raise AssertionError("expected ValueError")
 
 
+@pytest.mark.slow
 def test_positions_invariant_and_phrase_cdc_interplay(spark, tmp_path):
     """tf == size(positions) for every posting; phrase matches served
     from a CDC-maintained index drop with a deleted doc and follow an

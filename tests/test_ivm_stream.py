@@ -5,6 +5,8 @@ the foreachBatch follower converges under a full worst-case replay."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from cargo_chat_spark.sources.snapshots import (
@@ -128,6 +130,7 @@ def test_sequential_refreshes_equal_one_shot(spark, tmp_path):
     assert _groups(vp) == _groups(fresh)
 
 
+@pytest.mark.slow
 def test_follower_converges_under_full_replay(spark, tmp_path):
     o, _, po, pc = _tables(spark, tmp_path)
     vp = str(tmp_path / "view")
@@ -157,6 +160,7 @@ def test_follower_converges_under_full_replay(spark, tmp_path):
     assert _groups(vp) == _direct(spark, po, pc)
 
 
+@pytest.mark.slow
 def test_refresh_sees_merge_on_read_deletes(spark, tmp_path):
     """Round-7 ADVICE (high): a MoR delete keeps the file list and only
     grows the deletion vector — before the round-8 snap_file_deltas

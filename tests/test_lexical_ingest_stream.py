@@ -6,6 +6,8 @@ without double-counting postings or stats."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from cargo_chat_spark.queries.hybrid import _bm25_scored
@@ -49,6 +51,7 @@ def _postings_rows(spark, path):
     )
 
 
+@pytest.mark.slow
 def test_streamed_ingest_matches_batch_and_serves_bm25(spark, tmp_path):
     w = _waves(spark)
     feed = str(tmp_path / "feed")
@@ -87,6 +90,7 @@ def test_clean_replay_is_noop(spark, tmp_path):
     assert _postings_rows(spark, idx) == rows0
 
 
+@pytest.mark.slow
 def test_replay_after_crash_window(spark, tmp_path):
     """Crash after the postings overwrite but before the stats publish:
     the replay re-overwrites batch=1's partitions (idempotent) and folds

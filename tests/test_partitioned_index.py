@@ -3,6 +3,8 @@ result equivalence with the in-memory cell assignment."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -329,6 +331,7 @@ def test_upsert_rejects_duplicate_chunk_ids(spark, tmp_path):
         upsert_index_cells(spark, out, dup)
 
 
+@pytest.mark.slow
 def test_delete_index_ids_and_ann_cdc_lifecycle(spark, tmp_path):
     """delete_index_ids rewrites only the cells holding the ids; the CDC
     wrapper keeps the index equal to a from-scratch build of the table's

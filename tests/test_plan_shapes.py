@@ -296,7 +296,18 @@ def test_rp_tree_candidates_are_equijoin(spark):
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
         "ShuffledHashJoin" in plan
     ), "rp-tree candidate join degraded to a non-equi strategy"
-    assert "MapInPandas" in plan, "projection kernel missing from the plan"
+    # r15: the leaf frame is materialized once (localCheckpoint) for the
+    # candidate self-join, so the projection kernel no longer appears in
+    # the RETURNED plan — pin it on the leaf subtree itself instead
+    from cargo_chat_spark.queries.ann_lsh import _rpt_leaves
+
+    leaf_plan = (
+        _rpt_leaves(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" in leaf_plan, (
+        "projection kernel missing from the leaf-frame plan"
+    )
 
 
 def test_int8_shortlist_prunes_map_side(spark):

@@ -60,6 +60,7 @@ def test_unsupported_filters_stay_with_spark(registered):
     )
 
 
+@pytest.mark.slow
 def test_streaming_source_reads_deterministic_batches(registered, tmp_path):
     from cargo_chat_spark.sources import pyds
 

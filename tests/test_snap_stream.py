@@ -5,6 +5,8 @@ double-append)."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -74,6 +76,7 @@ def test_replayed_batch_is_fenced(spark, tmp_path):
     assert manifest(table)["batch_id"] == 1
 
 
+@pytest.mark.slow
 def test_run_snapshot_ingest_end_to_end(spark, tmp_path):
     e = load_table(spark, SF_DIR_SMALL, "events").limit(200)
     src = _feed(
@@ -96,6 +99,7 @@ def test_run_snapshot_ingest_end_to_end(spark, tmp_path):
     assert _rows(snap_read(spark, table)) == _rows(e)
 
 
+@pytest.mark.slow
 def test_fence_survives_interleaved_non_stream_commits(spark, tmp_path):
     """The review scenario: a maintenance commit (CoW delete) lands
     BETWEEN stream batches; its manifest has no batch_id, but a replay
@@ -163,6 +167,7 @@ def test_streamed_append_carries_deletion_vector(spark, tmp_path):
     assert after.where(F.col("user_id") == 9).count() == batch.count()
 
 
+@pytest.mark.slow
 def test_stream_auto_compaction_heals_small_files(spark, tmp_path):
     """compact_every=3 bin-packs the sink's residue mid-stream: content
     equals the full input, the final file count is below one-per-batch,

@@ -6,6 +6,8 @@ The values contract is carried by the ``events_time_travel`` gate."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -571,6 +573,7 @@ def test_deletion_vector_delete_touches_no_data_file(spark, tmp_path):
     assert snap_count(out) == len(want2)
 
 
+@pytest.mark.slow
 def test_deletion_vector_compaction_and_cow_interplay(spark, tmp_path):
     """Compacting the vector rewrites ONLY the dirty files and cannot
     resurrect deleted rows; a copy-on-write key-delete over a table
@@ -866,6 +869,7 @@ def test_vacuum_reclaims_cold_orphan_staging(spark, tmp_path):
     assert not os.path.exists(live)
 
 
+@pytest.mark.slow
 def test_concurrent_appenders_stress(spark, tmp_path):
     """Many writers appending concurrently with the documented retry
     protocol (ConcurrentCommitError -> re-read latest -> retry): every
@@ -1012,6 +1016,7 @@ def test_vacuum_reclaims_cold_orphan_data_files(spark, tmp_path):
     assert snap_read(spark, out).count() == n, "referenced files intact"
 
 
+@pytest.mark.slow
 def test_concurrent_append_and_dv_delete_race(spark, tmp_path):
     """Appends racing row-level MoR deletes: the deleters target only
     rows of the INITIAL version (always present), so the final state is

@@ -7,6 +7,8 @@ the dict write and the fence publish converges on re-run."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -70,6 +72,7 @@ def _advance(spark, docs, table, step):
         )
 
 
+@pytest.mark.slow
 def test_sequential_refreshes_track_scratch(spark, tmp_path):
     docs = _docs(spark)
     table = str(tmp_path / "t")
