@@ -484,6 +484,22 @@ from cargo_chat_spark.queries.registry import register_phase_builder as _rpb
 _rpb("wordfreq_cdc_dict", _wf_snapshot_fixture)
 
 
+def _trained_builder(spark, sf_dir):
+    """Materialize the trained-tokenizer memo (wf dict + learned merges)
+    — the once-per-corpus-version artifact behind the BPE consumer
+    cards (the DSIR `_weights_builder` discipline, guide §2.4):
+    `bpe_learned_merges` stays the unphased build gate that pays the
+    trainer in full; the encode/pack/fertility/compression consumers
+    report it as their build phase."""
+    _trained(spark, sf_dir)
+
+
+_rpb("bpe_encode_sample", _trained_builder)
+_rpb("bpe_pack_tokens", _trained_builder)
+_rpb("bpe_fertility_by_lang", _trained_builder)
+_rpb("bpe_compression_report", _trained_builder)
+
+
 # ---------------------------------------------- fertility by language
 # The tokenizer-evaluation card multilingual pipelines run per corpus
 # version: chars-per-token (fertility's inverse) by document language
